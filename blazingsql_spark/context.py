@@ -1,0 +1,244 @@
+"""``Context`` — the BlazingContext-equivalent facade over SparkSession.
+
+Mirrors the public API of the reference's ``BlazingContext``
+(/root/reference/pyblazing/pyblazing/apiv2/context.py): ``create_table``
+(:2079), ``drop_table`` (:2578), ``list_tables`` (:2600), ``describe_table``
+(:2618), ``sql`` (:3071), ``explain`` (:1842), async ``sql(return_token=True)``
++ ``status``/``fetch`` (:3066/:3328), ``partition`` (:3018), and the
+filesystem registrations ``s3``/``gs``/``hdfs``/``localfs`` (:1695-1827).
+
+Everything heavy — parsing, optimization, physical planning, shuffle, spill —
+is Spark's. This module is deliberately thin: the value of the Spark-first
+rewrite is that the reference's ~50k LoC of engine code collapses into
+catalog bookkeeping around ``SparkSession``.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from blazingsql_spark.session import get_spark
+
+# File-format dispatch mirrors the reference's DataType enum
+# (engine/src/io/DataType.h:9-18): PARQUET, ORC, CSV, JSON (+ in-memory and
+# JDBC sources handled by type, not extension).
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".parq": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".psv": "csv",
+    ".tbl": "csv",
+    ".txt": "csv",
+    ".json": "json",
+    ".ndjson": "json",
+}
+
+
+@dataclass
+class TableMeta:
+    """Catalog entry — the analogue of the reference's Python ``BlazingTable``
+    (context.py:992-1096), which records fileType/slices/partition values.
+    Spark tracks splits and partitions itself; we keep the user-facing bits.
+    """
+
+    name: str
+    source: str  # "file" | "dataframe" | "pandas" | "arrow" | "jdbc"
+    format: str | None = None
+    paths: list[str] = field(default_factory=list)
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+class Context:
+    """PySpark-native equivalent of ``BlazingContext``.
+
+    >>> bc = Context()
+    >>> bc.create_table("lineitem", "/root/testdata/sf0.001/lineitem.parquet")
+    >>> df = bc.sql("SELECT count(*) AS n FROM lineitem")
+    """
+
+    def __init__(self, spark: SparkSession | None = None, **spark_kwargs: Any):
+        self.spark = spark or get_spark(**spark_kwargs)
+        self._tables: dict[str, TableMeta] = {}
+        # Async query pool: the reference runs queries on its own threads and
+        # hands back tokens (context.py:3066 sql(return_token=True)).
+        self._pool = ThreadPoolExecutor(max_workers=4)
+        self._tokens: dict[int, Future] = {}
+        self._token_counter = itertools.count(1)
+
+    # ------------------------------------------------------------------ DDL
+    def create_table(
+        self,
+        table_name: str,
+        input: Any,
+        file_format: str | None = None,
+        **kwargs: Any,
+    ) -> DataFrame:
+        """Register a table from files, a Spark DataFrame, pandas, or Arrow.
+
+        Mirrors ``BlazingContext.create_table`` dispatch (context.py:2079+):
+        cudf/dask_cudf → Spark DataFrame; file path(s) with optional
+        ``file_format`` hint; pandas/arrow via Spark's Arrow interop.
+        Hive-partitioned directories work out of the box (Spark partition
+        discovery replaces context.py:476 parseHiveMetadata).
+        """
+        if isinstance(input, DataFrame):
+            df = input
+            meta = TableMeta(table_name, "dataframe")
+        elif _is_pandas(input):
+            df = self.spark.createDataFrame(input)
+            meta = TableMeta(table_name, "pandas")
+        elif _is_arrow(input):
+            df = self.spark.createDataFrame(input.to_pandas())
+            meta = TableMeta(table_name, "arrow")
+        elif isinstance(input, (str, os.PathLike)) or (
+            isinstance(input, (list, tuple)) and input and isinstance(input[0], str)
+        ):
+            paths = [str(input)] if isinstance(input, (str, os.PathLike)) else [str(p) for p in input]
+            fmt = (file_format or _infer_format(paths[0])).lower()
+            reader = self.spark.read
+            if fmt == "csv":
+                kwargs.setdefault("header", True)
+                kwargs.setdefault("inferSchema", True)
+            if "schema" in kwargs:
+                reader = reader.schema(kwargs.pop("schema"))
+            df = reader.options(**kwargs).format(fmt).load(paths)
+            meta = TableMeta(table_name, "file", fmt, paths, kwargs)
+        else:
+            raise TypeError(f"create_table: unsupported input type {type(input)!r}")
+        df.createOrReplaceTempView(table_name)
+        self._tables[table_name] = meta
+        return df
+
+    def drop_table(self, table_name: str) -> None:
+        """context.py:2578."""
+        self.spark.catalog.dropTempView(table_name)
+        self._tables.pop(table_name, None)
+
+    def list_tables(self) -> list[str]:
+        """context.py:2600."""
+        return sorted(self._tables)
+
+    def describe_table(self, table_name: str) -> dict[str, str]:
+        """context.py:2618 — column name → Spark SQL type string."""
+        df = self.spark.table(table_name)
+        return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    # ---------------------------------------------------------------- query
+    def sql(self, query: str, return_token: bool = False) -> DataFrame | int:
+        """Run SQL. With ``return_token=True``, submit async and return a
+        token for ``status``/``fetch`` (reference: context.py:3066/3328).
+        """
+        if not return_token:
+            return self.spark.sql(query)
+        token = next(self._token_counter)
+        self._tokens[token] = self._pool.submit(lambda: self.spark.sql(query).collect())
+        return token
+
+    def status(self, token: int) -> bool:
+        """True when the async query finished (context.py:3328)."""
+        return self._tokens[token].done()
+
+    def fetch(self, token: int):
+        """Block for and return the async result rows (context.py:3066)."""
+        return self._tokens.pop(token).result()
+
+    def explain(self, query: str, detail: bool = False) -> str:
+        """Optimized logical plan; ``detail=True`` adds the physical plan —
+        mirrors bc.explain(sql, detail) (context.py:1842-1923).
+        """
+        df = self.spark.sql(query)
+        mode = "extended" if detail else "simple"
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode
+        )
+
+    def partition(self, df: DataFrame, by: list[str] | None = None, n: int | None = None) -> DataFrame:
+        """Explicit repartition (reference bc.partition, context.py:3018)."""
+        cols = by or []
+        if n and cols:
+            return df.repartition(n, *cols)
+        if cols:
+            return df.repartition(*cols)
+        return df.repartition(n or df.rdd.getNumPartitions())
+
+    # ----------------------------------------------------------- filesystems
+    # The reference registers named filesystems (context.py:1695-1827); in
+    # Spark these are Hadoop configs — set once on the live context.
+    def localfs(self, prefix: str | None = None, **_: Any) -> None:
+        """No-op: local paths are always readable (context.py:1695)."""
+
+    def s3(
+        self,
+        name: str = "s3",
+        bucket_name: str | None = None,
+        access_key_id: str | None = None,
+        secret_key: str | None = None,
+        session_token: str | None = None,
+        endpoint_override: str | None = None,
+        **_: Any,
+    ) -> None:
+        """Register S3 credentials (context.py:1744) → s3a Hadoop confs."""
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        if access_key_id:
+            conf.set("fs.s3a.access.key", access_key_id)
+        if secret_key:
+            conf.set("fs.s3a.secret.key", secret_key)
+        if session_token:
+            conf.set("fs.s3a.session.token", session_token)
+        if endpoint_override:
+            conf.set("fs.s3a.endpoint", endpoint_override)
+
+    def gs(
+        self,
+        name: str = "gs",
+        project_id: str | None = None,
+        bucket_name: str | None = None,
+        use_default_adc_json_keyfile_path: bool = True,
+        adc_json_keyfile_path: str | None = None,
+        **_: Any,
+    ) -> None:
+        """Register GCS credentials (context.py:1794) → gs Hadoop confs."""
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        conf.set("fs.gs.impl", "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem")
+        if project_id:
+            conf.set("fs.gs.project.id", project_id)
+        if adc_json_keyfile_path:
+            conf.set("google.cloud.auth.service.account.json.keyfile", adc_json_keyfile_path)
+
+    def hdfs(self, name: str = "hdfs", host: str = "localhost", port: int = 8020, **_: Any) -> None:
+        """Register an HDFS namenode (context.py:1703) → defaultFS conf."""
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        conf.set("fs.defaultFS", f"hdfs://{host}:{port}")
+
+
+def _infer_format(path: str) -> str:
+    base = path.rstrip("/*")
+    for ext, fmt in _EXT_FORMAT.items():
+        if base.endswith(ext):
+            return fmt
+    return "parquet"
+
+
+def _is_pandas(obj: Any) -> bool:
+    try:
+        import pandas as pd
+
+        return isinstance(obj, pd.DataFrame)
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _is_arrow(obj: Any) -> bool:
+    try:
+        import pyarrow as pa
+
+        return isinstance(obj, pa.Table)
+    except ImportError:  # pragma: no cover
+        return False

@@ -1,0 +1,255 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup = hash-groupBy on a 128-bit content hash (one shuffle on the
+  hash key — never on the raw text);
+- MinHash LSH = shingle→signature→band→bucket-join: the only shuffle keys
+  are tiny band hashes, candidate verification happens per-bucket;
+- SimHash = 64-bit signature via per-bit weighted sums, near-dup = Hamming
+  ball via banded self-join;
+- n-gram Jaccard = exact verifier for LSH candidates (never run all-pairs).
+
+Hashes are md5-based (seeded by prefix concat) rather than Spark's murmur3 —
+md5 is engine-portable, so every step is differential-testable against an
+external SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per identical content hash.
+
+    One shuffle, on md5(text) — 32 bytes per row regardless of document size,
+    so the shuffle volume is O(rows), not O(corpus bytes).
+    """
+    fp = F.md5(F.col(text_col)).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# --------------------------------------------------------------- shingles
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Array of word n-gram shingles (distinct). Pure JVM expressions."""
+    ws = F.split(F.trim(text), r"\s+")
+    if n == 1:
+        return F.array_distinct(ws)
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            # guard: Spark sequence(1, 0) counts DOWN — never emit it
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------- MinHash
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash signature per document: hash h_i(doc) = min over shingles of
+    md5(i || shingle). md5-string min is a valid permutation-min and is
+    byte-identical in any engine (differential-testable).
+
+    Scale shape: explode(shingles) × num_hashes stays columnar; the groupBy
+    shuffles (id, seed, 32-byte hash) tuples — independent of document size.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    seeded = shingled.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.lit(num_hashes))).alias("seed"),
+        "shingle",
+    ).select(
+        id_col,
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+    )
+    return (
+        seeded.groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("sig_pairs"))
+        .select(id_col, F.col("sig_pairs.minhash").alias("signature"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature (rows = num_hashes /
+    bands), bucket-join on (band_idx, band_hash), emit distinct (a < b) pairs.
+
+    The self-join shuffles only band hashes; at 100 TB the bucket key space
+    keeps skew bounded (collision probability per band ~ similarity^rows).
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "signature",
+    ).select(
+        id_col,
+        "band",
+        F.md5(F.concat_ws("|", F.slice(F.col("signature"), F.col("band") * rows + 1, rows))).alias(
+            "band_hash"
+        ),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all (a < b) pairs that share at
+    least one shingle. Intersection via shingle-key join (never a cross
+    join); union = |A| + |B| - |A∩B|.
+
+    At scale this is the *verifier* for LSH candidates — join `df` down to
+    candidate ids first; the shingle join then touches only candidates.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# ----------------------------------------------------------------- SimHash
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash signature: per-bit weighted vote over token hashes.
+
+    Token hash = first 15 hex chars of md5 → 60 usable bits; signature bit b
+    is 1 iff the sum over tokens of (±1 by token-bit b) is positive. Pure
+    JVM expressions (conv/shiftright/bit ops); one groupBy per document.
+    """
+    assert bits <= 60
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = tokens.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded so the self-join
+    key is a signature chunk (pigeonhole: distance ≤ max_hamming with
+    bands > max_hamming guarantees one identical band)."""
+    sig = simhash(df, text_col, id_col, bits)
+    width = bits // bands
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        id_col,
+        "simhash",
+        "band",
+        # SQL-form shiftright: the Python wrapper only takes a literal count
+        F.expr(f"shiftright(simhash, band * {width}) & {(1 << width) - 1}").alias("chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

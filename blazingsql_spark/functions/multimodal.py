@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched pandas iterators.
+
+The Spark-side contract is real and tested — schema, partitioning, UDF
+signatures, batch shapes. The actual media decoding is STUBBED (this
+container has no image/audio libraries): ``decode_image`` raises
+NotImplementedError unless ``fake=True``, which produces a deterministic
+fake decode so the pipeline shape is exercisable end-to-end.
+
+At 100 TB: binary payloads stay columnar in parquet; mapInPandas streams
+Arrow record batches so one task never holds more than
+``spark.sql.execution.arrow.maxRecordsPerBatch`` media blobs in Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata carried next to every media blob.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("format", T.StringType()),  # png, wav, mp4, ...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
+    """Treat a column's bytes as an opaque media payload (for testing the
+    plumbing on text fixtures; real pipelines read binary parquet columns)."""
+    return df.withColumn(out_col, F.col(text_col).cast("binary"))
+
+
+def with_media_meta(
+    df: DataFrame, payload_col: str = "payload", media_type: str = "image", fmt: str = "fake"
+) -> DataFrame:
+    """Derive the typed metadata struct JVM-side (no Python in the loop)."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes, target: int) -> list[float]:
+    """Deterministic fake 'decode → feature vector': sha256-seeded floats.
+    Stands in for a real image/audio feature extractor."""
+    h = hashlib.sha256(payload).digest()
+    return [h[i % 32] / 255.0 for i in range(target)]
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    feature_dim: int = 16,
+    fake: bool = True,
+) -> DataFrame:
+    """Decode media payloads into feature vectors via mapInPandas.
+
+    ``fake=False`` is the real-library path — STUB: raises
+    NotImplementedError (no PIL/cv2/librosa in this environment). The
+    Arrow-batched plumbing below is the production shape either way.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding needs PIL/cv2/librosa — not available in this container; "
+            "use fake=True for the deterministic stand-in"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "features": payloads.map(lambda b: _fake_decode(bytes(b), feature_dim)),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 4, duration_col: str | None = None
+) -> DataFrame:
+    """Frame-sampling plan for video payloads: emit (id, frame_idx, offset_pct)
+    rows JVM-side; the (stubbed) decoder joins by id and seeks per row.
+    Exploding the plan *before* decode keeps each Python task's working set
+    to one frame, not one video."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
+    ).withColumn("offset_pct", F.col("frame_idx") / F.lit(n_frames))

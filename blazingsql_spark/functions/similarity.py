@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how ANN is deployed on big corpora:
+- brute-force cosine top-k — the exact baseline; broadcast the (small) query
+  set, score JVM-side, per-query top-k via window;
+- LSH-bucketed ANN (random hyperplanes) — the scale path: each vector maps
+  to a small signature, candidate generation is an equi-join on signature,
+  exact scoring only within buckets. Hyperplanes are md5-derived (seeded,
+  engine-portable) rather than RNG-based so results are deterministic and
+  differential-testable.
+
+All dot products run as F.aggregate/F.zip_with JVM expressions (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, computed in float64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (query_id, embedding). Broadcast-joined against the corpus —
+    at 100 TB the corpus streams partition-parallel, queries ride along in
+    executor memory; the only shuffle is the per-query top-k window over
+    corpus_rows×n_queries scored pairs (bounded by AQE-coalesced partitions).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = vectors.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign of <vec, plane_p> where plane_p[i] = ±1 from md5 parity — a
+    deterministic Rademacher hyperplane, reproducible in any engine."""
+    signs = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.when(
+            F.ascii(F.substring(F.md5(F.concat_ws("-", F.lit(plane), i.cast("string"))), 1, 1)) % 2
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    proj = F.aggregate(
+        F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (proj >= 0).cast("int")
+
+
+def lsh_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    out_col: str = "lsh_sig",
+) -> DataFrame:
+    """Random-hyperplane LSH signature: `planes` sign bits packed into an int.
+    Cosine-similar vectors collide with probability (1 - θ/π)^planes."""
+    sig = None
+    for p in range(planes):
+        bit = _hyperplane_sign(F.col(vec_col), p, dim) * (1 << p)
+        sig = bit if sig is None else sig + bit
+    return df.withColumn(out_col, sig)
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket, exact cosine within.
+
+    The scale path: candidate generation is a hash join on a small int key —
+    no cross join ever materializes. Recall < 1.0 by construction; raise
+    `planes` count/multiprobe for higher recall.
+    """
+    v_sig = lsh_signature(vectors, vec_col, dim, planes)
+    q_sig = lsh_signature(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        "__qvec",
+        dim,
+        planes,
+    )
+    cands = v_sig.join(F.broadcast(q_sig), "lsh_sig").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join: only vectors
+    sharing a bucket are scored, pairs above `threshold` survive."""
+    sig = lsh_signature(vectors, vec_col, dim, planes).select(
+        F.col(id_col), F.col(vec_col), F.col("lsh_sig")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lsh_sig") == F.col("b.lsh_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

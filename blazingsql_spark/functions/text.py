@@ -1,0 +1,117 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All pure JVM-side column expressions (no Python
+UDFs) — at 100 TB these run inside whole-stage codegen with zero
+serialization overhead, embarrassingly parallel (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram/stopword heuristic.
+# Deliberately small + deterministic: language ID at scale is a first-pass
+# router, not a classifier.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count, codegen-friendly (no split→array alloc)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def word_count_simple(text: Column) -> Column:
+    """Space-delimited word count via length arithmetic — the cheapest
+    possible scan-side token estimate (identical semantics in any engine)."""
+    return F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + F.lit(1)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word chunks + digits + punctuation
+    separately (a common ~4-chars-per-token proxy without a tokenizer)."""
+    words = F.size(F.filter(F.split(text, r"[^A-Za-z0-9]+"), lambda w: F.length(w) > 0))
+    # long words tokenize into ~len/4 pieces
+    extra = F.aggregate(
+        F.split(text, r"[^A-Za-z0-9]+"),
+        F.lit(0),
+        lambda acc, w: acc + F.when(F.length(w) > 4, (F.length(w) - 1) / 4).otherwise(0).cast("int"),
+    )
+    return words + extra
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token stats, punctuation/space
+    ratios, mean word length — the classic pre-training filters."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.select(
+        "*",
+        F.length(t).alias("q_len"),
+        n_tok.alias("q_tokens"),
+        (F.length(t) / F.greatest(n_tok, F.lit(1))).alias("q_avg_token_len"),
+        (
+            F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+            / F.greatest(F.length(t), F.lit(1))
+        ).alias("q_punct_ratio"),
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))))
+            / F.greatest(F.length(t), F.lit(1))
+        ).alias("q_space_ratio"),
+    )
+
+
+def quality_ok(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boolean keep/drop verdict from quality_features thresholds."""
+    feats = quality_features(df, text_col)
+    return feats.withColumn(
+        "quality_ok",
+        (F.col("q_tokens") >= 5)
+        & (F.col("q_tokens") <= 100000)
+        & (F.col("q_avg_token_len") >= 2)
+        & (F.col("q_avg_token_len") <= 15)
+        & (F.col("q_punct_ratio") <= 0.3),
+    )
+
+
+def lang_marker_counts(text: Column, lang: str) -> Column:
+    """Count of language-marker stopwords appearing as whole words."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    total = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        token = f" {w} "
+        total = total + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(token), F.lit("")))) / len(token)
+        ).cast("int")
+    return total
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker counts,
+    'und' when no markers hit. Pure expressions → scales linearly."""
+    scores = [
+        F.struct(lang_marker_counts(F.col(text_col), lang).alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_MARKERS)
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of case/whitespace-normalized
+    text. Engine-portable (md5 is md5 everywhere)."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    return df.withColumn(out_col, fingerprint(F.col(text_col)))

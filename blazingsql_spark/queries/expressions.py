@@ -1,0 +1,263 @@
+"""Scalar expression / function surface (SURVEY §2.7) — one query per
+category of the reference's canonical operator map
+(/root/reference/engine/src/parser/expression_utils.cpp:271-347).
+
+Dialect notes baked into the oracles:
+- DuckDB regexp_replace needs the 'g' flag for global (Spark is global).
+- DuckDB dayofweek() is 0=Sunday; Spark is 1=Sunday → oracle adds 1.
+- DuckDB CAST(double AS INT) rounds; Spark truncates → oracle uses TRUNC.
+- DuckDB has no INITCAP → covered in unit tests, not oracle-compared.
+- Transcendentals (sin/ln/...) differ in the last ulp between libm and JVM →
+  ROUND(..., 6).
+"""
+
+from blazingsql_spark.queries.registry import pair, twin
+
+# Comparison / boolean / IS [NOT] NULL / BETWEEN / IN — expression_utils.cpp:318-332,296-297
+twin(
+    "expr_predicates",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity > 25                                   AS gt,
+           l_quantity <= 10                                  AS lte,
+           l_returnflag = 'R'                                AS eq,
+           l_returnflag <> 'N'                               AS neq,
+           l_discount BETWEEN 0.02 AND 0.08                  AS btw,
+           l_linestatus IN ('O')                             AS inset,
+           NULLIF(l_linenumber, 3) IS NULL                   AS isn,
+           NOT (l_quantity > 25)                             AS negated,
+           (l_quantity > 25 AND l_discount < 0.05)           AS conj,
+           (l_returnflag = 'A' OR l_returnflag = 'R')        AS disj
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tables=("lineitem",),
+)
+
+# Arithmetic + math — expression_utils.cpp:271-330.
+twin(
+    "expr_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice + l_tax, 4)        AS add_v,
+           ROUND(l_extendedprice - l_discount, 4)   AS sub_v,
+           ROUND(l_quantity * l_discount, 6)        AS mul_v,
+           ROUND(l_extendedprice / l_quantity, 6)   AS div_v,
+           MOD(l_orderkey, 7)                       AS mod_v,
+           FLOOR(l_extendedprice)                   AS floor_v,
+           CEIL(l_extendedprice)                    AS ceil_v,
+           ABS(l_discount - 0.05)                   AS abs_v,
+           ROUND(SIN(l_discount), 6)                AS sin_v,
+           ROUND(COS(l_discount), 6)                AS cos_v,
+           ROUND(TAN(l_discount), 6)                AS tan_v,
+           ROUND(ASIN(l_discount), 6)               AS asin_v,
+           ROUND(ACOS(l_discount), 6)               AS acos_v,
+           ROUND(ATAN(l_discount), 6)               AS atan_v,
+           ROUND(LN(l_extendedprice), 6)            AS ln_v,
+           ROUND(LOG10(l_extendedprice), 6)         AS log10_v,
+           ROUND(POWER(l_quantity, 2), 4)           AS pow_v,
+           ROUND(SQRT(l_quantity), 6)               AS sqrt_v,
+           ROUND(1.0 / TAN(l_discount + 0.01), 4)   AS cotan_v
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tables=("lineitem",),
+)
+
+# String ops — expression_utils.cpp:311-315,334-345; LIKE→regex at
+# LogicalProject.cpp:31-48, TRIM :50-60.
+pair(
+    "expr_string",
+    """
+    SELECT c_custkey,
+           UPPER(c_name)                         AS up,
+           LOWER(c_mktsegment)                   AS lo,
+           SUBSTRING(c_name, 1, 8)               AS sub,
+           LENGTH(c_name)                        AS len,
+           REPLACE(c_name, '#', '-')             AS rep,
+           CONCAT(c_name, '|', c_mktsegment)     AS cat,
+           c_name || '!'                         AS cat2,
+           TRIM('  ' || c_name || ' ')           AS trimmed,
+           LTRIM(' ' || c_name)                  AS ltrimmed,
+           RTRIM(c_name || ' ')                  AS rtrimmed,
+           LEFT(c_name, 4)                       AS l4,
+           RIGHT(c_name, 4)                      AS r4,
+           REVERSE(c_mktsegment)                 AS rev,
+           c_name LIKE 'Customer%1'              AS like_v,
+           REGEXP_REPLACE(c_name, '[0-9]', 'x')  AS rex
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                         AS up,
+           LOWER(c_mktsegment)                   AS lo,
+           SUBSTRING(c_name, 1, 8)               AS sub,
+           LENGTH(c_name)                        AS len,
+           REPLACE(c_name, '#', '-')             AS rep,
+           CONCAT(c_name, '|', c_mktsegment)     AS cat,
+           c_name || '!'                         AS cat2,
+           TRIM('  ' || c_name || ' ')           AS trimmed,
+           LTRIM(' ' || c_name)                  AS ltrimmed,
+           RTRIM(c_name || ' ')                  AS rtrimmed,
+           LEFT(c_name, 4)                       AS l4,
+           RIGHT(c_name, 4)                      AS r4,
+           REVERSE(c_mktsegment)                 AS rev,
+           c_name LIKE 'Customer%1'              AS like_v,
+           REGEXP_REPLACE(c_name, '[0-9]', 'x', 'g') AS rex
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tables=("customer",),
+)
+
+# Date/time — EXTRACT family (expression_utils.cpp:289-295,1095-1101),
+# TO_DATE/TO_TIMESTAMP (:338-339), TIMESTAMPADD/DIFF (TimestampaddSuite.yaml).
+pair(
+    "expr_datetime",
+    """
+    SELECT o_orderkey,
+           YEAR(o_orderdate)                      AS y,
+           MONTH(o_orderdate)                     AS m,
+           DAY(o_orderdate)                       AS d,
+           HOUR(o_orderdate)                      AS h,
+           MINUTE(o_orderdate)                    AS mi,
+           SECOND(o_orderdate)                    AS s,
+           DAYOFWEEK(o_orderdate)                 AS dow,
+           DATE_TRUNC('month', o_orderdate)       AS month_start,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS od,
+           TIMESTAMPADD(DAY, 30, o_orderdate)     AS due,
+           TIMESTAMPDIFF(DAY, o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+           CAST(TO_DATE('1997-03-15', 'yyyy-MM-dd') AS TIMESTAMP) AS parsed_date,
+           CURRENT_DATE >= DATE '2020-01-01'      AS after_2020
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate)                      AS y,
+           MONTH(o_orderdate)                     AS m,
+           DAY(o_orderdate)                       AS d,
+           HOUR(o_orderdate)                      AS h,
+           MINUTE(o_orderdate)                    AS mi,
+           SECOND(o_orderdate)                    AS s,
+           DAYOFWEEK(o_orderdate) + 1             AS dow,
+           DATE_TRUNC('month', o_orderdate)       AS month_start,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS od,
+           o_orderdate + INTERVAL 30 DAY          AS due,
+           DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+           STRPTIME('1997-03-15', '%Y-%m-%d')     AS parsed_date,
+           CURRENT_DATE >= DATE '2020-01-01'      AS after_2020
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)
+
+# EXTRACT spellings (BL_YEAR..BL_SECOND mapping, expression_utils.cpp:1095-1101).
+twin(
+    "expr_extract",
+    """
+    SELECT event_id,
+           EXTRACT(YEAR FROM ts)   AS ey,
+           EXTRACT(MONTH FROM ts)  AS em,
+           EXTRACT(DAY FROM ts)    AS ed,
+           EXTRACT(HOUR FROM ts)   AS eh,
+           EXTRACT(MINUTE FROM ts) AS emi,
+           CAST(FLOOR(EXTRACT(SECOND FROM ts)) AS INT) AS es
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+    tables=("events",),
+)
+
+# CASE / COALESCE / NULLIF — expression_tree.cpp:186-215 (MAGIC_IF_NOT),
+# caseSuite.yaml, coalesceSuite.yaml.
+twin(
+    "expr_case",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'small' END                        AS bucket,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'filled'
+                              ELSE 'partial' END        AS status_name,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS coalesced,
+           NULLIF(o_orderstatus, 'F') IS NULL           AS was_filled
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)
+
+# CAST family — expression_utils.cpp:298-310. DuckDB double→int CAST rounds
+# half-even while Spark truncates toward zero → oracle TRUNCs first.
+pair(
+    "expr_cast",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INT)           AS qty_int,
+           CAST(l_quantity AS BIGINT)        AS qty_long,
+           CAST(l_linenumber AS SMALLINT)    AS ln_small,
+           CAST(l_linenumber AS TINYINT)     AS ln_tiny,
+           CAST(l_orderkey AS DOUBLE)        AS ok_dbl,
+           CAST(l_orderkey AS FLOAT)         AS ok_flt,
+           CAST(l_orderkey AS STRING)        AS ok_str,
+           CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date,
+           CAST('123' AS INT)                AS lit_int,
+           CAST(CAST('1996-05-01' AS DATE) AS TIMESTAMP) AS lit_date,
+           CAST('1996-05-01 12:30:00' AS TIMESTAMP) AS lit_ts
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(TRUNC(l_quantity) AS INT)    AS qty_int,
+           CAST(TRUNC(l_quantity) AS BIGINT) AS qty_long,
+           CAST(l_linenumber AS SMALLINT)    AS ln_small,
+           CAST(l_linenumber AS TINYINT)     AS ln_tiny,
+           CAST(l_orderkey AS DOUBLE)        AS ok_dbl,
+           CAST(l_orderkey AS FLOAT)         AS ok_flt,
+           CAST(l_orderkey AS VARCHAR)       AS ok_str,
+           CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date,
+           CAST('123' AS INT)                AS lit_int,
+           CAST(CAST('1996-05-01' AS DATE) AS TIMESTAMP) AS lit_date,
+           CAST('1996-05-01 12:30:00' AS TIMESTAMP) AS lit_ts
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tables=("lineitem",),
+)
+
+# Bitwise ops — expression_utils.cpp:87-89.
+pair(
+    "expr_bitwise",
+    """
+    SELECT l_orderkey,
+           l_orderkey & 255  AS band,
+           l_orderkey | 16   AS bor,
+           CAST(l_orderkey AS INT) ^ 5 AS bxor
+    FROM lineitem
+    WHERE l_orderkey < 300 AND l_linenumber = 1
+    ORDER BY l_orderkey
+    """,
+    # DuckDB ^ is exponentiation; its bitwise xor is xor().
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255  AS band,
+           l_orderkey | 16   AS bor,
+           XOR(CAST(l_orderkey AS INT), 5) AS bxor
+    FROM lineitem
+    WHERE l_orderkey < 300 AND l_linenumber = 1
+    ORDER BY l_orderkey
+    """,
+    tables=("lineitem",),
+)

@@ -1,0 +1,453 @@
+"""Training-data pipeline queries (beyond-reference, BASELINE.json north
+star): text analysis, dedup, similarity search, multimodal plumbing — each
+backed by :mod:`blazingsql_spark.functions` and, wherever the semantics are
+SQL-expressible, oracle-checked against DuckDB.
+
+The near-dup demos UNION synthetic duplicates into the corpus inside the
+query (the driver's `documents` table has none) — both engines construct the
+same corpus, so the dedup behavior itself is what's compared.
+"""
+
+from pyspark.sql import functions as F
+
+from blazingsql_spark.functions import dedup, multimodal, similarity, text
+from blazingsql_spark.queries.registry import load_table, pair, register, twin
+
+# ------------------------------------------------------------------ text
+
+twin(
+    "text_stats",
+    """
+    SELECT doc_id, n_chars,
+           LENGTH(text)                                          AS len,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1     AS n_words,
+           ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 1.0
+                 / LENGTH(text), 6)                              AS space_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tables=("documents",),
+)
+
+
+@register(
+    "text_quality",
+    oracle=r"""
+    SELECT doc_id, q_len, q_tokens,
+           ROUND(q_avg_token_len, 4) AS avg_token_len,
+           ROUND(q_punct_ratio, 4)   AS punct_ratio,
+           quality_ok
+    FROM (
+        SELECT doc_id,
+               LENGTH(text) AS q_len,
+               LEN(string_split_regex(TRIM(text), '\s+')) AS q_tokens,
+               LENGTH(text) * 1.0 / GREATEST(LEN(string_split_regex(TRIM(text), '\s+')), 1)
+                   AS q_avg_token_len,
+               LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                   / GREATEST(LENGTH(text), 1) AS q_punct_ratio,
+               (LEN(string_split_regex(TRIM(text), '\s+')) BETWEEN 5 AND 100000)
+                 AND (LENGTH(text) * 1.0 / GREATEST(LEN(string_split_regex(TRIM(text), '\s+')), 1)
+                      BETWEEN 2 AND 15)
+                 AND (LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                      / GREATEST(LENGTH(text), 1) <= 0.3) AS quality_ok
+        FROM documents
+    ) t
+    ORDER BY doc_id
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring (length/punct/token-shape filters) via
+    functions.text.quality_ok — pure codegen expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_ok(docs)
+    return scored.select(
+        "doc_id",
+        "q_len",
+        "q_tokens",
+        F.round("q_avg_token_len", 4).alias("avg_token_len"),
+        F.round("q_punct_ratio", 4).alias("punct_ratio"),
+        "quality_ok",
+    ).orderBy("doc_id")
+
+
+def _marker_sql(lang_words: tuple[str, ...]) -> str:
+    terms = [
+        f"CAST((LENGTH(p) - LENGTH(REPLACE(p, ' {w} ', ''))) / {len(w) + 2} AS INT)"
+        for w in lang_words
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH padded AS (
+        SELECT doc_id, lang, ' ' || LOWER(text) || ' ' AS p FROM documents
+    ), scores AS (
+        SELECT doc_id, lang,
+               {_marker_sql(text.LANG_MARKERS["de"])} AS s_de,
+               {_marker_sql(text.LANG_MARKERS["en"])} AS s_en,
+               {_marker_sql(text.LANG_MARKERS["es"])} AS s_es,
+               {_marker_sql(text.LANG_MARKERS["fr"])} AS s_fr
+        FROM padded
+    )
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+                WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM scores
+    ORDER BY doc_id
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Stopword-marker language ID (functions.text.lang_id). Tie-break:
+    lexicographically largest language among max scores (array_max on
+    (score, lang) structs) — the oracle CASE mirrors that order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint (functions.text.fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.add_fingerprint(docs).select("doc_id", "fp").orderBy("doc_id")
+
+
+# ----------------------------------------------------------------- dedup
+
+_CORPUS_ORACLE = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text AS text
+        FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id, text || ' zz' AS text
+        FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def _corpus(spark, sf_dir):
+    """documents ∪ exact copies (id+100000) ∪ near copies (id+200000,
+    one appended token) — the dedup test corpus, built identically in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return docs.unionAll(exact).unionAll(near)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_ORACLE})
+    SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM corpus GROUP BY MD5(text)
+    ORDER BY keep_id
+    """,
+    headline=True,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (functions.dedup.exact_dedup): shuffle on
+    md5, keep min id — O(rows) shuffle bytes at any corpus size."""
+    out = dedup.exact_dedup(_corpus(spark, sf_dir))
+    return out.select("fp", "keep_id", "n_dups").orderBy("keep_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=rf"""
+    WITH corpus AS ({_CORPUS_ORACLE}),
+    d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ws FROM corpus),
+    tok AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(range(1, LEN(ws)),
+                      i -> ws[i] || ' ' || ws[i+1]))) AS shingle
+        FROM d
+    ),
+    mh AS (
+        SELECT doc_id, seed, MIN(MD5(seed::VARCHAR || '|' || shingle)) AS minhash
+        FROM tok CROSS JOIN range(1, 9) r(seed)
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, (seed - 1) // 2 AS band,
+               MD5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash
+        FROM mh GROUP BY doc_id, (seed - 1) // 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+    headline=True,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (functions.dedup.lsh_candidate_pairs):
+    8 seeded-md5 min-hashes, 4 bands × 2 rows, bucket self-join. md5-based
+    hashing keeps the whole pipeline engine-portable (oracle-checkable)."""
+    pairs = dedup.lsh_candidate_pairs(
+        _corpus(spark, sf_dir), num_hashes=8, bands=4, shingle_n=2
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_jaccard",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ws
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    tok AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(range(1, LEN(ws)),
+                      i -> ws[i] || ' ' || ws[i+1]))) AS shingle
+        FROM d
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard (functions.dedup.jaccard_pairs) on a sampled
+    subset — at scale this op is the verifier behind LSH candidates, never
+    an all-pairs scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return dedup.jaccard_pairs(docs, shingle_n=2).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (functions.dedup.simhash_near_pairs) over the
+    dup-injected corpus. Uses bit-level int ops (conv/shiftright/bit_count)
+    with no portable SQL spelling → rows-only check."""
+    return dedup.simhash_near_pairs(
+        _corpus(spark, sf_dir), bits=32, max_hamming=3, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------------ similarity
+
+_COSINE_ORACLE = """
+        ROUND(
+            list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) /
+            (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             * SQRT(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 6)
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, {_COSINE_ORACLE} AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    headline=True,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k (functions.similarity.cosine_topk):
+    broadcast query set, JVM-side float64 dot products, per-query window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").alias("rnk")
+    ).orderBy("query_id", "rnk")
+
+
+_LSH_SIG_ORACLE = """
+    planes AS (
+        SELECT p, i,
+               CASE WHEN ASCII(SUBSTRING(MD5(p::VARCHAR || '-' || i::VARCHAR), 1, 1)) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM range(0, 8) tp(p) CROSS JOIN range(1, 65) ti(i)
+    ),
+    elems AS (
+        SELECT vec_id, ti.i, embedding[ti.i]::DOUBLE AS x
+        FROM embeddings CROSS JOIN range(1, 65) ti(i)
+    ),
+    proj AS (
+        SELECT vec_id, p, SUM(x * s) AS pr
+        FROM elems JOIN planes USING (i) GROUP BY vec_id, p
+    ),
+    sigs AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS INT) AS lsh_sig
+        FROM proj GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH {_LSH_SIG_ORACLE},
+    q AS (
+        SELECT s.vec_id AS query_id, e.embedding AS qe, s.lsh_sig
+        FROM sigs s JOIN embeddings e USING (vec_id)
+        WHERE s.vec_id % 100 = 0
+    ),
+    cands AS (
+        SELECT q.query_id, s.vec_id, {_COSINE_ORACLE} AS cosine_sim
+        FROM sigs s
+        JOIN q ON s.lsh_sig = q.lsh_sig
+        JOIN embeddings e ON e.vec_id = s.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id) AS rnk
+        FROM cands
+    )
+    SELECT query_id, vec_id, cosine_sim, rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_ann_lsh(spark, sf_dir):
+    """ANN via random-hyperplane LSH (functions.similarity.ann_lsh_topk):
+    md5-derived Rademacher planes → 8-bit signature → equi-join candidates →
+    exact cosine within buckets. The 100 TB path: no cross join exists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_lsh_topk(emb, queries, k=5, dim=64, planes=8)
+    return out.select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").alias("rnk")
+    ).orderBy("query_id", "rnk")
+
+
+@register(
+    "sim_near_dup",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    planes AS (
+        SELECT p, i,
+               CASE WHEN ASCII(SUBSTRING(MD5(p::VARCHAR || '-' || i::VARCHAR), 1, 1)) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM range(0, 8) tp(p) CROSS JOIN range(1, 65) ti(i)
+    ),
+    elems AS (
+        SELECT vec_id, ti.i, embedding[ti.i]::DOUBLE AS x
+        FROM corpus CROSS JOIN range(1, 65) ti(i)
+    ),
+    proj AS (
+        SELECT vec_id, p, SUM(x * s) AS pr
+        FROM elems JOIN planes USING (i) GROUP BY vec_id, p
+    ),
+    sigs AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS INT) AS lsh_sig
+        FROM proj GROUP BY vec_id
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+                 (SQRT(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * SQRT(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 6)
+               AS cosine_sim
+    FROM sigs a
+    JOIN sigs b ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id
+    JOIN corpus ea ON ea.vec_id = a.vec_id
+    JOIN corpus eb ON eb.vec_id = b.vec_id
+    WHERE ROUND(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+                (SQRT(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                 * SQRT(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 6) >= 0.95
+    ORDER BY id_a, id_b
+    """,
+)
+def sim_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs
+    (functions.similarity.embedding_near_dup_pairs) over a corpus with
+    injected exact-copy vectors (cosine 1.0) — LSH buckets, then exact
+    verification above 0.95."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionAll(dups)
+    out = similarity.embedding_near_dup_pairs(corpus, threshold=0.95, dim=64, planes=8)
+    return out.orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------------ multimodal
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           OCTET_LENGTH(text::BLOB)::BIGINT AS n_bytes,
+           SHA256(text) AS payload_sha
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Opaque-binary payload plumbing (functions.multimodal): bytes column +
+    typed metadata struct, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = multimodal.with_media_meta(multimodal.attach_binary(docs))
+    return with_bin.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    ).orderBy("doc_id")
+
+
+@register("multimodal_decode")
+def multimodal_decode(spark, sf_dir):
+    """Arrow-batched media decode via mapInPandas
+    (functions.multimodal.decode_features). Decoder is the deterministic
+    fake (no media libs in container) → rows-only check; the Spark plumbing
+    (schema, batching, partition shape) is the real thing."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = multimodal.decode_features(multimodal.attach_binary(docs), feature_dim=16)
+    return feats.select(
+        "doc_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    ).orderBy("doc_id")

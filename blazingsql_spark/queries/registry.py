@@ -1,0 +1,135 @@
+"""Central query registry: every operator we claim in SURVEY.md §2 has one
+entry here — a Spark implementation plus (where SQL-expressible) a DuckDB
+oracle SQL string. The driver and tests/bench all consume this registry, so
+an operator is "done" exactly when it appears here and matches its oracle.
+
+Determinism rules (so value-hashes match across engines):
+- double aggregates are ROUND()ed (2-6 decimals) in BOTH dialects — floating
+  sums are order-dependent across engines, rounding removes the low bits;
+- every computed column is aliased identically in both dialects;
+- LIMIT queries carry a total ORDER BY with a unique tiebreaker;
+- no engine-specific functions in compared output (e.g. hash()).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Modules that populate the registry on import.
+_QUERY_MODULES = (
+    "blazingsql_spark.queries.tpch",
+    "blazingsql_spark.queries.relational",
+    "blazingsql_spark.queries.expressions",
+    "blazingsql_spark.queries.pipeline",
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    headline: bool = False  # include in bench.py
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _add(spec: QuerySpec) -> None:
+    if spec.name in REGISTRY:
+        raise ValueError(f"duplicate query name: {spec.name}")
+    REGISTRY[spec.name] = spec
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False, doc: str = ""):
+    """Decorator for DataFrame-API query implementations."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _add(QuerySpec(name, fn, oracle, headline, doc or (fn.__doc__ or "")))
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+        # timestamp; read as long and truncate to microseconds (identical to
+        # DuckDB's TIMESTAMP_NS→TIMESTAMP cast, so oracles stay comparable).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ensure_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register the testdata tables as temp views for SQL-form queries."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _sql_fn(sql: str, tables: tuple[str, ...]) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, sf_dir, tables)
+        return spark.sql(sql)
+
+    fn.sql = sql  # type: ignore[attr-defined]
+    return fn
+
+
+def twin(
+    name: str,
+    sql: str,
+    tables: tuple[str, ...] = TABLES,
+    headline: bool = False,
+    doc: str = "",
+) -> None:
+    """Register a query whose Spark SQL and DuckDB oracle are the SAME text —
+    the common case: both engines speak ANSI SQL."""
+    _add(QuerySpec(name, _sql_fn(sql, tables), sql, headline, doc))
+
+
+def pair(
+    name: str,
+    spark_sql: str,
+    oracle: str | None,
+    tables: tuple[str, ...] = TABLES,
+    headline: bool = False,
+    doc: str = "",
+) -> None:
+    """Register a query with dialect-divergent Spark SQL vs DuckDB SQL."""
+    _add(QuerySpec(name, _sql_fn(spark_sql, tables), oracle, headline, doc))
+
+
+_loaded = False
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    global _loaded
+    if not _loaded:
+        for mod in _QUERY_MODULES:
+            importlib.import_module(mod)
+        _loaded = True
+    return REGISTRY

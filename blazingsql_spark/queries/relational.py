@@ -1,0 +1,618 @@
+"""Relational operator coverage: joins (SURVEY §2.2), aggregations (§2.3),
+window functions (§2.4), sorts/limits (§2.5), set operations (§2.6), and the
+events-table time operators. One registry entry per reference test suite
+(innerJoinsSuite, fullOuterJoinsSuite, groupBySuite, windowFunctionSuite,
+unionSuite, limitSuite, ... — /root/reference/tests/BlazingSQLTest/
+EndToEndTests/TestSuites/)."""
+
+from pyspark.sql import functions as F
+
+from blazingsql_spark.queries.registry import load_table, pair, register, twin
+
+# ----------------------------------------------------------------- joins
+
+twin(
+    "join_inner",
+    """
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 100000
+    ORDER BY o_orderkey
+    """,
+    tables=("orders", "customer"),
+)
+
+twin(
+    "join_left",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderstatus = 'P'
+    ORDER BY c_custkey, o_orderkey
+    """,
+    tables=("customer", "orders"),
+)
+
+twin(
+    "join_right",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM nation RIGHT JOIN supplier ON n_nationkey = s_nationkey
+    ORDER BY s_suppkey
+    """,
+    tables=("nation", "supplier"),
+)
+
+twin(
+    "join_full_outer",
+    """
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, c.cust_cnt, s.supp_cnt
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS cust_cnt FROM customer GROUP BY c_nationkey) c
+    FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS supp_cnt FROM supplier GROUP BY s_nationkey) s
+      ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+    tables=("customer", "supplier"),
+)
+
+twin(
+    "join_cross",
+    """
+    SELECT r_name, st.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+    ORDER BY r_name, o_orderstatus
+    """,
+    tables=("region", "orders"),
+)
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark, sf_dir):
+    """LEFT SEMI join (EXISTS). The reference has no semi-join kernel —
+    Calcite decorrelates EXISTS into inner join + agg (SURVEY §2.2); Spark
+    plans a real LeftSemi, strictly better (no duplicate-elimination agg)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS) — also absent in the reference engine."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_nullsafe",
+    oracle="""
+    SELECT c_custkey, n_name
+    FROM customer JOIN nation
+      ON NULLIF(c_nationkey, 3) IS NOT DISTINCT FROM NULLIF(n_nationkey, 3)
+    ORDER BY c_custkey, n_name
+    """,
+)
+def join_nullsafe(spark, sf_dir):
+    """Null-safe equality join — reference rewrites IS NOT DISTINCT FROM
+    (BatchJoinProcessing.cpp:180, null_equality :75-79); Spark: eqNullSafe."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    c = F.nullif(customer.c_nationkey, F.lit(3))
+    n = F.nullif(nation.n_nationkey, F.lit(3))
+    return (
+        customer.join(nation, c.eqNullSafe(n))
+        .select("c_custkey", "n_name")
+        .orderBy("c_custkey", "n_name")
+    )
+
+
+# Non-equi condition alongside equi keys: the reference splits this into
+# equi-join + post-filter (split_inequality_join_into_join_and_filter,
+# BatchJoinProcessing.cpp:148-250); Catalyst's ExtractEquiJoinKeys does the
+# same automatically.
+twin(
+    "join_nonequi",
+    """
+    SELECT o_orderkey, l_linenumber, l_extendedprice
+    FROM orders JOIN lineitem
+      ON o_orderkey = l_orderkey
+     AND l_extendedprice > o_totalprice * 0.5
+    ORDER BY o_orderkey, l_linenumber
+    """,
+    tables=("orders", "lineitem"),
+)
+
+# Pure-inequality (theta) join: REJECTED by the reference ("Join condition is
+# currently not supported", BatchJoinProcessing.cpp:238-244). Spark runs it
+# via BroadcastNestedLoopJoin — a capability superset.
+twin(
+    "join_theta",
+    """
+    SELECT r1.r_regionkey AS a, r2.r_regionkey AS b
+    FROM region r1 JOIN region r2 ON r1.r_regionkey < r2.r_regionkey
+    ORDER BY a, b
+    """,
+    tables=("region",),
+)
+
+# ----------------------------------------------------------- aggregations
+
+twin(
+    "agg_no_groupby",
+    """
+    SELECT ROUND(SUM(l_quantity), 2)       AS sum_qty,
+           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice), 6) AS avg_price,
+           ROUND(MIN(l_discount), 2)       AS min_disc,
+           ROUND(MAX(l_tax), 2)            AS max_tax,
+           COUNT(*)                        AS n_rows
+    FROM lineitem
+    """,
+    tables=("lineitem",),
+)
+
+twin(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS distinct_supp,
+           COUNT(DISTINCT l_partkey) AS distinct_part,
+           COUNT(l_orderkey)         AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tables=("lineitem",),
+)
+
+twin(
+    "agg_distinct_rows",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tables=("lineitem",),
+)
+
+# $SUM0 (Calcite's sum-or-zero) — SURVEY §2.3; spelled COALESCE(SUM(..), 0).
+twin(
+    "agg_sum0",
+    """
+    SELECT o_orderstatus,
+           COALESCE(SUM(CASE WHEN o_totalprice > 1e12 THEN o_totalprice END), 0) AS sum0,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tables=("orders",),
+)
+
+# Multi-column COUNT(a, b) (CHANGELOG #1553) — counts rows where both non-null.
+twin(
+    "agg_multicol_count",
+    """
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+                      THEN 1 END) AS n_pairs
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tables=("orders",),
+)
+
+# STDDEV/VAR — absent in the reference (SURVEY §2.3), Spark superset.
+twin(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+           ROUND(VAR_SAMP(l_quantity), 4)    AS var_qty,
+           ROUND(STDDEV_POP(l_quantity), 4)  AS stdp_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tables=("lineitem",),
+)
+
+# ROLLUP/CUBE/GROUPING SETS — absent in the reference, Spark superset.
+# NULLS FIRST is explicit: Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST.
+twin(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tables=("lineitem",),
+)
+
+twin(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tables=("lineitem",),
+)
+
+twin(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tables=("lineitem",),
+)
+
+# Exact median — interpolating percentile; both engines compute (lo+hi)/2.
+pair(
+    "agg_median",
+    """
+    SELECT l_returnflag, ROUND(PERCENTILE(l_extendedprice, 0.5), 4) AS median_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag, ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tables=("lineitem",),
+)
+
+
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct — beyond-reference scale op; sketch
+    internals are engine-specific, so rows-only check (no oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ------------------------------------------------------------- windows
+
+twin(
+    "window_row_number",
+    """
+    SELECT * FROM (
+        SELECT o_orderkey, o_custkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) t WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tables=("orders",),
+)
+
+twin(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tables=("orders",),
+    headline=True,
+)
+
+twin(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id,
+           LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev2_type
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    tables=("events",),
+)
+
+twin(
+    "window_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey) AS first_price,
+           LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS last_price
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tables=("orders",),
+)
+
+# Bounded ROWS frame — the reference's Overlap kernels territory (SURVEY §2.1
+# OverlapGenerator/Accumulator); Spark handles frames natively.
+twin(
+    "window_moving_avg",
+    """
+    SELECT user_id, event_id,
+           ROUND(ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2)
+                 / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS win3_sum
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    tables=("events",),
+)
+
+# RANK/DENSE_RANK/NTILE/PERCENT_RANK/CUME_DIST — rejected by the reference
+# ("cudf aggs no supported currently", windowFunctionSuite.yaml:19); superset.
+twin(
+    "window_rank",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           RANK()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity)   AS rnk,
+           DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)   AS drnk,
+           NTILE(4)     OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS quartile,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS prank,
+           ROUND(CUME_DIST()    OVER (PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS cdist
+    FROM lineitem
+    WHERE l_orderkey < 200
+    ORDER BY l_returnflag, l_orderkey, l_linenumber
+    """,
+    tables=("lineitem",),
+)
+
+# Window without PARTITION BY — reference needs special overlap machinery
+# (BatchWindowFunctionProcessing.h:82-89); Spark: single-partition exchange.
+twin(
+    "window_global",
+    """
+    SELECT event_id,
+           ROW_NUMBER() OVER (ORDER BY ts, event_id) AS seq,
+           ROUND(SUM(value) OVER (ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total
+    FROM events
+    ORDER BY event_id
+    """,
+    tables=("events",),
+)
+
+# Multiple distinct OVER clauses in one SELECT — rejected by the reference
+# (PhysicalPlanGenerator.h:300-302); Spark superset.
+twin(
+    "window_multi_over",
+    """
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn_cust,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn_status,
+           ROUND(ROUND(SUM(o_totalprice) OVER (PARTITION BY o_orderpriority), 2)
+                 / COUNT(o_totalprice) OVER (PARTITION BY o_orderpriority), 6) AS avg_prio_price
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)
+
+# RANGE frame over a numeric ordering — rejected by the reference
+# (PhysicalPlanGenerator.h:304-306); Spark superset.
+twin(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_similar
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)
+
+# ------------------------------------------------------- sorts / limits
+
+twin(
+    "topk",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tables=("orders",),
+    doc="ORDER BY + LIMIT → Spark TakeOrderedAndProject (true top-k; the "
+    "reference sorts fully then limits, SURVEY §2.5)",
+)
+
+twin(
+    "limit_only",
+    """
+    SELECT COUNT(*) AS n FROM (SELECT * FROM lineitem LIMIT 100) t
+    """,
+    tables=("lineitem",),
+    doc="LIMIT without ORDER BY (row content nondeterministic, count stable)",
+)
+
+twin(
+    "orderby_nulls",
+    """
+    SELECT ln, COUNT(*) AS n
+    FROM (SELECT NULLIF(l_linenumber, 3) AS ln FROM lineitem) t
+    GROUP BY ln
+    ORDER BY ln DESC NULLS LAST
+    """,
+    tables=("lineitem",),
+    doc="NULLS FIRST/LAST ordering (reference OrderBy.cpp:133-175; Spark "
+    "DESC default is NULLS LAST, DuckDB NULLS FIRST — explicit in both)",
+)
+
+# ------------------------------------------------------------- set ops
+
+twin(
+    "union_all",
+    """
+    SELECT nationkey, src FROM (
+        SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+    ) t
+    ORDER BY nationkey, src
+    """,
+    tables=("customer", "supplier"),
+)
+
+twin(
+    "union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tables=("customer", "supplier"),
+)
+
+# INTERSECT / EXCEPT — absent in the reference (SURVEY §2.6); superset.
+twin(
+    "intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tables=("customer", "supplier"),
+)
+
+twin(
+    "except_all",
+    """
+    SELECT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) t
+    ORDER BY nationkey
+    """,
+    tables=("customer", "supplier"),
+)
+
+# --------------------------------------------------- events / time ops
+
+# Batch form of the streaming tumbling-window aggregate; the streaming twin
+# lives in blazingsql_spark.streaming. Spark window(ts, ...).start ==
+# DuckDB time_bucket — both are epoch-aligned.
+pair(
+    "events_tumbling_window",
+    """
+    SELECT window_start, event_type, n, v FROM (
+        SELECT window(ts, '5 minutes').start AS window_start, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY window(ts, '5 minutes'), event_type
+    ) t
+    ORDER BY window_start, event_type
+    """,
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+    FROM events GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    tables=("events",),
+    doc="tumbling event-time window (batch twin of the streaming pipeline)",
+)
+
+twin(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tables=("events",),
+    headline=True,
+    doc="sessionization via lag+gap+cumsum — beyond-reference streaming-ish op",
+)
+
+pair(
+    "events_json_extract",
+    """
+    SELECT event_id, CAST(get_json_object(props, '$.k') AS INT) AS k
+    FROM events
+    ORDER BY event_id
+    """,
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    ORDER BY event_id
+    """,
+    tables=("events",),
+    doc="JSON scalar extraction — absent in reference (JSON is file-format only, SURVEY §2.7)",
+)
+
+# Pivot — absent in the reference; Spark-native superset op.
+twin(
+    "pivot_status",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tables=("lineitem",),
+)
