@@ -18,8 +18,8 @@ twin(
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000                AS sum_disc_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000  AS sum_charge,
            ROUND(ROUND(SUM(l_quantity), 2)      / COUNT(l_quantity), 6)      AS avg_qty,
            ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice), 6) AS avg_price,
            ROUND(ROUND(SUM(l_discount), 2)      / COUNT(l_discount), 6)      AS avg_disc,
@@ -38,7 +38,7 @@ twin(
     "tpch_q3",
     """
     SELECT o_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders    ON c_custkey = o_custkey
@@ -77,7 +77,7 @@ twin(
 twin(
     "tpch_q5",
     """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -99,7 +99,7 @@ twin(
 twin(
     "tpch_q6",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000 AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01'
       AND l_shipdate <  DATE '1997-01-01'
@@ -115,7 +115,7 @@ twin(
     "tpch_q10",
     """
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000 AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -173,10 +173,11 @@ twin(
 twin(
     "tpch_q14",
     """
-    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+    SELECT ROUND(100.00 *
+                 (CAST(SUM(CAST(FLOOR(CASE WHEN p_type = 'PROMO'
+                                           THEN l_extendedprice * (1 - l_discount)
+                                           ELSE 0 END * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000)
+                 / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000, 2) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1996-09-01'
       AND l_shipdate <  DATE '1996-10-01'
@@ -190,7 +191,7 @@ twin(
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000 AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
         GROUP BY l_suppkey
@@ -222,10 +223,11 @@ twin(
 twin(
     "tpch_q17",
     """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
-      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+      AND l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                      / COUNT(l2.l_quantity))
                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
     tables=("lineitem", "part"),
@@ -242,7 +244,7 @@ twin(
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-    HAVING SUM(l_quantity) > 100
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20
     """,
@@ -256,7 +258,7 @@ twin(
 twin(
     "tpch_q19",
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 30)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 40)
