@@ -41,15 +41,17 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     ws = F.split(F.trim(text), r"\s+")
     if n == 1:
         return F.array_distinct(ws)
-    grams = F.when(
-        F.size(ws) >= n,
-        F.transform(
-            # guard: Spark sequence(1, 0) counts DOWN — never emit it
-            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    # zip_with over shifted slices is linear; transform+element_at is
+    # quadratic (element_at re-walks the array inside the lambda).
+    m = F.size(ws) - (n - 1)
+    out = F.slice(ws, 1, F.greatest(m, F.lit(0)))
+    for k in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(ws, k + 1, F.greatest(m, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(out)
 
 
 # ---------------------------------------------------------------- MinHash
@@ -64,27 +66,25 @@ def minhash_signature(
     md5(i || shingle). md5-string min is a valid permutation-min and is
     byte-identical in any engine (differential-testable).
 
-    Scale shape: explode(shingles) × num_hashes stays columnar; the groupBy
-    shuffles (id, seed, 32-byte hash) tuples — independent of document size.
+    Scale shape: ONE shuffle — all num_hashes mins are parallel aggregates
+    over the exploded shingles (partial aggregation map-side), so shuffle
+    rows are (id, k×32-byte hashes) regardless of document size. No per-seed
+    row blowup, no collect_list.
     """
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
     )
-    seeded = shingled.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.lit(num_hashes))).alias("seed"),
-        "shingle",
-    ).select(
-        id_col,
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
-    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))).alias(f"mh{seed}")
+        for seed in range(1, num_hashes + 1)
+    ]
     return (
-        seeded.groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("sig_pairs"))
-        .select(id_col, F.col("sig_pairs.minhash").alias("signature"))
+        shingled.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col,
+            F.array(*[F.col(f"mh{s}") for s in range(1, num_hashes + 1)]).alias("signature"),
+        )
     )
 
 
