@@ -1,0 +1,21 @@
+"""Data sources/sinks — the reference's io layer (DataType enum
+/root/reference/engine/src/io/DataType.h:9-18: PARQUET ORC CSV JSON +
+in-memory + MYSQL/POSTGRESQL/SQLITE) re-expressed as Spark readers/writers.
+
+Spark's built-ins already cover every format; these helpers add the
+reference's ergonomics (format inference, schema hints, JDBC presets) and
+the write path the reference never had (SURVEY §2.8: "Sinks: none").
+"""
+
+from blazingsql_spark.sources.io import infer_format, read_any, write_any
+from blazingsql_spark.sources.jdbc import jdbc_reader, mysql, postgresql, sqlite
+
+__all__ = [
+    "infer_format",
+    "read_any",
+    "write_any",
+    "jdbc_reader",
+    "mysql",
+    "postgresql",
+    "sqlite",
+]

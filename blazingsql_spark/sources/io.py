@@ -1,0 +1,75 @@
+"""File format readers/writers with extension inference.
+
+Mirrors the reference's parser dispatch (engine/src/io/data_parser/
+{CSVParser,ParquetParser,OrcParser,JSONParser}.cpp) — in Spark each is one
+DataFrameReader call; partitioned-directory discovery, row-group pruning and
+predicate pushdown come built-in.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".parq": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".psv": "csv",
+    ".tbl": "csv",
+    ".txt": "csv",
+    ".json": "json",
+    ".ndjson": "json",
+    ".jsonl": "json",
+    ".avro": "avro",
+}
+
+
+def infer_format(path: str) -> str:
+    base = path.rstrip("/*")
+    for ext, fmt in _EXT_FORMAT.items():
+        if base.endswith(ext):
+            return fmt
+    return "parquet"
+
+
+def read_any(
+    spark: SparkSession,
+    paths: str | list[str],
+    file_format: str | None = None,
+    schema: Any = None,
+    **options: Any,
+) -> DataFrame:
+    """Read file(s) of any supported format with reference-like defaults
+    (CSV: header+inference unless a schema is given)."""
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    fmt = (file_format or infer_format(path_list[0])).lower()
+    reader = spark.read
+    if fmt == "csv" and schema is None:
+        options.setdefault("header", True)
+        options.setdefault("inferSchema", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).format(fmt).load(path_list)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    file_format: str | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: Any,
+) -> None:
+    """Write a DataFrame in any supported format — a capability the
+    reference lacks entirely (no sink path, SURVEY §2.8)."""
+    fmt = (file_format or infer_format(path)).lower()
+    writer = df.write.mode(mode).options(**options)
+    if fmt == "csv":
+        options.setdefault("header", True)
+        writer = writer.option("header", True)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)

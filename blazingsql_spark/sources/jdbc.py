@@ -1,0 +1,79 @@
+"""JDBC sources — the reference reads MySQL/PostgreSQL/SQLite tables
+(engine/src/io/data_provider/sql/MySQLDataProvider.cpp etc., DataType.h:16-18).
+
+Spark equivalent: ``spark.read.format("jdbc")``. The JDBC drivers are jars on
+the classpath — not bundled in this environment, so these builders construct
+the reader configuration (unit-testable) and fail with a clear message only
+at `.load()` time if the driver jar is absent.
+
+Partitioned reads (partition_column/num_partitions) split the table scan
+across executors — the 100 TB ingest path the reference handled via its
+partition_batch sizing.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrameReader, SparkSession
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: Any,
+) -> DataFrameReader:
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if user is not None:
+        reader = reader.option("user", user)
+    if password is not None:
+        reader = reader.option("password", password)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", lower_bound or 0)
+            .option("upperBound", upper_bound or 1_000_000)
+            .option("numPartitions", num_partitions or 8)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def mysql(
+    spark: SparkSession, host: str, port: int = 3306, database: str = "", table: str = "", **kw: Any
+) -> DataFrameReader:
+    """Reference: bc.create_table(..., from mysql) via MySQLDataProvider."""
+    return jdbc_reader(
+        spark,
+        f"jdbc:mysql://{host}:{port}/{database}",
+        table,
+        driver="com.mysql.cj.jdbc.Driver",
+        **kw,
+    )
+
+
+def postgresql(
+    spark: SparkSession, host: str, port: int = 5432, database: str = "", table: str = "", **kw: Any
+) -> DataFrameReader:
+    return jdbc_reader(
+        spark,
+        f"jdbc:postgresql://{host}:{port}/{database}",
+        table,
+        driver="org.postgresql.Driver",
+        **kw,
+    )
+
+
+def sqlite(spark: SparkSession, path: str, table: str, **kw: Any) -> DataFrameReader:
+    return jdbc_reader(spark, f"jdbc:sqlite:{path}", table, driver="org.sqlite.JDBC", **kw)

@@ -1,0 +1,13 @@
+"""Structured-Streaming extensions (beyond reference — the reference is a
+pure batch OLAP engine, SURVEY.md §2.9). Streaming twins of the batch
+event-table operators: tumbling/sliding windows, sessionization, stateful
+dedup."""
+
+from blazingsql_spark.streaming.events import (
+    sessionize_stream,
+    stream_events,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+__all__ = ["stream_events", "tumbling_counts", "sessionize_stream", "streaming_dedup"]

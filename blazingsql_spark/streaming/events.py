@@ -1,0 +1,114 @@
+"""Streaming operators over the events table shape
+(event_id, ts, user_id, event_type, value, props).
+
+Each builder takes a streaming DataFrame (``readStream``) and returns the
+transformed streaming DataFrame; callers attach their own sink. Tests drive
+them with the parquet source + memory sink + ``processAllAvailable`` (the
+batch-equivalent results are oracle-checked via the batch twins in
+queries/relational.py).
+
+Scale notes: watermarks bound state; session windows use Spark's native
+``session_window`` (state per active session, not per event); the dedup
+operator keeps only event_ids inside the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """readStream over the events parquet directory (test harness source;
+    production swaps in kafka/kinesis — the transforms don't change).
+
+    The nanosecond-timestamp wrinkle (see queries.registry.load_table) is
+    handled by reading ts as long and truncating to µs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENTS_SCHEMA.fields]
+    )
+    # FileStreamSource requires a directory: stream the sf dir, glob-filtered
+    # to the events file(s).
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the streaming twin
+    of the batch `events_tumbling_window` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "v",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based) — the streaming twin of the batch
+    `events_sessionize` query. State is one row per open session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids within the
+    watermark horizon (Spark keeps a bounded dedup state keyed on event_id)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "append"):
+    """Test/demo helper: drive a streaming query to completion synchronously
+    against the bounded file source, materializing into an in-memory table."""
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

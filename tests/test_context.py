@@ -1,0 +1,63 @@
+"""Context facade behaviors (the reference's BlazingContext surface)."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+
+from blazingsql_spark.context import Context
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bc(spark):
+    return Context(spark=spark)
+
+
+def test_create_table_from_path_and_sql(bc):
+    bc.create_table("li", f"{SF_DIR}/lineitem.parquet")
+    n = bc.sql("SELECT COUNT(*) AS n FROM li").first()["n"]
+    assert n > 0
+    assert "li" in bc.list_tables()
+    assert bc.describe_table("li")["l_orderkey"] == "bigint"
+    bc.drop_table("li")
+    assert "li" not in bc.list_tables()
+
+
+def test_create_table_from_pandas_and_df(bc):
+    bc.create_table("pd_t", pd.DataFrame({"a": [1, 2, 3]}))
+    assert bc.sql("SELECT SUM(a) AS s FROM pd_t").first()["s"] == 6
+    df = bc.sql("SELECT a * 2 AS b FROM pd_t")
+    bc.create_table("df_t", df)
+    assert bc.sql("SELECT SUM(b) AS s FROM df_t").first()["s"] == 12
+
+
+def test_async_token(bc):
+    bc.create_table("ord", f"{SF_DIR}/orders.parquet")
+    token = bc.sql("SELECT COUNT(*) AS n FROM ord", return_token=True)
+    for _ in range(200):
+        if bc.status(token):
+            break
+        time.sleep(0.05)
+    rows = bc.fetch(token)
+    assert rows[0]["n"] > 0
+
+
+def test_explain(bc):
+    bc.create_table("ord2", f"{SF_DIR}/orders.parquet")
+    simple = bc.explain("SELECT COUNT(*) AS n FROM ord2")
+    detailed = bc.explain("SELECT COUNT(*) AS n FROM ord2", detail=True)
+    assert "AdaptiveSparkPlan" in simple
+    assert "== Optimized Logical Plan ==" in detailed
+
+
+def test_partition(bc):
+    df = bc.sql("SELECT * FROM ord2")
+    assert bc.partition(df, by=["o_custkey"], n=4).rdd.getNumPartitions() == 4
+
+
+def test_bad_input_type(bc):
+    with pytest.raises(TypeError):
+        bc.create_table("nope", 42)

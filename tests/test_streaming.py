@@ -1,0 +1,57 @@
+"""Structured Streaming operators: drive each stream to completion against
+the bounded parquet source and cross-check against the equivalent batch
+computation (differential testing, streaming vs batch engine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blazingsql_spark.queries.registry import load_table
+from blazingsql_spark.streaming import events as st
+from tests.conftest import SF_DIR, normalize
+
+
+def test_tumbling_counts_matches_batch(spark):
+    stream = st.tumbling_counts(st.stream_events(spark, SF_DIR))
+    got = st.run_to_memory(spark, stream, "t_tumbling")
+
+    ev = load_table(spark, SF_DIR, "events")
+    # Append mode only emits windows finalized under the watermark: the
+    # window containing max(ts) (and anything after watermark) never closes.
+    cutoff = ev.agg(F.max("ts")).first()[0]
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .filter(F.col("window.end") <= F.lit(cutoff) - F.expr("INTERVAL 10 MINUTES"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "v")
+    )
+    got = got.filter(
+        F.col("window_start") + F.expr("INTERVAL 5 MINUTES")
+        <= F.lit(cutoff) - F.expr("INTERVAL 10 MINUTES")
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        normalize(got.toPandas()), normalize(batch.toPandas()), check_dtype=False
+    )
+
+
+def test_sessionize_stream_runs(spark):
+    stream = st.sessionize_stream(st.stream_events(spark, SF_DIR))
+    got = st.run_to_memory(spark, stream, "t_sessions")
+    assert got.count() > 0
+    # session windows are disjoint per user and gap-consistent
+    pdf = got.orderBy("user_id", "session_start").toPandas()
+    for _, g in pdf.groupby("user_id"):
+        starts = g["session_start"].tolist()
+        ends = g["session_end"].tolist()
+        for i in range(1, len(starts)):
+            assert starts[i] >= ends[i - 1], "overlapping sessions"
+
+
+def test_streaming_dedup(spark):
+    base = st.stream_events(spark, SF_DIR)
+    got = st.run_to_memory(spark, st.streaming_dedup(base), "t_dedup")
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert got.count() == n_events  # source has unique event_ids
+    assert got.select("event_id").distinct().count() == n_events
