@@ -63,9 +63,15 @@ def exchange_count(df: DataFrame) -> int:
     return physical_plan(df, "simple").count("Exchange")
 
 
-def codegen_stage_count(df: DataFrame) -> int:
+def codegen_stage_count(df: DataFrame, execute: bool = False) -> int:
     """WholeStageCodegen span count — wider spans = more JVM-fused work.
-    (simple mode renders spans as `*(N)`; formatted spells them out)"""
+
+    Under AQE the pre-execution plan carries no codegen markers
+    (isFinalPlan=false); pass ``execute=True`` to materialize the plan first
+    and count spans in the final adaptive plan.
+    """
+    if execute and "isFinalPlan=false" in physical_plan(df, "simple"):
+        df.write.format("noop").mode("overwrite").save()
     plan = physical_plan(df, "formatted")
     ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
     ids |= set(re.findall(r"\*\((\d+)\)", physical_plan(df, "simple")))

@@ -36,7 +36,7 @@ def test_q1_single_shuffle(spark):
     df = all_queries()["tpch_q1"].fn(spark, SF_DIR)
     # partial+final agg: exactly one exchange (plus AQE reads), no sort before agg
     assert exchange_count(df) <= 2, exchange_count(df)
-    assert codegen_stage_count(df) >= 1
+    assert codegen_stage_count(df, execute=True) >= 1
 
 
 def test_projection_prunes_scan(spark):
