@@ -71,7 +71,9 @@ def codegen_stage_count(df: DataFrame, execute: bool = False) -> int:
     and count spans in the final adaptive plan.
     """
     if execute and "isFinalPlan=false" in physical_plan(df, "simple"):
-        df.write.format("noop").mode("overwrite").save()
+        # must be an action on THIS Dataset: df.write would plan a separate
+        # QueryExecution and the original AdaptiveSparkPlan never finalizes
+        df.collect()
     plan = physical_plan(df, "formatted")
     ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
     ids |= set(re.findall(r"\*\((\d+)\)", physical_plan(df, "simple")))
