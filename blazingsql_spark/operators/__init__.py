@@ -1,0 +1,10 @@
+"""Custom relational operators Spark lacks as single primitives, composed
+from DataFrame ops (never driver-side loops). The reference engine has no
+range/as-of/interval joins either (SURVEY §2.2 "No range/as-of/interval
+join operators") — these are capability supersets built the Spark way.
+"""
+
+from blazingsql_spark.operators.asof import asof_join, range_join
+from blazingsql_spark.operators.topk import top_k_per_group
+
+__all__ = ["asof_join", "range_join", "top_k_per_group"]

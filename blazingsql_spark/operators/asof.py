@@ -1,0 +1,103 @@
+"""As-of and range joins.
+
+- ``asof_join``: for each left row, the latest right row with
+  right.ts <= left.ts (per key) — the time-series "last known value" join.
+  Implemented as union + window (one shuffle on (key, ts)), NOT a
+  per-group pandas merge_asof: the union trick scales to arbitrarily large
+  sides because state per row is O(1) (last-value carry-forward), while
+  merge_asof would materialize whole groups in Python.
+
+- ``range_join``: equi-keys + bounded numeric/time distance, implemented by
+  bucketizing the range key so the join is an equi-join on (key, bucket)
+  with a small bucket fan-out — no BroadcastNestedLoopJoin blow-up at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_value_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row at-or-before
+    left[on], matching on the optional `by` keys.
+
+    Union-and-carry-forward: tag both sides, sort by (by, on, side) within
+    one window, and carry the last right values forward onto left rows.
+    One range-free shuffle; no Python; skew-bounded by the `by` keys.
+    """
+    by = by or []
+    rvals = right_value_cols or [c for c in right.columns if c != on and c not in by]
+
+    lhs = left.select(
+        *by, F.col(on).alias("__t"), F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rvals],
+    )
+    rhs = right.select(
+        *by, F.col(on).alias("__t"), F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in rvals],
+    )
+    unioned = lhs.unionByName(rhs)
+
+    # right rows sort before left rows at equal timestamps → "at or before"
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in rvals],
+        F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__rt"),
+    ).filter(F.col("__is_left") == 1)
+
+    out_cols = [F.col("__lrow")[c].alias(c) for c in left.columns]
+    if tolerance is not None:
+        keep = F.col("__rt").isNotNull() & (F.col("__t") - F.col("__rt") <= tolerance)
+        out_cols += [F.when(keep, F.col(f"__c_{c}")).alias(f"{c}" if c not in left.columns else f"right_{c}") for c in rvals]
+    else:
+        out_cols += [
+            F.col(f"__c_{c}").alias(c if c not in left.columns else f"right_{c}") for c in rvals
+        ]
+    return carried.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    max_distance: float,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Join rows whose range keys differ by at most ``max_distance``
+    (|left_on - right_on| <= max_distance), plus optional equi `by` keys.
+
+    Bucketize both sides at width=max_distance; a pair within distance d
+    must land in the same or adjacent bucket, so the right side is exploded
+    into (bucket-1, bucket, bucket+1) and the join is a plain equi-join with
+    3x fan-out, filtered exactly afterward. Scale: shuffle keys are
+    (by, bucket) — never a nested-loop join.
+    """
+    by = by or []
+    width = float(max_distance)
+    lb = left.withColumn("__bucket", F.floor(F.col(left_on) / width).cast("long"))
+    rb = right.withColumn(
+        "__bucket0", F.floor(F.col(right_on) / width).cast("long")
+    ).withColumn("__bucket", F.explode(F.array(F.col("__bucket0") - 1, F.col("__bucket0"), F.col("__bucket0") + 1)))
+    joined = lb.join(rb, by + ["__bucket"])
+    return joined.filter(
+        F.abs(F.col(left_on) - F.col(right_on)) <= max_distance
+    ).drop("__bucket", "__bucket0")

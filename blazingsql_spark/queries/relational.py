@@ -616,3 +616,104 @@ twin(
     """,
     tables=("lineitem",),
 )
+
+
+# ------------------------------------------- custom operators (superset)
+# The reference rejects/lacks these entirely (SURVEY §2.2: "No range/as-of/
+# interval join operators"); implemented in blazingsql_spark.operators.
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT p.event_id, p.user_id, ROUND(v.value, 2) AS last_view_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join (operators.asof.asof_join): for each purchase, the user's
+    most recent prior 'view' value — union+carry-forward, one shuffle, no
+    Python. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from blazingsql_spark.operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(purchases, views, on="ts", by=["user_id"], right_value_cols=["view_value"])
+    return out.select(
+        "event_id", "user_id", F.round("view_value", 2).alias("last_view_value")
+    ).orderBy("event_id")
+
+
+@register(
+    "range_join_orders",
+    oracle="""
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           ROUND(ABS(a.o_totalprice - b.o_totalprice), 2) AS price_gap
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND ABS(a.o_totalprice - b.o_totalprice) <= 100
+    ORDER BY key_a, key_b
+    """,
+)
+def range_join_orders(spark, sf_dir):
+    """Range join (operators.asof.range_join): same-customer order pairs
+    within $100 of each other — bucketized equi-join (3x fan-out), never a
+    nested-loop join."""
+    from blazingsql_spark.operators import range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        "o_custkey", F.col("o_orderkey").alias("key_a"), F.col("o_totalprice").alias("price_a")
+    )
+    b = orders.select(
+        "o_custkey", F.col("o_orderkey").alias("key_b"), F.col("o_totalprice").alias("price_b")
+    )
+    out = range_join(a, b, "price_a", "price_b", 100.0, by=["o_custkey"])
+    return (
+        out.filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.round(F.abs(F.col("price_a") - F.col("price_b")), 2).alias("price_gap"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t WHERE rnk <= 3
+    ORDER BY c_mktsegment, rnk
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-K per group (operators.topk): WindowGroupLimit pushes the rank
+    bound into the per-partition sort — each task keeps K rows per group."""
+    from blazingsql_spark.operators import top_k_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    out = top_k_per_group(
+        joined,
+        ["c_mktsegment"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+        rank_col="rnk",
+    )
+    return out.orderBy("c_mktsegment", "rnk")
