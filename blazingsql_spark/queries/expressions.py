@@ -261,3 +261,50 @@ pair(
     """,
     tables=("lineitem",),
 )
+
+# Interval / DURATION arithmetic — intervalSuite.yaml, DURATION type support
+# (CHANGELOG #1523). Spark DayTimeInterval == reference DURATION.
+pair(
+    "expr_interval",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 7 DAY     AS plus_week,
+           o_orderdate - INTERVAL 12 HOUR   AS minus_half_day,
+           o_orderdate + INTERVAL 1 MONTH   AS next_month,
+           TIMESTAMPDIFF(SECOND, o_orderdate, o_orderdate + INTERVAL 90 MINUTE)
+               AS gap_seconds,
+           DATEDIFF(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days_since
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 7 DAY     AS plus_week,
+           o_orderdate - INTERVAL 12 HOUR   AS minus_half_day,
+           o_orderdate + INTERVAL 1 MONTH   AS next_month,
+           DATE_DIFF('second', o_orderdate, o_orderdate + INTERVAL 90 MINUTE)
+               AS gap_seconds,
+           DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)
+
+# IS [NOT] TRUE / FALSE — expression_utils.cpp:274-277.
+twin(
+    "expr_is_truth",
+    """
+    SELECT l_orderkey, l_linenumber,
+           (l_quantity > 25) IS TRUE      AS is_true_v,
+           (l_quantity > 25) IS NOT TRUE  AS not_true_v,
+           (l_quantity > 25) IS FALSE     AS is_false_v,
+           (NULLIF(l_linenumber, 3) > 2) IS NOT FALSE AS not_false_v
+    FROM lineitem
+    WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tables=("lineitem",),
+)

@@ -717,3 +717,33 @@ def topk_per_group(spark, sf_dir):
         rank_col="rnk",
     )
     return out.orderBy("c_mktsegment", "rnk")
+
+
+# NTH_VALUE — the reference's NTH_ELEMENT aggregate kind (GroupBy.h:15-28).
+twin(
+    "window_nth_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           NTH_VALUE(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_price
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tables=("orders",),
+)
+
+# UNION with type coercion — unifyTablesSuite.yaml (int widened to bigint).
+twin(
+    "union_type_coerce",
+    """
+    SELECT v FROM (
+        SELECT CAST(l_linenumber AS INT) AS v FROM lineitem WHERE l_orderkey < 50
+        UNION ALL
+        SELECT o_orderkey AS v FROM orders WHERE o_orderkey < 50
+    ) t
+    ORDER BY v
+    """,
+    tables=("lineitem", "orders"),
+)
