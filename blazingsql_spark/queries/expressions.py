@@ -308,3 +308,46 @@ twin(
     """,
     tables=("lineitem",),
 )
+
+# TO_TIMESTAMP (expression_utils.cpp:339) — format-string parse.
+pair(
+    "expr_to_timestamp",
+    """
+    SELECT o_orderkey,
+           TO_TIMESTAMP('1997-03-15 10:30:00', 'yyyy-MM-dd HH:mm:ss') AS parsed_ts,
+           UNIX_TIMESTAMP(o_orderdate) AS epoch_s
+    FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           STRPTIME('1997-03-15 10:30:00', '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)
+
+
+# RAND (BLZ_RAND, expression_utils.cpp:13) — nondeterministic by nature, so
+# rows-only: assert shape/range downstream, not values.
+from blazingsql_spark.queries.registry import register  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@register("expr_rand")
+def expr_rand(spark, sf_dir):
+    """RAND parity: uniform [0,1) column; values are engine-random (the
+    reference's BLZ_RAND likewise) → rows-only check on bounds."""
+    from blazingsql_spark.queries.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", F.rand(seed=42).alias("r"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("r").alias("min_r"),
+            F.max("r").alias("max_r"),
+            (F.min("r") >= 0).alias("lo_ok"),
+            (F.max("r") < 1).alias("hi_ok"),
+        )
+    )

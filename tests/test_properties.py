@@ -1,0 +1,62 @@
+"""Property-based tests (hypothesis) — beyond the reference's methodology
+(SURVEY §5: "No property-based/randomized testing"): Spark operators vs
+plain-Python/pandas models on randomized inputs."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from blazingsql_spark.functions import dedup
+from blazingsql_spark.operators import asof_join
+
+words = st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=0, max_size=12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(words)
+def test_word_shingles_matches_python_model(spark, tokens):
+    text = " ".join(tokens)
+    got = spark.createDataFrame([(text,)], ["t"]).select(
+        dedup.word_shingles(F.col("t"), 2).alias("s")
+    ).first()["s"]
+    toks = text.split()
+    want = list(dict.fromkeys(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    lpdf = pd.DataFrame(lrows, columns=["k", "t", "lv"]).sort_values("t")
+    rpdf = pd.DataFrame(rrows, columns=["k", "t", "rv"]).sort_values("t")
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf.rename(columns={"t": "rt"})).select(
+        F.col("k"), F.col("rt").alias("t"), F.col("rv")
+    )
+    got = (
+        asof_join(ldf, rdf, on="t", by=["k"], right_value_cols=["rv"])
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        lpdf, rpdf, on="t", by="k", direction="backward"
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    got = got[["k", "t", "lv", "rv"]].reset_index(drop=True)
+    want = want[["k", "t", "lv", "rv"]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
