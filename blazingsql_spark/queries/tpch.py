@@ -266,3 +266,104 @@ twin(
     """,
     tables=("lineitem", "part"),
 )
+
+# Q7: volume shipping — two-nation flows, EXTRACT in group keys.
+twin(
+    "tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(FLOOR(volume * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000 AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               YEAR(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+            OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+          AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tables=("supplier", "lineitem", "orders", "customer", "nation"),
+)
+
+# Q8: market share — conditional ratio over a 7-way join.
+twin(
+    "tpch_q8",
+    """
+    SELECT o_year,
+           ROUND(
+               CAST(SUM(CAST(FLOOR(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END * 10000)
+                        AS DECIMAL(18,0))) AS DOUBLE)
+               / CAST(SUM(CAST(FLOOR(volume * 10000) AS DECIMAL(18,0))) AS DOUBLE), 6)
+               AS mkt_share
+    FROM (
+        SELECT YEAR(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tables=("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+)
+
+# Q21-style: suppliers whose lineitems shipped late on multi-supplier orders
+# — EXISTS + NOT EXISTS correlated pair (adapted: no commit/receipt dates).
+twin(
+    "tpch_q21",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    tables=("supplier", "lineitem", "orders"),
+)
+
+# Q22-style: customers above-average balance with no orders — scalar
+# subquery + anti join (adapted: acctbal segments instead of phone codes).
+twin(
+    "tpch_q22",
+    """
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(c2.c_acctbal)
+                       FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tables=("customer", "orders"),
+)

@@ -37,6 +37,8 @@ _DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # managed-table home (bucketed tables etc.) — static conf, set at build
+    "spark.sql.warehouse.dir": "/tmp/blazingsql_spark_warehouse",
 }
 
 
@@ -63,8 +65,25 @@ def get_spark(
         conf["spark.sql.shuffle.partitions"] = n
     if extra_conf:
         conf.update(extra_conf)
+    conf.update(_rapids_conf())
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _rapids_conf() -> dict[str, str]:
+    """GPU path (the reference IS a GPU engine): when the RAPIDS Accelerator
+    jar is provided via $SPARK_RAPIDS_PLUGIN_JAR, enable the plugin — every
+    operator in this repo is declarative DataFrame/SQL, so the plugin can
+    move the whole plan to GPU without code changes. No-op otherwise (this
+    environment has no GPU/jar)."""
+    jar = os.environ.get("SPARK_RAPIDS_PLUGIN_JAR")
+    if not jar:
+        return {}
+    return {
+        "spark.jars": jar,
+        "spark.plugins": "com.nvidia.spark.SQLPlugin",
+        "spark.rapids.sql.enabled": "true",
+    }

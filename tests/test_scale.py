@@ -1,0 +1,58 @@
+"""Scale-machinery tests: salting preserves semantics, bucketing removes
+the shuffle, AQE confs are live."""
+
+from __future__ import annotations
+
+from blazingsql_spark.operators.skew import bucketed_table, salted_join
+from blazingsql_spark.plans import exchange_count, join_strategies
+from blazingsql_spark.queries.registry import load_table
+from tests.conftest import SF_DIR, normalize
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    supp = load_table(spark, SF_DIR, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    plain = li.join(supp, "l_suppkey").select("l_orderkey", "l_suppkey", "s_name", "l_quantity")
+    salted = salted_join(li, supp, on="l_suppkey", salt=4).select(
+        "l_orderkey", "l_suppkey", "s_name", "l_quantity"
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        normalize(salted.toPandas()), normalize(plain.toPandas()), check_dtype=False
+    )
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = (
+        load_table(spark, SF_DIR, "supplier")
+        .filter("s_suppkey <= 3")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+    )
+    plain = li.join(supp, "l_suppkey", "left")
+    salted = salted_join(li, supp, on="l_suppkey", how="left", salt=4)
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter("s_name IS NULL").count() == plain.filter("s_name IS NULL").count()
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        lineitem = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        bo = bucketed_table(orders, spark, "b_orders", "o_orderkey", 8)
+        bl = bucketed_table(lineitem, spark, "b_lineitem", "o_orderkey", 8)
+        joined = bo.join(bl, "o_orderkey")
+        assert exchange_count(joined) == 0, joined._jdf.queryExecution().toString()
+        assert join_strategies(joined).get("SortMergeJoin", 0) == 1
+        # and the result is still right
+        assert joined.count() == load_table(spark, SF_DIR, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
