@@ -451,3 +451,33 @@ def multimodal_decode(spark, sf_dir):
     return feats.select(
         "doc_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
     ).orderBy("doc_id")
+
+
+# Nested types (absent in the reference, SURVEY §1.2 LIST/STRUCT/MAP
+# "absent") — parse the events JSON props into a struct and aggregate over
+# array/struct expressions.
+pair(
+    "nested_struct_ops",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(from_json(props, 'k INT').k) AS sum_k,
+           MAX(SIZE(SPLIT(props, ':'))) AS max_parts,
+           MIN(ARRAY(1, 2, 3)[0]) AS arr_first
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           MAX(LEN(string_split(props, ':'))) AS max_parts,
+           MIN(([1, 2, 3])[1]) AS arr_first
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tables=("events",),
+    doc="struct/array/JSON expressions — Spark-native superset of the reference's flat-only types",
+)

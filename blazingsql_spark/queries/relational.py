@@ -747,3 +747,52 @@ twin(
     """,
     tables=("lineitem", "orders"),
 )
+
+
+# Null semantics under aggregation/grouping — the reference runs every suite
+# twice (tpch/ and tpch-with-nulls/, createSchema.py:174-176); testdata has
+# no nulls, so inject them with NULLIF and exercise null keys + null skips.
+twin(
+    "agg_with_nulls",
+    """
+    SELECT grp,
+           COUNT(*) AS n_all,
+           COUNT(val) AS n_valid,
+           ROUND(COALESCE(SUM(val), 0), 2) AS sum_val,
+           ROUND(COALESCE(ROUND(SUM(val), 2) / NULLIF(COUNT(val), 0), -1), 6) AS avg_val,
+           MIN(val) AS min_val
+    FROM (
+        SELECT NULLIF(l_returnflag, 'N') AS grp,
+               CASE WHEN l_linenumber <> 3 THEN l_quantity END AS val
+        FROM lineitem
+    ) t
+    GROUP BY grp
+    ORDER BY grp NULLS FIRST
+    """,
+    tables=("lineitem",),
+    doc="null group keys + null-skipping aggregates (with-nulls suite dimension)",
+)
+
+# DISTINCT over injected nulls (null == null for DISTINCT purposes).
+twin(
+    "distinct_with_nulls",
+    """
+    SELECT DISTINCT NULLIF(l_linenumber, 2) AS ln, NULLIF(l_linestatus, 'O') AS st
+    FROM lineitem
+    ORDER BY ln NULLS FIRST, st NULLS FIRST
+    """,
+    tables=("lineitem",),
+)
+
+# Joins dropping null keys (standard SQL semantics the reference implements
+# explicitly by pre-filtering, BatchJoinProcessing.cpp:412-427).
+twin(
+    "join_null_keys_dropped",
+    """
+    SELECT COUNT(*) AS n_joined,
+           SUM(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS null_rows_joined
+    FROM (SELECT NULLIF(c_nationkey, 3) AS nk FROM customer) c
+    JOIN nation ON c.nk = n_nationkey
+    """,
+    tables=("customer", "nation"),
+)
