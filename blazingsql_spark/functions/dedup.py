@@ -163,8 +163,12 @@ def jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            # FLOOR grid, not ROUND: int/int ratios can land exactly on a
+            # rounding tie, where Java (shortest-repr) and C (binary value)
+            # disagree; floor of an IEEE-identical double never does.
+            (
+                F.floor(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) * 1000000)
+                / 1000000
             ).alias("jaccard"),
         )
     )

@@ -40,14 +40,20 @@ twin(
     "expr_math",
     """
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice + l_tax, 4)        AS add_v,
-           ROUND(l_extendedprice - l_discount, 4)   AS sub_v,
-           ROUND(l_quantity * l_discount, 6)        AS mul_v,
-           ROUND(l_extendedprice / l_quantity, 6)   AS div_v,
+           -- IEEE-deterministic ops get the FLOOR grid (bit-identical in any
+           -- engine); ROUND(x, k) can disagree on the SAME double because
+           -- Java rounds the shortest decimal repr while C rounds the binary
+           -- value (seen at sf0.1: 2147.0228125 → ...813 vs ...812).
+           FLOOR((l_extendedprice + l_tax) * 10000) / 10000      AS add_v,
+           FLOOR((l_extendedprice - l_discount) * 10000) / 10000 AS sub_v,
+           FLOOR(l_quantity * l_discount * 1000000) / 1000000    AS mul_v,
+           FLOOR(l_extendedprice / l_quantity * 10000) / 10000   AS div_v,
            MOD(l_orderkey, 7)                       AS mod_v,
            FLOOR(l_extendedprice)                   AS floor_v,
            CEIL(l_extendedprice)                    AS ceil_v,
            ABS(l_discount - 0.05)                   AS abs_v,
+           -- transcendentals differ at 1 ulp between JVM and libm anyway:
+           -- coarse ROUND is the right tool (tie probability ~ulp/grid)
            ROUND(SIN(l_discount), 6)                AS sin_v,
            ROUND(COS(l_discount), 6)                AS cos_v,
            ROUND(TAN(l_discount), 6)                AS tan_v,
@@ -57,7 +63,7 @@ twin(
            ROUND(LN(l_extendedprice), 6)            AS ln_v,
            ROUND(LOG10(l_extendedprice), 6)         AS log10_v,
            ROUND(POWER(l_quantity, 2), 4)           AS pow_v,
-           ROUND(SQRT(l_quantity), 6)               AS sqrt_v,
+           FLOOR(SQRT(l_quantity) * 1000000) / 1000000 AS sqrt_v,
            ROUND(1.0 / TAN(l_discount + 0.01), 4)   AS cotan_v
     FROM lineitem
     WHERE l_orderkey < 300

@@ -227,7 +227,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           ROUND(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+           FLOOR(n_inter * 1.0 / (sa.n + sb.n - n_inter) * 1000000) / 1000000 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
