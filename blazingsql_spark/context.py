@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
@@ -71,6 +72,9 @@ class Context:
         self._pool = ThreadPoolExecutor(max_workers=4)
         self._tokens: dict[int, Future] = {}
         self._token_counter = itertools.count(1)
+        # query history — the reference's bsql_logs table (bc.log(query),
+        # context.py:3346) records per-query timings queryable as SQL.
+        self._log: list[tuple[int, str, float, str]] = []
 
     # ------------------------------------------------------------------ DDL
     def create_table(
@@ -136,10 +140,25 @@ class Context:
         token for ``status``/``fetch`` (reference: context.py:3066/3328).
         """
         if not return_token:
-            return self.spark.sql(query)
+            t0 = time.perf_counter()
+            try:
+                df = self.spark.sql(query)
+            except Exception:
+                self._log.append((len(self._log) + 1, query, time.perf_counter() - t0, "error"))
+                raise
+            self._log.append((len(self._log) + 1, query, time.perf_counter() - t0, "planned"))
+            return df
         token = next(self._token_counter)
         self._tokens[token] = self._pool.submit(lambda: self.spark.sql(query).collect())
         return token
+
+    def log(self, query: str = "SELECT * FROM bsql_logs"):
+        """Query-history table, mirroring ``bc.log`` (context.py:3346): the
+        planned-query log exposed as a DataFrame view named bsql_logs."""
+        schema = "log_id INT, query STRING, duration_s DOUBLE, status STRING"
+        df = self.spark.createDataFrame(self._log or [], schema=schema)
+        df.createOrReplaceTempView("bsql_logs")
+        return self.spark.sql(query)
 
     def status(self, token: int) -> bool:
         """True when the async query finished (context.py:3328)."""
