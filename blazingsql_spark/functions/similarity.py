@@ -167,3 +167,115 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------------- IVF
+def ivf_train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF centroids with a deterministic distributed Lloyd's loop.
+
+    Init: the k vectors with the smallest md5(id) (seeded, reproducible).
+    Each iteration: assign every vector to its nearest centroid (broadcast
+    centroids — k×dim floats), then average per cluster (one shuffle on the
+    cluster id). At 100 TB this is the standard k-means-on-Spark shape:
+    the corpus is only ever scanned, never collected.
+    """
+    init = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("__h")).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    centroids = init
+    for _ in range(iterations):
+        assigned = assign_to_centroids(vectors, centroids, id_col, vec_col)
+        # mean per cluster, element-wise: posexplode + avg + collect back
+        centroids = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda s: s["x"]
+                ).alias("centroid")
+            )
+        )
+    return centroids
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, score all
+    (vector, centroid) pairs JVM-side, keep the arg-min per vector."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        cosine(F.col(vec_col), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "sim")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe the n_probe nearest inverted lists per
+    query, exact cosine only within them. The candidate join is an equi-join
+    on centroid_id — the corpus partition scanned per query is ~n_probe/k
+    of the data, the IVF trade-off."""
+    cents = ivf_train_centroids(vectors, k=n_centroids)
+    lists = assign_to_centroids(vectors, cents, id_col, vec_col)
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        query_id_col,
+        "__qvec",
+        "centroid_id",
+        cosine(F.col("__qvec"), F.col("centroid")).alias("sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id_col, "__qvec", "centroid_id")
+    )
+
+    cands = lists.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )

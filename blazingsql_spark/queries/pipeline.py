@@ -481,3 +481,19 @@ pair(
     tables=("events",),
     doc="struct/array/JSON expressions — Spark-native superset of the reference's flat-only types",
 )
+
+
+@register("sim_ann_ivf")
+def sim_ann_ivf(spark, sf_dir):
+    """IVF ANN (functions.similarity.ivf_topk): deterministic k-means
+    inverted lists, probe-4-of-16 search. Iterative training isn't
+    SQL-expressible → rows-only check; recall is unit-tested against the
+    exact brute-force top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return out.select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").alias("rnk")
+    ).orderBy("query_id", "rnk")

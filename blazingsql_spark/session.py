@@ -28,10 +28,13 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Broadcast threshold: the reference scatters tables < 400 MB
-    # (PhysicalPlanGenerator.h:473-477); Spark's default 10 MB is conservative
-    # for modern executor memory — 64 MB keeps dim-table joins shuffle-free.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Broadcast threshold: keep Spark's 10 MB default. The reference scatters
+    # tables < 400 MB (PhysicalPlanGenerator.h:473-477) but its estimate is
+    # in-memory bytes; Spark estimates from parquet file size, which
+    # understates heap ~8x. Measured on q3 at ~10M rows: 64 MB threshold =
+    # 9.6-27s (driver-side hash build), 10 MB = 4.1s. AQE still upgrades
+    # genuinely small runtime sides to broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
@@ -63,6 +66,11 @@ def get_spark(
         if n == "*":
             n = str(os.cpu_count() or 32)
         conf["spark.sql.shuffle.partitions"] = n
+        # local mode = single JVM: the driver heap IS the executor memory.
+        # Spark's 1g default starves broadcast builds/sorts on a big box
+        # (observed: broadcast OOM at ~10M-row joins with 128 GiB free).
+        conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        conf["spark.driver.maxResultSize"] = "8g"
     if extra_conf:
         conf.update(extra_conf)
     conf.update(_rapids_conf())

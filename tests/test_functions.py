@@ -105,4 +105,24 @@ def test_apply_config_options(spark):
     assert "MEMORY_MONITOR_PERIOD" not in applied
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(400 * 1024 * 1024)
     # restore the session default so other tests keep broadcasting behavior
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.functions import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # self-match (rank 1, cosine 1.0) must always be found; recall sane
+    for qid in {q for q, _ in exact_set}:
+        assert (qid, qid) in approx_set
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, recall

@@ -53,6 +53,6 @@ def test_bucketed_join_has_no_shuffle(spark):
         # and the result is still right
         assert joined.count() == load_table(spark, SF_DIR, "lineitem").count()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
