@@ -69,7 +69,19 @@ def register(name: str, oracle: str | None = None, headline: bool = False, doc: 
     return deco
 
 
+def _prepare_session(spark: SparkSession) -> None:
+    """Confs the queries depend on, set defensively: the driver may hand us
+    a session built without blazingsql_spark.session.get_spark (e.g. its own
+    harness session). Both are runtime-settable."""
+    try:
+        # UTC so timestamp extraction/windows match the (UTC-naive) oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prepare_session(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
         # timestamp; read as long and truncate to microseconds (identical to

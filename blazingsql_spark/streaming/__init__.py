@@ -4,10 +4,17 @@ event-table operators: tumbling/sliding windows, sessionization, stateful
 dedup."""
 
 from blazingsql_spark.streaming.events import (
+    user_running_totals,
     sessionize_stream,
     stream_events,
     streaming_dedup,
     tumbling_counts,
 )
 
-__all__ = ["stream_events", "tumbling_counts", "sessionize_stream", "streaming_dedup"]
+__all__ = [
+    "stream_events",
+    "tumbling_counts",
+    "sessionize_stream",
+    "streaming_dedup",
+    "user_running_totals",
+]

@@ -112,3 +112,41 @@ def run_to_memory(spark: SparkSession, streaming_df: DataFrame, name: str, outpu
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (event count, value total), emitted as an update stream.
+
+    This is the arbitrary-state API the reference has no analogue for —
+    state is a (count, total) tuple per user_id, stored by Spark's state
+    store (RocksDB/HDFS-backed on a cluster), so cardinality is bounded by
+    |users|, not |events|.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("count", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [count], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

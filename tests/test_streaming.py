@@ -55,3 +55,24 @@ def test_streaming_dedup(spark):
     n_events = load_table(spark, SF_DIR, "events").count()
     assert got.count() == n_events  # source has unique event_ids
     assert got.select("event_id").distinct().count() == n_events
+
+
+def test_user_running_totals_stateful(spark):
+    stream = st.user_running_totals(st.stream_events(spark, SF_DIR))
+    got = st.run_to_memory(spark, stream, "t_state", output_mode="update")
+    # final state per user == batch aggregate
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    import pandas as pd
+
+    got_pdf = (
+        got.toPandas().sort_values("n_events").groupby("user_id").last().reset_index()
+    )
+    want_pdf = batch.toPandas()
+    merged = got_pdf.merge(want_pdf, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want_pdf)
+    assert (merged["n_events_got"] == merged["n_events_want"]).all()
+    assert (abs(merged["total_value_got"] - merged["total_value_want"]) < 0.05).all()
