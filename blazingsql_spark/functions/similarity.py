@@ -69,17 +69,21 @@ def cosine_topk(
     )
 
 
+def _plane_signs(plane: int, dim: int) -> list[float]:
+    """±1 Rademacher plane from md5 parity — identical to the SQL spelling
+    ascii(substring(md5(p || '-' || i), 1, 1)) % 2 = 0, but computed ONCE
+    driver-side instead of 8×64 md5s per row executor-side."""
+    import hashlib
+
+    return [
+        1.0 if ord(hashlib.md5(f"{plane}-{i}".encode()).hexdigest()[0]) % 2 == 0 else -1.0
+        for i in range(1, dim + 1)
+    ]
+
+
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign of <vec, plane_p> where plane_p[i] = ±1 from md5 parity — a
-    deterministic Rademacher hyperplane, reproducible in any engine."""
-    signs = F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda i: F.when(
-            F.ascii(F.substring(F.md5(F.concat_ws("-", F.lit(plane), i.cast("string"))), 1, 1)) % 2
-            == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    """Sign bit of <vec, plane_p> with the plane embedded as a literal array."""
+    signs = F.array(*[F.lit(s) for s in _plane_signs(plane, dim)])
     proj = F.aggregate(
         F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
         F.lit(0.0),

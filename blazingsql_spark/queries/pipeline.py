@@ -32,6 +32,7 @@ twin(
 
 @register(
     "text_quality",
+    headline=True,
     oracle=r"""
     SELECT doc_id, q_len, q_tokens,
            ROUND(q_avg_token_len, 4) AS avg_token_len,
@@ -322,6 +323,7 @@ _LSH_SIG_ORACLE = """
 
 @register(
     "sim_ann_lsh",
+    headline=True,
     oracle=f"""
     WITH {_LSH_SIG_ORACLE},
     q AS (

@@ -625,6 +625,7 @@ twin(
 
 @register(
     "asof_join_events",
+    headline=True,
     oracle="""
     SELECT p.event_id, p.user_id, ROUND(v.value, 2) AS last_view_value
     FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

@@ -44,3 +44,27 @@ def test_projection_prunes_scan(spark):
     cols = set(scan_columns(df))
     assert "o_orderdate" not in cols  # unreferenced columns never leave parquet
     assert "c_acctbal" not in cols
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Sweep every registry query's physical plan: a CartesianProduct or
+    unhinted BroadcastNestedLoopJoin anywhere except the known theta/cross
+    queries is a scale bug (O(n*m) at 100 TB)."""
+    allowed = {
+        "join_cross",  # intentional CROSS JOIN demo
+        "join_theta",  # intentional pure-inequality join (reference rejects)
+        "sim_cosine_topk",  # brute-force baseline: corpus x broadcast(query set) by design
+        "sim_ann_ivf",  # corpus x broadcast(centroids, k x dim floats) by design
+    }
+    offenders = {}
+    for name, spec in sorted(all_queries().items()):
+        df = spec.fn(spark, SF_DIR)
+        strategies = join_strategies(df)
+        bad = {
+            k: v
+            for k, v in strategies.items()
+            if k in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        }
+        if bad and name not in allowed:
+            offenders[name] = bad
+    assert not offenders, offenders
