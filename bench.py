@@ -22,11 +22,16 @@ from blazingsql_spark.queries.registry import all_queries  # noqa: E402
 from blazingsql_spark.session import get_spark  # noqa: E402
 
 
-def run_query(spec, spark, sf_dir: str) -> float:
-    t0 = time.perf_counter()
-    df = spec.fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+def run_query(spec, spark, sf_dir: str, repeats: int = 2) -> float:
+    """Best-of-N wall clock: the machine is shared, so a single run can
+    absorb transient contention spikes; the min is the reproducible cost."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:

@@ -116,6 +116,10 @@ def lsh_candidate_pairs(
             "band_hash"
         ),
     )
+    # the self-join would recompute the whole shingle->signature lineage
+    # twice; persist the (tiny) banded signature table instead. At scale
+    # you'd write it out once and join against it many times.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -147,7 +151,7 @@ def jaccard_pairs(
     """
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
-    )
+    ).persist()  # used three times below (sizes + both join sides)
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
