@@ -116,3 +116,50 @@ def frame_sample_plan(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
     ).withColumn("offset_pct", F.col("frame_idx") / F.lit(n_frames))
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
+    fake: bool = True,
+) -> DataFrame:
+    """Resize media payloads via Arrow-batched mapInPandas.
+
+    STUB decode (no PIL/cv2 in this container): ``fake=True`` emits a
+    deterministic payload of len width*height derived from the input bytes,
+    with the real pipeline shape (binary in → binary out + updated
+    metadata). ``fake=False`` raises NotImplementedError where a real
+    decoder would plug in.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resize needs PIL/cv2 — not available in this container"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "resized": payloads.map(
+                        lambda b: (bytes(b) * (target // max(len(b), 1) + 1))[:target]
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

@@ -115,3 +115,47 @@ def fingerprint(text: Column) -> Column:
 
 def add_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
     return df.withColumn(out_col, fingerprint(F.col(text_col)))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et al.):
+    hash every char k-gram, keep the minimum hash per sliding window of
+    `window` positions, emit the distinct minima as the document's
+    fingerprint set. Robust to insertions — near-identical docs share most
+    fingerprints.
+
+    The k-gram hash is md5 (engine-portable, differential-testable); the
+    sliding minimum is a ROWS window over gram position — all JVM-side.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    n_grams = F.length(t) - (k - 1)
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            # guard: Spark sequence(1, 0) counts DOWN — short docs get no grams
+            F.when(
+                n_grams >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_grams),
+                    lambda i: F.md5(F.substring(t, i, k)),  # substring is O(1) per pos
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram_hash"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    return (
+        grams.select(F.col(id_col), F.min("gram_hash").over(w).alias("fingerprint"))
+        .distinct()
+    )

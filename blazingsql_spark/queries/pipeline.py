@@ -499,3 +499,40 @@ def sim_ann_ivf(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", "cosine_sim", F.col("rank").alias("rnk")
     ).orderBy("query_id", "rnk")
+
+
+@register(
+    "text_winnowing",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, pos, MD5(SUBSTRING(text, pos, 8)) AS gram_hash
+        FROM documents
+        CROSS JOIN LATERAL (
+            SELECT UNNEST(range(1, GREATEST(LENGTH(text) - 7, 0) + 1)) AS pos
+        ) p
+    )
+    SELECT DISTINCT doc_id,
+           MIN(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS fingerprint
+    FROM grams
+    ORDER BY doc_id, fingerprint
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints
+    (functions.text.winnowing_fingerprints): char-8-gram md5 + sliding
+    window-4 minima, distinct per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(docs, k=8, window=4).orderBy("doc_id", "fingerprint")
+
+
+@register("multimodal_resize")
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing (functions.multimodal.resize_images): binary in →
+    binary out with target dims, Arrow-batched; decoder stubbed (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = multimodal.resize_images(multimodal.attach_binary(docs), width=16, height=16)
+    return out.select(
+        "doc_id", "width", "height", F.length("resized").alias("n_bytes")
+    ).orderBy("doc_id")
