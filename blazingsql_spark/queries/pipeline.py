@@ -21,8 +21,8 @@ twin(
     SELECT doc_id, n_chars,
            LENGTH(text)                                          AS len,
            LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1     AS n_words,
-           ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 1.0
-                 / LENGTH(text), 6)                              AS space_ratio
+           FLOOR((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 1.0
+                 / LENGTH(text) * 1000000) / 1000000             AS space_ratio
     FROM documents
     ORDER BY doc_id
     """,
@@ -35,8 +35,8 @@ twin(
     headline=True,
     oracle=r"""
     SELECT doc_id, q_len, q_tokens,
-           ROUND(q_avg_token_len, 4) AS avg_token_len,
-           ROUND(q_punct_ratio, 4)   AS punct_ratio,
+           FLOOR(q_avg_token_len * 10000) / 10000 AS avg_token_len,
+           FLOOR(q_punct_ratio * 10000) / 10000   AS punct_ratio,
            quality_ok
     FROM (
         SELECT doc_id,
@@ -65,8 +65,8 @@ def text_quality(spark, sf_dir):
         "doc_id",
         "q_len",
         "q_tokens",
-        F.round("q_avg_token_len", 4).alias("avg_token_len"),
-        F.round("q_punct_ratio", 4).alias("punct_ratio"),
+        (F.floor(F.col("q_avg_token_len") * 10000) / 10000).alias("avg_token_len"),
+        (F.floor(F.col("q_punct_ratio") * 10000) / 10000).alias("punct_ratio"),
         "quality_ok",
     ).orderBy("doc_id")
 
@@ -463,7 +463,7 @@ pair(
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(from_json(props, 'k INT').k) AS sum_k,
+           CAST(SUM(from_json(props, 'k INT').k) AS BIGINT) AS sum_k,
            MAX(SIZE(SPLIT(props, ':'))) AS max_parts,
            MIN(ARRAY(1, 2, 3)[0]) AS arr_first
     FROM events
@@ -473,7 +473,7 @@ pair(
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            MAX(LEN(string_split(props, ':'))) AS max_parts,
            MIN(([1, 2, 3])[1]) AS arr_first
     FROM events

@@ -571,8 +571,8 @@ twin(
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ), sessions AS (
-        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -791,7 +791,7 @@ twin(
     "join_null_keys_dropped",
     """
     SELECT COUNT(*) AS n_joined,
-           SUM(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS null_rows_joined
+           CAST(SUM(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rows_joined
     FROM (SELECT NULLIF(c_nationkey, 3) AS nk FROM customer) c
     JOIN nation ON c.nk = n_nationkey
     """,
