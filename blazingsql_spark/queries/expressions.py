@@ -357,3 +357,20 @@ def expr_rand(spark, sf_dir):
             (F.max("r") < 1).alias("hi_ok"),
         )
     )
+
+# Literal-only expressions — literalSuite.yaml parity.
+twin(
+    "expr_literals",
+    """
+    SELECT r_regionkey,
+           2 + 3                       AS int_lit,
+           CAST(2.5 AS DOUBLE) * 4    AS dbl_lit,
+           'abc' || 'def'             AS str_lit,
+           TRUE AND FALSE             AS bool_lit,
+           CAST(DATE '1999-12-31' AS TIMESTAMP) AS date_lit_as_ts,
+           CAST(NULL AS INT)          AS null_lit
+    FROM region
+    ORDER BY r_regionkey
+    """,
+    tables=("region",),
+)
