@@ -5,6 +5,16 @@ join operators") — these are capability supersets built the Spark way.
 """
 
 from blazingsql_spark.operators.asof import asof_join, range_join
+from blazingsql_spark.operators.merge import merge_upsert, scd2_apply
+from blazingsql_spark.operators.skew import bucketed_table, salted_join
 from blazingsql_spark.operators.topk import top_k_per_group
 
-__all__ = ["asof_join", "range_join", "top_k_per_group"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "top_k_per_group",
+    "merge_upsert",
+    "scd2_apply",
+    "salted_join",
+    "bucketed_table",
+]

@@ -150,3 +150,11 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment: join a streaming DataFrame against a batch
+    dimension table. Spark re-plans the static side per micro-batch (so
+    dimension updates are picked up); with the dimension under the broadcast
+    threshold the join is stateless — no streaming state at all."""
+    return events.join(F.broadcast(dim), on, how)

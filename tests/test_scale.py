@@ -56,3 +56,39 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_merge_upsert(spark):
+    from blazingsql_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "v"]
+    )
+    source = spark.createDataFrame([(2, "B", 99.0), (4, "d", 40.0)], ["id", "name", "v"])
+    out = {r.id: (r.name, r.v) for r in merge_upsert(target, source, ["id"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_scd2_apply(spark):
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "alice", "2020-01-01", "2021-01-01"),  # history
+            (1, "alicia", "2021-01-01", None),  # current, will change
+            (2, "bob", "2020-01-01", None),  # current, untouched
+        ],
+        ["id", "name", "valid_from", "valid_to"],
+    )
+    updates = spark.createDataFrame([(1, "alyssa")], ["id", "name"])
+    out = scd2_apply(dim, updates, ["id"], F.lit("2022-06-15"))
+    rows = {(r.id, r.name): (r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows[(1, "alice")] == ("2020-01-01", "2021-01-01")  # history untouched
+    assert rows[(1, "alicia")] == ("2021-01-01", "2022-06-15")  # closed
+    assert rows[(1, "alyssa")] == ("2022-06-15", None)  # new current
+    assert rows[(2, "bob")] == ("2020-01-01", None)  # untouched current
+    # exactly one current row per key
+    cur = out.filter("valid_to IS NULL").groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in cur)

@@ -76,3 +76,17 @@ def test_user_running_totals_stateful(spark):
     assert len(merged) == len(want_pdf)
     assert (merged["n_events_got"] == merged["n_events_want"]).all()
     assert (abs(merged["total_value_got"] - merged["total_value_want"]) < 0.05).all()
+
+
+def test_enrich_stream_with_static_dim(spark):
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue"),
+         ("signup", "acquisition"), ("error", "ops")],
+        ["event_type", "category"],
+    )
+    stream = st.enrich_stream(st.stream_events(spark, SF_DIR), dim, on="event_type")
+    got = st.run_to_memory(spark, stream, "t_enrich")
+    n = load_table(spark, SF_DIR, "events").count()
+    assert got.count() == n
+    assert got.filter("category IS NULL").count() == 0
+    assert got.filter("event_type = 'purchase'").select("category").distinct().first()[0] == "revenue"
