@@ -158,3 +158,39 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str, how: str = "left")
     dimension updates are picked up); with the dimension under the broadcast
     threshold the join is stateless — no streaming state at all."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    join_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases ⋈ prior views by user within a
+    time bound. Both sides are watermarked and the join condition carries
+    the time-range predicate, so Spark can expire buffered rows — state is
+    bounded by (watermark + join window), the canonical interval-join shape.
+    """
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    return p.join(
+        v,
+        (p.user_id == v.v_user_id)
+        & (v.view_ts <= p.purchase_ts)
+        & (v.view_ts >= p.purchase_ts - F.expr(f"INTERVAL {join_window}")),
+    ).select("purchase_id", "user_id", "purchase_ts", "purchase_value", "view_id", "view_ts")

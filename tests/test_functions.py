@@ -126,3 +126,27 @@ def test_ivf_recall_vs_bruteforce(spark):
         assert (qid, qid) in approx_set
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.4, recall
+
+
+def test_multiprobe_lsh_beats_single_probe_recall(spark):
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.functions import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, queries, k=5).collect()}
+    single = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ann_lsh_topk(emb, queries, k=5, planes=8).collect()
+    }
+    multi = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ann_lsh_topk_multiprobe(emb, queries, k=5, planes=8).collect()
+    }
+    recall_single = len(exact & single) / len(exact)
+    recall_multi = len(exact & multi) / len(exact)
+    assert recall_multi >= recall_single
+    assert recall_multi >= 0.3

@@ -90,3 +90,30 @@ def test_enrich_stream_with_static_dim(spark):
     assert got.count() == n
     assert got.filter("category IS NULL").count() == 0
     assert got.filter("event_type = 'purchase'").select("category").distinct().first()[0] == "revenue"
+
+
+def test_stream_stream_join_matches_batch(spark):
+    base = st.stream_events(spark, SF_DIR)
+    purchases = base.filter("event_type = 'purchase'")
+    views = base.filter("event_type = 'view'")
+    got = st.run_to_memory(
+        spark, st.stream_stream_join(purchases, views), "t_ssjoin"
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    bp = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id", "ts AS purchase_ts"
+    )
+    bv = ev.filter("event_type = 'view'").selectExpr(
+        "event_id AS view_id", "user_id AS v_user_id", "ts AS view_ts"
+    )
+    want = bp.join(
+        bv,
+        (bp.user_id == bv.v_user_id)
+        & (bv.view_ts <= bp.purchase_ts)
+        & (bv.view_ts >= bp.purchase_ts - F.expr("INTERVAL 1 HOUR")),
+    )
+    assert got.count() == want.count()
+    got_pairs = {(r.purchase_id, r.view_id) for r in got.collect()}
+    want_pairs = {(r.purchase_id, r.view_id) for r in want.collect()}
+    assert got_pairs == want_pairs
