@@ -261,3 +261,61 @@ def simhash_near_pairs(
         "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------- incremental dedup
+def build_signature_index(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 2,
+) -> None:
+    """Persist the banded MinHash index for a corpus: (id, band, band_hash)
+    parquet. New document batches dedup against this index with one
+    equi-join — the corpus itself is never rescanned (the incremental-ingest
+    path for a growing 100 TB corpus)."""
+    banded = _banded_signatures(df, text_col, id_col, num_hashes, bands, shingle_n)
+    banded.write.mode("overwrite").parquet(path)
+
+
+def _banded_signatures(df, text_col, id_col, num_hashes, bands, shingle_n):
+    rows = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    return sig.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "signature",
+    ).select(
+        id_col,
+        "band",
+        F.md5(F.concat_ws("|", F.slice(F.col("signature"), F.col("band") * rows + 1, rows))).alias(
+            "band_hash"
+        ),
+    )
+
+
+def incremental_near_dup_check(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Check a batch of new documents against the persisted index: returns
+    (new_id, matched_corpus_id) candidate near-dup pairs. Works identically
+    inside foreachBatch for a streaming ingest pipeline."""
+    index = spark.read.parquet(index_path)
+    new_banded = _banded_signatures(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
+    return (
+        new_banded.alias("n")
+        .join(
+            index.alias("i"),
+            (F.col("n.band") == F.col("i.band")) & (F.col("n.band_hash") == F.col("i.band_hash")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"i.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )

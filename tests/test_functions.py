@@ -150,3 +150,24 @@ def test_multiprobe_lsh_beats_single_probe_recall(spark):
     recall_multi = len(exact & multi) / len(exact)
     assert recall_multi >= recall_single
     assert recall_multi >= 0.3
+
+
+def test_incremental_near_dup_check(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    index_path = str(tmp_path / "minhash_index")
+    dedup.build_signature_index(docs, index_path)
+
+    # new batch: one exact copy of doc 7, one fresh nonsense doc
+    new_docs = docs.filter("doc_id = 7").select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "text"
+    ).union(
+        spark.createDataFrame(
+            [(90001, "qqq www eee rrr ttt yyy uuu iii ooo ppp")], ["doc_id", "text"]
+        )
+    )
+    hits = dedup.incremental_near_dup_check(spark, new_docs, index_path)
+    pairs = {(r.new_id, r.corpus_id) for r in hits.collect()}
+    assert (90007, 7) in pairs  # the copy is flagged against the corpus
+    assert not any(n == 90001 for n, _ in pairs)  # fresh doc is clean

@@ -92,3 +92,41 @@ def test_scd2_apply(spark):
     # exactly one current row per key
     cur = out.filter("valid_to IS NULL").groupBy("id").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_rollup_matches_direct_aggregation(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.operators import rollup as R
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_rollup")
+    R.materialize_rollup(ev, path, bucket="5 minutes")
+    rolled = R.read_rollup(spark, path)
+
+    # rollup grain matches direct bucketed aggregation
+    direct = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
+    )
+    assert rolled.count() == direct.count()
+
+    # re-aggregation from the rollup == direct totals from raw data
+    got = {
+        r.event_type: (r.n, round(r.sum_v, 2))
+        for r in R.reaggregate(rolled).collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.sum_v, 2))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
+
+    # time-range query prunes on the date partition column
+    from blazingsql_spark.plans import physical_plan
+
+    pruned = rolled.filter("bucket_date = DATE '2024-01-01'")
+    assert "PartitionFilters" in physical_plan(pruned)
