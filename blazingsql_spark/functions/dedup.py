@@ -103,22 +103,11 @@ def lsh_candidate_pairs(
     keeps skew bounded (collision probability per band ~ similarity^rows).
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        "signature",
-    ).select(
-        id_col,
-        "band",
-        F.md5(F.concat_ws("|", F.slice(F.col("signature"), F.col("band") * rows + 1, rows))).alias(
-            "band_hash"
-        ),
-    )
+    banded = _banded_signatures(df, text_col, id_col, num_hashes, bands, shingle_n)
     # the self-join would recompute the whole shingle->signature lineage
     # twice; persist the (tiny) banded signature table instead. At scale
-    # you'd write it out once and join against it many times.
+    # you'd write it out once and join against it many times
+    # (build_signature_index below does exactly that).
     banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
