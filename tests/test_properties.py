@@ -60,3 +60,30 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
     got = got[["k", "t", "lv", "rv"]].reset_index(drop=True)
     want = want[["k", "t", "lv", "rv"]]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.floats(0, 50)), min_size=1, max_size=15),
+    st.lists(st.tuples(st.integers(0, 2), st.floats(0, 50)), min_size=1, max_size=15),
+)
+def test_range_join_matches_naive_model(spark, lrows, rrows):
+    from blazingsql_spark.operators import range_join
+
+    ldf = spark.createDataFrame(
+        [(k, float(v), i) for i, (k, v) in enumerate(lrows)], ["k", "lv", "lid"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, float(v), i) for i, (k, v) in enumerate(rrows)], ["k", "rv", "rid"]
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(ldf, rdf, "lv", "rv", 5.0, by=["k"]).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (lk, lv) in enumerate(lrows)
+        for ri, (rk, rv) in enumerate(rrows)
+        if lk == rk and abs(lv - rv) <= 5.0
+    }
+    assert got == want
