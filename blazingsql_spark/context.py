@@ -126,8 +126,14 @@ class Context:
         self._tables.pop(table_name, None)
 
     def list_tables(self) -> list[str]:
-        """context.py:2600."""
-        return sorted(self._tables)
+        """context.py:2600 — registered views plus catalog tables (the
+        reference has no SQL DDL; ours picks up CREATE TABLE/CTAS too)."""
+        names = set(self._tables)
+        try:
+            names.update(t.name for t in self.spark.catalog.listTables())
+        except Exception:
+            pass
+        return sorted(names)
 
     def describe_table(self, table_name: str) -> dict[str, str]:
         """context.py:2618 — column name → Spark SQL type string."""

@@ -61,3 +61,20 @@ def test_partition(bc):
 def test_bad_input_type(bc):
     with pytest.raises(TypeError):
         bc.create_table("nope", 42)
+
+
+def test_sql_ddl_dml(bc):
+    """SQL DDL/DML — a superset of the reference, whose DDL surface is
+    Python-only (SURVEY §2.8: 'no SQL DDL/DML')."""
+    bc.sql("DROP TABLE IF EXISTS ddl_demo")
+    bc.create_table("src_nation", f"{SF_DIR}/nation.parquet")
+    bc.sql("CREATE TABLE ddl_demo USING parquet AS "
+           "SELECT n_nationkey, n_name FROM src_nation WHERE n_regionkey = 0")
+    n0 = bc.sql("SELECT COUNT(*) AS n FROM ddl_demo").first()["n"]
+    assert n0 > 0
+    bc.sql("INSERT INTO ddl_demo VALUES (999, 'ATLANTIS')")
+    assert bc.sql("SELECT COUNT(*) AS n FROM ddl_demo").first()["n"] == n0 + 1
+    assert bc.sql("SELECT n_name FROM ddl_demo WHERE n_nationkey = 999").first()[0] == "ATLANTIS"
+    assert "ddl_demo" in bc.list_tables()
+    bc.sql("DROP TABLE ddl_demo")
+    assert "ddl_demo" not in bc.list_tables()
