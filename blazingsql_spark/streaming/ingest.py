@@ -1,0 +1,97 @@
+"""Streaming corpus ingest with online near-dup filtering.
+
+The end-to-end training-data-ingest shape: documents arrive as a stream;
+each micro-batch is (1) checked against the persisted MinHash band index,
+(2) clean documents are appended to the corpus sink, (3) their signatures
+are appended to the index — so later batches dedup against everything seen
+so far. All steps are key-partitioned joins/appends; nothing rescans the
+corpus.
+
+Uses foreachBatch: the batch hook is exactly-once per epoch and can run
+arbitrary batch DataFrame logic (the incremental dedup check) against
+non-streaming state (the parquet index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blazingsql_spark.functions.dedup import _banded_signatures, incremental_near_dup_check
+
+
+class DedupIngest:
+    """foreachBatch handler: near-dup-filter each micro-batch against the
+    running index, append survivors to the corpus and their signatures to
+    the index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        corpus_path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 8,
+        bands: int = 4,
+        shingle_n: int = 2,
+    ):
+        self.spark = spark
+        self.index_path = index_path
+        self.corpus_path = corpus_path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self._index_exists = False
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.persist()
+        if self._index_exists:
+            dup_ids = (
+                incremental_near_dup_check(
+                    self.spark,
+                    batch,
+                    self.index_path,
+                    self.text_col,
+                    self.id_col,
+                    self.num_hashes,
+                    self.bands,
+                    self.shingle_n,
+                )
+                .select(F.col("new_id").alias(self.id_col))
+                .distinct()
+            )
+            clean = batch.join(dup_ids, self.id_col, "left_anti")
+        else:
+            clean = batch
+        # in-batch dedup as well: drop later copies inside the same epoch
+        clean = clean.dropDuplicates([self.text_col]).persist()
+
+        clean.write.mode("append").parquet(self.corpus_path)
+        _banded_signatures(
+            clean, self.text_col, self.id_col, self.num_hashes, self.bands, self.shingle_n
+        ).write.mode("append").parquet(self.index_path)
+        self._index_exists = True
+        batch.unpersist()
+        clean.unpersist()
+
+
+def run_dedup_ingest(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Wire a document stream through the dedup ingest. Returns the started
+    StreamingQuery (caller stops it / processes available)."""
+    handler = DedupIngest(spark, index_path, corpus_path, **kwargs)
+    return (
+        doc_stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -117,3 +117,33 @@ def test_stream_stream_join_matches_batch(spark):
     got_pairs = {(r.purchase_id, r.view_id) for r in got.collect()}
     want_pairs = {(r.purchase_id, r.view_id) for r in want.collect()}
     assert got_pairs == want_pairs
+
+
+def test_dedup_ingest_pipeline(spark, tmp_path):
+    """Streaming ingest: batch 1 fills corpus+index; batch 2 (copies + fresh
+    docs) gets near-dups filtered against the index."""
+    from blazingsql_spark.streaming.ingest import DedupIngest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b1 = docs.filter("doc_id < 50")
+    # batch 2: 5 exact copies of batch-1 docs (new ids) + genuinely fresh
+    # docs with a disjoint vocabulary (corpus docs share a tiny vocab, so
+    # they'd legitimately LSH-collide with each other)
+    copies = b1.filter("doc_id < 5").select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    fresh = spark.createDataFrame(
+        [(6000 + i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    b2 = copies.union(fresh)
+
+    handler = DedupIngest(
+        spark, str(tmp_path / "index"), str(tmp_path / "corpus")
+    )
+    handler(b1, 0)
+    handler(b2, 1)
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert {r.doc_id for r in b1.collect()} <= ids  # batch 1 all ingested
+    assert {r.doc_id for r in fresh.collect()} <= ids  # fresh docs ingested
+    assert not any(i >= 5000 for i in ids)  # copies filtered out
