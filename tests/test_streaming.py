@@ -146,4 +146,4 @@ def test_dedup_ingest_pipeline(spark, tmp_path):
     ids = {r.doc_id for r in corpus.select("doc_id").collect()}
     assert {r.doc_id for r in b1.collect()} <= ids  # batch 1 all ingested
     assert {r.doc_id for r in fresh.collect()} <= ids  # fresh docs ingested
-    assert not any(i >= 5000 for i in ids)  # copies filtered out
+    assert not any(5000 <= i < 5005 for i in ids)  # copies filtered out
