@@ -234,17 +234,27 @@ twin(
     headline=True,
 )
 
-# Q18: large volume customer — join + group + HAVING + top-N.
+# Q18: large volume customer — aggregate + HAVING + joins + top-N.
+# Written aggregate-first: lineitem collapses to the o_orderkey grain BEFORE
+# the joins (o_orderkey functionally determines the other group keys, so
+# grouping by all five after the join — the textbook spelling — computes the
+# same result while shuffling the full join output; Catalyst doesn't do this
+# rewrite itself). At 100 TB this is the difference between joining 6B rows
+# and joining the handful of qualifying orders.
 twin(
     "tpch_q18",
     """
-    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           ROUND(SUM(l_quantity), 2) AS sum_qty
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON o_orderkey = l_orderkey
-    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100
+    WITH big_orders AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big_orders
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20
     """,
