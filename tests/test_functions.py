@@ -171,3 +171,21 @@ def test_incremental_near_dup_check(spark, tmp_path):
     pairs = {(r.new_id, r.corpus_id) for r in hits.collect()}
     assert (90007, 7) in pairs  # the copy is flagged against the corpus
     assert not any(n == 90001 for n, _ in pairs)  # fresh doc is clean
+
+
+def test_asof_join_tolerance(spark):
+    from blazingsql_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], ["k", "t"])
+    right = spark.createDataFrame([(1, 95, "near"), (1, 10, "far")], ["k", "t", "tag"])
+    # without tolerance: t=100 matches 95, t=200 also matches 95 (latest <= 200)
+    no_tol = {r.t: r.tag for r in asof_join(left, right, on="t", by=["k"]).collect()}
+    assert no_tol == {100: "near", 200: "near"}
+    # tolerance 10: t=100 keeps the match (gap 5), t=200 drops it (gap 105)
+    from pyspark.sql import functions as F
+
+    with_tol = {
+        r.t: r.tag
+        for r in asof_join(left, right, on="t", by=["k"], tolerance=F.lit(10)).collect()
+    }
+    assert with_tol == {100: "near", 200: None}
