@@ -78,3 +78,14 @@ def test_sql_ddl_dml(bc):
     assert "ddl_demo" in bc.list_tables()
     bc.sql("DROP TABLE ddl_demo")
     assert "ddl_demo" not in bc.list_tables()
+
+
+def test_filesystem_registration_sets_hadoop_confs(bc):
+    bc.s3(access_key_id="AK", secret_key="SK", endpoint_override="http://minio:9000")
+    conf = bc.spark.sparkContext._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.access.key") == "AK"
+    assert conf.get("fs.s3a.secret.key") == "SK"
+    assert conf.get("fs.s3a.endpoint") == "http://minio:9000"
+    bc.gs(project_id="proj-1")
+    assert conf.get("fs.gs.project.id") == "proj-1"
+    bc.localfs()  # no-op, must not raise
