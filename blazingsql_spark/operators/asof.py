@@ -33,6 +33,11 @@ def asof_join(
     Union-and-carry-forward: tag both sides, sort by (by, on, side) within
     one window, and carry the last right values forward onto left rows.
     One range-free shuffle; no Python; skew-bounded by the `by` keys.
+
+    Caveat: if the right side has MULTIPLE rows with the same (by, on)
+    value, which one wins is partition-order-dependent (same as DuckDB's
+    ASOF JOIN with duplicate times) — dedupe the right side first when
+    that matters.
     """
     by = by or []
     rvals = right_value_cols or [c for c in right.columns if c != on and c not in by]
