@@ -334,16 +334,26 @@ pair(
 )
 
 
-# RAND (BLZ_RAND, expression_utils.cpp:13) — nondeterministic by nature, so
-# rows-only: assert shape/range downstream, not values.
+# RAND (BLZ_RAND, expression_utils.cpp:13) — values are engine-random (the
+# reference's BLZ_RAND likewise), so the checkable output is the *properties*
+# of the distribution, which ARE deterministic: row count, range bounds, and
+# rough uniformity. The oracle asserts the same count plus literal TRUEs.
 from blazingsql_spark.queries.registry import register  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
-@register("expr_rand")
+@register(
+    "expr_rand",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS lo_ok, TRUE AS hi_ok, TRUE AS spread_ok
+    FROM lineitem
+    """,
+)
 def expr_rand(spark, sf_dir):
-    """RAND parity: uniform [0,1) column; values are engine-random (the
-    reference's BLZ_RAND likewise) → rows-only check on bounds."""
+    """RAND parity: uniform [0,1) column. Raw values are engine-random, so
+    the query returns deterministic distribution properties (count, bounds,
+    spread) that the oracle can assert as literals."""
     from blazingsql_spark.queries.registry import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -351,10 +361,10 @@ def expr_rand(spark, sf_dir):
         li.select("l_orderkey", F.rand(seed=42).alias("r"))
         .agg(
             F.count("*").alias("n"),
-            F.min("r").alias("min_r"),
-            F.max("r").alias("max_r"),
             (F.min("r") >= 0).alias("lo_ok"),
             (F.max("r") < 1).alias("hi_ok"),
+            # uniform draws must hit every decile of [0,1)
+            (F.count_distinct(F.floor(F.col("r") * 10)) == 10).alias("spread_ok"),
         )
     )
 

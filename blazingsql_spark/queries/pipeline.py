@@ -243,14 +243,48 @@ def dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(docs, shingle_n=2).orderBy("id_a", "id_b")
 
 
-@register("dedup_simhash")
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_ORACLE}),
+    g AS (SELECT MD5(text) AS fp, COUNT(*) AS m FROM corpus GROUP BY MD5(text))
+    SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_exact_pairs,
+           CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_exact_found,
+           TRUE AS all_exact_found
+    FROM g
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (functions.dedup.simhash_near_pairs) over the
-    dup-injected corpus. Uses bit-level int ops (conv/shiftright/bit_count)
-    with no portable SQL spelling → rows-only check."""
-    return dedup.simhash_near_pairs(
-        _corpus(spark, sf_dir), bits=32, max_hamming=3, bands=4
-    ).orderBy("id_a", "id_b")
+    """SimHash near-dup recall check (functions.dedup.simhash_near_pairs)
+    over the dup-injected corpus. The raw signature has no portable SQL
+    spelling, but a theorem does: identical text ⇒ identical SimHash ⇒
+    hamming 0 ⇒ the pair MUST appear in the banded output. The query counts
+    exact-duplicate pairs and how many SimHash recovered; the oracle computes
+    the same pair count in SQL and asserts full recovery."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup.simhash_near_pairs(corpus, bits=32, max_hamming=3, bands=4)
+    fp = corpus.select(F.md5("text").alias("fp"), F.col("doc_id"))
+    exact_pairs = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    marked = exact_pairs.join(
+        pairs.select("id_a", "id_b").withColumn("found", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return marked.agg(
+        F.count("*").alias("n_exact_pairs"),
+        F.coalesce(F.sum("found"), F.lit(0)).cast("long").alias("n_exact_found"),
+    ).select(
+        "n_exact_pairs",
+        "n_exact_found",
+        (F.col("n_exact_pairs") == F.col("n_exact_found")).alias("all_exact_found"),
+    )
 
 
 # ------------------------------------------------------------ similarity
@@ -442,16 +476,33 @@ def multimodal_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@register("multimodal_decode")
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(text::BLOB) AS BIGINT) AS n_bytes,
+           16 AS feat_dim,
+           CAST((STRPOS('0123456789abcdef', SUBSTRING(SHA256(text), 1, 1)) - 1) * 16
+                + STRPOS('0123456789abcdef', SUBSTRING(SHA256(text), 2, 1)) - 1
+                AS INT) AS f0_byte
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
 def multimodal_decode(spark, sf_dir):
     """Arrow-batched media decode via mapInPandas
-    (functions.multimodal.decode_features). Decoder is the deterministic
-    fake (no media libs in container) → rows-only check; the Spark plumbing
-    (schema, batching, partition shape) is the real thing."""
+    (functions.multimodal.decode_features). The stand-in decoder (no media
+    libs in container) is a deterministic sha256-seeded feature vector, so
+    the oracle CAN check it: feature[0] == sha256(payload)[0]/255, recovered
+    here as an exact byte. The Spark plumbing (schema, Arrow batching,
+    partition shape) is the production path."""
     docs = load_table(spark, sf_dir, "documents")
     feats = multimodal.decode_features(multimodal.attach_binary(docs), feature_dim=16)
     return feats.select(
-        "doc_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+        "doc_id",
+        "n_bytes",
+        F.size("features").alias("feat_dim"),
+        F.round(F.element_at("features", 1).cast("double") * 255.0).cast("int").alias("f0_byte"),
     ).orderBy("doc_id")
 
 
@@ -485,20 +536,42 @@ pair(
 )
 
 
-@register("sim_ann_ivf")
+@register(
+    "sim_ann_ivf",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_exact_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+)
 def sim_ann_ivf(spark, sf_dir):
     """IVF ANN (functions.similarity.ivf_topk): deterministic k-means
-    inverted lists, probe-4-of-16 search. Iterative training isn't
-    SQL-expressible → rows-only check; recall is unit-tested against the
-    exact brute-force top-k."""
+    inverted lists, probe-4-of-16 search. The inverted-list contents aren't
+    SQL-expressible, but recall@k against the exact brute-force top-k IS
+    deterministic (both sides are deterministic) — the query reports it as a
+    thresholded boolean the oracle asserts TRUE (measured recall ~0.9+ at
+    these settings; threshold 0.6 leaves margin)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
-    return out.select(
-        "query_id", "vec_id", "cosine_sim", F.col("rank").alias("rnk")
-    ).orderBy("query_id", "rnk")
+    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    approx = (
+        similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    marked = exact.join(approx, ["query_id", "vec_id"], "left")
+    return marked.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact_results"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_recalled"),
+    ).select(
+        "n_queries",
+        "n_exact_results",
+        (F.col("n_recalled") >= F.col("n_exact_results") * 0.6).alias("recall_ok"),
+    )
 
 
 @register(
@@ -527,11 +600,21 @@ def text_winnowing(spark, sf_dir):
     return text.winnowing_fingerprints(docs, k=8, window=4).orderBy("doc_id", "fingerprint")
 
 
-@register("multimodal_resize")
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, 16 AS width, 16 AS height,
+           CASE WHEN OCTET_LENGTH(text::BLOB) = 0 THEN 0 ELSE 256 END AS n_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
 def multimodal_resize(spark, sf_dir):
-    """Resize plumbing (functions.multimodal.resize_images): binary in →
-    binary out with target dims, Arrow-batched; decoder stubbed (rows-only)."""
-    docs = load_table(spark, sf_dir, "documents").limit(50)
+    """Resize plumbing (functions.multimodal.resize_images) over the FULL
+    documents table: binary in → binary out with target dims, Arrow-batched.
+    The stand-in resizer emits exactly width*height bytes (cycled input), so
+    the oracle checks the output geometry deterministically."""
+    docs = load_table(spark, sf_dir, "documents")
     out = multimodal.resize_images(multimodal.attach_binary(docs), width=16, height=16)
     return out.select(
         "doc_id", "width", "height", F.length("resized").alias("n_bytes")

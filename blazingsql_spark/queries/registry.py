@@ -137,6 +137,66 @@ def pair(
 
 _loaded = False
 
+# The driver records correctness rows for a bounded prefix (~50) of the
+# registry in iteration order. Round 1 verified the first 50 registered
+# queries (all green, CORRECTNESS_r01.json); this list front-loads the
+# queries that still need a driver row — the 47 round-1-unchecked ones plus
+# agg_approx_distinct (no_oracle err, since fixed) and tpch_q14 (vacuous
+# hash-match bug, since fixed) — with tpch_q1 as a regression sentinel.
+# Everything else (round-1 green) follows in registration order.
+DRIVER_PRIORITY = (
+    "orderby_nulls",
+    "union_all",
+    "union_distinct",
+    "intersect",
+    "except_all",
+    "union_type_coerce",
+    "agg_with_nulls",
+    "distinct_with_nulls",
+    "join_null_keys_dropped",
+    "window_nth_value",
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_json_extract",
+    "pivot_status",
+    "asof_join_events",
+    "range_join_orders",
+    "topk_per_group",
+    "expr_predicates",
+    "expr_math",
+    "expr_string",
+    "expr_datetime",
+    "expr_extract",
+    "expr_case",
+    "expr_cast",
+    "expr_bitwise",
+    "expr_interval",
+    "expr_is_truth",
+    "expr_to_timestamp",
+    "expr_rand",
+    "expr_literals",
+    "text_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_winnowing",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_near_dup",
+    "sim_ann_ivf",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_resize",
+    "nested_struct_ops",
+    "agg_approx_distinct",
+    "tpch_q14",
+    "tpch_q1",
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     global _loaded
@@ -144,4 +204,11 @@ def all_queries() -> dict[str, QuerySpec]:
         for mod in _QUERY_MODULES:
             importlib.import_module(mod)
         _loaded = True
-    return REGISTRY
+    ordered: dict[str, QuerySpec] = {}
+    for name in DRIVER_PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered

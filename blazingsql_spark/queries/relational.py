@@ -291,19 +291,45 @@ pair(
 )
 
 
-@register("agg_approx_distinct")
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+           TRUE AS orders_within_10pct,
+           TRUE AS parts_within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
-    """HyperLogLog++ approximate distinct — beyond-reference scale op; sketch
-    internals are engine-specific, so rows-only check (no oracle)."""
+    """HyperLogLog++ approximate distinct — beyond-reference scale op. The
+    sketch estimate is engine-specific, so the checkable output is the exact
+    count plus a thresholded |approx-exact| <= 10% boolean (HLL++ default
+    rsd=5%; 10% is a 2-sigma bound); the oracle asserts the exact counts and
+    literal TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= F.col("exact_orders") * 0.10
+        ).alias("orders_within_10pct"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * 0.10
+        ).alias("parts_within_10pct"),
+    ).orderBy("l_returnflag")
 
 
 # ------------------------------------------------------------- windows

@@ -177,7 +177,7 @@ twin(
                  (CAST(SUM(CAST(FLOOR(CASE WHEN p_type = 'PROMO'
                                            THEN l_extendedprice * (1 - l_discount)
                                            ELSE 0 END * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000)
-                 / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000, 2) AS promo_revenue
+                 / (CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS DECIMAL(18,0))) AS DOUBLE) / 10000), 2) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1996-09-01'
       AND l_shipdate <  DATE '1996-10-01'
