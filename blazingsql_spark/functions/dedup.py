@@ -216,6 +216,11 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash Hamming distance, banded so the self-join
     key is a signature chunk (pigeonhole: distance ≤ max_hamming with
     bands > max_hamming guarantees one identical band)."""
+    assert bands > max_hamming, (
+        f"pigeonhole needs bands > max_hamming (got bands={bands}, "
+        f"max_hamming={max_hamming}): {max_hamming} differing bits can hit "
+        f"{max_hamming} distinct bands, leaving none identical"
+    )
     sig = simhash(df, text_col, id_col, bits)
     width = bits // bands
     chunks = sig.select(

@@ -31,13 +31,16 @@ def asof_join(
     left[on], matching on the optional `by` keys.
 
     Union-and-carry-forward: tag both sides, sort by (by, on, side) within
-    one window, and carry the last right values forward onto left rows.
+    one window, and carry the last right row forward onto left rows.
     One range-free shuffle; no Python; skew-bounded by the `by` keys.
 
-    Caveat: if the right side has MULTIPLE rows with the same (by, on)
-    value, which one wins is partition-order-dependent (same as DuckDB's
-    ASOF JOIN with duplicate times) — dedupe the right side first when
-    that matters.
+    The whole right row (timestamp + all value columns) is carried as ONE
+    struct through a single ``last(ignorenulls=True)``, so the matched
+    timestamp and values always come from the same right row — a NULL in
+    one right value column can never splice in a stale value from an older
+    row. Duplicate (by, on) right rows are resolved deterministically: the
+    row with the greatest xxhash64 of its value columns wins (DuckDB's ASOF
+    JOIN leaves this unspecified; we pin it so repeated runs agree).
     """
     by = by or []
     rvals = right_value_cols or [c for c in right.columns if c != on and c not in by]
@@ -45,36 +48,39 @@ def asof_join(
     lhs = left.select(
         *by, F.col(on).alias("__t"), F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rvals],
     )
     rhs = right.select(
         *by, F.col(on).alias("__t"), F.lit(0).alias("__is_left"),
-        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in rvals],
+        F.struct(F.col(on).alias("__ts"), *[F.col(c) for c in rvals]).alias("__rrow"),
+        F.xxhash64(*[F.col(c) for c in rvals]).alias("__tie"),
     )
-    unioned = lhs.unionByName(rhs)
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    # right rows sort before left rows at equal timestamps → "at or before"
+    # right rows sort before left rows at equal timestamps → "at or before";
+    # among right rows tied on __t, __tie makes "last" deterministic.
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__t"), F.col("__is_left"))
+        .orderBy(F.col("__t"), F.col("__is_left"), F.col("__tie"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
         "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in rvals],
-        F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias("__rt"),
+        F.last("__rrow", ignorenulls=True).over(w).alias("__c"),
     ).filter(F.col("__is_left") == 1)
 
     out_cols = [F.col("__lrow")[c].alias(c) for c in left.columns]
     if tolerance is not None:
-        keep = F.col("__rt").isNotNull() & (F.col("__t") - F.col("__rt") <= tolerance)
-        out_cols += [F.when(keep, F.col(f"__c_{c}")).alias(f"{c}" if c not in left.columns else f"right_{c}") for c in rvals]
+        keep = F.col("__c").isNotNull() & (
+            F.col("__t") - F.col("__c")["__ts"] <= tolerance
+        )
+        out_cols += [
+            F.when(keep, F.col("__c")[c]).alias(c if c not in left.columns else f"right_{c}")
+            for c in rvals
+        ]
     else:
         out_cols += [
-            F.col(f"__c_{c}").alias(c if c not in left.columns else f"right_{c}") for c in rvals
+            F.col("__c")[c].alias(c if c not in left.columns else f"right_{c}")
+            for c in rvals
         ]
     return carried.select(*out_cols)
 

@@ -44,11 +44,23 @@ class DedupIngest:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
-        self._index_exists = False
+        self._index_seen = False  # cache of a positive filesystem probe
+
+    def _index_exists(self) -> bool:
+        """Probe the filesystem, not instance state: after a restart from
+        checkpoint (or pointed at a pre-existing index) the first batch must
+        still dedup against the on-disk index."""
+        if not self._index_seen:
+            try:
+                self.spark.read.parquet(self.index_path)
+                self._index_seen = True
+            except Exception:  # AnalysisException: path does not exist yet
+                return False
+        return True
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         batch = batch.persist()
-        if self._index_exists:
+        if self._index_exists():
             dup_ids = (
                 incremental_near_dup_check(
                     self.spark,
@@ -73,7 +85,7 @@ class DedupIngest:
         _banded_signatures(
             clean, self.text_col, self.id_col, self.num_hashes, self.bands, self.shingle_n
         ).write.mode("append").parquet(self.index_path)
-        self._index_exists = True
+        self._index_seen = True
         batch.unpersist()
         clean.unpersist()
 

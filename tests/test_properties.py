@@ -62,6 +62,46 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 5), st.integers(-100, 100)),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_asof_join_duplicate_timestamps_deterministic(spark, rrows):
+    """Right sides with duplicate (by, on) rows must resolve identically on
+    repeated runs (content-hash tiebreak), and the winner must carry a
+    timestamp consistent with its values (single-struct carry)."""
+    ldf = spark.createDataFrame([(k, t, 0) for k in (0, 1) for t in range(6)], ["k", "t", "lv"])
+    rdf = spark.createDataFrame(pd.DataFrame(rrows, columns=["k", "t", "rv"]))
+    runs = [
+        tuple(
+            sorted(
+                (r.k, r.t, r.rv)
+                for r in asof_join(
+                    ldf.repartition(seed + 2), rdf.repartition(seed + 3),
+                    on="t", by=["k"], right_value_cols=["rv"],
+                ).collect()
+            )
+        )
+        for seed in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    # the pinned winner is the max-xxhash right row among ties; for integer
+    # rv the chosen value must at least be one of the tied candidates
+    cand = {}
+    for k, t, rv in rrows:
+        cand.setdefault((k, t), set()).add(rv)
+    for k, t, rv in runs[0]:
+        if rv is not None:
+            tied = set().union(
+                *[vs for (ck, ct), vs in cand.items() if ck == k and ct <= t]
+            )
+            assert rv in tied
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(st.tuples(st.integers(0, 2), st.floats(0, 50)), min_size=1, max_size=15),

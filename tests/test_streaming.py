@@ -147,3 +147,17 @@ def test_dedup_ingest_pipeline(spark, tmp_path):
     assert {r.doc_id for r in b1.collect()} <= ids  # batch 1 all ingested
     assert {r.doc_id for r in fresh.collect()} <= ids  # fresh docs ingested
     assert not any(5000 <= i < 5005 for i in ids)  # copies filtered out
+
+    # restart resilience: a NEW handler (fresh in-memory state, e.g. after a
+    # checkpoint restart) pointed at the existing index must still dedup its
+    # first batch against what's on disk.
+    restarted = DedupIngest(spark, str(tmp_path / "index"), str(tmp_path / "corpus"))
+    late_copies = b1.filter("doc_id < 5").select(
+        (F.col("doc_id") + 7000).alias("doc_id"), "text"
+    )
+    restarted(late_copies, 2)
+    ids_after = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).select("doc_id").collect()
+    }
+    assert not any(7000 <= i < 7005 for i in ids_after)  # filtered on first batch
