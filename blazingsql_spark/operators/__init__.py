@@ -8,6 +8,7 @@ from blazingsql_spark.operators.asof import asof_join, range_join
 from blazingsql_spark.operators.merge import merge_upsert, scd2_apply
 from blazingsql_spark.operators.skew import bucketed_table, salted_join
 from blazingsql_spark.operators.topk import top_k_per_group
+from blazingsql_spark.operators.window import global_running
 
 __all__ = [
     "asof_join",
@@ -17,4 +18,5 @@ __all__ = [
     "scd2_apply",
     "salted_join",
     "bucketed_table",
+    "global_running",
 ]

@@ -429,20 +429,44 @@ twin(
 )
 
 # Window without PARTITION BY — reference needs special overlap machinery
-# (BatchWindowFunctionProcessing.h:82-89); Spark: single-partition exchange.
-twin(
+# (BatchWindowFunctionProcessing.h:82-89, OverlapGenerator/Accumulator
+# kernels); naive Spark computes it in ONE partition. This uses the
+# distributed two-pass chunked prefix aggregate (operators.window
+# .global_running): range-partition on the ordering keys, per-chunk running
+# partials, broadcast per-chunk offsets. Values are summed as exact integer
+# cents — chunked summation reassociates floating addition, so doubles
+# would not be bit-deterministic across engines.
+@register(
     "window_global",
-    """
+    oracle="""
     SELECT event_id,
            ROW_NUMBER() OVER (ORDER BY ts, event_id) AS seq,
-           ROUND(SUM(value) OVER (ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                OVER (ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
                AS running_total
     FROM events
     ORDER BY event_id
     """,
-    tables=("events",),
 )
+def window_global(spark, sf_dir):
+    """Global running sum + row number with NO single-partition pass."""
+    from blazingsql_spark.operators.window import global_running
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.floor(F.col("value") * 100).cast("long").alias("__cents")
+    )
+    out = global_running(
+        ev,
+        order_by=["ts", "event_id"],
+        sum_cols={"__run_cents": "__cents"},
+        row_number_as="seq",
+    )
+    return out.select(
+        "event_id",
+        "seq",
+        (F.col("__run_cents").cast("double") / 100).alias("running_total"),
+    ).orderBy("event_id")
 
 # Multiple distinct OVER clauses in one SELECT — rejected by the reference
 # (PhysicalPlanGenerator.h:300-302); Spark superset.

@@ -46,6 +46,38 @@ def test_projection_prunes_scan(spark):
     assert "c_acctbal" not in cols
 
 
+def test_window_global_is_distributed(spark):
+    """The no-PARTITION-BY window must NOT single-partition the data: rows
+    flow through chunk-partitioned windows (range exchange), and the only
+    SinglePartition exchange is the n_chunks-row offsets table."""
+    from blazingsql_spark.plans import physical_plan
+
+    df = all_queries()["window_global"].fn(spark, SF_DIR)
+    plan = physical_plan(df, "simple")
+    # per-chunk running windows, not one global window over the data
+    assert "windowspecdefinition(__cid" in plan, plan
+    # the single-partition exchange feeds only the one-row-per-chunk
+    # aggregate (offsets); the data path is range/hash partitioned
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+    from blazingsql_spark.operators.window import global_running
+    from blazingsql_spark.queries.registry import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    # AQE rightly coalesces the tiny sf0.001 shuffle to one partition;
+    # disable coalescing to observe the at-scale partitioning
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        out = global_running(ev, ["ts", "event_id"], {"run": "c"}, row_number_as="rn")
+        # the running aggregate itself is computed across many partitions
+        assert out.rdd.getNumPartitions() > 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
 def test_no_accidental_cartesian_products(spark):
     """Sweep every registry query's physical plan: a CartesianProduct or
     unhinted BroadcastNestedLoopJoin anywhere except the known theta/cross
