@@ -130,6 +130,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 2,
     threshold: float = 0.0,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all (a < b) pairs that share at
     least one shingle. Intersection via shingle-key join (never a cross
@@ -137,10 +138,28 @@ def jaccard_pairs(
 
     At scale this is the *verifier* for LSH candidates — join `df` down to
     candidate ids first; the shingle join then touches only candidates.
+
+    ``max_shingle_df`` caps shingle document frequency: a single hot shingle
+    (a stopword bigram appearing in d documents) fans the self-join out to
+    d² pairs — quadratic in the corpus. Shingles with df > cap are dropped
+    from the UNIVERSE (both intersections and sizes), i.e. Jaccard over the
+    stopword-filtered shingle sets — the standard trade for 100 TB safety.
+    Hot shingles carry ~no similarity signal anyway. None = exact.
     """
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
-    ).persist()  # used three times below (sizes + both join sides)
+    )
+    if max_shingle_df is not None:
+        # the HOT set is tiny by construction (few shingles exceed the cap)
+        # → broadcast anti-join; shingles are unique per doc so COUNT(*)=df
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        shingled = shingled.join(F.broadcast(hot), "shingle", "left_anti")
+    shingled = shingled.persist()  # used three times below (sizes + both join sides)
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (

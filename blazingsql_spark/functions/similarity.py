@@ -99,13 +99,55 @@ def lsh_signature(
     planes: int = 8,
     out_col: str = "lsh_sig",
 ) -> DataFrame:
-    """Random-hyperplane LSH signature: `planes` sign bits packed into an int.
-    Cosine-similar vectors collide with probability (1 - θ/π)^planes."""
+    """Single-band random-hyperplane signature: `planes` sign bits packed
+    into one int. Building block; for search/self-join candidate generation
+    use the BANDED variants below — a single band of b bits yields only 2^b
+    buckets, and bucket self-joins go quadratic in bucket size (N/2^b) as
+    the corpus grows."""
     sig = None
     for p in range(planes):
         bit = _hyperplane_sign(F.col(vec_col), p, dim) * (1 << p)
         sig = bit if sig is None else sig + bit
     return df.withColumn(out_col, sig)
+
+
+def lsh_band_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 4,
+    bits_per_band: int = 16,
+    band_col: str = "band",
+    sig_col: str = "band_sig",
+) -> DataFrame:
+    """AND-OR amplified hyperplane LSH: one row per (vector, band), where
+    band b's signature packs sign bits of planes [b*bits, (b+1)*bits).
+
+    AND within a band (all `bits_per_band` bits must agree → 2^bits fine
+    buckets, small bucket populations), OR across bands (a pair is a
+    candidate if ANY band matches → recall recovered: collision prob
+    1-(1-p^bits)^bands for per-plane agreement p). This is the same
+    amplification the MinHash side uses and the standard fix for the
+    single-band quadratic-bucket blow-up: with b bits sized to
+    log2(N/target_bucket_size), per-band bucket populations stay ~constant
+    as N grows. Plane signs are md5-derived (seeded, engine-portable), so
+    signatures are deterministic and differential-testable.
+    """
+    band_structs = []
+    for b in range(bands):
+        sig = None
+        for j in range(bits_per_band):
+            bit = _hyperplane_sign(F.col(vec_col), b * bits_per_band + j, dim) * (1 << j)
+            sig = bit if sig is None else sig + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias(band_col), sig.alias(sig_col))
+        )
+    return (
+        df.withColumn("__bs", F.explode(F.array(*band_structs)))
+        .withColumn(band_col, F.col(f"__bs.{band_col}"))
+        .withColumn(sig_col, F.col(f"__bs.{sig_col}"))
+        .drop("__bs")
+    )
 
 
 def ann_lsh_topk(
@@ -116,25 +158,33 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
-    planes: int = 8,
+    bands: int = 4,
+    bits_per_band: int = 16,
 ) -> DataFrame:
-    """Approximate top-k: equi-join on LSH bucket, exact cosine within.
+    """Approximate top-k: equi-join on (band, band_sig), exact cosine within.
 
-    The scale path: candidate generation is a hash join on a small int key —
-    no cross join ever materializes. Recall < 1.0 by construction; raise
-    `planes` count/multiprobe for higher recall.
+    The scale path: candidate generation is a hash join on a small key —
+    no cross join ever materializes. Banded AND-OR signatures keep per-band
+    buckets small (2^bits_per_band of them) while the OR across bands keeps
+    recall; see lsh_band_signatures. A pair matching in several bands is
+    deduplicated before ranking.
     """
-    v_sig = lsh_signature(vectors, vec_col, dim, planes)
-    q_sig = lsh_signature(
+    v_sig = lsh_band_signatures(vectors, vec_col, dim, bands, bits_per_band)
+    q_sig = lsh_band_signatures(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
         "__qvec",
         dim,
-        planes,
+        bands,
+        bits_per_band,
     )
-    cands = v_sig.join(F.broadcast(q_sig), "lsh_sig").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    cands = (
+        v_sig.join(F.broadcast(q_sig), ["band", "band_sig"])
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+        .distinct()  # OR across bands: same pair can match in several
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (
@@ -150,18 +200,24 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int = 64,
-    planes: int = 8,
+    bands: int = 4,
+    bits_per_band: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join: only vectors
-    sharing a bucket are scored, pairs above `threshold` survive."""
-    sig = lsh_signature(vectors, vec_col, dim, planes).select(
-        F.col(id_col), F.col(vec_col), F.col("lsh_sig")
+    """Embedding-cosine near-duplicate pairs via banded LSH self-join: only
+    vectors sharing a (band, band_sig) bucket are scored, pairs above
+    `threshold` survive. For near-dup thresholds (cosine >= 0.95 → per-plane
+    agreement p ~ 0.9) the banded collision probability stays high while
+    per-band buckets hold ~N/2^bits_per_band vectors — the quadratic
+    self-join term shrinks by (2^bits / bands) vs one coarse band."""
+    sig = lsh_band_signatures(vectors, vec_col, dim, bands, bits_per_band).select(
+        F.col(id_col), F.col(vec_col), F.col("band"), F.col("band_sig")
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.lsh_sig") == F.col("b.lsh_sig"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -169,6 +225,7 @@ def embedding_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine_sim"),
         )
+        .distinct()  # OR across bands
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -293,36 +350,43 @@ def ann_lsh_topk_multiprobe(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
-    planes: int = 8,
+    bands: int = 4,
+    bits_per_band: int = 16,
     probe_bits: int = 1,
 ) -> DataFrame:
-    """Multi-probe LSH: each query also probes the buckets reachable by
-    flipping up to `probe_bits` signature bits (the planes its projection
-    was closest to crossing, approximated here as ALL single flips). Recall
-    rises steeply for ~planes× more candidate-join fan-out per query —
-    still an equi-join, still no cross join.
+    """Multi-probe banded LSH: within each band, each query also probes the
+    buckets reachable by flipping one signature bit (approximating "the
+    planes its projection was closest to crossing" with ALL single flips).
+    Recall rises steeply for ~bits_per_band× more candidate-join fan-out on
+    the (broadcast, tiny) query side — still an equi-join, still no cross
+    join.
     """
     assert probe_bits == 1, "only 1-bit probing implemented"
-    v_sig = lsh_signature(vectors, vec_col, dim, planes)
-    q_sig = lsh_signature(
+    v_sig = lsh_band_signatures(vectors, vec_col, dim, bands, bits_per_band)
+    q_sig = lsh_band_signatures(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
         "__qvec",
         dim,
-        planes,
+        bands,
+        bits_per_band,
     )
-    # original signature + every 1-bit flip
+    # original band signature + every 1-bit flip within the band
     probes = q_sig.select(
         query_id_col,
         "__qvec",
+        "band",
         F.explode(
             F.array(
-                F.col("lsh_sig"),
-                *[F.col("lsh_sig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+                F.col("band_sig"),
+                *[
+                    F.col("band_sig").bitwiseXOR(F.lit(1 << j))
+                    for j in range(bits_per_band)
+                ],
             )
-        ).alias("lsh_sig"),
+        ).alias("band_sig"),
     )
     cands = (
-        v_sig.join(F.broadcast(probes), "lsh_sig")
+        v_sig.join(F.broadcast(probes), ["band", "band_sig"])
         .select(
             F.col(query_id_col),
             F.col(id_col),

@@ -215,11 +215,16 @@ def dedup_minhash_lsh(spark, sf_dir):
         SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ws
         FROM documents WHERE doc_id % 25 = 0
     ),
-    tok AS (
+    tok_all AS (
         SELECT doc_id,
                UNNEST(list_distinct(list_transform(range(1, LEN(ws)),
                       i -> ws[i] || ' ' || ws[i+1]))) AS shingle
         FROM d
+    ),
+    hot AS (SELECT shingle FROM tok_all GROUP BY shingle HAVING COUNT(*) > 25),
+    tok AS (
+        SELECT * FROM tok_all
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
     inter AS (
@@ -236,11 +241,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     """,
 )
 def dedup_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard (functions.dedup.jaccard_pairs) on a sampled
-    subset — at scale this op is the verifier behind LSH candidates, never
-    an all-pairs scan."""
+    """n-gram Jaccard (functions.dedup.jaccard_pairs) on a sampled subset,
+    with hot shingles (document frequency > 25) dropped from the universe —
+    a single stopword bigram in d documents would fan the shingle self-join
+    out to d² pairs. At scale this op is the verifier behind LSH
+    candidates, never an all-pairs scan."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    return dedup.jaccard_pairs(docs, shingle_n=2).orderBy("id_a", "id_b")
+    return dedup.jaccard_pairs(docs, shingle_n=2, max_shingle_df=25).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @register(
@@ -333,12 +342,14 @@ def sim_cosine_topk(spark, sf_dir):
     ).orderBy("query_id", "rnk")
 
 
+# Banded AND-OR hyperplane signatures (4 bands x 16 bits = 64 planes), the
+# exact SQL twin of functions.similarity.lsh_band_signatures.
 _LSH_SIG_ORACLE = """
     planes AS (
         SELECT p, i,
                CASE WHEN ASCII(SUBSTRING(MD5(p::VARCHAR || '-' || i::VARCHAR), 1, 1)) % 2 = 0
                     THEN 1.0 ELSE -1.0 END AS s
-        FROM range(0, 8) tp(p) CROSS JOIN range(1, 65) ti(i)
+        FROM range(0, 64) tp(p) CROSS JOIN range(1, 65) ti(i)
     ),
     elems AS (
         SELECT vec_id, ti.i, embedding[ti.i]::DOUBLE AS x
@@ -349,8 +360,9 @@ _LSH_SIG_ORACLE = """
         FROM elems JOIN planes USING (i) GROUP BY vec_id, p
     ),
     sigs AS (
-        SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS INT) AS lsh_sig
-        FROM proj GROUP BY vec_id
+        SELECT vec_id, CAST(p // 16 AS INT) AS band,
+               CAST(SUM(CASE WHEN pr >= 0 THEN 1 << (p % 16) ELSE 0 END) AS INT) AS band_sig
+        FROM proj GROUP BY vec_id, p // 16
     )
 """
 
@@ -361,14 +373,14 @@ _LSH_SIG_ORACLE = """
     oracle=f"""
     WITH {_LSH_SIG_ORACLE},
     q AS (
-        SELECT s.vec_id AS query_id, e.embedding AS qe, s.lsh_sig
+        SELECT s.vec_id AS query_id, e.embedding AS qe, s.band, s.band_sig
         FROM sigs s JOIN embeddings e USING (vec_id)
         WHERE s.vec_id % 100 = 0
     ),
     cands AS (
-        SELECT q.query_id, s.vec_id, {_COSINE_ORACLE} AS cosine_sim
+        SELECT DISTINCT q.query_id, s.vec_id, {_COSINE_ORACLE} AS cosine_sim
         FROM sigs s
-        JOIN q ON s.lsh_sig = q.lsh_sig
+        JOIN q ON s.band = q.band AND s.band_sig = q.band_sig
         JOIN embeddings e ON e.vec_id = s.vec_id
     ),
     ranked AS (
@@ -383,14 +395,16 @@ _LSH_SIG_ORACLE = """
     """,
 )
 def sim_ann_lsh(spark, sf_dir):
-    """ANN via random-hyperplane LSH (functions.similarity.ann_lsh_topk):
-    md5-derived Rademacher planes → 8-bit signature → equi-join candidates →
-    exact cosine within buckets. The 100 TB path: no cross join exists."""
+    """ANN via banded random-hyperplane LSH (functions.similarity
+    .ann_lsh_topk): md5-derived Rademacher planes → 4 bands × 16-bit
+    signatures (AND-OR amplification) → equi-join candidates per band →
+    exact cosine within buckets. The 100 TB path: no cross join exists, and
+    per-band buckets hold ~N/65536 vectors instead of N/256."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.ann_lsh_topk(emb, queries, k=5, dim=64, planes=8)
+    out = similarity.ann_lsh_topk(emb, queries, k=5, dim=64, bands=4, bits_per_band=16)
     return out.select(
         "query_id", "vec_id", "cosine_sim", F.col("rank").alias("rnk")
     ).orderBy("query_id", "rnk")
@@ -408,7 +422,7 @@ def sim_ann_lsh(spark, sf_dir):
         SELECT p, i,
                CASE WHEN ASCII(SUBSTRING(MD5(p::VARCHAR || '-' || i::VARCHAR), 1, 1)) % 2 = 0
                     THEN 1.0 ELSE -1.0 END AS s
-        FROM range(0, 8) tp(p) CROSS JOIN range(1, 65) ti(i)
+        FROM range(0, 64) tp(p) CROSS JOIN range(1, 65) ti(i)
     ),
     elems AS (
         SELECT vec_id, ti.i, embedding[ti.i]::DOUBLE AS x
@@ -419,16 +433,17 @@ def sim_ann_lsh(spark, sf_dir):
         FROM elems JOIN planes USING (i) GROUP BY vec_id, p
     ),
     sigs AS (
-        SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS INT) AS lsh_sig
-        FROM proj GROUP BY vec_id
+        SELECT vec_id, CAST(p // 16 AS INT) AS band,
+               CAST(SUM(CASE WHEN pr >= 0 THEN 1 << (p % 16) ELSE 0 END) AS INT) AS band_sig
+        FROM proj GROUP BY vec_id, p // 16
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
                  (SQRT(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
                   * SQRT(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 6)
                AS cosine_sim
     FROM sigs a
-    JOIN sigs b ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id
+    JOIN sigs b ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id
     JOIN corpus ea ON ea.vec_id = a.vec_id
     JOIN corpus eb ON eb.vec_id = b.vec_id
     WHERE ROUND(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
@@ -440,14 +455,16 @@ def sim_ann_lsh(spark, sf_dir):
 def sim_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs
     (functions.similarity.embedding_near_dup_pairs) over a corpus with
-    injected exact-copy vectors (cosine 1.0) — LSH buckets, then exact
-    verification above 0.95."""
+    injected exact-copy vectors (cosine 1.0) — banded 4×16-bit LSH buckets,
+    then exact verification above 0.95."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dups = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionAll(dups)
-    out = similarity.embedding_near_dup_pairs(corpus, threshold=0.95, dim=64, planes=8)
+    out = similarity.embedding_near_dup_pairs(
+        corpus, threshold=0.95, dim=64, bands=4, bits_per_band=16
+    )
     return out.orderBy("id_a", "id_b")
 
 

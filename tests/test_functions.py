@@ -138,18 +138,27 @@ def test_multiprobe_lsh_beats_single_probe_recall(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = {(r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, queries, k=5).collect()}
+    # small bands on the tiny local fixture so buckets are populated; the
+    # production default (4x16) is exercised by the oracle queries
     single = {
         (r.query_id, r.vec_id)
-        for r in similarity.ann_lsh_topk(emb, queries, k=5, planes=8).collect()
+        for r in similarity.ann_lsh_topk(emb, queries, k=5, bands=4, bits_per_band=2).collect()
     }
     multi = {
         (r.query_id, r.vec_id)
-        for r in similarity.ann_lsh_topk_multiprobe(emb, queries, k=5, planes=8).collect()
+        for r in similarity.ann_lsh_topk_multiprobe(
+            emb, queries, k=5, bands=4, bits_per_band=2
+        ).collect()
     }
     recall_single = len(exact & single) / len(exact)
     recall_multi = len(exact & multi) / len(exact)
     assert recall_multi >= recall_single
     assert recall_multi >= 0.3
+
+    # banded self-match guarantee: identical vectors agree in every band,
+    # so each query must at least find itself
+    for qid in {q for q, _ in exact}:
+        assert (qid, qid) in single
 
 
 def test_incremental_near_dup_check(spark, tmp_path):
