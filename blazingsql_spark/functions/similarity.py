@@ -9,13 +9,19 @@ Two tiers, mirroring how ANN is deployed on big corpora:
   engine-portable) rather than RNG-based so results are deterministic and
   differential-testable.
 
-All dot products run as F.aggregate/F.zip_with JVM expressions (no Python).
+Pairwise scoring (cosine within candidate buckets) runs as
+F.aggregate/F.zip_with JVM expressions; the bulk signature projections run
+as an Arrow-batched vectorized pandas UDF (numpy, sequential-fold-exact —
+see lsh_band_signatures) with a pure-JVM expression fallback.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -119,6 +125,7 @@ def lsh_band_signatures(
     bits_per_band: int = 16,
     band_col: str = "band",
     sig_col: str = "band_sig",
+    vectorized: bool = True,
 ) -> DataFrame:
     """AND-OR amplified hyperplane LSH: one row per (vector, band), where
     band b's signature packs sign bits of planes [b*bits, (b+1)*bits).
@@ -132,21 +139,71 @@ def lsh_band_signatures(
     log2(N/target_bucket_size), per-band bucket populations stay ~constant
     as N grows. Plane signs are md5-derived (seeded, engine-portable), so
     signatures are deterministic and differential-testable.
+
+    ``vectorized=True`` (default) computes the 64 projections in an
+    Arrow-batched pandas UDF — a numpy (rows × planes) multiply, ~1000×
+    less per-row overhead than interpreted higher-order expressions, the
+    right shape for dense linear algebra at scale. The accumulation loops
+    over dims SEQUENTIALLY so every projection is the exact left-fold the
+    SQL spelling computes — bit-identical signatures on either path.
+    ``vectorized=False`` keeps the pure-JVM expression path (no Python
+    workers required).
     """
-    band_structs = []
-    for b in range(bands):
-        sig = None
-        for j in range(bits_per_band):
-            bit = _hyperplane_sign(F.col(vec_col), b * bits_per_band + j, dim) * (1 << j)
-            sig = bit if sig is None else sig + bit
-        band_structs.append(
-            F.struct(F.lit(b).alias(band_col), sig.alias(sig_col))
+    matrix = [_plane_signs(p, dim) for p in range(bands * bits_per_band)]
+
+    if vectorized:
+        S = np.asarray(matrix)
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def band_sigs(emb: pd.Series) -> pd.Series:
+            X = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+            if len(X) == 0:
+                return pd.Series([], dtype=object)
+            acc = np.zeros((X.shape[0], S.shape[0]))
+            for i in range(dim):  # sequential over dims = SQL fold order
+                acc += X[:, i : i + 1] * S[:, i][None, :]
+            w = (1 << np.arange(bits_per_band)).astype(np.int64)
+            sig = (
+                ((acc >= 0.0).reshape(len(X), bands, bits_per_band) * w)
+                .sum(axis=2)
+                .astype(np.int32)
+            )
+            return pd.Series(list(sig))
+
+        return df.withColumn("__sigs", band_sigs(F.col(vec_col))).select(
+            "*", F.posexplode("__sigs").alias(band_col, sig_col)
+        ).drop("__sigs")
+
+    # Pure-JVM path. The whole plane matrix rides in one parsed SQL literal
+    # and the projections come from one `transform` pass: building
+    # bands*bits separate aggregate expressions (or one F.lit per plane row)
+    # costs seconds of py4j/analysis time per query — measured 8 s at 4×16.
+    mat_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{s:.0f}D" for s in row) + ")" for row in matrix
+    ) + ")"
+    projs = F.expr(
+        f"transform({mat_sql}, plane -> aggregate("
+        f"zip_with({vec_col}, plane, (x, s) -> CAST(x AS DOUBLE) * s), "
+        f"0D, (acc, v) -> acc + v))"
+    )
+    with_proj = df.withColumn("__projs", projs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias(band_col),
+            F.expr(
+                f"aggregate(zip_with(slice(__projs, {b * bits_per_band + 1}, {bits_per_band}), "
+                f"sequence(0, {bits_per_band - 1}), "
+                f"(pr, j) -> IF(pr >= 0D, shiftleft(1L, j), 0L)), "
+                f"0L, (acc, v) -> acc + v)"
+            ).cast("int").alias(sig_col),
         )
+        for b in range(bands)
+    ]
     return (
-        df.withColumn("__bs", F.explode(F.array(*band_structs)))
+        with_proj.withColumn("__bs", F.explode(F.array(*band_structs)))
         .withColumn(band_col, F.col(f"__bs.{band_col}"))
         .withColumn(sig_col, F.col(f"__bs.{sig_col}"))
-        .drop("__bs")
+        .drop("__bs", "__projs")
     )
 
 

@@ -161,6 +161,28 @@ def test_multiprobe_lsh_beats_single_probe_recall(spark):
         assert (qid, qid) in single
 
 
+def test_lsh_band_signature_paths_identical(spark):
+    """The vectorized (Arrow/numpy) and pure-JVM-expression signature paths
+    must produce bit-identical signatures — the numpy fold is sequential
+    over dims precisely so it matches the SQL left-fold."""
+    from blazingsql_spark.functions import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    fast = {
+        (r.vec_id, r.band): r.band_sig
+        for r in similarity.lsh_band_signatures(emb, vectorized=True)
+        .select("vec_id", "band", "band_sig")
+        .collect()
+    }
+    jvm = {
+        (r.vec_id, r.band): r.band_sig
+        for r in similarity.lsh_band_signatures(emb, vectorized=False)
+        .select("vec_id", "band", "band_sig")
+        .collect()
+    }
+    assert fast == jvm and len(fast) > 0
+
+
 def test_incremental_near_dup_check(spark, tmp_path):
     from pyspark.sql import functions as F
 
