@@ -35,6 +35,8 @@ class DedupIngest:
         num_hashes: int = 8,
         bands: int = 4,
         shingle_n: int = 2,
+        max_index_files: int = 64,
+        index_partitions: int = 8,
     ):
         self.spark = spark
         self.index_path = index_path
@@ -44,6 +46,8 @@ class DedupIngest:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        self.max_index_files = max_index_files
+        self.index_partitions = index_partitions
         self._index_seen = False  # cache of a positive filesystem probe
 
     def _index_exists(self) -> bool:
@@ -86,8 +90,34 @@ class DedupIngest:
             clean, self.text_col, self.id_col, self.num_hashes, self.bands, self.shingle_n
         ).write.mode("append").parquet(self.index_path)
         self._index_seen = True
+        self._compact_index_if_needed()
         batch.unpersist()
         clean.unpersist()
+
+    def _compact_index_if_needed(self) -> None:
+        """Bound the signature index's file count: every micro-batch appends
+        a few small parquet files, so an unbounded stream would accumulate
+        thousands (slow scans, NameNode/listing pressure). When the count
+        exceeds ``max_index_files``, rewrite the index into
+        ``index_partitions`` files hash-clustered on (band, band_hash), then
+        swap directories. foreachBatch serializes epochs, so no concurrent
+        reader sees the swap window; a production deployment would commit
+        the swap through a table format's metadata instead of an FS rename.
+        """
+        idx = self.spark.read.parquet(self.index_path)
+        if len(idx.inputFiles()) <= self.max_index_files:
+            return
+        tmp = self.index_path.rstrip("/") + "__compacting"
+        (
+            idx.repartition(self.index_partitions, "band", "band_hash")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        sc = self.spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(self.index_path).getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(hpath(self.index_path), True)
+        fs.rename(hpath(tmp), hpath(self.index_path))
 
 
 def run_dedup_ingest(

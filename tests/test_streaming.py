@@ -161,3 +161,37 @@ def test_dedup_ingest_pipeline(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "corpus")).select("doc_id").collect()
     }
     assert not any(7000 <= i < 7005 for i in ids_after)  # filtered on first batch
+
+
+def test_dedup_ingest_index_compaction(spark, tmp_path):
+    """Many micro-batches must not grow the signature index's file count
+    without bound: compaction rewrites it into index_partitions files, and
+    dedup keeps working against the compacted index."""
+    from blazingsql_spark.streaming.ingest import DedupIngest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    handler = DedupIngest(
+        spark,
+        str(tmp_path / "index"),
+        str(tmp_path / "corpus"),
+        max_index_files=6,
+        index_partitions=2,
+    )
+    for epoch in range(8):  # 8 disjoint batches of fresh docs
+        batch = docs.filter(
+            (F.col("doc_id") % 8 == epoch) & (F.col("doc_id") < 80)
+        )
+        handler(batch, epoch)
+        n_files = len(spark.read.parquet(str(tmp_path / "index")).inputFiles())
+        assert n_files <= 6 + 2, n_files  # bounded: at most threshold + one batch
+
+    # dedup still works against the compacted index: replay batch 0 copies
+    copies = docs.filter((F.col("doc_id") % 8 == 0) & (F.col("doc_id") < 80)).select(
+        (F.col("doc_id") + 8000).alias("doc_id"), "text"
+    )
+    handler(copies, 99)
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).select("doc_id").collect()
+    }
+    assert not any(i >= 8000 for i in ids)
