@@ -8,13 +8,22 @@ the write path the reference never had (SURVEY §2.8: "Sinks: none").
 """
 
 from blazingsql_spark.sources.io import infer_format, read_any, write_any
-from blazingsql_spark.sources.jdbc import jdbc_reader, mysql, postgresql, sqlite
+from blazingsql_spark.sources.jdbc import (
+    find_sqlite_jdbc_jar,
+    jdbc_reader,
+    jdbc_writer,
+    mysql,
+    postgresql,
+    sqlite,
+)
 
 __all__ = [
     "infer_format",
     "read_any",
     "write_any",
     "jdbc_reader",
+    "jdbc_writer",
+    "find_sqlite_jdbc_jar",
     "mysql",
     "postgresql",
     "sqlite",

@@ -77,3 +77,57 @@ def postgresql(
 
 def sqlite(spark: SparkSession, path: str, table: str, **kw: Any) -> DataFrameReader:
     return jdbc_reader(spark, f"jdbc:sqlite:{path}", table, driver="org.sqlite.JDBC", **kw)
+
+
+def jdbc_writer(
+    df,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    mode: str = "error",
+    batch_size: int | None = None,
+    **options: Any,
+):
+    """JDBC write builder (corpus → warehouse export path). ``batch_size``
+    maps to the JDBC ``batchsize`` option — rows per INSERT round trip, the
+    write-side analogue of partitioned reads."""
+    writer = (
+        df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    if user is not None:
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
+    if batch_size:
+        writer = writer.option("batchsize", batch_size)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    return writer
+
+
+def find_sqlite_jdbc_jar() -> str | None:
+    """Locate a sqlite-jdbc driver jar: $SQLITE_JDBC_JAR, the PySpark jars
+    dir, or /opt/jars. Returns None when absent — this container ships no
+    JDBC drivers and has no network to fetch one (verified: Maven Central
+    unresolvable), so end-to-end JDBC tests gate on this probe and activate
+    in any environment that provides the jar."""
+    import glob
+    import os
+
+    import pyspark
+
+    env = os.environ.get("SQLITE_JDBC_JAR")
+    if env and os.path.exists(env):
+        return env
+    for pattern in (
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "sqlite-jdbc*.jar"),
+        "/opt/jars/sqlite-jdbc*.jar",
+    ):
+        hits = glob.glob(pattern)
+        if hits:
+            return sorted(hits)[-1]
+    return None

@@ -47,3 +47,51 @@ def test_jdbc_reader_config(spark):
     assert r is not None
     r2 = sqlite(spark, "/tmp/x.db", "t")
     assert r2 is not None
+
+
+def test_jdbc_writer_config(spark):
+    from blazingsql_spark.sources import jdbc_writer
+
+    df = load_table(spark, "/root/testdata/sf0.001", "nation")
+    w = jdbc_writer(
+        df, "jdbc:sqlite:/tmp/x.db", "nation", driver="org.sqlite.JDBC", batch_size=500
+    )
+    assert w is not None
+
+
+@pytest.mark.skipif(
+    __import__("blazingsql_spark.sources", fromlist=["find_sqlite_jdbc_jar"])
+    .find_sqlite_jdbc_jar()
+    is None,
+    reason="no sqlite-jdbc jar in this container (no network to fetch one); "
+    "set SQLITE_JDBC_JAR or drop a jar in /opt/jars to activate",
+)
+def test_jdbc_sqlite_roundtrip(tmp_path):
+    """Full JDBC round-trip (write → partitioned read) against SQLite,
+    mirroring the reference's sqliteSchema e2e suite. Gated on a driver jar:
+    activates automatically in environments that provide one."""
+    from pyspark.sql import SparkSession
+
+    from blazingsql_spark.sources import find_sqlite_jdbc_jar, jdbc_writer, sqlite
+
+    jar = find_sqlite_jdbc_jar()
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("jdbc_e2e")
+        .config("spark.jars", jar)
+        .getOrCreate()
+    )
+    try:
+        db = f"{tmp_path}/e2e.db"
+        src = spark.range(0, 100).withColumnRenamed("id", "k")
+        jdbc_writer(
+            src, f"jdbc:sqlite:{db}", "t", driver="org.sqlite.JDBC", mode="overwrite"
+        ).save()
+        back = sqlite(
+            spark, db, "t", partition_column="k", lower_bound=0, upper_bound=100,
+            num_partitions=4,
+        ).load()
+        assert back.count() == 100
+        assert {r.k for r in back.collect()} == set(range(100))
+    finally:
+        spark.stop()
