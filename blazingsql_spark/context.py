@@ -141,9 +141,17 @@ class Context:
         return {f.name: f.dataType.simpleString() for f in df.schema.fields}
 
     # ---------------------------------------------------------------- query
-    def sql(self, query: str, return_token: bool = False) -> DataFrame | int:
+    def sql(
+        self, query: str, return_token: bool = False, fetch_limit: int | None = None
+    ) -> DataFrame | int:
         """Run SQL. With ``return_token=True``, submit async and return a
         token for ``status``/``fetch`` (reference: context.py:3066/3328).
+
+        The async path COLLECTS the finished result to the driver — that is
+        the reference's fetch contract, and it means driver memory bounds
+        the result size. Pass ``fetch_limit`` to cap the collected rows, or
+        prefer the default synchronous mode, which returns a lazy DataFrame
+        and never materializes on the driver.
         """
         if not return_token:
             t0 = time.perf_counter()
@@ -155,7 +163,14 @@ class Context:
             self._log.append((len(self._log) + 1, query, time.perf_counter() - t0, "planned"))
             return df
         token = next(self._token_counter)
-        self._tokens[token] = self._pool.submit(lambda: self.spark.sql(query).collect())
+
+        def run():
+            df = self.spark.sql(query)
+            if fetch_limit is not None:
+                df = df.limit(fetch_limit)
+            return df.collect()
+
+        self._tokens[token] = self._pool.submit(run)
         return token
 
     def log(self, query: str = "SELECT * FROM bsql_logs"):

@@ -44,6 +44,14 @@ def test_async_token(bc):
     rows = bc.fetch(token)
     assert rows[0]["n"] > 0
 
+    # fetch_limit bounds driver-side materialization of async results
+    token = bc.sql("SELECT o_orderkey FROM ord", return_token=True, fetch_limit=7)
+    for _ in range(200):
+        if bc.status(token):
+            break
+        time.sleep(0.05)
+    assert len(bc.fetch(token)) == 7
+
 
 def test_explain(bc):
     bc.create_table("ord2", f"{SF_DIR}/orders.parquet")
