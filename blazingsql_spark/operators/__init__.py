@@ -7,6 +7,7 @@ join operators") — these are capability supersets built the Spark way.
 from blazingsql_spark.operators.asof import asof_join, range_join
 from blazingsql_spark.operators.merge import merge_upsert, scd2_apply
 from blazingsql_spark.operators.skew import bucketed_table, salted_join
+from blazingsql_spark.operators.packing import pack_documents
 from blazingsql_spark.operators.topk import top_k_per_group
 from blazingsql_spark.operators.window import global_running
 
@@ -19,4 +20,5 @@ __all__ = [
     "salted_join",
     "bucketed_table",
     "global_running",
+    "pack_documents",
 ]

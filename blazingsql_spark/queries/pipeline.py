@@ -468,6 +468,45 @@ def sim_near_dup(spark, sf_dir):
     return out.orderBy("id_a", "id_b")
 
 
+# ---------------------------------------------------------- doc packing
+
+
+@register(
+    "docs_pack",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                    ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset,
+           (cum - n_tokens) % 512 + n_tokens > 512 AS spills
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def docs_pack(spark, sf_dir):
+    """Training-sequence packing (operators.packing.pack_documents): lay
+    documents out contiguously in doc_id order and cut every 512 tokens —
+    each doc gets its pack id, offset, and a boundary-spill flag. The
+    global token prefix sum runs distributed (operators.window
+    .global_running), never a single-partition window."""
+    from blazingsql_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs, budget=512).orderBy("doc_id")
+
+
 # ------------------------------------------------------------ multimodal
 
 

@@ -53,6 +53,20 @@ def test_async_token(bc):
     assert len(bc.fetch(token)) == 7
 
 
+def test_sql_ddl_ctas_insert(bc):
+    """SQL DDL through Context.sql — CREATE TABLE AS / INSERT INTO / DROP
+    (catalog-backed parquet in spark.sql.warehouse.dir). The reference has
+    no DDL surface at all (SURVEY §3); this is a Spark-native superset."""
+    bc.create_table("ddl_src", f"{SF_DIR}/nation.parquet")
+    bc.sql("DROP TABLE IF EXISTS ddl_t")
+    bc.sql("CREATE TABLE ddl_t AS SELECT n_nationkey, n_name FROM ddl_src WHERE n_nationkey < 5")
+    assert bc.sql("SELECT COUNT(*) AS n FROM ddl_t").first()["n"] == 5
+    bc.sql("INSERT INTO ddl_t SELECT n_nationkey, n_name FROM ddl_src WHERE n_nationkey = 7")
+    assert bc.sql("SELECT COUNT(*) AS n FROM ddl_t").first()["n"] == 6
+    assert "ddl_t" in bc.list_tables()
+    bc.sql("DROP TABLE ddl_t")
+
+
 def test_explain(bc):
     bc.create_table("ord2", f"{SF_DIR}/orders.parquet")
     simple = bc.explain("SELECT COUNT(*) AS n FROM ord2")
