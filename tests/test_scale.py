@@ -130,3 +130,84 @@ def test_rollup_matches_direct_aggregation(spark, tmp_path):
 
     pruned = rolled.filter("bucket_date = DATE '2024-01-01'")
     assert "PartitionFilters" in physical_plan(pruned)
+
+
+def test_rollup_late_data_refresh(spark, tmp_path):
+    """Late events must refresh ONLY the day partitions they touch, and the
+    refreshed rollup must equal a from-scratch rebuild over all raw data."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.operators import rollup as R
+
+    ev = load_table(spark, SF_DIR, "events")
+    events_path = str(tmp_path / "raw")
+    rollup_path = str(tmp_path / "rollup")
+    dates = sorted(
+        r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert len(dates) >= 2, "fixture needs >= 2 event dates"
+    d_late, d_other = dates[0], dates[-1]
+
+    # initial load: everything except some day-1 stragglers
+    late = ev.filter(
+        (F.to_date("ts") == F.lit(d_late)) & (F.col("event_id") % 5 == 0)
+    )
+    ontime = ev.join(late.select("event_id"), "event_id", "left_anti")
+    ontime.write.parquet(events_path)
+    R.materialize_rollup(spark.read.parquet(events_path), rollup_path)
+
+    untouched_before = sorted(glob.glob(f"{rollup_path}/bucket_date={d_other}/*.parquet"))
+    refreshed = R.refresh_rollup(spark, late, events_path, rollup_path)
+    assert refreshed == [d_late]
+
+    # only the late date's partition was rewritten
+    untouched_after = sorted(glob.glob(f"{rollup_path}/bucket_date={d_other}/*.parquet"))
+    assert untouched_before == untouched_after
+
+    # refreshed rollup == from-scratch rollup over ALL events
+    got = {
+        (r.bucket_start, r.event_type): (r.n, round(r.sum_v, 6))
+        for r in R.read_rollup(spark, rollup_path).collect()
+    }
+    want = {
+        (r.bucket_start, r.event_type): (r.n, round(r.sum_v, 6))
+        for r in R.build_rollup(ev).collect()
+    }
+    assert got == want
+
+
+def test_rollup_refresh_stream(spark, tmp_path):
+    """Streaming continuous-aggregate maintenance: micro-batches (with late
+    rows) keep the rollup equal to a batch rebuild."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.operators import rollup as R
+
+    ev = load_table(spark, SF_DIR, "events").limit(2000)
+    stream_in = str(tmp_path / "in")
+    ev.repartition(4).write.parquet(stream_in)  # 4 files → 4 micro-batches
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stream_in).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_in)
+    )
+    q = R.rollup_refresh_stream(
+        spark,
+        stream,
+        str(tmp_path / "raw"),
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.bucket_start, r.event_type): (r.n, round(r.sum_v, 6))
+        for r in R.read_rollup(spark, str(tmp_path / "rollup")).collect()
+    }
+    want = {
+        (r.bucket_start, r.event_type): (r.n, round(r.sum_v, 6))
+        for r in R.build_rollup(spark.read.parquet(stream_in)).collect()
+    }
+    assert got == want
