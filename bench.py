@@ -22,7 +22,7 @@ from blazingsql_spark.queries.registry import all_queries  # noqa: E402
 from blazingsql_spark.session import get_spark  # noqa: E402
 
 
-def run_query(spec, spark, sf_dir: str, repeats: int = 2) -> float:
+def run_query(spec, spark, sf_dir: str, repeats: int = 3) -> float:
     """Best-of-N wall clock: the machine is shared, so a single run can
     absorb transient contention spikes; the min is the reproducible cost."""
     best = float("inf")
