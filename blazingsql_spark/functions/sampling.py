@@ -1,0 +1,128 @@
+"""Deterministic sampling, splitting, and sharding for training-data
+pipelines.
+
+Everything here is keyed on a *portable* content hash — the first 15 hex
+chars of md5 (60 bits) decoded to a BIGINT — so each decision is (a)
+per-row with no global coordination (scales to any corpus size without a
+sort or a shuffle for the assignment itself), (b) stable across runs,
+engines, partitionings, and data growth (a document keeps its split when
+the corpus doubles), and (c) differential-testable against DuckDB, which
+computes the identical bucket from the identical SQL.
+
+Reference parity: BlazingSQL exposes no sampling surface (its SAMPLE
+clause is unimplemented — algebra rejects it); these are the training-data
+superset ops the task calls for, in the same spirit as functions.dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Bucket grid for split assignment. 60-bit md5 prefix mod 10_000 gives a
+#: worst-case quantization error of 1e-4 on requested fractions.
+SPLIT_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, buckets: int, salt: str = "") -> Column:
+    """Portable deterministic bucket in [0, buckets) from any column.
+
+    ``conv(substring(md5(salt || col), 1, 15), 16, 10) % buckets`` — the
+    DuckDB spelling ``('0x' || substr(md5(...), 1, 15))::BIGINT % buckets``
+    produces the identical value (15 hex chars = 60 bits, fits a BIGINT).
+    The salt decouples independent decisions (split vs shard) made from the
+    same key: without it, split and shard assignments would be correlated.
+    """
+    keyed = F.concat(F.lit(salt), col.cast("string"))
+    h = F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test...) by hash bucket.
+
+    Per-row, shuffle-free, and stable: a row's split depends only on its id
+    and the salt, never on what else is in the corpus — append more data
+    and existing assignments don't move (the property that keeps eval sets
+    uncontaminated across dataset versions). Weights are quantized to
+    1/SPLIT_BUCKETS.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = hash_bucket(F.col(id_col), SPLIT_BUCKETS, salt)
+    expr: Column | None = None
+    edge = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        edge += weights[name] / total * SPLIT_BUCKETS
+        cond = bucket < int(round(edge))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically.
+
+    The within-group order is the hash of the id — an unbiased, stable
+    "random" sample without an RNG, so reruns and engines agree. One
+    shuffle on the group key; per-group state is a single counter. This is
+    the domain-balancing primitive (cap documents per domain/lang so a
+    crawl's head domains don't dominate the training mix).
+    """
+    order = [hash_bucket(F.col(id_col), 1 << 30, salt).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def assign_shard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 1024,
+    salt: str = "shard",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Assign a stable shard id in [0, n_shards) — the write-side layout
+    for training export. Hash sharding doubles as a global shuffle: any
+    upstream ordering (crawl order, URL locality) is destroyed, so a
+    sequential reader of shard files sees an i.i.d.-ish mix without a
+    separate ORDER BY RAND() pass over the corpus."""
+    return df.withColumn(out_col, hash_bucket(F.col(id_col), n_shards, salt))
+
+
+def shard_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 1024,
+    salt: str = "shard",
+) -> None:
+    """Export as hash-sharded parquet: one directory per shard, one file
+    per shard (repartition on the shard id co-locates each shard before
+    the partitioned write, so the layout is n_shards files, not
+    n_shards × n_tasks). Readers get deterministic, resumable,
+    well-shuffled input splits."""
+    sharded = assign_shard(df, id_col, n_shards, salt)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -159,3 +159,29 @@ def winnowing_fingerprints(
         grams.select(F.col(id_col), F.min("gram_hash").over(w).alias("fingerprint"))
         .distinct()
     )
+
+
+# PII scrubbing: the standard pre-training hygiene pass. Pure regexp_replace
+# chains — whole-stage-codegen expressions, shuffle-free, O(bytes scanned) —
+# the ideal scan-side shape at 100 TB. Patterns are deliberately simple and
+# engine-portable (no lookarounds: DuckDB's RE2 has none); production
+# pipelines layer stricter patterns the same way.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, long digit runs (phones), and IPv4 literals with
+    typed placeholder tokens. Order matters: emails first (their local part
+    can contain digits a phone pattern would eat)."""
+    out = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_PATTERN, "<IP>")
+    out = F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
+    return out
+
+
+def add_redacted(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    return df.withColumn(out_col, redact_pii(F.col(text_col)))

@@ -675,3 +675,191 @@ def multimodal_resize(spark, sf_dir):
     return out.select(
         "doc_id", "width", "height", F.length("resized").alias("n_bytes")
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------- sampling / split / shard
+# Training-data corpus management (functions.sampling): deterministic
+# hash-keyed decisions, so every one is per-row, shuffle-free to ASSIGN,
+# stable as the corpus grows, and bit-identical in DuckDB (same md5-prefix
+# bucket both sides). Reference parity: BlazingSQL rejects SAMPLE
+# (algebra unimplemented); this is the training superset surface.
+
+_BUCKET_ORACLE = "('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {n}"
+
+
+@register(
+    "split_assign",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, {_BUCKET_ORACLE.format(salt="split", n=10000)} AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(doc_id) AS id_checksum
+    FROM b GROUP BY 1 ORDER BY split
+    """,
+)
+def split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (functions.sampling
+    .assign_split): 90/5/5 by salted hash bucket of doc_id. Stable under
+    corpus growth — appended documents never move existing rows across
+    splits. Output is the per-split census with an id checksum."""
+    from blazingsql_spark.functions import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.assign_split(docs, "doc_id")
+    return (
+        out.groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_BUCKET_ORACLE.format(salt="cap", n=1073741824)}, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS id_checksum
+    FROM r WHERE rn <= 40 GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Domain-balancing cap (functions.sampling.stratified_cap): keep at
+    most 40 documents per language, selected by stable hash order — an
+    unbiased deterministic downsample with one shuffle on the group key.
+    Output: per-language kept-count and id checksum."""
+    from blazingsql_spark.functions import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.stratified_cap(docs, ["lang"], cap=40)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "shard_assign",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_BUCKET_ORACLE.format(salt="shard", n=64)} AS shard
+        FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs, SUM(doc_id) AS id_checksum
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def shard_assign(spark, sf_dir):
+    """Hash-shard layout for training export (functions.sampling
+    .assign_shard): 64 stable shards; doubles as a global shuffle (destroys
+    crawl-order locality without an ORDER BY RAND() pass). Output: per-
+    shard census."""
+    from blazingsql_spark.functions import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.assign_shard(docs, "doc_id", n_shards=64)
+    return (
+        out.groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("shard")
+    )
+
+
+@register(
+    "text_redact",
+    oracle=r"""
+    WITH pii AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1 555-000-' || CAST(doc_id AS VARCHAR)
+                    || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                   '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted
+        FROM pii
+    )
+    SELECT doc_id, md5(text_redacted) AS fp_redacted,
+           NOT contains(text_redacted, '@example.com')
+               AND contains(text_redacted, '<EMAIL>')
+               AND contains(text_redacted, '<PHONE>')
+               AND contains(text_redacted, '<IP>') AS scrubbed
+    FROM red ORDER BY doc_id
+    """,
+)
+def text_redact(spark, sf_dir):
+    """PII scrubbing (functions.text.redact_pii): emails, phone-like digit
+    runs, IPv4 literals → typed placeholders, as pure codegen
+    regexp_replace chains. The fixture has no organic PII, so the query
+    plants a synthetic email+phone+IP per document (keyed on doc_id) and
+    verifies every one is scrubbed; fp_redacted hash-checks the exact
+    redacted text against DuckDB's RE2 doing the same replacements."""
+    from blazingsql_spark.functions.text import add_redacted
+
+    docs = load_table(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-"), F.col("doc_id").cast("string"),
+            F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+        ).alias("text"),
+    )
+    red = add_redacted(pii)
+    return red.select(
+        "doc_id",
+        F.md5("text_redacted").alias("fp_redacted"),
+        (
+            ~F.col("text_redacted").contains("@example.com")
+            & F.col("text_redacted").contains("<EMAIL>")
+            & F.col("text_redacted").contains("<PHONE>")
+            & F.col("text_redacted").contains("<IP>")
+        ).alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "vocab_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 100
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (tokenizer-training prep): whitespace
+    tokens → global frequency → top-100. explode + two-phase count with
+    map-side partial aggregation; ties broken by token text so the cut is
+    total-ordered and engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(100)
+    )

@@ -1,0 +1,91 @@
+"""functions.sampling + text.redact_pii: the training-corpus management
+surface. The invariants that matter at 100 TB: assignments are per-row and
+STABLE (growing the corpus moves nothing), caps hold exactly, and the
+sharded export layout is one directory + one file per shard."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from blazingsql_spark.functions import sampling
+from blazingsql_spark.functions.text import redact_pii
+from blazingsql_spark.queries.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def test_split_fractions_and_stability(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = sampling.assign_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    # 90/5/5 within binomial tolerance at fixture size
+    assert abs(counts["train"] / total - 0.90) < 0.05
+    assert abs(counts["val"] / total - 0.05) < 0.04
+    assert abs(counts["test"] / total - 0.05) < 0.04
+
+    # stability: assignment of the first half is identical when computed
+    # over the full corpus — a row's split never depends on the rest
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    a = {r["doc_id"]: r["split"] for r in sampling.assign_split(half, "doc_id").select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_split(docs, "doc_id").filter(F.col("doc_id") % 2 == 0).select("doc_id", "split").collect()
+    }
+    assert a == b
+
+
+def test_split_and_shard_are_decorrelated(spark):
+    """Same key, different salts → independent decisions: the test-split
+    docs must not pile into a subset of shards."""
+    docs = load_table(spark, SF_DIR, "documents")
+    both = sampling.assign_shard(sampling.assign_split(docs, "doc_id"), "doc_id", n_shards=4)
+    shards_of_test = {
+        r["shard"] for r in both.filter(F.col("split") == "test").select("shard").distinct().collect()
+    }
+    assert len(shards_of_test) == 4
+
+
+def test_stratified_cap_holds_exactly(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = sampling.stratified_cap(docs, ["lang"], cap=7)
+    after = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in before.items():
+        assert after[lang] == min(n, 7), lang
+    # deterministic: same selection on rerun
+    again = sampling.stratified_cap(docs, ["lang"], cap=7)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
+
+
+def test_shard_write_layout(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = str(tmp_path / "shards")
+    sampling.shard_write(docs, path, n_shards=8)
+    dirs = sorted(glob.glob(f"{path}/shard=*"))
+    assert len(dirs) == 8
+    for d in dirs:
+        # repartition on shard id co-located each shard → exactly one file
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_redact_pii_units(spark):
+    rows = [
+        ("mail me at jane.doe+x@sub.example.co.uk today", "<EMAIL>"),
+        ("call +1 (555) 123-4567 now", "<PHONE>"),
+        ("server at 192.168.0.1 responded", "<IP>"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, ["text", "want"])
+    out = df.select("text", "want", redact_pii(F.col("text")).alias("got")).collect()
+    for r in out:
+        assert r["want"] in r["got"], r
+        assert "@" not in r["got"] or r["want"] == "no pii here"
+        assert "192.168" not in r["got"]
