@@ -87,6 +87,7 @@ def test_no_accidental_cartesian_products(spark):
         "join_theta",  # intentional pure-inequality join (reference rejects)
         "sim_cosine_topk",  # brute-force baseline: corpus x broadcast(query set) by design
         "sim_ann_ivf",  # corpus x broadcast(centroids, k x dim floats) by design
+        "sim_ann_pq",  # ADC scan: codes x broadcast(per-query 256-double tables); plus the exact baseline it scores recall against
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
@@ -100,3 +101,49 @@ def test_no_accidental_cartesian_products(spark):
         if bad and name not in allowed:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_split_and_shard_assignment_shuffle_free(spark):
+    """The ASSIGNMENT itself must be a pure projection — zero exchanges:
+    per-row md5 bucket, no sort, no window, no join. (The census queries
+    aggregate afterwards; this asserts the operator's own plan.)"""
+    from blazingsql_spark.functions import sampling
+    from blazingsql_spark.queries.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert exchange_count(sampling.assign_split(docs, "doc_id")) == 0
+    assert exchange_count(sampling.assign_shard(docs, "doc_id")) == 0
+
+
+def test_redaction_is_scan_side(spark):
+    """PII scrubbing is a codegen projection over the scan — no exchange,
+    no Python workers (BatchEvalPython/ArrowEvalPython absent)."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.functions.text import redact_pii
+    from blazingsql_spark.queries.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    red = docs.select("doc_id", redact_pii(F.col("text")).alias("t"))
+    assert exchange_count(red) == 0
+    plan = red._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert codegen_stage_count(red, execute=True) >= 1
+
+
+def test_q17_aggregates_only_brand_parts(spark):
+    """The hand-decorrelation must hold in the physical plan: the
+    per-partkey average's input is lineitem JOINED with the filtered part
+    scan (brand filter pushed), not a bare full-lineitem aggregate."""
+    df = all_queries()["tpch_q17"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert any("p_brand" in f for f in pf), pf
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every partial per-partkey aggregate sits above a join, below which the
+    # brand filter appears — i.e. no HashAggregate whose subtree lacks p_brand
+    aggs = plan.count("partial_sum(cast(l_quantity")
+    assert aggs >= 1
+    first_agg = plan.index("partial_sum(cast(l_quantity")
+    assert "p_brand" in plan[first_agg:], "per-partkey agg not restricted to brand parts"

@@ -195,3 +195,47 @@ def test_dedup_ingest_index_compaction(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "corpus")).select("doc_id").collect()
     }
     assert not any(i >= 8000 for i in ids)
+
+
+def test_split_assignment_stream_matches_batch(spark, tmp_path):
+    """Split/shard assignment is a stateless per-row projection, so it runs
+    UNCHANGED on a stream — and, because it's hash-keyed, every micro-batch
+    assigns exactly what a batch pass over the same rows would (no state to
+    carry, nothing to reconcile at restart)."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.functions import sampling
+    from blazingsql_spark.queries.registry import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        sampling.assign_shard(sampling.assign_split(stream, "doc_id"), "doc_id", n_shards=8)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["doc_id"]: (r["split"], r["shard"])
+        for r in spark.read.parquet(out).select("doc_id", "split", "shard").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["split"], r["shard"])
+        for r in sampling.assign_shard(
+            sampling.assign_split(docs, "doc_id"), "doc_id", n_shards=8
+        ).collect()
+    }
+    assert streamed == batch
