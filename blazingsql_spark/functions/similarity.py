@@ -696,3 +696,158 @@ def pq_topk_reranked(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+# ----------------------------------------------------------------- IVF-PQ
+def ivfpq_build(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the billion-scale index shape: a coarse quantizer (IVF
+    centroids) routes each vector to an inverted list; PQ codebooks trained
+    on the RESIDUAL (vector − its centroid) encode what the coarse step
+    didn't explain. Residual-PQ beats direct-PQ because residuals
+    concentrate near zero — the same codebook budget spends its centroids
+    on a much smaller ball. Returns (coarse_centroids, codebooks, encoded)
+    where encoded = (id, centroid_id, codes, norm): ~m·log2(ksub) bits +
+    one int + one float per vector regardless of dim."""
+    cents = ivf_train_centroids(vectors, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = assign_to_centroids(vectors, cents, id_col, vec_col)
+    residuals = assigned.join(F.broadcast(cents), "centroid_id").select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.zip_with(
+            F.col(vec_col), F.col("centroid"), lambda x, c: x.cast("double") - c
+        ).alias("residual"),
+    )
+    books = pq_train_codebooks(
+        residuals, m=m, ksub=ksub, iterations=iterations, dim=dim,
+        id_col=id_col, vec_col="residual",
+    )
+    enc = pq_encode(residuals, books, m=m, dim=dim, id_col=id_col, vec_col="residual")
+    norms = vectors.select(F.col(id_col), l2_norm(F.col(vec_col)).alias("norm"))
+    encoded = (
+        enc.drop("norm")
+        .join(residuals.select(id_col, "centroid_id"), id_col)
+        .join(norms, id_col)
+    )
+    return cents, books, encoded
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    pool: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    prebuilt: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-PQ search: probe the n_probe nearest lists per query, ADC-score
+    only those lists' codes, exact-rerank the pool.
+
+    dot(q, v) ≈ dot(q, c_v) + dot(q, residual_v): the first term is exact
+    per (query, probed centroid) — n_probe values per query — and the
+    second is m table lookups against tables built on the SAME (query,
+    centroid) pair (residual tables must be per-centroid; a global table
+    would score residuals against the wrong origin). Everything the corpus
+    side touches is an equi-join on centroid_id — candidates are
+    ~n_probe/n_centroids of the corpus, read at ~32× compression; raw
+    vectors only surface in the pool-sized re-rank."""
+    dsub = dim // m
+    pool = pool or 10 * k
+    cents, books, encoded = prebuilt or ivfpq_build(
+        vectors, n_centroids, m, ksub, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    q_cent = q.crossJoin(F.broadcast(cents)).select(
+        query_id_col,
+        "__qvec",
+        "centroid_id",
+        cosine(F.col("__qvec"), F.col("centroid")).alias("sim"),
+        dot(F.col("__qvec"), F.col("centroid")).alias("qc_dot"),
+        F.col("centroid"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        q_cent.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id_col, "__qvec", "centroid_id", "qc_dot", "centroid")
+    )
+
+    # per (query, probed centroid): the m×ksub residual-dot table
+    p_subs = _subvectors(probes, "__qvec", m, dsub, [query_id_col, "centroid_id", "qc_dot"])
+    ptab = (
+        p_subs.join(F.broadcast(books), "sub")
+        .select(
+            query_id_col,
+            "centroid_id",
+            "qc_dot",
+            (F.col("sub") * ksub + F.col("code")).alias("pos"),
+            dot(F.col("subvec"), F.col("centroid")).alias("pdot"),
+        )
+        .groupBy(query_id_col, "centroid_id", "qc_dot")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "pdot"))),
+                lambda s: s["pdot"],
+            ).alias("table")
+        )
+    )
+
+    cands = encoded.join(F.broadcast(ptab), "centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            (
+                F.col("qc_dot")
+                + F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda c, s: F.element_at(
+                            F.col("table"), (s * ksub + c + 1).cast("int")
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+            / F.col("norm"),
+            6,
+        ).alias("adc_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("adc_sim"), F.asc(id_col))
+    cand_pool = (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= pool)
+        .select(query_id_col, id_col)
+    )
+    scored = (
+        cand_pool.join(vectors.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )

@@ -256,3 +256,27 @@ def test_pq_roundtrip_and_recall(spark):
     assert sorted(map(tuple, enc.select("vec_id", "codes").collect())) == sorted(
         map(tuple, enc2.select("vec_id", "codes").collect())
     )
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """IVF routes, residual-PQ ranks, exact re-rank finishes: measured
+    recall@5 = 1.0 at n_probe=6/8, m=16 on the fixture; 0.7 is the
+    regression floor. Self-matches must always survive."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.functions import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivfpq_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=6, m=16, ksub=16
+        ).collect()
+    }
+    for qid in {q for q, _ in exact}:
+        assert (qid, qid) in approx
+    assert len(exact & approx) / len(exact) >= 0.7

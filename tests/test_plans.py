@@ -88,6 +88,7 @@ def test_no_accidental_cartesian_products(spark):
         "sim_cosine_topk",  # brute-force baseline: corpus x broadcast(query set) by design
         "sim_ann_ivf",  # corpus x broadcast(centroids, k x dim floats) by design
         "sim_ann_pq",  # ADC scan: codes x broadcast(per-query 256-double tables); plus the exact baseline it scores recall against
+        "sim_ann_ivfpq",  # queries x broadcast(centroids) routing + the exact baseline; list scan itself is an equi-join
     }
     offenders = {}
     for name, spec in sorted(all_queries().items()):
