@@ -332,6 +332,43 @@ def agg_approx_distinct(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50_exact,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_exact,
+           TRUE AS p50_within_1pct,
+           TRUE AS p90_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark, sf_dir):
+    """Approximate percentile (Greenwald-Khanna sketch, percentile_approx)
+    — the single-pass, mergeable, bounded-memory quantile for 100 TB where
+    the exact interpolating PERCENTILE needs a per-group sort. Sketch
+    estimates are engine-specific, so the checkable output is the exact
+    quantile plus a thresholded |approx-exact| <= 1% boolean (accuracy
+    10000 => rank error 1e-4, far inside the threshold); the oracle
+    asserts the exact values and literal TRUE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("e90"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("percentile_approx(l_extendedprice, 0.9, 10000)").alias("a90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("e50", 4).alias("p50_exact"),
+        F.round("e90", 4).alias("p90_exact"),
+        (F.abs(F.col("a50") - F.col("e50")) <= F.abs(F.col("e50")) * 0.01).alias("p50_within_1pct"),
+        (F.abs(F.col("a90") - F.col("e90")) <= F.abs(F.col("e90")) * 0.01).alias("p90_within_1pct"),
+    ).orderBy("l_returnflag")
+
+
 # ------------------------------------------------------------- windows
 
 twin(
