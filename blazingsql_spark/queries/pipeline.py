@@ -941,3 +941,62 @@ def sim_ann_ivfpq(spark, sf_dir):
         "n_exact_results",
         (F.col("n_recalled") >= F.col("n_exact_results") * 0.6).alias("recall_ok"),
     )
+
+
+@register(
+    "pipeline_prepare_corpus",
+    oracle=r"""
+    WITH q AS (
+        SELECT doc_id, text FROM documents
+        WHERE (LEN(string_split_regex(TRIM(text), '\s+')) BETWEEN 5 AND 100000)
+          AND (LENGTH(text) * 1.0 / GREATEST(LEN(string_split_regex(TRIM(text), '\s+')), 1)
+               BETWEEN 2 AND 15)
+          AND (LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+               / GREATEST(LENGTH(text), 1) <= 0.3)
+    ),
+    d AS (
+        SELECT MIN(doc_id) AS doc_id FROM q GROUP BY MD5(text)
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9000 THEN 'train'
+                    WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+               ('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS shard
+        FROM d
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+           SUM(doc_id) AS id_checksum
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def pipeline_prepare_corpus(spark, sf_dir):
+    """The end-to-end crawl-prep recipe, composed from the toolkit in one
+    declarative plan: quality gate (text.quality_ok, codegen expressions)
+    -> exact dedup (one shuffle on md5) -> hash-stable train/val/test split
+    + shard assignment (pure projections) -> per-split census. One Catalyst
+    plan end to end: the quality filter rides the scan, dedup is the only
+    wide stage, assignment adds zero exchanges — the 100 TB shape where
+    the whole pipeline costs one pass + one shuffle."""
+    from blazingsql_spark.functions import sampling
+    from blazingsql_spark.functions.text import quality_ok
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_ok(docs.select("doc_id", "text")).filter("quality_ok")
+    deduped = kept.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    assigned = sampling.assign_shard(
+        sampling.assign_split(deduped, "doc_id"), "doc_id", n_shards=64
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("shard").alias("n_shards"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
