@@ -332,3 +332,86 @@ def incremental_near_dup_check(
         )
         .distinct()
     )
+
+
+def build_signature_index_table(
+    df: DataFrame,
+    spark,
+    table: str,
+    num_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Bucketed variant of build_signature_index: persist the banded index
+    as a managed table bucketed+sorted on (band, band_hash) — the exact
+    join key, so the bucketed scan's partitioning satisfies the join. The payoff is
+    partitioning REUSE: every later incremental check joins on band_hash,
+    and a bucketed scan satisfies the join's distribution requirement
+    directly — the index (the corpus-sized side, the one that grows
+    forever) is NEVER shuffled again; only the new batch moves. Appends
+    via append_to_signature_index_table keep the bucket spec."""
+    banded = _banded_signatures(df, text_col, id_col, num_hashes, bands, shingle_n)
+    (
+        banded.write.mode("overwrite")
+        .bucketBy(num_buckets, "band", "band_hash")
+        .sortBy("band", "band_hash")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def append_to_signature_index_table(
+    df: DataFrame,
+    spark,
+    table: str,
+    num_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> None:
+    """Append a new batch's signatures, preserving the bucket layout (Spark
+    validates the spec matches the existing table)."""
+    banded = _banded_signatures(df, text_col, id_col, num_hashes, bands, shingle_n)
+    (
+        banded.write.mode("append")
+        .bucketBy(num_buckets, "band", "band_hash")
+        .sortBy("band", "band_hash")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def incremental_near_dup_check_table(
+    spark,
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """incremental_near_dup_check against the bucketed index table: same
+    candidates, but the index scan carries its bucket distribution into the
+    join — no exchange on the ever-growing side (plan-asserted in
+    tests/test_scale.py)."""
+    index = spark.table(table)
+    new_banded = _banded_signatures(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
+    return (
+        new_banded.alias("n")
+        .join(
+            index.alias("i"),
+            (F.col("n.band") == F.col("i.band")) & (F.col("n.band_hash") == F.col("i.band_hash")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"i.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )

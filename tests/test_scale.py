@@ -211,3 +211,57 @@ def test_rollup_refresh_stream(spark, tmp_path):
         for r in R.build_rollup(spark.read.parquet(stream_in)).collect()
     }
     assert got == want
+
+
+def test_bucketed_dedup_index_never_reshuffles(spark, tmp_path):
+    """Partitioning reuse across stages: the bucketed signature index joins
+    incremental batches with NO exchange on the index side (the side that
+    is corpus-sized and grows forever), and yields the same candidates as
+    the plain parquet index."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.functions import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(50)
+
+    plain_path = str(tmp_path / "idx")
+    D.build_signature_index(corpus, plain_path)
+    want = sorted(
+        map(tuple, D.incremental_near_dup_check(spark, batch, plain_path).collect())
+    )
+
+    import uuid
+
+    table = f"sig_idx_{uuid.uuid4().hex[:8]}"
+    D.build_signature_index_table(corpus, spark, table, num_buckets=8)
+    got = sorted(
+        map(tuple, D.incremental_near_dup_check_table(spark, batch, table).collect())
+    )
+    assert got == want
+
+    # force a non-broadcast plan and assert the index side carries its
+    # bucketing into the join: exactly ONE exchange (the new batch), and
+    # the bucketed scan reports its buckets
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = D.incremental_near_dup_check_table(spark, batch, table)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+        joins = plan.count("SortMergeJoin")
+        assert joins == 1, plan
+        # the join's exchanges: batch side shuffles, index side must not
+        pre_join = plan.split("SortMergeJoin")[1]
+        assert pre_join.count("Exchange hashpartitioning") <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # appends preserve the layout and become visible to the next check
+    D.append_to_signature_index_table(batch, spark, table, num_buckets=8)
+    again = D.incremental_near_dup_check_table(spark, batch, table)
+    # every batch doc now matches itself in the index
+    self_matches = again.filter(F.col("new_id") == F.col("corpus_id")).count()
+    assert self_matches == batch.count()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
