@@ -60,3 +60,58 @@ def pack_documents(
             "spills"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The complement of pack_documents: SPLIT long documents into
+    overlapping token windows of at most ``max_tokens`` (stride
+    ``max_tokens - overlap``) — the context-window chunking step for
+    training or retrieval indexing.
+
+    Per-row arithmetic + one posexplode: chunk i of a doc covers tokens
+    [i*stride, i*stride + max_tokens); a doc emits
+    ceil((n_tokens - max_tokens)/stride) + 1 chunks (min 1, so empty docs
+    survive as one empty chunk and row counts stay auditable). No shuffle,
+    no state — scan-side, like every per-document op here. Deterministic
+    integer math + whitespace tokens, so DuckDB computes the identical
+    chunking (list slicing is 1-based inclusive on both sides).
+    """
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    n = F.size(toks)
+    n_chunks = F.when(
+        n > max_tokens,
+        F.floor((n - max_tokens + stride - 1) / stride).cast("int") + 1,
+    ).otherwise(F.lit(1))
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            # posexplode's 0-based position IS the chunk id
+            F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id", "__i"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, max_tokens),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            F.when(F.length("chunk_text") == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.col("chunk_text"), " "))
+            ),
+        )
+    )

@@ -1000,3 +1000,47 @@ def pipeline_prepare_corpus(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@register(
+    "docs_chunk",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(TRIM(text), '\s+') END AS toks
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, toks, LEN(toks) AS n_tokens,
+               CASE WHEN LEN(toks) > 32
+                    THEN CAST(FLOOR((LEN(toks) - 32 + 23) / 24) AS INT) + 1
+                    ELSE 1 END AS n_chunks
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, toks, UNNEST(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM n
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           md5(array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS fp_chunk,
+           CASE WHEN LENGTH(array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) = 0 THEN 0
+                ELSE LEN(string_split(array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '), ' ')) END
+               AS n_chunk_tokens
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def docs_chunk(spark, sf_dir):
+    """Context-window chunking (operators.packing.chunk_documents):
+    max 32 tokens per chunk, 8-token overlap (stride 24). Scan-side
+    posexplode, zero shuffles before the ordering; the oracle recomputes
+    the identical slicing with DuckDB 1-based list windows and compares
+    chunk-text md5s exactly."""
+    from blazingsql_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, max_tokens=32, overlap=8)
+    return out.select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("fp_chunk"), "n_chunk_tokens"
+    ).orderBy("doc_id", "chunk_id")

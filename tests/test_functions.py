@@ -313,3 +313,33 @@ def test_ann_index_incremental_extension(spark, tmp_path):
     hits = {(r.query_id, r.vec_id) for r in got.collect()}
     for r in queries.select("query_id").collect():
         assert (r.query_id, r.query_id) in hits  # new vectors are searchable
+
+
+def test_chunk_documents_properties(spark):
+    """Chunks must tile every document: first chunk starts at token 0,
+    consecutive chunks overlap by exactly `overlap` tokens, all tokens are
+    covered, and empty docs survive as one empty chunk."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),  # multi-chunk
+        (2, " ".join(f"t{i}" for i in range(32))),   # exactly one chunk
+        (3, "short doc"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, max_tokens=32, overlap=8).orderBy("doc_id", "chunk_id").collect()
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [32, 32, 32, 28]  # 100 = 24*3 + 28
+    stride_toks = [c["chunk_text"].split(" ") for c in by_doc[1]]
+    for a, b in zip(stride_toks, stride_toks[1:]):
+        assert a[24:] == b[:8]  # 8-token overlap carried forward
+    flat = stride_toks[0] + [t for c in stride_toks[1:] for t in c[8:]]
+    assert flat == [f"t{i}" for i in range(100)]  # full coverage, no gaps
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 32
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["n_chunk_tokens"] == 0
