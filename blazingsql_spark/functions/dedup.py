@@ -415,3 +415,53 @@ def incremental_near_dup_check_table(
         )
         .distinct()
     )
+
+
+def detect_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Benchmark-decontamination check: which eval documents leak into the
+    training corpus? Returns (eval_id, train_id, match_kind) where
+    match_kind is 'exact' (identical normalized text) or 'near' (MinHash
+    band collision — same candidate generation as the dedup path, so
+    near-verbatim paraphrases surface too).
+
+    Scale shape: the eval set is the small side (thousands of rows vs a
+    100 TB corpus) — both probes are equi-joins (md5 / band_hash) where the
+    corpus is scanned once and only the tiny eval side broadcasts; never an
+    all-pairs comparison. Run it BEFORE training, on the same banded
+    signatures the dedup index already maintains."""
+    t_fp = train.select(
+        F.col(id_col).alias("train_id"), F.md5(F.col(text_col)).alias("fp")
+    )
+    e_fp = eval_set.select(
+        F.col(id_col).alias("eval_id"), F.md5(F.col(text_col)).alias("fp")
+    )
+    exact = e_fp.join(t_fp, "fp").select(
+        "eval_id", "train_id", F.lit("exact").alias("match_kind")
+    )
+
+    t_sig = _banded_signatures(train, text_col, id_col, num_hashes, bands, shingle_n)
+    e_sig = _banded_signatures(eval_set, text_col, id_col, num_hashes, bands, shingle_n)
+    near = (
+        e_sig.alias("e")
+        .join(
+            t_sig.alias("t"),
+            (F.col("e.band") == F.col("t.band"))
+            & (F.col("e.band_hash") == F.col("t.band_hash")),
+        )
+        .select(
+            F.col(f"e.{id_col}").alias("eval_id"),
+            F.col(f"t.{id_col}").alias("train_id"),
+        )
+        .distinct()
+        .join(exact.select("eval_id", "train_id"), ["eval_id", "train_id"], "left_anti")
+        .select("eval_id", "train_id", F.lit("near").alias("match_kind"))
+    )
+    return exact.unionAll(near)

@@ -1044,3 +1044,89 @@ def docs_chunk(spark, sf_dir):
     return out.select(
         "doc_id", "chunk_id", F.md5("chunk_text").alias("fp_chunk"), "n_chunk_tokens"
     ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "dedup_contamination",
+    oracle=r"""
+    WITH train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ),
+    eval_set AS (  -- half verbatim leaks, half perturbed (near) leaks
+        SELECT doc_id + 500000 AS doc_id, text FROM documents
+        WHERE doc_id % 6 = 1
+        UNION ALL
+        SELECT doc_id + 600000 AS doc_id, text || ' zz' AS text FROM documents
+        WHERE doc_id % 6 = 2
+    ),
+    exact AS (
+        SELECT e.doc_id AS eval_id, t.doc_id AS train_id, 'exact' AS match_kind
+        FROM eval_set e JOIN train t ON MD5(e.text) = MD5(t.text)
+    ),
+    d_train AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ws FROM train),
+    tok_train AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(range(1, LEN(ws)),
+                      i -> ws[i] || ' ' || ws[i+1]))) AS shingle
+        FROM d_train
+    ),
+    mh_train AS (
+        SELECT doc_id, seed, MIN(MD5(seed::VARCHAR || '|' || shingle)) AS minhash
+        FROM tok_train CROSS JOIN range(1, 9) r(seed)
+        GROUP BY doc_id, seed
+    ),
+    sig_train AS (
+        SELECT doc_id, (seed - 1) // 2 AS band,
+               MD5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash
+        FROM mh_train GROUP BY doc_id, (seed - 1) // 2
+    ),
+    d_eval_set AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ws FROM eval_set),
+    tok_eval_set AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(range(1, LEN(ws)),
+                      i -> ws[i] || ' ' || ws[i+1]))) AS shingle
+        FROM d_eval_set
+    ),
+    mh_eval_set AS (
+        SELECT doc_id, seed, MIN(MD5(seed::VARCHAR || '|' || shingle)) AS minhash
+        FROM tok_eval_set CROSS JOIN range(1, 9) r(seed)
+        GROUP BY doc_id, seed
+    ),
+    sig_eval_set AS (
+        SELECT doc_id, (seed - 1) // 2 AS band,
+               MD5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash
+        FROM mh_eval_set GROUP BY doc_id, (seed - 1) // 2
+    ),
+    near AS (
+        SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
+        FROM sig_eval_set e JOIN sig_train t
+          ON e.band = t.band AND e.band_hash = t.band_hash
+    ),
+    near_only AS (
+        SELECT n.eval_id, n.train_id, 'near' AS match_kind
+        FROM near n ANTI JOIN exact x
+          ON n.eval_id = x.eval_id AND n.train_id = x.train_id
+    )
+    SELECT * FROM (SELECT * FROM exact UNION ALL SELECT * FROM near_only)
+    ORDER BY eval_id, train_id, match_kind
+    """,
+)
+def dedup_contamination(spark, sf_dir):
+    """Train/eval contamination detection (functions.dedup
+    .detect_contamination): plant verbatim and near-verbatim eval leaks,
+    find them with the md5-equi-join (exact) + banded MinHash (near)
+    probes. Oracle recomputes both probes in SQL over the same corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    eval_set = (
+        docs.filter(F.col("doc_id") % 6 == 1)
+        .select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 6 == 2).select(
+                (F.col("doc_id") + 600000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+            )
+        )
+    )
+    out = dedup.detect_contamination(train, eval_set)
+    return out.orderBy("eval_id", "train_id", "match_kind")
