@@ -92,7 +92,10 @@ pair(
            RIGHT(c_name, 4)                      AS r4,
            REVERSE(c_mktsegment)                 AS rev,
            c_name LIKE 'Customer%1'              AS like_v,
-           REGEXP_REPLACE(c_name, '[0-9]', 'x')  AS rex
+           REGEXP_REPLACE(c_name, '[0-9]', 'x')  AS rex,
+           CHAR_LENGTH(c_name)                   AS clen,
+           INSTR(c_name, '#')                    AS pos_hash,
+           POSITION('0' IN c_name)               AS pos_zero
     FROM customer
     ORDER BY c_custkey
     """,
@@ -112,7 +115,10 @@ pair(
            RIGHT(c_name, 4)                      AS r4,
            REVERSE(c_mktsegment)                 AS rev,
            c_name LIKE 'Customer%1'              AS like_v,
-           REGEXP_REPLACE(c_name, '[0-9]', 'x', 'g') AS rex
+           REGEXP_REPLACE(c_name, '[0-9]', 'x', 'g') AS rex,
+           LENGTH(c_name)                        AS clen,
+           CAST(INSTR(c_name, '#') AS INT)       AS pos_hash,
+           CAST(POSITION('0' IN c_name) AS INT)  AS pos_zero
     FROM customer
     ORDER BY c_custkey
     """,
