@@ -111,3 +111,21 @@ def test_filesystem_registration_sets_hadoop_confs(bc):
     bc.gs(project_id="proj-1")
     assert conf.get("fs.gs.project.id") == "proj-1"
     bc.localfs()  # no-op, must not raise
+
+
+def test_sql_error_surfaces(bc):
+    """messageValidationSuite parity: bad syntax and invalid references
+    surface as DISTINCT, catchable exception types — ParseException is the
+    reference's SqlSyntaxException, AnalysisException its
+    SqlValidationException (pyblazing context.py:1911-1916)."""
+    import pytest
+    from pyspark.errors import AnalysisException, ParseException
+
+    with pytest.raises(ParseException):
+        bc.sql("SELEC wrong FROM nowhere")
+    with pytest.raises(AnalysisException):
+        bc.sql("SELECT * FROM table_that_does_not_exist")
+    bc.create_table("lineitem_err", "/root/testdata/sf0.001/lineitem.parquet")
+    with pytest.raises(AnalysisException):
+        bc.sql("SELECT no_such_column FROM lineitem_err")
+    bc.drop_table("lineitem_err")
