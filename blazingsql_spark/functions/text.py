@@ -185,3 +185,52 @@ def add_redacted(
     df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
 ) -> DataFrame:
     return df.withColumn(out_col, redact_pii(F.col(text_col)))
+
+
+#: Compact English stopword head — enough signal for the stopword-fraction
+#: quality rule (Gopher-style: natural prose has a stable stopword share;
+#: keyword-stuffed or non-linguistic content does not).
+STOPWORDS_EN = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+    "on", "was", "with", "as", "at", "by", "be", "this", "are", "or",
+)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are common stopwords — computed
+    with a filter-lambda over the token array, all codegen, no explode."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: bigram count, the
+    distinct-bigram ratio (low = loops/boilerplate), and the share of the
+    single most frequent bigram (high = stuck generator / template spam).
+
+    One explode + one shuffle on (doc, bigram), counters only — per-doc
+    state never exceeds its distinct-bigram count."""
+    t = F.trim(F.col(text_col))
+    ws = F.split(t, r"\s+")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    per_gram = grams.groupBy(id_col, "bigram").agg(F.count("*").alias("n"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        (F.count("*") / F.sum("n")).alias("distinct_bigram_ratio"),
+        (F.max("n") / F.sum("n")).alias("top_bigram_frac"),
+    )

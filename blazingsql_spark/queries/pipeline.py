@@ -1130,3 +1130,76 @@ def dedup_contamination(spark, sf_dir):
     )
     out = dedup.detect_contamination(train, eval_set)
     return out.orderBy("eval_id", "train_id", "match_kind")
+
+
+@register(
+    "text_repetition",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id, UNNEST(list_transform(range(1, LEN(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM d WHERE LEN(ws) >= 2
+    ),
+    pg AS (
+        SELECT doc_id, bigram, COUNT(*) AS n FROM g GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           SUM(n) AS n_bigrams,
+           FLOOR(COUNT(*) * 1.0 / SUM(n) * 1000000) / 1000000 AS distinct_ratio,
+           FLOOR(MAX(n) * 1.0 / SUM(n) * 1000000) / 1000000   AS top_frac
+    FROM pg GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Repetition quality signals (functions.text.repetition_stats):
+    distinct-bigram ratio and top-bigram share per document — the
+    loop/boilerplate detectors. FLOOR-grid on the ratios for cross-engine
+    hash equality."""
+    from blazingsql_spark.functions.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        (F.floor(F.col("distinct_bigram_ratio") * 1000000) / 1000000).alias("distinct_ratio"),
+        (F.floor(F.col("top_bigram_frac") * 1000000) / 1000000).alias("top_frac"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_stopwords",
+    oracle=r"""
+    SELECT doc_id,
+           FLOOR(
+               LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                   t -> list_contains(['the','of','and','a','to','in','is','it','that','for',
+                                       'on','was','with','as','at','by','be','this','are','or'], t)))
+               * 1.0
+               / GREATEST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')), 1)
+               * 1000000) / 1000000 AS stop_ratio,
+           LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+               t -> list_contains(['the','of','and','a','to','in','is','it','that','for',
+                                   'on','was','with','as','at','by','be','this','are','or'], t)))
+               * 1.0
+               / GREATEST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')), 1) >= 0.05
+               AS looks_prose
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_stopwords(spark, sf_dir):
+    """Stopword-fraction quality rule (functions.text.stopword_ratio):
+    natural prose carries a stable stopword share; spam/keyword lists do
+    not. Pure codegen (filter-lambda over the token array, no explode)."""
+    from blazingsql_spark.functions.text import stopword_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = stopword_ratio(F.col("text"))
+    return docs.select(
+        "doc_id",
+        (F.floor(r * 1000000) / 1000000).alias("stop_ratio"),
+        (r >= 0.05).alias("looks_prose"),
+    ).orderBy("doc_id")
