@@ -1203,3 +1203,36 @@ def text_stopwords(spark, sf_dir):
         (F.floor(r * 1000000) / 1000000).alias("stop_ratio"),
         (r >= 0.05).alias("looks_prose"),
     ).orderBy("doc_id")
+
+
+@register(
+    "profile_lineitem",
+    oracle="""
+    SELECT 'l_orderkey' AS "column", CAST(MIN(l_orderkey) AS DOUBLE) AS min_v,
+           CAST(MAX(l_orderkey) AS DOUBLE) AS max_v,
+           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+           SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT)
+    FROM lineitem
+    ORDER BY "column"
+    """,
+)
+def profile_lineitem(spark, sf_dir):
+    """Single-pass table profiling (operators.profile.profile_table): the
+    reference's create_table metadata collection as a first-class op.
+    Exact distinct here so the oracle can recompute; production default is
+    HLL++."""
+    from blazingsql_spark.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = profile_table(li, ["l_orderkey", "l_quantity", "l_discount"], exact_distinct=True)
+    return out.orderBy("column")
