@@ -1236,3 +1236,44 @@ def profile_lineitem(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     out = profile_table(li, ["l_orderkey", "l_quantity", "l_discount"], exact_distinct=True)
     return out.orderBy("column")
+
+
+pair(
+    "events_trending",
+    """
+    WITH w AS (
+        SELECT window(ts, '1 hour').start AS window_start, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY window(ts, '1 hour'), event_type
+    ),
+    ranked AS (
+        SELECT window_start, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, event_type) AS rnk
+        FROM w
+    )
+    SELECT window_start, event_type, n, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY window_start, rnk
+    """,
+    oracle="""
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, event_type) AS rnk
+        FROM w
+    )
+    SELECT window_start, event_type, n, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY window_start, rnk
+    """,
+    tables=("events",),
+    doc="per-window trending top-k: tumbling count + deterministic rank cut "
+        "— the windowed-leaderboard composite (two shuffles: window-grain "
+        "agg, then a window over the already-aggregated grain)",
+)
