@@ -1277,3 +1277,37 @@ pair(
         "— the windowed-leaderboard composite (two shuffles: window-grain "
         "agg, then a window over the already-aggregated grain)",
 )
+
+
+pair(
+    "events_hopping_window",
+    """
+    SELECT window_start, event_type, n, v FROM (
+        SELECT window(ts, '10 minutes', '5 minutes').start AS window_start,
+               event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY window(ts, '10 minutes', '5 minutes'), event_type
+    ) t
+    ORDER BY window_start, event_type
+    """,
+    # every event falls in exactly width/slide = 2 epoch-aligned windows:
+    # time_bucket(5m, ts) and time_bucket(5m, ts) - 5m — materialized with
+    # a 2-row range join, the relational spelling of Spark's hop expansion
+    oracle="""
+    WITH e AS (
+        SELECT event_type, value,
+               time_bucket(INTERVAL '5 minutes', ts) AS b
+        FROM events
+    ),
+    hop AS (
+        SELECT event_type, value,
+               b - (k * INTERVAL '5 minutes') AS window_start
+        FROM e CROSS JOIN range(0, 2) r(k)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+    FROM hop GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    tables=("events",),
+    doc="hopping (sliding) event-time windows — width 10m, slide 5m; the "
+        "overlapping-window batch twin of streaming sliding aggregation",
+)
