@@ -126,3 +126,19 @@ def shard_write(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    prob: Column,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling with PER-ROW probability: keep a
+    row iff its salted hash bucket (of 1e6) falls under prob·1e6. No RNG,
+    no state, no shuffle — reruns, engines, and partitionings agree, and
+    appending data never flips existing decisions. The quality-weighted
+    downsampling primitive (e.g. keep long/high-quality docs with higher
+    probability) with probabilities quantized to 1e-6."""
+    bucket = hash_bucket(F.col(id_col), 1_000_000, salt)
+    return df.filter(bucket < (prob * 1_000_000).cast("long"))

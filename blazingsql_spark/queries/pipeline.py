@@ -1311,3 +1311,37 @@ pair(
     doc="hopping (sliding) event-time windows — width 10m, slide 5m; the "
         "overlapping-window batch twin of streaming sliding aggregation",
 )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS bucket,
+               CAST(LEAST(n_chars / 1000.0, 1.0) * 1000000 AS BIGINT) AS thresh
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           SUM(doc_id) AS id_checksum,
+           SUM(n_chars) AS chars_kept
+    FROM s WHERE bucket < thresh
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Length-weighted deterministic sampling (functions.sampling
+    .weighted_sample): keep probability = min(n_chars/1000, 1) — longer
+    documents survive preferentially, decisions are hash-stable. Census
+    output for the oracle."""
+    from blazingsql_spark.functions import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.weighted_sample(
+        docs, F.least(F.col("n_chars") / 1000.0, F.lit(1.0)), "doc_id"
+    )
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
