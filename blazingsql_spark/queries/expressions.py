@@ -49,8 +49,10 @@ twin(
            FLOOR(l_quantity * l_discount * 1000000) / 1000000    AS mul_v,
            FLOOR(l_extendedprice / l_quantity * 10000) / 10000   AS div_v,
            MOD(l_orderkey, 7)                       AS mod_v,
-           FLOOR(l_extendedprice)                   AS floor_v,
-           CEIL(l_extendedprice)                    AS ceil_v,
+           -- CAST: Spark FLOOR/CEIL return BIGINT, DuckDB DOUBLE — the
+           -- r2 hash mismatch was this result-type gap, not the values
+           CAST(FLOOR(l_extendedprice) AS DOUBLE)   AS floor_v,
+           CAST(CEIL(l_extendedprice) AS DOUBLE)    AS ceil_v,
            ABS(l_discount - 0.05)                   AS abs_v,
            -- transcendentals differ at 1 ulp between JVM and libm anyway:
            -- coarse ROUND is the right tool (tie probability ~ulp/grid)

@@ -21,7 +21,9 @@ twin(
     SELECT doc_id, n_chars,
            LENGTH(text)                                          AS len,
            LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1     AS n_words,
-           FLOOR((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 1.0
+           -- CAST, not * 1.0: Spark's 1.0 literal is DECIMAL(2,1) and the
+           -- ratio surfaces as DECIMAL (r2 hash mismatch); DuckDB gives DOUBLE
+           FLOOR(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
                  / LENGTH(text) * 1000000) / 1000000             AS space_ratio
     FROM documents
     ORDER BY doc_id
