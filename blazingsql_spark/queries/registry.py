@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "blazingsql_spark.queries.relational",
     "blazingsql_spark.queries.expressions",
     "blazingsql_spark.queries.pipeline",
+    "blazingsql_spark.queries.tpch_extra",
 )
 
 
@@ -138,63 +139,70 @@ def pair(
 _loaded = False
 
 # The driver records correctness rows for a bounded prefix (~50) of the
-# registry in iteration order. Round 1 verified the first 50 registered
-# queries (all green, CORRECTNESS_r01.json); this list front-loads the
-# queries that still need a driver row — the 47 round-1-unchecked ones plus
-# agg_approx_distinct (no_oracle err, since fixed) and tpch_q14 (vacuous
-# hash-match bug, since fixed) — with tpch_q1 as a regression sentinel.
-# Everything else (round-1 green) follows in registration order.
+# registry in iteration order. Round-3 rotation (per VERDICT r2 worklist):
+# (a) the 18 round-2-registered queries with no driver row yet, (b) the
+# four tpch_extra queries newly given inline-partsupp oracles, (c) three
+# sentinels — the two round-2 red rows (cast fixes to confirm green) plus
+# tpch_q1 as the standing regression canary, (d) back-fill with the
+# round-1-green TPC-H/join block that round 2 rotated OUT of the window,
+# so both registry halves get re-verified within two rounds (ROADMAP
+# alternating plan). Everything else follows in registration order.
 DRIVER_PRIORITY = (
-    "orderby_nulls",
-    "union_all",
-    "union_distinct",
-    "intersect",
-    "except_all",
-    "union_type_coerce",
-    "agg_with_nulls",
-    "distinct_with_nulls",
-    "join_null_keys_dropped",
-    "window_nth_value",
-    "events_tumbling_window",
-    "events_sessionize",
-    "events_json_extract",
-    "pivot_status",
-    "asof_join_events",
-    "range_join_orders",
-    "topk_per_group",
-    "expr_predicates",
+    # (a) no driver row yet — round-2 additions
+    "agg_approx_percentile",
+    "docs_pack",
+    "docs_chunk",
+    "split_assign",
+    "sample_stratified",
+    "sample_weighted",
+    "shard_assign",
+    "text_redact",
+    "text_repetition",
+    "text_stopwords",
+    "vocab_topk",
+    "sim_ann_pq",
+    "sim_ann_ivfpq",
+    "pipeline_prepare_corpus",
+    "dedup_contamination",
+    "profile_lineitem",
+    "events_trending",
+    "events_hopping_window",
+    # (b) full-22 TPC-H parity: inline-generated partsupp twins
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
+    # (c) sentinels
     "expr_math",
-    "expr_string",
-    "expr_datetime",
-    "expr_extract",
-    "expr_case",
-    "expr_cast",
-    "expr_bitwise",
-    "expr_interval",
-    "expr_is_truth",
-    "expr_to_timestamp",
-    "expr_rand",
-    "expr_literals",
     "text_stats",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_winnowing",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_jaccard",
-    "dedup_simhash",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_near_dup",
-    "sim_ann_ivf",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_resize",
-    "nested_struct_ops",
-    "agg_approx_distinct",
-    "tpch_q14",
     "tpch_q1",
+    # (d) round-1-green block rotating back in
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_full_outer",
+    "join_cross",
+    "join_semi",
+    "join_anti",
+    "join_nullsafe",
+    "join_nonequi",
+    "join_theta",
 )
 
 

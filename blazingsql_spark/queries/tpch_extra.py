@@ -3,73 +3,69 @@ driver's fixture set does not ship (TESTDATA.md; reference exercises them
 via tests/BlazingSQLTest/EndToEndTests/TestSuites/TPCHSuite.yaml with the
 full schema from tests/BlazingSQLTest/DataBase/createSchema.py:31-40).
 
-Because no partsupp parquet exists under /root/testdata, these are NOT in
-the driver registry (a registry entry would fail its driver run). Instead:
+No partsupp parquet exists under /root/testdata, so partsupp is GENERATED
+deterministically from the fixture's own part/supplier tables:
 
-- ``generate_partsupp`` builds a deterministic partsupp with the TPC-H
-  supplier-spreading formula (4 suppliers per part, offset-striped across
-  the supplier range — dbgen's PS_SUPPKEY rule) and hash-derived
-  availqty/supplycost — pure Spark expressions, no RNG, reproducible.
-- ``EXTRA_QUERIES`` maps each query to twin ANSI SQL runnable by BOTH
-  Spark and DuckDB over (fixture tables + generated partsupp);
-  tests/test_tpch_extra.py materializes that layout in a tmp dir and
-  differential-tests all four, same discipline as the main registry.
+- 4 partsupp rows per part; supplier i of part p follows dbgen's
+  PS_SUPPKEY spreading rule adapted for small supplier counts —
+  (p + p/S + i*(S/4)) mod S — keeping dbgen's "spread a part's suppliers
+  across the key space" property while the constant per-i stride keeps the
+  4 suppliers of a part DISTINCT for any S >= 8.
+- availqty (1..9999) and supplycost (1.00..1000.00, exact cents) derive
+  from prime-multiplier modular arithmetic on (partkey, suppkey) — pure
+  ANSI integer math that Spark and DuckDB evaluate IDENTICALLY, so the
+  generator itself can live in a twin SQL CTE (``PARTSUPP_CTE``) and the
+  four queries take normal driver oracle rows: both engines build the same
+  partsupp inline and the query comparison is exact.
 
-Queries are adapted to the driver's compact schema (no p_mfgr, s_address,
-s_phone, s_comment columns) and its 0-based keys; aggregate spellings use
-the exact-integer grids the main suite uses so cross-engine hashes match.
+``generate_partsupp`` materializes the same rows as parquet (used by
+tests/test_tpch_extra.py to also differential-test the materialized
+layout). Queries are adapted to the driver's compact schema (no p_mfgr,
+s_address, s_phone, s_comment columns) and its 0-based keys; aggregate
+spellings use the exact-integer grids the main suite uses so cross-engine
+hashes match.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from blazingsql_spark.queries.registry import load_table
+from blazingsql_spark.queries.registry import load_table, twin
+
+# Engine-portable partsupp generator (see module docstring). ANSI-only
+# spellings: floor-division via FLOOR(x/y) on doubles (exact for key ranges
+# << 2^53), 0..3 via UNION ALL (inline VALUES syntax differs per dialect).
+PARTSUPP_CTE = """
+WITH __sc AS (
+    SELECT COUNT(*) AS s,
+           GREATEST(CAST(FLOOR(COUNT(*) / 4.0) AS BIGINT), 1) AS s4
+    FROM supplier
+),
+__i AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3),
+partsupp AS (
+    SELECT ps_partkey, ps_suppkey,
+           CAST((ps_partkey * 7919 + ps_suppkey * 104729) % 9999 + 1 AS INT)
+               AS ps_availqty,
+           CAST((ps_partkey * 104729 + ps_suppkey * 7919 + 7) % 99900 + 100
+                AS DOUBLE) / 100 AS ps_supplycost
+    FROM (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey
+                + CAST(FLOOR(CAST(p_partkey AS DOUBLE) / s) AS BIGINT)
+                + i * s4) % s AS ps_suppkey
+        FROM part, __sc, __i
+    ) __keys
+)
+"""
 
 
 def generate_partsupp(spark: SparkSession, sf_dir: str, out_path: str) -> None:
-    """Write a deterministic partsupp.parquet for ``sf_dir``'s part/supplier.
-
-    dbgen semantics: each part has 4 partsupp rows; supplier i of part p
-    follows dbgen's PS_SUPPKEY spreading rule adapted for small supplier
-    counts — (p + p DIV S + i*(S/4)) mod S, i.e. the rotating base keeps
-    dbgen's "spread a part's suppliers across the key space" property while
-    the constant per-i stride keeps the 4 suppliers of a part DISTINCT for
-    any S >= 8 (dbgen's per-i (p-1)/S term collides mod tiny S). availqty
-    (1..9999) and supplycost (1.00..1000.00, exact cents) derive from
-    xxhash64 — stable across runs/engines, no RNG.
-    """
-    supp_count = load_table(spark, sf_dir, "supplier").count()
-    s4 = max(supp_count // 4, 1)
-    part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("ps_partkey")
-    )
-    ps = (
-        part.select(
-            "ps_partkey",
-            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("__i"),
-        )
-        .select(
-            "ps_partkey",
-            F.expr(
-                f"(ps_partkey + ps_partkey DIV {supp_count} + __i * {s4}) % {supp_count}"
-            ).cast("long").alias("ps_suppkey"),
-        )
-        .withColumn(
-            "ps_availqty",
-            (F.pmod(F.xxhash64("ps_partkey", "ps_suppkey"), F.lit(9999)) + 1).cast("int"),
-        )
-        .withColumn(
-            "ps_supplycost",
-            (
-                (F.pmod(F.xxhash64("ps_suppkey", "ps_partkey", F.lit(7)), F.lit(99900)) + 100)
-                .cast("double")
-                / 100.0
-            ),
-        )
-    )
-    ps.write.mode("overwrite").parquet(out_path)
+    """Write the PARTSUPP_CTE rows as partsupp.parquet for ``sf_dir``."""
+    for t in ("part", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.sql(PARTSUPP_CTE + "SELECT * FROM partsupp").write.mode(
+        "overwrite"
+    ).parquet(out_path)
 
 
 # Twin ANSI SQL — identical text runs on Spark and DuckDB.
@@ -163,3 +159,15 @@ def run_extra(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for t in _TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(EXTRA_QUERIES[name])
+
+
+# Driver registration: each query prefixed with the inline generator CTE
+# (shadows any partsupp view in both dialects), so the driver can record
+# normal oracle rows for full 22-query TPC-H parity.
+for _name, _sql in EXTRA_QUERIES.items():
+    twin(
+        _name,
+        PARTSUPP_CTE + _sql,
+        tables=("part", "supplier", "nation", "region", "orders", "lineitem"),
+        doc=f"TPC-H {_name[5:]} over inline-generated partsupp (dbgen spreading rule)",
+    )
