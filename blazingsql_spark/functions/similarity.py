@@ -309,6 +309,9 @@ def ivf_train_centroids(
         .orderBy("__h")
         .limit(k)
         .select(
+            # no-partition window is safe here: input is the k≤64 rows that
+            # survived limit(k) — Spark's WindowExec warning is about THIS
+            # (bounded) stage, not the corpus scan
             F.row_number().over(Window.orderBy("__h")).alias("centroid_id"),
             F.col(vec_col).alias("centroid"),
         )

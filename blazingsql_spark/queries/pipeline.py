@@ -620,6 +620,13 @@ def sim_ann_ivf(spark, sf_dir):
         .select("query_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )
+    return _recall_gate(exact, approx)
+
+
+def _recall_gate(exact, approx):
+    """exact⟕approx recall aggregate, thresholded at 0.6. The raw
+    n_recalled is NOT in the output (not SQL-oracle-predictable); use
+    ann_recall_telemetry for the measured numbers."""
     marked = exact.join(approx, ["query_id", "vec_id"], "left")
     return marked.agg(
         F.count_distinct("query_id").alias("n_queries"),
@@ -630,6 +637,45 @@ def sim_ann_ivf(spark, sf_dir):
         "n_exact_results",
         (F.col("n_recalled") >= F.col("n_exact_results") * 0.6).alias("recall_ok"),
     )
+
+
+def ann_recall_telemetry(spark, sf_dir: str) -> dict[str, float]:
+    """Measured recall@5 per ANN tier (tools/local_gate.py records this in
+    PROGRESS.jsonl each round so recall drift is visible, not just
+    thresholded — VERDICT r2 item 6). Re-runs each tier's exact+approx
+    pair with the registered queries' own settings."""
+    out: dict[str, float] = {}
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    def _pq():
+        books = similarity.pq_train_codebooks(emb, m=16, ksub=16, iterations=3)
+        enc = similarity.pq_encode(emb, books, m=16)
+        return similarity.pq_topk_reranked(emb, enc, books, queries, k=5, m=16, ksub=16)
+
+    tiers = {
+        "sim_ann_ivf": lambda: similarity.ivf_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=4
+        ),
+        "sim_ann_pq": _pq,
+        "sim_ann_ivfpq": lambda: similarity.ivfpq_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=6, m=16, ksub=16
+        ),
+    }
+    for name, build in tiers.items():
+        approx = build().select("query_id", "vec_id").withColumn("hit", F.lit(1))
+        row = (
+            exact.join(approx, ["query_id", "vec_id"], "left")
+            .agg(
+                F.count("*").alias("n_exact"),
+                F.coalesce(F.sum("hit"), F.lit(0)).alias("n_recalled"),
+            )
+            .collect()[0]
+        )
+        out[name] = round(row["n_recalled"] / row["n_exact"], 4) if row["n_exact"] else None
+    return out
 
 
 @register(
@@ -896,16 +942,7 @@ def sim_ann_pq(spark, sf_dir):
         .select("query_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )
-    marked = exact.join(approx, ["query_id", "vec_id"], "left")
-    return marked.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        F.count("*").alias("n_exact_results"),
-        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_recalled"),
-    ).select(
-        "n_queries",
-        "n_exact_results",
-        (F.col("n_recalled") >= F.col("n_exact_results") * 0.6).alias("recall_ok"),
-    )
+    return _recall_gate(exact, approx)
 
 
 @register(
@@ -933,16 +970,7 @@ def sim_ann_ivfpq(spark, sf_dir):
         .select("query_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )
-    marked = exact.join(approx, ["query_id", "vec_id"], "left")
-    return marked.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        F.count("*").alias("n_exact_results"),
-        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_recalled"),
-    ).select(
-        "n_queries",
-        "n_exact_results",
-        (F.col("n_recalled") >= F.col("n_exact_results") * 0.6).alias("recall_ok"),
-    )
+    return _recall_gate(exact, approx)
 
 
 @register(
