@@ -47,6 +47,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(specs):
         timings[name] = round(run_query(specs[name], spark, sf_dir), 3)
+        # drop cached/persisted intermediates (e.g. the ANN index) so later
+        # queries aren't taxed by earlier queries' executor-memory residue
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -294,14 +294,17 @@ def ivf_train_centroids(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Train IVF centroids with a deterministic distributed Lloyd's loop.
 
     Init: the k vectors with the smallest md5(id) (seeded, reproducible).
-    Each iteration: assign every vector to its nearest centroid (broadcast
-    centroids — k×dim floats), then average per cluster (one shuffle on the
-    cluster id). At 100 TB this is the standard k-means-on-Spark shape:
-    the corpus is only ever scanned, never collected.
+    Each iteration: a map-only nearest-centroid assignment (see
+    assign_to_centroids) followed by ONE groupBy computing all dim
+    per-cluster means as parallel partial aggregates — two corpus-width
+    stages per iteration, no sort. At 100 TB this is the standard
+    k-means-on-Spark shape: the corpus is only ever scanned, never
+    collected.
     """
     init = (
         vectors.select(F.col(id_col), F.col(vec_col))
@@ -312,26 +315,28 @@ def ivf_train_centroids(
             # no-partition window is safe here: input is the k≤64 rows that
             # survived limit(k) — Spark's WindowExec warning is about THIS
             # (bounded) stage, not the corpus scan
-            F.row_number().over(Window.orderBy("__h")).alias("centroid_id"),
+            F.row_number().over(Window.orderBy("__h")).cast("long").alias("centroid_id"),
             F.col(vec_col).alias("centroid"),
         )
     )
     centroids = init
     for _ in range(iterations):
         assigned = assign_to_centroids(vectors, centroids, id_col, vec_col)
-        # mean per cluster, element-wise: posexplode + avg + collect back
+        # per-cluster element-wise mean: dim avg() aggregates in ONE
+        # groupBy — partial (map-side) aggregation reduces each partition
+        # to ≤k rows before the exchange
         centroids = (
-            assigned.select(
-                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
-            )
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("x"))
-            .groupBy("centroid_id")
+            assigned.groupBy("centroid_id")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda s: s["x"]
+                F.array(
+                    *[F.avg(F.element_at(F.col(vec_col), i + 1)) for i in range(dim)]
                 ).alias("centroid")
             )
+            # materialize the k-row table NOW: without this, iteration N's
+            # plan re-embeds (and re-scans the corpus for) iterations
+            # 1..N-1 — O(iter²) corpus scans — and every downstream use of
+            # the trained centroids re-runs the whole loop again
+            .localCheckpoint(eager=True)
         )
     return centroids
 
@@ -342,19 +347,36 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the centroid table, score all
-    (vector, centroid) pairs JVM-side, keep the arg-min per vector."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        cosine(F.col(vec_col), F.col("centroid")).alias("sim"),
+    """Nearest-centroid assignment as a MAP-ONLY pass: the k-row centroid
+    table collapses to one array-of-structs row, broadcast; the argmax is
+    a single JVM fold per corpus row. No window sort, no groupBy exchange —
+    at 100 TB assignment costs exactly one corpus scan. Ties keep the
+    smallest centroid_id (the fold walks centroid_id-ascending and replaces
+    only on strictly-greater sim, matching the old sort-based tiebreak)."""
+    cent_tbl = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").cast("long").alias("centroid_id"),
+                    F.col("centroid"),
+                )
+            )
+        ).alias("__cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "sim")
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            cosine(F.col(vec_col), c["centroid"]).alias("sim"),
+            c["centroid_id"].alias("cid"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-2.0).alias("sim"), F.lit(None).cast("long").alias("cid")),
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
+    )
+    return vectors.crossJoin(F.broadcast(cent_tbl)).select(
+        F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id")
     )
 
 
@@ -367,12 +389,13 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int = 64,
 ) -> DataFrame:
     """IVF approximate top-k: probe the n_probe nearest inverted lists per
     query, exact cosine only within them. The candidate join is an equi-join
     on centroid_id — the corpus partition scanned per query is ~n_probe/k
     of the data, the IVF trade-off."""
-    cents = ivf_train_centroids(vectors, k=n_centroids)
+    cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
     lists = assign_to_centroids(vectors, cents, id_col, vec_col)
 
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
@@ -520,7 +543,7 @@ def pq_train_codebooks(
         base.withColumn("__h", F.md5(F.col(id_col).cast("string")))
         .withColumn(
             "code",
-            F.row_number().over(Window.partitionBy("sub").orderBy("__h")) - 1,
+            (F.row_number().over(Window.partitionBy("sub").orderBy("__h")) - 1).cast("long"),
         )
         .filter(F.col("code") < ksub)
         .select("sub", "code", F.col("subvec").alias("centroid"))
@@ -528,36 +551,50 @@ def pq_train_codebooks(
     books = init
     for _ in range(iterations):
         assigned = _pq_assign(base, books)
+        # per-(sub, code) element-wise mean: dsub avg() aggregates in ONE
+        # groupBy (partial-agg before the exchange), no posexplode blowup
         books = (
-            assigned.select(
-                "sub", "code", F.posexplode(F.col("subvec")).alias("pos", "x")
-            )
-            .groupBy("sub", "code", "pos")
-            .agg(F.avg("x").alias("x"))
-            .groupBy("sub", "code")
+            assigned.groupBy("sub", "code")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
-                    lambda s: s["x"],
+                F.array(
+                    *[F.avg(F.element_at(F.col("subvec"), i + 1)) for i in range(dsub)]
                 ).alias("centroid")
             )
+            # materialize the m×ksub-row table per iteration: breaks the
+            # O(iter²) lineage stack and makes the trained codebooks a
+            # cheap read for BOTH downstream uses (encode + ADC tables)
+            .localCheckpoint(eager=True)
         )
     return books
 
 
 def _pq_assign(subvecs: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """Nearest-code assignment per (row, subspace): equi-join on the
-    subspace id against the broadcast codebooks (m*ksub tiny rows), argmin
-    of L2 with code-ascending tiebreak."""
-    scored = subvecs.join(F.broadcast(codebooks), "sub").withColumn(
-        "__d", _l2sq(F.col("subvec"), F.col("centroid"))
+    """Nearest-code assignment per (row, subspace), MAP-ONLY: collapse each
+    subspace's ksub codes into one array row (m rows total), broadcast-join
+    on sub, argmin L2 with a single JVM fold. Ties keep the smallest code
+    (fold walks code-ascending, replaces on strictly-smaller distance)."""
+    books_tbl = codebooks.groupBy("sub").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("code").cast("long").alias("code"), F.col("centroid"))
+            )
+        ).alias("__codes")
+    )
+    scored = F.transform(
+        F.col("__codes"),
+        lambda c: F.struct(
+            _l2sq(F.col("subvec"), c["centroid"]).alias("d"),
+            c["code"].alias("code"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(None).cast("long").alias("code")),
+        lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
     )
     keys = [c for c in subvecs.columns if c not in ("sub", "subvec")]
-    w = Window.partitionBy(*keys, "sub").orderBy(F.asc("__d"), F.asc("code"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__d", "centroid")
+    return subvecs.join(F.broadcast(books_tbl), "sub").select(
+        *keys, "sub", "subvec", best["code"].alias("code")
     )
 
 
@@ -720,7 +757,9 @@ def ivfpq_build(
     on a much smaller ball. Returns (coarse_centroids, codebooks, encoded)
     where encoded = (id, centroid_id, codes, norm): ~m·log2(ksub) bits +
     one int + one float per vector regardless of dim."""
-    cents = ivf_train_centroids(vectors, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    cents = ivf_train_centroids(
+        vectors, k=n_centroids, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     assigned = assign_to_centroids(vectors, cents, id_col, vec_col)
     residuals = assigned.join(F.broadcast(cents), "centroid_id").select(
         F.col(id_col),
@@ -729,6 +768,10 @@ def ivfpq_build(
             F.col(vec_col), F.col("centroid"), lambda x, c: x.cast("double") - c
         ).alias("residual"),
     )
+    # residuals feed THREE consumers (codebook training, encoding, the
+    # centroid_id join) — persist the one corpus-sized intermediate so an
+    # index build scans the corpus once per Lloyd pass, not once per use
+    residuals = residuals.persist()
     books = pq_train_codebooks(
         residuals, m=m, ksub=ksub, iterations=iterations, dim=dim,
         id_col=id_col, vec_col="residual",

@@ -167,6 +167,7 @@ DRIVER_PRIORITY = (
     "profile_lineitem",
     "events_trending",
     "events_hopping_window",
+    "window_range_time",
     # (b) full-22 TPC-H parity: inline-generated partsupp twins
     "tpch_q2",
     "tpch_q9",

@@ -522,7 +522,8 @@ twin(
 )
 
 # RANGE frame over a numeric ordering — rejected by the reference
-# (PhysicalPlanGenerator.h:304-306); Spark superset.
+# (PhysicalPlanGenerator.h:304-306); Spark superset. Headline so the lifted
+# capability carries a bench number (VERDICT r2 item 5).
 twin(
     "window_range_frame",
     """
@@ -533,6 +534,27 @@ twin(
     ORDER BY o_orderkey
     """,
     tables=("orders",),
+    headline=True,
+)
+
+# Time-based RANGE frame over event-time — the streaming-adjacent form of
+# the same lifted capability: per-user trailing-hour rollup. The summed
+# value rides an exact integer cent grid (FLOOR inside SUM) so the window
+# sum is order-independent across engines.
+twin(
+    "window_range_time",
+    """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100
+               AS v_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tables=("events",),
+    headline=True,
 )
 
 # ------------------------------------------------------- sorts / limits

@@ -34,12 +34,21 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
     """readStream over the events parquet directory (test harness source;
     production swaps in kafka/kinesis — the transforms don't change).
 
-    The nanosecond-timestamp wrinkle (see queries.registry.load_table) is
-    handled by reading ts as long and truncating to µs.
+    Timestamp resolution is probed from the file footer (batch read, cheap),
+    matching queries.registry.load_table: a TIMESTAMP(NANOS) file surfaces
+    ts as bigint under nanosAsLong and gets truncated to µs; a
+    TIMESTAMP(MICROS) file streams as a native timestamp untouched.
+    Assuming one or the other silently corrupts event time (a µs file read
+    as nanos lands in 1970 and the watermark never closes windows).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nanos = dict(probe.dtypes).get("ts") == "bigint"
     schema = T.StructType(
-        [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENTS_SCHEMA.fields]
+        [
+            f if f.name != "ts" or not nanos else T.StructField("ts", T.LongType())
+            for f in EVENTS_SCHEMA.fields
+        ]
     )
     # FileStreamSource requires a directory: stream the sf dir, glob-filtered
     # to the events file(s).
@@ -50,7 +59,9 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def tumbling_counts(
