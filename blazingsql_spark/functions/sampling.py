@@ -128,6 +128,54 @@ def shard_write(
     )
 
 
+def domain_mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample each domain so the surviving corpus matches a target mix
+    (the training-mix control knob: "40% web, 20% code, ..." over a crawl
+    whose natural mix is different).
+
+    The largest corpus reachable by downsampling alone has total
+    T = min_d(count_d / weight_d) — the binding domain keeps 100% — and
+    every domain keeps rate_d = T·w_d / c_d of its rows, decided per-row by
+    the portable hash (quantized to 1e-6). Plan shape: one tiny groupBy
+    (per-domain counts, partial-aggregated to |domains| rows) broadcast
+    back onto the corpus; the corpus itself NEVER shuffles — the keep/drop
+    decision is a map-only filter, so this scales to any corpus size.
+    Domains absent from ``weights`` (or with weight 0) are dropped.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__c"))
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    rated = (
+        counts.withColumn("__w", wmap[F.col(domain_col)])
+        .filter(F.col("__w").isNotNull() & (F.col("__w") > 0))
+        .withColumn("__t", F.col("__c") / F.col("__w"))
+    )
+    total = rated.agg(F.min("__t").alias("__T"))
+    # alias both sides: total derives from rated, and an unqualified column
+    # in the self-joined lineage is ambiguous to the analyzer
+    thresholds = rated.alias("r").crossJoin(F.broadcast(total.alias("t"))).select(
+        F.col(f"r.{domain_col}").alias(domain_col),
+        # integer threshold on the 1e-6 grid; expression shape mirrors the
+        # DuckDB oracle exactly so the IEEE result is bit-identical
+        F.floor(F.lit(1_000_000) * F.col("t.__T") * F.col("r.__w") / F.col("r.__c"))
+        .cast("long")
+        .alias("__thresh"),
+    )
+    bucket = hash_bucket(F.col(id_col), 1_000_000, salt)
+    return (
+        df.join(F.broadcast(thresholds), domain_col)
+        .filter(bucket < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     prob: Column,

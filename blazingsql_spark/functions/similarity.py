@@ -75,6 +75,72 @@ def cosine_topk(
     )
 
 
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-label mean embedding (class prototypes for nearest-centroid
+    classification / dataset cartography). One groupBy with dim parallel
+    avg() aggregates — partial (map-side) aggregation reduces each
+    partition to ≤|labels| rows before the exchange, so the shuffle moves
+    |labels|·partitions rows regardless of corpus size."""
+    return vectors.groupBy(label_col).agg(
+        F.array(
+            *[
+                F.round(F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")), decimals)
+                for i in range(dim)
+            ]
+        ).alias("centroid")
+    )
+
+
+def knn_classify(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """k-NN majority-vote classification: each query takes the modal label
+    of its k nearest corpus vectors (itself excluded), ties broken toward
+    the smaller label. Same broadcast-scored shape as cosine_topk plus a
+    per-query vote aggregate (max_by over (votes, -label) — partial-agg,
+    no second sort)."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored = (
+        vectors.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(label_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    votes = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy(query_id_col, label_col)
+        .agg(F.count("*").alias("n_votes"))
+    )
+    return votes.groupBy(query_id_col).agg(
+        F.max_by(
+            F.struct(F.col(label_col).alias("l"), F.col("n_votes").alias("n")),
+            F.struct(F.col("n_votes"), (-F.col(label_col)).cast("long")),
+        ).alias("__best")
+    ).select(
+        query_id_col,
+        F.col("__best.l").alias("predicted_label"),
+        F.col("__best.n").alias("n_votes"),
+    )
+
+
 def _plane_signs(plane: int, dim: int) -> list[float]:
     """±1 Rademacher plane from md5 parity — identical to the SQL spelling
     ascii(substring(md5(p || '-' || i), 1, 1)) % 2 = 0, but computed ONCE

@@ -1399,3 +1399,113 @@ def sample_weighted(spark, sf_dir):
         F.sum("doc_id").alias("id_checksum"),
         F.sum("n_chars").alias("chars_kept"),
     )
+
+
+@register(
+    "sample_domain_mix",
+    oracle="""
+    WITH w(lang, w) AS (
+        VALUES ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+               ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+               ('zh', CAST(0.1 AS DOUBLE))
+    ),
+    c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    t AS (SELECT MIN(c.c / w.w) AS T FROM c JOIN w ON c.lang = w.lang),
+    r AS (
+        SELECT c.lang,
+               CAST(FLOOR(1000000 * t.T * w.w / c.c) AS BIGINT) AS thresh
+        FROM c JOIN w ON c.lang = w.lang CROSS JOIN t
+    )
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept, SUM(d.doc_id) AS id_checksum
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000 < r.thresh
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def sample_domain_mix(spark, sf_dir):
+    """Domain-mix resampling (functions.sampling.domain_mix_sample): keep
+    rates per language derived from target weights 40/20/20/10/10 vs the
+    corpus's natural mix — the binding domain keeps 100%, everything else
+    downsamples to match. Map-only filter after a |domains|-row broadcast;
+    census output per language."""
+    from blazingsql_spark.functions import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.domain_mix_sample(
+        docs,
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
+        domain_col="lang",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_kept"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT label, UNNEST(embedding::DOUBLE[]) AS x,
+               UNNEST(generate_series(1, LEN(embedding))) AS pos
+        FROM embeddings
+    ),
+    m AS (SELECT label, pos, ROUND(AVG(x), 6) AS x FROM e GROUP BY label, pos)
+    SELECT label, ARRAY_AGG(x ORDER BY pos) AS centroid
+    FROM m GROUP BY label ORDER BY label
+    """,
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (functions.similarity.label_centroids):
+    class prototypes via ONE groupBy of 64 parallel avg() aggregates —
+    map-side partial aggregation, shuffle carries ≤|labels| rows per
+    partition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb).orderBy("label")
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label, {_COSINE_ORACLE} AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id) AS rnk
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM ranked WHERE rnk <= 5 GROUP BY query_id, label
+    )
+    SELECT query_id, label AS predicted_label, n_votes
+    FROM (
+        SELECT query_id, label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, label) AS rn
+        FROM votes
+    ) v WHERE rn = 1
+    ORDER BY query_id
+    """,
+)
+def knn_classify(spark, sf_dir):
+    """k-NN majority-vote classification (functions.similarity
+    .knn_classify): modal label of the 5 nearest neighbors (self excluded),
+    ties toward the smaller label. Broadcast-scored corpus scan + per-query
+    vote aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_classify(emb, queries, k=5).orderBy("query_id")

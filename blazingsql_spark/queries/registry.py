@@ -168,6 +168,9 @@ DRIVER_PRIORITY = (
     "events_trending",
     "events_hopping_window",
     "window_range_time",
+    "sample_domain_mix",
+    "emb_label_centroids",
+    "knn_classify",
     # (b) full-22 TPC-H parity: inline-generated partsupp twins
     "tpch_q2",
     "tpch_q9",

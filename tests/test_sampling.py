@@ -89,3 +89,31 @@ def test_redact_pii_units(spark):
         assert r["want"] in r["got"], r
         assert "@" not in r["got"] or r["want"] == "no pii here"
         assert "192.168" not in r["got"]
+
+
+def test_domain_mix_proportions(spark):
+    """Surviving mix matches the target weights: the binding domain keeps
+    ~100% of its rows, every domain's kept-count ≈ T·w within hash
+    quantization noise."""
+    docs = load_table(spark, SF_DIR, "documents")
+    weights = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+    kept = sampling.domain_mix_sample(docs, weights, domain_col="lang")
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    T = min(counts[d] / w for d, w in weights.items())
+    binding = min(weights, key=lambda d: counts[d] / weights[d])
+    # binding domain: keep-rate 1 (minus at most a one-in-1e6 FP floor edge)
+    assert got[binding] >= counts[binding] - 1
+    for d, w in weights.items():
+        expect = T * w
+        # Bernoulli noise: 4 sigma of binomial stddev + quantization slack
+        slack = 4 * (expect ** 0.5) + 2
+        assert abs(got[d] - expect) <= slack, (d, got[d], expect)
+    # determinism: rerun produces the identical kept set
+    ids1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in
+            sampling.domain_mix_sample(docs, weights, domain_col="lang")
+            .select("doc_id").collect()}
+    assert ids1 == ids2
