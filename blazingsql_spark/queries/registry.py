@@ -176,6 +176,13 @@ DRIVER_PRIORITY = (
     "tpch_q9",
     "tpch_q11",
     "tpch_q20",
+    # (b2) round-3-added subquery suite (Catalyst decorrelation paths)
+    "subquery_in",
+    "subquery_not_in",
+    "subquery_exists",
+    "subquery_not_exists",
+    "subquery_scalar",
+    "subquery_correlated_scalar",
     # (c) sentinels
     "expr_math",
     "text_stats",

@@ -159,6 +159,89 @@ twin(
     tables=("region",),
 )
 
+# ------------------------------------------------------------- subqueries
+# Catalyst decorrelates these into semi/anti/scalar joins — the Spark-first
+# counterpart of the reference's Calcite HepPlanner subquery rewrites
+# (SURVEY §4.1); EXISTS/IN become the same semi/anti kernels the join suite
+# exercises directly.
+
+twin(
+    "subquery_in",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    ORDER BY o_orderkey
+    """,
+    tables=("orders", "customer"),
+)
+
+twin(
+    "subquery_not_in",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0 AND c_custkey IS NOT NULL
+    )
+    ORDER BY o_orderkey
+    """,
+    tables=("orders", "customer"),
+)
+
+twin(
+    "subquery_exists",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    ORDER BY c_custkey
+    """,
+    tables=("customer", "orders"),
+)
+
+twin(
+    "subquery_not_exists",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    ORDER BY c_custkey
+    """,
+    tables=("customer", "orders"),
+)
+
+twin(
+    "subquery_scalar",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)
+
+twin(
+    "subquery_correlated_scalar",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem l
+    WHERE l_partkey < 200
+      AND l_quantity > 1.9 * (
+        SELECT AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    ORDER BY l_orderkey, l_partkey, l_quantity
+    """,
+    tables=("lineitem",),
+)
+
 # ----------------------------------------------------------- aggregations
 
 twin(

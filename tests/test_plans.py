@@ -89,6 +89,8 @@ def test_no_accidental_cartesian_products(spark):
         "sim_ann_ivf",  # corpus x broadcast(centroids, k x dim floats) by design
         "sim_ann_pq",  # ADC scan: codes x broadcast(per-query 256-double tables); plus the exact baseline it scores recall against
         "sim_ann_ivfpq",  # queries x broadcast(centroids) routing + the exact baseline; list scan itself is an equi-join
+        "knn_classify",  # corpus x broadcast(query set) with != self filter — same brute-force shape as sim_cosine_topk
+        "sample_domain_mix",  # corpus x broadcast(1-row min-total aggregate)
         # tpch_extra: every BNLJ is against a bounded broadcast side — the
         # 1-row supplier-count aggregate / 4-row generator helper in
         # PARTSUPP_CTE, or a 1-row scalar-subquery result (q2 min-cost,
