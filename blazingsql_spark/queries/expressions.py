@@ -392,3 +392,39 @@ twin(
     """,
     tables=("region",),
 )
+
+
+# Array/list expression surface — dialect-divergent spellings (Spark
+# ARRAY/SIZE/ELEMENT_AT vs DuckDB [..]/LEN/[idx]), identical semantics.
+pair(
+    "expr_array",
+    """
+    SELECT l_orderkey, l_linenumber,
+           SIZE(ARRAY(l_orderkey, l_partkey, l_suppkey))                 AS arr_len,
+           ELEMENT_AT(ARRAY(l_orderkey, l_partkey, l_suppkey), 2)       AS second,
+           ARRAY_CONTAINS(ARRAY(l_orderkey, l_partkey, l_suppkey), l_suppkey) AS has_supp,
+           ARRAY_MAX(ARRAY(l_orderkey, l_partkey, l_suppkey))           AS amax,
+           ARRAY_MIN(ARRAY(l_orderkey, l_partkey, l_suppkey))           AS amin,
+           SORT_ARRAY(ARRAY(l_suppkey, l_partkey))                      AS sorted2,
+           SLICE(ARRAY(l_orderkey, l_partkey, l_suppkey), 1, 2)         AS first2,
+           SORT_ARRAY(ARRAY_DISTINCT(ARRAY(l_orderkey, l_orderkey, l_partkey))) AS dedup
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           LEN([l_orderkey, l_partkey, l_suppkey])                      AS arr_len,
+           [l_orderkey, l_partkey, l_suppkey][2]                        AS second,
+           LIST_CONTAINS([l_orderkey, l_partkey, l_suppkey], l_suppkey) AS has_supp,
+           LIST_MAX([l_orderkey, l_partkey, l_suppkey])                 AS amax,
+           LIST_MIN([l_orderkey, l_partkey, l_suppkey])                 AS amin,
+           LIST_SORT([l_suppkey, l_partkey])                            AS sorted2,
+           LIST_SLICE([l_orderkey, l_partkey, l_suppkey], 1, 2)         AS first2,
+           LIST_SORT(LIST_DISTINCT([l_orderkey, l_orderkey, l_partkey])) AS dedup
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tables=("lineitem",),
+)

@@ -183,6 +183,11 @@ DRIVER_PRIORITY = (
     "subquery_not_exists",
     "subquery_scalar",
     "subquery_correlated_scalar",
+    # (b3) round-3 SQL-surface additions
+    "limit_offset",
+    "agg_having",
+    "agg_percentile_cont",
+    "expr_array",
     # (c) sentinels
     "expr_math",
     "text_stats",

@@ -989,3 +989,50 @@ twin(
     """,
     tables=("customer", "nation"),
 )
+
+
+# ---------------------------------------------------- round-3 SQL surface
+
+# OFFSET pagination (reference LogicalLimit carries no offset — superset).
+twin(
+    "limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    tables=("orders",),
+)
+
+# HAVING over grouped aggregates.
+twin(
+    "agg_having",
+    """
+    SELECT l_suppkey, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 25
+    ORDER BY l_suppkey
+    """,
+    tables=("lineitem",),
+)
+
+# Interpolated / discrete percentiles (ordered-set aggregates; the exact
+# complement of agg_approx_percentile's sketch path).
+twin(
+    "agg_percentile_cont",
+    """
+    SELECT l_returnflag,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity), 6)
+               AS p50_qty,
+           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 6)
+               AS p90_price,
+           ROUND(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity), 6)
+               AS p25_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tables=("lineitem",),
+)
