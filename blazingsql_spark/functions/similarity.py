@@ -401,7 +401,10 @@ def ivf_train_centroids(
             # materialize the k-row table NOW: without this, iteration N's
             # plan re-embeds (and re-scans the corpus for) iterations
             # 1..N-1 — O(iter²) corpus scans — and every downstream use of
-            # the trained centroids re-runs the whole loop again
+            # the trained centroids re-runs the whole loop again.
+            # coalesce(1): k rows don't need 32 shuffle partitions' worth
+            # of tasks on every later read
+            .coalesce(1)
             .localCheckpoint(eager=True)
         )
     return centroids
@@ -628,7 +631,9 @@ def pq_train_codebooks(
             )
             # materialize the m×ksub-row table per iteration: breaks the
             # O(iter²) lineage stack and makes the trained codebooks a
-            # cheap read for BOTH downstream uses (encode + ADC tables)
+            # cheap read for BOTH downstream uses (encode + ADC tables);
+            # coalesce(1) — 256 rows, one task
+            .coalesce(1)
             .localCheckpoint(eager=True)
         )
     return books
