@@ -66,3 +66,38 @@ def bucketed_table(
         .saveAsTable(name)
     )
     return spark.table(name)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_as: str | None = "n",
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase grouped aggregation for pathologically hot keys: phase 1
+    aggregates on (keys + hash-salt) — the hot key's rows spread over
+    `salt` reducers — phase 2 merges the ≤salt partials per key. Result is
+    EXACTLY groupBy(keys).agg(count, sums) (integer/long sums merge
+    losslessly; use decomposed sum/count for averages).
+
+    AQE's skew split handles moderate skew on its own; this is the remedy
+    for a single key larger than an executor, at the cost of one extra
+    (tiny: |keys|·salt rows) aggregation stage.
+    """
+    sum_cols = sum_cols or {}
+    # row-dependent salt (NOT key-dependent — the point is to spread one
+    # key's rows); partial merge is exact so the salt value itself never
+    # affects the result
+    salted = df.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        F.count("*").alias("__pc"),
+        *[F.sum(src).alias(f"__ps_{dst}") for dst, src in sum_cols.items()],
+    )
+    aggs = []
+    if count_as:
+        aggs.append(F.sum("__pc").alias(count_as))
+    aggs += [F.sum(f"__ps_{dst}").alias(dst) for dst in sum_cols]
+    return phase1.groupBy(*keys).agg(*aggs)

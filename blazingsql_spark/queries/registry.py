@@ -188,6 +188,9 @@ DRIVER_PRIORITY = (
     "agg_having",
     "agg_percentile_cont",
     "expr_array",
+    "agg_filter_clause",
+    "window_ignore_nulls",
+    "agg_salted_skew",
     # (c) sentinels
     "expr_math",
     "text_stats",

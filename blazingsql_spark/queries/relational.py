@@ -1036,3 +1036,72 @@ twin(
     """,
     tables=("lineitem",),
 )
+
+
+# Aggregate FILTER clause (per-aggregate predicates, one pass).
+twin(
+    "agg_filter_clause",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05)            AS n_disc,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_tax > 0.03), 2) AS qty_taxed,
+           COUNT(*)                                              AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tables=("lineitem",),
+)
+
+# IGNORE NULLS window carry-forward (gap filling) — dialect-divergent
+# placement: Spark puts IGNORE NULLS after the call, DuckDB inside it.
+pair(
+    "window_ignore_nulls",
+    """
+    SELECT o_orderkey, o_custkey,
+           LAST_VALUE(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END)
+               IGNORE NULLS
+               OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_f_order
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           LAST_VALUE(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END
+                      IGNORE NULLS)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_f_order
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_v
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Salted two-phase aggregation (operators.skew.salted_agg): the
+    hot-key remedy when one grouping key exceeds an executor — phase 1
+    spreads each key over 16 salted reducers, phase 2 merges the partials.
+    Result is bit-equal to the plain GROUP BY (the oracle)."""
+    from blazingsql_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v_cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    out = salted_agg(ev, ["event_type"], sum_cols={"total_cents": "v_cents"}, count_as="n")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("total_cents").cast("double") / 100).alias("total_v"),
+    ).orderBy("event_type")
