@@ -265,3 +265,31 @@ def test_bucketed_dedup_index_never_reshuffles(spark, tmp_path):
     self_matches = again.filter(F.col("new_id") == F.col("corpus_id")).count()
     assert self_matches == batch.count()
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """salted_agg must be bit-equal to the plain GROUP BY on a genuinely
+    skewed key (l_returnflag: 3 values over all of lineitem), for any salt."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.operators.skew import salted_agg
+    from blazingsql_spark.queries.registry import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").withColumn(
+        "q_cents", F.floor(F.col("l_quantity") * 100).cast("long")
+    )
+    plain = {
+        r["l_returnflag"]: (r["n"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("q_cents").alias("s"))
+        .collect()
+    }
+    for salt in (2, 16, 64):
+        got = {
+            r["l_returnflag"]: (r["n"], r["s"])
+            for r in salted_agg(
+                li, ["l_returnflag"], sum_cols={"s": "q_cents"}, count_as="n", salt=salt
+            ).collect()
+        }
+        assert got == plain, (salt, got, plain)
