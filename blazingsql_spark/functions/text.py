@@ -234,3 +234,45 @@ def repetition_stats(
         (F.count("*") / F.sum("n")).alias("distinct_bigram_ratio"),
         (F.max("n") / F.sum("n")).alias("top_bigram_frac"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every line that
+    appears in >= min_df distinct documents (copyright footers, nav bars,
+    cookie banners), then reassemble each document's remaining lines in
+    order.
+
+    Plan shape for 100 TB: lines = one posexplode (no shuffle);
+    per-line document frequency = one partial-aggregated groupBy on the
+    line hash; the boilerplate SET (lines over the threshold) is small by
+    nature — broadcast LEFT ANTI join back onto the lines, so the corpus
+    never shuffles on the line key a second time; final reassembly is one
+    groupBy on the doc id. Documents whose every line is boilerplate
+    disappear (0 surviving lines), matching the SQL-oracle semantics.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )

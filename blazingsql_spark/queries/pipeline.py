@@ -1509,3 +1509,63 @@ def knn_classify(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.knn_classify(emb, queries, k=5).orderBy("query_id")
+
+
+@register(
+    "text_boilerplate",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id,
+               text || chr(10) ||
+               CASE WHEN doc_id % 2 = 0 THEN 'copyright footer all rights reserved'
+                    ELSE 'unique line ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+               CASE WHEN doc_id % 5 = 0 THEN 'subscribe to our newsletter'
+                    ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, pos, line
+        FROM corpus CROSS JOIN LATERAL (
+            SELECT UNNEST(string_split(text, chr(10))) AS line,
+                   UNNEST(generate_series(1, LEN(string_split(text, chr(10))))) AS pos
+        ) u
+    ),
+    boiler AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines
+            WHERE TRIM(line) <> '' GROUP BY line
+        ) t WHERE df >= 3
+    )
+    SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS text
+    FROM lines
+    WHERE line NOT IN (SELECT line FROM boiler)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_boilerplate(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal (functions.text
+    .remove_boilerplate_lines): lines appearing in >=3 documents are
+    dropped, documents reassembled in line order. The fixture docs are
+    single-line, so the query synthesizes a multi-line corpus inside the
+    query (planted footers on doc_id%2/doc_id%5) — both engines build the
+    same corpus, the removal behavior itself is what's compared."""
+    from blazingsql_spark.functions.text import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("copyright footer all rights reserved"),
+            ).otherwise(F.concat(F.lit("unique line "), F.col("doc_id"))),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("subscribe to our newsletter")
+            ).otherwise(F.concat(F.lit("tail "), F.col("doc_id"))),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(corpus, min_df=3).orderBy("doc_id")

@@ -191,6 +191,7 @@ DRIVER_PRIORITY = (
     "agg_filter_clause",
     "window_ignore_nulls",
     "agg_salted_skew",
+    "text_boilerplate",
     # (c) sentinels
     "expr_math",
     "text_stats",

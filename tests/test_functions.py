@@ -343,3 +343,23 @@ def test_chunk_documents_properties(spark):
     assert flat == [f"t{i}" for i in range(100)]  # full coverage, no gaps
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 32
     assert len(by_doc[4]) == 1 and by_doc[4][0]["n_chunk_tokens"] == 0
+
+
+def test_remove_boilerplate_lines_units(spark):
+    from blazingsql_spark.functions.text import remove_boilerplate_lines
+
+    rows = [
+        (1, "alpha\nFOOTER\nbody one"),
+        (2, "beta\nFOOTER\nbody two"),
+        (3, "gamma\nFOOTER"),
+        (4, "delta only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(df, min_df=3).collect()}
+    assert out[1] == "alpha\nbody one"      # FOOTER (df=3) removed
+    assert out[2] == "beta\nbody two"
+    assert out[3] == "gamma"
+    assert out[4] == "delta only"           # untouched
+    # below threshold: nothing removed
+    out2 = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(df, min_df=4).collect()}
+    assert out2[1] == "alpha\nFOOTER\nbody one"
