@@ -1569,3 +1569,22 @@ def text_boilerplate(spark, sf_dir):
         ).alias("text"),
     )
     return remove_boilerplate_lines(corpus, min_df=3).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id, f.frame_idx,
+           CAST(f.frame_idx AS DOUBLE) / 4 AS offset_pct
+    FROM documents
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS frame_idx) f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plan (functions.multimodal.frame_sample_plan):
+    the (id, frame_idx, offset_pct) explosion is emitted JVM-side BEFORE
+    any decoder runs, so each Python task's working set is one frame, not
+    one video — the Spark-side plumbing the stubbed decoder seeks by."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_sample_plan(docs, n_frames=4).orderBy("doc_id", "frame_idx")

@@ -192,6 +192,7 @@ DRIVER_PRIORITY = (
     "window_ignore_nulls",
     "agg_salted_skew",
     "text_boilerplate",
+    "multimodal_frames",
     # (c) sentinels
     "expr_math",
     "text_stats",
