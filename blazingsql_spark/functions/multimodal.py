@@ -83,9 +83,12 @@ def decode_features(
             "real media decoding needs PIL/cv2/librosa — not available in this container; "
             "use fake=True for the deterministic stand-in"
         )
+    # id keeps its incoming type (bigint doc ids, string file paths from the
+    # binaryFile source, ...) — the decode contract only touches the payload
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, id_type),
             T.StructField("n_bytes", T.LongType()),
             T.StructField("features", T.ArrayType(T.FloatType())),
         ]
@@ -96,7 +99,7 @@ def decode_features(
             payloads = pdf[payload_col]
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "features": payloads.map(lambda b: _fake_decode(bytes(b), feature_dim)),
                 }

@@ -73,3 +73,24 @@ def write_any(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw media ingestion via Spark's binaryFile source: one row per file
+    with (path, modificationTime, length, content binary). This is the
+    on-ramp for the multimodal pipeline — pair with
+    functions.multimodal.decode_features / resize_images, which consume the
+    binary column Arrow-batched. Scale note: binaryFile caps each file into
+    one task; set spark.sql.files.maxPartitionBytes accordingly for many
+    small files (the source packs small files per task automatically)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)

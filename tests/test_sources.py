@@ -95,3 +95,34 @@ def test_jdbc_sqlite_roundtrip(tmp_path):
         assert {r.k for r in back.collect()} == set(range(100))
     finally:
         spark.stop()
+
+
+def test_binary_file_ingestion_to_multimodal(spark, tmp_path):
+    """binaryFile source → multimodal decode: the real media on-ramp."""
+    from blazingsql_spark.functions.multimodal import decode_features
+    from blazingsql_spark.sources.io import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {f"clip_{i}.bin": bytes([i] * (10 + i)) for i in range(4)}
+    for name, blob in payloads.items():
+        (media / name).write_bytes(blob)
+    (media / "notes.txt").write_text("not media")
+
+    df = read_binary_files(spark, str(media), glob="*.bin")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 4
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in rows}
+    assert got == payloads
+
+    from pyspark.sql import functions as F
+
+    feats = decode_features(
+        df.select(F.col("path").alias("doc_id"), F.col("content").alias("payload")),
+        id_col="doc_id",
+        feature_dim=8,
+    ).collect()
+    assert len(feats) == 4
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert r["n_bytes"] >= 10
