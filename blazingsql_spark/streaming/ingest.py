@@ -62,8 +62,17 @@ class DedupIngest:
                 return False
         return True
 
+    def _prepare(self, batch: DataFrame) -> DataFrame:
+        """Pre-dedup hook (subclasses: quality gates, normalization)."""
+        return batch
+
+    def _finalize(self, clean: DataFrame) -> DataFrame:
+        """Pre-write hook (subclasses: add assignment columns). Must only
+        ADD columns — signatures are built from the un-finalized rows."""
+        return clean
+
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
-        batch = batch.persist()
+        batch = self._prepare(batch).persist()
         if self._index_exists():
             dup_ids = (
                 incremental_near_dup_check(
@@ -85,7 +94,7 @@ class DedupIngest:
         # in-batch dedup as well: drop later copies inside the same epoch
         clean = clean.dropDuplicates([self.text_col]).persist()
 
-        clean.write.mode("append").parquet(self.corpus_path)
+        self._finalize(clean).write.mode("append").parquet(self.corpus_path)
         _banded_signatures(
             clean, self.text_col, self.id_col, self.num_hashes, self.bands, self.shingle_n
         ).write.mode("append").parquet(self.index_path)
@@ -137,3 +146,29 @@ def run_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class CorpusPrepIngest(DedupIngest):
+    """Full streaming corpus preparation, per micro-batch:
+
+    quality gate → online near-dup filter (persisted band index) →
+    train/val/test split + shard assignment → partitioned corpus append.
+
+    The batch twin of this composition is the `pipeline_prepare_corpus`
+    registry query; the streaming form keeps every property that matters
+    at ingest time — restart-safe (index probed on disk, not in memory),
+    exactly-once per epoch (foreachBatch), assignments hash-stable (a
+    document's split/shard never depends on when it arrived — the same
+    guarantee the batch pipeline gives, which is what makes streaming and
+    batch corpus prep interchangeable)."""
+
+    def _prepare(self, batch: DataFrame) -> DataFrame:
+        from blazingsql_spark.functions.text import quality_ok
+
+        gated = quality_ok(batch, self.text_col).filter(F.col("quality_ok"))
+        return gated.select(*batch.columns)
+
+    def _finalize(self, clean: DataFrame) -> DataFrame:
+        from blazingsql_spark.functions.sampling import assign_shard, assign_split
+
+        return assign_shard(assign_split(clean, self.id_col), self.id_col, n_shards=64)

@@ -239,3 +239,46 @@ def test_split_assignment_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_corpus_prep_ingest(spark, tmp_path):
+    """Streaming corpus prep = quality gate → dedup → split/shard: the
+    output corpus must contain exactly the quality-passing, deduped docs,
+    with split/shard assignments IDENTICAL to the batch operators (hash-
+    stable — arrival time must not matter)."""
+    from blazingsql_spark.functions.sampling import assign_shard, assign_split
+    from blazingsql_spark.functions.text import quality_ok
+    from blazingsql_spark.streaming.ingest import CorpusPrepIngest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    junk = spark.createDataFrame(
+        [(9000 + i, "x" * 50) for i in range(5)]  # 1 token → fails quality
+        + [(9100 + i, "!!! ??? ;;; ::: @@@ ###") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    b1 = docs.filter("doc_id < 40").union(junk)
+    copies = docs.filter("doc_id < 5").select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    b2 = docs.filter("doc_id >= 40 AND doc_id < 60").union(copies)
+
+    handler = CorpusPrepIngest(spark, str(tmp_path / "index"), str(tmp_path / "corpus"))
+    handler(b1, 0)
+    handler(b2, 1)
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    # junk never ingested; near-dup copies of batch-1 docs filtered in batch 2
+    assert not any(9000 <= i < 9200 for i in ids), ids
+    assert not any(5000 <= i < 5005 for i in ids), ids
+    # every quality-passing original doc either ingested or dropped as a
+    # near-dup of an earlier one; quality-fail docs exactly excluded
+    gated = quality_ok(docs.filter("doc_id < 60"), "text").filter("quality_ok")
+    assert ids <= {r.doc_id for r in gated.collect()}
+    # assignments match the batch operators exactly (hash-stable)
+    want = {
+        r.doc_id: (r.split, r.shard)
+        for r in assign_shard(assign_split(gated, "doc_id"), "doc_id", n_shards=64).collect()
+    }
+    for r in corpus.select("doc_id", "split", "shard").collect():
+        assert (r.split, r.shard) == want[r.doc_id], r
