@@ -193,6 +193,8 @@ DRIVER_PRIORITY = (
     "agg_salted_skew",
     "text_boilerplate",
     "multimodal_frames",
+    "agg_corr_covar",
+    "agg_regression",
     # (c) sentinels
     "expr_math",
     "text_stats",

@@ -1105,3 +1105,36 @@ def agg_salted_skew(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         (F.col("total_cents").cast("double") / 100).alias("total_v"),
     ).orderBy("event_type")
+
+
+# Correlation / covariance aggregates (superset — reference has none).
+twin(
+    "agg_corr_covar",
+    """
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 6)      AS covs_qty_disc,
+           ROUND(COVAR_POP(l_quantity, l_discount), 6)       AS covp_qty_disc,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4)            AS sd_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tables=("lineitem",),
+)
+
+# Linear-regression aggregates.
+twin(
+    "agg_regression",
+    """
+    SELECT o_orderstatus,
+           ROUND(REGR_SLOPE(o_totalprice, o_custkey), 6)     AS slope,
+           ROUND(REGR_INTERCEPT(o_totalprice, o_custkey), 4) AS icept,
+           ROUND(REGR_R2(o_totalprice, o_custkey), 6)        AS r2,
+           CAST(REGR_COUNT(o_totalprice, o_custkey) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tables=("orders",),
+)
