@@ -428,3 +428,22 @@ pair(
     """,
     tables=("lineitem",),
 )
+
+
+# Padding/repetition/charcode string surface (reference string kernel
+# extensions; both dialects share these spellings).
+twin(
+    "expr_string_pad",
+    """
+    SELECT c_custkey,
+           LPAD(CAST(c_custkey AS STRING), 8, '0')    AS padded_id,
+           RPAD(c_mktsegment, 12, '.')                AS seg_cell,
+           REPEAT('-', 5)                             AS rule,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou')  AS lower_vowels,
+           ASCII(SUBSTRING(c_name, 1, 1))             AS first_code,
+           CHR(65 + CAST(c_custkey % 26 AS INT))      AS cycle_char
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tables=("customer",),
+)

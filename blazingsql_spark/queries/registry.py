@@ -195,6 +195,7 @@ DRIVER_PRIORITY = (
     "multimodal_frames",
     "agg_corr_covar",
     "agg_regression",
+    "expr_string_pad",
     # (c) sentinels
     "expr_math",
     "text_stats",
