@@ -447,3 +447,44 @@ twin(
     """,
     tables=("customer",),
 )
+
+
+# Map expression surface — dialect-divergent construction (Spark MAP(k,v)
+# vs DuckDB MAP {k: v}; DuckDB's [] extraction yields a 1-element list).
+pair(
+    "expr_map",
+    """
+    SELECT o_orderkey,
+           ELEMENT_AT(MAP('ok', o_orderkey, 'ck', o_custkey), 'ck') AS ck_val,
+           SIZE(MAP('ok', o_orderkey, 'ck', o_custkey))             AS m_size,
+           SORT_ARRAY(MAP_KEYS(MAP('ok', o_orderkey, 'ck', o_custkey))) AS m_keys
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           MAP {'ok': o_orderkey, 'ck': o_custkey}['ck'][1]         AS ck_val,
+           CAST(CARDINALITY(MAP {'ok': o_orderkey, 'ck': o_custkey}) AS INT) AS m_size,
+           LIST_SORT(MAP_KEYS(MAP {'ok': o_orderkey, 'ck': o_custkey})) AS m_keys
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+    tables=("orders",),
+)
+
+# UNPIVOT (wide → long) — the inverse of pivot_status; both dialects speak
+# the SQL-standard form.
+twin(
+    "unpivot_metrics",
+    """
+    SELECT o_orderkey, metric, val
+    FROM (
+        SELECT o_orderkey, o_totalprice AS price, CAST(o_custkey AS DOUBLE) AS cust
+        FROM orders WHERE o_orderkey < 200
+    ) UNPIVOT (val FOR metric IN (price, cust))
+    ORDER BY o_orderkey, metric
+    """,
+    tables=("orders",),
+)

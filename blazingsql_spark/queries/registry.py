@@ -196,6 +196,8 @@ DRIVER_PRIORITY = (
     "agg_corr_covar",
     "agg_regression",
     "expr_string_pad",
+    "expr_map",
+    "unpivot_metrics",
     # (c) sentinels
     "expr_math",
     "text_stats",
