@@ -127,3 +127,38 @@ def test_range_join_matches_naive_model(spark, lrows, rrows):
         if lk == rk and abs(lv - rv) <= 5.0
     }
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(min_size=0, max_size=40),  # includes unicode + empties
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    st.sampled_from(["", "split", "mix", "überSalt"]),
+)
+def test_hash_bucket_portable_to_duckdb(spark, keys, salt):
+    """Every sampling/split/shard decision rides hash_bucket — Spark's
+    conv(substring(md5(...)) and DuckDB's ('0x' || substr(md5(...)))::BIGINT
+    must agree for ANY key (unicode, empty, negative ints) and salt, or
+    assignments silently diverge between engine and oracle."""
+    import duckdb
+
+    from blazingsql_spark.functions.sampling import hash_bucket
+
+    df = spark.createDataFrame([(str(k),) for k in keys], ["k"])
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", hash_bucket(F.col("k"), 10_000, salt).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(? || ?), 1, 15))::BIGINT % 10000", [salt, str(k)]
+        ).fetchone()[0]
+        assert got[str(k)] == want, (k, salt, got[str(k)], want)
