@@ -198,6 +198,9 @@ DRIVER_PRIORITY = (
     "expr_string_pad",
     "expr_map",
     "unpivot_metrics",
+    "events_funnel",
+    "events_retention",
+    "window_ratio_to_report",
     # (c) sentinels
     "expr_math",
     "text_stats",

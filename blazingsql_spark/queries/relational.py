@@ -1138,3 +1138,81 @@ twin(
     """,
     tables=("orders",),
 )
+
+
+# Ordered-funnel analysis (complex-event processing, batch form): users who
+# viewed, then clicked AFTER the view, then purchased AFTER the click.
+twin(
+    "events_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+    tables=("events",),
+)
+
+# Cohort retention: users grouped by first-seen day, distinct-active counts
+# per subsequent week. Dialect-divergent DATEDIFF argument order.
+pair(
+    "events_retention",
+    """
+    WITH f AS (
+        SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events)
+    SELECT f.cohort_day,
+           CAST(FLOOR(DATEDIFF(act.day, f.cohort_day) / 7) AS BIGINT) AS week_n,
+           CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS active_users
+    FROM f JOIN act ON f.user_id = act.user_id
+    GROUP BY f.cohort_day, week_n
+    ORDER BY f.cohort_day, week_n
+    """,
+    oracle="""
+    WITH f AS (
+        SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events)
+    SELECT f.cohort_day,
+           CAST(FLOOR(DATEDIFF('day', f.cohort_day, act.day) / 7) AS BIGINT) AS week_n,
+           CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS active_users
+    FROM f JOIN act ON f.user_id = act.user_id
+    GROUP BY f.cohort_day, week_n
+    ORDER BY f.cohort_day, week_n
+    """,
+    tables=("events",),
+)
+
+# Ratio-to-report: each line's share of its order total, on the exact cent
+# grid so the window sum is order-independent across engines.
+twin(
+    "window_ratio_to_report",
+    """
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * 1000000.0 /
+                 SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                     OVER (PARTITION BY l_orderkey)) / 1000000 AS price_share
+    FROM lineitem
+    WHERE l_orderkey < 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tables=("lineitem",),
+)
