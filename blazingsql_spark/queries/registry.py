@@ -84,9 +84,11 @@ def _prepare_session(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prepare_session(spark)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-        # timestamp; read as long and truncate to microseconds (identical to
-        # DuckDB's TIMESTAMP_NS→TIMESTAMP cast, so oracles stay comparable).
+        # events.ts resolution varies across fixture regenerations (NANOS in
+        # rounds 1-2, MICROS since round 3) — under nanosAsLong a NANOS file
+        # surfaces ts as bigint (truncate to µs, identical to DuckDB's
+        # TIMESTAMP_NS→TIMESTAMP cast); a MICROS file reads as timestamp
+        # directly. Probe the dtype, never assume.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
@@ -148,6 +150,12 @@ _loaded = False
 # so both registry halves get re-verified within two rounds (ROADMAP
 # alternating plan). Everything else follows in registration order.
 DRIVER_PRIORITY = (
+    # (c) sentinels FIRST — the two round-2 red rows (cast fixes that must
+    # show green in CORRECTNESS_r03) + the standing tpch_q1 canary; they
+    # must never fall off the end of the ~50-row driver window
+    "expr_math",
+    "text_stats",
+    "tpch_q1",
     # (a) no driver row yet — round-2 additions
     "agg_approx_percentile",
     "docs_pack",
@@ -201,10 +209,6 @@ DRIVER_PRIORITY = (
     "events_funnel",
     "events_retention",
     "window_ratio_to_report",
-    # (c) sentinels
-    "expr_math",
-    "text_stats",
-    "tpch_q1",
     # (d) round-1-green block rotating back in
     "tpch_q3",
     "tpch_q4",
