@@ -488,3 +488,33 @@ twin(
     """,
     tables=("orders",),
 )
+
+
+# TRY_CAST: malformed input → NULL instead of error (both dialects).
+twin(
+    "expr_try_cast",
+    """
+    SELECT c_custkey,
+           TRY_CAST(c_name AS DOUBLE)                        AS bad_double,
+           TRY_CAST(CAST(c_custkey AS STRING) AS INT)        AS good_int,
+           CAST(TRY_CAST(c_mktsegment AS DATE) AS TIMESTAMP) AS bad_date,
+           CAST(TRY_CAST('1997-03-15' AS DATE) AS TIMESTAMP) AS good_date
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tables=("customer",),
+)
+
+# GREATEST / LEAST n-ary comparisons.
+twin(
+    "expr_greatest_least",
+    """
+    SELECT l_orderkey, l_linenumber,
+           GREATEST(l_quantity, l_discount * 100, 10.0) AS g,
+           LEAST(l_quantity, l_extendedprice / 1000, 49.0) AS l
+    FROM lineitem
+    WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tables=("lineitem",),
+)

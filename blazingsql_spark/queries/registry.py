@@ -209,6 +209,11 @@ DRIVER_PRIORITY = (
     "events_funnel",
     "events_retention",
     "window_ratio_to_report",
+    "agg_grouping_fn",
+    "intersect_all",
+    "except_distinct",
+    "expr_try_cast",
+    "expr_greatest_least",
     # (d) round-1-green block rotating back in
     "tpch_q3",
     "tpch_q4",

@@ -1216,3 +1216,43 @@ twin(
     """,
     tables=("lineitem",),
 )
+
+
+# GROUPING() indicator over ROLLUP (distinguishes "NULL because subtotal"
+# from "NULL because data").
+twin(
+    "agg_grouping_fn",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT)  AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT)  AS g_ls,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+    """,
+    tables=("lineitem",),
+)
+
+# Remaining set-op spellings (complement of intersect / except_all).
+twin(
+    "intersect_all",
+    """
+    SELECT l_suppkey FROM lineitem WHERE l_orderkey < 500
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+    ORDER BY l_suppkey
+    """,
+    tables=("lineitem",),
+)
+
+twin(
+    "except_distinct",
+    """
+    SELECT c_nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY c_nationkey
+    """,
+    tables=("customer", "supplier"),
+)
