@@ -180,3 +180,21 @@ def test_subqueries_decorrelate_to_joins(spark):
     assert "HashAggregate" in p or "SortAggregate" in p, p[:2000]
     assert "LeftSemi" in p or "Join" in p, p[:2000]
     assert "CartesianProduct" not in p, p[:2000]
+
+
+def test_domain_mix_corpus_never_shuffles_on_domain(spark):
+    """domain_mix_sample's corpus side must take the threshold table as a
+    BROADCAST join (the only exchanges belong to the tiny per-domain count
+    aggregate) — a SortMergeJoin here would shuffle the full corpus on the
+    domain key, the exact thing the operator exists to avoid."""
+    from blazingsql_spark.functions import sampling
+    from blazingsql_spark.queries.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = sampling.domain_mix_sample(
+        docs, {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
+        domain_col="lang",
+    )
+    strategies = join_strategies(kept)
+    assert strategies.get("BroadcastHashJoin", 0) >= 1, strategies
+    assert "SortMergeJoin" not in strategies, strategies
