@@ -276,3 +276,49 @@ def remove_boilerplate_lines(
             "\n",
         ).alias(text_col)
     )
+
+
+def unigram_negative_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """CCNet-style language-model quality score: per-document average
+    negative log-probability under an add-one-smoothed unigram LM trained
+    on the corpus itself (high score = unusual token distribution = likely
+    junk; low = fluent-for-this-corpus).
+
+    Scale shape: the LM is a (token, count) table cut by a FREQUENCY FLOOR
+    (``count >= min_count`` — the standard LM vocab rule, and a pure filter:
+    no global sort, unlike a top-K cut) — small enough to BROADCAST onto
+    the token stream, so scoring is scan-side; out-of-vocab tokens take the
+    unseen-mass probability 1/(N+V). The only corpus-wide shuffles are the
+    vocab count (partial-aggregated) and the per-doc score aggregate.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    vocab_full = toks.groupBy("token").agg(F.count("*").alias("c"))
+    vocab = vocab_full.filter(F.col("c") >= min_count)
+    totals = vocab_full.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + F.col("v"))).alias(
+                "__lp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (F.floor(-F.sum("__lp") / F.count("*") * 10000) / 10000).alias("avg_neg_logprob"),
+    )

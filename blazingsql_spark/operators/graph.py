@@ -1,0 +1,90 @@
+"""Graph operators for dedup canonicalization.
+
+Near-dup detection emits PAIRS (a ≈ b); turning pairs into keep/drop
+decisions needs the transitive closure — a≈b≈c must collapse to ONE
+canonical doc even when a≉c directly. That is connected components over
+the similarity graph, the standard last step of a dedup pipeline
+(each component keeps its min-id member).
+
+``connected_components`` is iterative min-label propagation: every node
+repeatedly adopts the smallest label among itself and its neighbors;
+convergence in O(component diameter) rounds. Each round is one equi-join +
+one partial-aggregated groupBy(min) — no sorts — with the label table
+localCheckpoint'ed per round (same O(iter) lineage discipline as the
+k-means loops in functions.similarity). Production note: for graphs with
+huge diameters the two-phase star-contraction variant (alternating
+large-star/small-star, Kiveris et al., "Connected Components in MapReduce
+and Beyond") halves round counts; near-dup similarity graphs are
+low-diameter clumps, where plain propagation is already optimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component_id) for every node appearing in ``edges``, where
+    component_id is the smallest node id reachable from it. Deterministic;
+    converges early when no label changes (the convergence probe is a
+    bounded limit(1).count per round, not a data collect)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neigh = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("lab")
+        )
+        new_labels = (
+            labels.select("node", "lab")
+            .union(neigh)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("lab").alias("component_id"))
+
+
+def canonical_docs(
+    pairs: DataFrame,
+    all_docs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Keep-set after transitive dedup: every document maps to its
+    component's min id (itself, if it appears in no near-dup pair); keep
+    rows where doc_id == canonical_id."""
+    comp = connected_components(pairs, pair_a, pair_b)
+    with_comp = all_docs.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("canonical_id", F.coalesce(F.col("component_id"), F.col(id_col)))
+    return with_comp.filter(F.col(id_col) == F.col("canonical_id")).drop(
+        "component_id", "canonical_id"
+    )

@@ -1588,3 +1588,77 @@ def multimodal_frames(spark, sf_dir):
     one video — the Spark-side plumbing the stubbed decoder seeks by."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.frame_sample_plan(docs, n_frames=4).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "text_perplexity",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+        FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    vocab_full AS (SELECT token, COUNT(*) AS c FROM t2 GROUP BY token),
+    vocab AS (SELECT token, c FROM vocab_full WHERE c >= 2),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab_full)
+    SELECT t2.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           FLOOR(-SUM(LN((COALESCE(vocab.c, 0) + 1.0) / (tot.n + tot.v)))
+                 / COUNT(*) * 10000) / 10000 AS avg_neg_logprob
+    FROM t2 LEFT JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY t2.doc_id
+    ORDER BY t2.doc_id
+    """,
+)
+def text_perplexity(spark, sf_dir):
+    """Unigram-LM quality score (functions.text.unigram_negative_logprob):
+    per-doc average negative log-prob under an add-one-smoothed unigram
+    model of the corpus (the CCNet perplexity-filter shape, unigram tier).
+    Vocab cut by frequency floor (no global sort), broadcast onto the
+    token stream; min_count=2 exercises the out-of-vocab smoothing path."""
+    from blazingsql_spark.functions.text import unigram_negative_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_negative_logprob(docs, min_count=2).orderBy("doc_id")
+
+
+@register(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+        WHERE doc_id % 7 <> 6
+          AND doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node, node AS lab FROM nodes
+        UNION
+        SELECT s.b AS node, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS component_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Transitive near-dup clustering (operators.graph
+    .connected_components): iterative min-label propagation over a
+    similarity graph. The demo graph chains docs in blocks of 7
+    (id→id+1 edges within a block) — components only emerge through
+    TRANSITIVE closure (endpoints of a chain share no edge), which is
+    exactly what pairwise dedup output needs. Oracle: DuckDB recursive
+    CTE computing min-reachable-label."""
+    from blazingsql_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    edges = (
+        docs.filter((F.col("doc_id") % 7 != 6) & (F.col("doc_id") + 1 <= max_id))
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+    )
+    return (
+        connected_components(edges)
+        .select(F.col("node").alias("doc_id"), "component_id")
+        .orderBy("doc_id")
+    )

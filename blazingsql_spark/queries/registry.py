@@ -214,6 +214,8 @@ DRIVER_PRIORITY = (
     "except_distinct",
     "expr_try_cast",
     "expr_greatest_least",
+    "text_perplexity",
+    "dedup_components",
     # (d) round-1-green block rotating back in
     "tpch_q3",
     "tpch_q4",

@@ -363,3 +363,29 @@ def test_remove_boilerplate_lines_units(spark):
     # below threshold: nothing removed
     out2 = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(df, min_df=4).collect()}
     assert out2[1] == "alpha\nFOOTER\nbody one"
+
+
+def test_connected_components_shapes(spark):
+    from blazingsql_spark.operators.graph import canonical_docs, connected_components
+
+    # chain 1-2-3-4 (diameter 3), cycle 10-11-12-10, star 20-{21,22,23},
+    # isolated edge 30-31
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10),
+         (20, 21), (20, 22), (20, 23), (30, 31)],
+        ["src", "dst"],
+    )
+    comp = {r["node"]: r["component_id"] for r in connected_components(edges).collect()}
+    assert {n: comp[n] for n in (1, 2, 3, 4)} == {n: 1 for n in (1, 2, 3, 4)}
+    assert {comp[n] for n in (10, 11, 12)} == {10}
+    assert {comp[n] for n in (20, 21, 22, 23)} == {20}
+    assert {comp[n] for n in (30, 31)} == {30}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 4, 10, 20, 21, 30, 31, 99)],
+        ["doc_id", "text"],
+    )
+    pairs = edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    kept = {r["doc_id"] for r in canonical_docs(pairs, docs).collect()}
+    # one canonical per component + untouched isolated doc 99
+    assert kept == {1, 10, 20, 30, 99}
