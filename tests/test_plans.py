@@ -91,6 +91,7 @@ def test_no_accidental_cartesian_products(spark):
         "sim_ann_ivfpq",  # queries x broadcast(centroids) routing + the exact baseline; list scan itself is an equi-join
         "knn_classify",  # corpus x broadcast(query set) with != self filter — same brute-force shape as sim_cosine_topk
         "sample_domain_mix",  # corpus x broadcast(1-row min-total aggregate)
+        "text_perplexity",  # token stream x broadcast(1-row N/V totals)
         # tpch_extra: every BNLJ is against a bounded broadcast side — the
         # 1-row supplier-count aggregate / 4-row generator helper in
         # PARTSUPP_CTE, or a 1-row scalar-subquery result (q2 min-cost,
