@@ -216,6 +216,8 @@ DRIVER_PRIORITY = (
     "expr_greatest_least",
     "text_perplexity",
     "dedup_components",
+    "events_gapfill",
+    "events_anomaly",
     # (d) round-1-green block rotating back in
     "tpch_q3",
     "tpch_q4",

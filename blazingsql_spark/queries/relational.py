@@ -1256,3 +1256,74 @@ twin(
     """,
     tables=("customer", "supplier"),
 )
+
+
+# Calendar gap-filling: zero-fill days with no events per type (the dense
+# calendar join analytics needs before charting/anomaly detection).
+# Dialect-divergent series generation (Spark sequence+explode vs DuckDB
+# generate_series is shared, but the UNNEST spelling differs).
+pair(
+    "events_gapfill",
+    """
+    WITH bounds AS (
+        SELECT DATE_TRUNC('day', MIN(ts)) AS d0, DATE_TRUNC('day', MAX(ts)) AS d1
+        FROM events
+    ),
+    cal AS (
+        SELECT EXPLODE(SEQUENCE(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY day, event_type
+    )
+    SELECT c.day, t.event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+    FROM cal c CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = c.day AND a.event_type = t.event_type
+    ORDER BY c.day, t.event_type
+    """,
+    oracle="""
+    WITH bounds AS (
+        SELECT DATE_TRUNC('day', MIN(ts)) AS d0, DATE_TRUNC('day', MAX(ts)) AS d1
+        FROM events
+    ),
+    cal AS (
+        SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY day, event_type
+    )
+    SELECT c.day, t.event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+    FROM cal c CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = c.day AND a.event_type = t.event_type
+    ORDER BY c.day, t.event_type
+    """,
+    tables=("events",),
+)
+
+# Trailing-window anomaly score: each day's count vs the mean/stddev of the
+# preceding 7 days (per event type). Counts are integers, so mean/std ride
+# exact integer sums; the z-score gets the FLOOR grid.
+twin(
+    "events_anomaly",
+    """
+    WITH daily AS (
+        SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY day, event_type
+    )
+    SELECT day, event_type, CAST(n AS BIGINT) AS n,
+           FLOOR(
+               (n - AVG(n) OVER w) /
+               GREATEST(STDDEV_SAMP(n) OVER w, 0.001) * 1000
+           ) / 1000 AS z_score
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ORDER BY day, event_type
+    """,
+    tables=("events",),
+)
