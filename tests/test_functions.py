@@ -389,3 +389,17 @@ def test_connected_components_shapes(spark):
     kept = {r["doc_id"] for r in canonical_docs(pairs, docs).collect()}
     # one canonical per component + untouched isolated doc 99
     assert kept == {1, 10, 20, 30, 99}
+
+
+def test_unigram_logprob_ranks_junk_higher(spark):
+    """A doc of corpus-unseen tokens must score strictly higher (more
+    surprising) than a doc of the corpus's most common tokens."""
+    from blazingsql_spark.functions.text import unigram_negative_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows += [(100, "the the the the"), (101, "zzq qxv wvv jjk")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in unigram_negative_logprob(df, min_count=2).collect()}
+    assert out[101] > out[100], out
+    assert out[101] > out[0], out

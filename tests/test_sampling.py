@@ -117,3 +117,13 @@ def test_domain_mix_proportions(spark):
             sampling.domain_mix_sample(docs, weights, domain_col="lang")
             .select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_domain_mix_drops_unlisted_domains(spark):
+    """Domains absent from the weight map (or weighted 0) are dropped."""
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = sampling.domain_mix_sample(
+        docs, {"en": 0.7, "de": 0.3, "zh": 0.0}, domain_col="lang"
+    )
+    langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}, langs
