@@ -518,3 +518,22 @@ twin(
     """,
     tables=("lineitem",),
 )
+
+
+# LIKE wildcard forms (reference wildCardSuite): %, _, NOT LIKE, ESCAPE.
+twin(
+    "expr_like_wildcards",
+    """
+    SELECT c_custkey, c_name,
+           c_name LIKE 'Customer%'        AS pre,
+           c_name LIKE '%1'               AS suf,
+           c_name LIKE 'Customer#_'       AS one_char,
+           c_name LIKE '%er#1%'           AS mid,
+           c_name NOT LIKE '%0%'          AS no_zero,
+           c_mktsegment LIKE 'BUIL_ING'   AS underscore,
+           c_name LIKE 'Customer#!_1%' ESCAPE '!' AS literal_underscore
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tables=("customer",),
+)

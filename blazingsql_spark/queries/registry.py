@@ -218,6 +218,7 @@ DRIVER_PRIORITY = (
     "dedup_components",
     "events_gapfill",
     "events_anomaly",
+    "expr_like_wildcards",
     # (d) round-1-green block rotating back in
     "tpch_q3",
     "tpch_q4",
