@@ -1327,3 +1327,118 @@ twin(
     """,
     tables=("events",),
 )
+
+
+# Ordered string aggregation — LISTAGG ... WITHIN GROUP (SQL:2016; Spark 4
+# spelling) vs DuckDB string_agg(... ORDER BY). Ordering by the aggregated
+# value itself makes the concatenation total-order deterministic (duplicate
+# elements are interchangeable).
+pair(
+    "agg_string_agg",
+    """
+    SELECT n.n_regionkey,
+           LISTAGG(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations
+    FROM nation n
+    GROUP BY n.n_regionkey
+    ORDER BY n.n_regionkey
+    """,
+    oracle="""
+    SELECT n.n_regionkey,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n
+    GROUP BY n.n_regionkey
+    ORDER BY n.n_regionkey
+    """,
+    tables=("nation",),
+)
+
+# Boolean and bitwise aggregates (BOOL_AND/BOOL_OR, BIT_AND/BIT_OR/BIT_XOR)
+# — same names in both dialects; integer inputs so results are exact.
+twin(
+    "agg_bool_bit",
+    """
+    SELECT l_returnflag,
+           BOOL_AND(l_quantity > 1)           AS all_gt1,
+           BOOL_OR(l_quantity > 49)           AS any_gt49,
+           CAST(BIT_AND(l_partkey) AS BIGINT) AS band_part,
+           CAST(BIT_OR(l_partkey)  AS BIGINT) AS bor_part,
+           CAST(BIT_XOR(l_partkey) AS BIGINT) AS bxor_part
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tables=("lineitem",),
+)
+
+# Higher-moment aggregates. Spark's SKEWNESS/KURTOSIS are POPULATION
+# moments (m3/m2^1.5, m4/m2^2 - 3) while DuckDB's builtins apply sample
+# corrections — so the oracle computes the same population moments
+# explicitly from a two-pass mean join rather than calling DuckDB's
+# skewness()/kurtosis().
+pair(
+    "agg_skew_kurt",
+    """
+    SELECT l_returnflag,
+           ROUND(SKEWNESS(l_quantity), 6) AS skew_qty,
+           ROUND(KURTOSIS(l_quantity), 6) AS kurt_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    oracle="""
+    WITH mu AS (
+        SELECT l_returnflag AS k, AVG(l_quantity) AS m
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(AVG(POWER(l.l_quantity - mu.m, 3))
+                 / POWER(AVG(POWER(l.l_quantity - mu.m, 2)), 1.5), 6) AS skew_qty,
+           ROUND(AVG(POWER(l.l_quantity - mu.m, 4))
+                 / POWER(AVG(POWER(l.l_quantity - mu.m, 2)), 2) - 3, 6) AS kurt_qty,
+           COUNT(*) AS n
+    FROM lineitem l JOIN mu ON l.l_returnflag = mu.k
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tables=("lineitem",),
+)
+
+# GROUP BY ALL — infer grouping keys from the non-aggregate select items
+# (same inference rule in Spark 3.4+ and DuckDB).
+twin(
+    "agg_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tables=("lineitem",),
+)
+
+# Recursive CTE (Spark 4 WITH RECURSIVE; reference/Calcite never supported
+# recursion). The recursive seed generates a 1..12 month spine that then
+# LEFT JOINs real data — zero-filled months prove the recursion actually
+# drove the join, not the data.
+twin(
+    "sql_recursive_cte",
+    """
+    WITH RECURSIVE months(m) AS (
+        SELECT 1
+        UNION ALL
+        SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT months.m AS month_n,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)), 0) AS BIGINT)
+               AS total_floor
+    FROM months
+    LEFT JOIN orders ON MONTH(o_orderdate) = months.m
+        AND o_orderdate < DATE '1993-01-01'
+    GROUP BY months.m
+    ORDER BY months.m
+    """,
+    tables=("orders",),
+)
