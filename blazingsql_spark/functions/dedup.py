@@ -465,3 +465,70 @@ def detect_contamination(
         .select("eval_id", "train_id", F.lit("near").alias("match_kind"))
     )
     return exact.unionAll(near)
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Per-document duplicated-substring exposure: what fraction of a
+    document's token n-grams also occur in at least one OTHER document.
+    The span-level view of dedup (cf. Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" — their suffix-array ExactSubstr
+    dedup removes 50-token repeated spans; this is the distributed n-gram
+    formulation of the same signal): a doc can be globally unique yet be
+    mostly stitched from boilerplate spans, which doc-level MinHash never
+    sees.
+
+    Returns (id, n_grams, n_dup, dup_frac) for every doc with >= n tokens.
+
+    Scale shape: tokenize+explode is map-side; the gram lead-window
+    partitions by doc (no global sort); the only shuffle is the
+    gram-frequency groupBy. At 100 TB: hash grams to 64-bit with xxhash64
+    before that shuffle (8-byte keys instead of strings) and set
+    ``max_gram_df`` — the same hot-key cap as ``jaccard_pairs`` — so
+    ubiquitous boilerplate grams ("all rights reserved") don't dominate
+    the dup-gram join; here grams stay raw strings so the operator is
+    bit-differential-testable against a SQL oracle."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "pos", "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    parts: list[Column] = [F.col("token")]
+    for i in range(1, n):
+        parts.extend([F.lit(" "), F.lead("token", i).over(w)])
+    grams = toks.select("_id", F.concat(*parts).alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    dup = grams.groupBy("gram").agg(F.count_distinct("_id").alias("df")).filter(
+        F.col("df") > 1
+    )
+    if max_gram_df is not None:
+        dup = dup.filter(F.col("df") <= max_gram_df)
+    flagged = grams.join(dup.select("gram", F.lit(1).alias("_hit")), "gram", "left")
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_dup"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_dup",
+            (F.floor(F.col("n_dup") * F.lit(1000000.0) / F.col("n_grams")) / 1000000).alias(
+                "dup_frac"
+            ),
+        )
+    )

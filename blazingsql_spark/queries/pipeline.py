@@ -1662,3 +1662,102 @@ def dedup_components(spark, sf_dir):
         .select(F.col("node").alias("doc_id"), "component_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_canonicalize",
+    oracle="""
+    WITH RECURSIVE chain AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+        WHERE doc_id % 7 <> 6
+          AND doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)
+    ),
+    pref AS (
+        SELECT MIN(doc_id) OVER (PARTITION BY SUBSTR(text, 1, 40)) AS a,
+               doc_id AS b
+        FROM documents
+    ),
+    e AS (
+        SELECT a, b FROM chain
+        UNION
+        SELECT a, b FROM pref WHERE a <> b
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node, node AS lab FROM nodes
+        UNION
+        SELECT s.b AS node, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component_id FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    WHERE COALESCE(comp.component_id, d.doc_id) = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_canonicalize(spark, sf_dir):
+    """End-to-end dedup decision step (operators.graph.canonical_docs):
+    near-dup PAIRS → transitive closure → one surviving canonical doc
+    (min id) per component. Two edge sources union'd so components
+    genuinely merge across sources — block-chain edges (id→id+1 within
+    blocks of 7) and shared-40-char-prefix star edges (the fixture has
+    real prefix-duplicate groups) — i.e. the survivors are only
+    computable through TRANSITIVE closure over a multi-detector graph,
+    the exact shape a production dedup pipeline feeds this operator.
+    Oracle: DuckDB recursive CTE over the same edge union."""
+    from pyspark.sql import Window
+
+    from blazingsql_spark.operators.graph import canonical_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    chain = docs.filter((F.col("doc_id") % 7 != 6) & (F.col("doc_id") + 1 <= max_id)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    w = Window.partitionBy(F.substring("text", 1, 40))
+    pref = (
+        docs.select("doc_id", F.min("doc_id").over(w).alias("root"))
+        .filter(F.col("root") != F.col("doc_id"))
+        .select(F.col("root").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    survivors = canonical_docs(chain.union(pref), docs)
+    return survivors.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+@register(
+    "dedup_spans",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id,
+               toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+        FROM base, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 2)) AS i) g
+    ),
+    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1)
+    SELECT g2.doc_id,
+           CAST(COUNT(*) AS BIGINT)    AS n_grams,
+           CAST(COUNT(d.gram) AS BIGINT) AS n_dup,
+           FLOOR(COUNT(d.gram) * CAST(1000000 AS DOUBLE) / COUNT(*)) / 1000000
+               AS dup_frac
+    FROM g2 LEFT JOIN dup d USING (gram)
+    GROUP BY g2.doc_id
+    ORDER BY g2.doc_id
+    """,
+)
+def dedup_spans(spark, sf_dir):
+    """Span-level duplication exposure (functions.dedup
+    .duplicated_ngram_spans): fraction of each doc's token 3-grams that
+    occur in at least one other document — the distributed n-gram form of
+    ExactSubstr dedup (Lee et al. 2022), catching boilerplate-stitched
+    docs that doc-level MinHash scores as unique. Oracle: identical
+    tokenize→lead-window→frequency pipeline in DuckDB SQL."""
+    from blazingsql_spark.functions.dedup import duplicated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_ngram_spans(docs, n=3).orderBy("doc_id")

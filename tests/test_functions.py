@@ -403,3 +403,29 @@ def test_unigram_logprob_ranks_junk_higher(spark):
            for r in unigram_negative_logprob(df, min_count=2).collect()}
     assert out[101] > out[100], out
     assert out[101] > out[0], out
+
+
+def test_duplicated_ngram_spans_flags_shared_spans_only(spark):
+    """Docs sharing a 3-token span get n_dup > 0 on exactly the shared
+    grams; a fully unique doc scores 0; docs under 3 tokens drop out."""
+    from blazingsql_spark.functions.dedup import duplicated_ngram_spans
+
+    rows = [
+        (1, "all rights reserved to alpha corp"),
+        (2, "content here all rights reserved now"),
+        (3, "completely unique sentence without overlap"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in duplicated_ngram_spans(df, n=3).collect()}
+    assert 4 not in out                       # 2 tokens -> no 3-gram
+    assert out[3]["n_dup"] == 0
+    assert out[3]["dup_frac"] == 0.0
+    # doc1: grams at positions 0..3; "all rights reserved" shared with doc2
+    assert out[1]["n_grams"] == 4
+    assert out[1]["n_dup"] == 1
+    assert out[2]["n_dup"] == 1
+    # hot-gram cap: df=2 gram vanishes when max_gram_df=1
+    capped = {r["doc_id"]: r["n_dup"]
+              for r in duplicated_ngram_spans(df, n=3, max_gram_df=1).collect()}
+    assert capped[1] == 0 and capped[2] == 0
