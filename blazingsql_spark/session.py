@@ -71,6 +71,13 @@ def get_spark(
         # (observed: broadcast OOM at ~10M-row joins with 128 GiB free).
         conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
         conf["spark.driver.maxResultSize"] = "8g"
+        # Whole-stage codegen emits one class per plan stage; a session that
+        # runs a whole registry of distinct plans fills the JVM's 240 MB
+        # default code cache, after which the JIT disables itself and
+        # WHATEVER runs next goes interpreted — observed as random 5-10x
+        # per-query spikes late in bench runs. Spark's own tuning guide
+        # says to raise ReservedCodeCacheSize for codegen-heavy workloads.
+        conf["spark.driver.extraJavaOptions"] = "-XX:ReservedCodeCacheSize=512m"
     if extra_conf:
         conf.update(extra_conf)
     conf.update(_rapids_conf())
