@@ -1021,3 +1021,53 @@ def extend_ann_index(
         .join(norms, id_col)
     )
     batch.write.mode("append").parquet(f"{path}/encoded")
+
+
+def pq_quantization_error(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row (n_vectors, mean_sq_error): average PQ reconstruction error
+    of ``vectors`` under FROZEN ``codebooks`` — sum over subspaces of
+    L2²(subvector, assigned centroid), averaged over rows. This is the
+    drift statistic behind the retrain trigger: codebooks trained on
+    yesterday's distribution reconstruct today's batch worse as the
+    distribution shifts. Map-only per row (broadcast codebooks, fold
+    argmin) + one global aggregate — safe to run on every ingest batch."""
+    dsub = dim // m
+    subs = _subvectors(vectors, vec_col, m, dsub, [id_col])
+    assigned = _pq_assign(subs, codebooks)
+    with_err = assigned.join(F.broadcast(codebooks), ["sub", "code"]).select(
+        F.col(id_col), _l2sq(F.col("subvec"), F.col("centroid")).alias("e")
+    )
+    return with_err.groupBy(id_col).agg(F.sum("e").alias("row_e")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.avg("row_e").alias("mean_sq_error"),
+    )
+
+
+def ann_index_drift_report(
+    baseline_error: float,
+    batch_error_df: DataFrame,
+    retrain_ratio: float = 1.5,
+) -> DataFrame:
+    """Decision row for the incremental-index maintenance loop:
+    (n_vectors, mean_sq_error, baseline_error, drift_ratio, retrain).
+    ``baseline_error`` is the index-build-time ``pq_quantization_error``
+    (store it next to the index); ``retrain=true`` when the new batch's
+    reconstruction error exceeds ``retrain_ratio``× baseline — the
+    explicit rebuild trigger ``extend_ann_index`` defers to. The ratio
+    form is scale-free (unit variance of the embedding space cancels)."""
+    return batch_error_df.select(
+        "n_vectors",
+        "mean_sq_error",
+        F.lit(float(baseline_error)).alias("baseline_error"),
+        (F.col("mean_sq_error") / F.lit(float(baseline_error))).alias("drift_ratio"),
+        (F.col("mean_sq_error") > F.lit(float(baseline_error) * retrain_ratio)).alias(
+            "retrain"
+        ),
+    )

@@ -26,13 +26,22 @@ def asof_join(
     by: list[str] | None = None,
     right_value_cols: list[str] | None = None,
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row at-or-before
-    left[on], matching on the optional `by` keys.
+    """For each left row, attach the matching right row per ``direction``,
+    matching on the optional `by` keys:
+
+    - ``backward`` (default): latest right row at-or-before left[on];
+    - ``forward``: earliest right row at-or-after left[on];
+    - ``nearest``: whichever of the two is closer in ``on`` (exact ties
+      resolve backward) — pandas ``merge_asof`` direction semantics.
 
     Union-and-carry-forward: tag both sides, sort by (by, on, side) within
     one window, and carry the last right row forward onto left rows.
     One range-free shuffle; no Python; skew-bounded by the `by` keys.
+    ``forward`` is the same scan in descending ``on`` order; ``nearest``
+    evaluates both windows over the SAME exchange (two sorts, one shuffle)
+    and picks per-row.
 
     The whole right row (timestamp + all value columns) is carried as ONE
     struct through a single ``last(ignorenulls=True)``, so the matched
@@ -42,6 +51,8 @@ def asof_join(
     row with the greatest xxhash64 of its value columns wins (DuckDB's ASOF
     JOIN leaves this unspecified; we pin it so repeated runs agree).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction}")
     by = by or []
     rvals = right_value_cols or [c for c in right.columns if c != on and c not in by]
 
@@ -56,23 +67,43 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    # right rows sort before left rows at equal timestamps → "at or before";
-    # among right rows tied on __t, __tie makes "last" deterministic.
-    w = (
+    # right rows sort before left rows at equal timestamps → "at or before"
+    # (resp. "at or after" in the descending scan); among right rows tied
+    # on __t, __tie ascending makes "last" = greatest hash, both scans.
+    w_bwd = (
         Window.partitionBy(*by)
         .orderBy(F.col("__t"), F.col("__is_left"), F.col("__tie"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        "*",
-        F.last("__rrow", ignorenulls=True).over(w).alias("__c"),
-    ).filter(F.col("__is_left") == 1)
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").desc(), F.col("__is_left"), F.col("__tie"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry_cols = ["*"]
+    if direction in ("backward", "nearest"):
+        carry_cols.append(F.last("__rrow", ignorenulls=True).over(w_bwd).alias("__cb"))
+    if direction in ("forward", "nearest"):
+        carry_cols.append(F.last("__rrow", ignorenulls=True).over(w_fwd).alias("__cf"))
+    carried = unioned.select(*carry_cols).filter(F.col("__is_left") == 1)
+
+    if direction == "backward":
+        chosen = F.col("__cb")
+        delta = F.col("__t") - F.col("__cb")["__ts"]
+    elif direction == "forward":
+        chosen = F.col("__cf")
+        delta = F.col("__cf")["__ts"] - F.col("__t")
+    else:
+        d_b = F.col("__t") - F.col("__cb")["__ts"]
+        d_f = F.col("__cf")["__ts"] - F.col("__t")
+        take_f = F.col("__cb").isNull() | (F.col("__cf").isNotNull() & (d_f < d_b))
+        chosen = F.when(take_f, F.col("__cf")).otherwise(F.col("__cb"))
+        delta = F.when(take_f, d_f).otherwise(d_b)
+    carried = carried.withColumn("__c", chosen).withColumn("__d", delta)
 
     out_cols = [F.col("__lrow")[c].alias(c) for c in left.columns]
     if tolerance is not None:
-        keep = F.col("__c").isNotNull() & (
-            F.col("__t") - F.col("__c")["__ts"] <= tolerance
-        )
+        keep = F.col("__c").isNotNull() & (F.col("__d") <= tolerance)
         out_cols += [
             F.when(keep, F.col("__c")[c]).alias(c if c not in left.columns else f"right_{c}")
             for c in rvals

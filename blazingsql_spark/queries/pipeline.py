@@ -915,6 +915,81 @@ def vocab_topk(spark, sf_dir):
 
 
 @register(
+    "docs_tokenize_ids",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, g.i AS pos, toks[g.i] AS token
+        FROM base, LATERAL (SELECT UNNEST(generate_series(1, len(toks))) AS i) g
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        ORDER BY n DESC, token LIMIT 100
+    ),
+    vocab AS (
+        SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS id
+        FROM counts
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           list(CAST(COALESCE(v.id, 0) AS BIGINT) ORDER BY t.pos) AS token_ids
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def docs_tokenize_ids(spark, sf_dir):
+    """Vocabulary encoding (the tokenize step between corpus prep and
+    docs_pack's sequence layout): map each token to its id in a
+    frequency-ranked top-100 vocab (rank = count desc, token asc — total
+    order, engine-identical), OOV → 0 (UNK). The vocab is 100 rows —
+    broadcast onto the token stream (never a shuffle keyed on token
+    text); per-doc id sequences reassemble order-exactly via
+    sort_array(struct(pos,id)). Output: (doc_id, n_tokens, token_ids)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(100)
+    )
+    # 100-row table: the global row_number window is a one-task no-op
+    vocab = counts.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "token"))
+        .cast("long")
+        .alias("id"),
+    )
+    ids = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0).cast("long")).alias("id")
+    )
+    return (
+        ids.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+            ).alias("token_ids"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "sim_ann_pq",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,

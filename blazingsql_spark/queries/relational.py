@@ -844,6 +844,84 @@ def asof_join_events(spark, sf_dir):
 
 
 @register(
+    "asof_forward_events",
+    oracle="""
+    SELECT p.event_id, p.user_id, ROUND(v.value, 2) AS next_view_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_forward_events(spark, sf_dir):
+    """Forward as-of join (operators.asof.asof_join direction='forward'):
+    for each purchase, the user's EARLIEST view at-or-after it — the same
+    union+carry scan run descending. Oracle: DuckDB ASOF with the
+    inequality flipped (p.ts <= v.ts picks the minimum matching v.ts)."""
+    from blazingsql_spark.operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases, views, on="ts", by=["user_id"],
+        right_value_cols=["view_value"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("view_value", 2).alias("next_view_value")
+    ).orderBy("event_id")
+
+
+@register(
+    "asof_nearest_events",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+    b AS (SELECT p.event_id, MAX(v.ts) AS ts FROM p JOIN v ON p.user_id = v.user_id
+          WHERE v.ts <= p.ts GROUP BY p.event_id),
+    f AS (SELECT p.event_id, MIN(v.ts) AS ts FROM p JOIN v ON p.user_id = v.user_id
+          WHERE v.ts >= p.ts GROUP BY p.event_id),
+    pick AS (
+        SELECT p.event_id, p.user_id,
+               CASE WHEN b.ts IS NULL THEN f.ts
+                    WHEN f.ts IS NULL THEN b.ts
+                    -- exact ties resolve backward (b.ts)
+                    WHEN f.ts - p.ts < p.ts - b.ts THEN f.ts
+                    ELSE b.ts END AS ts
+        FROM p LEFT JOIN b ON p.event_id = b.event_id
+               LEFT JOIN f ON p.event_id = f.event_id
+    )
+    SELECT pick.event_id, pick.user_id, ROUND(v.value, 2) AS near_view_value
+    FROM pick LEFT JOIN v ON pick.user_id = v.user_id AND pick.ts = v.ts
+    ORDER BY pick.event_id
+    """,
+)
+def asof_nearest_events(spark, sf_dir):
+    """Nearest as-of join (operators.asof.asof_join direction='nearest'):
+    for each purchase, the user's CLOSEST view in time either side (exact
+    ties resolve backward) — pandas merge_asof 'nearest' semantics at
+    shuffle scale: both directional scans share one exchange, then a
+    per-row pick. Oracle: explicit MAX-before/MIN-after compare (no ts
+    duplicates per user in the fixtures, verified at all three SFs)."""
+    from blazingsql_spark.operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases, views, on="ts", by=["user_id"],
+        right_value_cols=["view_value"], direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("view_value", 2).alias("near_view_value")
+    ).orderBy("event_id")
+
+
+@register(
     "range_join_orders",
     oracle="""
     SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
@@ -1324,6 +1402,57 @@ twin(
     WINDOW w AS (PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
     ORDER BY day, event_type
+    """,
+    tables=("events",),
+)
+
+
+# Exponentially-weighted moving average over a trailing event-time window
+# (the smoothing metric ops dashboards run next to events_anomaly's
+# z-scores). Weights are powers of 0.5 and counts are small integers, so
+# every product and partial sum is exactly representable — the dot product
+# is bit-identical across engines regardless of summation order. Spark
+# spells the dot product zip_with+aggregate; DuckDB list_dot_product.
+pair(
+    "events_ewma",
+    """
+    WITH daily AS (
+        SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY day, event_type
+    ),
+    win AS (
+        SELECT day, event_type, n,
+               collect_list(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+        FROM daily
+    )
+    SELECT day, event_type, CAST(n AS BIGINT) AS n,
+           FLOOR(
+             aggregate(zip_with(arr, sequence(size(arr) - 1, 0, -1),
+                                (x, e) -> x * power(0.5, e)),
+                       CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+             / (2 * (1 - power(0.5, size(arr)))) * 1000000) / 1000000 AS ewma
+    FROM win ORDER BY event_type, day
+    """,
+    oracle="""
+    WITH daily AS (
+        SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY day, event_type
+    ),
+    win AS (
+        SELECT day, event_type, n,
+               list(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+        FROM daily
+    )
+    SELECT day, event_type, CAST(n AS BIGINT) AS n,
+           FLOOR(
+             list_dot_product(
+                 list_transform(arr, x -> CAST(x AS DOUBLE)),
+                 list_transform(generate_series(1, len(arr)),
+                                i -> POWER(0.5, len(arr) - i)))
+             / (2 * (1 - POWER(0.5, len(arr)))) * 1000000) / 1000000 AS ewma
+    FROM win ORDER BY event_type, day
     """,
     tables=("events",),
 )

@@ -429,3 +429,37 @@ def test_duplicated_ngram_spans_flags_shared_spans_only(spark):
     capped = {r["doc_id"]: r["n_dup"]
               for r in duplicated_ngram_spans(df, n=3, max_gram_df=1).collect()}
     assert capped[1] == 0 and capped[2] == 0
+
+
+def test_pq_drift_triggers_on_distribution_shift(spark):
+    """Frozen codebooks reconstruct in-distribution batches at ~baseline
+    error (no retrain) and distribution-shifted batches much worse
+    (retrain=true) — the maintenance loop behind extend_ann_index."""
+    from blazingsql_spark.functions.similarity import (
+        ann_index_drift_report,
+        pq_quantization_error,
+        pq_train_codebooks,
+    )
+
+    dim, m = 8, 2
+    base = spark.createDataFrame(
+        [(i, [float((i * j) % 5) for j in range(1, dim + 1)]) for i in range(64)],
+        ["vec_id", "embedding"],
+    )
+    shifted = spark.createDataFrame(
+        [(i, [float((i * j) % 5) + 25.0 for j in range(1, dim + 1)]) for i in range(64)],
+        ["vec_id", "embedding"],
+    )
+    books = pq_train_codebooks(base, m=m, ksub=4, iterations=2, dim=dim)
+    baseline = pq_quantization_error(base, books, m=m, dim=dim).first()["mean_sq_error"]
+
+    ok = ann_index_drift_report(
+        baseline, pq_quantization_error(base, books, m=m, dim=dim)
+    ).first()
+    assert ok["retrain"] is False and abs(ok["drift_ratio"] - 1.0) < 1e-9
+
+    bad = ann_index_drift_report(
+        baseline, pq_quantization_error(shifted, books, m=m, dim=dim)
+    ).first()
+    assert bad["retrain"] is True and bad["drift_ratio"] > 1.5
+    assert bad["n_vectors"] == 64

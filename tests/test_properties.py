@@ -49,17 +49,24 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
     rdf = spark.createDataFrame(rpdf.rename(columns={"t": "rt"})).select(
         F.col("k"), F.col("rt").alias("t"), F.col("rv")
     )
-    got = (
-        asof_join(ldf, rdf, on="t", by=["k"], right_value_cols=["rv"])
-        .orderBy("k", "t")
-        .toPandas()
-    )
-    want = pd.merge_asof(
-        lpdf, rpdf, on="t", by="k", direction="backward"
-    ).sort_values(["k", "t"]).reset_index(drop=True)
-    got = got[["k", "t", "lv", "rv"]].reset_index(drop=True)
-    want = want[["k", "t", "lv", "rv"]]
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # all three direction modes against pandas' reference semantics
+    # (unique (k, t) right rows, so tie-rules don't differ between models;
+    # pandas 'nearest' also resolves exact ties backward)
+    for direction in ("backward", "forward", "nearest"):
+        got = (
+            asof_join(
+                ldf, rdf, on="t", by=["k"], right_value_cols=["rv"],
+                direction=direction,
+            )
+            .orderBy("k", "t")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            lpdf, rpdf, on="t", by="k", direction=direction
+        ).sort_values(["k", "t"]).reset_index(drop=True)
+        got = got[["k", "t", "lv", "rv"]].reset_index(drop=True)
+        want = want[["k", "t", "lv", "rv"]]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=direction)
 
 
 @settings(max_examples=5, deadline=None)
