@@ -485,14 +485,19 @@ def duplicated_ngram_spans(
 
     Returns (id, n_grams, n_dup, dup_frac) for every doc with >= n tokens.
 
-    Scale shape: tokenize+explode is map-side; the gram lead-window
-    partitions by doc (no global sort); the only shuffle is the
-    gram-frequency groupBy. At 100 TB: hash grams to 64-bit with xxhash64
-    before that shuffle (8-byte keys instead of strings) and set
-    ``max_gram_df`` — the same hot-key cap as ``jaccard_pairs`` — so
-    ubiquitous boilerplate grams ("all rights reserved") don't dominate
-    the dup-gram join; here grams stay raw strings so the operator is
-    bit-differential-testable against a SQL oracle."""
+    Scale shape — ONE tokenize pass (a dup-table self-join would recompute
+    the explode+lead subtree on both branches; at 100 TB tokenization IS
+    the dominant cost, so the plan instead flows straight down):
+    tokenize+explode map-side → per-doc lead-window builds grams → early
+    collapse to (gram, doc, k) grain (map-side partial combine, so shuffle
+    bytes are distinct pairs, not positions) → document frequency as a
+    count over the gram-partitioned window → per-doc aggregate. At 100 TB:
+    additionally hash grams to 64-bit with xxhash64 before the (gram, doc)
+    shuffle (8-byte keys instead of strings) and set ``max_gram_df`` — the
+    same hot-key cap as ``jaccard_pairs`` — so ubiquitous boilerplate
+    grams ("all rights reserved") don't count as duplication signal; here
+    grams stay raw strings so the operator is bit-differential-testable
+    against a SQL oracle."""
     from pyspark.sql import Window
 
     toks = (
@@ -511,17 +516,18 @@ def duplicated_ngram_spans(
     grams = toks.select("_id", F.concat(*parts).alias("gram")).filter(
         F.col("gram").isNotNull()
     )
-    dup = grams.groupBy("gram").agg(F.count_distinct("_id").alias("df")).filter(
-        F.col("df") > 1
+    per_doc_gram = grams.groupBy("gram", "_id").agg(F.count(F.lit(1)).alias("k"))
+    flagged = per_doc_gram.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
+    dup_cond = F.col("df") > 1
     if max_gram_df is not None:
-        dup = dup.filter(F.col("df") <= max_gram_df)
-    flagged = grams.join(dup.select("gram", F.lit(1).alias("_hit")), "gram", "left")
+        dup_cond = dup_cond & (F.col("df") <= max_gram_df)
     return (
         flagged.groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("_hit").alias("n_dup"),
+            F.sum("k").alias("n_grams"),
+            F.sum(F.when(dup_cond, F.col("k")).otherwise(F.lit(0))).alias("n_dup"),
         )
         .select(
             F.col("_id").alias(id_col),

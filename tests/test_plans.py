@@ -200,3 +200,28 @@ def test_domain_mix_corpus_never_shuffles_on_domain(spark):
     strategies = join_strategies(kept)
     assert strategies.get("BroadcastHashJoin", 0) >= 1, strategies
     assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_tokenize_vocab_join_is_broadcast(spark):
+    """docs_tokenize_ids: the token→id lookup must broadcast the 100-row
+    vocab onto the token stream — a shuffle keyed on token TEXT would be
+    the classic hot-key disaster at corpus scale ('the' alone is ~5% of
+    all rows)."""
+    df = all_queries()["docs_tokenize_ids"].fn(spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert strategies.get("BroadcastHashJoin", 0) >= 1, strategies
+    assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_dedup_spans_partial_aggregation(spark):
+    """dedup_spans: the gram-frequency count must partial-aggregate before
+    its exchange (map-side combine collapses each partition's repeated
+    grams before any bytes move), and the gram join must stay equi."""
+    from blazingsql_spark.plans import physical_plan
+
+    df = all_queries()["dedup_spans"].fn(spark, SF_DIR)
+    plan = physical_plan(df, "simple")
+    assert "partial_count" in plan or "partial_" in plan, plan
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
