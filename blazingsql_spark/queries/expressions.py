@@ -537,3 +537,34 @@ twin(
     """,
     tables=("customer",),
 )
+
+
+# JSON extraction over the events.props payload column (semi-structured
+# columns are first-class in a log-analytics engine). Dialect-divergent
+# spelling: Spark get_json_object($.path) vs DuckDB json_extract.
+pair(
+    "expr_json",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN CAST(get_json_object(props, '$.k') AS BIGINT) > 50
+                           THEN 1 END) AS BIGINT) AS n_gt50,
+           CAST(COUNT(CASE WHEN get_json_object(props, '$.missing') IS NULL
+                           THEN 1 END) AS BIGINT) AS n_null_path
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                           THEN 1 END) AS BIGINT) AS n_gt50,
+           CAST(COUNT(CASE WHEN json_extract(props, '$.missing') IS NULL
+                           THEN 1 END) AS BIGINT) AS n_null_path
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tables=("events",),
+)

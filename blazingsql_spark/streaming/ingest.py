@@ -172,3 +172,128 @@ class CorpusPrepIngest(DedupIngest):
         from blazingsql_spark.functions.sampling import assign_shard, assign_split
 
         return assign_shard(assign_split(clean, self.id_col), self.id_col, n_shards=64)
+
+
+class AnnIndexIngest:
+    """foreachBatch handler maintaining a persisted IVF-PQ index over an
+    embedding stream — the similarity-search mirror of DedupIngest:
+
+    - first epoch (no index on disk) BUILDS the index and records the
+      build-time PQ reconstruction error as the drift baseline;
+    - every later epoch encodes its vectors against the FROZEN artifacts
+      (`extend_ann_index`: one broadcast join + one append, the existing
+      index is never rescanned) and appends a drift row — the batch's
+      reconstruction error vs baseline (`ann_index_drift_report`), so the
+      retrain decision is recorded data, not a guess. A flagged epoch
+      still appends (the index stays serving); acting on the flag — an
+      offline rebuild with fresh codebooks — is deliberately a separate
+      job, because retraining re-keys every stored code.
+
+    Restart-safe like DedupIngest: index presence is probed on disk, so a
+    restart from checkpoint (or pointing at a pre-built index) extends
+    instead of rebuilding."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        n_centroids: int = 8,
+        m: int = 8,
+        ksub: int = 16,
+        iterations: int = 3,
+        dim: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        retrain_ratio: float = 1.5,
+    ):
+        self.spark = spark
+        self.index_path = index_path.rstrip("/")
+        self.n_centroids = n_centroids
+        self.m = m
+        self.ksub = ksub
+        self.iterations = iterations
+        self.dim = dim
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.retrain_ratio = retrain_ratio
+        self._index_seen = False
+
+    def _index_exists(self) -> bool:
+        if not self._index_seen:
+            try:
+                self.spark.read.parquet(f"{self.index_path}/encoded")
+                self._index_seen = True
+            except Exception:  # path does not exist yet
+                return False
+        return True
+
+    def _batch_error(self, batch: DataFrame, cents: DataFrame, books: DataFrame):
+        """PQ reconstruction error of the batch's RESIDUALS (the quantity
+        the codebooks actually encode under IVF-PQ)."""
+        from blazingsql_spark.functions import similarity as S
+
+        assigned = S.assign_to_centroids(batch, cents, self.id_col, self.vec_col)
+        residuals = assigned.join(F.broadcast(cents), "centroid_id").select(
+            F.col(self.id_col),
+            F.zip_with(
+                F.col(self.vec_col), F.col("centroid"), lambda x, c: x.cast("double") - c
+            ).alias("residual"),
+        )
+        return S.pq_quantization_error(
+            residuals, books, m=self.m, dim=self.dim,
+            id_col=self.id_col, vec_col="residual",
+        )
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        from blazingsql_spark.functions import similarity as S
+
+        batch = batch.persist()
+        if not self._index_exists():
+            cents, books, encoded = S.ivfpq_build(
+                batch, n_centroids=self.n_centroids, m=self.m, ksub=self.ksub,
+                iterations=self.iterations, dim=self.dim,
+                id_col=self.id_col, vec_col=self.vec_col,
+            )
+            S.save_ann_index(self.index_path, cents, books, encoded)
+            err = self._batch_error(batch, cents, books)
+            baseline = err.first()["mean_sq_error"]
+            self.spark.createDataFrame(
+                [(float(baseline),)], ["baseline_error"]
+            ).write.mode("overwrite").parquet(f"{self.index_path}/stats")
+            report = S.ann_index_drift_report(baseline, err, self.retrain_ratio)
+        else:
+            cents, books, _ = S.load_ann_index(self.spark, self.index_path)
+            S.extend_ann_index(
+                self.spark, self.index_path, batch,
+                m=self.m, dim=self.dim, id_col=self.id_col, vec_col=self.vec_col,
+            )
+            baseline = (
+                self.spark.read.parquet(f"{self.index_path}/stats")
+                .first()["baseline_error"]
+            )
+            report = S.ann_index_drift_report(
+                baseline, self._batch_error(batch, cents, books), self.retrain_ratio
+            )
+        report.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(f"{self.index_path}/drift")
+        self._index_seen = True
+        batch.unpersist()
+
+
+def run_ann_index_ingest(
+    spark: SparkSession,
+    vector_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Wire an embedding stream through the ANN-index ingest. Returns the
+    started StreamingQuery (caller stops it / processes available)."""
+    handler = AnnIndexIngest(spark, index_path, **kwargs)
+    return (
+        vector_stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -282,3 +282,49 @@ def test_corpus_prep_ingest(spark, tmp_path):
     }
     for r in corpus.select("doc_id", "split", "shard").collect():
         assert (r.split, r.shard) == want[r.doc_id], r
+
+
+def test_ann_index_ingest_builds_extends_and_tracks_drift(spark, tmp_path):
+    """Streaming ANN-index maintenance: epoch 0 builds the index and the
+    drift baseline; epoch 1 (same distribution) extends with no retrain
+    flag; epoch 2 (shifted distribution, via a RESTARTED handler → disk
+    probe, not memory) extends but flags retrain."""
+    from blazingsql_spark.functions import similarity as S
+    from blazingsql_spark.streaming.ingest import AnnIndexIngest
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    b1 = emb.filter("vec_id < 300")
+    b2 = emb.filter("vec_id >= 300 AND vec_id < 400")
+    shifted = emb.filter("vec_id >= 400").select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(30.0)).alias("embedding"),
+    )
+
+    path = str(tmp_path / "annindex")
+    handler = AnnIndexIngest(spark, path, iterations=2)
+    handler(b1, 0)
+    handler(b2, 1)
+    restarted = AnnIndexIngest(spark, path)
+    restarted(shifted, 2)
+
+    encoded = spark.read.parquet(f"{path}/encoded")
+    assert encoded.count() == 300 + 100 + 100
+    drift = {
+        r["epoch_id"]: r
+        for r in spark.read.parquet(f"{path}/drift").collect()
+    }
+    assert set(drift) == {0, 1, 2}
+    assert drift[0]["retrain"] is False and abs(drift[0]["drift_ratio"] - 1.0) < 1e-9
+    assert drift[1]["retrain"] is False  # same distribution as the build
+    assert drift[2]["retrain"] is True and drift[2]["drift_ratio"] > 1.5
+
+    # the extended index is searchable through the normal probe path
+    cents, books, enc = S.load_ann_index(spark, path)
+    queries = b1.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = S.ivfpq_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8,
+        prebuilt=(cents, books, enc),
+    )
+    assert hits.count() == 3 * 5
