@@ -1458,6 +1458,112 @@ pair(
 )
 
 
+# Linear interpolation of gaps in a daily time series (the step after
+# events_gapfill's zero-fill when the metric is a LEVEL, not a count):
+# missing (day, type) cells get prev + (next-prev) * elapsed/gap. Daily
+# values ride an exact integer cent grid and day distances are integers,
+# so both engines divide identical operands — deterministic, plus a FLOOR
+# grid on the output. Carried prev/next are (day, value) STRUCTS through
+# IGNORE NULLS windows, so a value always travels with its own day (the
+# same single-struct discipline as asof_join).
+pair(
+    "events_interpolate",
+    """
+    WITH bounds AS (
+        SELECT DATE_TRUNC('day', MIN(ts)) AS d0, DATE_TRUNC('day', MAX(ts)) AS d1
+        FROM events
+    ),
+    cal AS (SELECT EXPLODE(SEQUENCE(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        -- every third calendar day is withheld: the fixture grid is dense,
+        -- so the gaps the operator exists for are planted deterministically
+        SELECT DATE_TRUNC('day', ts) AS day, event_type,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v
+        FROM events
+        WHERE EXTRACT(DAY FROM ts) % 3 <> 0
+        GROUP BY day, event_type
+    ),
+    grid AS (
+        SELECT c.day, t.event_type, a.v
+        FROM cal c CROSS JOIN types t
+        LEFT JOIN actual a ON a.day = c.day AND a.event_type = t.event_type
+    ),
+    marked AS (
+        SELECT day, event_type, v,
+               LAST_VALUE(CASE WHEN v IS NOT NULL
+                               THEN NAMED_STRUCT('d', day, 'val', v) END)
+                   IGNORE NULLS
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL
+                                THEN NAMED_STRUCT('d', day, 'val', v) END)
+                   IGNORE NULLS
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        FROM grid
+    )
+    SELECT day, event_type, (v IS NULL) AS interpolated,
+           FLOOR(CASE
+               WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+               WHEN p.d IS NULL THEN CAST(nx.val AS DOUBLE)
+               WHEN nx.d IS NULL THEN CAST(p.val AS DOUBLE)
+               ELSE p.val + (nx.val - p.val)
+                    * DATEDIFF(day, p.d) / DATEDIFF(nx.d, p.d)
+           END * 1000) / 1000 AS v_interp
+    FROM marked
+    ORDER BY event_type, day
+    """,
+    oracle="""
+    WITH bounds AS (
+        SELECT DATE_TRUNC('day', MIN(ts)) AS d0, DATE_TRUNC('day', MAX(ts)) AS d1
+        FROM events
+    ),
+    cal AS (
+        SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        -- every third calendar day is withheld: the fixture grid is dense,
+        -- so the gaps the operator exists for are planted deterministically
+        SELECT DATE_TRUNC('day', ts) AS day, event_type,
+               SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v
+        FROM events
+        WHERE EXTRACT(DAY FROM ts) % 3 <> 0
+        GROUP BY day, event_type
+    ),
+    grid AS (
+        SELECT c.day, t.event_type, a.v
+        FROM cal c CROSS JOIN types t
+        LEFT JOIN actual a ON a.day = c.day AND a.event_type = t.event_type
+    ),
+    marked AS (
+        SELECT day, event_type, v,
+               LAST_VALUE(CASE WHEN v IS NOT NULL
+                               THEN {'d': day, 'val': v} END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL
+                                THEN {'d': day, 'val': v} END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        FROM grid
+    )
+    SELECT day, event_type, (v IS NULL) AS interpolated,
+           FLOOR(CASE
+               WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+               WHEN p.d IS NULL THEN CAST(nx.val AS DOUBLE)
+               WHEN nx.d IS NULL THEN CAST(p.val AS DOUBLE)
+               ELSE p.val + (nx.val - p.val)
+                    * DATEDIFF('day', p.d, day) / DATEDIFF('day', p.d, nx.d)
+           END * 1000) / 1000 AS v_interp
+    FROM marked
+    ORDER BY event_type, day
+    """,
+    tables=("events",),
+)
+
+
 # Ordered string aggregation — LISTAGG ... WITHIN GROUP (SQL:2016; Spark 4
 # spelling) vs DuckDB string_agg(... ORDER BY). Ordering by the aggregated
 # value itself makes the concatenation total-order deterministic (duplicate
