@@ -1801,6 +1801,39 @@ def dedup_canonicalize(spark, sf_dir):
 
 
 @register(
+    "ml_linear_probe",
+    oracle="""
+    SELECT ROUND(REGR_SLOPE(o_totalprice, o_custkey), 6) AS slope,
+           ROUND(REGR_INTERCEPT(o_totalprice, o_custkey), 4) AS icept,
+           CAST(REGR_COUNT(o_totalprice, o_custkey) AS BIGINT) AS n
+    FROM orders
+    """,
+)
+def ml_linear_probe(spark, sf_dir):
+    """Differential test of the in-engine linear trainer (functions.ml
+    .linear_fit): an OLS fit of o_totalprice ~ o_custkey via distributed
+    centered normal equations must agree with SQL's streaming-moment
+    REGR_SLOPE/REGR_INTERCEPT to rounding precision — including the
+    NULL-pair-skipping rule. The d×d solve is driver-side by design
+    (d = #features); the corpus side is two aggregate passes."""
+    from blazingsql_spark.functions.ml import linear_fit
+
+    orders = load_table(spark, sf_dir, "orders")
+    fit = linear_fit(orders, ["o_custkey"], "o_totalprice")
+    raw = spark.createDataFrame(
+        [(fit["weights"]["o_custkey"], fit["intercept"], fit["n"])],
+        "slope double, icept double, n bigint",
+    )
+    # round Spark-side (half-up, same as DuckDB) — python round() is
+    # banker's and would tie-break differently
+    return raw.select(
+        F.round("slope", 6).alias("slope"),
+        F.round("icept", 4).alias("icept"),
+        "n",
+    )
+
+
+@register(
     "dedup_spans",
     oracle=r"""
     WITH base AS (

@@ -463,3 +463,31 @@ def test_pq_drift_triggers_on_distribution_shift(spark):
     ).first()
     assert bad["retrain"] is True and bad["drift_ratio"] > 1.5
     assert bad["n_vectors"] == 64
+
+
+def test_linear_fit_recovers_exact_model_and_ridge_shrinks(spark):
+    """Noise-free linear data → exact recovery (to solver precision);
+    ridge shrinks weights toward zero; predict reproduces labels; NULL
+    rows are skipped like SQL REGR_*."""
+    from blazingsql_spark.functions.ml import linear_fit, linear_predict
+
+    rows = [
+        (float(i), float((i * 7) % 13), 2.5 + 3.0 * i + -1.25 * ((i * 7) % 13))
+        for i in range(50)
+    ]
+    rows.append((None, 1.0, 999.0))  # must be dropped
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+
+    fit = linear_fit(df, ["x1", "x2"], "y")
+    assert fit["n"] == 50
+    assert abs(fit["weights"]["x1"] - 3.0) < 1e-8
+    assert abs(fit["weights"]["x2"] + 1.25) < 1e-8
+    assert abs(fit["intercept"] - 2.5) < 1e-6
+
+    scored = linear_predict(df.na.drop(), fit)
+    resid = scored.select(F.max(F.abs(F.col("prediction") - F.col("y"))).alias("r"))
+    assert resid.first()["r"] < 1e-6
+
+    ridged = linear_fit(df, ["x1", "x2"], "y", l2=1e4)
+    assert abs(ridged["weights"]["x1"]) < abs(fit["weights"]["x1"])
+    assert abs(ridged["weights"]["x2"]) < abs(fit["weights"]["x2"])
