@@ -1801,6 +1801,54 @@ def dedup_canonicalize(spark, sf_dir):
 
 
 @register(
+    "sketch_heavy_hitters",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_checked,
+           CAST(5 AS BIGINT) AS n_found,
+           TRUE AS all_found
+    FROM (SELECT 1)
+    """,
+)
+def sketch_heavy_hitters(spark, sf_dir):
+    """Space-saving heavy-hitters sketch (functions.sketches
+    .space_saving_topk): 64 counters of state per partition over a
+    ~450-distinct-key inverse-square (Zipf-like) stream derived from
+    l_orderkey — key v has frequency ∝ 1/v², so the true top-5 all sit
+    far above the N/capacity survival bound and MUST be present in the
+    64-counter summary (presence is the space-saving guarantee; rank by
+    overcounted est is not, so the gate checks the full summary). The
+    oracle asserts that membership verdict (exact counts depend on
+    partitioning, membership does not — the same thresholded-boolean
+    pattern as the ANN recall gates). The stream is built by inverse-CDF:
+    hash rows to uniform u, key = floor(1/u) → P(key=v) ∝ 1/v² at EVERY
+    scale factor (frequency ratios are scale-free, so the top-5 sit
+    ~6-30x above the N/capacity bound regardless of row count)."""
+    from blazingsql_spark.functions.sketches import space_saving_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    u = (
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10000)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(10000.0)
+    keys = li.select(
+        F.least(F.floor(F.lit(1.0) / u), F.lit(1000.0)).cast("long").cast("string").alias("item")
+    )
+    sk = space_saving_topk(keys, "item", k=64, capacity=64)
+    exact5 = (
+        keys.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "item")
+        .limit(5)
+    )
+    found = exact5.join(sk.select("item"), "item")
+    return found.agg(F.count(F.lit(1)).alias("n_found")).select(
+        F.lit(5).cast("long").alias("n_checked"),
+        F.col("n_found"),
+        (F.col("n_found") == 5).alias("all_found"),
+    )
+
+
+@register(
     "ml_linear_probe",
     oracle="""
     SELECT ROUND(REGR_SLOPE(o_totalprice, o_custkey), 6) AS slope,

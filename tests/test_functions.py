@@ -491,3 +491,23 @@ def test_linear_fit_recovers_exact_model_and_ridge_shrinks(spark):
     ridged = linear_fit(df, ["x1", "x2"], "y", l2=1e4)
     assert abs(ridged["weights"]["x1"]) < abs(fit["weights"]["x1"])
     assert abs(ridged["weights"]["x2"]) < abs(fit["weights"]["x2"])
+
+
+def test_space_saving_sketch_finds_heavy_hitters_under_eviction(spark):
+    """Cardinality (200) far above capacity (16) forces constant eviction,
+    yet every item with frequency above the survival bound must be
+    retained, with est >= true count."""
+    from blazingsql_spark.functions.sketches import space_saving_topk
+
+    # 3 heavy items (500 each) + 197 singletons-ish (5 each): N = 2485,
+    # N/capacity ~ 155 — heavies are 3x above the bound
+    rows = [(f"hot{i % 3}",) for i in range(1500)]
+    rows += [(f"cold{i % 197}",) for i in range(985)]
+    df = spark.createDataFrame(rows, ["v"]).repartition(4)
+
+    top = space_saving_topk(df, "v", k=5, capacity=16).collect()
+    items = {r["item"]: r["est"] for r in top}
+    for h in ("hot0", "hot1", "hot2"):
+        assert h in items, items
+        assert items[h] >= 500  # never undercounts retained items
+    assert len(top) == 5
