@@ -8,6 +8,7 @@ the write path the reference never had (SURVEY §2.8: "Sinks: none").
 """
 
 from blazingsql_spark.sources.io import infer_format, read_any, write_any
+from blazingsql_spark.sources.layout import zorder_key, zorder_write
 from blazingsql_spark.sources.jdbc import (
     find_sqlite_jdbc_jar,
     jdbc_reader,
@@ -21,6 +22,8 @@ __all__ = [
     "infer_format",
     "read_any",
     "write_any",
+    "zorder_key",
+    "zorder_write",
     "jdbc_reader",
     "jdbc_writer",
     "find_sqlite_jdbc_jar",

@@ -126,3 +126,42 @@ def test_binary_file_ingestion_to_multimodal(spark, tmp_path):
     for r in feats:
         assert len(r["features"]) == 8
         assert r["n_bytes"] >= 10
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout: after clustering on (x, y), each output file covers
+    a small sub-rectangle of the value space — average per-file min-max
+    span must shrink on BOTH columns vs an unclustered write (single-col
+    sorting can only ever shrink one)."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.sources.layout import zorder_write
+
+    n = 4096
+    rows = [(i, float((i * 37) % 64), float((i * 101) % 64)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x double, y double").repartition(8)
+
+    naive = str(tmp_path / "naive")
+    df.write.mode("overwrite").parquet(naive)
+    zpath = str(tmp_path / "zorder")
+    zorder_write(df, ["x", "y"], zpath, n_files=8, bits=6)
+
+    import glob
+
+    def avg_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            mn, mx = (
+                spark.read.parquet(f)
+                .agg(F.min(col), F.max(col))
+                .first()
+            )
+            spans.append(mx - mn)
+        return sum(spans) / len(spans)
+
+    # same rows round-trip
+    assert spark.read.parquet(zpath).count() == n
+    for col in ("x", "y"):
+        naive_span = avg_span(naive, col)
+        z_span = avg_span(zpath, col)
+        assert z_span < naive_span * 0.6, (col, z_span, naive_span)
