@@ -140,6 +140,19 @@ class Context:
         df = self.spark.table(table_name)
         return {f.name: f.dataType.simpleString() for f in df.schema.fields}
 
+    def analyze_table(self, table_name: str, columns: list[str] | None = None) -> None:
+        """Collect table (and optional per-column) statistics for the
+        cost-based optimizer — the step the reference performs implicitly
+        per-query via its _parseMetadata scan (io.py) and we expose as the
+        standard warehouse workflow: stats are computed ONCE per load, then
+        every join-order / broadcast decision reads them for free. Only
+        catalog-backed tables carry stats (temp views have no catalog
+        entry); create them via SQL DDL/CTAS."""
+        stmt = f"ANALYZE TABLE {table_name} COMPUTE STATISTICS"
+        if columns:
+            stmt += " FOR COLUMNS " + ", ".join(columns)
+        self.spark.sql(stmt)
+
     # ---------------------------------------------------------------- query
     def sql(
         self, query: str, return_token: bool = False, fetch_limit: int | None = None

@@ -1458,6 +1458,43 @@ pair(
 )
 
 
+# NTILE bucketing (quartiles per group) — deterministic because the window
+# order is a unique total order.
+twin(
+    "window_ntile",
+    """
+    SELECT l_orderkey, l_linenumber,
+           NTILE(4) OVER (PARTITION BY l_returnflag
+                          ORDER BY l_orderkey, l_linenumber) AS quartile
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tables=("lineitem",),
+)
+
+# Native SQL PIVOT syntax (relational spelling of pivot_status's CASE form).
+pair(
+    "pivot_native",
+    """
+    SELECT * FROM (
+        SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+    )
+    PIVOT (ROUND(SUM(l_quantity), 2) FOR l_linestatus IN ('O' AS qty_o, 'F' AS qty_f))
+    ORDER BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tables=("lineitem",),
+)
+
+
 # Linear interpolation of gaps in a daily time series (the step after
 # events_gapfill's zero-fill when the metric is a LEVEL, not a count):
 # missing (day, type) cells get prev + (next-prev) * elapsed/gap. Daily

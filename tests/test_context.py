@@ -129,3 +129,20 @@ def test_sql_error_surfaces(bc):
     with pytest.raises(AnalysisException):
         bc.sql("SELECT no_such_column FROM lineitem_err")
     bc.drop_table("lineitem_err")
+
+
+def test_analyze_table_records_stats(bc):
+    """ANALYZE TABLE populates catalog statistics (row count + per-column
+    min/max/ndv) that the CBO's join-order and broadcast decisions read."""
+    bc.create_table("an_src", f"{SF_DIR}/nation.parquet")
+    bc.sql("DROP TABLE IF EXISTS an_t")
+    bc.sql("CREATE TABLE an_t AS SELECT n_nationkey, n_name FROM an_src")
+    bc.analyze_table("an_t", columns=["n_nationkey"])
+
+    detail = bc.spark.sql("DESCRIBE TABLE EXTENDED an_t").toPandas()
+    stats = detail[detail.col_name == "Statistics"]["data_type"]
+    assert len(stats) == 1 and "rows" in stats.iloc[0], detail
+    coldesc = bc.spark.sql("DESCRIBE EXTENDED an_t n_nationkey").toPandas()
+    got = dict(zip(coldesc.info_name, coldesc.info_value))
+    assert got.get("min") == "0" and int(got.get("distinct_count", 0)) > 0, got
+    bc.sql("DROP TABLE an_t")
