@@ -93,6 +93,7 @@ def test_no_accidental_cartesian_products(spark):
         "sample_domain_mix",  # corpus x broadcast(1-row min-total aggregate)
         "text_perplexity",  # token stream x broadcast(1-row N/V totals)
         "events_gapfill",  # calendar(|days| rows) x types(|types| rows) — the dense grid IS the output shape
+        "events_interpolate",  # same dense calendar x types grid as events_gapfill
         # tpch_extra: every BNLJ is against a bounded broadcast side — the
         # 1-row supplier-count aggregate / 4-row generator helper in
         # PARTSUPP_CTE, or a 1-row scalar-subquery result (q2 min-cost,
