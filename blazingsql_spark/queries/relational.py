@@ -1458,6 +1458,49 @@ pair(
 )
 
 
+# Edit-distance expressions (fuzzy matching, the data-cleaning surface) —
+# LEVENSHTEIN has the same definition in both engines.
+twin(
+    "expr_levenshtein",
+    """
+    SELECT c_custkey,
+           LEVENSHTEIN(c_name, 'Customer#000000001')        AS d_ref,
+           LEVENSHTEIN(LOWER(c_mktsegment), 'building')     AS d_seg,
+           LEVENSHTEIN(c_name, c_name)                      AS d_self
+    FROM customer
+    WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+    tables=("customer",),
+)
+
+# Per-window approximate distinct users (HLL++ under event-time tumbling
+# windows — the streaming-dashboard cardinality shape). Same thresholded
+# pattern as agg_approx_distinct: the sketch estimate is engine-specific,
+# so the gate is exact count + |approx-exact| <= 10% boolean.
+pair(
+    "events_window_approx_distinct",
+    """
+    SELECT DATE_TRUNC('day', ts) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           (ABS(APPROX_COUNT_DISTINCT(user_id) - COUNT(DISTINCT user_id))
+              <= 0.1 * COUNT(DISTINCT user_id)) AS within_10pct
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """,
+    oracle="""
+    SELECT DATE_TRUNC('day', ts) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_10pct
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """,
+    tables=("events",),
+)
+
+
 # NTILE bucketing (quartiles per group) — deterministic because the window
 # order is a unique total order.
 twin(
