@@ -5,6 +5,7 @@ join operators") — these are capability supersets built the Spark way.
 """
 
 from blazingsql_spark.operators.asof import asof_join, range_join
+from blazingsql_spark.operators.fuzzy import fuzzy_join
 from blazingsql_spark.operators.merge import merge_upsert, scd2_apply
 from blazingsql_spark.operators.skew import bucketed_table, salted_join
 from blazingsql_spark.operators.packing import pack_documents
@@ -13,6 +14,7 @@ from blazingsql_spark.operators.window import global_running
 
 __all__ = [
     "asof_join",
+    "fuzzy_join",
     "range_join",
     "top_k_per_group",
     "merge_upsert",

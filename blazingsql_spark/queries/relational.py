@@ -1501,6 +1501,48 @@ pair(
 )
 
 
+@register(
+    "join_fuzzy_names",
+    oracle="""
+    WITH probes AS (
+        SELECT c_custkey AS probe_key,
+               CONCAT(SUBSTR(c_name, 1, LENGTH(c_name) - 1), 'X') AS probe_name
+        FROM customer WHERE c_custkey % 50 = 0
+    )
+    SELECT p.probe_key, c.c_custkey, p.probe_name, c.c_name,
+           CAST(LEVENSHTEIN(p.probe_name, c.c_name) AS INT) AS edit_distance
+    FROM probes p JOIN customer c
+      ON LEVENSHTEIN(p.probe_name, c.c_name) <= 1
+    ORDER BY p.probe_key, c.c_custkey
+    """,
+)
+def join_fuzzy_names(spark, sf_dir):
+    """Fuzzy join (operators.fuzzy.fuzzy_join): probes are customer names
+    with the last character mutated; the join recovers every customer
+    within one edit via SymSpell-style deletion-neighborhood blocking —
+    candidate generation is an equi-join on deletion variants (explode
+    factor len+1), exact levenshtein verifies candidates only. The DuckDB
+    oracle is the all-pairs levenshtein join (exact semantics, viable at
+    test scale) — blocking must lose NOTHING vs all-pairs, which is the
+    recall theorem this query asserts."""
+    from blazingsql_spark.operators import fuzzy_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    probes = cust.filter(F.col("c_custkey") % 50 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.expr("SUBSTR(c_name, 1, LENGTH(c_name) - 1)"), F.lit("X")
+        ).alias("probe_name"),
+    )
+    out = fuzzy_join(
+        probes, cust.select("c_custkey", "c_name"), "probe_name", "c_name"
+    )
+    return out.select(
+        "probe_key", "c_custkey", "probe_name", "c_name",
+        F.col("edit_distance").cast("int").alias("edit_distance"),
+    ).orderBy("probe_key", "c_custkey")
+
+
 # NTILE bucketing (quartiles per group) — deterministic because the window
 # order is a unique total order.
 twin(

@@ -511,3 +511,21 @@ def test_space_saving_sketch_finds_heavy_hitters_under_eviction(spark):
         assert h in items, items
         assert items[h] >= 500  # never undercounts retained items
     assert len(top) == 5
+
+
+def test_fuzzy_join_covers_all_single_edit_kinds(spark):
+    """Deletion-neighborhood blocking must recover substitution, insertion,
+    deletion, and exact matches (the d<=1 completeness theorem) and must
+    NOT match at distance 2."""
+    from blazingsql_spark.operators import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "kitte"), (3, "kittens"), (4, "mitten"), (5, "xxyyzz")],
+        ["lid", "lname"],
+    )
+    right = spark.createDataFrame([(10, "kitten")], ["rid", "rname"])
+    got = {
+        (r["lid"], r["edit_distance"])
+        for r in fuzzy_join(left, right, "lname", "rname").collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 1), (4, 1)}, got
