@@ -322,3 +322,112 @@ def unigram_negative_logprob(
         F.count("*").cast("long").alias("n_tokens"),
         (F.floor(-F.sum("__lp") / F.count("*") * 10000) / 10000).alias("avg_neg_logprob"),
     )
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) stream: lowercase whitespace tokenization, scan-side."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.5,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 lexical retrieval: score every document against a small query
+    term set and return the top-k — the sparse half of a hybrid (lexical +
+    vector) retrieval stack, and the standard quality baseline the dense
+    ANN tiers (``functions.similarity``) are judged against.
+
+    Scale shape: the token stream is filtered to the query terms BEFORE any
+    aggregation, so per-term tf and df aggregates run over |terms| x |docs
+    containing a term| rows, not the whole corpus; document length is one
+    partial-aggregated groupBy over the corpus (the only corpus-wide
+    shuffle); corpus size / avgdl is a 1-row aggregate broadcast onto the
+    scored stream; the final cut is TakeOrderedAndProject (top-k per
+    partition then merge — no global sort). Scores are FLOOR-gridded to
+    1e-4 with an id tiebreak so ranking is engine-portable; the default
+    k1/b are chosen binary-exact (1.5, 0.75) so k1+1 etc. are the same
+    double whether computed here or parsed from a SQL oracle's literal.
+    """
+    toks = _tokens(df, id_col, text_col)
+    doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtoks = toks.filter(F.col("token").isin(list(query_terms)))
+    tf = qtoks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("n_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("n_t") + 0.5) / (F.col("n_t") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("__s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg((F.floor(F.sum("__s") * 10000) / 10000).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """One BPE-training merge step, distributed: count adjacent character
+    pairs across the corpus weighted by word frequency — the inner loop of
+    byte-pair-encoding tokenizer training (the top pair is the next merge).
+    Mirrors the word-frequency pre-aggregation every practical BPE trainer
+    uses: pair counting runs over the DISTINCT-word table (|vocab| rows),
+    not the raw token stream, so a 100 TB corpus collapses to a vocab-sized
+    problem after one shuffle.
+
+    Shuffles: token count (partial-aggregated, the only corpus-wide one),
+    then pair-sum over an exploded vocab table bounded by
+    |vocab| x avg_word_len. Top-n is TakeOrderedAndProject.
+    """
+    words = (
+        _tokens(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("token") >= 2)
+    )
+    pairs = words.select(
+        F.col("freq"),
+        F.explode(
+            F.expr("transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(top_n)
+    )

@@ -1917,3 +1917,194 @@ def dedup_spans(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicated_ngram_spans(docs, n=3).orderBy("doc_id")
+
+
+# Query terms for the BM25 demo: mid-frequency tokens of the synthetic
+# vocabulary so idf actually discriminates (both engines see the same set).
+_BM25_TERMS = ("vector", "spark", "hash")
+
+
+@register(
+    "text_bm25",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN {_BM25_TERMS!r}
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS n_t FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id,
+               LN(1.0 + (c.n_docs - d.n_t + 0.5) / (d.n_t + 0.5))
+               * (tf.tf * 2.5)
+               / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / c.avgdl)) AS s
+        FROM tf JOIN dfreq d USING (token)
+                JOIN doclen dl USING (doc_id)
+                CROSS JOIN corpus c
+    )
+    SELECT doc_id, FLOOR(SUM(s) * 10000) / 10000 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """BM25 lexical retrieval (functions.text.bm25_topk): the sparse half
+    of a hybrid retrieval stack. Token stream filtered to the query terms
+    BEFORE aggregation, 1-row corpus stats broadcast, TakeOrderedAndProject
+    cut — the only corpus-wide shuffle is the document-length count."""
+    from blazingsql_spark.functions.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_BM25_TERMS), k1=1.5, b=0.75, k=10)
+
+
+@register(
+    "vocab_bpe_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT UNNEST(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    words AS (
+        SELECT token, COUNT(*) AS freq FROM toks
+        GROUP BY token HAVING LENGTH(token) >= 2
+    ),
+    pairs AS (
+        SELECT SUBSTR(token, g.i, 2) AS pair, freq
+        FROM words, LATERAL (SELECT UNNEST(generate_series(1, LENGTH(token) - 1)) AS i) g
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+)
+def vocab_bpe_pairs(spark, sf_dir):
+    """One distributed BPE-training merge step (functions.text
+    .bpe_pair_counts): adjacent-character-pair counts weighted by word
+    frequency — the argmax pair is the next tokenizer merge. Pair counting
+    runs over the distinct-word table (|vocab| rows), not the raw token
+    stream, so the corpus collapses to a vocab-sized problem after one
+    shuffle — the same pre-aggregation every practical BPE trainer uses."""
+    from blazingsql_spark.functions.text import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_n=20)
+
+
+@register(
+    "rag_hybrid_rrf",
+    oracle=rf"""
+    WITH q AS (
+        SELECT embedding AS qe FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(
+                       list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) /
+                       (SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * SQRT(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 6) DESC,
+                   vec_id) AS rnk
+        FROM embeddings e CROSS JOIN q
+        QUALIFY rnk <= 20
+    ),
+    toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN {_BM25_TERMS!r}
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS n_t FROM tf GROUP BY token),
+    bm AS (
+        SELECT tf.doc_id,
+               SUM(LN(1.0 + (c.n_docs - d.n_t + 0.5) / (d.n_t + 0.5))
+                   * (tf.tf * 2.5)
+                   / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / c.avgdl))) AS s
+        FROM tf JOIN dfreq d USING (token)
+                JOIN doclen dl USING (doc_id)
+                CROSS JOIN corpus c
+        GROUP BY tf.doc_id
+    ),
+    sparse AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY FLOOR(s * 10000) / 10000 DESC, doc_id) AS rnk
+        FROM bm QUALIFY rnk <= 20
+    )
+    SELECT COALESCE(dense.doc_id, sparse.doc_id) AS doc_id,
+           FLOOR((COALESCE(1.0 / (60 + dense.rnk), 0)
+                  + COALESCE(1.0 / (60 + sparse.rnk), 0)) * 1000000) / 1000000 AS rrf,
+           dense.rnk  AS dense_rank,
+           sparse.rnk AS sparse_rank
+    FROM dense FULL OUTER JOIN sparse USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def rag_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: dense cosine top-20
+    (functions.similarity.cosine_topk over one query vector) fused with
+    sparse BM25 top-20 (functions.text.bm25_topk) as
+    SUM(1 / (60 + rank)) — the standard RRF formula. Rank-based, so the
+    fusion is integer-deterministic regardless of score scales; each
+    branch is its own bounded top-k (TakeOrderedAndProject / per-query
+    window), joined FULL OUTER on the tiny (<=20-row) rank lists.
+    Embeddings and documents share the id domain in the fixtures."""
+    from pyspark.sql import Window
+
+    from blazingsql_spark.functions.similarity import cosine_topk
+    from blazingsql_spark.functions.text import bm25_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    min_id = emb.agg(F.min("vec_id")).first()[0]
+    queries = emb.filter(F.col("vec_id") == min_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = (
+        cosine_topk(emb, queries, k=20)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    )
+    sparse = (
+        bm25_topk(docs, list(_BM25_TERMS), k=20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+            .alias("sparse_rank"),
+        )
+    )
+    fused = (
+        dense.join(sparse, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    (
+                        F.coalesce(1.0 / (60 + F.col("dense_rank")), F.lit(0.0))
+                        + F.coalesce(1.0 / (60 + F.col("sparse_rank")), F.lit(0.0))
+                    )
+                    * 1000000
+                )
+                / 1000000
+            ).alias("rrf"),
+            "dense_rank",
+            "sparse_rank",
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)

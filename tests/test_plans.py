@@ -92,6 +92,8 @@ def test_no_accidental_cartesian_products(spark):
         "knn_classify",  # corpus x broadcast(query set) with != self filter — same brute-force shape as sim_cosine_topk
         "sample_domain_mix",  # corpus x broadcast(1-row min-total aggregate)
         "text_perplexity",  # token stream x broadcast(1-row N/V totals)
+        "text_bm25",  # scored terms x broadcast(1-row n_docs/avgdl aggregate)
+        "rag_hybrid_rrf",  # same 1-row corpus-stats broadcast (BM25 branch) + 1-query cosine branch
         "events_gapfill",  # calendar(|days| rows) x types(|types| rows) — the dense grid IS the output shape
         "events_interpolate",  # same dense calendar x types grid as events_gapfill
         # tpch_extra: every BNLJ is against a bounded broadcast side — the
