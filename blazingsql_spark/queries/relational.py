@@ -1799,3 +1799,50 @@ twin(
     """,
     tables=("orders",),
 )
+
+
+# First-order Markov transition matrix over per-user event sequences: the
+# path-analysis primitive (next-event prediction, anomalous-flow detection).
+# One window pass for predecessors + one grouped count; the per-source
+# normalization is a window over the |event_types|^2-row transition table.
+twin(
+    "events_markov",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           FLOOR(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)
+                 * 1000000) / 1000000 AS p
+    FROM trans
+    ORDER BY prev_type, next_type
+    """,
+    tables=("events",),
+)
+
+# LATERAL correlated subquery with ORDER BY + LIMIT — top-N-per-entity as a
+# join (the reference's Calcite frontend has no LATERAL at all; Catalyst
+# decorrelates the per-row limit into a rank window, so this is top-k per
+# group under the hood, not a nested loop).
+twin(
+    "join_lateral",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """,
+    tables=("customer", "orders"),
+)
