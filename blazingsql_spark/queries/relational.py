@@ -1846,3 +1846,101 @@ twin(
     """,
     tables=("customer", "orders"),
 )
+
+
+# Fixed-width histogram binning via pure arithmetic (FLOOR of the scaled
+# value, top bucket clamped) — engine-portable where WIDTH_BUCKET is not
+# (DuckDB lacks it), and a map-side-combinable single-shuffle aggregate.
+twin(
+    "agg_histogram",
+    """
+    SELECT CAST(LEAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 50000), 11) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT)      AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tables=("orders",),
+)
+
+# A/B experiment readout: deterministic hash-bucket variant assignment
+# (same md5-prefix idiom as functions.sampling.hash_bucket, so assignment
+# is reproducible across engines AND across reruns — no rand()), then
+# per-variant mean/variance of the conversion metric. One scan, one
+# aggregate; the z-score is one driver-side formula over these two rows.
+pair(
+    "events_ab_test",
+    """
+    WITH assign AS (
+        SELECT value,
+               PMOD(CAST(CONV(SUBSTRING(MD5(CONCAT('ab:', CAST(user_id AS STRING))),
+                                        1, 15), 16, 10) AS BIGINT), 2) AS variant
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(AVG(value) * 10000) / 10000 AS mean_value,
+           FLOOR(VAR_SAMP(value) * 100) / 100 AS var_value
+    FROM assign GROUP BY variant ORDER BY variant
+    """,
+    """
+    WITH assign AS (
+        SELECT value,
+               ('0x' || SUBSTR(MD5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2 AS variant
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(AVG(value) * 10000) / 10000 AS mean_value,
+           FLOOR(VAR_SAMP(value) * 100) / 100 AS var_value
+    FROM assign GROUP BY variant ORDER BY variant
+    """,
+    tables=("events",),
+)
+
+# Top user journeys: sessionize (lag+gap+cumsum, as events_sessionize),
+# then the ordered event-type path per session via LISTAGG WITHIN GROUP
+# (DuckDB spells it STRING_AGG ... ORDER BY), then a path leaderboard.
+# The path strings are bounded by session length; the leaderboard cut is
+# TakeOrderedAndProject.
+pair(
+    "events_top_paths",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ), paths AS (
+        SELECT user_id, session_id,
+               LISTAGG(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path ORDER BY n DESC, path LIMIT 15
+    """,
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ), paths AS (
+        SELECT user_id, session_id,
+               STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path ORDER BY n DESC, path LIMIT 15
+    """,
+    tables=("events",),
+)
