@@ -568,3 +568,65 @@ pair(
     """,
     tables=("events",),
 )
+
+
+# Spark 4 VARIANT type: parse the JSON once into the binary semi-structured
+# type, then typed-path extraction (variant_get) — the shred-once /
+# extract-many shape for semi-structured columns at scale (vs re-parsing
+# the string per path as get_json_object does). DuckDB twin uses its JSON
+# type the same way.
+pair(
+    "expr_variant",
+    """
+    WITH v AS (SELECT event_id, event_type, PARSE_JSON(props) AS pv FROM events)
+    SELECT event_type,
+           CAST(SUM(CAST(VARIANT_GET(pv, '$.k', 'bigint') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MAX(CAST(VARIANT_GET(pv, '$.k', 'bigint') AS BIGINT)) AS BIGINT)
+               AS max_k,
+           CAST(COUNT(CASE WHEN VARIANT_GET(pv, '$.absent', 'string') IS NULL
+                           THEN 1 END) AS BIGINT) AS n_null_path
+    FROM v
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    """
+    WITH v AS (SELECT event_id, event_type, props::JSON AS pv FROM events)
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(pv, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(pv, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(CASE WHEN json_extract_string(pv, '$.absent') IS NULL
+                           THEN 1 END) AS BIGINT) AS n_null_path
+    FROM v
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tables=("events",),
+)
+
+# Spark 4 string collations: case-insensitive compare/group via the
+# UTF8_LCASE collation (DuckDB spells it COLLATE NOCASE). Collation-aware
+# equality pushes into hash aggregates/joins JVM-side — no LOWER() copies
+# of the column needed.
+pair(
+    "expr_collation",
+    """
+    SELECT COLLATE(c_mktsegment, 'UTF8_LCASE') AS seg_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN COLLATE(c_mktsegment, 'UTF8_LCASE') = 'building'
+                           THEN 1 END) AS BIGINT) AS n_building_ci
+    FROM customer
+    GROUP BY COLLATE(c_mktsegment, 'UTF8_LCASE')
+    ORDER BY seg_ci
+    """,
+    """
+    SELECT c_mktsegment COLLATE NOCASE AS seg_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN c_mktsegment COLLATE NOCASE = 'building'
+                           THEN 1 END) AS BIGINT) AS n_building_ci
+    FROM customer
+    GROUP BY c_mktsegment COLLATE NOCASE
+    ORDER BY seg_ci
+    """,
+    tables=("customer",),
+)
