@@ -1944,3 +1944,104 @@ pair(
     """,
     tables=("events",),
 )
+
+
+# First-touch attribution: each user's conversion credited to the channel
+# (event type) of their FIRST event — the marketing-attribution primitive.
+# One ranked window + one tiny conversion aggregate; the rn=1 filter cuts
+# the stream to |users| rows before the join.
+twin(
+    "events_attribution",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    conv AS (
+        SELECT user_id, COUNT(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT r.event_type AS first_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_converted,
+           CAST(COALESCE(SUM(c.n_purchases), 0) AS BIGINT) AS n_purchases
+    FROM ranked r LEFT JOIN conv c ON r.user_id = c.user_id
+    WHERE r.rn = 1
+    GROUP BY r.event_type ORDER BY r.event_type
+    """,
+    tables=("events",),
+)
+
+# Time-weighted average (TWAP): each sample weighted by its holding
+# duration until the next sample — the irregular-time-series average
+# (financial TWAP / TimescaleDB time_weight shape). Durations are exact
+# integer MICROSECONDS on both engines (Spark's whole-second
+# UNIX_TIMESTAMP truncation vs DuckDB's fractional EPOCH was a measured
+# sub-second mismatch); NTZ→TZ cast is value-preserving under the UTC
+# session.
+pair(
+    "events_twap",
+    """
+    WITH w AS (
+        SELECT user_id, DATE_TRUNC('day', ts) AS day, value, ts,
+               LEAD(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS nxt
+        FROM events
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_weighted,
+           FLOOR(SUM(value * (UNIX_MICROS(CAST(nxt AS TIMESTAMP))
+                              - UNIX_MICROS(CAST(ts AS TIMESTAMP))))
+                 / SUM(UNIX_MICROS(CAST(nxt AS TIMESTAMP))
+                       - UNIX_MICROS(CAST(ts AS TIMESTAMP))) * 10000) / 10000
+               AS twap
+    FROM w WHERE nxt IS NOT NULL AND nxt > ts
+    GROUP BY user_id, day
+    ORDER BY user_id, day
+    """,
+    """
+    WITH w AS (
+        SELECT user_id, DATE_TRUNC('day', ts) AS day, value, ts,
+               LEAD(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS nxt
+        FROM events
+    )
+    SELECT user_id, day,
+           CAST(COUNT(*) AS BIGINT) AS n_weighted,
+           FLOOR(SUM(value * (EPOCH_US(nxt) - EPOCH_US(ts)))
+                 / SUM(EPOCH_US(nxt) - EPOCH_US(ts)) * 10000) / 10000
+               AS twap
+    FROM w WHERE nxt IS NOT NULL AND nxt > ts
+    GROUP BY user_id, day
+    ORDER BY user_id, day
+    """,
+    tables=("events",),
+)
+
+# OHLC candlesticks per (series, day): open/close via forward/reverse
+# ROW_NUMBERs (deterministic event_id tiebreaks — MIN_BY/ARG_MIN tie
+# behavior is engine-defined, so ranked windows instead), high/low/count
+# as plain aggregates. Both windows share one (event_type, day) exchange.
+twin(
+    "events_ohlc",
+    """
+    WITH r AS (
+        SELECT event_type, DATE_TRUNC('day', ts) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, day,
+           FLOOR(MAX(CASE WHEN rn_a = 1 THEN value END) * 10000) / 10000 AS open,
+           FLOOR(MAX(value) * 10000) / 10000 AS high,
+           FLOOR(MIN(value) * 10000) / 10000 AS low,
+           FLOOR(MAX(CASE WHEN rn_d = 1 THEN value END) * 10000) / 10000 AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    tables=("events",),
+)
