@@ -42,6 +42,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize an array<numeric> column in float64 — the standard
+    embedding pre-step so cosine becomes a plain dot product downstream.
+    Pure codegen (transform over the array), shuffle-free."""
+    return F.transform(a, lambda x: x.cast("double") / l2_norm(a))
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -2108,3 +2108,49 @@ def rag_hybrid_rrf(spark, sf_dir):
         )
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
+
+
+@register(
+    "emb_normalize",
+    oracle="""
+    SELECT vec_id,
+           ROUND(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+               AS l2_norm,
+           ROUND(list_dot_product(
+               list_transform(embedding::DOUBLE[],
+                   x -> x / SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),
+               list_transform(embedding::DOUBLE[],
+                   x -> x / SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))),
+               6) AS renorm
+    FROM embeddings
+    ORDER BY vec_id LIMIT 50
+    """,
+)
+def emb_normalize(spark, sf_dir):
+    """L2 embedding normalization (functions.similarity.l2_normalize):
+    unit-norm vectors so downstream cosine reduces to a dot product —
+    shuffle-free codegen transform, the standard embedding-table pre-step.
+    Output proves the contract: original norm + the normalized vector's
+    re-computed norm (== 1 up to rounding)."""
+    from blazingsql_spark.functions.similarity import l2_norm, l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+            l2_normalize(F.col("embedding")).alias("unit"),
+        )
+        .select(
+            "vec_id",
+            "l2_norm",
+            F.round(
+                F.aggregate(
+                    F.col("unit"), F.lit(0.0), lambda acc, x: acc + x * x
+                ),
+                6,
+            ).alias("renorm"),
+        )
+        .orderBy("vec_id")
+        .limit(50)
+    )

@@ -2045,3 +2045,67 @@ twin(
     """,
     tables=("events",),
 )
+
+
+@register(
+    "asof_tolerance_events",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN p.ts - v.ts <= INTERVAL 1 HOUR THEN ROUND(v.value, 2) END
+               AS last_view_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_tolerance_events(spark, sf_dir):
+    """As-of join with a max-staleness bound (operators.asof.asof_join
+    tolerance=...): matches older than 1 hour are NULLed, pandas
+    merge_asof tolerance semantics — left rows are kept either way. Same
+    single union+carry shuffle as the unbounded form; the tolerance is a
+    post-carry filter, not a different plan. Oracle: DuckDB ASOF LEFT
+    JOIN with the gap test applied to the matched row."""
+    from blazingsql_spark.operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases, views, on="ts", by=["user_id"],
+        right_value_cols=["view_value"], tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return out.select(
+        "event_id", "user_id", F.round("view_value", 2).alias("last_view_value")
+    ).orderBy("event_id")
+
+
+# Winsorization: clip a metric to per-group percentile bands — the
+# standard outlier-robust cleaning step before training/stats. The band
+# table is |groups| rows (broadcast); clipping is scan-side LEAST/GREATEST.
+twin(
+    "agg_winsorize",
+    """
+    WITH bands AS (
+        SELECT l_returnflag,
+               PERCENTILE_CONT(0.05) WITHIN GROUP
+                   (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS lo,
+               PERCENTILE_CONT(0.95) WITHIN GROUP
+                   (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < lo
+                           OR CAST(l_extendedprice AS DOUBLE) > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           FLOOR(SUM(LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo), hi))
+                 * 100) / 100 AS sum_winsorized
+    FROM lineitem l JOIN bands b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tables=("lineitem",),
+)
