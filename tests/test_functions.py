@@ -529,3 +529,47 @@ def test_fuzzy_join_covers_all_single_edit_kinds(spark):
         for r in fuzzy_join(left, right, "lname", "rname").collect()
     }
     assert got == {(1, 0), (2, 1), (3, 1), (4, 1)}, got
+
+
+def test_group_percentile_cont_matches_builtin(spark):
+    """operators.stats.group_percentile_cont must be BIT-identical to
+    Spark's PERCENTILE_CONT (which the DuckDB oracles also match) — the
+    distributed rank-based form is a plan change, not a semantics change."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.operators.stats import group_percentile_cont
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    mine = {
+        r.l_returnflag: (r.lo, r.med, r.hi)
+        for r in group_percentile_cont(
+            li, ["l_returnflag"], "l_extendedprice",
+            {"lo": 0.05, "med": 0.5, "hi": 0.95},
+        ).collect()
+    }
+    builtin = {
+        r.l_returnflag: (r.lo, r.med, r.hi)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_cont({q}) WITHIN GROUP "
+                    "(ORDER BY CAST(l_extendedprice AS DOUBLE))"
+                ).alias(nm)
+                for nm, q in (("lo", 0.05), ("med", 0.5), ("hi", 0.95))
+            ]
+        )
+        .collect()
+    }
+    assert mine == builtin  # bit-exact, no tolerance
+
+    # edge cases: single-row group, two-row interpolation, NULLs excluded
+    edge = spark.createDataFrame(
+        [("a", 5.0), ("b", 1.0), ("b", 2.0), ("b", None)], ["k", "v"]
+    )
+    got = {
+        r.k: r.p50
+        for r in group_percentile_cont(edge, ["k"], "v", {"p50": 0.5}).collect()
+    }
+    assert got == {"a": 5.0, "b": 1.5}
