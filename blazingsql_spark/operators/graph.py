@@ -88,3 +88,65 @@ def canonical_docs(
     return with_comp.filter(F.col(id_col) == F.col("canonical_id")).drop(
         "component_id", "canonical_id"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """(node, rank) after a FIXED number of power iterations with uniform
+    teleport — rank-based importance over a link/similarity graph (e.g.
+    weighting crawl documents by citation structure before sampling).
+
+    Fixed iteration count keeps the result deterministic and
+    SQL-oracle-able (the oracle unrolls the same iterations). Each round
+    is one equi-join (contributions along edges) + one partial-aggregated
+    groupBy sum, localCheckpoint'ed — the same O(iter) lineage discipline
+    as ``connected_components`` and the k-means loops. Dangling mass is
+    NOT redistributed (nodes without out-edges leak rank), matching the
+    simple unrolled oracle; at web scale add the standard dangling-sum
+    correction term per round.
+
+    Float portability: the damping/teleport constants enter as plain
+    literals (never derived arithmetically, e.g. 1-d), so both engines
+    evaluate the identical doubles.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        sym.select(F.col("s").alias("node"))
+        .union(sym.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # bounded driver scalar (a count, not data)
+    # literals, not arithmetic: (1-0.85) in Python is 0.1499999...; the
+    # SQL oracle's 0.15 parses to the nearest double OF THE DECIMAL — so
+    # round the complement back through its decimal representation
+    one_minus_d = float(str(round(1.0 - damping, 10)))
+    teleport = one_minus_d / n
+    outdeg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, sym["s"] == ranks["node"])
+            .join(F.broadcast(outdeg), "s")
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("od")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("csum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nodes.unpersist()
+    return ranks

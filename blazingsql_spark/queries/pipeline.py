@@ -2154,3 +2154,67 @@ def emb_normalize(spark, sf_dir):
         .orderBy("vec_id")
         .limit(50)
     )
+
+
+@register(
+    "graph_pagerank",
+    oracle="""
+    WITH e AS (
+        SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+        WHERE doc_id % 7 <> 6
+          AND doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    r1 AS (
+        SELECT nodes.node,
+               0.15 / nn.n + 0.85 * COALESCE(SUM(r0.r / outdeg.od), 0.0) AS r
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN e ON e.dst = nodes.node
+        LEFT JOIN r0 ON r0.node = e.src
+        LEFT JOIN outdeg ON outdeg.src = e.src
+        GROUP BY nodes.node, nn.n
+    ),
+    r2 AS (
+        SELECT nodes.node,
+               0.15 / nn.n + 0.85 * COALESCE(SUM(r1.r / outdeg.od), 0.0) AS r
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN e ON e.dst = nodes.node
+        LEFT JOIN r1 ON r1.node = e.src
+        LEFT JOIN outdeg ON outdeg.src = e.src
+        GROUP BY nodes.node, nn.n
+    ),
+    r3 AS (
+        SELECT nodes.node,
+               0.15 / nn.n + 0.85 * COALESCE(SUM(r2.r / outdeg.od), 0.0) AS r
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN e ON e.dst = nodes.node
+        LEFT JOIN r2 ON r2.node = e.src
+        LEFT JOIN outdeg ON outdeg.src = e.src
+        GROUP BY nodes.node, nn.n
+    )
+    SELECT node, FLOOR(r * 1000000000) / 1000000000 AS rank
+    FROM r3 ORDER BY node
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the doc-chain graph (operators.graph.pagerank, 3
+    power iterations, damping 0.85) — rank-based importance for weighting
+    documents by link structure before sampling. Same chain edges as
+    dedup_components; in-degree <= 1 there, so per-node contribution sums
+    have a single term and the doubles are engine-exact (the oracle
+    unrolls the identical three iterations)."""
+    from blazingsql_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    edges = (
+        docs.filter((F.col("doc_id") % 7 != 6) & (F.col("doc_id") + 1 <= max_id))
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+    )
+    out = pagerank(edges, damping=0.85, iterations=3)
+    return out.select(
+        "node", (F.floor(F.col("rank") * 1000000000) / 1000000000).alias("rank")
+    ).orderBy("node")

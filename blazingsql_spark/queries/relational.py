@@ -2142,3 +2142,70 @@ def agg_winsorize(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# Robust outlier detection via median absolute deviation: MAD is the
+# robust scale estimate (insensitive to the outliers it hunts, unlike
+# stddev). Two distributed-percentile passes (operators.stats), band
+# tables broadcast, the flag a scan-side comparison.
+@register(
+    "agg_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag,
+               PERCENTILE_CONT(0.5) WITHIN GROUP
+                   (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS med
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+        SELECT l.l_returnflag, m.med,
+               CAST(l_extendedprice AS DOUBLE) AS v,
+               ABS(CAST(l_extendedprice AS DOUBLE) - m.med) AS ad
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    ),
+    mad AS (
+        SELECT l_returnflag,
+               PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+        FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           FLOOR(MIN(d.med) * 100) / 100 AS median_price,
+           FLOOR(MIN(mad.mad) * 100) / 100 AS mad_price,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad ON d.l_returnflag = mad.l_returnflag
+    GROUP BY d.l_returnflag
+    ORDER BY d.l_returnflag
+    """,
+)
+def agg_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outlier flagging per group: both the
+    median and the MAD come from operators.stats.group_percentile_cont
+    (the distributed rank-based exact percentile), so no task ever
+    buffers a group. |v - median| > 3 * MAD marks the outlier — the
+    robust-statistics standard where mean/stddev are themselves dragged
+    by the outliers being hunted."""
+    from blazingsql_spark.operators.stats import group_percentile_cont
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+    )
+    med = group_percentile_cont(li, ["l_returnflag"], "v", {"med": 0.5})
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med", "v", F.abs(F.col("v") - F.col("med")).alias("ad")
+    )
+    mad = group_percentile_cont(dev, ["l_returnflag"], "ad", {"mad": 0.5})
+    flagged = dev.join(F.broadcast(mad), "l_returnflag")
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            (F.floor(F.min("med") * 100) / 100).alias("median_price"),
+            (F.floor(F.min("mad") * 100) / 100).alias("mad_price"),
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("ad") > 3 * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
