@@ -143,3 +143,56 @@ def range_join(
     return joined.filter(
         F.abs(F.col(left_on) - F.col(right_on)) <= max_distance
     ).drop("__bucket", "__bucket0")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Join rows whose [start, end] intervals OVERLAP (half-open
+    ``l_start < r_end AND r_start < l_end``), plus optional equi ``by``
+    keys — the time-range/genomic-interval primitive the reference (and
+    stock Spark) can only express as a nested-loop theta join.
+
+    Bucketize the number line at ``bucket_width``: each interval registers
+    in every bucket it touches (``sequence(floor(start/w), floor(end/w))``),
+    the join is a plain equi-join on (by, bucket), the exact overlap
+    predicate filters afterward, and duplicate pairs (two intervals
+    sharing several buckets) are collapsed by keeping only the FIRST
+    shared bucket (``greatest(floor(l_start/w), floor(r_start/w)) ==
+    bucket`` — a stateless dedup, no distinct shuffle).
+
+    Scale: shuffle keys are (by, bucket); fan-out per row is
+    interval_length/width + 1, so pick ``bucket_width`` near the typical
+    interval length. Skewed hot buckets behave like any hot join key
+    (AQE skew split / salting apply).
+    """
+    by = by or []
+    w = float(bucket_width)
+
+    def buckets(start, end):
+        return F.sequence(
+            F.floor(F.col(start) / w).cast("long"),
+            F.floor(F.col(end) / w).cast("long"),
+        )
+
+    lb = left.withColumn("__bucket", F.explode(buckets(left_start, left_end)))
+    rb = right.withColumn("__bucket", F.explode(buckets(right_start, right_end)))
+    joined = lb.join(rb, by + ["__bucket"])
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    first_shared = (
+        F.greatest(
+            F.floor(F.col(left_start) / w).cast("long"),
+            F.floor(F.col(right_start) / w).cast("long"),
+        )
+        == F.col("__bucket")
+    )
+    return joined.filter(overlap & first_shared).drop("__bucket")

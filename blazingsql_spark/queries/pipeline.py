@@ -2218,3 +2218,55 @@ def graph_pagerank(spark, sf_dir):
     return out.select(
         "node", (F.floor(F.col("rank") * 1000000000) / 1000000000).alias("rank")
     ).orderBy("node")
+
+
+# Feature hashing (the "hashing trick"): tokens bucketed by the portable
+# md5-prefix hash into a FIXED dimensionality — the vectorizer that needs
+# no vocabulary pass at all (vs docs_tokenize_ids' rank-cut vocab), so a
+# 100 TB corpus vectorizes in one map-side pass + one per-doc aggregate.
+_FHASH_DIM = 8
+_FHASH_SPARK = (
+    "PMOD(CAST(CONV(SUBSTRING(MD5(CONCAT('fh:', token)), 1, 15), 16, 10) AS BIGINT), 8)"
+)
+_FHASH_DUCK = "('0x' || SUBSTR(MD5('fh:' || token), 1, 15))::BIGINT % 8"
+
+
+@register(
+    "docs_feature_hash",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    b AS (SELECT doc_id, {_FHASH_DUCK} AS bucket FROM toks)
+    SELECT doc_id,
+           {', '.join(f"CAST(SUM(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}" for i in range(8))}
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_feature_hash(spark, sf_dir):
+    """Hashing-trick vectorization: token -> md5-prefix bucket (the same
+    engine-portable hash as functions.sampling.hash_bucket) -> fixed-dim
+    count vector via ONE groupBy of conditional sums (pure codegen, no
+    pivot shuffle, no vocabulary broadcast). The no-vocab complement of
+    docs_tokenize_ids for linear probes / fast dedup features."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    bucketed = toks.select("doc_id", F.expr(_FHASH_SPARK).alias("bucket"))
+    return (
+        bucketed.groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("bucket") == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"f{i}")
+                for i in range(_FHASH_DIM)
+            ]
+        )
+        .orderBy("doc_id")
+    )

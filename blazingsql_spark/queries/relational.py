@@ -2209,3 +2209,64 @@ def agg_mad_outliers(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "interval_join_events",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id,
+               EPOCH_US(ts) AS p_start, EPOCH_US(ts) + 600000000 AS p_end
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id AS v_id, user_id,
+               EPOCH_US(ts) AS v_start, EPOCH_US(ts) + 600000000 AS v_end
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.p_id, CAST(COUNT(v.v_id) AS BIGINT) AS n_overlaps,
+           CAST(COALESCE(MIN(v.v_id), -1) AS BIGINT) AS first_view
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id
+     AND p.p_start < v.v_end AND v.v_start < p.p_end
+    GROUP BY p.p_id
+    ORDER BY p.p_id
+    """,
+)
+def interval_join_events(spark, sf_dir):
+    """Interval-overlap join (operators.asof.interval_join): each
+    purchase's 10-minute activity window joined to every view window of
+    the same user it overlaps. Bucketized equi-join on (user, bucket) +
+    exact post-filter + stateless first-shared-bucket dedup — never the
+    nested-loop theta join this predicate naively plans to. Oracle: the
+    plain inequality join (fine at oracle scale)."""
+    from blazingsql_spark.operators.asof import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        micros.alias("p_start"), (micros + 600000000).alias("p_end"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), "user_id",
+        micros.alias("v_start"), (micros + 600000000).alias("v_end"),
+    )
+    pairs = interval_join(
+        p, v, "p_start", "p_end", "v_start", "v_end",
+        bucket_width=600000000, by=["user_id"],
+    )
+    counted = pairs.groupBy("p_id").agg(
+        F.count("v_id").cast("long").alias("n_overlaps"),
+        F.min("v_id").alias("first_view"),
+    )
+    return (
+        p.select("p_id")
+        .join(counted, "p_id", "left")
+        .select(
+            "p_id",
+            F.coalesce(F.col("n_overlaps"), F.lit(0)).cast("long").alias("n_overlaps"),
+            F.coalesce(F.col("first_view"), F.lit(-1)).cast("long").alias("first_view"),
+        )
+        .orderBy("p_id")
+    )

@@ -573,3 +573,37 @@ def test_group_percentile_cont_matches_builtin(spark):
         for r in group_percentile_cont(edge, ["k"], "v", {"p50": 0.5}).collect()
     }
     assert got == {"a": 5.0, "b": 1.5}
+
+
+def test_interval_join_matches_bruteforce_and_avoids_nested_loop(spark):
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.operators.asof import interval_join
+    from blazingsql_spark.plans import join_strategies
+
+    left = spark.createDataFrame(
+        [(1, "k", 0.0, 10.0), (2, "k", 50.0, 60.0), (3, "j", 0.0, 100.0)],
+        ["lid", "k", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 5.0, 6.0),     # inside 1
+         (11, "k", 9.0, 55.0),    # overlaps 1 AND 2, spans many buckets
+         (12, "k", 60.0, 70.0),   # touches 2 only at the open end — no match
+         (13, "j", 99.0, 101.0),  # overlaps 3
+         (14, "k", 200.0, 300.0)],  # no overlap
+        ["rid", "k", "rs", "re"],
+    )
+    out = interval_join(left, right, "ls", "le", "rs", "re", bucket_width=10.0, by=["k"])
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    # brute force: half-open overlap ls < re and rs < le
+    brute = sorted(
+        (l[0], r[0])
+        for l in [(1, "k", 0.0, 10.0), (2, "k", 50.0, 60.0), (3, "j", 0.0, 100.0)]
+        for r in [(10, "k", 5.0, 6.0), (11, "k", 9.0, 55.0), (12, "k", 60.0, 70.0),
+                  (13, "j", 99.0, 101.0), (14, "k", 200.0, 300.0)]
+        if l[1] == r[1] and l[2] < r[3] and r[2] < l[3]
+    )
+    assert pairs == brute  # exact result incl. multi-bucket dedup
+    strategies = join_strategies(out)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
