@@ -117,8 +117,14 @@ def group_percentile_cont(
     )
 
     # order-statistic lookup: equi-join against the two target ranks
-    # (targets is n_groups × |quantiles| rows — broadcast)
-    hit = globally_ranked.join(F.broadcast(targets), [*keys]).filter(
+    # (targets is n_groups × |quantiles| rows — broadcast); with no group
+    # keys the targets table is |quantiles| rows and the "join" is a
+    # bounded broadcast cross product
+    hit = (
+        globally_ranked.join(F.broadcast(targets), [*keys])
+        if keys
+        else globally_ranked.crossJoin(F.broadcast(targets))
+    ).filter(
         (F.col("__grank") == F.col("__rank_lo"))
         | (F.col("__grank") == F.col("__rank_hi"))
     )

@@ -2270,3 +2270,31 @@ def interval_join_events(spark, sf_dir):
         )
         .orderBy("p_id")
     )
+
+
+# Equi-depth (equal-frequency) histogram: decile edges of a global
+# column — the empty-keys path of the distributed percentile (one global
+# range sort, chunked rank offsets; the only single-partition stage is
+# the n_chunks-row offset table). Exactly the NDV/selectivity statistic
+# a CBO's histogram wants.
+@register(
+    "agg_equidepth",
+    oracle=f"""
+    SELECT {', '.join(f"PERCENTILE_CONT({i / 10.0}) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p{i * 10}" for i in range(1, 10))}
+    FROM orders
+    """,
+)
+def agg_equidepth(spark, sf_dir):
+    """Global decile edges of o_totalprice via operators.stats
+    .group_percentile_cont with NO group keys — nine order statistics
+    from one distributed rank pass (vs nine single-task buffered
+    percentile aggregates built-in). Bit-identical to PERCENTILE_CONT."""
+    from blazingsql_spark.operators.stats import group_percentile_cont
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    qs = {f"p{i * 10}": i / 10.0 for i in range(1, 10)}
+    return group_percentile_cont(orders, [], "v", qs).select(
+        *[f"p{i * 10}" for i in range(1, 10)]
+    )

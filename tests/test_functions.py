@@ -607,3 +607,22 @@ def test_interval_join_matches_bruteforce_and_avoids_nested_loop(spark):
     strategies = join_strategies(out)
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_group_percentile_cont_global_no_keys(spark):
+    """keys=[] computes GLOBAL percentiles (the equi-depth histogram
+    path) — same bit-exact contract as the grouped form."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.operators.stats import group_percentile_cont
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    mine = group_percentile_cont(orders, [], "v", {"p25": 0.25, "p75": 0.75}).first()
+    builtin = orders.agg(
+        F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY v)").alias("p25"),
+        F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY v)").alias("p75"),
+    ).first()
+    assert (mine.p25, mine.p75) == (builtin.p25, builtin.p75)

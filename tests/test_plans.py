@@ -93,6 +93,7 @@ def test_no_accidental_cartesian_products(spark):
         "sample_domain_mix",  # corpus x broadcast(1-row min-total aggregate)
         "text_perplexity",  # token stream x broadcast(1-row N/V totals)
         "text_bm25",  # scored terms x broadcast(1-row n_docs/avgdl aggregate)
+        "agg_equidepth",  # ranked rows x broadcast(|quantiles|-row target-rank table): the no-group-keys percentile path
         "rag_hybrid_rrf",  # same 1-row corpus-stats broadcast (BM25 branch) + 1-query cosine branch
         "events_gapfill",  # calendar(|days| rows) x types(|types| rows) — the dense grid IS the output shape
         "events_interpolate",  # same dense calendar x types grid as events_gapfill
