@@ -2298,3 +2298,144 @@ def agg_equidepth(spark, sf_dir):
     return group_percentile_cont(orders, [], "v", qs).select(
         *[f"p{i * 10}" for i in range(1, 10)]
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT (SELECT MAX(o_orderkey) FROM orders) + 1, 1, 'O', 100.0
+    ),
+    kept AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    ),
+    merged AS (SELECT * FROM kept UNION ALL SELECT * FROM src)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           FLOOR(SUM(o_totalprice) * 100) / 100 AS sum_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE upsert semantics, driver-checked (operators.merge
+    .merge_upsert): a CDC batch (every 10th order repriced x2, plus one
+    brand-new key) merged into orders — source wins on conflict,
+    unmatched target rows survive, the insert lands. One anti-join + one
+    union, both shuffling on the merge key (co-partitioned at scale).
+    The oracle builds the identical batch and verifies the merged
+    table's per-status counts, max key, and price mass."""
+    from blazingsql_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    inserts = spark.createDataFrame(
+        [(max_key + 1, 1, "O", 100.0)],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    merged = merge_upsert(orders, updates.unionByName(inserts), ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+            (F.floor(F.sum("o_totalprice") * 100) / 100).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "scd2_orders",
+    oracle="""
+    WITH dim AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey, o_orderstatus, price * 2 AS price
+        FROM dim WHERE o_orderkey % 10 = 0
+    ),
+    closed AS (
+        SELECT o_orderkey, o_orderstatus, price, valid_from,
+               TIMESTAMP '1999-01-01 00:00:00' AS valid_to
+        FROM dim WHERE o_orderkey IN (SELECT o_orderkey FROM upd)
+    ),
+    untouched AS (
+        SELECT * FROM dim WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    ),
+    new_rows AS (
+        SELECT o_orderkey, o_orderstatus, price,
+               TIMESTAMP '1999-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM upd
+    ),
+    scd AS (
+        SELECT * FROM closed UNION ALL
+        SELECT * FROM untouched UNION ALL
+        SELECT * FROM new_rows
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_current,
+           FLOOR(SUM(CASE WHEN valid_to IS NULL THEN price ELSE 0 END) * 100) / 100
+               AS current_price_mass
+    FROM scd GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def scd2_orders(spark, sf_dir):
+    """SCD2 dimension maintenance, driver-checked (operators.merge
+    .scd2_apply): every 10th order repriced — its current row is CLOSED
+    at the effective timestamp and a new current version appended;
+    history is append-only and untouched rows keep valid_to = NULL. Two
+    key-partitioned joins, no window over history. The oracle replays the
+    close-and-append algebra in SQL and checks per-status row counts,
+    current-row counts, and current price mass."""
+    from blazingsql_spark.operators.merge import scd2_apply
+
+    dim = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderdate").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = dim.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_orderstatus", (F.col("price") * 2).alias("price")
+    )
+    out = scd2_apply(
+        dim, updates, ["o_orderkey"],
+        effective_ts=F.to_timestamp(F.lit("1999-01-01 00:00:00")),
+    )
+    return (
+        out.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("valid_to").isNull().cast("int")).cast("long").alias("n_current"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("valid_to").isNull(), F.col("price")).otherwise(0.0))
+                    * 100
+                )
+                / 100
+            ).alias("current_price_mass"),
+        )
+        .orderBy("o_orderstatus")
+    )
