@@ -2439,3 +2439,28 @@ def scd2_orders(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# Deterministic MODE: built-in mode() tie-breaking is engine-defined, so
+# compute it as count + per-group top-1 with an explicit value tiebreak —
+# also the SCALABLE shape (two partial-aggregated phases + a |distinct
+# values|-sized window), where a naive mode buffers the group.
+twin(
+    "agg_mode",
+    """
+    WITH c AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    r AS (
+        SELECT l_returnflag, l_quantity, cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, l_quantity) AS rn
+        FROM c
+    )
+    SELECT l_returnflag, ROUND(l_quantity, 2) AS mode_qty,
+           CAST(cnt AS BIGINT) AS n
+    FROM r WHERE rn = 1 ORDER BY l_returnflag
+    """,
+    tables=("lineitem",),
+)
