@@ -2101,7 +2101,8 @@ def asof_tolerance_events(spark, sf_dir):
            CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < lo
                            OR CAST(l_extendedprice AS DOUBLE) > hi
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-           FLOOR(SUM(LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo), hi))
+           FLOOR(CAST(SUM(CAST(LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo),
+                                     hi) AS DECIMAL(24,6))) AS DOUBLE)
                  * 100) / 100 AS sum_winsorized
     FROM lineitem l JOIN bands b ON l.l_returnflag = b.l_returnflag
     GROUP BY l.l_returnflag
@@ -2131,14 +2132,21 @@ def agg_winsorize(spark, sf_dir):
         ((F.col("price") < F.col("lo")) | (F.col("price") > F.col("hi"))).alias(
             "__is_clip"
         ),
-        F.least(F.greatest(F.col("price"), F.col("lo")), F.col("hi")).alias("__w"),
+        # decimal cents-and-micros, not double: the per-group SUM must be
+        # exact regardless of partial-aggregation order (same reassociation
+        # hazard the gate caught in merge_upsert_orders)
+        F.least(F.greatest(F.col("price"), F.col("lo")), F.col("hi"))
+        .cast("decimal(24,6)")
+        .alias("__w"),
     )
     return (
         clipped.groupBy("l_returnflag")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("__is_clip").cast("int")).cast("long").alias("n_clipped"),
-            (F.floor(F.sum("__w") * 100) / 100).alias("sum_winsorized"),
+            (F.floor(F.sum("__w").cast("double") * 100) / 100).alias(
+                "sum_winsorized"
+            ),
         )
         .orderBy("l_returnflag")
     )
@@ -2305,14 +2313,16 @@ def agg_equidepth(spark, sf_dir):
     oracle="""
     WITH src AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               CAST(o_totalprice AS DOUBLE) * 2 AS o_totalprice
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2))
+                   AS o_totalprice
         FROM orders WHERE o_orderkey % 10 = 0
         UNION ALL
-        SELECT (SELECT MAX(o_orderkey) FROM orders) + 1, 1, 'O', 100.0
+        SELECT (SELECT MAX(o_orderkey) FROM orders) + 1, 1, 'O',
+               CAST(100.00 AS DECIMAL(18,2))
     ),
     kept AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
         FROM orders
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
     ),
@@ -2320,7 +2330,7 @@ def agg_equidepth(spark, sf_dir):
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
-           FLOOR(SUM(o_totalprice) * 100) / 100 AS sum_price
+           CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
     FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
@@ -2334,26 +2344,29 @@ def merge_upsert_orders(spark, sf_dir):
     table's per-status counts, max key, and price mass."""
     from blazingsql_spark.operators.merge import merge_upsert
 
+    # DECIMAL cents, not DOUBLE: the per-status SUM is exact regardless of
+    # partial-aggregation order (a double sum's low bits vary with the
+    # partition plan and once straddled the FLOOR grid in a full-registry
+    # session — the gate caught it)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
     )
     max_key = orders.agg(F.max("o_orderkey")).first()[0]
     updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey", "o_custkey", "o_orderstatus",
-        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        (F.col("o_totalprice") * 2).cast("decimal(18,2)").alias("o_totalprice"),
     )
     inserts = spark.createDataFrame(
-        [(max_key + 1, 1, "O", 100.0)],
-        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
-    )
+        [(max_key + 1, 1, "O")], ["o_orderkey", "o_custkey", "o_orderstatus"]
+    ).withColumn("o_totalprice", F.lit("100.00").cast("decimal(18,2)"))
     merged = merge_upsert(orders, updates.unionByName(inserts), ["o_orderkey"])
     return (
         merged.groupBy("o_orderstatus")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.max("o_orderkey").cast("long").alias("max_key"),
-            (F.floor(F.sum("o_totalprice") * 100) / 100).alias("sum_price"),
+            F.sum("o_totalprice").cast("double").alias("sum_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -2364,13 +2377,14 @@ def merge_upsert_orders(spark, sf_dir):
     oracle="""
     WITH dim AS (
         SELECT o_orderkey, o_orderstatus,
-               CAST(o_totalprice AS DOUBLE) AS price,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
                CAST(o_orderdate AS TIMESTAMP) AS valid_from,
                CAST(NULL AS TIMESTAMP) AS valid_to
         FROM orders
     ),
     upd AS (
-        SELECT o_orderkey, o_orderstatus, price * 2 AS price
+        SELECT o_orderkey, o_orderstatus,
+               CAST(price * 2 AS DECIMAL(18,2)) AS price
         FROM dim WHERE o_orderkey % 10 = 0
     ),
     closed AS (
@@ -2396,7 +2410,8 @@ def merge_upsert_orders(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_current,
-           FLOOR(SUM(CASE WHEN valid_to IS NULL THEN price ELSE 0 END) * 100) / 100
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN price
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
                AS current_price_mass
     FROM scd GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
@@ -2413,12 +2428,13 @@ def scd2_orders(spark, sf_dir):
 
     dim = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus",
-        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
         F.col("o_orderdate").cast("timestamp").alias("valid_from"),
         F.lit(None).cast("timestamp").alias("valid_to"),
     )
     updates = dim.filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey", "o_orderstatus", (F.col("price") * 2).alias("price")
+        "o_orderkey", "o_orderstatus",
+        (F.col("price") * 2).cast("decimal(18,2)").alias("price"),
     )
     out = scd2_apply(
         dim, updates, ["o_orderkey"],
@@ -2429,13 +2445,13 @@ def scd2_orders(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n_rows"),
             F.sum(F.col("valid_to").isNull().cast("int")).cast("long").alias("n_current"),
-            (
-                F.floor(
-                    F.sum(F.when(F.col("valid_to").isNull(), F.col("price")).otherwise(0.0))
-                    * 100
+            F.sum(
+                F.when(F.col("valid_to").isNull(), F.col("price")).otherwise(
+                    F.lit("0").cast("decimal(18,2)")
                 )
-                / 100
-            ).alias("current_price_mass"),
+            )
+            .cast("double")
+            .alias("current_price_mass"),
         )
         .orderBy("o_orderstatus")
     )
