@@ -2270,3 +2270,43 @@ def docs_feature_hash(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# Efraimidis-Spirakis weighted sampling WITHOUT replacement: key each row
+# with ln(u)/w (u hash-derived, deterministic — no rand(), reproducible
+# across engines AND reruns) and take the global top-k by key. Gives an
+# EXACT-size weighted sample where sample_weighted's Bernoulli form gives
+# an expected-size one. One scan + TakeOrderedAndProject; no shuffle
+# beyond the top-k merge.
+pair(
+    "sample_weighted_es",
+    """
+    WITH keyed AS (
+        SELECT o_orderkey,
+               LN(CAST(CAST(CONV(SUBSTRING(MD5(CONCAT('es:',
+                        CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)
+                       + 1 AS DOUBLE)
+                  / CAST(1152921504606846976 AS DOUBLE))
+               / CAST(o_totalprice AS DOUBLE) AS es_key
+        FROM orders
+    )
+    SELECT o_orderkey, FLOOR(es_key * 1000000000) / 1000000000 AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, o_orderkey LIMIT 20
+    """,
+    """
+    WITH keyed AS (
+        SELECT o_orderkey,
+               LN(CAST(('0x' || SUBSTR(MD5('es:' || CAST(o_orderkey AS VARCHAR)),
+                        1, 15))::BIGINT + 1 AS DOUBLE)
+                  / CAST(1152921504606846976 AS DOUBLE))
+               / CAST(o_totalprice AS DOUBLE) AS es_key
+        FROM orders
+    )
+    SELECT o_orderkey, FLOOR(es_key * 1000000000) / 1000000000 AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, o_orderkey LIMIT 20
+    """,
+    tables=("orders",),
+    doc="Efraimidis-Spirakis exact-size weighted sample (hash-deterministic, P(top-k) ∝ weights)",
+)
