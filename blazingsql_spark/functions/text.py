@@ -362,11 +362,26 @@ def bm25_topk(
     """
     toks = _tokens(df, id_col, text_col)
     doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    corpus = doclen.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
     qtoks = toks.filter(F.col("token").isin(list(query_terms)))
     tf = qtoks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    return _bm25_rank(tf, doclen, k1=k1, b=b, k=k, id_col=id_col)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    doclen: DataFrame,
+    k1: float,
+    b: float,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared BM25 scoring core over prepared components: ``tf``
+    (id, token, tf — already filtered to the query terms) and ``doclen``
+    (id, dl). Both the direct corpus scan (bm25_topk) and the persisted
+    lexical index (streaming.ingest.LexicalIndexIngest /
+    bm25_topk_indexed) feed THIS function, so the indexed probe is
+    exactly the batch computation by construction."""
+    corpus = doclen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("n_t"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
@@ -393,6 +408,28 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    k1: float = 1.5,
+    b: float = 0.75,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 probe against a PERSISTED lexical index (built/maintained by
+    ``streaming.ingest.LexicalIndexIngest``): postings are token-clustered
+    parquet, so the term filter prunes to the query terms' row groups and
+    query-time cost scales with the posting lists touched, not the corpus.
+    Returns the same result as ``bm25_topk`` over the full corpus (the
+    scoring core is shared; equivalence is asserted in tests)."""
+    postings = spark.read.parquet(f"{index_path.rstrip('/')}/postings").filter(
+        F.col("token").isin(list(query_terms))
+    )
+    doclen = spark.read.parquet(f"{index_path.rstrip('/')}/doclen")
+    return _bm25_rank(postings, doclen, k1=k1, b=b, k=k, id_col=id_col)
 
 
 def bpe_pair_counts(

@@ -297,3 +297,90 @@ def run_ann_index_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class LexicalIndexIngest:
+    """foreachBatch handler maintaining a PERSISTED BM25 lexical index:
+    each micro-batch's documents are tokenized once and appended as
+    ``postings/`` (token, doc_id, tf — hash-clustered on token at
+    compaction, so a query's term filter prunes to the posting lists it
+    touches) and ``doclen/`` (doc_id, dl). Query-time scoring
+    (``functions.text.bm25_topk_indexed``) then never rescans raw text —
+    the retrieval twin of the dedup signature index: the ever-growing
+    side lives clustered on its join key and is only ever appended to.
+
+    Same operational discipline as DedupIngest: append-only epochs (safe
+    whether or not the index exists yet — no state probe needed),
+    file-count-bounded compaction, exactly-once via the stream
+    checkpoint."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_postings_files: int = 64,
+        postings_partitions: int = 8,
+    ):
+        self.spark = spark
+        self.index_path = index_path.rstrip("/")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.max_postings_files = max_postings_files
+        self.postings_partitions = postings_partitions
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        from blazingsql_spark.functions.text import _tokens
+
+        toks = _tokens(batch, self.id_col, self.text_col).persist()
+        (
+            toks.groupBy(self.id_col, "token")
+            .agg(F.count("*").alias("tf"))
+            .write.mode("append")
+            .parquet(f"{self.index_path}/postings")
+        )
+        (
+            toks.groupBy(self.id_col)
+            .agg(F.count("*").alias("dl"))
+            .write.mode("append")
+            .parquet(f"{self.index_path}/doclen")
+        )
+        toks.unpersist()
+        self._compact_postings_if_needed()
+
+    def _compact_postings_if_needed(self) -> None:
+        path = f"{self.index_path}/postings"
+        idx = self.spark.read.parquet(path)
+        if len(idx.inputFiles()) <= self.max_postings_files:
+            return
+        tmp = path + "__compacting"
+        (
+            idx.repartition(self.postings_partitions, "token")
+            .sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        sc = self.spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(path).getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(hpath(path), True)
+        fs.rename(hpath(tmp), hpath(path))
+
+
+def run_lexical_index_ingest(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Wire a document stream into the lexical index. Returns the started
+    StreamingQuery."""
+    handler = LexicalIndexIngest(spark, index_path, **kwargs)
+    return (
+        doc_stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

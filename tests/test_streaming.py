@@ -328,3 +328,41 @@ def test_ann_index_ingest_builds_extends_and_tracks_drift(spark, tmp_path):
         prebuilt=(cents, books, enc),
     )
     assert hits.count() == 3 * 5
+
+
+def test_lexical_index_ingest_matches_batch_bm25(spark, tmp_path):
+    """Streaming BM25 index: two epochs of documents appended to the
+    postings/doclen index; the indexed probe must equal the one-shot
+    batch bm25_topk over the union corpus (shared scoring core), and
+    compaction must bound the postings file count without changing
+    results."""
+    from blazingsql_spark.functions.text import bm25_topk, bm25_topk_indexed
+    from blazingsql_spark.streaming.ingest import LexicalIndexIngest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b1 = docs.filter("doc_id < 200")
+    b2 = docs.filter("doc_id >= 200")
+    terms = ["vector", "spark", "hash"]
+
+    handler = LexicalIndexIngest(spark, str(tmp_path / "lexidx"))
+    handler(b1, 0)
+    handler(b2, 1)
+
+    indexed = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, str(tmp_path / "lexidx"), terms, k=15).collect()
+    ]
+    batch = [(r.doc_id, r.bm25) for r in bm25_topk(docs, terms, k=15).collect()]
+    assert indexed == batch
+
+    # compaction: force a tiny file bound, re-ingest nothing new — file
+    # count shrinks, results unchanged
+    handler.max_postings_files = 1
+    handler._compact_postings_if_needed()
+    n_files = len(spark.read.parquet(str(tmp_path / "lexidx/postings")).inputFiles())
+    assert n_files <= handler.postings_partitions
+    after = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, str(tmp_path / "lexidx"), terms, k=15).collect()
+    ]
+    assert after == batch
