@@ -630,3 +630,68 @@ pair(
     """,
     tables=("customer",),
 )
+
+
+# Bit shifts — Spark spells them SHIFTLEFT/SHIFTRIGHT, DuckDB << / >>.
+# Full unique ORDER BY tiebreak: (l_orderkey, l_linenumber) repeats in the
+# synthetic fixtures, and a tie at the LIMIT boundary flips rows.
+pair(
+    "expr_bit_shift",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(SHIFTLEFT(l_partkey, 3) AS BIGINT)  AS shl,
+           CAST(SHIFTRIGHT(l_partkey, 2) AS BIGINT) AS shr
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 30
+    """,
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(l_partkey << 3 AS BIGINT) AS shl,
+           CAST(l_partkey >> 2 AS BIGINT) AS shr
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 30
+    """,
+    tables=("lineitem",),
+)
+
+# SPLIT_PART — same name and 1-based semantics in both dialects.
+twin(
+    "expr_split_part",
+    """
+    SELECT c_custkey,
+           SPLIT_PART(c_name, '#', 1) AS name_head,
+           SPLIT_PART(c_name, '#', 2) AS name_num
+    FROM customer ORDER BY c_custkey LIMIT 30
+    """,
+    tables=("customer",),
+)
+
+# COUNT_IF — same name both dialects (sugar for COUNT(CASE WHEN...)).
+twin(
+    "agg_count_if",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT_IF(o_totalprice > 100000) AS BIGINT)       AS n_big,
+           CAST(COUNT_IF(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tables=("orders",),
+)
+
+# Datetime formatting — Spark's JDK patterns vs DuckDB's strftime.
+pair(
+    "expr_date_format",
+    """
+    SELECT o_orderkey,
+           DATE_FORMAT(o_orderdate, 'yyyy-MM')    AS ym,
+           DATE_FORMAT(o_orderdate, 'yyyy/MM/dd') AS ymd
+    FROM orders ORDER BY o_orderkey LIMIT 30
+    """,
+    """
+    SELECT o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m')    AS ym,
+           STRFTIME(o_orderdate, '%Y/%m/%d') AS ymd
+    FROM orders ORDER BY o_orderkey LIMIT 30
+    """,
+    tables=("orders",),
+)
