@@ -695,3 +695,50 @@ pair(
     """,
     tables=("orders",),
 )
+
+
+# Regex group extraction — same name/semantics both dialects.
+twin(
+    "expr_regexp_extract",
+    """
+    SELECT c_custkey,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1)       AS digits,
+           REGEXP_EXTRACT(c_mktsegment, '^([A-Z]+)', 1) AS seg_head
+    FROM customer ORDER BY c_custkey LIMIT 30
+    """,
+    tables=("customer",),
+)
+
+# Array set algebra — Spark ARRAY_INTERSECT/EXCEPT/DISTINCT implicitly
+# dedup; the oracle mirrors that with LIST_DISTINCT-wrapped list ops.
+pair(
+    "expr_array_setops",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               SLICE(SPLIT(LOWER(TRIM(text)), ' '), 1, 6)  AS a,
+               SLICE(SPLIT(LOWER(TRIM(text)), ' '), 4, 6)  AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           ARRAY_SORT(ARRAY_INTERSECT(a, b)) AS inter,
+           ARRAY_SORT(ARRAY_EXCEPT(a, b))    AS minus,
+           ARRAY_SORT(ARRAY_DISTINCT(a))     AS dedup
+    FROM t ORDER BY doc_id LIMIT 30
+    """,
+    """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(LOWER(TRIM(text)), ' ')[1:6]  AS a,
+               string_split(LOWER(TRIM(text)), ' ')[4:9]  AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           LIST_SORT(LIST_DISTINCT(LIST_INTERSECT(a, b))) AS inter,
+           LIST_SORT(LIST_FILTER(LIST_DISTINCT(a), x -> NOT LIST_CONTAINS(b, x)))
+               AS minus,
+           LIST_SORT(LIST_DISTINCT(a)) AS dedup
+    FROM t ORDER BY doc_id LIMIT 30
+    """,
+    tables=("documents",),
+)
