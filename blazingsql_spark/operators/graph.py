@@ -28,12 +28,34 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 25,
+    max_iterations: int = 100,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``edges``, where
     component_id is the smallest node id reachable from it. Deterministic;
     converges early when no label changes (the convergence probe is a
-    bounded limit(1).count per round, not a data collect)."""
+    bounded limit(1).count per round, not a data collect).
+
+    Convergence needs O(longest decreasing-local-minima chain) rounds.
+    The cap is a safety valve, not an answer-shaper: if the loop has not
+    converged when it runs out, this RAISES rather than silently
+    returning non-minimal labels (the sf0.1 full-registry gate caught
+    exactly that: the measured canonicalization graph needs ~60 plain
+    rounds, and a silent 25-round cap produced one wrong survivor).
+
+    Why NOT pointer-doubling (lab = lab(lab(node))): measured, not
+    hypothetical — ``localCheckpoint`` truncates RDD lineage but NOT the
+    LOGICAL plan, so a per-round self-join makes Catalyst's sizeInBytes
+    estimate SQUARE each round; its BigInteger digit count doubles
+    per iteration and by round ~16 the stats visitor grinds
+    million-digit multiplications on the driver (observed: single
+    planning thread pinned for 10+ minutes). Plain propagation keeps the
+    size exponent growing linearly (a few hundred digits over 100
+    rounds — negligible). The loop-plan-size discipline every iterative
+    operator here follows (k-means, PageRank) is: reference the previous
+    round's table ONCE per round. For adversarially deep graphs the
+    large-star/small-star EDGE contraction (Kiveris et al.) gives
+    O(log n) rounds without self-joining the label table; near-dup
+    similarity graphs in practice are low-diameter clumps."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -67,6 +89,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iterations} "
+            "rounds — raise max_iterations (labels would be non-minimal)"
+        )
     sym.unpersist()
     return labels.select("node", F.col("lab").alias("component_id"))
 
