@@ -626,3 +626,21 @@ def test_group_percentile_cont_global_no_keys(spark):
         F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY v)").alias("p75"),
     ).first()
     assert (mine.p25, mine.p75) == (builtin.p25, builtin.p75)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """The iteration cap is a safety valve, not an answer-shaper: an
+    unconverged run must RAISE (a silently truncated label propagation
+    returned one wrong dedup survivor at sf0.1 before this guard)."""
+    import pytest as _pytest
+
+    from blazingsql_spark.operators.graph import connected_components
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"])
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(path, max_iterations=3).count()
+    # and with room to converge, the 30-node path is one component
+    from pyspark.sql import functions as F
+
+    cc = connected_components(path, max_iterations=100)
+    assert cc.filter(F.col("component_id") != 0).count() == 0
