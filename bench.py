@@ -51,8 +51,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(specs):
         time_once(specs[name], spark, sf_dir)
+        # best-of-4: the remaining noise source is host-level (CPU steal /
+        # frequency dips that slow whole multi-second windows — measured
+        # hitting a different query each run); one extra repeat halves the
+        # chance a query's whole window lands in a dip, for ~90s more wall
         timings[name] = round(
-            min(time_once(specs[name], spark, sf_dir) for _ in range(3)), 3
+            min(time_once(specs[name], spark, sf_dir) for _ in range(4)), 3
         )
         spark.catalog.clearCache()
         # clearCache drops cached DataFrames but NOT localCheckpoint'ed
