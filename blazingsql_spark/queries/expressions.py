@@ -405,9 +405,9 @@ pair(
            ARRAY_CONTAINS(ARRAY(l_orderkey, l_partkey, l_suppkey), l_suppkey) AS has_supp,
            ARRAY_MAX(ARRAY(l_orderkey, l_partkey, l_suppkey))           AS amax,
            ARRAY_MIN(ARRAY(l_orderkey, l_partkey, l_suppkey))           AS amin,
-           SORT_ARRAY(ARRAY(l_suppkey, l_partkey))                      AS sorted2,
-           SLICE(ARRAY(l_orderkey, l_partkey, l_suppkey), 1, 2)         AS first2,
-           SORT_ARRAY(ARRAY_DISTINCT(ARRAY(l_orderkey, l_orderkey, l_partkey))) AS dedup
+           ARRAY_JOIN(SORT_ARRAY(ARRAY(l_suppkey, l_partkey)), ',')     AS sorted2,
+           ARRAY_JOIN(SLICE(ARRAY(l_orderkey, l_partkey, l_suppkey), 1, 2), ',') AS first2,
+           ARRAY_JOIN(SORT_ARRAY(ARRAY_DISTINCT(ARRAY(l_orderkey, l_orderkey, l_partkey))), ',') AS dedup
     FROM lineitem
     WHERE l_orderkey < 100
     ORDER BY l_orderkey, l_linenumber
@@ -419,9 +419,9 @@ pair(
            LIST_CONTAINS([l_orderkey, l_partkey, l_suppkey], l_suppkey) AS has_supp,
            LIST_MAX([l_orderkey, l_partkey, l_suppkey])                 AS amax,
            LIST_MIN([l_orderkey, l_partkey, l_suppkey])                 AS amin,
-           LIST_SORT([l_suppkey, l_partkey])                            AS sorted2,
-           LIST_SLICE([l_orderkey, l_partkey, l_suppkey], 1, 2)         AS first2,
-           LIST_SORT(LIST_DISTINCT([l_orderkey, l_orderkey, l_partkey])) AS dedup
+           ARRAY_TO_STRING(LIST_SORT([l_suppkey, l_partkey]), ',')      AS sorted2,
+           ARRAY_TO_STRING(LIST_SLICE([l_orderkey, l_partkey, l_suppkey], 1, 2), ',') AS first2,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT([l_orderkey, l_orderkey, l_partkey])), ',') AS dedup
     FROM lineitem
     WHERE l_orderkey < 100
     ORDER BY l_orderkey, l_linenumber
@@ -457,7 +457,7 @@ pair(
     SELECT o_orderkey,
            ELEMENT_AT(MAP('ok', o_orderkey, 'ck', o_custkey), 'ck') AS ck_val,
            SIZE(MAP('ok', o_orderkey, 'ck', o_custkey))             AS m_size,
-           SORT_ARRAY(MAP_KEYS(MAP('ok', o_orderkey, 'ck', o_custkey))) AS m_keys
+           ARRAY_JOIN(SORT_ARRAY(MAP_KEYS(MAP('ok', o_orderkey, 'ck', o_custkey))), ',') AS m_keys
     FROM orders
     WHERE o_orderkey < 100
     ORDER BY o_orderkey
@@ -466,7 +466,7 @@ pair(
     SELECT o_orderkey,
            MAP {'ok': o_orderkey, 'ck': o_custkey}['ck'][1]         AS ck_val,
            CAST(CARDINALITY(MAP {'ok': o_orderkey, 'ck': o_custkey}) AS INT) AS m_size,
-           LIST_SORT(MAP_KEYS(MAP {'ok': o_orderkey, 'ck': o_custkey})) AS m_keys
+           ARRAY_TO_STRING(LIST_SORT(MAP_KEYS(MAP {'ok': o_orderkey, 'ck': o_custkey})), ',') AS m_keys
     FROM orders
     WHERE o_orderkey < 100
     ORDER BY o_orderkey

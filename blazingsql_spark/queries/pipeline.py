@@ -747,7 +747,7 @@ _BUCKET_ORACLE = "('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 1
                 WHEN bucket < 9500 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(doc_id) AS id_checksum
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM b GROUP BY 1 ORDER BY split
     """,
 )
@@ -778,7 +778,7 @@ def split_assign(spark, sf_dir):
                ) AS rn
         FROM documents
     )
-    SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS id_checksum
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM r WHERE rn <= 40 GROUP BY lang ORDER BY lang
     """,
 )
@@ -805,7 +805,7 @@ def sample_stratified(spark, sf_dir):
         SELECT doc_id, {_BUCKET_ORACLE.format(salt="shard", n=64)} AS shard
         FROM documents
     )
-    SELECT shard, COUNT(*) AS n_docs, SUM(doc_id) AS id_checksum
+    SELECT shard, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM s GROUP BY shard ORDER BY shard
     """,
 )
@@ -1097,7 +1097,7 @@ def _ivfpq_index(spark, sf_dir: str, emb):
     SELECT split,
            COUNT(*) AS n_docs,
            CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
-           SUM(doc_id) AS id_checksum
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM s GROUP BY split ORDER BY split
     """,
 )
@@ -1276,7 +1276,7 @@ def dedup_contamination(spark, sf_dir):
         SELECT doc_id, bigram, COUNT(*) AS n FROM g GROUP BY doc_id, bigram
     )
     SELECT doc_id,
-           SUM(n) AS n_bigrams,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
            FLOOR(COUNT(*) * 1.0 / SUM(n) * 1000000) / 1000000 AS distinct_ratio,
            FLOOR(MAX(n) * 1.0 / SUM(n) * 1000000) / 1000000   AS top_frac
     FROM pg GROUP BY doc_id ORDER BY doc_id
@@ -1339,17 +1339,17 @@ def text_stopwords(spark, sf_dir):
     oracle="""
     SELECT 'l_orderkey' AS "column", CAST(MIN(l_orderkey) AS DOUBLE) AS min_v,
            CAST(MAX(l_orderkey) AS DOUBLE) AS max_v,
-           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
     FROM lineitem
     UNION ALL
     SELECT 'l_quantity', CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
-           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            CAST(COUNT(DISTINCT l_quantity) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'l_discount', CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
-           SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            CAST(COUNT(DISTINCT l_discount) AS BIGINT)
     FROM lineitem
     ORDER BY "column"
@@ -1453,8 +1453,8 @@ pair(
         FROM documents
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
-           SUM(doc_id) AS id_checksum,
-           SUM(n_chars) AS chars_kept
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM s WHERE bucket < thresh
     """,
 )
@@ -1491,7 +1491,7 @@ def sample_weighted(spark, sf_dir):
                CAST(FLOOR(1000000 * t.T * w.w / c.c) AS BIGINT) AS thresh
         FROM c JOIN w ON c.lang = w.lang CROSS JOIN t
     )
-    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept, SUM(d.doc_id) AS id_checksum
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM(d.doc_id) AS BIGINT) AS id_checksum
     FROM documents d JOIN r ON d.lang = r.lang
     WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
           % 1000000 < r.thresh
@@ -1528,8 +1528,10 @@ def sample_domain_mix(spark, sf_dir):
                UNNEST(generate_series(1, LEN(embedding))) AS pos
         FROM embeddings
     ),
-    m AS (SELECT label, pos, ROUND(AVG(x), 6) AS x FROM e GROUP BY label, pos)
-    SELECT label, ARRAY_AGG(x ORDER BY pos) AS centroid
+    m AS (SELECT label, pos,
+                 CAST(ROUND(ROUND(AVG(x), 6) * 1000000) AS BIGINT) AS x
+          FROM e GROUP BY label, pos)
+    SELECT label, ARRAY_TO_STRING(ARRAY_AGG(x ORDER BY pos), ',') AS centroid_q6
     FROM m GROUP BY label ORDER BY label
     """,
 )
@@ -1537,9 +1539,23 @@ def emb_label_centroids(spark, sf_dir):
     """Per-label mean embedding (functions.similarity.label_centroids):
     class prototypes via ONE groupBy of 64 parallel avg() aggregates —
     map-side partial aggregation, shuffle carries ≤|labels| rows per
-    partition."""
+    partition. The compared projection serializes the centroid on a
+    micro-unit integer grid (round(x,6)*1e6 joined with ',') because the
+    driver's canonicalizer cannot sort/hash list cells and raw
+    double->string rendering differs across engines; the array logic
+    itself stays under test (label_centroids returns arrays)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.label_centroids(emb).orderBy("label")
+    cent = similarity.label_centroids(emb)
+    return cent.select(
+        "label",
+        F.array_join(
+            F.transform(
+                "centroid",
+                lambda x: F.round(x * 1000000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_q6"),
+    ).orderBy("label")
 
 
 @register(

@@ -140,73 +140,46 @@ def pair(
 
 _loaded = False
 
-# The driver records correctness rows for a bounded prefix (~50) of the
-# registry in iteration order. Round-3 rotation (per VERDICT r2 worklist):
-# (a) the 18 round-2-registered queries with no driver row yet, (b) the
-# four tpch_extra queries newly given inline-partsupp oracles, (c) three
-# sentinels — the two round-2 red rows (cast fixes to confirm green) plus
-# tpch_q1 as the standing regression canary, (d) back-fill with the
-# round-1-green TPC-H/join block that round 2 rotated OUT of the window,
-# so both registry halves get re-verified within two rounds (ROADMAP
-# alternating plan). Everything else follows in registration order.
-DRIVER_PRIORITY = (
-    # (c) sentinels FIRST — the two round-2 red rows (cast fixes that must
-    # show green in CORRECTNESS_r03) + the standing tpch_q1 canary; they
-    # must never fall off the end of the ~50-row driver window
+# The driver records correctness rows for a bounded prefix of the registry
+# in iteration order. The window is EXACTLY 50 rows (measured: CORRECTNESS_
+# r01/r02/r03 each contain exactly 50 rows) — round 3 overflowed it by
+# front-loading 62 names, so the planned TPC-H/join rotation block got no
+# driver row at all (VERDICT r3 "What's wrong" #4). The round-4 window is
+# therefore assembled from explicitly-budgeted blocks with a structural
+# assert; everything past the window queues in backlog-drain order for
+# round 5 (freeze: no new registrations in r4-r5 until every query has had
+# at least one driver row).
+_DRIVER_WINDOW = 50
+
+_SENTINELS = (
+    # standing canaries, pinned first every round: the two round-2 red rows
+    # (dialect-cast fixes, green since r3) + tpch_q1
     "expr_math",
     "text_stats",
     "tpch_q1",
-    # (a) no driver row yet — round-2 additions
-    "agg_approx_percentile",
-    "docs_pack",
-    "docs_chunk",
+)
+
+_R3_RED_FIXES = (
+    # the 11 round-3 red rows, all harness-representation defects fixed in
+    # round 4 (8x CAST(SUM(..) AS BIGINT) in the DuckDB oracles, 3x
+    # array/map outputs serialized to strings) — must show green in r4
     "split_assign",
     "sample_stratified",
     "sample_weighted",
     "shard_assign",
-    "text_redact",
     "text_repetition",
-    "text_stopwords",
-    "vocab_topk",
-    "sim_ann_pq",
-    "sim_ann_ivfpq",
     "pipeline_prepare_corpus",
-    "dedup_contamination",
     "profile_lineitem",
-    "events_trending",
-    "events_hopping_window",
-    "window_range_time",
     "sample_domain_mix",
-    "emb_label_centroids",
-    "knn_classify",
-    # (b) full-22 TPC-H parity: inline-generated partsupp twins
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q20",
-    # (b2) round-3-added subquery suite (Catalyst decorrelation paths)
-    "subquery_in",
-    "subquery_not_in",
-    "subquery_exists",
-    "subquery_not_exists",
-    "subquery_scalar",
-    "subquery_correlated_scalar",
-    # (b3) round-3 SQL-surface additions
-    "limit_offset",
-    "agg_having",
-    "agg_percentile_cont",
     "expr_array",
-    "agg_filter_clause",
-    "window_ignore_nulls",
-    "agg_salted_skew",
-    "text_boilerplate",
-    "multimodal_frames",
-    "agg_corr_covar",
-    "agg_regression",
-    "expr_string_pad",
     "expr_map",
-    "unpivot_metrics",
-    "events_funnel",
+    "emb_label_centroids",
+)
+
+_NEVER_CHECKED_R4 = (
+    # 16 of the 63 queries with no driver row in any round: the 12 round-3
+    # registrations that fell past the r3 cutoff + 4 named in VERDICT r3
+    # (bm25 / pagerank / merge / span-dedup). The other 47 are the r5 plan.
     "events_retention",
     "window_ratio_to_report",
     "agg_grouping_fn",
@@ -219,7 +192,16 @@ DRIVER_PRIORITY = (
     "events_gapfill",
     "events_anomaly",
     "expr_like_wildcards",
-    # (d) round-1-green block rotating back in
+    "text_bm25",
+    "graph_pagerank",
+    "merge_upsert_orders",
+    "dedup_spans",
+)
+
+_ROTATION_R4 = (
+    # re-verification of the round-1-green block with no driver row since
+    # r1 (two fixture regenerations ago): the full TPC-H q3-q22 tail + the
+    # 4 trickiest join semantics. Remaining joins/windows/aggs follow in r6.
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
@@ -237,16 +219,73 @@ DRIVER_PRIORITY = (
     "tpch_q21",
     "tpch_q22",
     "join_inner",
-    "join_left",
-    "join_right",
     "join_full_outer",
-    "join_cross",
-    "join_semi",
-    "join_anti",
-    "join_nullsafe",
     "join_nonequi",
-    "join_theta",
+    "join_nullsafe",
 )
+
+_R4_WINDOW = _SENTINELS + _R3_RED_FIXES + _NEVER_CHECKED_R4 + _ROTATION_R4
+assert len(_R4_WINDOW) == _DRIVER_WINDOW, (
+    f"driver window misbudgeted: {len(_R4_WINDOW)} names for "
+    f"{_DRIVER_WINDOW} rows"
+)
+assert len(set(_R4_WINDOW)) == len(_R4_WINDOW), "duplicate in driver window"
+
+_BACKLOG_NEVER_CHECKED = (
+    # the 47 remaining zero-driver-row queries, queued immediately after the
+    # window so the r5 rotation is a mechanical promote (47 + 3 sentinels
+    # = 50 — drains the backlog completely by end of r5)
+    "agg_bool_bit",
+    "agg_count_if",
+    "agg_equidepth",
+    "agg_group_by_all",
+    "agg_histogram",
+    "agg_mad_outliers",
+    "agg_mode",
+    "agg_skew_kurt",
+    "agg_string_agg",
+    "agg_winsorize",
+    "asof_forward_events",
+    "asof_nearest_events",
+    "asof_tolerance_events",
+    "dedup_canonicalize",
+    "docs_feature_hash",
+    "docs_tokenize_ids",
+    "emb_normalize",
+    "events_ab_test",
+    "events_attribution",
+    "events_ewma",
+    "events_interpolate",
+    "events_markov",
+    "events_ohlc",
+    "events_top_paths",
+    "events_twap",
+    "events_window_approx_distinct",
+    "expr_array_setops",
+    "expr_bit_shift",
+    "expr_collation",
+    "expr_date_format",
+    "expr_json",
+    "expr_levenshtein",
+    "expr_regexp_extract",
+    "expr_split_part",
+    "expr_variant",
+    "interval_join_events",
+    "join_fuzzy_names",
+    "join_lateral",
+    "ml_linear_probe",
+    "pivot_native",
+    "rag_hybrid_rrf",
+    "sample_weighted_es",
+    "scd2_orders",
+    "sketch_heavy_hitters",
+    "sql_recursive_cte",
+    "vocab_bpe_pairs",
+    "window_ntile",
+)
+assert len(_BACKLOG_NEVER_CHECKED) == 47, len(_BACKLOG_NEVER_CHECKED)
+
+DRIVER_PRIORITY = _R4_WINDOW + _BACKLOG_NEVER_CHECKED
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -3,8 +3,28 @@
 Differential-testing scheme mirrors the reference's e2e harness
 (/root/reference/tests/BlazingSQLTest/Runner/runTest.py: run_query :1078
 vs run_query_spark/:971 with compare_result_values :113) with DuckDB as the
-oracle engine and exact value comparison (the driver hashes values, so we
-test the strictest form locally).
+oracle engine.
+
+DRIVER-FAITHFUL COMPARE (round-4 rewrite). The external driver harness
+canonicalizes each result (sort columns by name, sort rows) and then takes a
+dtype-sensitive value hash, so `113926` (int64) vs `113926.0` (float64, e.g.
+DuckDB HUGEINT from a bare SUM(int)) MISMATCH even though the math is equal,
+and list-typed cells crash its canonicalizer outright. Rounds 2 and 3 both
+shipped "locally green" rows the driver rejected because the old local gate
+compared with check_dtype=False and coerced ints/floats together. This gate
+therefore:
+
+1. renders every cell to a canonical string that is representation-sensitive
+   in the same way the driver's hash is (ints render "113926", floats
+   "113926.0", float32 widens through float64 bits first — matching
+   pandas.util.hash_pandas_object semantics);
+2. asserts dtype-KIND parity per column (int vs float vs bool vs datetime vs
+   object) between the Spark result and the DuckDB result — integer width
+   (int32 vs int64) is deliberately NOT a failure, matching the driver hash
+   which widens all ints to uint64;
+3. hard-fails on list/array/map/struct cells in any oracle-compared output
+   with a message naming the to_json/array_join fix, because the driver
+   cannot sort them at all.
 """
 
 from __future__ import annotations
@@ -42,54 +62,111 @@ def oracle():
     con.close()
 
 
-def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, canonicalize dtypes, sort rows — the driver's
-    order-insensitive compare, reproduced strictly."""
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    for c in pdf.columns:
-        s = pdf[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            if getattr(s.dt, "tz", None) is not None:
-                s = s.dt.tz_localize(None)
-            pdf[c] = s.astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(s):
-            pdf[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
-            pdf[c] = s.astype("Int64")
-        elif s.dtype == object:
-            pdf[c] = s.map(_canon_cell)
-    pdf = pdf.sort_values(by=list(pdf.columns), key=_sort_key, kind="mergesort")
-    return pdf.reset_index(drop=True)
+# Canonical dtype kinds: the granularity at which the driver's value hash is
+# sensitive. All integer widths hash alike (widened to uint64); float32
+# widens through its float64 value; bool/datetime/object are distinct.
+_KIND_CANON = {
+    "i": "int",
+    "u": "int",
+    "f": "float",
+    "b": "bool",
+    "M": "datetime",
+    "m": "timedelta",
+    "O": "object",
+    "S": "object",
+    "U": "object",
+}
 
 
-def _canon_cell(v):
+def dtype_signature(pdf: pd.DataFrame) -> dict[str, str]:
+    """Per-column canonical dtype kind, in column-name order."""
+    return {c: _KIND_CANON.get(pdf[c].dtype.kind, pdf[c].dtype.kind) for c in sorted(pdf.columns)}
+
+
+def _render(v) -> str:
+    """Canonical, representation-sensitive string for one cell."""
     import datetime
     import decimal
+    import math
 
     import numpy as np
 
+    if v is None:
+        return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)  # float32 widens through its exact float64 value
+        if math.isnan(f):
+            return "NULL"
+        return repr(f)
     if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(_canon_cell(x) for x in v)
-    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
-        return v.replace(tzinfo=None)
-    return v
+        return "dec:" + str(v)
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return "NULL"
+        if v.tzinfo is not None:
+            v = v.tz_localize(None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        raise AssertionError(
+            "list/map/struct cell in an oracle-compared result — the driver's "
+            "canonicalizer cannot sort/hash it (TypeError: unhashable type). "
+            "Serialize in the compared projection on BOTH sides: Spark "
+            "to_json()/array_join() <-> DuckDB to_json()/array_to_string(). "
+            f"Offending value: {v!r}"
+        )
+    try:
+        if pd.isna(v):  # NaT and pd.NA scalars
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
 
 
-def _sort_key(s: pd.Series) -> pd.Series:
-    if s.dtype == object:
-        return s.map(repr)
-    return s
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical frame: columns sorted by name, every cell
+    rendered to its canonical string, rows sorted by all columns."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rendered = pd.DataFrame(
+        {c: pdf[c].map(_render) for c in pdf.columns}, index=pdf.index, dtype=object
+    )
+    if len(rendered.columns) and len(rendered):
+        rendered = rendered.sort_values(by=list(rendered.columns), kind="mergesort")
+    return rendered.reset_index(drop=True)
+
+
+def compare_frames(got_raw: pd.DataFrame, want_raw: pd.DataFrame, name: str) -> None:
+    """The full driver-faithful assertion: columns, dtype-kind parity, row
+    count, canonical-rendered value equality. Raises AssertionError."""
+    got_sig, want_sig = dtype_signature(got_raw), dtype_signature(want_raw)
+    assert list(got_sig) == list(want_sig), (
+        f"{name}: column mismatch {list(got_sig)} vs {list(want_sig)}"
+    )
+    mismatched = {c: (got_sig[c], want_sig[c]) for c in got_sig if got_sig[c] != want_sig[c]}
+    assert not mismatched, (
+        f"{name}: dtype-kind mismatch (spark vs oracle) {mismatched} — the "
+        "driver's value hash is dtype-sensitive; align types in the query or "
+        "oracle (e.g. CAST(SUM(x) AS BIGINT) for DuckDB HUGEINT sums)"
+    )
+    got, want = normalize(got_raw), normalize(want_raw)
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_exact=True, obj=name)
 
 
 def assert_matches_oracle(spark, oracle, name: str, sf_dir: str = SF_DIR) -> None:
     spec = all_queries()[name]
     assert spec.oracle is not None, f"{name} has no oracle"
-    got = normalize(spec.fn(spark, sf_dir).toPandas())
-    want = normalize(oracle.execute(spec.oracle).fetchdf())
-    assert list(got.columns) == list(want.columns), (
-        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
-    )
-    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True, obj=name)
+    got_raw = spec.fn(spark, sf_dir).toPandas()
+    want_raw = oracle.execute(spec.oracle).fetchdf()
+    compare_frames(got_raw, want_raw, name)

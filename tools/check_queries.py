@@ -30,11 +30,10 @@ def main() -> int:
     sf_dirs = args.sf_dir or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
     import duckdb
-    import pandas as pd
 
     from blazingsql_spark.queries.registry import TABLES, all_queries
     from blazingsql_spark.session import get_spark
-    from tests.conftest import normalize
+    from tests.conftest import compare_frames
 
     spark = get_spark(app_name="check_queries", master="local[8]")
     specs = all_queries()
@@ -49,27 +48,20 @@ def main() -> int:
         for name in args.names:
             spec = specs[name]
             try:
-                got = normalize(spec.fn(spark, sf).toPandas())
+                got = spec.fn(spark, sf).toPandas()
                 if spec.oracle is None:
                     print(f"{sf} {name}: NO-ORACLE rows={len(got)}")
                     continue
-                exp = normalize(con.execute(spec.oracle).fetchdf())
+                exp = con.execute(spec.oracle).fetchdf()
             except Exception as e:  # noqa: BLE001
                 print(f"{sf} {name}: ERR {e!r}"[:300])
                 bad += 1
                 continue
-            if got.shape != exp.shape or list(got.columns) != list(exp.columns):
-                print(
-                    f"{sf} {name}: SHAPE-DIFF got={got.shape}{list(got.columns)} "
-                    f"exp={exp.shape}{list(exp.columns)}"
-                )
-                bad += 1
-                continue
             try:
-                pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+                compare_frames(got, exp, name)
                 print(f"{sf} {name}: PASS {got.shape}")
             except AssertionError as e:
-                print(f"{sf} {name}: VALUE-DIFF")
+                print(f"{sf} {name}: DIFF")
                 print(str(e)[:500])
                 bad += 1
     return 1 if bad else 0

@@ -37,11 +37,10 @@ def main() -> int:
     args = ap.parse_args()
 
     import duckdb
-    import pandas as pd
 
     from blazingsql_spark.queries.registry import TABLES, all_queries
     from blazingsql_spark.session import get_spark
-    from tests.conftest import normalize
+    from tests.conftest import compare_frames
 
     spark = get_spark(app_name="local_gate", master="local[8]")
     con = duckdb.connect()
@@ -56,18 +55,14 @@ def main() -> int:
     specs = all_queries()
     for name, spec in specs.items():
         try:
-            got = normalize(spec.fn(spark, args.sf_dir).toPandas())
+            got = spec.fn(spark, args.sf_dir).toPandas()
             if spec.oracle is None:
                 # rows-only check: ran, has columns
                 assert got.columns.size > 0
                 passed += 1
                 continue
-            want = normalize(con.execute(spec.oracle).fetchdf())
-            assert list(got.columns) == list(want.columns), "columns"
-            assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
-            pd.testing.assert_frame_equal(
-                got, want, check_dtype=False, check_exact=True
-            )
+            want = con.execute(spec.oracle).fetchdf()
+            compare_frames(got, want, name)
             passed += 1
         except Exception as exc:  # noqa: BLE001 — record, keep going
             fails.append(name)
