@@ -283,6 +283,7 @@ def unigram_negative_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 1,
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """CCNet-style language-model quality score: per-document average
     negative log-probability under an add-one-smoothed unigram LM trained
@@ -291,10 +292,15 @@ def unigram_negative_logprob(
 
     Scale shape: the LM is a (token, count) table cut by a FREQUENCY FLOOR
     (``count >= min_count`` — the standard LM vocab rule, and a pure filter:
-    no global sort, unlike a top-K cut) — small enough to BROADCAST onto
-    the token stream, so scoring is scan-side; out-of-vocab tokens take the
-    unseen-mass probability 1/(N+V). The only corpus-wide shuffles are the
-    vocab count (partial-aggregated) and the per-doc score aggregate.
+    no global sort, unlike a top-K cut); out-of-vocab tokens take the
+    unseen-mass probability 1/(N+V). The vocab join is left to AQE by
+    default: a min-count-floored vocab of a 100 TB corpus is easily 1e8+
+    rows, so a mandatory broadcast hint would OOM every executor — AQE
+    sees the actual post-shuffle size and broadcasts exactly when it
+    fits. Pass ``broadcast_vocab=True`` only when the caller KNOWS the
+    vocab is bounded (e.g. after a top-K cap). The only corpus-wide
+    shuffles are the vocab count (partial-aggregated) and the per-doc
+    score aggregate.
     """
     toks = (
         df.select(
@@ -308,9 +314,11 @@ def unigram_negative_logprob(
     totals = vocab_full.agg(
         F.sum("c").alias("n"), F.count("*").alias("v")
     )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
     scored = (
-        toks.join(F.broadcast(vocab), "token", "left")
-        .crossJoin(F.broadcast(totals))
+        toks.join(vocab, "token", "left")
+        .crossJoin(F.broadcast(totals))  # totals is a single row
         .select(
             F.col(id_col),
             F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + F.col("v"))).alias(

@@ -6,21 +6,27 @@ canonical doc even when a≉c directly. That is connected components over
 the similarity graph, the standard last step of a dedup pipeline
 (each component keeps its min-id member).
 
-``connected_components`` is iterative min-label propagation: every node
-repeatedly adopts the smallest label among itself and its neighbors;
-convergence in O(component diameter) rounds. Each round is one equi-join +
-one partial-aggregated groupBy(min) — no sorts — with the label table
-localCheckpoint'ed per round (same O(iter) lineage discipline as the
-k-means loops in functions.similarity). Production note: for graphs with
-huge diameters the two-phase star-contraction variant (alternating
-large-star/small-star, Kiveris et al., "Connected Components in MapReduce
-and Beyond") halves round counts; near-dup similarity graphs are
-low-diameter clumps, where plain propagation is already optimal.
+``connected_components`` offers two algorithms, both deterministic and
+producing the identical (node, min-reachable-id) mapping:
+
+- ``star`` (default): two-phase large-star/small-star edge contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14) — O(log n) rounds on ANY graph shape, including the deep
+  chains that cost min-label propagation O(diameter) rounds. Each phase
+  is expressed with a window min (ONE reference to the evolving edge
+  table) instead of the textbook group-then-join-back, because a
+  per-round self-join squares Catalyst's sizeInBytes estimate each
+  iteration even across localCheckpoints (see the plan-size note below).
+- ``propagate``: iterative min-label propagation — every node repeatedly
+  adopts the smallest label among itself and its neighbors; converges in
+  O(component diameter) rounds of one equi-join + one partial-aggregated
+  groupBy(min). Cheaper per round; right for known low-diameter clumps
+  (the typical near-dup similarity graph).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -29,33 +35,37 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 100,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``edges``, where
     component_id is the smallest node id reachable from it. Deterministic;
-    converges early when no label changes (the convergence probe is a
-    bounded limit(1).count per round, not a data collect).
+    converges early (bounded per-round probe — a limit(1).count or a
+    2-scalar signature aggregate, never a data collect).
 
-    Convergence needs O(longest decreasing-local-minima chain) rounds.
-    The cap is a safety valve, not an answer-shaper: if the loop has not
-    converged when it runs out, this RAISES rather than silently
+    The round cap is a safety valve, not an answer-shaper: if the loop
+    has not converged when it runs out, this RAISES rather than silently
     returning non-minimal labels (the sf0.1 full-registry gate caught
     exactly that: the measured canonicalization graph needs ~60 plain
-    rounds, and a silent 25-round cap produced one wrong survivor).
+    propagation rounds, and a silent 25-round cap produced one wrong
+    survivor). The default ``star`` algorithm converges in O(log n)
+    rounds regardless of diameter, so the cap is far from binding even
+    on a path graph (measured: a 10k-node chain converges in <15 rounds
+    vs 10k propagation rounds).
 
-    Why NOT pointer-doubling (lab = lab(lab(node))): measured, not
-    hypothetical — ``localCheckpoint`` truncates RDD lineage but NOT the
-    LOGICAL plan, so a per-round self-join makes Catalyst's sizeInBytes
-    estimate SQUARE each round; its BigInteger digit count doubles
-    per iteration and by round ~16 the stats visitor grinds
-    million-digit multiplications on the driver (observed: single
-    planning thread pinned for 10+ minutes). Plain propagation keeps the
-    size exponent growing linearly (a few hundred digits over 100
-    rounds — negligible). The loop-plan-size discipline every iterative
-    operator here follows (k-means, PageRank) is: reference the previous
-    round's table ONCE per round. For adversarially deep graphs the
-    large-star/small-star EDGE contraction (Kiveris et al.) gives
-    O(log n) rounds without self-joining the label table; near-dup
-    similarity graphs in practice are low-diameter clumps."""
+    Plan-size discipline (measured, not hypothetical): ``localCheckpoint``
+    truncates RDD lineage but the LogicalRDD leaf KEEPS the origin plan's
+    sizeInBytes statistic, so a per-round self-join SQUARES the estimate
+    each iteration; its BigInteger digit count doubles per round and by
+    round ~16 the stats visitor grinds million-digit multiplications on
+    the driver (observed: single planning thread pinned for 10+ minutes).
+    Hence both loops here reference the previous round's table only
+    additively (union / window), never join-it-to-itself; joins against
+    the fixed ``sym`` table multiply by a constant factor per round,
+    which stays a few hundred digits over 100 rounds — negligible."""
+    if algorithm == "star":
+        return _star_components(edges, src, dst, max_iterations)
+    if algorithm != "propagate":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -99,6 +109,94 @@ def connected_components(
     return labels.select("node", F.col("lab").alias("component_id"))
 
 
+def _star_components(
+    edges: DataFrame, src: str, dst: str, max_iterations: int
+) -> DataFrame:
+    """Two-phase large-star/small-star contraction (Kiveris et al.,
+    SoCC'14): alternately (large-star) hook every node's strictly-larger
+    neighbors onto the minimum of its closed neighborhood, then
+    (small-star) hook each node and its smaller neighbors onto that
+    minimum. The edge set converges to per-component stars rooted at the
+    component minimum in O(log n) rounds on any graph shape.
+
+    Both phases compute the neighborhood minimum with a WINDOW min —
+    one reference to the evolving edge table — instead of the textbook
+    groupBy(min)+join-back, which would self-join the table and square
+    the carried sizeInBytes statistic every round (see
+    ``connected_components``). Convergence is detected by a 2-scalar
+    edge-set signature (count + xxhash64 bit_xor), a bounded 1-row aggregate
+    per round. Self-loops contribute no connectivity and are dropped from
+    the contraction; nodes left with no edges (self-loop-only) are
+    re-added as their own singleton components at the end, so the output
+    covers every node appearing in ``edges`` — byte-identical to the
+    ``propagate`` algorithm's contract."""
+    wa = Window.partitionBy("a")
+    nodes0 = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        # large-star: for each node a, m = min(N(a) ∪ {a}); hook every
+        # strictly larger neighbor b onto m
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        large = (
+            sym.withColumn("m", F.least(F.min("b").over(wa), F.col("a")))
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient (larger, smaller); for each node a with
+        # smaller neighbors N(a), m = min(N(a)); hook a and every other
+        # smaller neighbor onto m
+        d = large.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        small = (
+            d.withColumn("m", F.min("b").over(wa))
+            .select(
+                F.when(F.col("b") == F.col("m"), F.col("a"))
+                .otherwise(F.col("b"))
+                .alias("a"),
+                F.col("m").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)
+        # set signature: count + XOR of per-edge hashes (order-independent,
+        # overflow-free under ANSI mode; e is distinct so set semantics apply)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components(star): not converged after "
+            f"{max_iterations} rounds — raise max_iterations"
+        )
+    # at the fixed point e is exactly {(v, component_min) : v != min};
+    # add the roots mapping to themselves, then any singleton nodes
+    members = e.select(F.col("a").alias("node"), F.col("b").alias("component_id")).union(
+        e.select(F.col("b").alias("node"), F.col("b").alias("component_id")).distinct()
+    )
+    singletons = nodes0.join(
+        members.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component_id"))
+    return members.union(singletons)
+
+
 def canonical_docs(
     pairs: DataFrame,
     all_docs: DataFrame,
@@ -124,6 +222,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 3,
+    redistribute_dangling: bool = True,
 ) -> DataFrame:
     """(node, rank) after a FIXED number of power iterations with uniform
     teleport — rank-based importance over a link/similarity graph (e.g.
@@ -133,10 +232,20 @@ def pagerank(
     SQL-oracle-able (the oracle unrolls the same iterations). Each round
     is one equi-join (contributions along edges) + one partial-aggregated
     groupBy sum, localCheckpoint'ed — the same O(iter) lineage discipline
-    as ``connected_components`` and the k-means loops. Dangling mass is
-    NOT redistributed (nodes without out-edges leak rank), matching the
-    simple unrolled oracle; at web scale add the standard dangling-sum
-    correction term per round.
+    as ``connected_components`` and the k-means loops.
+
+    Dangling mass (rank held by nodes with no out-edges) is redistributed
+    uniformly each round by default — the standard correction, and the
+    one that conserves total rank == 1. The per-round dangling sum is a
+    bounded 1-row aggregate (a scalar ``first()``, not a data collect).
+    Pass ``redistribute_dangling=False`` for the leaky textbook variant
+    when an external oracle unrolls the uncorrected recurrence: the
+    correction term is a GLOBAL float sum whose addition order differs
+    across engines, so it cannot be grid-compared engine-exactly.
+
+    The out-degree join is left to the optimizer (AQE broadcasts it when
+    small): outdeg is O(|nodes|), so a mandatory broadcast hint would OOM
+    every executor on a web-scale graph.
 
     Float portability: the damping/teleport constants enter as plain
     literals (never derived arithmetically, e.g. 1-d), so both engines
@@ -155,26 +264,38 @@ def pagerank(
     # round the complement back through its decimal representation
     one_minus_d = float(str(round(1.0 - damping, 10)))
     teleport = one_minus_d / n
-    outdeg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    outdeg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("od")).persist()
+    dangling = nodes.join(
+        outdeg.select(F.col("s").alias("node")), "node", "left_anti"
+    ).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iterations):
         contrib = (
             sym.join(ranks, sym["s"] == ranks["node"])
-            .join(F.broadcast(outdeg), "s")
+            .join(outdeg, "s")
             .select(F.col("d").alias("node"), (F.col("rank") / F.col("od")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("csum"))
         )
+        base = F.lit(teleport)
+        if redistribute_dangling:
+            dmass = (
+                dangling.join(ranks, "node")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+            base = base + F.lit(damping * dmass / n)
         ranks = (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("csum"), F.lit(0.0))
+                    base + F.lit(damping) * F.coalesce(F.col("csum"), F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
     nodes.unpersist()
+    outdeg.unpersist()
+    dangling.unpersist()
     return ranks

@@ -721,9 +721,9 @@ pair(
         FROM documents
     )
     SELECT doc_id,
-           ARRAY_SORT(ARRAY_INTERSECT(a, b)) AS inter,
-           ARRAY_SORT(ARRAY_EXCEPT(a, b))    AS minus,
-           ARRAY_SORT(ARRAY_DISTINCT(a))     AS dedup
+           ARRAY_JOIN(ARRAY_SORT(ARRAY_INTERSECT(a, b)), '|') AS inter,
+           ARRAY_JOIN(ARRAY_SORT(ARRAY_EXCEPT(a, b)), '|')    AS minus,
+           ARRAY_JOIN(ARRAY_SORT(ARRAY_DISTINCT(a)), '|')     AS dedup
     FROM t ORDER BY doc_id LIMIT 30
     """,
     """
@@ -734,10 +734,11 @@ pair(
         FROM documents
     )
     SELECT doc_id,
-           LIST_SORT(LIST_DISTINCT(LIST_INTERSECT(a, b))) AS inter,
-           LIST_SORT(LIST_FILTER(LIST_DISTINCT(a), x -> NOT LIST_CONTAINS(b, x)))
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_INTERSECT(a, b))), '|') AS inter,
+           ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(LIST_DISTINCT(a),
+                                                 x -> NOT LIST_CONTAINS(b, x))), '|')
                AS minus,
-           LIST_SORT(LIST_DISTINCT(a)) AS dedup
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(a)), '|') AS dedup
     FROM t ORDER BY doc_id LIMIT 30
     """,
     tables=("documents",),

@@ -937,7 +937,8 @@ def vocab_topk(spark, sf_dir):
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           list(CAST(COALESCE(v.id, 0) AS BIGINT) ORDER BY t.pos) AS token_ids
+           ARRAY_TO_STRING(list(CAST(COALESCE(v.id, 0) AS BIGINT) ORDER BY t.pos), ',')
+               AS token_ids
     FROM toks t LEFT JOIN vocab v USING (token)
     GROUP BY t.doc_id
     ORDER BY t.doc_id
@@ -981,8 +982,14 @@ def docs_tokenize_ids(spark, sf_dir):
         ids.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+            # serialized for the driver compare (its canonicalizer cannot
+            # hash list cells); order-exact via sort_array(struct(pos,id))
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+                ",",
             ).alias("token_ids"),
         )
         .orderBy("doc_id")
@@ -1734,8 +1741,10 @@ def text_perplexity(spark, sf_dir):
 )
 def dedup_components(spark, sf_dir):
     """Transitive near-dup clustering (operators.graph
-    .connected_components): iterative min-label propagation over a
-    similarity graph. The demo graph chains docs in blocks of 7
+    .connected_components): two-phase large-star/small-star contraction
+    (O(log n) rounds on any graph shape — survives deep chains that cost
+    label propagation O(diameter) rounds). The demo graph chains docs in
+    blocks of 7
     (id→id+1 edges within a block) — components only emerge through
     TRANSITIVE closure (endpoints of a chain share no edge), which is
     exactly what pairwise dedup output needs. Oracle: DuckDB recursive
@@ -2221,7 +2230,11 @@ def graph_pagerank(spark, sf_dir):
     documents by link structure before sampling. Same chain edges as
     dedup_components; in-degree <= 1 there, so per-node contribution sums
     have a single term and the doubles are engine-exact (the oracle
-    unrolls the identical three iterations)."""
+    unrolls the identical three iterations). redistribute_dangling=False
+    to match the oracle's uncorrected recurrence — the correction term is
+    a global float sum whose addition order is engine-dependent, so it
+    cannot be grid-compared exactly; the operator's default (True)
+    conserves total rank and is property-tested in test_functions."""
     from blazingsql_spark.operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2230,7 +2243,7 @@ def graph_pagerank(spark, sf_dir):
         docs.filter((F.col("doc_id") % 7 != 6) & (F.col("doc_id") + 1 <= max_id))
         .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
     )
-    out = pagerank(edges, damping=0.85, iterations=3)
+    out = pagerank(edges, damping=0.85, iterations=3, redistribute_dangling=False)
     return out.select(
         "node", (F.floor(F.col("rank") * 1000000000) / 1000000000).alias("rank")
     ).orderBy("node")

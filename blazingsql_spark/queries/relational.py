@@ -1285,7 +1285,7 @@ twin(
     "window_ratio_to_report",
     """
     SELECT l_orderkey, l_linenumber,
-           FLOOR(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * 1000000.0 /
+           FLOOR(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * 1e6 /
                  SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
                      OVER (PARTITION BY l_orderkey)) / 1000000 AS price_share
     FROM lineitem
