@@ -45,8 +45,22 @@ def cosine(a: Column, b: Column) -> Column:
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize an array<numeric> column in float64 — the standard
     embedding pre-step so cosine becomes a plain dot product downstream.
-    Pure codegen (transform over the array), shuffle-free."""
-    return F.transform(a, lambda x: x.cast("double") / l2_norm(a))
+    Pure codegen (transform over the array), shuffle-free.
+
+    The norm is HOISTED: naively writing ``transform(a, x -> x /
+    l2_norm(a))`` re-evaluates the O(d) norm aggregate inside the
+    per-element lambda, making each row O(d^2) — ~768x the necessary
+    work on a 768-dim embedding table. Wrapping the norm in a 1-element
+    array and transforming over THAT evaluates it exactly once per row
+    while staying a pure Column expression. Zero vectors normalize to
+    zero vectors (not NULL/NaN elements)."""
+    return F.transform(
+        F.array(l2_norm(a)),  # 1-element array: the norm evaluates ONCE
+        lambda n: F.transform(
+            a,
+            lambda x: F.when(n == 0.0, F.lit(0.0)).otherwise(x.cast("double") / n),
+        ),
+    )[0]
 
 
 def cosine_topk(

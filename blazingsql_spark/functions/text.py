@@ -431,12 +431,19 @@ def bm25_topk_indexed(
     ``streaming.ingest.LexicalIndexIngest``): postings are token-clustered
     parquet, so the term filter prunes to the query terms' row groups and
     query-time cost scales with the posting lists touched, not the corpus.
-    Returns the same result as ``bm25_topk`` over the full corpus (the
-    scoring core is shared; equivalence is asserted in tests)."""
-    postings = spark.read.parquet(f"{index_path.rstrip('/')}/postings").filter(
+    Reads are MANIFEST-GATED (sources.manifest): only the partitions the
+    newest manifest declares live are consumed, so half-written
+    compaction output and superseded epochs are invisible. Returns the
+    same result as ``bm25_topk`` over the full corpus (the scoring core
+    is shared; equivalence is asserted in tests)."""
+    from blazingsql_spark.sources import manifest as mf
+
+    root = index_path.rstrip("/")
+    man = mf.read_manifest(spark, root)
+    postings = mf.read_live(spark, f"{root}/postings", man).filter(
         F.col("token").isin(list(query_terms))
     )
-    doclen = spark.read.parquet(f"{index_path.rstrip('/')}/doclen")
+    doclen = mf.read_live(spark, f"{root}/doclen", man)
     return _bm25_rank(postings, doclen, k1=k1, b=b, k=k, id_col=id_col)
 
 

@@ -172,15 +172,44 @@ def interval_join(
     interval_length/width + 1, so pick ``bucket_width`` near the typical
     interval length. Skewed hot buckets behave like any hot join key
     (AQE skew split / salting apply).
+
+    Numeric safety: when the endpoints are integral AND ``bucket_width``
+    is a whole number, buckets are computed in pure LONG arithmetic
+    (``(x - pmod(x, w)) div w`` — exact floor division for any int64,
+    e.g. epoch nanoseconds). The double-division path (fractional widths
+    or float endpoints) rounds above 2^53, where an endpoint could
+    register in the wrong bucket and a pair be silently dropped — hence
+    the integral fast path, not just a doc note.
     """
     by = by or []
     w = float(bucket_width)
+    int_types = {"tinyint", "smallint", "int", "bigint", "long"}
+    integral = (
+        w.is_integer()
+        and w > 0
+        and dict(left.dtypes).get(left_start) in int_types
+        and dict(left.dtypes).get(left_end) in int_types
+        and dict(right.dtypes).get(right_start) in int_types
+        and dict(right.dtypes).get(right_end) in int_types
+    )
+
+    if integral:
+        wi = int(w)
+
+        def fdiv(col_name):
+            c = f"`{col_name}`"
+            # exact floor division on longs: subtract the non-negative
+            # remainder, then `div` (numerator exactly divisible, so
+            # truncation == floor even for negative values)
+            return F.expr(f"(CAST({c} AS BIGINT) - pmod(CAST({c} AS BIGINT), {wi})) div {wi}")
+
+    else:
+
+        def fdiv(col_name):
+            return F.floor(F.col(col_name) / w).cast("long")
 
     def buckets(start, end):
-        return F.sequence(
-            F.floor(F.col(start) / w).cast("long"),
-            F.floor(F.col(end) / w).cast("long"),
-        )
+        return F.sequence(fdiv(start), fdiv(end))
 
     lb = left.withColumn("__bucket", F.explode(buckets(left_start, left_end)))
     rb = right.withColumn("__bucket", F.explode(buckets(right_start, right_end)))
@@ -189,10 +218,6 @@ def interval_join(
         F.col(right_start) < F.col(left_end)
     )
     first_shared = (
-        F.greatest(
-            F.floor(F.col(left_start) / w).cast("long"),
-            F.floor(F.col(right_start) / w).cast("long"),
-        )
-        == F.col("__bucket")
+        F.greatest(fdiv(left_start), fdiv(right_start)) == F.col("__bucket")
     )
     return joined.filter(overlap & first_shared).drop("__bucket")

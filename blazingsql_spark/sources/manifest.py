@@ -1,0 +1,135 @@
+"""Crash-safe epoch-manifest layout for incrementally-maintained indexes.
+
+The streaming index maintainers (``streaming.ingest.LexicalIndexIngest``)
+append one parquet partition per foreachBatch epoch. foreachBatch is
+AT-LEAST-ONCE: after a mid-batch failure the same epoch is re-delivered, so
+a blind ``mode("append")`` would double-count the replayed rows and silently
+corrupt every statistic derived from the index (tf, dl, n_docs, avgdl — and
+therefore every BM25 score). The layout here makes maintenance idempotent
+and compaction crash-safe without any external transaction service — a
+miniature of the manifest/snapshot discipline the table formats built on
+parquet (Delta, Iceberg) use:
+
+- **Epoch writes** land in ``<dir>/epoch_id=<N>/`` via dynamic partition
+  overwrite: a replayed epoch OVERWRITES its own partition — idempotent.
+- **Reads** are manifest-gated, not discovery-gated: a reader consumes the
+  base partitions listed in the newest ``MANIFEST-<v>.json`` plus every
+  epoch partition ``>= min_epoch``. Half-written compaction output is
+  invisible until the manifest referencing it exists.
+- **Manifests are versioned, never edited**: ``MANIFEST-<v>.json`` is
+  written to a dot-temp name and renamed into place (rename-to-new-name is
+  atomic on HDFS-like filesystems and never overwrites); the newest version
+  wins; older versions and unreferenced partition directories are garbage,
+  collected opportunistically by the next compaction. Every crash window
+  therefore leaves either the old consistent view or the new consistent
+  view — never duplicates, never a missing index.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_RE = re.compile(r"^MANIFEST-(\d+)\.json$")
+
+
+def _fs(spark: SparkSession, path: str):
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), sc._jvm
+
+
+def read_manifest(spark: SparkSession, index_dir: str) -> dict | None:
+    """Newest manifest in ``index_dir``, or None if the index has never
+    been compacted (reader default: all epoch partitions >= 0)."""
+    fs, jvm = _fs(spark, index_dir)
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    if not fs.exists(root):
+        return None
+    best_v, best_path = -1, None
+    for st in fs.listStatus(root):
+        m = _MANIFEST_RE.match(st.getPath().getName())
+        if m and int(m.group(1)) > best_v:
+            best_v, best_path = int(m.group(1)), st.getPath()
+    if best_path is None:
+        return None
+    stream = fs.open(best_path)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def write_manifest(spark: SparkSession, index_dir: str, manifest: dict) -> None:
+    """Publish ``manifest`` as the next ``MANIFEST-<v>.json`` (dot-temp
+    write + rename-to-fresh-name; older versions become garbage and are
+    deleted best-effort)."""
+    fs, jvm = _fs(spark, index_dir)
+    jp = jvm.org.apache.hadoop.fs.Path
+    prev = read_manifest(spark, index_dir)
+    version = (prev.get("version", 0) + 1) if prev else 1
+    manifest = dict(manifest, version=version)
+    tmp = jp(f"{index_dir}/.tmp.MANIFEST-{version}.json")
+    final = jp(f"{index_dir}/MANIFEST-{version}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"manifest publish failed: {tmp} -> {final}")
+    for st in fs.listStatus(jp(index_dir)):
+        m = _MANIFEST_RE.match(st.getPath().getName())
+        if m and int(m.group(1)) < version:
+            fs.delete(st.getPath(), False)
+
+
+def live_partition_filter(manifest: dict | None) -> Column:
+    """Predicate over the ``epoch_id`` partition column selecting exactly
+    the partitions the manifest declares live (partition-prunable)."""
+    if manifest is None:
+        return F.col("epoch_id") >= 0
+    cond = F.col("epoch_id") >= int(manifest["min_epoch"])
+    bases = [int(b) for b in manifest.get("bases", [])]
+    if bases:
+        cond = cond | F.col("epoch_id").isin(bases)
+    return cond
+
+
+def read_live(spark: SparkSession, table_dir: str, manifest: dict | None) -> DataFrame:
+    """Manifest-gated read of one epoch-partitioned table directory."""
+    return (
+        spark.read.parquet(table_dir)
+        .filter(live_partition_filter(manifest))
+        .drop("epoch_id")
+    )
+
+
+def gc_partitions(spark: SparkSession, table_dir: str, manifest: dict) -> int:
+    """Delete epoch_id=... partition directories the manifest no longer
+    references (old bases, folded epochs, half-written compaction
+    output). Returns the number of directories removed. Safe to crash at
+    any point: unreferenced directories are invisible to readers."""
+    fs, jvm = _fs(spark, table_dir)
+    root = jvm.org.apache.hadoop.fs.Path(table_dir)
+    if not fs.exists(root):
+        return 0
+    bases = {int(b) for b in manifest.get("bases", [])}
+    min_epoch = int(manifest["min_epoch"])
+    removed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("epoch_id="):
+            continue
+        try:
+            val = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if val not in bases and val < min_epoch:
+            fs.delete(st.getPath(), True)
+            removed += 1
+    return removed

@@ -301,7 +301,7 @@ def run_ann_index_ingest(
 
 class LexicalIndexIngest:
     """foreachBatch handler maintaining a PERSISTED BM25 lexical index:
-    each micro-batch's documents are tokenized once and appended as
+    each micro-batch's documents are tokenized once and written as
     ``postings/`` (token, doc_id, tf — hash-clustered on token at
     compaction, so a query's term filter prunes to the posting lists it
     touches) and ``doclen/`` (doc_id, dl). Query-time scoring
@@ -309,10 +309,22 @@ class LexicalIndexIngest:
     the retrieval twin of the dedup signature index: the ever-growing
     side lives clustered on its join key and is only ever appended to.
 
-    Same operational discipline as DedupIngest: append-only epochs (safe
-    whether or not the index exists yet — no state probe needed),
-    file-count-bounded compaction, exactly-once via the stream
-    checkpoint."""
+    Idempotence under at-least-once delivery (foreachBatch replays an
+    epoch after a mid-batch failure): every epoch writes its own
+    ``epoch_id=<N>`` partition via dynamic partition overwrite, so a
+    replayed epoch REPLACES its previous attempt instead of
+    double-counting tf/dl/n_docs/avgdl. Compaction folds committed
+    epochs (everything but the possibly-replayable current one) into a
+    fresh negative base partition, publishes it through a versioned
+    manifest (``sources.manifest``), then garbage-collects unreferenced
+    directories — every crash window leaves a consistent readable index
+    (the old view or the new view, never duplicates, never data loss).
+    Both ``postings/`` and ``doclen/`` compact under the same
+    file-count trigger so neither accumulates unbounded listing
+    pressure. NOTE: re-ingesting a doc_id that already exists in a
+    PREVIOUS epoch still double-counts (upsert semantics need
+    ``merge_upsert``-style reconciliation at compaction); stream unique
+    documents or dedup upstream."""
 
     def __init__(
         self,
@@ -334,38 +346,63 @@ class LexicalIndexIngest:
         from blazingsql_spark.functions.text import _tokens
 
         toks = _tokens(batch, self.id_col, self.text_col).persist()
-        (
-            toks.groupBy(self.id_col, "token")
-            .agg(F.count("*").alias("tf"))
-            .write.mode("append")
-            .parquet(f"{self.index_path}/postings")
-        )
-        (
-            toks.groupBy(self.id_col)
-            .agg(F.count("*").alias("dl"))
-            .write.mode("append")
-            .parquet(f"{self.index_path}/doclen")
-        )
+        epoch = int(epoch_id)
+        for sub, agg in (
+            ("postings", toks.groupBy(self.id_col, "token").agg(F.count("*").alias("tf"))),
+            ("doclen", toks.groupBy(self.id_col).agg(F.count("*").alias("dl"))),
+        ):
+            (
+                agg.withColumn("epoch_id", F.lit(epoch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(f"{self.index_path}/{sub}")
+            )
         toks.unpersist()
-        self._compact_postings_if_needed()
+        self._compact_if_needed(epoch)
 
-    def _compact_postings_if_needed(self) -> None:
+    def _compact_if_needed(self, epoch: int) -> None:
+        from blazingsql_spark.sources import manifest as mf
+
         path = f"{self.index_path}/postings"
-        idx = self.spark.read.parquet(path)
-        if len(idx.inputFiles()) <= self.max_postings_files:
+        man = mf.read_manifest(self.spark, self.index_path)
+        prev_min = int(man["min_epoch"]) if man else 0
+        if epoch < prev_min:
+            # replay of an already-folded epoch: its partition is invisible
+            # to readers (below min_epoch, not a base) and compacting from
+            # it would REGRESS min_epoch and resurrect ignored partitions
             return
-        tmp = path + "__compacting"
+        live = self.spark.read.parquet(path).filter(mf.live_partition_filter(man))
+        if len(live.inputFiles()) <= self.max_postings_files:
+            return
+        # fold every epoch EXCEPT the current one (the only epoch the
+        # stream can still replay) into a fresh base partition; the base id
+        # derives from the manifest version, which increments on every
+        # publish, so it is unique even when the SAME epoch compacts twice
+        # (replay after a crash between compaction and checkpoint commit)
+        base_id = -((man.get("version", 0) if man else 0) + 1)
         (
-            idx.repartition(self.postings_partitions, "token")
+            live.filter(F.col("epoch_id") != epoch)
+            .drop("epoch_id")
+            .repartition(self.postings_partitions, "token")
             .sortWithinPartitions("token")
             .write.mode("overwrite")
-            .parquet(tmp)
+            .parquet(f"{path}/epoch_id={base_id}")
         )
-        sc = self.spark.sparkContext
-        hpath = sc._jvm.org.apache.hadoop.fs.Path
-        fs = hpath(path).getFileSystem(sc._jsc.hadoopConfiguration())
-        fs.delete(hpath(path), True)
-        fs.rename(hpath(tmp), hpath(path))
+        dl_path = f"{self.index_path}/doclen"
+        (
+            self.spark.read.parquet(dl_path)
+            .filter(mf.live_partition_filter(man))
+            .filter(F.col("epoch_id") != epoch)
+            .drop("epoch_id")
+            .repartition(self.postings_partitions, self.id_col)
+            .write.mode("overwrite")
+            .parquet(f"{dl_path}/epoch_id={base_id}")
+        )
+        new_man = {"bases": [base_id], "min_epoch": max(epoch, prev_min)}
+        mf.write_manifest(self.spark, self.index_path, new_man)
+        mf.gc_partitions(self.spark, path, new_man)
+        mf.gc_partitions(self.spark, dl_path, new_man)
 
 
 def run_lexical_index_ingest(

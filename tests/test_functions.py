@@ -609,6 +609,48 @@ def test_interval_join_matches_bruteforce_and_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in strategies
 
 
+def test_interval_join_integer_endpoints_above_2_53(spark):
+    """Integral endpoints bucket in pure long arithmetic: above 2^53 the
+    old double-division FLOOR(x/w) rounds, registers intervals in wrong
+    buckets, and silently drops overlapping pairs (epoch-nanosecond
+    territory). Two adjacent 1000-wide intervals around 2^60 must pair
+    exactly with their true overlaps."""
+    from blazingsql_spark.operators.asof import interval_join
+
+    base = 1 << 60  # far beyond double's 2^53 integer precision
+    left = spark.createDataFrame(
+        [(1, base + 1, base + 1000), (2, base + 2000, base + 3000)],
+        ["lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [(10, base + 999, base + 1001),   # overlaps 1 only
+         (11, base + 1000, base + 2001),  # overlaps 2 only (half-open)
+         (12, base + 5000, base + 6000)], # no overlap
+        ["rid", "rs", "re"],
+    )
+    out = interval_join(left, right, "ls", "le", "rs", "re", bucket_width=1000)
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    assert pairs == [(1, 10), (2, 11)]
+
+
+def test_l2_normalize_hoisted_norm_and_zero_vector(spark):
+    """The norm must be evaluated once per row (not once per element —
+    O(d^2)), zero vectors must normalize to zeros (not NULL/NaN), and
+    the unit-norm contract must hold."""
+    from blazingsql_spark.functions.similarity import l2_norm, l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["id", "v"]
+    )
+    out = {r["id"]: r["u"] for r in df.select("id", l2_normalize(F.col("v")).alias("u")).collect()}
+    assert out[1] == [0.6, 0.8]
+    assert out[2] == [0.0, 0.0]
+    # hoist check: the aggregate appears ONCE in the expression tree, not
+    # once per element inside the division lambda
+    expr_str = str(l2_normalize(F.col("v"))._jc)
+    assert expr_str.count("aggregate") <= 2  # dot() once (+outer transform)
+
+
 def test_group_percentile_cont_global_no_keys(spark):
     """keys=[] computes GLOBAL percentiles (the equi-depth histogram
     path) — same bit-exact contract as the grouped form."""

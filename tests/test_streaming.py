@@ -347,6 +347,10 @@ def test_lexical_index_ingest_matches_batch_bm25(spark, tmp_path):
     handler = LexicalIndexIngest(spark, str(tmp_path / "lexidx"))
     handler(b1, 0)
     handler(b2, 1)
+    # at-least-once replay: foreachBatch re-delivers epoch 1 after a
+    # failure — the epoch partition must be REPLACED, not double-counted
+    # (a blind append would inflate tf/dl/avgdl and corrupt every score)
+    handler(b2, 1)
 
     indexed = [
         (r.doc_id, r.bm25)
@@ -355,14 +359,28 @@ def test_lexical_index_ingest_matches_batch_bm25(spark, tmp_path):
     batch = [(r.doc_id, r.bm25) for r in bm25_topk(docs, terms, k=15).collect()]
     assert indexed == batch
 
-    # compaction: force a tiny file bound, re-ingest nothing new — file
-    # count shrinks, results unchanged
+    # compaction: force a tiny file bound — committed epochs fold into a
+    # manifest-published base partition, file count shrinks for BOTH
+    # postings and doclen, results unchanged
+    from blazingsql_spark.sources import manifest as mf
+
     handler.max_postings_files = 1
-    handler._compact_postings_if_needed()
-    n_files = len(spark.read.parquet(str(tmp_path / "lexidx/postings")).inputFiles())
-    assert n_files <= handler.postings_partitions
+    handler._compact_if_needed(2)  # epoch 2 is "current": epochs 0-1 fold
+    man = mf.read_manifest(spark, str(tmp_path / "lexidx"))
+    assert man is not None and man["bases"] == [-1] and man["min_epoch"] == 2
+    for sub in ("postings", "doclen"):
+        live = mf.read_live(spark, str(tmp_path / f"lexidx/{sub}"), man)
+        assert len(live.inputFiles()) <= handler.postings_partitions
     after = [
         (r.doc_id, r.bm25)
         for r in bm25_topk_indexed(spark, str(tmp_path / "lexidx"), terms, k=15).collect()
     ]
     assert after == batch
+    # a replay of an ALREADY-FOLDED epoch cannot resurface: its partition
+    # is below min_epoch and not a base, so readers ignore it
+    handler(b2, 1)
+    replay_after_compact = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, str(tmp_path / "lexidx"), terms, k=15).collect()
+    ]
+    assert replay_after_compact == batch
