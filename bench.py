@@ -22,6 +22,17 @@ from blazingsql_spark.queries.registry import all_queries  # noqa: E402
 from blazingsql_spark.session import get_spark  # noqa: E402
 
 
+# The 17 headline queries benched in BOTH round 2 (12.448 s total) and
+# round 3 (14.73 s) — the round-over-round comparison basis. Reported as a
+# subtotal so added headline queries never muddy the trend line.
+COMMON_17 = (
+    "asof_join_events", "dedup_exact", "dedup_minhash_lsh",
+    "events_sessionize", "sim_ann_lsh", "sim_cosine_topk", "text_quality",
+    "tpch_q1", "tpch_q10", "tpch_q13", "tpch_q17", "tpch_q18", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "window_running_sum",
+)
+
+
 def time_once(spec, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = spec.fn(spark, sf_dir)
@@ -94,6 +105,7 @@ def main() -> None:
             pass
 
     total = round(sum(timings.values()), 3)
+    common17 = round(sum(timings[q] for q in COMMON_17 if q in timings), 3)
     print(
         json.dumps(
             {
@@ -101,6 +113,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "common17_total": common17,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -10,6 +10,7 @@ the write path the reference never had (SURVEY §2.8: "Sinks: none").
 from blazingsql_spark.sources.io import infer_format, read_any, write_any
 from blazingsql_spark.sources.layout import zorder_key, zorder_write
 from blazingsql_spark.sources.jdbc import (
+    derby,
     find_sqlite_jdbc_jar,
     jdbc_reader,
     jdbc_writer,
@@ -27,6 +28,7 @@ __all__ = [
     "jdbc_reader",
     "jdbc_writer",
     "find_sqlite_jdbc_jar",
+    "derby",
     "mysql",
     "postgresql",
     "sqlite",

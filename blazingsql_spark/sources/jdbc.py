@@ -1,10 +1,13 @@
 """JDBC sources — the reference reads MySQL/PostgreSQL/SQLite tables
 (engine/src/io/data_provider/sql/MySQLDataProvider.cpp etc., DataType.h:16-18).
 
-Spark equivalent: ``spark.read.format("jdbc")``. The JDBC drivers are jars on
-the classpath — not bundled in this environment, so these builders construct
+Spark equivalent: ``spark.read.format("jdbc")``. The MySQL/PostgreSQL/SQLite
+driver jars are not bundled in this environment, so those builders construct
 the reader configuration (unit-testable) and fail with a clear message only
-at `.load()` time if the driver jar is absent.
+at `.load()` time if the driver jar is absent. Embedded Apache Derby's driver
+DOES ship with Spark itself, so the ``derby`` builder runs the whole JDBC
+source path end-to-end in-container (write, partitioned read, predicate
+pushdown — ``tests/test_sources.py::test_jdbc_derby_roundtrip_e2e``).
 
 Partitioned reads (partition_column/num_partitions) split the table scan
 across executors — the 100 TB ingest path the reference handled via its
@@ -77,6 +80,23 @@ def postgresql(
 
 def sqlite(spark: SparkSession, path: str, table: str, **kw: Any) -> DataFrameReader:
     return jdbc_reader(spark, f"jdbc:sqlite:{path}", table, driver="org.sqlite.JDBC", **kw)
+
+
+def derby(spark: SparkSession, path: str, table: str, **kw: Any) -> DataFrameReader:
+    """Embedded Apache Derby — the one JDBC database whose driver SHIPS in
+    Spark's own jars directory, so it is the in-container end-to-end proof
+    of the JDBC source family: the same Spark JDBC relation code
+    (option plumbing, partitioned reads, predicate pushdown) that serves
+    MySQL/PostgreSQL/SQLite (reference:
+    engine/src/io/data_parser/sql/SQLiteParser.cpp and siblings) runs for
+    real here, only the dialect/driver differ."""
+    return jdbc_reader(
+        spark,
+        f"jdbc:derby:{path}",
+        table,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        **kw,
+    )
 
 
 def jdbc_writer(
