@@ -89,16 +89,47 @@ def get_spark(
 
 
 def _rapids_conf() -> dict[str, str]:
-    """GPU path (the reference IS a GPU engine): when the RAPIDS Accelerator
-    jar is provided via $SPARK_RAPIDS_PLUGIN_JAR, enable the plugin — every
+    """GPU path (the reference IS a GPU engine — cuDF kernels under
+    engine/src/execution_kernels/): when the RAPIDS Accelerator jar is
+    provided via $SPARK_RAPIDS_PLUGIN_JAR, enable the plugin — every
     operator in this repo is declarative DataFrame/SQL, so the plugin can
-    move the whole plan to GPU without code changes. No-op otherwise (this
-    environment has no GPU/jar)."""
+    move whole plans to GPU without code changes (the Pandas-UDF paths in
+    functions/multimodal.py and the vectorized LSH projections fall back
+    to CPU cleanly — the plugin splits plans at those boundaries). No-op
+    otherwise (this environment has no GPU/jar). Deployment recipe,
+    per-knob rationale, and the operator fallback inventory: GPU.md.
+
+    Knobs (overridable via env):
+    - SPARK_RAPIDS_GPU_PER_EXECUTOR / SPARK_RAPIDS_TASKS_PER_GPU: resource
+      scheduling — executors request whole GPUs; task amount is the
+      reciprocal of desired concurrency so N tasks share one GPU.
+    - SPARK_RAPIDS_PINNED_POOL: pinned host memory for spill/transfer —
+      the equivalent of the reference's pinned BlazingMemoryResource.
+    - GPU scans prefer LARGER input splits than CPU (kernel launch
+      overhead amortizes; 512m is the plugin's documented sweet spot vs
+      our CPU-side 128m maxPartitionBytes)."""
     jar = os.environ.get("SPARK_RAPIDS_PLUGIN_JAR")
     if not jar:
         return {}
+    tasks_per_gpu = os.environ.get("SPARK_RAPIDS_TASKS_PER_GPU", "2")
     return {
         "spark.jars": jar,
         "spark.plugins": "com.nvidia.spark.SQLPlugin",
         "spark.rapids.sql.enabled": "true",
+        # resource scheduling: whole GPUs per executor, fractional per task
+        # so `tasks_per_gpu` tasks overlap compute with transfer
+        "spark.executor.resource.gpu.amount": os.environ.get(
+            "SPARK_RAPIDS_GPU_PER_EXECUTOR", "1"
+        ),
+        "spark.task.resource.gpu.amount": str(1.0 / max(int(tasks_per_gpu), 1)),
+        "spark.rapids.sql.concurrentGpuTasks": tasks_per_gpu,
+        # pinned host memory accelerates H2D/D2H and GPU spill
+        "spark.rapids.memory.pinnedPool.size": os.environ.get(
+            "SPARK_RAPIDS_PINNED_POOL", "2g"
+        ),
+        # bigger scan splits amortize kernel launches on GPU
+        "spark.sql.files.maxPartitionBytes": "512m",
+        # surface which operators fell back to CPU (and why) in the logs —
+        # the audit loop for keeping plans fully columnar
+        "spark.rapids.sql.explain": "NOT_ON_GPU",
     }

@@ -146,3 +146,25 @@ def test_analyze_table_records_stats(bc):
     got = dict(zip(coldesc.info_name, coldesc.info_value))
     assert got.get("min") == "0" and int(got.get("distinct_count", 0)) > 0, got
     bc.sql("DROP TABLE an_t")
+
+
+def test_rapids_conf_assembly(monkeypatch):
+    """The GPU plugin path (GPU.md) must assemble the complete RAPIDS
+    configuration from the env — resource scheduling, pinned memory,
+    concurrency, fallback auditing — and stay a strict no-op without the
+    jar (this container has no GPU)."""
+    from blazingsql_spark.session import _rapids_conf
+
+    monkeypatch.delenv("SPARK_RAPIDS_PLUGIN_JAR", raising=False)
+    assert _rapids_conf() == {}
+
+    monkeypatch.setenv("SPARK_RAPIDS_PLUGIN_JAR", "/opt/jars/rapids.jar")
+    monkeypatch.setenv("SPARK_RAPIDS_TASKS_PER_GPU", "4")
+    conf = _rapids_conf()
+    assert conf["spark.plugins"] == "com.nvidia.spark.SQLPlugin"
+    assert conf["spark.rapids.sql.enabled"] == "true"
+    assert conf["spark.executor.resource.gpu.amount"] == "1"
+    assert conf["spark.task.resource.gpu.amount"] == "0.25"
+    assert conf["spark.rapids.sql.concurrentGpuTasks"] == "4"
+    assert conf["spark.rapids.memory.pinnedPool.size"] == "2g"
+    assert conf["spark.rapids.sql.explain"] == "NOT_ON_GPU"
