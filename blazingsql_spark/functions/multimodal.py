@@ -2,10 +2,17 @@
 with typed metadata, processed via Arrow-batched pandas iterators.
 
 The Spark-side contract is real and tested — schema, partitioning, UDF
-signatures, batch shapes. The actual media decoding is STUBBED (this
-container has no image/audio libraries): ``decode_image`` raises
-NotImplementedError unless ``fake=True``, which produces a deterministic
-fake decode so the pipeline shape is exercisable end-to-end.
+signatures, batch shapes. Media decoding has TWO real paths:
+
+- ``fake=False`` decodes PNG images and WAV audio FOR REAL via the
+  zero-dependency stdlib/numpy codec in ``functions.media_codec`` (PNG =
+  zlib over filtered scanlines; WAV = stdlib ``wave``): header-parsed
+  metadata, box-pooled grayscale / energy-envelope feature vectors, and
+  box-average image resize. Formats needing external libraries (JPEG,
+  MP3, MP4 frames) raise NotImplementedError naming the library to plug
+  in — that boundary is now per-format, not per-operator.
+- ``fake=True`` keeps the deterministic sha256-seeded stand-in for
+  payloads of ANY format — what the fixture-driven oracle queries use.
 
 At 100 TB: binary payloads stay columnar in parquet; mapInPandas streams
 Arrow record batches so one task never holds more than
@@ -74,15 +81,11 @@ def decode_features(
 ) -> DataFrame:
     """Decode media payloads into feature vectors via mapInPandas.
 
-    ``fake=False`` is the real-library path — STUB: raises
-    NotImplementedError (no PIL/cv2/librosa in this environment). The
-    Arrow-batched plumbing below is the production shape either way.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "real media decoding needs PIL/cv2/librosa — not available in this container; "
-            "use fake=True for the deterministic stand-in"
-        )
+    ``fake=False`` REALLY decodes PNG/WAV (functions.media_codec:
+    box-pooled grayscale grid for images, energy envelope + rms/zcr for
+    audio) and raises NotImplementedError for formats that need external
+    libraries. The Arrow-batched plumbing is the production shape either
+    way."""
     # id keeps its incoming type (bigint doc ids, string file paths from the
     # binaryFile source, ...) — the decode contract only touches the payload
     id_type = df.schema[id_col].dataType
@@ -94,6 +97,24 @@ def decode_features(
         ]
     )
 
+    if fake:
+        extract = lambda b: _fake_decode(b, feature_dim)  # noqa: E731
+    else:
+        from blazingsql_spark.functions import media_codec as mc
+
+        def extract(b: bytes) -> list[float]:
+            fmt = mc.sniff_format(b)
+            if fmt == "png":
+                return mc.image_features(mc.decode_png(b), feature_dim)
+            if fmt == "wav":
+                sr, _ch, x = mc.decode_wav(b)
+                return mc.audio_features(sr, x, feature_dim)
+            raise NotImplementedError(
+                f"payload format {fmt!r}: only PNG/WAV decode with the "
+                "zero-dependency codec; plug in PIL/librosa for the rest "
+                "or use fake=True"
+            )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
@@ -101,7 +122,7 @@ def decode_features(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "features": payloads.map(lambda b: _fake_decode(bytes(b), feature_dim)),
+                    "features": payloads.map(lambda b: extract(bytes(b))),
                 }
             )
 
@@ -131,16 +152,13 @@ def resize_images(
 ) -> DataFrame:
     """Resize media payloads via Arrow-batched mapInPandas.
 
-    STUB decode (no PIL/cv2 in this container): ``fake=True`` emits a
-    deterministic payload of len width*height derived from the input bytes,
-    with the real pipeline shape (binary in → binary out + updated
-    metadata). ``fake=False`` raises NotImplementedError where a real
-    decoder would plug in.
+    ``fake=False`` REALLY resizes PNG payloads (box-average resample via
+    functions.media_codec, re-encoded as PNG); non-PNG formats raise
+    NotImplementedError naming the library to plug in. ``fake=True``
+    emits a deterministic payload of len width*height derived from the
+    input bytes — same pipeline shape (binary in → binary out + updated
+    metadata) without requiring decodable fixtures.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real image resize needs PIL/cv2 — not available in this container"
-        )
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -150,16 +168,27 @@ def resize_images(
         ]
     )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    if fake:
         target = width * height
+        transform = lambda b: (b * (target // max(len(b), 1) + 1))[:target]  # noqa: E731
+    else:
+        from blazingsql_spark.functions import media_codec as mc
+
+        def transform(b: bytes) -> bytes:
+            if not mc.is_png(b):
+                raise NotImplementedError(
+                    "only PNG resizes with the zero-dependency codec; plug in "
+                    "PIL/cv2 for other formats or use fake=True"
+                )
+            return mc.encode_png(mc.resize_image(mc.decode_png(b), width, height))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
-                    "resized": payloads.map(
-                        lambda b: (bytes(b) * (target // max(len(b), 1) + 1))[:target]
-                    ),
+                    "resized": payloads.map(lambda b: transform(bytes(b))),
                     "width": width,
                     "height": height,
                 }

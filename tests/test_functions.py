@@ -81,8 +81,13 @@ def test_multimodal_decode_stub_contract(spark):
     rows = feats.collect()
     assert len(rows) == 10
     assert all(len(r.features) == 8 for r in rows)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_features(multimodal.attach_binary(docs), fake=False)
+    # fake=False REALLY decodes PNG/WAV (tests/test_media_codec.py); for a
+    # format the zero-dependency codec cannot handle (raw text bytes) the
+    # boundary surfaces at execution time, naming the plug-in point
+    with pytest.raises(Exception, match="PNG/WAV|NotImplemented"):
+        multimodal.decode_features(
+            multimodal.attach_binary(docs), fake=False
+        ).collect()
 
 
 def test_frame_sample_plan(spark):

@@ -1,0 +1,170 @@
+"""Real media decode (functions.media_codec): PNG/WAV with zero external
+dependencies, and the multimodal fake=False paths built on it."""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from blazingsql_spark.functions import media_codec as mc
+
+
+def _gradient(h, w, ch):
+    """Deterministic test image: per-channel affine gradients."""
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.zeros((h, w, ch), dtype=np.uint8)
+    for c in range(ch):
+        px[:, :, c] = ((x * (c + 3) + y * (2 * c + 1)) % 256).astype(np.uint8)
+    return px
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2])
+def test_png_roundtrip_exact(ch, filter_type):
+    """encode -> decode must reproduce every pixel byte-exactly, for all
+    supported channel counts and every encoder filter type (None/Sub/Up —
+    the decoder additionally handles Average/Paeth below)."""
+    px = _gradient(13, 17, ch)
+    payload = mc.encode_png(px, filter_type=filter_type)
+    assert mc.is_png(payload) and mc.sniff_format(payload) == "png"
+    back = mc.decode_png(payload)
+    assert back.shape == (13, 17, ch)
+    assert np.array_equal(back, px)
+
+
+def test_png_average_and_paeth_filters():
+    """Hand-build scanlines with filter types 3 (Average) and 4 (Paeth)
+    and verify the decoder reconstructs the reference pixels (reference
+    computed with the spec's per-pixel recurrences)."""
+    import struct
+    import zlib
+
+    w, h, ch = 5, 3, 3
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = 3 if y % 2 == 0 else 4
+        row = flat[y]
+        filt = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = int(row[i - ch]) if i >= ch else 0  # left RECON (row is recon)
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (int(row[i]) - pred) & 0xFF
+        lines.append(ft)
+        lines.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    payload = (
+        mc.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mc.decode_png(payload), px)
+
+
+def test_png_unsupported_variants_rejected():
+    px = _gradient(4, 4, 3)
+    payload = bytearray(mc.encode_png(px))
+    payload[24] = 16  # bit depth byte inside IHDR
+    # fix the CRC? decoder ignores CRCs — it must still REJECT on depth
+    with pytest.raises(NotImplementedError, match="bit_depth=16"):
+        mc.decode_png(bytes(payload))
+    with pytest.raises(ValueError, match="signature"):
+        mc.decode_png(b"JFIF not a png")
+
+
+def _wav_bytes(freq=440.0, sr=8000, seconds=0.25, amp=0.5):
+    t = np.arange(int(sr * seconds)) / sr
+    sig = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(sig.tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_and_features():
+    payload = _wav_bytes()
+    assert mc.sniff_format(payload) == "wav"
+    sr, n_ch, x = mc.decode_wav(payload)
+    assert (sr, n_ch) == (8000, 1) and x.shape == (2000, 1)
+    # a 0.5-amplitude sine has rms ~ 0.3536
+    feats = mc.audio_features(sr, x, 16)
+    assert len(feats) == 16
+    rms = feats[13]
+    assert abs(rms - 0.3536) < 0.01
+    meta = mc.media_meta(payload)
+    assert meta["media_type"] == "audio" and meta["duration_ms"] == 250
+
+
+def test_box_resize_exact_means():
+    """4x4 image with four constant 2x2 blocks -> 2x2 resize must give
+    exactly the block values (box average is exact on aligned grids)."""
+    px = np.zeros((4, 4, 1), dtype=np.uint8)
+    px[:2, :2, 0], px[:2, 2:, 0], px[2:, :2, 0], px[2:, 2:, 0] = 10, 60, 110, 210
+    out = mc.resize_image(px, 2, 2)
+    assert out[:, :, 0].tolist() == [[10, 60], [110, 210]]
+
+
+def test_image_features_deterministic_and_structured():
+    px = _gradient(32, 48, 3)
+    f1 = mc.image_features(px, 16)
+    f2 = mc.image_features(px, 16)
+    assert f1 == f2 and len(f1) == 16
+    assert all(0.0 <= v <= 2.0 for v in f1)  # grid/stat values; aspect 48/32=1.5
+    # png meta parses real dimensions
+    meta = mc.media_meta(mc.encode_png(px))
+    assert (meta["width"], meta["height"], meta["media_type"]) == (48, 32, "image")
+
+
+def test_spark_real_decode_and_resize(spark):
+    """fake=False end-to-end through mapInPandas: PNG and WAV payloads in
+    one binary column decode to REAL features; PNG resize round-trips
+    through the codec at the target dimensions."""
+    from blazingsql_spark.functions.multimodal import decode_features, resize_images
+
+    png = mc.encode_png(_gradient(16, 16, 3), filter_type=1)
+    wav = _wav_bytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav))], ["doc_id", "payload"]
+    )
+    out = {r.doc_id: r for r in decode_features(df, feature_dim=16, fake=False).collect()}
+    assert len(out[1].features) == 16 and len(out[2].features) == 16
+    # image features = pooled grayscale of THIS gradient, not a hash
+    expected = mc.image_features(_gradient(16, 16, 3), 16)
+    assert np.allclose(out[1].features, expected, atol=1e-6)
+
+    imgs = df.filter("doc_id = 1")
+    resized = resize_images(imgs, width=8, height=8, fake=False).collect()[0]
+    back = mc.decode_png(bytes(resized.resized))
+    assert back.shape == (8, 8, 3)
+    # box-average of the aligned gradient is exact per 2x2 cell
+    src = _gradient(16, 16, 3).astype(np.float64)
+    want = np.rint(src.reshape(8, 2, 8, 2, 3).mean(axis=(1, 3))).astype(np.uint8)
+    assert np.array_equal(back, want)
+
+    # unsupported format names the boundary instead of fake-decoding
+    jpeg_ish = spark.createDataFrame([(3, bytearray(b"\xff\xd8\xff junk"))], ["doc_id", "payload"])
+    with pytest.raises(Exception, match="PNG/WAV|NotImplemented"):
+        decode_features(jpeg_ish, feature_dim=8, fake=False).collect()
