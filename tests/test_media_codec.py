@@ -168,3 +168,44 @@ def test_spark_real_decode_and_resize(spark):
     jpeg_ish = spark.createDataFrame([(3, bytearray(b"\xff\xd8\xff junk"))], ["doc_id", "payload"])
     with pytest.raises(Exception, match="PNG/WAV|NotImplemented"):
         decode_features(jpeg_ish, feature_dim=8, fake=False).collect()
+
+
+# Property tests: ANY 8-bit image round-trips byte-exactly through
+# encode/decode for every supported channel count and encoder filter.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    filter_type=st.sampled_from([0, 1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, filter_type, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    assert np.array_equal(mc.decode_png(mc.encode_png(px, filter_type)), px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    sr=st.sampled_from([8000, 16000, 44100]),
+    n=st.integers(1, 4000),
+    n_ch=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(sr, n, n_ch, seed):
+    rng = np.random.default_rng(seed)
+    sig = rng.integers(-32768, 32768, size=(n, n_ch)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_ch)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(sig.reshape(-1).tobytes())
+    got_sr, got_ch, x = mc.decode_wav(buf.getvalue())
+    assert (got_sr, got_ch) == (sr, n_ch) and x.shape == (n, n_ch)
+    assert np.array_equal((x * 32768.0).astype("<i2"), sig)

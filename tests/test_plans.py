@@ -229,3 +229,54 @@ def test_dedup_spans_partial_aggregation(spark):
     strategies = join_strategies(df)
     assert "CartesianProduct" not in strategies, strategies
     assert "BroadcastNestedLoopJoin" not in strategies, strategies
+
+
+def test_manifest_reads_partition_prune_on_epoch(spark, tmp_path):
+    """The epoch-manifest layout (sources.manifest) must turn its
+    liveness predicate into PARTITION pruning: a manifest-gated read
+    scans only the live epoch_id directories — superseded epochs and
+    garbage compaction output never reach the scan. At scale this is the
+    difference between reading the index and re-listing the full write
+    history."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.sources import manifest as mf
+
+    base = str(tmp_path / "idx")
+    for epoch in (0, 1, 2):
+        (
+            spark.range(100)
+            .select(F.col("id"), F.lit(epoch).alias("epoch_id"))
+            .write.mode("append")
+            .partitionBy("epoch_id")
+            .parquet(f"{base}/t")
+        )
+    man = {"bases": [], "min_epoch": 2}
+    live = spark.read.parquet(f"{base}/t").filter(mf.live_partition_filter(man))
+    # execution-time file set (input_file_name reflects pruning; the
+    # relation-level inputFiles() does not): only epoch 2's files read
+    read_files = {
+        r[0] for r in live.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_files and all("epoch_id=2" in f for f in read_files), read_files
+    assert live.count() == 100
+    # and the predicate lands in PartitionFilters, not a post-scan Filter
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    pf_section = plan.split("PartitionFilters: [", 1)
+    assert len(pf_section) == 2 and "epoch_id" in pf_section[1][:120], plan[:1200]
+
+
+def test_perplexity_vocab_join_has_no_forced_broadcast(spark):
+    """A min-count-floored vocab of a 100 TB corpus is easily 1e8+ rows:
+    the vocab join must carry NO mandatory broadcast hint (AQE decides
+    from the actual post-shuffle size). The only hint allowed is on the
+    single-row totals table."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.functions.text import unigram_negative_logprob
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    df = unigram_negative_logprob(docs)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint")
+    assert hints <= 1, f"expected at most the 1-row totals hint, got {hints}:\n{analyzed[:1500]}"
