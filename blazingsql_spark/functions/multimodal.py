@@ -65,6 +65,34 @@ def with_media_meta(
     )
 
 
+def derive_media_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL typed-metadata extraction: parse each payload's header
+    (functions.media_codec — PNG dimensions, WAV duration; unknown
+    formats keep NULL fields and format='unknown') via Arrow-batched
+    mapInPandas, emitting the standard MEDIA_META_SCHEMA struct. The
+    cheap complement to ``with_media_meta`` (which stamps caller-known
+    constants JVM-side without touching payload bytes)."""
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField("media_meta", MEDIA_META_SCHEMA)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blazingsql_spark.functions import media_codec as mc
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media_meta": pdf[payload_col].map(lambda b: mc.media_meta(bytes(b))),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
 def _fake_decode(payload: bytes, target: int) -> list[float]:
     """Deterministic fake 'decode → feature vector': sha256-seeded floats.
     Stands in for a real image/audio feature extractor."""

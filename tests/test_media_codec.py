@@ -209,3 +209,23 @@ def test_wav_roundtrip_property(sr, n, n_ch, seed):
     got_sr, got_ch, x = mc.decode_wav(buf.getvalue())
     assert (got_sr, got_ch) == (sr, n_ch) and x.shape == (n, n_ch)
     assert np.array_equal((x * 32768.0).astype("<i2"), sig)
+
+
+def test_derive_media_meta_real_headers(spark):
+    """derive_media_meta parses actual payload headers: PNG dimensions,
+    WAV duration, unknown formats flagged with NULL fields."""
+    from blazingsql_spark.functions.multimodal import derive_media_meta
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mc.encode_png(_gradient(10, 20, 3)))),
+            (2, bytearray(_wav_bytes(seconds=0.5))),
+            (3, bytearray(b"plain text bytes")),
+        ],
+        ["doc_id", "payload"],
+    )
+    out = {r.doc_id: r.media_meta for r in derive_media_meta(df).collect()}
+    assert (out[1]["media_type"], out[1]["width"], out[1]["height"]) == ("image", 20, 10)
+    assert (out[2]["media_type"], out[2]["duration_ms"]) == ("audio", 500)
+    assert (out[3]["format"], out[3]["media_type"]) == ("unknown", None)
+    assert out[3]["n_bytes"] == 16
