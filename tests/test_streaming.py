@@ -384,3 +384,42 @@ def test_lexical_index_ingest_matches_batch_bm25(spark, tmp_path):
         for r in bm25_topk_indexed(spark, str(tmp_path / "lexidx"), terms, k=15).collect()
     ]
     assert replay_after_compact == batch
+
+
+def test_lexical_index_streaming_run_with_restart(spark, tmp_path):
+    """The FULL streaming wiring, not just the handler: readStream →
+    foreachBatch(run_lexical_index_ingest) with availableNow, then more
+    source files land and a SECOND run resumes from the same checkpoint —
+    Spark's own epoch numbering drives the per-epoch partitions, and the
+    indexed probe equals batch BM25 over the union corpus."""
+    from blazingsql_spark.functions.text import bm25_topk, bm25_topk_indexed
+    from blazingsql_spark.streaming.ingest import run_lexical_index_ingest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.filter("doc_id < 200").write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    index, ckpt = str(tmp_path / "lexidx"), str(tmp_path / "ckpt")
+    terms = ["vector", "spark", "hash"]
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_lexical_index_ingest(spark, stream, index, ckpt)
+    q.awaitTermination(120)
+
+    # more documents arrive; a restarted stream (same checkpoint) must
+    # ingest ONLY the new files, under a new epoch id
+    docs.filter("doc_id >= 200").write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = run_lexical_index_ingest(spark, stream2, index, ckpt)
+    q2.awaitTermination(120)
+
+    indexed = [
+        (r.doc_id, r.bm25) for r in bm25_topk_indexed(spark, index, terms, k=15).collect()
+    ]
+    batch = [(r.doc_id, r.bm25) for r in bm25_topk(docs, terms, k=15).collect()]
+    assert indexed == batch
+    # two epochs → two epoch_id partitions on disk
+    postings = spark.read.parquet(f"{index}/postings")
+    epochs = {r.epoch_id for r in postings.select("epoch_id").distinct().collect()}
+    assert len(epochs) == 2 and all(e >= 0 for e in epochs)
