@@ -249,9 +249,12 @@ def remove_boilerplate_lines(
 
     Plan shape for 100 TB: lines = one posexplode (no shuffle);
     per-line document frequency = one partial-aggregated groupBy on the
-    line hash; the boilerplate SET (lines over the threshold) is small by
-    nature — broadcast LEFT ANTI join back onto the lines, so the corpus
-    never shuffles on the line key a second time; final reassembly is one
+    line hash; the boilerplate SET (lines over the threshold) anti-joins
+    back onto the lines. The anti-join strategy is AQE-decided: the
+    boilerplate set is usually small, but a frequency-filtered line table
+    over a 100 TB crawl is not GUARANTEED broadcastable (same hazard
+    class as the perplexity vocab), so no mandatory hint — AQE broadcasts
+    exactly when the post-shuffle size fits. Final reassembly is one
     groupBy on the doc id. Documents whose every line is boilerplate
     disappear (0 surviving lines), matching the SQL-oracle semantics.
     """
@@ -266,7 +269,7 @@ def remove_boilerplate_lines(
         .filter(F.col("df") >= min_df)
         .select("line")
     )
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    kept = lines.join(boiler, "line", "left_anti")
     return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

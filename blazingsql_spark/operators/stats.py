@@ -89,7 +89,14 @@ def group_percentile_cont(
     )
     totals = counts.groupBy(*keys).agg(F.sum("__cnt").alias("__n"))
 
-    globally_ranked = ranked.join(F.broadcast(offsets), ["__cid", *keys]).withColumn(
+    # offsets is n_chunks x n_groups rows: bounded ONLY when the group-key
+    # cardinality is — with no keys it is n_chunks rows (hint it); with
+    # keys it scales with the group count, so the join strategy is left to
+    # AQE (a forced broadcast of per-group offsets over, say, billions of
+    # users would OOM every executor — same hazard class as the pagerank
+    # outdeg hint removed in round 4)
+    off_side = offsets if keys else F.broadcast(offsets)
+    globally_ranked = ranked.join(off_side, ["__cid", *keys]).withColumn(
         "__grank", (F.col("__rn") + F.col("__off")).cast("long")
     )
 
@@ -116,12 +123,12 @@ def group_percentile_cont(
         )
     )
 
-    # order-statistic lookup: equi-join against the two target ranks
-    # (targets is n_groups × |quantiles| rows — broadcast); with no group
-    # keys the targets table is |quantiles| rows and the "join" is a
-    # bounded broadcast cross product
+    # order-statistic lookup: equi-join against the two target ranks.
+    # targets is n_groups x |quantiles| rows — AQE-decided when keyed
+    # (unbounded group counts), forced broadcast only in the keyless case
+    # where it is exactly |quantiles| rows
     hit = (
-        globally_ranked.join(F.broadcast(targets), [*keys])
+        globally_ranked.join(targets, [*keys])
         if keys
         else globally_ranked.crossJoin(F.broadcast(targets))
     ).filter(

@@ -163,12 +163,23 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def enrich_stream(events: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = False,
+) -> DataFrame:
     """Stream-static enrichment: join a streaming DataFrame against a batch
     dimension table. Spark re-plans the static side per micro-batch (so
-    dimension updates are picked up); with the dimension under the broadcast
-    threshold the join is stateless — no streaming state at all."""
-    return events.join(F.broadcast(dim), on, how)
+    dimension updates are picked up); with the dimension under the
+    broadcast threshold the join is stateless — no streaming state at all.
+    The planner chooses the strategy from the static side's size estimate;
+    pass ``broadcast_dim=True`` to force the hint only when the caller
+    KNOWS the dimension is bounded (a mandatory hint on an arbitrary
+    caller-provided table is the OOM hazard class removed in round 4)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on, how)
 
 
 def stream_stream_join(
