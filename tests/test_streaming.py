@@ -423,3 +423,47 @@ def test_lexical_index_streaming_run_with_restart(spark, tmp_path):
     postings = spark.read.parquet(f"{index}/postings")
     epochs = {r.epoch_id for r in postings.select("epoch_id").distinct().collect()}
     assert len(epochs) == 2 and all(e >= 0 for e in epochs)
+
+
+def test_manifest_crash_windows(spark, tmp_path):
+    """Simulate every compaction crash window and assert readers always
+    see a consistent index: (a) half-written base output before the
+    manifest publish is invisible; (b) after the publish, superseded
+    partitions are ignored even if GC never ran; (c) GC removes exactly
+    the unreferenced directories; (d) a newer manifest version wins."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.sources import manifest as mf
+
+    root = str(tmp_path / "idx")
+    tdir = f"{root}/t"
+    for epoch in (0, 1):
+        (
+            spark.range(10)
+            .select("id", F.lit(epoch).alias("epoch_id"))
+            .write.mode("append")
+            .partitionBy("epoch_id")
+            .parquet(tdir)
+        )
+    # (a) crash mid-compaction: a garbage base partition exists but no
+    # manifest references it — readers (default view) must not see it
+    spark.range(999).select("id").write.parquet(f"{tdir}/epoch_id=-1")
+    assert mf.read_manifest(spark, root) is None
+    live = mf.read_live(spark, tdir, None)
+    assert live.count() == 20  # epochs 0+1 only, garbage invisible
+
+    # (b) publish: base=-1 live, epochs < 1 superseded (epoch 0 folded)
+    mf.write_manifest(spark, root, {"bases": [-1], "min_epoch": 1})
+    man = mf.read_manifest(spark, root)
+    assert man["version"] == 1 and man["bases"] == [-1]
+    assert mf.read_live(spark, tdir, man).count() == 999 + 10  # base + epoch 1
+
+    # (c) GC removes exactly the folded epoch 0, keeps base and epoch 1
+    removed = mf.gc_partitions(spark, tdir, man)
+    assert removed == 1
+    assert mf.read_live(spark, tdir, man).count() == 999 + 10
+
+    # (d) versioned publish: the next manifest supersedes, old is deleted
+    mf.write_manifest(spark, root, {"bases": [-2], "min_epoch": 5})
+    man2 = mf.read_manifest(spark, root)
+    assert man2["version"] == 2 and man2["min_epoch"] == 5
