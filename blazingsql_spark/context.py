@@ -92,9 +92,17 @@ class Context:
         Hive-partitioned directories work out of the box (Spark partition
         discovery replaces context.py:476 parseHiveMetadata).
         """
+        from pyspark.sql import DataFrameReader
+
         if isinstance(input, DataFrame):
             df = input
             meta = TableMeta(table_name, "dataframe")
+        elif isinstance(input, DataFrameReader):
+            # configured reader, e.g. sources.jdbc.mysql/postgresql/sqlite/
+            # derby — the reference's bc.create_table(name, sql_table) path
+            # (pyblazing context.py:2079+ dispatch on SQL table descriptors)
+            df = input.load()
+            meta = TableMeta(table_name, "jdbc")
         elif _is_pandas(input):
             df = self.spark.createDataFrame(input)
             meta = TableMeta(table_name, "pandas")

@@ -209,3 +209,25 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
         naive_span = avg_span(naive, col)
         z_span = avg_span(zpath, col)
         assert z_span < naive_span * 0.6, (col, z_span, naive_span)
+
+
+def test_create_table_from_jdbc_reader(spark, tmp_path):
+    """bc.create_table(name, <configured jdbc reader>) — the reference's
+    create_table(name, sql_table) path — registers a queryable view
+    backed by the JDBC source (real Derby database underneath)."""
+    from blazingsql_spark import Context
+    from blazingsql_spark.sources import derby, jdbc_writer
+
+    db = f"{tmp_path}/derbyctx"
+    src = load_table(spark, "/root/testdata/sf0.001", "region")
+    jdbc_writer(
+        src, f"jdbc:derby:{db};create=true", "region",
+        driver="org.apache.derby.jdbc.EmbeddedDriver", mode="overwrite",
+    ).save()
+
+    bc = Context(spark=spark)
+    bc.create_table("region_jdbc", derby(spark, db, "region"))
+    got = bc.sql("SELECT COUNT(*) AS n FROM region_jdbc").first()["n"]
+    assert got == src.count()
+    assert "region_jdbc" in bc.list_tables()
+    bc.drop_table("region_jdbc")
