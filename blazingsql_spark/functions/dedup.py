@@ -314,11 +314,27 @@ def incremental_near_dup_check(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 2,
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """Check a batch of new documents against the persisted index: returns
     (new_id, matched_corpus_id) candidate near-dup pairs. Works identically
-    inside foreachBatch for a streaming ingest pipeline."""
+    inside foreachBatch for a streaming ingest pipeline.
+
+    Epoch-partitioned indexes (written by ``streaming.ingest.DedupIngest``
+    through ``sources.manifest``) are read manifest-gated — superseded
+    epochs and half-written compaction output are invisible — and
+    ``exclude_epoch`` drops the named epoch from the reference so a
+    replayed foreachBatch epoch never matches its own earlier attempt.
+    Legacy flat (un-partitioned) indexes read as before."""
     index = spark.read.parquet(index_path)
+    if "epoch_id" in index.columns:
+        from blazingsql_spark.sources import manifest as mf
+
+        man = mf.read_manifest(spark, index_path)
+        index = index.filter(mf.live_partition_filter(man))
+        if exclude_epoch is not None:
+            index = index.filter(F.col("epoch_id") != int(exclude_epoch))
+        index = index.drop("epoch_id")
     new_banded = _banded_signatures(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
     return (
         new_banded.alias("n")

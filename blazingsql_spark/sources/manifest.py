@@ -33,7 +33,11 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_MANIFEST_RE = re.compile(r"^MANIFEST-(\d+)\.json$")
+# Underscore-prefixed so Hadoop/Spark file listings ignore them (like
+# _SUCCESS): manifests can therefore live INSIDE a parquet table directory
+# (the dedup signature index is its own table root) as well as beside
+# sub-tables (the lexical index's postings/ + doclen/).
+_MANIFEST_RE = re.compile(r"^_MANIFEST-(\d+)\.json$")
 
 
 def _fs(spark: SparkSession, path: str):
@@ -73,8 +77,8 @@ def write_manifest(spark: SparkSession, index_dir: str, manifest: dict) -> None:
     prev = read_manifest(spark, index_dir)
     version = (prev.get("version", 0) + 1) if prev else 1
     manifest = dict(manifest, version=version)
-    tmp = jp(f"{index_dir}/.tmp.MANIFEST-{version}.json")
-    final = jp(f"{index_dir}/MANIFEST-{version}.json")
+    tmp = jp(f"{index_dir}/.tmp._MANIFEST-{version}.json")
+    final = jp(f"{index_dir}/_MANIFEST-{version}.json")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(manifest).encode("utf-8")))
@@ -106,6 +110,71 @@ def read_live(spark: SparkSession, table_dir: str, manifest: dict | None) -> Dat
         spark.read.parquet(table_dir)
         .filter(live_partition_filter(manifest))
         .drop("epoch_id")
+    )
+
+
+def compact_epoch_tables(
+    spark: SparkSession,
+    root: str,
+    tables: dict,
+    epoch: int,
+    max_files: int,
+) -> bool:
+    """The full crash-safe compaction protocol shared by the index
+    maintainers: when the live file count of the FIRST table exceeds
+    ``max_files``, fold every committed epoch (everything except the
+    possibly-replayable current one) of EVERY table into a fresh base
+    partition, publish one manifest covering them all, then garbage-
+    collect unreferenced directories.
+
+    ``tables`` maps sub-path ("" = ``root`` itself is the table) to a
+    layout callable applied to the folded DataFrame before writing
+    (clustering/repartitioning). The base partition id derives from the
+    manifest version, so even the same epoch compacting twice (replay
+    after a crash between compaction and checkpoint commit) writes a
+    fresh directory. Returns True if a compaction ran."""
+    man = read_manifest(spark, root)
+    prev_min = int(man["min_epoch"]) if man else 0
+    if epoch < prev_min:
+        # replay of an already-folded epoch: compacting from it would
+        # regress min_epoch and resurrect superseded partitions
+        return False
+
+    def tdir(sub: str) -> str:
+        return root if sub == "" else f"{root}/{sub}"
+
+    first = next(iter(tables))
+    live = spark.read.parquet(tdir(first)).filter(live_partition_filter(man))
+    if len(live.inputFiles()) <= max_files:
+        return False
+    base_id = -((man.get("version", 0) if man else 0) + 1)
+    for sub, layout in tables.items():
+        folded = (
+            spark.read.parquet(tdir(sub))
+            .filter(live_partition_filter(man))
+            .filter(F.col("epoch_id") != epoch)
+            .drop("epoch_id")
+        )
+        layout(folded).write.mode("overwrite").parquet(
+            f"{tdir(sub)}/epoch_id={base_id}"
+        )
+    new_man = {"bases": [base_id], "min_epoch": max(epoch, prev_min)}
+    write_manifest(spark, root, new_man)
+    for sub in tables:
+        gc_partitions(spark, tdir(sub), new_man)
+    return True
+
+
+def write_epoch_partition(df: DataFrame, table_dir: str, epoch: int) -> None:
+    """Idempotent epoch write: land the batch in its own ``epoch_id``
+    partition via dynamic partition overwrite, so an at-least-once replay
+    REPLACES its previous attempt instead of double-counting."""
+    (
+        df.withColumn("epoch_id", F.lit(int(epoch)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(table_dir)
     )
 
 

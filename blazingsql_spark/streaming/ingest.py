@@ -72,8 +72,19 @@ class DedupIngest:
         return clean
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        from blazingsql_spark.sources import manifest as mf
+
+        epoch = int(epoch_id)
         batch = self._prepare(batch).persist()
         if self._index_exists():
+            # exclude the CURRENT epoch's own partition from the dedup
+            # reference: on an at-least-once replay the batch's signatures
+            # are already in the index, and comparing against them would
+            # mark every replayed doc a duplicate OF ITSELF — the replayed
+            # epoch would then overwrite its corpus partition with nothing
+            # and silently lose the data. Excluding epoch N makes the
+            # decision identical to the first attempt (deterministic), so
+            # the overwrite is a no-op — idempotent.
             dup_ids = (
                 incremental_near_dup_check(
                     self.spark,
@@ -84,6 +95,7 @@ class DedupIngest:
                     self.num_hashes,
                     self.bands,
                     self.shingle_n,
+                    exclude_epoch=epoch,
                 )
                 .select(F.col("new_id").alias(self.id_col))
                 .distinct()
@@ -94,39 +106,38 @@ class DedupIngest:
         # in-batch dedup as well: drop later copies inside the same epoch
         clean = clean.dropDuplicates([self.text_col]).persist()
 
-        self._finalize(clean).write.mode("append").parquet(self.corpus_path)
-        _banded_signatures(
-            clean, self.text_col, self.id_col, self.num_hashes, self.bands, self.shingle_n
-        ).write.mode("append").parquet(self.index_path)
+        mf.write_epoch_partition(self._finalize(clean), self.corpus_path, epoch)
+        mf.write_epoch_partition(
+            _banded_signatures(
+                clean, self.text_col, self.id_col, self.num_hashes, self.bands, self.shingle_n
+            ),
+            self.index_path,
+            epoch,
+        )
         self._index_seen = True
-        self._compact_index_if_needed()
+        self._compact_index_if_needed(epoch)
         batch.unpersist()
         clean.unpersist()
 
-    def _compact_index_if_needed(self) -> None:
-        """Bound the signature index's file count: every micro-batch appends
-        a few small parquet files, so an unbounded stream would accumulate
-        thousands (slow scans, NameNode/listing pressure). When the count
-        exceeds ``max_index_files``, rewrite the index into
-        ``index_partitions`` files hash-clustered on (band, band_hash), then
-        swap directories. foreachBatch serializes epochs, so no concurrent
-        reader sees the swap window; a production deployment would commit
-        the swap through a table format's metadata instead of an FS rename.
-        """
-        idx = self.spark.read.parquet(self.index_path)
-        if len(idx.inputFiles()) <= self.max_index_files:
-            return
-        tmp = self.index_path.rstrip("/") + "__compacting"
-        (
-            idx.repartition(self.index_partitions, "band", "band_hash")
-            .write.mode("overwrite")
-            .parquet(tmp)
+    def _compact_index_if_needed(self, epoch: int) -> None:
+        """Bound the signature index's file count: every micro-batch adds
+        an epoch partition of small parquet files, so an unbounded stream
+        would accumulate thousands (slow scans, NameNode/listing pressure).
+        Committed epochs fold into a base partition hash-clustered on
+        (band, band_hash), published through the crash-safe versioned
+        manifest (sources.manifest — every crash window leaves the old or
+        the new consistent view, never a lost index; the previous
+        delete-then-rename swap could lose everything between the two
+        calls). The corpus table is never compacted — only read."""
+        from blazingsql_spark.sources import manifest as mf
+
+        mf.compact_epoch_tables(
+            self.spark,
+            self.index_path,
+            {"": lambda df: df.repartition(self.index_partitions, "band", "band_hash")},
+            epoch,
+            self.max_index_files,
         )
-        sc = self.spark.sparkContext
-        hpath = sc._jvm.org.apache.hadoop.fs.Path
-        fs = hpath(self.index_path).getFileSystem(sc._jsc.hadoopConfiguration())
-        fs.delete(hpath(self.index_path), True)
-        fs.rename(hpath(tmp), hpath(self.index_path))
 
 
 def run_dedup_ingest(
@@ -344,65 +355,40 @@ class LexicalIndexIngest:
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         from blazingsql_spark.functions.text import _tokens
+        from blazingsql_spark.sources import manifest as mf
 
         toks = _tokens(batch, self.id_col, self.text_col).persist()
         epoch = int(epoch_id)
-        for sub, agg in (
-            ("postings", toks.groupBy(self.id_col, "token").agg(F.count("*").alias("tf"))),
-            ("doclen", toks.groupBy(self.id_col).agg(F.count("*").alias("dl"))),
-        ):
-            (
-                agg.withColumn("epoch_id", F.lit(epoch))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("epoch_id")
-                .parquet(f"{self.index_path}/{sub}")
-            )
+        mf.write_epoch_partition(
+            toks.groupBy(self.id_col, "token").agg(F.count("*").alias("tf")),
+            f"{self.index_path}/postings",
+            epoch,
+        )
+        mf.write_epoch_partition(
+            toks.groupBy(self.id_col).agg(F.count("*").alias("dl")),
+            f"{self.index_path}/doclen",
+            epoch,
+        )
         toks.unpersist()
         self._compact_if_needed(epoch)
 
     def _compact_if_needed(self, epoch: int) -> None:
         from blazingsql_spark.sources import manifest as mf
 
-        path = f"{self.index_path}/postings"
-        man = mf.read_manifest(self.spark, self.index_path)
-        prev_min = int(man["min_epoch"]) if man else 0
-        if epoch < prev_min:
-            # replay of an already-folded epoch: its partition is invisible
-            # to readers (below min_epoch, not a base) and compacting from
-            # it would REGRESS min_epoch and resurrect ignored partitions
-            return
-        live = self.spark.read.parquet(path).filter(mf.live_partition_filter(man))
-        if len(live.inputFiles()) <= self.max_postings_files:
-            return
-        # fold every epoch EXCEPT the current one (the only epoch the
-        # stream can still replay) into a fresh base partition; the base id
-        # derives from the manifest version, which increments on every
-        # publish, so it is unique even when the SAME epoch compacts twice
-        # (replay after a crash between compaction and checkpoint commit)
-        base_id = -((man.get("version", 0) if man else 0) + 1)
-        (
-            live.filter(F.col("epoch_id") != epoch)
-            .drop("epoch_id")
-            .repartition(self.postings_partitions, "token")
-            .sortWithinPartitions("token")
-            .write.mode("overwrite")
-            .parquet(f"{path}/epoch_id={base_id}")
+        mf.compact_epoch_tables(
+            self.spark,
+            self.index_path,
+            {
+                "postings": lambda df: df.repartition(
+                    self.postings_partitions, "token"
+                ).sortWithinPartitions("token"),
+                "doclen": lambda df: df.repartition(
+                    self.postings_partitions, self.id_col
+                ),
+            },
+            epoch,
+            self.max_postings_files,
         )
-        dl_path = f"{self.index_path}/doclen"
-        (
-            self.spark.read.parquet(dl_path)
-            .filter(mf.live_partition_filter(man))
-            .filter(F.col("epoch_id") != epoch)
-            .drop("epoch_id")
-            .repartition(self.postings_partitions, self.id_col)
-            .write.mode("overwrite")
-            .parquet(f"{dl_path}/epoch_id={base_id}")
-        )
-        new_man = {"bases": [base_id], "min_epoch": max(epoch, prev_min)}
-        mf.write_manifest(self.spark, self.index_path, new_man)
-        mf.gc_partitions(self.spark, path, new_man)
-        mf.gc_partitions(self.spark, dl_path, new_man)
 
 
 def run_lexical_index_ingest(

@@ -177,13 +177,22 @@ def test_dedup_ingest_index_compaction(spark, tmp_path):
         max_index_files=6,
         index_partitions=2,
     )
+    from blazingsql_spark.sources import manifest as mf
+
     for epoch in range(8):  # 8 disjoint batches of fresh docs
         batch = docs.filter(
             (F.col("doc_id") % 8 == epoch) & (F.col("doc_id") < 80)
         )
         handler(batch, epoch)
+        # live view (manifest-gated) stays bounded: folded base + at most
+        # the current epoch's files (superseded dirs are GC'd at publish)
+        man = mf.read_manifest(spark, str(tmp_path / "index"))
+        live = spark.read.parquet(str(tmp_path / "index")).filter(
+            mf.live_partition_filter(man)
+        )
         n_files = len(spark.read.parquet(str(tmp_path / "index")).inputFiles())
-        assert n_files <= 6 + 2, n_files  # bounded: at most threshold + one batch
+        assert n_files <= 6 + 4, n_files  # raw dir: base + one epoch's files
+        assert live.count() > 0
 
     # dedup still works against the compacted index: replay batch 0 copies
     copies = docs.filter((F.col("doc_id") % 8 == 0) & (F.col("doc_id") < 80)).select(
@@ -467,3 +476,32 @@ def test_manifest_crash_windows(spark, tmp_path):
     mf.write_manifest(spark, root, {"bases": [-2], "min_epoch": 5})
     man2 = mf.read_manifest(spark, root)
     assert man2["version"] == 2 and man2["min_epoch"] == 5
+
+
+def test_dedup_ingest_replay_idempotent(spark, tmp_path):
+    """At-least-once replay of a dedup-ingest epoch must be a no-op, NOT a
+    self-wipe: the replayed batch's signatures are already in the index,
+    so without excluding the current epoch from the dedup reference every
+    replayed doc would match ITSELF, be dropped as a duplicate, and the
+    epoch's corpus partition would be overwritten with nothing."""
+    from blazingsql_spark.streaming.ingest import DedupIngest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b1 = docs.filter("doc_id < 30")
+    b2 = docs.filter("doc_id >= 30 AND doc_id < 60")
+
+    handler = DedupIngest(spark, str(tmp_path / "index"), str(tmp_path / "corpus"))
+    handler(b1, 0)
+    handler(b2, 1)
+    before = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).select("doc_id").collect()
+    )
+    # replay epoch 1 (crash before checkpoint commit -> redelivery)
+    handler(b2, 1)
+    after = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).select("doc_id").collect()
+    )
+    assert after == before  # no loss, no duplication
+    assert any(i >= 30 for i in after)  # epoch 1 docs still present
