@@ -216,3 +216,70 @@ def stream_stream_join(
         & (v.view_ts <= p.purchase_ts)
         & (v.view_ts >= p.purchase_ts - F.expr(f"INTERVAL {join_window}")),
     ).select("purchase_id", "user_id", "purchase_ts", "purchase_value", "view_id", "view_ts")
+
+
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    left_id: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tolerance: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch as-of join (operators.asof.asof_join,
+    direction='backward' with a tolerance): each left event picks the
+    LATEST right event at-or-before its timestamp within ``tolerance``,
+    per ``by`` key.
+
+    Spark has no native streaming as-of, so it composes from two
+    watermark-bounded stateful operators (chained stateful ops, Spark
+    3.4+): (1) a stream-stream interval join — the tolerance becomes the
+    time-range predicate, so buffered state is bounded by watermark +
+    tolerance, never unbounded history; (2) an event-time aggregation
+    per left event that keeps the max-timestamp candidate (max_by — a
+    partial-aggregable reduction, not a sort). Left events with no
+    candidate in the window simply don't appear (inner semantics); the
+    batch operator's NULL-match rows are the difference, asserted in the
+    differential test. This is the canonical scale shape: state is
+    O(events inside the tolerance window), identical to the batch
+    operator's union-and-carry locality."""
+    lt = left.withWatermark(ts_col, watermark).select(
+        F.col(left_id).alias("__lid"),
+        F.col(by).alias("__by"),
+        F.col(ts_col).alias("__lts"),
+    )
+    rt = right.withWatermark(ts_col, watermark).select(
+        F.col(by).alias("__rby"),
+        F.col(ts_col).alias("__rts"),
+        F.col(value_col).alias("__rval"),
+    )
+    joined = lt.join(
+        rt,
+        (lt["__by"] == rt["__rby"])
+        & (rt["__rts"] <= lt["__lts"])
+        & (rt["__rts"] >= lt["__lts"] - F.expr(f"INTERVAL {tolerance}")),
+    )
+    # event-time grouping key (__lts) lets the aggregation state expire
+    # with the watermark PROPAGATED through the join (re-declaring one
+    # here is a "redefining watermark" error under chained stateful
+    # operators); max_by picks the as-of row without a sort
+    # tiebreak on duplicate right timestamps: the same content-hash rule
+    # as the batch operator (operators.asof carries the largest
+    # xxhash64(value, 42) among ties), so the twins never diverge
+    rank = F.struct(F.col("__rts"), F.xxhash64("__rval", F.lit(42)).alias("__tie"))
+    return (
+        joined.groupBy("__lid", "__by", "__lts")
+        .agg(
+            F.max("__rts").alias("matched_ts"),
+            F.max_by("__rval", rank).alias("matched_value"),
+        )
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__by").alias(by),
+            F.col("__lts").alias(ts_col),
+            "matched_ts",
+            "matched_value",
+        )
+    )

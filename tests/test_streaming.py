@@ -505,3 +505,50 @@ def test_dedup_ingest_replay_idempotent(spark, tmp_path):
     )
     assert after == before  # no loss, no duplication
     assert any(i >= 30 for i in after)  # epoch 1 docs still present
+
+
+def test_asof_join_stream_matches_batch(spark):
+    """Streaming as-of twin: purchases pick the latest prior view (per
+    user, within 1 hour) — must equal the batch as-of join
+    (operators.asof.asof_join backward+tolerance) on every left event the
+    watermark finalized; batch NULL-match rows are exactly the left
+    events the streaming inner compose omits."""
+    from blazingsql_spark.operators.asof import asof_join
+
+    base = st.stream_events(spark, SF_DIR)
+    purchases = base.filter("event_type = 'purchase'")
+    views = base.filter("event_type = 'view'")
+    got = st.run_to_memory(
+        spark, st.asof_join_stream(purchases, views, tolerance="1 hour"), "t_asof"
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    bp = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    bv = ev.filter("event_type = 'view'").select("user_id", "ts", "value")
+    want = asof_join(
+        bp,
+        bv,
+        on="ts",
+        by=["user_id"],
+        right_value_cols=["value"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    # watermark finalization: only left events safely below
+    # max_ts - watermark(2h) are guaranteed emitted by the stream
+    cutoff = ev.agg(F.max("ts")).first()[0]
+    bound = F.lit(cutoff) - F.expr("INTERVAL 2 HOURS") - F.expr("INTERVAL 1 MINUTE")
+
+    got_rows = {
+        r.event_id: round(r.matched_value, 6)
+        for r in got.filter(F.col("ts") <= bound).collect()
+    }
+    want_matched = {
+        r.event_id: round(r.value, 6)
+        for r in want.filter((F.col("ts") <= bound) & F.col("value").isNotNull()).collect()
+    }
+    assert got_rows == want_matched
+    assert len(got_rows) > 0
+    # the omitted left events are exactly the batch NULL matches
+    n_left = bp.filter(F.col("ts") <= bound).count()
+    n_null = want.filter((F.col("ts") <= bound) & F.col("value").isNull()).count()
+    assert len(got_rows) == n_left - n_null
