@@ -48,6 +48,8 @@ def sniff_format(payload: bytes) -> str:
         return "png"
     if is_wav(payload):
         return "wav"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return "unknown"
 
 
@@ -267,6 +269,11 @@ def media_meta(payload: bytes) -> dict:
     if fmt == "png":
         px = decode_png(payload)
         meta.update(media_type="image", height=px.shape[0], width=px.shape[1])
+    elif fmt == "jpeg":
+        from blazingsql_spark.functions.media_jpeg import jpeg_dimensions
+
+        w, h, _nc = jpeg_dimensions(payload)  # header parse, no entropy decode
+        meta.update(media_type="image", height=h, width=w)
     elif fmt == "wav":
         sr, _n_ch, x = decode_wav(payload)
         meta.update(media_type="audio", duration_ms=int(1000 * len(x) / sr) if sr else 0)

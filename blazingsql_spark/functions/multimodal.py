@@ -4,13 +4,14 @@ with typed metadata, processed via Arrow-batched pandas iterators.
 The Spark-side contract is real and tested — schema, partitioning, UDF
 signatures, batch shapes. Media decoding has TWO real paths:
 
-- ``fake=False`` decodes PNG images and WAV audio FOR REAL via the
-  zero-dependency stdlib/numpy codec in ``functions.media_codec`` (PNG =
-  zlib over filtered scanlines; WAV = stdlib ``wave``): header-parsed
+- ``fake=False`` decodes PNG + baseline JPEG images and WAV audio FOR
+  REAL via the zero-dependency stdlib/numpy codecs
+  (``functions.media_codec``, ``functions.media_jpeg``): header-parsed
   metadata, box-pooled grayscale / energy-envelope feature vectors, and
-  box-average image resize. Formats needing external libraries (JPEG,
-  MP3, MP4 frames) raise NotImplementedError naming the library to plug
-  in — that boundary is now per-format, not per-operator.
+  box-average image resize (JPEG re-encoded at quality 90). Formats
+  needing external libraries (GIF, MP3, MP4 frames) raise
+  NotImplementedError naming the library to plug in — the boundary is
+  per-format, not per-operator.
 - ``fake=True`` keeps the deterministic sha256-seeded stand-in for
   payloads of ANY format — what the fixture-driven oracle queries use.
 
@@ -134,11 +135,15 @@ def decode_features(
             fmt = mc.sniff_format(b)
             if fmt == "png":
                 return mc.image_features(mc.decode_png(b), feature_dim)
+            if fmt == "jpeg":
+                from blazingsql_spark.functions.media_jpeg import decode_jpeg
+
+                return mc.image_features(decode_jpeg(b), feature_dim)
             if fmt == "wav":
                 sr, _ch, x = mc.decode_wav(b)
                 return mc.audio_features(sr, x, feature_dim)
             raise NotImplementedError(
-                f"payload format {fmt!r}: only PNG/WAV decode with the "
+                f"payload format {fmt!r}: only PNG/JPEG/WAV decode with the "
                 "zero-dependency codec; plug in PIL/librosa for the rest "
                 "or use fake=True"
             )
@@ -203,12 +208,18 @@ def resize_images(
         from blazingsql_spark.functions import media_codec as mc
 
         def transform(b: bytes) -> bytes:
-            if not mc.is_png(b):
-                raise NotImplementedError(
-                    "only PNG resizes with the zero-dependency codec; plug in "
-                    "PIL/cv2 for other formats or use fake=True"
-                )
-            return mc.encode_png(mc.resize_image(mc.decode_png(b), width, height))
+            fmt = mc.sniff_format(b)
+            if fmt == "png":
+                return mc.encode_png(mc.resize_image(mc.decode_png(b), width, height))
+            if fmt == "jpeg":
+                from blazingsql_spark.functions import media_jpeg as mj
+
+                resized = mc.resize_image(mj.decode_jpeg(b), width, height)
+                return mj.encode_jpeg(resized, quality=90)
+            raise NotImplementedError(
+                "only PNG/JPEG resize with the zero-dependency codec; plug "
+                "in PIL/cv2 for other formats or use fake=True"
+            )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
