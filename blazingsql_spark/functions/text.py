@@ -438,15 +438,27 @@ def bm25_topk_indexed(
     newest manifest declares live are consumed, so half-written
     compaction output and superseded epochs are invisible. Returns the
     same result as ``bm25_topk`` over the full corpus (the scoring core
-    is shared; equivalence is asserted in tests)."""
+    is shared; equivalence is asserted in tests).
+
+    Legacy flat (un-partitioned) indexes — written before the manifest
+    layout, no ``epoch_id`` column — read as plain parquet, mirroring
+    ``dedup.match_against_index``'s guard; applying the epoch predicate
+    to them would raise AnalysisException on the missing column."""
     from blazingsql_spark.sources import manifest as mf
 
     root = index_path.rstrip("/")
     man = mf.read_manifest(spark, root)
-    postings = mf.read_live(spark, f"{root}/postings", man).filter(
+
+    def _read(table_dir: str) -> DataFrame:
+        df = spark.read.parquet(table_dir)
+        if "epoch_id" not in df.columns:
+            return df
+        return df.filter(mf.live_partition_filter(man)).drop("epoch_id")
+
+    postings = _read(f"{root}/postings").filter(
         F.col("token").isin(list(query_terms))
     )
-    doclen = mf.read_live(spark, f"{root}/doclen", man)
+    doclen = _read(f"{root}/doclen")
     return _bm25_rank(postings, doclen, k1=k1, b=b, k=k, id_col=id_col)
 
 

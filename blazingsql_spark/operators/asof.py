@@ -116,6 +116,45 @@ def asof_join(
     return carried.select(*out_cols)
 
 
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+
+
+def _bucket_fdiv(width: float, *integral_col_dtypes: str | None):
+    """Exact floor-division bucketizer shared by ``range_join`` and
+    ``interval_join``.
+
+    When ``width`` is a whole number AND every participating column dtype
+    is integral, buckets are computed in pure LONG arithmetic
+    (``(x - pmod(x, w)) div w`` — exact floor division for any int64,
+    e.g. epoch nanoseconds). The double-division fallback (fractional
+    widths or float keys) rounds above 2^53, where a key could register in
+    the wrong bucket and a matching pair be silently dropped — hence the
+    integral fast path, not just a doc note.
+    """
+    integral = (
+        width.is_integer()
+        and width > 0
+        and all(t in _INT_TYPES for t in integral_col_dtypes)
+    )
+    if integral:
+        wi = int(width)
+
+        def fdiv(col_name):
+            c = f"`{col_name}`"
+            # subtract the non-negative remainder, then `div`: numerator
+            # exactly divisible, so truncation == floor even for negatives
+            return F.expr(
+                f"(CAST({c} AS BIGINT) - pmod(CAST({c} AS BIGINT), {wi})) div {wi}"
+            )
+
+    else:
+
+        def fdiv(col_name):
+            return F.floor(F.col(col_name) / width).cast("long")
+
+    return fdiv
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -132,13 +171,25 @@ def range_join(
     into (bucket-1, bucket, bucket+1) and the join is a plain equi-join with
     3x fan-out, filtered exactly afterward. Scale: shuffle keys are
     (by, bucket) — never a nested-loop join.
+
+    Integral keys with a whole-number distance bucket in pure long
+    arithmetic (see ``_bucket_fdiv``) so epoch-nanosecond keys beyond 2^53
+    never land in the wrong bucket.
     """
     by = by or []
     width = float(max_distance)
-    lb = left.withColumn("__bucket", F.floor(F.col(left_on) / width).cast("long"))
-    rb = right.withColumn(
-        "__bucket0", F.floor(F.col(right_on) / width).cast("long")
-    ).withColumn("__bucket", F.explode(F.array(F.col("__bucket0") - 1, F.col("__bucket0"), F.col("__bucket0") + 1)))
+    fdiv = _bucket_fdiv(
+        width, dict(left.dtypes).get(left_on), dict(right.dtypes).get(right_on)
+    )
+    lb = left.withColumn("__bucket", fdiv(left_on))
+    rb = right.withColumn("__bucket0", fdiv(right_on)).withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.col("__bucket0") - 1, F.col("__bucket0"), F.col("__bucket0") + 1
+            )
+        ),
+    )
     joined = lb.join(rb, by + ["__bucket"])
     return joined.filter(
         F.abs(F.col(left_on) - F.col(right_on)) <= max_distance
@@ -173,40 +224,20 @@ def interval_join(
     interval length. Skewed hot buckets behave like any hot join key
     (AQE skew split / salting apply).
 
-    Numeric safety: when the endpoints are integral AND ``bucket_width``
-    is a whole number, buckets are computed in pure LONG arithmetic
-    (``(x - pmod(x, w)) div w`` — exact floor division for any int64,
-    e.g. epoch nanoseconds). The double-division path (fractional widths
-    or float endpoints) rounds above 2^53, where an endpoint could
-    register in the wrong bucket and a pair be silently dropped — hence
-    the integral fast path, not just a doc note.
+    Numeric safety: integral endpoints with a whole-number width bucket in
+    pure LONG arithmetic (see ``_bucket_fdiv``) so epoch-nanosecond
+    endpoints beyond 2^53 never register in the wrong bucket.
     """
     by = by or []
     w = float(bucket_width)
-    int_types = {"tinyint", "smallint", "int", "bigint", "long"}
-    integral = (
-        w.is_integer()
-        and w > 0
-        and dict(left.dtypes).get(left_start) in int_types
-        and dict(left.dtypes).get(left_end) in int_types
-        and dict(right.dtypes).get(right_start) in int_types
-        and dict(right.dtypes).get(right_end) in int_types
+    ld, rd = dict(left.dtypes), dict(right.dtypes)
+    fdiv = _bucket_fdiv(
+        w,
+        ld.get(left_start),
+        ld.get(left_end),
+        rd.get(right_start),
+        rd.get(right_end),
     )
-
-    if integral:
-        wi = int(w)
-
-        def fdiv(col_name):
-            c = f"`{col_name}`"
-            # exact floor division on longs: subtract the non-negative
-            # remainder, then `div` (numerator exactly divisible, so
-            # truncation == floor even for negative values)
-            return F.expr(f"(CAST({c} AS BIGINT) - pmod(CAST({c} AS BIGINT), {wi})) div {wi}")
-
-    else:
-
-        def fdiv(col_name):
-            return F.floor(F.col(col_name) / w).cast("long")
 
     def buckets(start, end):
         return F.sequence(fdiv(start), fdiv(end))

@@ -285,7 +285,22 @@ _BACKLOG_NEVER_CHECKED = (
 )
 assert len(_BACKLOG_NEVER_CHECKED) == 47, len(_BACKLOG_NEVER_CHECKED)
 
-DRIVER_PRIORITY = _R4_WINDOW + _BACKLOG_NEVER_CHECKED
+# Round-5 window: the 3 standing sentinels + the complete 47-query
+# never-checked backlog = exactly 50. After this round every registered
+# query has >= 1 driver row; round 6 begins the re-verification rotation
+# (alternating halves, starting with the r1-stale window_*/agg_* block and
+# the 6 joins not rotated in r4). The r4 window queues right behind so any
+# overflow re-checks the freshest-green rows first.
+_R5_WINDOW = _SENTINELS + _BACKLOG_NEVER_CHECKED
+assert len(_R5_WINDOW) == _DRIVER_WINDOW, (
+    f"driver window misbudgeted: {len(_R5_WINDOW)} names for "
+    f"{_DRIVER_WINDOW} rows"
+)
+assert len(set(_R5_WINDOW)) == len(_R5_WINDOW), "duplicate in driver window"
+
+DRIVER_PRIORITY = _R5_WINDOW + tuple(
+    n for n in _R4_WINDOW if n not in _SENTINELS
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -104,6 +104,42 @@ def live_partition_filter(manifest: dict | None) -> Column:
     return cond
 
 
+def _live_epoch_ids(fs, jvm, table_dir: str, manifest: dict | None) -> list:
+    """FS-listed epoch_id partition values that pass the live predicate —
+    the listing twin of ``live_partition_filter``."""
+    root = jvm.org.apache.hadoop.fs.Path(table_dir)
+    if not fs.exists(root):
+        return []
+    min_epoch = int(manifest["min_epoch"]) if manifest else 0
+    bases = {int(b) for b in manifest.get("bases", [])} if manifest else set()
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("epoch_id="):
+            continue
+        try:
+            val = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if val >= min_epoch or val in bases:
+            out.append(st.getPath())
+    return out
+
+
+def _live_file_count(spark: SparkSession, table_dir: str, manifest: dict | None) -> int:
+    """Number of data files inside the LIVE epoch partitions only (the
+    relation-level ``DataFrame.inputFiles()`` ignores partition filters
+    and would count superseded/garbage partitions)."""
+    fs, jvm = _fs(spark, table_dir)
+    n = 0
+    for p in _live_epoch_ids(fs, jvm, table_dir, manifest):
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if not name.startswith((".", "_")):
+                n += 1
+    return n
+
+
 def read_live(spark: SparkSession, table_dir: str, manifest: dict | None) -> DataFrame:
     """Manifest-gated read of one epoch-partitioned table directory."""
     return (
@@ -144,8 +180,12 @@ def compact_epoch_tables(
         return root if sub == "" else f"{root}/{sub}"
 
     first = next(iter(tables))
-    live = spark.read.parquet(tdir(first)).filter(live_partition_filter(man))
-    if len(live.inputFiles()) <= max_files:
+    # DataFrame.inputFiles() is relation-level and IGNORES the partition
+    # filter (tests/test_plans.py documents the same trap), so it counts
+    # superseded/garbage partitions not yet GC'd and compaction fires
+    # early. Count live data files from the filesystem listing instead —
+    # exactly the epoch_id dirs the manifest declares live, no data scan.
+    if _live_file_count(spark, tdir(first), man) <= max_files:
         return False
     base_id = -((man.get("version", 0) if man else 0) + 1)
     for sub, layout in tables.items():

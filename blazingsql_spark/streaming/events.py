@@ -267,8 +267,10 @@ def asof_join_stream(
     # operators); max_by picks the as-of row without a sort
     # tiebreak on duplicate right timestamps: the same content-hash rule
     # as the batch operator (operators.asof carries the largest
-    # xxhash64(value, 42) among ties), so the twins never diverge
-    rank = F.struct(F.col("__rts"), F.xxhash64("__rval", F.lit(42)).alias("__tie"))
+    # xxhash64(value_cols) among ties — Spark's xxhash64 already seeds
+    # with 42, so the hash input must be the value column ALONE or the
+    # twins compute different hash functions and diverge on ties)
+    rank = F.struct(F.col("__rts"), F.xxhash64("__rval").alias("__tie"))
     return (
         joined.groupBy("__lid", "__by", "__lts")
         .agg(

@@ -638,6 +638,37 @@ def test_interval_join_integer_endpoints_above_2_53(spark):
     assert pairs == [(1, 10), (2, 11)]
 
 
+def test_range_join_integer_keys_above_2_53(spark):
+    """range_join shares interval_join's integral bucket fast path
+    (VERDICT r4 #2: the 2^53 double-rounding hazard was fixed in
+    interval_join but not mirrored here). Epoch-nano-scale keys around
+    2^60 must pair exactly by |l - r| <= d; the old FLOOR(x/w) double
+    path rounds the bucket and silently drops pairs."""
+    from blazingsql_spark.operators.asof import range_join
+
+    base = 1 << 60
+    left = spark.createDataFrame(
+        [(1, base + 1), (2, base + 5000), (3, base + 10**7)], ["lid", "lt"]
+    )
+    right = spark.createDataFrame(
+        [(10, base + 900),          # within 1000 of left 1
+         (11, base + 5999),         # within 1000 of left 2 (adjacent bucket)
+         (12, base + 10**7 + 1000), # exactly at distance 1000 of left 3
+         (13, base + 10**6)],       # far from everything
+        ["rid", "rt"],
+    )
+    out = range_join(left, right, "lt", "rt", max_distance=1000)
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    brute = sorted(
+        (lid, rid)
+        for lid, lt in [(1, base + 1), (2, base + 5000), (3, base + 10**7)]
+        for rid, rt in [(10, base + 900), (11, base + 5999),
+                        (12, base + 10**7 + 1000), (13, base + 10**6)]
+        if abs(lt - rt) <= 1000
+    )
+    assert pairs == brute == [(1, 10), (2, 11), (3, 12)]
+
+
 def test_l2_normalize_hoisted_norm_and_zero_vector(spark):
     """The norm must be evaluated once per row (not once per element —
     O(d^2)), zero vectors must normalize to zeros (not NULL/NaN), and

@@ -478,6 +478,49 @@ def test_manifest_crash_windows(spark, tmp_path):
     assert man2["version"] == 2 and man2["min_epoch"] == 5
 
 
+def test_compaction_gate_ignores_dead_partitions(spark, tmp_path):
+    """The compaction trigger must count LIVE data files only (ADVICE r4
+    #3): relation-level DataFrame.inputFiles() ignores the partition
+    filter, so superseded/garbage partitions awaiting GC would inflate
+    the count and fire compaction before the documented live-file bound."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.sources import manifest as mf
+
+    root = str(tmp_path / "idx")
+    # 2 live epochs x 1 file each = 2 live files
+    for epoch in (5, 6):
+        (
+            spark.range(10)
+            .coalesce(1)
+            .select("id", F.lit(epoch).alias("epoch_id"))
+            .write.mode("append")
+            .partitionBy("epoch_id")
+            .parquet(root)
+        )
+    # 10 files of superseded garbage below min_epoch, never GC'd
+    spark.range(100).repartition(10).write.parquet(f"{root}/epoch_id=1")
+    mf.write_manifest(spark, root, {"bases": [], "min_epoch": 5})
+    man = mf.read_manifest(spark, root)
+
+    assert mf._live_file_count(spark, root, man) == 2
+    # 2 live files <= max_files=4: must NOT compact even though the dead
+    # partition pushes the relation-level file count to 12
+    ran = mf.compact_epoch_tables(
+        spark, root, {"": lambda df: df}, epoch=7, max_files=4
+    )
+    assert ran is False
+    # and with the bound below the live count it does compact
+    ran = mf.compact_epoch_tables(
+        spark, root, {"": lambda df: df}, epoch=7, max_files=1
+    )
+    assert ran is True
+    man2 = mf.read_manifest(spark, root)
+    # folded base holds the committed live epochs (20 rows); current
+    # epoch 7 had no data; superseded garbage stayed invisible
+    assert mf.read_live(spark, root, man2).count() == 20
+
+
 def test_dedup_ingest_replay_idempotent(spark, tmp_path):
     """At-least-once replay of a dedup-ingest epoch must be a no-op, NOT a
     self-wipe: the replayed batch's signatures are already in the index,
@@ -552,3 +595,79 @@ def test_asof_join_stream_matches_batch(spark):
     n_left = bp.filter(F.col("ts") <= bound).count()
     n_null = want.filter((F.col("ts") <= bound) & F.col("value").isNull()).count()
     assert len(got_rows) == n_left - n_null
+
+
+def test_asof_join_stream_duplicate_ts_tiebreak(spark, tmp_path):
+    """Exact duplicate (by, ts) right rows with DIFFERING values: both
+    twins must pick the same row. The contract is 'greatest
+    xxhash64(value_cols)' — Spark's xxhash64 already seeds with 42, so
+    hashing an extra literal 42 (the pre-fix streaming code) computes a
+    different hash function and the twins can diverge on ties (ADVICE r4
+    #1). The batch operator is the oracle; no hardcoded winner."""
+    from datetime import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from blazingsql_spark.operators.asof import asof_join
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # right: three exact ties at 10:00 + a decoy earlier row, two users;
+    # flush rows at 20:00 push the watermark past the rows under test
+    right_rows = [
+        (900, dt(2024, 1, 1, 9, 30), 1, 1.25),
+        (901, dt(2024, 1, 1, 10, 0), 1, 5.5),
+        (902, dt(2024, 1, 1, 10, 0), 1, 7.75),
+        (903, dt(2024, 1, 1, 10, 0), 1, 3.125),
+        (904, dt(2024, 1, 1, 10, 0), 2, 8.5),
+        (905, dt(2024, 1, 1, 10, 0), 2, 2.25),
+        (998, dt(2024, 1, 1, 20, 0), 99, 0.0),
+    ]
+    left_rows = [
+        (100, dt(2024, 1, 1, 10, 30), 1, 0.0),
+        (101, dt(2024, 1, 1, 10, 30), 2, 0.0),
+        (999, dt(2024, 1, 1, 20, 0), 99, 0.0),
+    ]
+    ldir, rdir = str(tmp_path / "left"), str(tmp_path / "right")
+    spark.createDataFrame(left_rows, schema).write.parquet(ldir)
+    spark.createDataFrame(right_rows, schema).write.parquet(rdir)
+
+    got = st.run_to_memory(
+        spark,
+        st.asof_join_stream(
+            spark.readStream.schema(schema).parquet(ldir),
+            spark.readStream.schema(schema).parquet(rdir),
+            tolerance="1 hour",
+        ),
+        "t_asof_tie",
+    )
+    got_vals = {
+        r.event_id: r.matched_value
+        for r in got.filter(F.col("event_id").isin(100, 101)).collect()
+    }
+
+    bl = spark.createDataFrame(left_rows, schema).select("event_id", "user_id", "ts")
+    br = spark.createDataFrame(right_rows, schema).select("user_id", "ts", "value")
+    want = asof_join(
+        bl,
+        br,
+        on="ts",
+        by=["user_id"],
+        right_value_cols=["value"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    want_vals = {
+        r.event_id: r.value
+        for r in want.filter(F.col("event_id").isin(100, 101)).collect()
+    }
+    assert set(got_vals) == {100, 101}
+    assert got_vals == want_vals
+    # and the winner is one of the tied 10:00 rows, not the 9:30 decoy
+    assert got_vals[100] in (5.5, 7.75, 3.125)
+    assert got_vals[101] in (8.5, 2.25)
