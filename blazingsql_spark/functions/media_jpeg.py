@@ -150,9 +150,16 @@ class _BitReader:
             self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
             self.nbits += 8
             return
+        # truncated/corrupt payloads must fail as a typed decode error a
+        # caller can catch (multimodal on_error='skip'), not a bare
+        # IndexError out of the mapInPandas worker
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: truncated entropy stream")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: truncated entropy stream")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1
@@ -226,7 +233,18 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 (h, w, 3) RGB (or (h, w, 1) grayscale)."""
+    """Baseline JPEG -> uint8 (h, w, 3) RGB (or (h, w, 1) grayscale).
+
+    Truncated/corrupt payloads raise ValueError (a typed decode error the
+    multimodal ``on_error='skip'`` mode can catch), never a bare
+    IndexError/struct.error from wherever the byte stream ran out."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"JPEG: truncated or corrupt payload ({e})") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if not is_jpeg(payload):
         raise ValueError("not a JPEG payload (bad SOI)")
     pos = 2

@@ -107,6 +107,7 @@ def decode_features(
     id_col: str = "doc_id",
     feature_dim: int = 16,
     fake: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode media payloads into feature vectors via mapInPandas.
 
@@ -114,17 +115,26 @@ def decode_features(
     box-pooled grayscale grid for images, energy envelope + rms/zcr for
     audio) and raises NotImplementedError for formats that need external
     libraries. The Arrow-batched plumbing is the production shape either
-    way."""
+    way.
+
+    ``on_error``: ``'raise'`` (default) fails the job on the first bad
+    payload; ``'skip'`` captures per-row decode failures into an added
+    ``error`` string column (null on success, ``features`` null on
+    failure) — at corpus scale one truncated file must not kill a
+    100 TB decode pass."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
     # id keeps its incoming type (bigint doc ids, string file paths from the
     # binaryFile source, ...) — the decode contract only touches the payload
     id_type = df.schema[id_col].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, id_type),
-            T.StructField("n_bytes", T.LongType()),
-            T.StructField("features", T.ArrayType(T.FloatType())),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, id_type),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+    if on_error == "skip":
+        fields.append(T.StructField("error", T.StringType()))
+    out_schema = T.StructType(fields)
 
     if fake:
         extract = lambda b: _fake_decode(b, feature_dim)  # noqa: E731
@@ -151,13 +161,24 @@ def decode_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "features": payloads.map(lambda b: extract(bytes(b))),
-                }
-            )
+            cols = {
+                id_col: pdf[id_col],
+                "n_bytes": payloads.map(len).astype("int64"),
+            }
+            if on_error == "skip":
+                feats, errs = [], []
+                for b in payloads:
+                    try:
+                        feats.append(extract(bytes(b)))
+                        errs.append(None)
+                    except (ValueError, NotImplementedError) as e:
+                        feats.append(None)
+                        errs.append(f"{type(e).__name__}: {e}")
+                cols["features"] = feats
+                cols["error"] = errs
+            else:
+                cols["features"] = payloads.map(lambda b: extract(bytes(b)))
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
@@ -182,6 +203,7 @@ def resize_images(
     width: int = 224,
     height: int = 224,
     fake: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Resize media payloads via Arrow-batched mapInPandas.
 
@@ -191,15 +213,21 @@ def resize_images(
     emits a deterministic payload of len width*height derived from the
     input bytes — same pipeline shape (binary in → binary out + updated
     metadata) without requiring decodable fixtures.
+
+    ``on_error='skip'`` captures per-row failures into an added ``error``
+    column instead of failing the job (see ``decode_features``).
     """
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("resized", T.BinaryType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-        ]
-    )
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+    if on_error == "skip":
+        fields.append(T.StructField("error", T.StringType()))
+    out_schema = T.StructType(fields)
 
     if fake:
         target = width * height
@@ -224,13 +252,23 @@ def resize_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64"),
-                    "resized": payloads.map(lambda b: transform(bytes(b))),
-                    "width": width,
-                    "height": height,
-                }
-            )
+            cols = {id_col: pdf[id_col].astype("int64")}
+            if on_error == "skip":
+                out, errs = [], []
+                for b in payloads:
+                    try:
+                        out.append(transform(bytes(b)))
+                        errs.append(None)
+                    except (ValueError, NotImplementedError) as e:
+                        out.append(None)
+                        errs.append(f"{type(e).__name__}: {e}")
+                cols["resized"] = out
+            else:
+                cols["resized"] = payloads.map(lambda b: transform(bytes(b)))
+            cols["width"] = width
+            cols["height"] = height
+            if on_error == "skip":
+                cols["error"] = errs
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

@@ -96,3 +96,41 @@ def test_spark_jpeg_decode_and_resize(spark):
     assert back.shape == (16, 16, 3)
     direct = mc.resize_image(mj.decode_jpeg(payload), 16, 16)
     assert np.abs(back.astype(int) - direct.astype(int)).max() <= 8  # re-encode loss
+
+
+def test_jpeg_truncated_entropy_stream_is_typed_error():
+    """A payload cut mid-entropy-stream must raise ValueError (a typed
+    decode error on_error='skip' can catch), never a bare IndexError out
+    of the bit reader (ADVICE r4 #4)."""
+    payload = mj.encode_jpeg(_smooth(24, 24), quality=95)
+    truncated = payload[: len(payload) * 2 // 3]
+    with pytest.raises(ValueError, match="truncated"):
+        mj.decode_jpeg(bytes(truncated))
+
+
+def test_decode_on_error_skip_captures_bad_payloads(spark):
+    """on_error='skip': one truncated JPEG in a batch must not kill the
+    job — the bad row surfaces its error in the added `error` column,
+    good rows decode normally; resize_images same contract. Default
+    on_error='raise' still fails fast."""
+    from blazingsql_spark.functions.multimodal import decode_features, resize_images
+
+    good = mj.encode_jpeg(_smooth(24, 24), quality=95)
+    bad = good[: len(good) * 2 // 3]
+    gif_ish = b"GIF89a" + b"\x00" * 64
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad)), (3, bytearray(gif_ish))],
+        ["doc_id", "payload"],
+    )
+
+    out = {r.doc_id: r for r in decode_features(df, feature_dim=8, fake=False, on_error="skip").collect()}
+    assert out[1].error is None and len(out[1].features) == 8
+    assert out[2].features is None and "truncated" in out[2].error
+    assert out[3].features is None and "NotImplementedError" in out[3].error
+
+    rz = {r.doc_id: r for r in resize_images(df, width=8, height=8, fake=False, on_error="skip").collect()}
+    assert rz[1].error is None and mj.decode_jpeg(bytes(rz[1].resized)).shape == (8, 8, 3)
+    assert rz[2].resized is None and rz[3].resized is None
+
+    with pytest.raises(Exception):  # default raise: job fails on the bad row
+        decode_features(df, feature_dim=8, fake=False).collect()

@@ -434,6 +434,35 @@ def test_lexical_index_streaming_run_with_restart(spark, tmp_path):
     assert len(epochs) == 2 and all(e >= 0 for e in epochs)
 
 
+def test_bm25_indexed_reads_legacy_flat_index(spark, tmp_path):
+    """A lexical index written by the pre-manifest flat layout has no
+    epoch_id column; the probe must fall back to a plain read (ADVICE r4
+    #2 — the unconditional live-partition filter raised AnalysisException
+    on the missing column), and still equal batch BM25."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.functions.text import _tokens, bm25_topk, bm25_topk_indexed
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    toks = _tokens(docs, "doc_id", "text")
+    # flat layout: postings(token, doc_id, tf) + doclen(doc_id, dl), no
+    # epoch_id partitioning, no manifest
+    idx = str(tmp_path / "flatidx")
+    toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).write.parquet(
+        f"{idx}/postings"
+    )
+    toks.groupBy("doc_id").agg(F.count("*").alias("dl")).write.parquet(
+        f"{idx}/doclen"
+    )
+    terms = ["vector", "spark", "hash"]
+    indexed = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_indexed(spark, idx, terms, k=15).collect()
+    ]
+    batch = [(r.doc_id, r.bm25) for r in bm25_topk(docs, terms, k=15).collect()]
+    assert indexed == batch and len(indexed) > 0
+
+
 def test_manifest_crash_windows(spark, tmp_path):
     """Simulate every compaction crash window and assert readers always
     see a consistent index: (a) half-written base output before the
