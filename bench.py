@@ -90,6 +90,16 @@ def main() -> None:
         # to them (the prebuilt IVF-PQ index) must be dropped with them —
         # the next query rebuilds from source, repeats 2-3 still measure
         # the warm probe path.
+        #
+        # The "RDD N was locally checkpointed, its lineage has been
+        # truncated and cannot be recomputed after unpersisting" WARN this
+        # loop emits is Spark's RDD.unpersist() itself (RDD.scala logs it
+        # unconditionally for any isLocallyCheckpointed RDD — reproduced
+        # standalone: localCheckpoint + unpersist with zero concurrency
+        # prints it). It cannot indicate a race here: the bench is
+        # single-threaded, every query fully executes via the noop sink
+        # BEFORE this cleanup runs, and the only session-scoped handle to
+        # checkpointed blocks is cleared in the same inter-query window.
         from blazingsql_spark.queries import pipeline as _pl
 
         _pl._IVFPQ_PREBUILT.clear()
