@@ -1,0 +1,252 @@
+"""HNSW-style graph ANN as a COARSE PROBE accelerator.
+
+The reference exposes GPU brute-force / IVF-style similarity search only;
+graph indexes (HNSW) are the remaining ANN family here (ROADMAP r3 #3,
+VERDICT r4 #7). HNSW construction is inherently sequential — every insert
+greedy-searches the graph built so far — so a faithful distributed build
+does not exist anywhere (hnswlib, faiss, Lucene all build single-node).
+The Spark-honest shape is therefore:
+
+- The GRAPH lives over the bounded coarse table (the IVF centroids /
+  a sampled landmark set: 10^3..10^6 rows), built ONCE driver-side in
+  numpy and shipped to executors inside an Arrow-batched pandas UDF
+  closure (one broadcast, reused by every batch).
+- The CORPUS side never changes shape: vectors are assigned to their
+  nearest landmark (map-only pass, similarity.assign_to_centroids), and
+  candidate retrieval stays an equi-join on ``centroid_id`` — the same
+  billion-scale plan as IVF/IVF-PQ.
+- What HNSW replaces is the brute-force coarse probe: picking the
+  n_probe nearest of N landmarks per query costs O(N·dim) with the
+  broadcast scan, O(ef·M·dim·log N) with the graph — the difference
+  between 10^6 dot products per query and ~10^3 at a million landmarks.
+
+Search quality: with ``ef >= N`` the layer-0 search degenerates to an
+exhaustive scan, so the probe is EXACTLY the brute-force top-n_probe
+(same (sim desc, id asc) order) — differential-tested. Recall at small
+``ef`` is the usual HNSW trade-off, telemetered like the other ANN tiers.
+
+Reference parity note: BlazingSQL has no ANN operator at all
+(SURVEY.md §2 maps its similarity surface to brute-force SQL); this
+module is part of the training-data-pipeline superset.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class HnswGraph:
+    """In-memory HNSW over L2-normalized points; cosine similarity
+    (distance = -dot). Plain numpy arrays so the object pickles cleanly
+    into a pandas UDF closure."""
+
+    def __init__(self, points: np.ndarray, levels: np.ndarray, layers: list[dict[int, list[int]]], entry: int):
+        self.points = points          # (n, dim) float32, L2-normalized
+        self.levels = levels          # (n,) int level per point
+        self.layers = layers          # layers[l][node] -> neighbor list
+        self.entry = entry            # entry point id (max level)
+
+    @property
+    def n(self) -> int:
+        return self.points.shape[0]
+
+
+def _select_neighbors(cands: list[tuple[float, int]], m: int) -> list[int]:
+    # cands: (negdist=sim, id); keep the m most similar, ties by smaller id
+    return [i for _, i in sorted(cands, key=lambda t: (-t[0], t[1]))[:m]]
+
+
+def _search_layer(
+    points: np.ndarray,
+    adj: dict[int, list[int]],
+    q: np.ndarray,
+    entries: list[int],
+    ef: int,
+) -> list[tuple[float, int]]:
+    """Best-first search of one layer: returns up to ef (sim, id) pairs,
+    unsorted. Deterministic: ties expand smaller ids first (heap key
+    includes the id)."""
+    sims = {e: float(points[e] @ q) for e in entries}
+    # max-heap on sim via negation; id tiebreak ascending
+    cand = [(-s, e) for e, s in sims.items()]
+    heapq.heapify(cand)
+    # result kept as a min-heap of (sim, -id): the root is the WORST kept
+    # pair under the (sim desc, id asc) preference order, so a tie at the
+    # boundary evicts the larger id deterministically
+    result = [(s, -e) for e, s in sims.items()]
+    heapq.heapify(result)
+    while len(result) > ef:
+        heapq.heappop(result)
+    visited = set(sims)
+    while cand:
+        negs, c = heapq.heappop(cand)
+        worst = result[0][0] if len(result) >= ef else -np.inf
+        if -negs < worst:
+            break
+        neigh = [x for x in adj.get(c, ()) if x not in visited]
+        if not neigh:
+            continue
+        visited.update(neigh)
+        nsims = points[neigh] @ q
+        for x, s in zip(neigh, nsims):
+            s = float(s)
+            worst = result[0][0] if len(result) >= ef else -np.inf
+            if s > worst or len(result) < ef:
+                heapq.heappush(cand, (-s, x))
+                heapq.heappush(result, (s, -x))
+                if len(result) > ef:
+                    heapq.heappop(result)
+    return [(s, -ni) for s, ni in result]
+
+
+def build_hnsw(points: np.ndarray, m: int = 8, ef_construction: int = 64, seed: int = 42) -> HnswGraph:
+    """Sequential HNSW construction (Malkov & Yashunin 2016, Algorithm 1)
+    over ≤10^6 landmark points, driver-side. Deterministic for a given
+    seed: levels come from a seeded RNG, all tie-breaks are by id."""
+    pts = np.asarray(points, dtype=np.float32)
+    norms = np.linalg.norm(pts, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    pts = pts / norms
+    n = pts.shape[0]
+    if n == 0:
+        raise ValueError("cannot build an HNSW graph over zero points")
+    ml = 1.0 / np.log(m)
+    rng = np.random.default_rng(seed)
+    levels = np.floor(-np.log(rng.uniform(1e-12, 1.0, size=n)) * ml).astype(np.int64)
+    max_level = int(levels.max())
+    layers: list[dict[int, list[int]]] = [dict() for _ in range(max_level + 1)]
+    entry = 0
+    entry_level = int(levels[0])
+    for lvl in range(entry_level + 1):
+        layers[lvl][0] = []
+    for i in range(1, n):
+        li = int(levels[i])
+        q = pts[i]
+        ep = [entry]
+        # zoom down through layers above the insert level (greedy, ef=1)
+        for lvl in range(entry_level, li, -1):
+            best = _search_layer(pts, layers[lvl], q, ep, 1)
+            ep = [max(best, key=lambda t: (t[0], -t[1]))[1]]
+        # insert with ef_construction search on each layer ≤ li
+        for lvl in range(min(li, entry_level), -1, -1):
+            found = _search_layer(pts, layers[lvl], q, ep, ef_construction)
+            m_max = m if lvl > 0 else 2 * m
+            neigh = _select_neighbors(found, m)
+            layers[lvl][i] = neigh
+            for x in neigh:
+                links = layers[lvl].setdefault(x, [])
+                links.append(i)
+                if len(links) > m_max:
+                    sims = pts[links] @ pts[x]
+                    keep = _select_neighbors(list(zip(map(float, sims), links)), m_max)
+                    layers[lvl][x] = keep
+            ep = [t[1] for t in found]
+        if li > entry_level:
+            for lvl in range(entry_level + 1, li + 1):
+                layers[lvl][i] = []
+            entry, entry_level = i, li
+    return HnswGraph(pts, levels, layers, entry)
+
+
+def hnsw_search(graph: HnswGraph, q: np.ndarray, k: int, ef: int = 64) -> list[int]:
+    """Top-k point ids for one query, most-similar first, ties by smaller
+    id. ``ef >= graph.n`` makes this exact."""
+    qv = np.asarray(q, dtype=np.float32)
+    nrm = np.linalg.norm(qv)
+    if nrm > 0:
+        qv = qv / nrm
+    ep = [graph.entry]
+    entry_level = int(graph.levels[graph.entry])
+    for lvl in range(entry_level, 0, -1):
+        best = _search_layer(graph.points, graph.layers[lvl], qv, ep, 1)
+        ep = [max(best, key=lambda t: (t[0], -t[1]))[1]]
+    found = _search_layer(graph.points, graph.layers[0], qv, ep, max(ef, k))
+    found.sort(key=lambda t: (-t[0], t[1]))
+    return [i for _, i in found[:k]]
+
+
+def hnsw_coarse_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 4,
+    ef: int = 64,
+    m: int = 8,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, centroid_id) probe pairs via HNSW graph search.
+
+    ``centroids`` is the bounded coarse table (centroid_id, centroid) —
+    the SAME k-row table the IVF tier already collects/broadcasts, so
+    collecting it to build the graph adds no new driver-size assumption.
+    The graph ships to executors inside the pandas UDF closure (pickled
+    once, reused across Arrow batches); per-batch work is pure numpy."""
+    rows = centroids.select("centroid_id", "centroid").orderBy("centroid_id").collect()
+    cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    pts = np.array([r["centroid"] for r in rows], dtype=np.float32)
+    graph = build_hnsw(pts, m=m, ef_construction=max(ef, 4 * m))
+    k = min(n_probe, len(cids))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def probe(vec_series):
+        import pandas as pd
+
+        out = []
+        for v in vec_series:
+            idx = hnsw_search(graph, np.asarray(v, dtype=np.float32), k, ef=ef)
+            out.append([int(cids[i]) for i in idx])
+        return pd.Series(out)
+
+    return queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probe(F.col(vec_col))).alias("centroid_id"),
+    )
+
+
+def hnsw_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    ef: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF top-k with the coarse probe routed through the HNSW graph
+    instead of the brute-force broadcast scan. Identical output contract
+    to similarity.ivf_topk (query_id, vec_id, cosine_sim, rank); with
+    ``ef >= n_centroids`` the probe is exact and results match ivf_topk
+    row-for-row (differential-tested)."""
+    from blazingsql_spark.functions.similarity import (
+        assign_to_centroids,
+        cosine,
+        ivf_train_centroids,
+    )
+    from pyspark.sql.window import Window
+
+    cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
+    lists = assign_to_centroids(vectors, cents, id_col, vec_col)
+    probes = hnsw_coarse_probes(
+        queries, cents, n_probe=n_probe, ef=ef,
+        query_id_col=query_id_col, vec_col=vec_col,
+    )
+    cands = lists.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
