@@ -1,0 +1,108 @@
+"""Driver-visible coverage for the non-parquet parsers (VERDICT r4 #5).
+
+The driver fixtures are parquet-only, so the ORC/CSV/JSON scan paths
+(reference: engine/src/io/data_parser/CSVParser.cpp, OrcParser.cpp,
+JSONParser.cpp) previously rode on local tests alone. This query makes
+them driver-checkable: write a lineitem slice to ORC+CSV+JSON in a temp
+dir, read each back through the corresponding Spark reader, and emit one
+engine-portable checksum row per format. The DuckDB oracle computes the
+SAME checksum straight from the parquet table (DuckDB has no ORC reader,
+so oracle-side re-reading is not an option) — a value match proves every
+parser round-tripped the data bit-for-bit at the checksum's granularity.
+
+Checksum design (registry determinism rules): integer-exact aggregates
+only — COUNT, integral SUMs, a keyed linear check, price in micro-unit
+cents summed as BIGINT (float sums are order-dependent across engines;
+integer sums are associative), and dates rendered as ISO strings. Every
+column aliased identically in both dialects; CAST(... AS BIGINT) on every
+DuckDB SUM (HUGEINT otherwise — the driver hash is dtype-sensitive).
+
+STAGED for round 6: the round-5 registration freeze (VERDICT r4 #2) holds
+until the 47-query backlog drains, so this module is NOT in
+registry._QUERY_MODULES yet. r6 flips it on by adding
+"blazingsql_spark.queries.formats" there — the module self-registers on
+import like every other query module.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blazingsql_spark.queries.registry import load_table, register
+
+_CHECKSUM_COLS = (
+    "l_orderkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+    "l_shipdate",
+)
+
+_FORMATS = ("csv", "json", "orc")
+
+
+def _checksum(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "sum_price_cents"
+        ),
+        F.sum(F.col("l_orderkey") * 7 + F.col("l_linenumber")).alias("key_check"),
+        F.min(F.col("l_shipdate").cast("date").cast("string")).alias("min_ship"),
+        F.max(F.col("l_shipdate").cast("date").cast("string")).alias("max_ship"),
+    )
+
+
+@register(
+    "io_format_matrix",
+    oracle="""
+        SELECT f.format, a.n, a.sum_qty, a.sum_price_cents, a.key_check,
+               a.min_ship, a.max_ship
+        FROM (VALUES ('csv'), ('json'), ('orc')) AS f(format)
+        CROSS JOIN (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   CAST(SUM(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_check,
+                   MIN(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS min_ship,
+                   MAX(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS max_ship
+            FROM lineitem WHERE l_orderkey < 300
+        ) a
+        ORDER BY f.format
+    """,
+    doc="ORC+CSV+JSON writer->reader round trip, checksummed against the "
+    "parquet source (reference CSVParser.cpp / OrcParser.cpp / "
+    "JSONParser.cpp parity, driver-visible)",
+)
+def io_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select(*_CHECKSUM_COLS)
+    )
+    schema = sl.schema
+    tmp = tempfile.mkdtemp(prefix="blazingsql_spark_fmt_")
+    frames = []
+    for fmt in _FORMATS:
+        path = os.path.join(tmp, fmt)
+        if fmt == "csv":
+            sl.write.mode("overwrite").option("header", True).csv(path)
+            back = spark.read.schema(schema).option("header", True).csv(path)
+        elif fmt == "json":
+            sl.write.mode("overwrite").json(path)
+            back = spark.read.schema(schema).json(path)
+        else:
+            sl.write.mode("overwrite").orc(path)
+            back = spark.read.orc(path)
+        frames.append(_checksum(back).select(F.lit(fmt).alias("format"), "*"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("format")

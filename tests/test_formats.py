@@ -52,3 +52,15 @@ def test_bsql_logs(spark):
     logs = bc.log("SELECT query, status FROM bsql_logs ORDER BY log_id").collect()
     assert len(logs) == 2
     assert all(r.status == "planned" for r in logs)
+
+
+def test_io_format_matrix_staged_oracle(spark, oracle):
+    """The r6-staged driver query for the non-parquet parsers
+    (queries/formats.py, VERDICT r4 #5): importing the module registers
+    io_format_matrix; it must pass the full driver-faithful compare NOW so
+    the r6 registration flip is risk-free."""
+    import blazingsql_spark.queries.formats  # noqa: F401  (self-registers)
+
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle, "io_format_matrix")
