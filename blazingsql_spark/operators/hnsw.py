@@ -170,6 +170,65 @@ def hnsw_search(graph: HnswGraph, q: np.ndarray, k: int, ef: int = 64) -> list[i
     return [i for _, i in found[:k]]
 
 
+def graph_from_centroids(
+    centroids: DataFrame, m: int = 8, ef_construction: int = 64
+) -> tuple[HnswGraph, np.ndarray]:
+    """Collect the bounded coarse table and build the graph driver-side.
+    Returns (graph, centroid_ids) — the prebuilt artifact callers can
+    persist (save_hnsw_index) or pass back into the probe functions."""
+    rows = centroids.select("centroid_id", "centroid").orderBy("centroid_id").collect()
+    cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    pts = np.array([r["centroid"] for r in rows], dtype=np.float32)
+    return build_hnsw(pts, m=m, ef_construction=ef_construction), cids
+
+
+def save_hnsw_index(spark, path: str, graph: HnswGraph, centroid_ids: np.ndarray) -> None:
+    """Persist the graph on the same storage plane as the other ANN
+    artifacts (parquet via Spark — works on hdfs/s3/local alike):
+    ``nodes`` (node_idx, centroid_id, level, point + the entry id on every
+    row, so no separate meta object) and ``edges`` (layer, src, dst)."""
+    nodes = [
+        (int(i), int(centroid_ids[i]), int(graph.levels[i]),
+         [float(x) for x in graph.points[i]], int(graph.entry))
+        for i in range(graph.n)
+    ]
+    spark.createDataFrame(
+        nodes, "node_idx long, centroid_id long, level long, point array<float>, entry long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/nodes")
+    edges = [
+        (lvl, int(src), int(dst))
+        for lvl, adj in enumerate(graph.layers)
+        for src, neigh in adj.items()
+        for dst in neigh
+    ]
+    spark.createDataFrame(
+        edges or [(0, 0, 0)][:0], "layer long, src long, dst long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/edges")
+
+
+def load_hnsw_index(spark, path: str) -> tuple[HnswGraph, np.ndarray]:
+    """Inverse of save_hnsw_index; the loaded graph searches identically
+    (round-trip-tested)."""
+    nrows = sorted(
+        spark.read.parquet(f"{path}/nodes").collect(), key=lambda r: r["node_idx"]
+    )
+    pts = np.array([r["point"] for r in nrows], dtype=np.float32)
+    levels = np.array([r["level"] for r in nrows], dtype=np.int64)
+    cids = np.array([r["centroid_id"] for r in nrows], dtype=np.int64)
+    entry = int(nrows[0]["entry"])
+    max_level = int(levels.max())
+    layers: list[dict[int, list[int]]] = [dict() for _ in range(max_level + 1)]
+    for i, lv in enumerate(levels):
+        for lvl in range(int(lv) + 1):
+            layers[lvl][i] = []
+    for r in spark.read.parquet(f"{path}/edges").collect():
+        layers[int(r["layer"])][int(r["src"])].append(int(r["dst"]))
+    for adj in layers:
+        for src in adj:
+            adj[src].sort()
+    return HnswGraph(pts, levels, layers, entry), cids
+
+
 def hnsw_coarse_probes(
     queries: DataFrame,
     centroids: DataFrame,
@@ -178,6 +237,7 @@ def hnsw_coarse_probes(
     m: int = 8,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    prebuilt: tuple[HnswGraph, np.ndarray] | None = None,
 ) -> DataFrame:
     """(query_id, centroid_id) probe pairs via HNSW graph search.
 
@@ -185,11 +245,13 @@ def hnsw_coarse_probes(
     the SAME k-row table the IVF tier already collects/broadcasts, so
     collecting it to build the graph adds no new driver-size assumption.
     The graph ships to executors inside the pandas UDF closure (pickled
-    once, reused across Arrow batches); per-batch work is pure numpy."""
-    rows = centroids.select("centroid_id", "centroid").orderBy("centroid_id").collect()
-    cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
-    pts = np.array([r["centroid"] for r in rows], dtype=np.float32)
-    graph = build_hnsw(pts, m=m, ef_construction=max(ef, 4 * m))
+    once, reused across Arrow batches); per-batch work is pure numpy.
+    Pass ``prebuilt`` (from graph_from_centroids / load_hnsw_index) to
+    skip the build — the production path for a resident index."""
+    if prebuilt is not None:
+        graph, cids = prebuilt
+    else:
+        graph, cids = graph_from_centroids(centroids, m=m, ef_construction=max(ef, 4 * m))
     k = min(n_probe, len(cids))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -220,6 +282,7 @@ def hnsw_ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
+    prebuilt: tuple[HnswGraph, np.ndarray] | None = None,
 ) -> DataFrame:
     """IVF top-k with the coarse probe routed through the HNSW graph
     instead of the brute-force broadcast scan. Identical output contract
@@ -237,7 +300,7 @@ def hnsw_ivf_topk(
     lists = assign_to_centroids(vectors, cents, id_col, vec_col)
     probes = hnsw_coarse_probes(
         queries, cents, n_probe=n_probe, ef=ef,
-        query_id_col=query_id_col, vec_col=vec_col,
+        query_id_col=query_id_col, vec_col=vec_col, prebuilt=prebuilt,
     )
     cands = lists.join(F.broadcast(probes), "centroid_id").select(
         F.col(query_id_col),

@@ -1,0 +1,53 @@
+"""sim_ann_hnsw — recall-gated registry row for the HNSW graph ANN tier
+(operators.hnsw), completing the ANN family list (LSH / IVF / PQ / IVF-PQ
+/ graph).
+
+Same oracle shape as sim_ann_ivfpq: the graph/codebook contents aren't
+SQL-expressible, but recall@5 vs the exact top-k is deterministic
+end-to-end (seeded level RNG, id tiebreaks everywhere, md5-seeded k-means
+landmarks) so the driver-comparable output is a thresholded boolean the
+DuckDB oracle asserts TRUE. ef is set >= n_centroids, which makes the
+coarse probe EXACT (tests/test_hnsw.py proves row-for-row equality with
+ivf_topk then), so measured recall here equals the IVF tier's .64-.84 —
+threshold 0.6 holds with the same margin.
+
+STAGED for round 6: not in registry._QUERY_MODULES until the round-5
+window freeze lifts (same staging discipline as queries/formats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blazingsql_spark.functions import similarity
+from blazingsql_spark.operators import hnsw
+from blazingsql_spark.queries.pipeline import _recall_gate
+from blazingsql_spark.queries.registry import load_table, register
+
+
+@register(
+    "sim_ann_hnsw",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_exact_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+)
+def sim_ann_hnsw(spark, sf_dir):
+    """HNSW graph ANN (operators.hnsw.hnsw_ivf_topk): driver-built graph
+    over the k-means landmark table routes each query to its n_probe
+    cells in O(ef·M·dim·log N) instead of the O(N·dim) broadcast scan;
+    candidate retrieval stays the IVF equi-join. Deterministic; recall@5
+    vs brute force as a thresholded boolean the oracle asserts TRUE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    approx = (
+        hnsw.hnsw_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, ef=64)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return _recall_gate(exact, approx)

@@ -121,3 +121,38 @@ def test_hnsw_empty_and_tiny_inputs():
         hnsw.build_hnsw(np.zeros((0, 4), dtype=np.float32))
     g = hnsw.build_hnsw(np.ones((1, 4), dtype=np.float32), m=4)
     assert hnsw.hnsw_search(g, np.ones(4), k=3, ef=8) == [0]
+
+
+def test_hnsw_index_save_load_roundtrip(spark, tmp_path):
+    """Persisted graph (parquet nodes+edges, same storage plane as the
+    other ANN artifacts) must search identically to the in-memory one."""
+    from blazingsql_spark.functions.similarity import ivf_train_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = ivf_train_centroids(emb, k=8)
+    graph, cids = hnsw.graph_from_centroids(cents, m=4, ef_construction=32)
+    hnsw.save_hnsw_index(spark, str(tmp_path / "g"), graph, cids)
+    g2, cids2 = hnsw.load_hnsw_index(spark, str(tmp_path / "g"))
+    assert (cids == cids2).all() and g2.entry == graph.entry
+    assert (g2.levels == graph.levels).all()
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        q = rng.normal(size=graph.points.shape[1]).astype(np.float32)
+        assert hnsw.hnsw_search(g2, q, k=4, ef=16) == hnsw.hnsw_search(graph, q, k=4, ef=16)
+    # and the prebuilt path produces the same Spark result as fresh build
+    queries = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, hnsw.hnsw_coarse_probes(queries, cents, n_probe=3, ef=32).drop("__qvec").collect()))
+    b = sorted(map(tuple, hnsw.hnsw_coarse_probes(queries, cents, n_probe=3, ef=32, prebuilt=(g2, cids2)).drop("__qvec").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_sim_ann_hnsw_staged_oracle(spark, oracle):
+    """The r6-staged registry row (queries/graph_ann.py): full
+    driver-faithful compare must pass now so the r6 flip is risk-free."""
+    import blazingsql_spark.queries.graph_ann  # noqa: F401  (self-registers)
+
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle, "sim_ann_hnsw")
