@@ -54,7 +54,19 @@ def sniff_format(payload: bytes) -> str:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG → uint8 array of shape (height, width, channels)."""
+    """PNG → uint8 array of shape (height, width, channels).
+
+    Truncated/corrupt payloads raise ValueError (the typed decode error
+    multimodal ``on_error='skip'`` catches), never a bare
+    struct.error/zlib.error from wherever the byte stream ran out —
+    same contract as media_jpeg.decode_jpeg."""
+    try:
+        return _decode_png(payload)
+    except (struct.error, zlib.error, IndexError) as e:
+        raise ValueError(f"PNG: truncated or corrupt payload ({e})") from e
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
     if not is_png(payload):
         raise ValueError("not a PNG payload (bad signature)")
     pos, width, height, bit_depth, color_type, interlace = 8, None, None, None, None, None
@@ -165,12 +177,16 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """WAV → (sample_rate, n_channels, float32 samples in [-1, 1] of shape
-    (n_frames, n_channels)). 8/16/32-bit PCM via the stdlib wave module."""
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        sr = wf.getframerate()
-        n_ch = wf.getnchannels()
-        sw = wf.getsampwidth()
-        frames = wf.readframes(wf.getnframes())
+    (n_frames, n_channels)). 8/16/32-bit PCM via the stdlib wave module.
+    Truncated/corrupt payloads raise ValueError (see decode_png)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            sr = wf.getframerate()
+            n_ch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"WAV: truncated or corrupt payload ({e})") from e
     if sw == 2:
         x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
     elif sw == 1:  # unsigned 8-bit

@@ -230,3 +230,27 @@ def test_derive_media_meta_real_headers(spark):
     assert (out[2]["media_type"], out[2]["duration_ms"]) == ("audio", 500)
     assert (out[3]["format"], out[3]["media_type"]) == ("unknown", None)
     assert out[3]["n_bytes"] == 16
+
+
+def test_png_wav_truncation_typed_errors():
+    """Truncated PNG/WAV payloads must raise ValueError (the typed error
+    on_error='skip' catches), not struct.error/zlib.error/wave.Error —
+    same contract as the JPEG decoder."""
+    import numpy as np
+    import pytest
+
+    from blazingsql_spark.functions import media_codec as mc
+
+    img = np.full((12, 12, 3), 100, dtype=np.uint8)
+    png = mc.encode_png(img)
+    # cut mid-IHDR (struct.error path) and mid-IDAT-zlib-stream
+    # (zlib.error path) — cutting only the IEND tail is NOT an error,
+    # the pixel data is complete then
+    mid_idat = png.index(b"IDAT") + 6
+    for cut in (len(png) // 3, mid_idat):
+        with pytest.raises(ValueError):
+            mc.decode_png(bytes(png[:cut]))
+
+    wav = _wav_bytes()
+    with pytest.raises(ValueError):
+        mc.decode_wav(bytes(wav[:20]))
