@@ -302,6 +302,31 @@ DRIVER_PRIORITY = _R5_WINDOW + tuple(
     n for n in _R4_WINDOW if n not in _SENTINELS
 )
 
+# Round-6 window, pre-queued (promote ONLY after CORRECTNESS_r05 confirms
+# the backlog drained green — same discipline as the r4→r5 handoff).
+# Composition (3 + 2 + 27 + 18 = 50):
+#   - the 3 standing _SENTINELS, pinned first;
+#   - the 2 registrations staged through the r5 freeze, so they get a
+#     driver row the round they land: "io_format_matrix" (add
+#     blazingsql_spark.queries.formats to _QUERY_MODULES) and
+#     "sim_ann_hnsw" (add blazingsql_spark.queries.graph_ann);
+#   - the full r1-stale block (no driver row since round 1, computed from
+#     CORRECTNESS_r01-04): agg_count_distinct, agg_cube,
+#     agg_distinct_rows, agg_grouping_sets, agg_median,
+#     agg_multicol_count, agg_no_groupby, agg_rollup, agg_stats,
+#     agg_sum0, join_anti, join_cross, join_left, join_right, join_semi,
+#     join_theta, limit_only, topk, window_first_last, window_global,
+#     window_lag_lead, window_moving_avg, window_multi_over,
+#     window_range_frame, window_rank, window_row_number,
+#     window_running_sum;
+#   - 18 of the 47 r2-stale rows, semantics-heaviest first:
+#     asof_join_events, dedup_exact, dedup_jaccard, dedup_minhash_lsh,
+#     dedup_simhash, events_sessionize, except_all, intersect,
+#     join_null_keys_dropped, orderby_nulls, sim_ann_ivf, sim_ann_lsh,
+#     sim_cosine_topk, sim_near_dup, tpch_q14, union_all, union_distinct,
+#     union_type_coerce.
+# r7 takes the remaining 29 r2-stale + the oldest r3-stale rows.
+
 
 def all_queries() -> dict[str, QuerySpec]:
     global _loaded
