@@ -86,14 +86,100 @@ from tests.conftest import SF_DIR  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_fuzz(spark):
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView("orders")
     return spark
 
 
 @pytest.fixture(scope="module")
 def oracle_fuzz():
     con = duckdb.connect()
-    con.execute(
-        f"CREATE OR REPLACE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
-    )
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
     yield con
     con.close()
+
+
+# ---- join grammar: lineitem x orders, INNER and LEFT (o-preds pushed
+# into ON for LEFT so null-extension semantics are actually exercised) ----
+
+_o_pred = st.sampled_from([
+    "o_orderstatus = 'O'", "o_orderstatus = 'F'",
+    "o_totalprice < 150000", "o_totalprice >= 50000",
+    "o_orderdate >= '1995-01-01'", "o_orderdate < '1997-01-01'",
+    "o_custkey % 3 = 0",
+])
+
+_join_agg = st.one_of(
+    st.just("CAST(COUNT(*) AS BIGINT) AS n"),
+    st.just("CAST(COUNT(o_orderkey) AS BIGINT) AS n_matched"),
+    st.just("CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln"),
+    st.just("CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_cust"),
+    st.just("MIN(o_totalprice) AS min_price"),
+    st.just("MAX(l_discount) AS max_disc"),
+)
+
+_JOIN_GROUPS = ["l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority"]
+
+
+@st.composite
+def _join_query(draw):
+    jtype = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    opred = draw(_o_pred)
+    lpred = draw(_pred)
+    on = f"l_orderkey = o_orderkey AND {opred}"
+    groups = draw(st.lists(st.sampled_from(_JOIN_GROUPS), min_size=0, max_size=2,
+                           unique=True))
+    if jtype == "LEFT JOIN" and any(g.startswith("o_") for g in groups):
+        # NULL group keys from unmatched rows are fine — both engines
+        # group NULLs together — keep them in deliberately
+        pass
+    aggs = draw(st.lists(_join_agg, min_size=1, max_size=3,
+                         unique_by=lambda a: a.split(" AS ")[1]))
+    select = ", ".join(groups + aggs)
+    sql = (f"SELECT {select} FROM lineitem {jtype} orders ON {on} "
+           f"WHERE {lpred}")
+    if groups:
+        sql += f" GROUP BY {', '.join(groups)} ORDER BY {', '.join(groups)}"
+    return sql
+
+
+@settings(max_examples=15, deadline=None)
+@given(sql=_join_query())
+def test_fuzzed_join_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
+    got = spark_fuzz.sql(sql).toPandas()
+    want = oracle_fuzz.execute(sql).fetchdf()
+    compare_frames(got, want, sql)
+
+
+# ---- window grammar: RANK/DENSE_RANK (tie-stable row multisets even
+# with duplicate rows — unlike ROW_NUMBER) and whole-partition
+# aggregates; the compare sorts rows so only the MULTISET must match ----
+
+_win_expr = st.one_of(
+    st.tuples(st.sampled_from(["RANK()", "DENSE_RANK()"]),
+              st.sampled_from(GROUP_COLS), st.sampled_from(INT_COLS))
+    .map(lambda t: f"{t[0]} OVER (PARTITION BY {t[1]} ORDER BY {t[2]}) AS rnk"),
+    st.tuples(st.sampled_from(GROUP_COLS), st.sampled_from(INT_COLS))
+    .map(lambda t: f"CAST(SUM({t[1]}) OVER (PARTITION BY {t[0]}) AS BIGINT) AS wsum"),
+    st.sampled_from(GROUP_COLS)
+    .map(lambda g: f"CAST(COUNT(*) OVER (PARTITION BY {g}) AS BIGINT) AS wcnt"),
+)
+
+
+@st.composite
+def _window_query(draw):
+    pred = draw(_pred)
+    wexprs = draw(st.lists(_win_expr, min_size=1, max_size=2,
+                           unique_by=lambda e: e.split(" AS ")[1]))
+    cols = ["l_orderkey", "l_linenumber"] + wexprs
+    return f"SELECT {', '.join(cols)} FROM lineitem WHERE {pred}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(sql=_window_query())
+def test_fuzzed_window_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
+    got = spark_fuzz.sql(sql).toPandas()
+    want = oracle_fuzz.execute(sql).fetchdf()
+    compare_frames(got, want, sql)

@@ -89,6 +89,7 @@ def test_no_accidental_cartesian_products(spark):
         "sim_ann_ivf",  # corpus x broadcast(centroids, k x dim floats) by design
         "sim_ann_pq",  # ADC scan: codes x broadcast(per-query 256-double tables); plus the exact baseline it scores recall against
         "sim_ann_ivfpq",  # queries x broadcast(centroids) routing + the exact baseline; list scan itself is an equi-join
+        "sim_ann_hnsw",  # corpus x broadcast(1-row centroid array) assignment + the exact recall baseline; candidate retrieval is an equi-join (r6-staged, registered when tests import queries.graph_ann)
         "knn_classify",  # corpus x broadcast(query set) with != self filter — same brute-force shape as sim_cosine_topk
         "sample_domain_mix",  # corpus x broadcast(1-row min-total aggregate)
         "text_perplexity",  # token stream x broadcast(1-row N/V totals)
