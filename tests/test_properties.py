@@ -136,6 +136,44 @@ def test_range_join_matches_naive_model(spark, lrows, rrows):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 120)), min_size=1, max_size=12
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 120)), min_size=1, max_size=12
+    ),
+    st.sampled_from([1, 7, 50, 1000]),
+    st.sampled_from([0, 1 << 60]),  # base offset: also exercise the >2^53 regime
+)
+def test_interval_join_matches_naive_model(spark, lrows, rrows, width, base):
+    """interval_join == brute-force half-open overlap for ANY intervals,
+    bucket width, and base offset — including endpoints beyond double's
+    2^53 integer cliff (the integral fast path regime)."""
+    from blazingsql_spark.operators.asof import interval_join
+
+    ldf = spark.createDataFrame(
+        [(i, base + s, base + s + d + 1) for i, (s, d) in enumerate(lrows)],
+        ["lid", "ls", "le"],
+    )
+    rdf = spark.createDataFrame(
+        [(i, base + s, base + s + d + 1) for i, (s, d) in enumerate(rrows)],
+        ["rid", "rs", "re"],
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(ldf, rdf, "ls", "le", "rs", "re", bucket_width=width).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (ls, ld) in enumerate(lrows)
+        for ri, (rs, rd) in enumerate(rrows)
+        if (base + ls) < (base + rs + rd + 1) and (base + rs) < (base + ls + ld + 1)
+    }
+    assert got == want
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(
