@@ -156,3 +156,16 @@ def test_sim_ann_hnsw_staged_oracle(spark, oracle):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, oracle, "sim_ann_hnsw")
+
+
+def test_hnsw_duplicate_points_and_small_n():
+    """All-identical points (total ties everywhere) and k > n must stay
+    deterministic: ties resolve to smaller ids, k truncates to n."""
+    pts = np.ones((5, 8), dtype=np.float32)
+    g = hnsw.build_hnsw(pts, m=4, ef_construction=8)
+    got = hnsw.hnsw_search(g, np.ones(8, dtype=np.float32), k=10, ef=16)
+    assert sorted(got) == [0, 1, 2, 3, 4]
+    assert got == [0, 1, 2, 3, 4]  # ties ordered by id
+    # zero-vector query: normalizes to zeros, similarity ties at 0 -> ids
+    got0 = hnsw.hnsw_search(g, np.zeros(8, dtype=np.float32), k=3, ef=8)
+    assert got0 == [0, 1, 2]
