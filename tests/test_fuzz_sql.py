@@ -183,3 +183,45 @@ def test_fuzzed_window_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
     got = spark_fuzz.sql(sql).toPandas()
     want = oracle_fuzz.execute(sql).fetchdf()
     compare_frames(got, want, sql)
+
+
+# ---- scalar-expression grammar: the §2.7 function surface, randomized.
+# Only functions whose semantics are bit-identical across engines
+# (string family, EXTRACT parts, integer arithmetic, CASE); doubles stay
+# out (ROUND half-up vs half-even) except via MIN/MAX elsewhere ----
+
+_STR_COLS = ["o_orderpriority", "o_orderstatus"]
+
+_scalar_expr = st.one_of(
+    st.sampled_from(_STR_COLS).map(lambda c: f"UPPER({c})"),
+    st.sampled_from(_STR_COLS).map(lambda c: f"LOWER({c})"),
+    st.sampled_from(_STR_COLS).map(lambda c: f"SUBSTRING({c}, 1, 3)"),
+    st.sampled_from(_STR_COLS).map(lambda c: f"REVERSE({c})"),
+    st.sampled_from(_STR_COLS).map(lambda c: f"REPLACE({c}, '-', '.')"),
+    st.sampled_from(_STR_COLS).map(
+        lambda c: f"CONCAT({c}, '_', o_orderstatus)"
+    ),
+    st.sampled_from(_STR_COLS).map(lambda c: f"CAST(LENGTH({c}) AS BIGINT)"),
+    st.sampled_from(["YEAR", "MONTH", "DAY"]).map(
+        lambda p: f"CAST(EXTRACT({p} FROM o_orderdate) AS BIGINT)"
+    ),
+    st.sampled_from([3, 7, 11]).map(lambda m: f"o_custkey % {m}"),
+    st.just("CASE WHEN o_totalprice < 100000 THEN 'lo' ELSE 'hi' END"),
+    st.just("ABS(o_custkey - 500)"),
+)
+
+
+@st.composite
+def _scalar_query(draw):
+    expr = draw(_scalar_expr)
+    pred = draw(_o_pred)
+    return (f"SELECT {expr} AS e, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM orders WHERE {pred} GROUP BY 1 ORDER BY 1")
+
+
+@settings(max_examples=20, deadline=None)
+@given(sql=_scalar_query())
+def test_fuzzed_scalar_expr_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
+    got = spark_fuzz.sql(sql).toPandas()
+    want = oracle_fuzz.execute(sql).fetchdf()
+    compare_frames(got, want, sql)
