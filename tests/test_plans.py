@@ -281,3 +281,35 @@ def test_perplexity_vocab_join_has_no_forced_broadcast(spark):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     hints = analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint")
     assert hints <= 1, f"expected at most the 1-row totals hint, got {hints}:\n{analyzed[:1500]}"
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Spark's runtime bloom-filter injection (the scan-side row-group
+    pruner for selective shuffle joins — a first-order lever at 100 TB)
+    is ON in our sessions and fires once the join is in the shuffle
+    regime. At test SF every join broadcasts and the application-side
+    scan threshold (10 GB default) suppresses it, so this test pins the
+    behavior by forcing the shuffle regime the way a large cluster would
+    reach it naturally; production sessions need no overrides."""
+    from tests.conftest import SF_DIR
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_totalprice > 400000"
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderstatus"
+        ).count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt  # bloom probe on the fact scan side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
