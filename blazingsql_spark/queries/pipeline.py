@@ -656,6 +656,13 @@ def ann_recall_telemetry(spark, sf_dir: str) -> dict[str, float]:
         enc = similarity.pq_encode(emb, books, m=16)
         return similarity.pq_topk_reranked(emb, enc, books, queries, k=5, m=16, ksub=16)
 
+    def _hnsw():
+        from blazingsql_spark.operators import hnsw
+
+        return hnsw.hnsw_ivf_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=4, ef=64
+        )
+
     tiers = {
         "sim_ann_ivf": lambda: similarity.ivf_topk(
             emb, queries, k=5, n_centroids=16, n_probe=4
@@ -664,6 +671,9 @@ def ann_recall_telemetry(spark, sf_dir: str) -> dict[str, float]:
         "sim_ann_ivfpq": lambda: similarity.ivfpq_topk(
             emb, queries, k=5, n_centroids=8, n_probe=6, m=16, ksub=16
         ),
+        # r6-staged registry row; telemetered now so drift history exists
+        # before the row lands (ef >= n_centroids -> equals the IVF tier)
+        "sim_ann_hnsw": _hnsw,
     }
     for name, build in tiers.items():
         approx = build().select("query_id", "vec_id").withColumn("hit", F.lit(1))
