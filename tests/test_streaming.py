@@ -700,3 +700,95 @@ def test_asof_join_stream_duplicate_ts_tiebreak(spark, tmp_path):
     # and the winner is one of the tied 10:00 rows, not the 9:30 decoy
     assert got_vals[100] in (5.5, 7.75, 3.125)
     assert got_vals[101] in (8.5, 2.25)
+
+
+def test_asof_join_stream_checkpoint_restart(spark, tmp_path):
+    """Chained-stateful-operator state must survive a checkpoint restart:
+    run the streaming as-of twin over the first half of the data, stop
+    cleanly, land more source files, restart FROM THE SAME CHECKPOINT,
+    and the union of both runs' outputs must equal the batch as-of join
+    on every watermark-finalized left event — no lost matches (state
+    forgotten) and no duplicates (batches reprocessed)."""
+    from datetime import datetime as dt, timedelta
+
+    from pyspark.sql import types as T
+
+    from blazingsql_spark.operators.asof import asof_join
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = dt(2024, 3, 1, 0, 0)
+    # right rows every 20 min, left rows offset by 5 min, 3 users, 8 hours
+    right_rows = [
+        (1000 + i, base + timedelta(minutes=20 * i), i % 3, float(i))
+        for i in range(24)
+    ]
+    left_rows = [
+        (i, base + timedelta(minutes=20 * i + 5), i % 3, 0.0) for i in range(24)
+    ]
+    half = base + timedelta(hours=4)
+    ldir, rdir, ckpt = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "ck")
+
+    def land(rows, path):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+    land([r for r in left_rows if r[1] < half], ldir)
+    land([r for r in right_rows if r[1] < half], rdir)
+
+    outdir = str(tmp_path / "out")
+
+    def run_once():
+        # file sink, NOT memory: the memory sink refuses checkpoint
+        # recovery ("does not support recovering from checkpoint
+        # location"); the parquet sink is the exactly-once restart path
+        out = st.asof_join_stream(
+            spark.readStream.schema(schema).parquet(ldir),
+            spark.readStream.schema(schema).parquet(rdir),
+            tolerance="1 hour",
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(outdir).collect()
+
+    got1 = run_once()
+    land([r for r in left_rows if r[1] >= half], ldir)
+    land([r for r in right_rows if r[1] >= half], rdir)
+    got_all = run_once()
+
+    bl = spark.createDataFrame(left_rows, schema).select("event_id", "user_id", "ts")
+    br = spark.createDataFrame(right_rows, schema).select("user_id", "ts", "value")
+    want = asof_join(
+        bl, br, on="ts", by=["user_id"], right_value_cols=["value"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    cutoff = max(r[1] for r in right_rows + left_rows)
+    # chained stateful ops: the interval join delays the output watermark
+    # by the tolerance range, so the aggregation finalizes left events up
+    # to max_ts - watermark(2h) - tolerance(1h) only
+    bound = cutoff - timedelta(hours=3, minutes=1)
+    # duplicates would surface as extra rows before dict collapse
+    finalized = [r for r in got_all if r.ts <= bound]
+    got = {r.event_id: r.matched_value for r in finalized}
+    want_rows = {
+        r.event_id: r.value
+        for r in want.collect()
+        if r.ts <= bound and r.value is not None
+    }
+    assert len(got1) > 0  # run 1 emitted something before the restart
+    assert len(got_all) > len(got1)  # run 2 continued from state
+    assert len(finalized) == len(got)  # exactly-once: no duplicate emits
+    assert got == want_rows and len(got) > 0  # no lost matches either
