@@ -325,16 +325,13 @@ def incremental_near_dup_check(
     epochs and half-written compaction output are invisible — and
     ``exclude_epoch`` drops the named epoch from the reference so a
     replayed foreachBatch epoch never matches its own earlier attempt.
-    Legacy flat (un-partitioned) indexes read as before."""
-    index = spark.read.parquet(index_path)
-    if "epoch_id" in index.columns:
-        from blazingsql_spark.sources import manifest as mf
+    Legacy flat (un-partitioned) indexes read as before — the guard lives
+    in sources.manifest.read_live, shared with the lexical index."""
+    from blazingsql_spark.sources import manifest as mf
 
-        man = mf.read_manifest(spark, index_path)
-        index = index.filter(mf.live_partition_filter(man))
-        if exclude_epoch is not None:
-            index = index.filter(F.col("epoch_id") != int(exclude_epoch))
-        index = index.drop("epoch_id")
+    index = mf.read_live(
+        spark, index_path, mf.read_manifest(spark, index_path), exclude_epoch
+    )
     new_banded = _banded_signatures(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
     return (
         new_banded.alias("n")

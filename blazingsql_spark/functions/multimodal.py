@@ -163,12 +163,17 @@ def decode_features(
             payloads = pdf[payload_col]
             cols = {
                 id_col: pdf[id_col],
-                "n_bytes": payloads.map(len).astype("int64"),
+                # NULL payloads (failed fetches) are routine at corpus
+                # scale — they must flow to the error path, not TypeError
+                # out of len()/bytes() before the catch
+                "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int64"),
             }
             if on_error == "skip":
                 feats, errs = [], []
                 for b in payloads:
                     try:
+                        if b is None:
+                            raise ValueError("null payload")
                         feats.append(extract(bytes(b)))
                         errs.append(None)
                     except (ValueError, NotImplementedError) as e:
@@ -177,10 +182,16 @@ def decode_features(
                 cols["features"] = feats
                 cols["error"] = errs
             else:
-                cols["features"] = payloads.map(lambda b: extract(bytes(b)))
+                cols["features"] = payloads.map(
+                    lambda b: extract(bytes(b)) if b is not None else _null_payload()
+                )
             yield pd.DataFrame(cols)
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def _null_payload():
+    raise ValueError("null payload (use on_error='skip' to capture per-row)")
 
 
 def frame_sample_plan(
@@ -257,6 +268,8 @@ def resize_images(
                 out, errs = [], []
                 for b in payloads:
                     try:
+                        if b is None:
+                            raise ValueError("null payload")
                         out.append(transform(bytes(b)))
                         errs.append(None)
                     except (ValueError, NotImplementedError) as e:
@@ -264,7 +277,9 @@ def resize_images(
                         errs.append(f"{type(e).__name__}: {e}")
                 cols["resized"] = out
             else:
-                cols["resized"] = payloads.map(lambda b: transform(bytes(b)))
+                cols["resized"] = payloads.map(
+                    lambda b: transform(bytes(b)) if b is not None else _null_payload()
+                )
             cols["width"] = width
             cols["height"] = height
             if on_error == "skip":

@@ -441,24 +441,17 @@ def bm25_topk_indexed(
     is shared; equivalence is asserted in tests).
 
     Legacy flat (un-partitioned) indexes — written before the manifest
-    layout, no ``epoch_id`` column — read as plain parquet, mirroring
-    ``dedup.match_against_index``'s guard; applying the epoch predicate
-    to them would raise AnalysisException on the missing column."""
+    layout, no ``epoch_id`` column — read as plain parquet; the guard is
+    sources.manifest.read_live, shared with the dedup index
+    (``dedup.incremental_near_dup_check``)."""
     from blazingsql_spark.sources import manifest as mf
 
     root = index_path.rstrip("/")
     man = mf.read_manifest(spark, root)
-
-    def _read(table_dir: str) -> DataFrame:
-        df = spark.read.parquet(table_dir)
-        if "epoch_id" not in df.columns:
-            return df
-        return df.filter(mf.live_partition_filter(man)).drop("epoch_id")
-
-    postings = _read(f"{root}/postings").filter(
+    postings = mf.read_live(spark, f"{root}/postings", man).filter(
         F.col("token").isin(list(query_terms))
     )
-    doclen = _read(f"{root}/doclen")
+    doclen = mf.read_live(spark, f"{root}/doclen", man)
     return _bm25_rank(postings, doclen, k1=k1, b=b, k=k, id_col=id_col)
 
 

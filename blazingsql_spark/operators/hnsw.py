@@ -223,14 +223,18 @@ def save_hnsw_index(spark, path: str, graph: HnswGraph, centroid_ids: np.ndarray
     spark.createDataFrame(
         nodes, "node_idx long, centroid_id long, level long, point array<float>, entry long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/nodes")
+    # pos preserves each neighbor list's ORDER: build emits
+    # heuristic-ordered lists, and _search_layer admission at a full
+    # result heap is order-sensitive on similarity TIES — a sorted
+    # reload could return different results than the saved graph
     edges = [
-        (lvl, int(src), int(dst))
+        (lvl, int(src), int(pos), int(dst))
         for lvl, adj in enumerate(graph.layers)
         for src, neigh in adj.items()
-        for dst in neigh
+        for pos, dst in enumerate(neigh)
     ]
     spark.createDataFrame(
-        edges or [(0, 0, 0)][:0], "layer long, src long, dst long"
+        edges, "layer long, src long, pos long, dst long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/edges")
 
 
@@ -249,14 +253,15 @@ def load_hnsw_index(spark, path: str) -> tuple[HnswGraph, np.ndarray]:
     for i, lv in enumerate(levels):
         for lvl in range(int(lv) + 1):
             layers[lvl][i] = []
-    epdf = spark.read.parquet(f"{path}/edges").toPandas()
+    epdf = (
+        spark.read.parquet(f"{path}/edges")
+        .toPandas()
+        .sort_values(["layer", "src", "pos"], kind="mergesort")
+    )
     for lvl, src, dst in zip(
         epdf["layer"].to_numpy(), epdf["src"].to_numpy(), epdf["dst"].to_numpy()
     ):
         layers[int(lvl)][int(src)].append(int(dst))
-    for adj in layers:
-        for src in adj:
-            adj[src].sort()
     return HnswGraph(pts, levels, layers, entry), cids
 
 

@@ -88,7 +88,14 @@ def io_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*_CHECKSUM_COLS)
     )
     schema = sl.schema
-    tmp = tempfile.mkdtemp(prefix="blazingsql_spark_fmt_")
+    # FIXED scratch location, overwritten per run — mkdtemp would leak a
+    # new directory every invocation (bench repeats x driver rounds). On
+    # a real cluster set SPARK_GRAFT_SCRATCH to a shared filesystem path
+    # (hdfs://... or s3://...): executors cannot read a driver-local /tmp.
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    tmp = os.path.join(
+        scratch, f"blazingsql_spark_fmt_matrix_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     frames = []
     for fmt in _FORMATS:
         path = os.path.join(tmp, fmt)

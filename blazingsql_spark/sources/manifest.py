@@ -140,13 +140,27 @@ def _live_file_count(spark: SparkSession, table_dir: str, manifest: dict | None)
     return n
 
 
-def read_live(spark: SparkSession, table_dir: str, manifest: dict | None) -> DataFrame:
-    """Manifest-gated read of one epoch-partitioned table directory."""
-    return (
-        spark.read.parquet(table_dir)
-        .filter(live_partition_filter(manifest))
-        .drop("epoch_id")
-    )
+def read_live(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: dict | None,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """Manifest-gated read of one epoch-partitioned table directory.
+
+    The ONE shared implementation of the epoch-guard read (dedup index,
+    lexical index, and tests all route here): legacy flat layouts — no
+    ``epoch_id`` column, written before the manifest protocol — read as
+    plain parquet; applying the partition predicate to them would raise
+    AnalysisException. ``exclude_epoch`` drops the named epoch (a
+    replaying foreachBatch epoch must not see its own earlier attempt)."""
+    df = spark.read.parquet(table_dir)
+    if "epoch_id" not in df.columns:
+        return df
+    df = df.filter(live_partition_filter(manifest))
+    if exclude_epoch is not None:
+        df = df.filter(F.col("epoch_id") != int(exclude_epoch))
+    return df.drop("epoch_id")
 
 
 def compact_epoch_tables(

@@ -129,12 +129,10 @@ def _join_query(draw):
     opred = draw(_o_pred)
     lpred = draw(_pred)
     on = f"l_orderkey = o_orderkey AND {opred}"
+    # o_-side group keys under LEFT JOIN yield NULL groups from unmatched
+    # rows — kept in deliberately, both engines group NULLs together
     groups = draw(st.lists(st.sampled_from(_JOIN_GROUPS), min_size=0, max_size=2,
                            unique=True))
-    if jtype == "LEFT JOIN" and any(g.startswith("o_") for g in groups):
-        # NULL group keys from unmatched rows are fine — both engines
-        # group NULLs together — keep them in deliberately
-        pass
     aggs = draw(st.lists(_join_agg, min_size=1, max_size=3,
                          unique_by=lambda a: a.split(" AS ")[1]))
     select = ", ".join(groups + aggs)

@@ -169,3 +169,19 @@ def test_hnsw_duplicate_points_and_small_n():
     # zero-vector query: normalizes to zeros, similarity ties at 0 -> ids
     got0 = hnsw.hnsw_search(g, np.zeros(8, dtype=np.float32), k=3, ef=8)
     assert got0 == [0, 1, 2]
+
+
+def test_hnsw_save_load_preserves_adjacency_order(spark, tmp_path):
+    """Neighbor-list ORDER must round-trip (the edges table carries pos):
+    _search_layer admission at a full heap is order-sensitive on
+    similarity ties, so a sorted reload could search differently on
+    degenerate (duplicate-vector) landmark tables."""
+    pts = np.concatenate([np.ones((6, 4)), np.full((6, 4), 0.5)]).astype(np.float32)
+    g = hnsw.build_hnsw(pts, m=3, ef_construction=8)
+    cids = np.arange(len(pts), dtype=np.int64)
+    hnsw.save_hnsw_index(spark, str(tmp_path / "tied"), g, cids)
+    g2, _ = hnsw.load_hnsw_index(spark, str(tmp_path / "tied"))
+    assert g2.layers == g.layers  # exact lists, exact order
+    q = np.ones(4, dtype=np.float32)
+    for ef in (1, 2, 4, 12):
+        assert hnsw.hnsw_search(g2, q, k=3, ef=ef) == hnsw.hnsw_search(g, q, k=3, ef=ef)

@@ -115,22 +115,29 @@ def test_decode_on_error_skip_captures_bad_payloads(spark):
     on_error='raise' still fails fast."""
     from blazingsql_spark.functions.multimodal import decode_features, resize_images
 
+    from pyspark.sql import types as T
+
     good = mj.encode_jpeg(_smooth(24, 24), quality=95)
     bad = good[: len(good) * 2 // 3]
     gif_ish = b"GIF89a" + b"\x00" * 64
     df = spark.createDataFrame(
-        [(1, bytearray(good)), (2, bytearray(bad)), (3, bytearray(gif_ish))],
-        ["doc_id", "payload"],
+        [(1, bytearray(good)), (2, bytearray(bad)), (3, bytearray(gif_ish)),
+         (4, None)],  # NULL payload: a failed fetch — routine at corpus scale
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("payload", T.BinaryType())]),
     )
 
     out = {r.doc_id: r for r in decode_features(df, feature_dim=8, fake=False, on_error="skip").collect()}
     assert out[1].error is None and len(out[1].features) == 8
     assert out[2].features is None and "truncated" in out[2].error
     assert out[3].features is None and "NotImplementedError" in out[3].error
+    assert out[4].features is None and "null payload" in out[4].error
+    assert out[4].n_bytes == 0
 
     rz = {r.doc_id: r for r in resize_images(df, width=8, height=8, fake=False, on_error="skip").collect()}
     assert rz[1].error is None and mj.decode_jpeg(bytes(rz[1].resized)).shape == (8, 8, 3)
     assert rz[2].resized is None and rz[3].resized is None
+    assert rz[4].resized is None and "null payload" in rz[4].error
 
     with pytest.raises(Exception):  # default raise: job fails on the bad row
         decode_features(df, feature_dim=8, fake=False).collect()
