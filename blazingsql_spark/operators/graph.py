@@ -197,6 +197,89 @@ def _star_components(
     return members.union(singletons)
 
 
+def incremental_components(
+    labels: DataFrame | None,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 100,
+) -> DataFrame:
+    """Maintain (node, component_id) labels as edge batches arrive,
+    WITHOUT recomputing components over the full edge history — the
+    cross-epoch completion of the streaming dedup pipeline (per-batch
+    near-dup pairs arrive forever; transitive clusters must stay
+    consistent across batches).
+
+    Per batch, cost is bounded by the BATCH, not the graph:
+
+    1. Solve a mini-CC over ``new_edges ∪ {(node, old_label)}`` for the
+       batch's touched nodes only — the old label IS a member node id
+       (the component minimum), so one virtual edge per touched node
+       splices the existing component in by proxy; merging two old
+       components through any chain of new edges resolves transitively
+       inside the mini graph, which is batch-sized.
+    2. Read off an old_label -> new_label mapping (the mini labels of
+       the old representatives) and broadcast-apply it to the labels
+       table: a map-only pass, no shuffle of the big side. Untouched
+       components never appear in the mapping and pass through.
+    3. Union in the batch's brand-new nodes (mini labels are already
+       final for them) and merge by min.
+
+    Result is IDENTICAL to ``connected_components`` over the union of
+    every batch so far (differential-tested across multi-batch merge
+    chains). Label stability caveat: component ids are the component-min
+    node id, so an absorbed component's id changes — downstream keep-set
+    logic must key on the CURRENT labels table, same as the batch
+    operator.
+
+    Scale notes: step 3's final merge shuffles the labels table on node;
+    keep the labels table BUCKETED on node (operators.skew.bucketed_table)
+    to make that exchange-free, or accept one labels-table shuffle per
+    batch. The mapping broadcast is |merged old components| rows —
+    batch-bounded."""
+    ne = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if labels is None:
+        return connected_components(ne, "src", "dst", max_iterations)
+
+    touched = (
+        ne.select(F.col("src").alias("node"))
+        .union(ne.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    old_touched = labels.join(F.broadcast(touched), "node").select(
+        "node", "component_id"
+    )
+    mini_edges = ne.union(
+        old_touched.select(
+            F.col("node").alias("src"), F.col("component_id").alias("dst")
+        )
+    )
+    mini = connected_components(mini_edges, "src", "dst", max_iterations).select(
+        F.col("node").alias("mnode"), F.col("component_id").alias("new_comp")
+    )
+    # mapping: the old representatives present in the mini graph — exactly
+    # the component ids of the touched nodes (batch-bounded; scanning the
+    # full labels table for distinct ids here would defeat the point)
+    mapping = mini.join(
+        F.broadcast(
+            old_touched.select(F.col("component_id").alias("mnode")).distinct()
+        ),
+        "mnode",
+    ).select(F.col("mnode").alias("component_id"), "new_comp")
+    remapped = (
+        labels.join(F.broadcast(mapping), "component_id", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("new_comp"), F.col("component_id")).alias("component_id"),
+        )
+    )
+    return (
+        remapped.union(mini.select(F.col("mnode").alias("node"), F.col("new_comp").alias("component_id")))
+        .groupBy("node")
+        .agg(F.min("component_id").alias("component_id"))
+    )
+
+
 def canonical_docs(
     pairs: DataFrame,
     all_docs: DataFrame,

@@ -792,3 +792,57 @@ def test_star_matches_propagate_on_mixed_graph(spark):
             for r in connected_components(edges, algorithm="propagate").collect()}
     assert star == prop
     assert (40, 40) in star  # self-loop-only node kept as singleton
+
+
+def test_incremental_components_matches_full_recompute(spark):
+    """Label maintenance across edge batches must equal a full CC over the
+    cumulative edge set after EVERY batch — including cross-batch
+    component merges, new-node-becomes-minimum relabels, and batches
+    that touch nothing old."""
+    from blazingsql_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    batches = [
+        [(10, 11), (12, 13), (20, 21)],          # three fresh components
+        [(11, 12)],                              # merge {10,11} with {12,13}
+        [(30, 31), (31, 32)],                    # untouched old, new chain
+        [(1, 20)],                               # new node 1 becomes the min of {20,21}
+        [(13, 30), (32, 20)],                    # chain-merge three components
+    ]
+    labels = None
+    seen: list[tuple[int, int]] = []
+    for batch in batches:
+        seen += batch
+        bdf = spark.createDataFrame(batch, ["src", "dst"])
+        labels = incremental_components(labels, bdf).localCheckpoint(eager=True)
+        full = connected_components(spark.createDataFrame(seen, ["src", "dst"]))
+        got = sorted(map(tuple, labels.collect()))
+        want = sorted(map(tuple, full.collect()))
+        assert got == want, f"after batch {batch}: {got} != {want}"
+
+
+def test_incremental_components_randomized(spark):
+    """Randomized batches over a small node universe: heavy merge traffic,
+    duplicate edges, self-loops — incremental must track full recompute."""
+    import random
+
+    from blazingsql_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(17)
+    labels = None
+    seen = []
+    for _ in range(4):
+        batch = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(12)]
+        seen += batch
+        bdf = spark.createDataFrame(batch, ["src", "dst"])
+        labels = incremental_components(labels, bdf).localCheckpoint(eager=True)
+    got = sorted(map(tuple, labels.collect()))
+    want = sorted(
+        map(tuple, connected_components(spark.createDataFrame(seen, ["src", "dst"])).collect())
+    )
+    assert got == want
