@@ -407,3 +407,74 @@ def run_lexical_index_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class ComponentsIngest:
+    """foreachBatch handler maintaining transitive near-dup CLUSTERS as
+    edge batches arrive — the cross-epoch completion of DedupIngest
+    (which filters pairwise per batch but does not track components).
+
+    Each epoch applies ``operators.graph.incremental_components`` (cost
+    bounded by the batch, never the history) and publishes the full
+    (node, component_id) labels table as a versioned snapshot directory
+    ``snap=<epoch>``; readers take the newest snapshot WITH a _SUCCESS
+    marker, so a crash mid-write leaves the previous snapshot live
+    (write-then-switch, the same discipline as sources.manifest but for
+    whole-table snapshots rather than append+compact).
+
+    At-least-once replay is idempotent BY ALGEBRA, not bookkeeping:
+    connected components is a closure operator — applying the same edge
+    batch to labels that already absorbed it changes nothing — so a
+    redelivered epoch just rewrites an identical snapshot. (Asserted in
+    tests; contrast DedupIngest, which needs exclude_epoch plumbing.)
+
+    Scale: the labels table is rewritten once per epoch (map-side remap +
+    one shuffle for the final merge — keep it bucketed on node to strip
+    the shuffle); old snapshots are pruned to the last ``keep_snapshots``.
+    """
+
+    def __init__(self, spark: SparkSession, labels_path: str, keep_snapshots: int = 2):
+        self.spark = spark
+        self.labels_path = labels_path.rstrip("/")
+        self.keep_snapshots = keep_snapshots
+
+    def _snapshots(self) -> list[int]:
+        from py4j.protocol import Py4JJavaError
+
+        jvm = self.spark.sparkContext._jvm
+        jp = jvm.org.apache.hadoop.fs.Path
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        root = jp(self.labels_path)
+        fs = root.getFileSystem(conf)
+        try:
+            if not fs.exists(root):
+                return []
+            out = []
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if name.startswith("snap=") and fs.exists(
+                    jp(f"{self.labels_path}/{name}/_SUCCESS")
+                ):
+                    out.append(int(name.split("=", 1)[1]))
+            return sorted(out)
+        except Py4JJavaError:
+            return []
+
+    def read_labels(self):
+        snaps = self._snapshots()
+        if not snaps:
+            return None
+        return self.spark.read.parquet(f"{self.labels_path}/snap={snaps[-1]}")
+
+    def __call__(self, batch_df, epoch: int) -> None:
+        from blazingsql_spark.operators.graph import incremental_components
+
+        labels = self.read_labels()
+        new = incremental_components(labels, batch_df).localCheckpoint(eager=True)
+        new.write.mode("overwrite").parquet(f"{self.labels_path}/snap={int(epoch)}")
+        jvm = self.spark.sparkContext._jvm
+        jp = jvm.org.apache.hadoop.fs.Path
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jp(self.labels_path).getFileSystem(conf)
+        for old in self._snapshots()[: -self.keep_snapshots]:
+            fs.delete(jp(f"{self.labels_path}/snap={old}"), True)

@@ -792,3 +792,47 @@ def test_asof_join_stream_checkpoint_restart(spark, tmp_path):
     assert len(got_all) > len(got1)  # run 2 continued from state
     assert len(finalized) == len(got)  # exactly-once: no duplicate emits
     assert got == want_rows and len(got) > 0  # no lost matches either
+
+
+def test_components_ingest_incremental_and_replay_idempotent(spark, tmp_path):
+    """ComponentsIngest: labels after each epoch equal full CC over the
+    cumulative edges; replaying an epoch (at-least-once redelivery) is a
+    no-op by closure algebra; a fresh handler (restart) resumes from the
+    latest snapshot; old snapshots are pruned."""
+    from blazingsql_spark.operators.graph import connected_components
+    from blazingsql_spark.streaming.ingest import ComponentsIngest
+
+    batches = [
+        [(1, 2), (3, 4)],
+        [(2, 3), (10, 11)],   # merges {1,2} with {3,4}
+        [(0, 10)],            # new min for {10,11}
+    ]
+    h = ComponentsIngest(spark, str(tmp_path / "labels"), keep_snapshots=2)
+    seen = []
+    for epoch, batch in enumerate(batches):
+        seen += batch
+        h(spark.createDataFrame(batch, ["src", "dst"]), epoch)
+        got = sorted(map(tuple, h.read_labels().collect()))
+        want = sorted(
+            map(tuple, connected_components(spark.createDataFrame(seen, ["src", "dst"])).collect())
+        )
+        assert got == want, f"epoch {epoch}"
+
+    before = sorted(map(tuple, h.read_labels().collect()))
+    # replay the last epoch: same edges against already-merged labels
+    h(spark.createDataFrame(batches[-1], ["src", "dst"]), 2)
+    assert sorted(map(tuple, h.read_labels().collect())) == before
+
+    # restart: a fresh handler sees the same state and keeps going
+    h2 = ComponentsIngest(spark, str(tmp_path / "labels"), keep_snapshots=2)
+    h2(spark.createDataFrame([(4, 20)], ["src", "dst"]), 3)
+    want = sorted(
+        map(
+            tuple,
+            connected_components(
+                spark.createDataFrame(seen + [(4, 20)], ["src", "dst"])
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, h2.read_labels().collect())) == want
+    assert len(h2._snapshots()) <= 2  # pruned
