@@ -25,6 +25,13 @@ from hypothesis import strategies as st
 
 from tests.conftest import compare_frames
 
+# FUZZ_SCALE=8 (etc.) multiplies every grammar's example count for one-off
+# deep sweeps (tools: FUZZ_SCALE=8 pytest tests/test_fuzz_sql.py); default 1
+# keeps the CI suite bounded.
+import os as _os
+
+_SCALE = int(_os.environ.get("FUZZ_SCALE", "1"))
+
 INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
 DBL_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
@@ -67,7 +74,7 @@ def _query(draw):
     return sql
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25 * _SCALE, deadline=None)
 @given(sql=_query())
 def test_fuzzed_query_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
     got = spark_fuzz.sql(sql).toPandas()
@@ -143,7 +150,7 @@ def _join_query(draw):
     return sql
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15 * _SCALE, deadline=None)
 @given(sql=_join_query())
 def test_fuzzed_join_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
     got = spark_fuzz.sql(sql).toPandas()
@@ -175,7 +182,7 @@ def _window_query(draw):
     return f"SELECT {', '.join(cols)} FROM lineitem WHERE {pred}"
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15 * _SCALE, deadline=None)
 @given(sql=_window_query())
 def test_fuzzed_window_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
     got = spark_fuzz.sql(sql).toPandas()
@@ -217,7 +224,7 @@ def _scalar_query(draw):
             f"FROM orders WHERE {pred} GROUP BY 1 ORDER BY 1")
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=20 * _SCALE, deadline=None)
 @given(sql=_scalar_query())
 def test_fuzzed_scalar_expr_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
     got = spark_fuzz.sql(sql).toPandas()
