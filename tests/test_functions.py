@@ -846,3 +846,13 @@ def test_incremental_components_randomized(spark):
         map(tuple, connected_components(spark.createDataFrame(seen, ["src", "dst"])).collect())
     )
     assert got == want
+
+
+def test_dedup_components_incremental_staged_oracle(spark, oracle):
+    """The r7-staged registry row (queries/graph_inc.py): driver-faithful
+    compare green now, so the future registration flip is risk-free."""
+    import blazingsql_spark.queries.graph_inc  # noqa: F401  (self-registers)
+
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, oracle, "dedup_components_incremental")

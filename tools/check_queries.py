@@ -38,7 +38,11 @@ def main() -> int:
     spark = get_spark(app_name="check_queries", master="local[8]")
     # staged-for-next-round modules (not in registry._QUERY_MODULES yet)
     # self-register on import so their names are checkable here too
-    for staged in ("blazingsql_spark.queries.formats", "blazingsql_spark.queries.graph_ann"):
+    for staged in (
+        "blazingsql_spark.queries.formats",
+        "blazingsql_spark.queries.graph_ann",
+        "blazingsql_spark.queries.graph_inc",
+    ):
         try:
             __import__(staged)
         except ImportError:
