@@ -325,7 +325,9 @@ DRIVER_PRIORITY = _R5_WINDOW + tuple(
 #     join_null_keys_dropped, orderby_nulls, sim_ann_ivf, sim_ann_lsh,
 #     sim_cosine_topk, sim_near_dup, tpch_q14, union_all, union_distinct,
 #     union_type_coerce.
-# r7 takes the remaining 29 r2-stale + the oldest r3-stale rows.
+# r7 takes the remaining 29 r2-stale + the oldest r3-stale rows, plus the
+# third staged registration "dedup_components_incremental"
+# (blazingsql_spark.queries.graph_inc).
 
 
 def all_queries() -> dict[str, QuerySpec]:
