@@ -71,11 +71,18 @@ class DedupIngest:
         ADD columns — signatures are built from the un-finalized rows."""
         return clean
 
+    def _on_pairs(self, pairs: DataFrame | None, batch: DataFrame, epoch: int) -> None:
+        """Post-write hook receiving the epoch's near-dup pairs
+        (new_id, matched corpus id; None before the index exists).
+        Subclasses: cluster maintenance, telemetry."""
+
+
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         from blazingsql_spark.sources import manifest as mf
 
         epoch = int(epoch_id)
         batch = self._prepare(batch).persist()
+        pairs = None
         if self._index_exists():
             # exclude the CURRENT epoch's own partition from the dedup
             # reference: on an at-least-once replay the batch's signatures
@@ -85,21 +92,18 @@ class DedupIngest:
             # and silently lose the data. Excluding epoch N makes the
             # decision identical to the first attempt (deterministic), so
             # the overwrite is a no-op — idempotent.
-            dup_ids = (
-                incremental_near_dup_check(
-                    self.spark,
-                    batch,
-                    self.index_path,
-                    self.text_col,
-                    self.id_col,
-                    self.num_hashes,
-                    self.bands,
-                    self.shingle_n,
-                    exclude_epoch=epoch,
-                )
-                .select(F.col("new_id").alias(self.id_col))
-                .distinct()
-            )
+            pairs = incremental_near_dup_check(
+                self.spark,
+                batch,
+                self.index_path,
+                self.text_col,
+                self.id_col,
+                self.num_hashes,
+                self.bands,
+                self.shingle_n,
+                exclude_epoch=epoch,
+            ).persist()
+            dup_ids = pairs.select(F.col("new_id").alias(self.id_col)).distinct()
             clean = batch.join(dup_ids, self.id_col, "left_anti")
         else:
             clean = batch
@@ -116,6 +120,9 @@ class DedupIngest:
         )
         self._index_seen = True
         self._compact_index_if_needed(epoch)
+        self._on_pairs(pairs, batch, epoch)
+        if pairs is not None:
+            pairs.unpersist()
         batch.unpersist()
         clean.unpersist()
 
@@ -478,3 +485,51 @@ class ComponentsIngest:
         fs = jp(self.labels_path).getFileSystem(conf)
         for old in self._snapshots()[: -self.keep_snapshots]:
             fs.delete(jp(f"{self.labels_path}/snap={old}"), True)
+
+
+class DedupClusterIngest(DedupIngest):
+    """DedupIngest that ALSO maintains transitive near-dup CLUSTER labels
+    across epochs (ComponentsIngest on the pair stream): every filtered
+    duplicate stays traceable to the canonical corpus doc it collapsed
+    into, even when the link is transitive across many epochs.
+
+    Edges per epoch: the cross-epoch near-dup pairs (new_id → matched
+    corpus id) plus the in-batch exact-duplicate pairs the parent's
+    dropDuplicates collapses (other_id → min id per identical text).
+    Docs with no duplicate anywhere appear in no edge and carry no label
+    — absence from the labels table MEANS singleton (keeps the labels
+    table proportional to duplicates, not the corpus).
+
+    Replay-idempotent end to end: the parent's filter decisions are
+    deterministic under replay (exclude_epoch), so the same edges are
+    re-derived, and component maintenance is a closure operator."""
+
+    def __init__(self, *args, labels_path: str, keep_snapshots: int = 2, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.components = ComponentsIngest(
+            self.spark, labels_path, keep_snapshots=keep_snapshots
+        )
+
+    def _on_pairs(self, pairs: DataFrame | None, batch: DataFrame, epoch: int) -> None:
+        ident = batch.select(self.id_col, self.text_col)
+        keep = ident.groupBy(self.text_col).agg(F.min(self.id_col).alias("__keep"))
+        exact = (
+            ident.join(keep, self.text_col)
+            .filter(F.col(self.id_col) != F.col("__keep"))
+            .select(F.col(self.id_col).alias("src"), F.col("__keep").alias("dst"))
+        )
+        edges = exact
+        if pairs is not None:
+            edges = edges.union(
+                pairs.select(
+                    F.col("new_id").alias("src"), F.col("corpus_id").alias("dst")
+                )
+            )
+        if edges.limit(1).count() == 0:
+            return
+        self.components(edges, epoch)
+
+    def cluster_labels(self):
+        """(node, component_id) for every doc that ever near-duplicated;
+        ids absent here are singletons."""
+        return self.components.read_labels()

@@ -836,3 +836,39 @@ def test_components_ingest_incremental_and_replay_idempotent(spark, tmp_path):
     )
     assert sorted(map(tuple, h2.read_labels().collect())) == want
     assert len(h2._snapshots()) <= 2  # pruned
+
+
+def test_dedup_cluster_ingest_transitive_across_epochs(spark, tmp_path):
+    """DedupClusterIngest: filtered duplicates stay traceable to their
+    canonical corpus doc across epochs, including TRANSITIVE links (doc C
+    dups doc B which dupped doc A in an earlier epoch -> A, B, C share a
+    component); singletons carry no label; replay is a no-op."""
+    from blazingsql_spark.streaming.ingest import DedupClusterIngest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b1 = docs.filter("doc_id < 30")
+    # epoch 1: two exact copies of doc 3 (in-batch pair among themselves +
+    # cross-epoch pair to 3), one fresh doc
+    c1 = b1.filter("doc_id = 3").select(F.lit(5001).cast("long").alias("doc_id"), "text")
+    c2 = b1.filter("doc_id = 3").select(F.lit(5002).cast("long").alias("doc_id"), "text")
+    fresh = spark.createDataFrame(
+        [(6000, " ".join(f"q{j}r{j}" for j in range(25)))], ["doc_id", "text"]
+    )
+    h = DedupClusterIngest(
+        spark, str(tmp_path / "idx"), str(tmp_path / "corpus"),
+        labels_path=str(tmp_path / "labels"),
+    )
+    h(b1, 0)
+    h(c1.union(c2).union(fresh), 1)
+    # epoch 2: another copy of doc 3 — transitively joins the same cluster
+    c3 = b1.filter("doc_id = 3").select(F.lit(5003).cast("long").alias("doc_id"), "text")
+    h(c3, 2)
+
+    labels = {r.node: r.component_id for r in h.cluster_labels().collect()}
+    assert labels.get(5001) == 3 and labels.get(5002) == 3 and labels.get(5003) == 3
+    assert 6000 not in labels  # singleton: absent from the labels table
+
+    before = sorted(labels.items())
+    h(c3, 2)  # at-least-once replay of the last epoch
+    after = sorted((r.node, r.component_id) for r in h.cluster_labels().collect())
+    assert after == before
