@@ -491,3 +491,89 @@ def bpe_pair_counts(
         .orderBy(F.col("pair_count").desc(), F.col("pair"))
         .limit(top_n)
     )
+
+
+def _apply_merge(syms, a: str, b: str):
+    """One BPE merge applied to a symbol array, JVM-side: greedy
+    left-to-right fold replacing each adjacent (a, b) with a+b —
+    equivalent to the classic non-overlapping single-pass merge (a pair
+    re-forming ACROSS a just-merged boundary merges later in the same
+    pass, exactly as the sequential algorithm does)."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Full BPE tokenizer training (iterated merges), distributed the way
+    every practical trainer does it: the CORPUS is touched exactly once
+    (tokenize + word-frequency groupBy); the merge loop runs over the
+    |vocab|-row (word, freq, syms) table — at 100 TB the corpus scan
+    dominates and the N merge steps are vocab-bounded (two small stages
+    each: exploded-pair count + fold-apply).
+
+    Deterministic: the winning pair maximizes weighted count with
+    (count DESC, a ASC, b ASC) tiebreak — differential-tested against a
+    sequential pure-Python BPE on the same word-frequency dict.
+
+    Returns (merges, vocab_df): the ordered merge list and the final
+    (symbol, freq) vocabulary. No end-of-word marker (document-internal
+    whitespace tokenization already bounds words); plug one in by
+    appending it to ``syms`` at init if needed.
+    """
+    words = (
+        _tokens(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    state = words.select(
+        "freq",
+        F.expr("filter(split(token, ''), x -> x <> '')").alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            state.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .first()
+        )
+        if pairs is None:
+            break
+        a, b = pairs["a"], pairs["b"]
+        merges.append((a, b))
+        # localCheckpoint per step: without it each merge nests another
+        # aggregate() around the previous plan (linear plan growth, and
+        # re-execution of all prior merges on every action)
+        state = state.select("freq", _apply_merge(F.col("syms"), a, b).alias("syms")).localCheckpoint(
+            eager=True
+        )
+    vocab = (
+        state.select("freq", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+    )
+    return merges, vocab

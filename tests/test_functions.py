@@ -856,3 +856,69 @@ def test_dedup_components_incremental_staged_oracle(spark, oracle):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, oracle, "dedup_components_incremental")
+
+
+def _python_bpe(word_freqs: dict, n_merges: int):
+    """Sequential reference BPE: same tiebreak (count desc, a asc, b asc)."""
+    state = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, syms in state.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b))
+        for w, syms in state.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            state[w] = out
+    vocab: dict = {}
+    for w, syms in state.items():
+        for s in syms:
+            vocab[s] = vocab.get(s, 0) + word_freqs[w]
+    return merges, vocab
+
+
+def test_train_bpe_matches_sequential_reference(spark):
+    """The distributed trainer must produce the SAME ordered merge list
+    and final vocabulary as a sequential pure-Python BPE over the same
+    word-frequency dict — merge by merge, including tiebreaks and the
+    greedy left-to-right within-word application (aaa + (a,a) -> [aa, a])."""
+    from blazingsql_spark.functions.text import train_bpe
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(60)
+    got_merges, got_vocab_df = train_bpe(docs, n_merges=8)
+
+    from blazingsql_spark.functions.text import _tokens
+
+    wf = {
+        r.token: r.freq
+        for r in _tokens(docs, "doc_id", "text")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    }
+    want_merges, want_vocab = _python_bpe(wf, 8)
+    assert got_merges == want_merges
+    got_vocab = {r.symbol: r.freq for r in got_vocab_df.collect()}
+    assert got_vocab == want_vocab
+
+
+def test_train_bpe_greedy_overlap_semantics(spark):
+    """'aaaa' with merge (a,a): non-overlapping left-to-right -> [aa, aa];
+    then (aa, aa) -> [aaaa]. The fold must not chain-merge within a pass."""
+    from blazingsql_spark.functions.text import train_bpe
+
+    df = spark.createDataFrame([(1, "aaaa aaaa aaaa")], ["doc_id", "text"])
+    merges, vocab_df = train_bpe(df, n_merges=2)
+    assert merges == [("a", "a"), ("aa", "aa")]
+    vocab = {r.symbol: r.freq for r in vocab_df.collect()}
+    assert vocab == {"aaaa": 3}
