@@ -577,3 +577,54 @@ def train_bpe(
         .agg(F.sum("freq").cast("long").alias("freq"))
     )
     return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode text with a trained BPE merge list → (id, tokens array).
+
+    Executor-side the classic way: real tokenizers (HF tokenizers,
+    SentencePiece) are rank-table loops, so this is an Arrow-batched
+    pandas UDF over a broadcast {pair: rank} dict — at 32k merges a
+    plan-embedded fold per merge is not expressible, and the per-word
+    loop is cache-friendly (each distinct word encodes once per batch
+    via memo). Matches ``train_bpe``'s greedy single-pass-per-merge
+    semantics exactly: merges applied in rank order, each pass
+    left-to-right non-overlapping (differential-tested against
+    re-running the training fold)."""
+    from pyspark.sql import types as T
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in merges:
+            if len(syms) < 2:
+                break
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode(texts):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").lower().split():
+                if w not in memo:
+                    memo[w] = encode_word(w)
+                toks.extend(memo[w])
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), encode(F.col(text_col)).alias("tokens"))

@@ -922,3 +922,28 @@ def test_train_bpe_greedy_overlap_semantics(spark):
     assert merges == [("a", "a"), ("aa", "aa")]
     vocab = {r.symbol: r.freq for r in vocab_df.collect()}
     assert vocab == {"aaaa": 3}
+
+
+def test_bpe_encode_matches_training_state(spark):
+    """Encoding the TRAINING corpus with the trained merges must
+    reproduce the trainer's own final symbol stream (same greedy
+    semantics), and unseen words must still encode via partial merges."""
+    from blazingsql_spark.functions.text import bpe_encode, train_bpe
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(40)
+    merges, vocab_df = train_bpe(docs, n_merges=6)
+    enc = bpe_encode(docs, merges)
+    # per-symbol totals over the encoded corpus == trainer's vocab freqs
+    got = {
+        r.symbol: r.freq
+        for r in enc.select(F.explode("tokens").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .collect()
+    }
+    want = {r.symbol: r.freq for r in vocab_df.collect()}
+    assert got == want
+    # unseen text: every output symbol is a substring chain of the word
+    new = spark.createDataFrame([(99, "zzzunseen word")], ["doc_id", "text"])
+    toks = bpe_encode(new, merges).first().tokens
+    assert "".join(toks) == "zzzunseenword"
