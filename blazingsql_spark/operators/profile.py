@@ -51,3 +51,40 @@ def profile_table(
             f"stack({len(cols)}, {stack_expr}) AS (column, min_v, max_v, n_nulls, n_distinct)"
         )
     )
+
+
+def profile_skew(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+    target_rows_per_task: int = 5_000_000,
+) -> DataFrame:
+    """Hot-key diagnosis for join/agg planning: the top-k heaviest keys
+    with their row share and a per-key suggested salt factor
+    (ceil(rows / target_rows_per_task) — 1 means no salting needed).
+
+    This is the measurement behind operators.skew: AQE splits moderate
+    skew automatically, but a single key larger than an executor needs
+    explicit salting, and the decision needs numbers, not vibes. One
+    partial-aggregated groupBy + a top-k cut; the total-row count rides
+    the same scan via a grouping-sets-free window-less trick (sum over
+    the aggregated key table, |keys| rows, not the corpus).
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").alias("__total"), F.count("*").alias("__n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "key_rows",
+            F.round(F.col("key_rows") / F.col("__total"), 6).alias("row_share"),
+            F.col("__n_keys").alias("n_distinct_keys"),
+            F.ceil(F.col("key_rows") / F.lit(target_rows_per_task))
+            .cast("long")
+            .alias("suggested_salt"),
+        )
+        .orderBy(F.desc("key_rows"), *key_cols)
+        .limit(top_k)
+    )

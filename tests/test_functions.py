@@ -947,3 +947,19 @@ def test_bpe_encode_matches_training_state(spark):
     new = spark.createDataFrame([(99, "zzzunseen word")], ["doc_id", "text"])
     toks = bpe_encode(new, merges).first().tokens
     assert "".join(toks) == "zzzunseenword"
+
+
+def test_profile_skew_flags_hot_key(spark):
+    """A 1000x hot key must surface first with the right share and a
+    salt suggestion > 1 at a small target; uniform keys suggest 1."""
+    from blazingsql_spark.operators.profile import profile_skew
+
+    hot = spark.range(10_000).selectExpr("'hot' AS k", "id")
+    cold = spark.range(100).selectExpr("concat('c', id) AS k", "id AS id2").selectExpr("k", "id2 AS id")
+    df = hot.union(cold)
+    prof = profile_skew(df, ["k"], top_k=3, target_rows_per_task=4000).collect()
+    assert prof[0].k == "hot" and prof[0].key_rows == 10_000
+    assert abs(prof[0].row_share - 10_000 / 10_100) < 1e-6
+    assert prof[0].suggested_salt == 3  # ceil(10000/4000)
+    assert prof[1].suggested_salt == 1
+    assert prof[0].n_distinct_keys == 101
