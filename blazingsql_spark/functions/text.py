@@ -588,21 +588,37 @@ def bpe_encode(
     """Encode text with a trained BPE merge list → (id, tokens array).
 
     Executor-side the classic way: real tokenizers (HF tokenizers,
-    SentencePiece) are rank-table loops, so this is an Arrow-batched
-    pandas UDF over a broadcast {pair: rank} dict — at 32k merges a
-    plan-embedded fold per merge is not expressible, and the per-word
-    loop is cache-friendly (each distinct word encodes once per batch
-    via memo). Matches ``train_bpe``'s greedy single-pass-per-merge
-    semantics exactly: merges applied in rank order, each pass
-    left-to-right non-overlapping (differential-tested against
-    re-running the training fold)."""
+    SentencePiece) are rank-table loops — this is an Arrow-batched pandas
+    UDF whose closure ships a {pair: rank} dict once per executor; at 32k
+    merges a plan-embedded fold per merge is not expressible. Per word it
+    repeatedly merges the LOWEST-RANK pair present (dict lookups on the
+    pairs in the word only, not a scan of the merge list): provably
+    equivalent to rank-order application because a merge can only create
+    pairs involving its own output symbol, whose rank is strictly later.
+    Each distinct word encodes once per batch via memo.
+
+    Tokenization parity with the trainer: Java regex \\s is ASCII-only,
+    so the split here uses re.ASCII — Python's default Unicode str.split
+    would split on U+00A0 etc. where ``_tokens`` does not, silently
+    desynchronizing encoder and vocabulary (differential-tested)."""
+    import re
+
     from pyspark.sql import types as T
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    mlist = list(merges)
 
     def encode_word(word: str) -> list[str]:
         syms = list(word)
-        for a, b in merges:
-            if len(syms) < 2:
+        while len(syms) >= 2:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
                 break
+            a, b = mlist[best]
             out: list[str] = []
             for x in syms:
                 if out and out[-1] == a and x == b:
@@ -620,7 +636,9 @@ def bpe_encode(
         out = []
         for t in texts:
             toks: list[str] = []
-            for w in (t or "").lower().split():
+            for w in re.split(r"\s+", (t or "").lower().strip(), flags=re.ASCII):
+                if not w:
+                    continue
                 if w not in memo:
                     memo[w] = encode_word(w)
                 toks.extend(memo[w])

@@ -107,8 +107,20 @@ class DedupIngest:
             clean = batch.join(dup_ids, self.id_col, "left_anti")
         else:
             clean = batch
-        # in-batch dedup as well: drop later copies inside the same epoch
-        clean = clean.dropDuplicates([self.text_col]).persist()
+        # in-batch dedup as well: keep the MIN id per identical text —
+        # dropDuplicates keeps an ARBITRARY row, which breaks replay
+        # idempotence (a redelivered epoch could retain a different copy
+        # and rewrite its corpus partition with different rows) and
+        # contradicts the min-id edges DedupClusterIngest derives
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(self.text_col).orderBy(F.col(self.id_col))
+        clean = (
+            clean.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .persist()
+        )
 
         mf.write_epoch_partition(self._finalize(clean), self.corpus_path, epoch)
         mf.write_epoch_partition(
@@ -119,8 +131,11 @@ class DedupIngest:
             epoch,
         )
         self._index_seen = True
-        self._compact_index_if_needed(epoch)
+        # pairs hook BEFORE compaction: pairs is a lazy plan over index
+        # files the compaction garbage-collects — a block-loss recompute
+        # inside the hook after GC would hit deleted paths
         self._on_pairs(pairs, batch, epoch)
+        self._compact_index_if_needed(epoch)
         if pairs is not None:
             pairs.unpersist()
         batch.unpersist()
@@ -441,31 +456,42 @@ class ComponentsIngest:
     """
 
     def __init__(self, spark: SparkSession, labels_path: str, keep_snapshots: int = 2):
+        if keep_snapshots < 2:
+            # the crash-safety argument NEEDS the previous snapshot: a
+            # replayed epoch overwrites ITS OWN snap dir in place, and the
+            # reader falls back to the one before it while the rewrite has
+            # no _SUCCESS; with only 1 retained there is no fallback and a
+            # mid-rewrite crash loses all state
+            raise ValueError(f"keep_snapshots must be >= 2, got {keep_snapshots}")
         self.spark = spark
         self.labels_path = labels_path.rstrip("/")
         self.keep_snapshots = keep_snapshots
 
     def _snapshots(self) -> list[int]:
-        from py4j.protocol import Py4JJavaError
-
+        # NO blanket exception swallow here: fs.exists covers the one
+        # legitimate empty case (labels dir not created yet); masking a
+        # transient filesystem error as "no snapshots" would make the next
+        # epoch rebuild labels from ONE batch and silently wipe all
+        # accumulated cluster history. Real FS errors must fail the epoch.
         jvm = self.spark.sparkContext._jvm
         jp = jvm.org.apache.hadoop.fs.Path
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
         root = jp(self.labels_path)
         fs = root.getFileSystem(conf)
-        try:
-            if not fs.exists(root):
-                return []
-            out = []
-            for st in fs.listStatus(root):
-                name = st.getPath().getName()
-                if name.startswith("snap=") and fs.exists(
-                    jp(f"{self.labels_path}/{name}/_SUCCESS")
-                ):
-                    out.append(int(name.split("=", 1)[1]))
-            return sorted(out)
-        except Py4JJavaError:
+        if not fs.exists(root):
             return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("snap="):
+                continue
+            try:
+                snap = int(name.split("=", 1)[1])
+            except ValueError:  # stray snap=tmp / snap=5.bak artifacts
+                continue
+            if fs.exists(jp(f"{self.labels_path}/{name}/_SUCCESS")):
+                out.append(snap)
+        return sorted(out)
 
     def read_labels(self):
         snaps = self._snapshots()
@@ -490,19 +516,29 @@ class ComponentsIngest:
 class DedupClusterIngest(DedupIngest):
     """DedupIngest that ALSO maintains transitive near-dup CLUSTER labels
     across epochs (ComponentsIngest on the pair stream): every filtered
-    duplicate stays traceable to the canonical corpus doc it collapsed
-    into, even when the link is transitive across many epochs.
+    duplicate stays traceable to its duplicate CLUSTER, even when the
+    link is transitive across many epochs.
 
     Edges per epoch: the cross-epoch near-dup pairs (new_id → matched
     corpus id) plus the in-batch exact-duplicate pairs the parent's
-    dropDuplicates collapses (other_id → min id per identical text).
-    Docs with no duplicate anywhere appear in no edge and carry no label
-    — absence from the labels table MEANS singleton (keeps the labels
-    table proportional to duplicates, not the corpus).
+    min-id selection collapses (other_id → min id per identical text,
+    null-safe so null-text copies cluster too).
+
+    Contract precision: ``component_id`` is the cluster's MINIMUM doc id
+    — a stable cluster identifier, NOT necessarily a retained corpus
+    row. Corpus retention is decided by ARRIVAL order (the first-seen
+    copy survives the filter), so a later-arriving duplicate with a
+    smaller id becomes the cluster id while its earlier twin remains the
+    corpus row; to find the retained representative of a cluster, join
+    the cluster's members against the corpus. Docs with no duplicate
+    anywhere appear in no edge and carry no label — absence from the
+    labels table MEANS singleton (keeps the labels table proportional to
+    duplicates, not the corpus).
 
     Replay-idempotent end to end: the parent's filter decisions are
-    deterministic under replay (exclude_epoch), so the same edges are
-    re-derived, and component maintenance is a closure operator."""
+    deterministic under replay (exclude_epoch + min-id in-batch
+    selection), so the same edges are re-derived, and component
+    maintenance is a closure operator."""
 
     def __init__(self, *args, labels_path: str, keep_snapshots: int = 2, **kwargs):
         super().__init__(*args, **kwargs)
@@ -513,10 +549,16 @@ class DedupClusterIngest(DedupIngest):
     def _on_pairs(self, pairs: DataFrame | None, batch: DataFrame, epoch: int) -> None:
         ident = batch.select(self.id_col, self.text_col)
         keep = ident.groupBy(self.text_col).agg(F.min(self.id_col).alias("__keep"))
+        # null-safe join: null-text copies group together in the agg but a
+        # plain equi-join would drop them and lose their cluster edges
         exact = (
-            ident.join(keep, self.text_col)
-            .filter(F.col(self.id_col) != F.col("__keep"))
-            .select(F.col(self.id_col).alias("src"), F.col("__keep").alias("dst"))
+            ident.alias("i")
+            .join(
+                keep.alias("k"),
+                F.col(f"i.{self.text_col}").eqNullSafe(F.col(f"k.{self.text_col}")),
+            )
+            .filter(F.col(f"i.{self.id_col}") != F.col("__keep"))
+            .select(F.col(f"i.{self.id_col}").alias("src"), F.col("__keep").alias("dst"))
         )
         edges = exact
         if pairs is not None:

@@ -963,3 +963,27 @@ def test_profile_skew_flags_hot_key(spark):
     assert prof[0].suggested_salt == 3  # ceil(10000/4000)
     assert prof[1].suggested_salt == 1
     assert prof[0].n_distinct_keys == 101
+
+
+def test_bpe_encode_unicode_whitespace_parity(spark):
+    """Java regex \\s is ASCII-only, so the trainer treats 'foo\\u00a0bar'
+    as ONE word; the encoder must split identically (re.ASCII) or the
+    encoded symbol stream desynchronizes from the trained vocabulary."""
+    from blazingsql_spark.functions.text import bpe_encode, train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "aa\u00a0bb aa\u00a0bb cc cc")], ["doc_id", "text"]
+    )
+    merges, vocab_df = train_bpe(df, n_merges=4)
+    got = {
+        r.symbol: r.freq
+        for r in bpe_encode(df, merges)
+        .select(F.explode("tokens").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .collect()
+    }
+    want = {r.symbol: r.freq for r in vocab_df.collect()}
+    assert got == want
+    # and the NBSP really stayed inside one word on both sides
+    assert any("\u00a0" in sym for sym in want)

@@ -872,3 +872,55 @@ def test_dedup_cluster_ingest_transitive_across_epochs(spark, tmp_path):
     h(c3, 2)  # at-least-once replay of the last epoch
     after = sorted((r.node, r.component_id) for r in h.cluster_labels().collect())
     assert after == before
+
+
+def test_dedup_cluster_smaller_id_late_duplicate(spark, tmp_path):
+    """A later-arriving duplicate with a SMALLER id than the retained
+    corpus doc: the cluster id becomes the smaller (filtered) id — the
+    documented cluster-identifier contract — and joining members against
+    the corpus still finds the retained representative."""
+    from blazingsql_spark.streaming.ingest import DedupClusterIngest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    first = docs.filter("doc_id = 100")  # epoch 0 retains doc 100
+    late_twin = first.select(F.lit(7).cast("long").alias("doc_id"), "text")
+    h = DedupClusterIngest(
+        spark, str(tmp_path / "idx"), str(tmp_path / "corpus"),
+        labels_path=str(tmp_path / "labels"),
+    )
+    h(first, 0)
+    h(late_twin, 1)
+    labels = {r.node: r.component_id for r in h.cluster_labels().collect()}
+    assert labels == {7: 7, 100: 7}  # cluster id = min member, NOT corpus id
+    corpus_ids = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert 100 in corpus_ids and 7 not in corpus_ids  # retention by arrival
+    # retained representative of the cluster via the documented join
+    members = {n for n, c in labels.items() if c == 7}
+    assert members & corpus_ids == {100}
+
+
+def test_dedup_ingest_in_batch_keep_is_min_id(spark, tmp_path):
+    """In-batch exact duplicates must retain the MIN id (deterministic —
+    dropDuplicates kept an arbitrary row, which broke replay idempotence
+    and contradicted the cluster edges)."""
+    from blazingsql_spark.streaming.ingest import DedupClusterIngest
+
+    text = " ".join(f"mm{j}nn" for j in range(25))
+    batch = spark.createDataFrame(
+        [(905, text), (901, text), (903, text)], ["doc_id", "text"]
+    )
+    h = DedupClusterIngest(
+        spark, str(tmp_path / "idx"), str(tmp_path / "corpus"),
+        labels_path=str(tmp_path / "labels"),
+    )
+    h(batch, 0)
+    corpus_ids = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert corpus_ids == {901}
+    labels = {r.node: r.component_id for r in h.cluster_labels().collect()}
+    # all three cluster together under the min id (the kept doc is an
+    # edge endpoint, so it carries its own label too)
+    assert labels == {901: 901, 903: 901, 905: 901}

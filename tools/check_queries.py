@@ -45,8 +45,10 @@ def main() -> int:
     ):
         try:
             __import__(staged)
-        except ImportError:
-            pass
+        except ImportError as e:
+            # surface it — this tool exists to debug staged queries, and a
+            # silent skip turns a broken module into a bare KeyError below
+            print(f"WARN: staged module {staged} failed to import: {e}")
     specs = all_queries()
     bad = 0
     for sf in sf_dirs:
@@ -57,6 +59,10 @@ def main() -> int:
                 f"SELECT * FROM read_parquet('{sf}/{t}.parquet')"
             )
         for name in args.names:
+            if name not in specs:
+                print(f"FAIL unknown query name: {name}")
+                bad += 1
+                continue
             spec = specs[name]
             try:
                 got = spec.fn(spark, sf).toPandas()
