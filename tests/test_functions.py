@@ -987,3 +987,16 @@ def test_bpe_encode_unicode_whitespace_parity(spark):
     assert got == want
     # and the NBSP really stayed inside one word on both sides
     assert any("\u00a0" in sym for sym in want)
+
+
+def test_profile_skew_multi_column_keys(spark):
+    from blazingsql_spark.operators.profile import profile_skew
+
+    df = spark.range(600).selectExpr(
+        "CASE WHEN id < 500 THEN 'a' ELSE 'b' END AS k1",
+        "CAST(id % 2 AS STRING) AS k2",
+    )
+    prof = profile_skew(df, ["k1", "k2"], top_k=4, target_rows_per_task=100).collect()
+    assert (prof[0].k1, prof[0].k2) in {("a", "0"), ("a", "1")}
+    assert prof[0].key_rows == 250 and prof[0].suggested_salt == 3
+    assert prof[0].n_distinct_keys == 4
