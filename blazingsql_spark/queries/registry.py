@@ -39,6 +39,9 @@ _QUERY_MODULES = (
     "blazingsql_spark.queries.expressions",
     "blazingsql_spark.queries.pipeline",
     "blazingsql_spark.queries.tpch_extra",
+    # promoted in round 6 (staged through the r4-r5 registration freeze):
+    "blazingsql_spark.queries.formats",
+    "blazingsql_spark.queries.graph_ann",
 )
 
 
@@ -298,36 +301,96 @@ assert len(_R5_WINDOW) == _DRIVER_WINDOW, (
 )
 assert len(set(_R5_WINDOW)) == len(_R5_WINDOW), "duplicate in driver window"
 
-DRIVER_PRIORITY = _R5_WINDOW + tuple(
-    n for n in _R4_WINDOW if n not in _SENTINELS
+# Round-6 window: CORRECTNESS_r05 confirmed the backlog drained 50/50 green,
+# so the pre-queued composition is promoted exactly as staged
+# (3 + 2 + 27 + 18 = 50).
+
+_STAGED_R6 = (
+    # the 2 registrations held by the r4-r5 freeze, first driver rows now:
+    "io_format_matrix",  # ORC/CSV/JSON parser matrix (queries/formats.py)
+    "sim_ann_hnsw",  # HNSW coarse-probe ANN tier (queries/graph_ann.py)
 )
 
-# Round-6 window, pre-queued (promote ONLY after CORRECTNESS_r05 confirms
-# the backlog drained green — same discipline as the r4→r5 handoff).
-# Composition (3 + 2 + 27 + 18 = 50):
+_R1_STALE = (
+    # no driver row since round 1 — two fixture regenerations ago
+    # (computed from CORRECTNESS_r01-05)
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_distinct_rows",
+    "agg_grouping_sets",
+    "agg_median",
+    "agg_multicol_count",
+    "agg_no_groupby",
+    "agg_rollup",
+    "agg_stats",
+    "agg_sum0",
+    "join_anti",
+    "join_cross",
+    "join_left",
+    "join_right",
+    "join_semi",
+    "join_theta",
+    "limit_only",
+    "topk",
+    "window_first_last",
+    "window_global",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_multi_over",
+    "window_range_frame",
+    "window_rank",
+    "window_row_number",
+    "window_running_sum",
+)
+assert len(_R1_STALE) == 27, len(_R1_STALE)
+
+_R2_STALE_FIRST_HALF = (
+    # 18 of the 47 r2-stale rows, semantics-heaviest first; the other 29
+    # queue for r7
+    "asof_join_events",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_sessionize",
+    "except_all",
+    "intersect",
+    "join_null_keys_dropped",
+    "orderby_nulls",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_cosine_topk",
+    "sim_near_dup",
+    "tpch_q14",
+    "union_all",
+    "union_distinct",
+    "union_type_coerce",
+)
+assert len(_R2_STALE_FIRST_HALF) == 18, len(_R2_STALE_FIRST_HALF)
+
+_R6_WINDOW = _SENTINELS + _STAGED_R6 + _R1_STALE + _R2_STALE_FIRST_HALF
+assert len(_R6_WINDOW) == _DRIVER_WINDOW, (
+    f"driver window misbudgeted: {len(_R6_WINDOW)} names for "
+    f"{_DRIVER_WINDOW} rows"
+)
+assert len(set(_R6_WINDOW)) == len(_R6_WINDOW), "duplicate in driver window"
+
+# Past the window, queue the freshest-green rows first (r5, then r4) so any
+# driver overflow re-checks the most recently verified work.
+DRIVER_PRIORITY = _R6_WINDOW + tuple(
+    n for n in _R5_WINDOW + _R4_WINDOW if n not in _R6_WINDOW
+)
+
+# Round-7 window, pre-queued (promote ONLY after CORRECTNESS_r06 lands
+# green — same discipline as r5→r6). Composition:
 #   - the 3 standing _SENTINELS, pinned first;
-#   - the 2 registrations staged through the r5 freeze, so they get a
-#     driver row the round they land: "io_format_matrix" (add
-#     blazingsql_spark.queries.formats to _QUERY_MODULES) and
-#     "sim_ann_hnsw" (add blazingsql_spark.queries.graph_ann);
-#   - the full r1-stale block (no driver row since round 1, computed from
-#     CORRECTNESS_r01-04): agg_count_distinct, agg_cube,
-#     agg_distinct_rows, agg_grouping_sets, agg_median,
-#     agg_multicol_count, agg_no_groupby, agg_rollup, agg_stats,
-#     agg_sum0, join_anti, join_cross, join_left, join_right, join_semi,
-#     join_theta, limit_only, topk, window_first_last, window_global,
-#     window_lag_lead, window_moving_avg, window_multi_over,
-#     window_range_frame, window_rank, window_row_number,
-#     window_running_sum;
-#   - 18 of the 47 r2-stale rows, semantics-heaviest first:
-#     asof_join_events, dedup_exact, dedup_jaccard, dedup_minhash_lsh,
-#     dedup_simhash, events_sessionize, except_all, intersect,
-#     join_null_keys_dropped, orderby_nulls, sim_ann_ivf, sim_ann_lsh,
-#     sim_cosine_topk, sim_near_dup, tpch_q14, union_all, union_distinct,
-#     union_type_coerce.
-# r7 takes the remaining 29 r2-stale + the oldest r3-stale rows, plus the
-# third staged registration "dedup_components_incremental"
-# (blazingsql_spark.queries.graph_inc).
+#   - the staged registration "dedup_components_incremental" (add
+#     blazingsql_spark.queries.graph_inc to _QUERY_MODULES);
+#   - the remaining 29 r2-stale rows (the r2 green set minus
+#     _R2_STALE_FIRST_HALF);
+#   - the oldest r3-stale rows to fill the window to exactly 50.
+# After r7, no registered query's latest driver row is older than two
+# rounds, and the rotation settles into alternating halves.
 
 
 def all_queries() -> dict[str, QuerySpec]:
