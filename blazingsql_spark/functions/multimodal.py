@@ -165,8 +165,13 @@ def decode_features(
                 id_col: pdf[id_col],
                 # NULL payloads (failed fetches) are routine at corpus
                 # scale — they must flow to the error path, not TypeError
-                # out of len()/bytes() before the catch
-                "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int64"),
+                # out of len()/bytes() before the catch. Nullable Int64 so
+                # a failed fetch (n_bytes NULL) stays distinguishable from
+                # a genuine zero-byte payload (n_bytes 0).
+                "n_bytes": pd.array(
+                    [len(b) if b is not None else None for b in payloads],
+                    dtype="Int64",
+                ),
             }
             if on_error == "skip":
                 feats, errs = [], []

@@ -21,9 +21,12 @@ The Spark-honest shape is therefore:
   between 10^6 dot products per query and ~10^3 at a million landmarks.
 
 Search quality: with ``ef >= N`` the layer-0 search degenerates to an
-exhaustive scan, so the probe is EXACTLY the brute-force top-n_probe
-(same (sim desc, id asc) order) — differential-tested. Recall at small
-``ef`` is the usual HNSW trade-off, telemetered like the other ANN tiers.
+exhaustive scan of every REACHABLE node; build_hnsw ends with a
+reachability sweep that re-links any node orphaned by Algorithm-4
+reverse-link pruning, so the probe is EXACTLY the brute-force
+top-n_probe (same (sim desc, id asc) order) — differential-tested.
+Recall at small ``ef`` is the usual HNSW trade-off, telemetered like
+the other ANN tiers.
 
 Reference parity note: BlazingSQL has no ANN operator at all
 (SURVEY.md §2 maps its similarity surface to brute-force SQL); this
@@ -178,6 +181,24 @@ def build_hnsw(points: np.ndarray, m: int = 8, ef_construction: int = 64, seed: 
             for lvl in range(entry_level + 1, li + 1):
                 layers[lvl][i] = []
             entry, entry_level = i, li
+    # Reachability repair: Algorithm-4 reverse-link pruning can orphan a
+    # node on layer 0 once neighbor lists saturate (no in-links ⇒ best-first
+    # search can never visit it), which would silently break the
+    # "ef >= n is exact" contract outside the small-n regime. One
+    # exhaustive ef=n sweep from the entry finds every reachable node;
+    # each straggler gets an in-link from its nearest reachable neighbor
+    # (appended without re-pruning — the bounded m_max0 overshoot is the
+    # price of guaranteed connectivity). One pass suffices: every repaired
+    # node hangs off an already-reachable one.
+    reached = {i for _, i in _search_layer(pts, layers[0], pts[entry], [entry], n)}
+    if len(reached) < n:
+        reach_ids = np.array(sorted(reached), dtype=np.int64)
+        for u in range(n):
+            if u not in reached:
+                sims = pts[reach_ids] @ pts[u]
+                r = int(reach_ids[np.lexsort((reach_ids, -sims))[0]])
+                layers[0].setdefault(r, []).append(u)
+                reached.add(u)
     return HnswGraph(pts, levels, layers, entry)
 
 
@@ -215,11 +236,21 @@ def save_hnsw_index(spark, path: str, graph: HnswGraph, centroid_ids: np.ndarray
     artifacts (parquet via Spark — works on hdfs/s3/local alike):
     ``nodes`` (node_idx, centroid_id, level, point + the entry id on every
     row, so no separate meta object) and ``edges`` (layer, src, dst)."""
-    nodes = [
-        (int(i), int(centroid_ids[i]), int(graph.levels[i]),
-         [float(x) for x in graph.points[i]], int(graph.entry))
-        for i in range(graph.n)
-    ]
+    import pandas as pd
+
+    # pandas/Arrow path, mirroring load_hnsw_index: at 10^6 landmarks × 64
+    # dims a per-node Python tuple + float-list materialization is several
+    # GB of object overhead on the driver; numpy-backed columns hand the
+    # same bytes to Arrow directly.
+    nodes = pd.DataFrame(
+        {
+            "node_idx": np.arange(graph.n, dtype=np.int64),
+            "centroid_id": np.asarray(centroid_ids, dtype=np.int64),
+            "level": np.asarray(graph.levels, dtype=np.int64),
+            "point": list(graph.points),
+            "entry": np.full(graph.n, graph.entry, dtype=np.int64),
+        }
+    )
     spark.createDataFrame(
         nodes, "node_idx long, centroid_id long, level long, point array<float>, entry long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/nodes")
@@ -227,12 +258,24 @@ def save_hnsw_index(spark, path: str, graph: HnswGraph, centroid_ids: np.ndarray
     # heuristic-ordered lists, and _search_layer admission at a full
     # result heap is order-sensitive on similarity TIES — a sorted
     # reload could return different results than the saved graph
-    edges = [
-        (lvl, int(src), int(pos), int(dst))
-        for lvl, adj in enumerate(graph.layers)
-        for src, neigh in adj.items()
-        for pos, dst in enumerate(neigh)
-    ]
+    lay_col: list[int] = []
+    src_col: list[int] = []
+    pos_col: list[int] = []
+    dst_col: list[int] = []
+    for lvl, adj in enumerate(graph.layers):
+        for src, neigh in adj.items():
+            lay_col.extend([lvl] * len(neigh))
+            src_col.extend([src] * len(neigh))
+            pos_col.extend(range(len(neigh)))
+            dst_col.extend(neigh)
+    edges = pd.DataFrame(
+        {
+            "layer": pd.array(lay_col, dtype="int64"),
+            "src": pd.array(src_col, dtype="int64"),
+            "pos": pd.array(pos_col, dtype="int64"),
+            "dst": pd.array(dst_col, dtype="int64"),
+        }
+    )
     spark.createDataFrame(
         edges, "layer long, src long, pos long, dst long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/edges")
@@ -275,7 +318,10 @@ def hnsw_coarse_probes(
     vec_col: str = "embedding",
     prebuilt: tuple[HnswGraph, np.ndarray] | None = None,
 ) -> DataFrame:
-    """(query_id, centroid_id) probe pairs via HNSW graph search.
+    """(query_id, centroid_id) probe pairs via HNSW graph search — exactly
+    those two columns, so the output stays a vector-free routing table
+    (n_queries × n_probe rows) that is cheap to broadcast; callers that
+    need the query vector join it back from ``queries`` on query_id.
 
     ``centroids`` is the bounded coarse table (centroid_id, centroid) —
     the SAME k-row table the IVF tier already collects/broadcasts, so
@@ -302,7 +348,6 @@ def hnsw_coarse_probes(
 
     return queries.select(
         F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
         F.explode(probe(F.col(vec_col))).alias("centroid_id"),
     )
 
@@ -338,10 +383,18 @@ def hnsw_ivf_topk(
         queries, cents, n_probe=n_probe, ef=ef,
         query_id_col=query_id_col, vec_col=vec_col, prebuilt=prebuilt,
     )
-    cands = lists.join(F.broadcast(probes), "centroid_id").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    # probes is vector-free; join the query vectors back from the queries
+    # frame so each vector is broadcast once per query, not once per probe
+    # row (n_probe× smaller broadcast than carrying it through the explode)
+    qvecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    cands = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (

@@ -88,13 +88,19 @@ def io_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*_CHECKSUM_COLS)
     )
     schema = sl.schema
-    # FIXED scratch location, overwritten per run — mkdtemp would leak a
-    # new directory every invocation (bench repeats x driver rounds). On
-    # a real cluster set SPARK_GRAFT_SCRATCH to a shared filesystem path
-    # (hdfs://... or s3://...): executors cannot read a driver-local /tmp.
+    # Scratch location keyed by (sf_dir, Spark applicationId): stable within
+    # a session so bench repeats x driver rounds overwrite instead of leaking
+    # a new mkdtemp each run, but disjoint across concurrent sessions
+    # (parallel pytest, overlapping bench/driver rounds) — two sessions
+    # sharing one fixed path can overwrite each other's files mid-read and
+    # produce flaky checksum mismatches (ADVICE r5). On a real cluster set
+    # SPARK_GRAFT_SCRATCH to a shared filesystem path (hdfs://... or
+    # s3://...): executors cannot read a driver-local /tmp.
     scratch = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
     tmp = os.path.join(
-        scratch, f"blazingsql_spark_fmt_matrix_{os.path.basename(sf_dir.rstrip('/'))}"
+        scratch,
+        "blazingsql_spark_fmt_matrix_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
     )
     frames = []
     for fmt in _FORMATS:

@@ -143,8 +143,8 @@ def test_hnsw_index_save_load_roundtrip(spark, tmp_path):
     queries = emb.filter(F.col("vec_id") % 200 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    a = sorted(map(tuple, hnsw.hnsw_coarse_probes(queries, cents, n_probe=3, ef=32).drop("__qvec").collect()))
-    b = sorted(map(tuple, hnsw.hnsw_coarse_probes(queries, cents, n_probe=3, ef=32, prebuilt=(g2, cids2)).drop("__qvec").collect()))
+    a = sorted(map(tuple, hnsw.hnsw_coarse_probes(queries, cents, n_probe=3, ef=32).collect()))
+    b = sorted(map(tuple, hnsw.hnsw_coarse_probes(queries, cents, n_probe=3, ef=32, prebuilt=(g2, cids2)).collect()))
     assert a == b and len(a) > 0
 
 
@@ -185,3 +185,25 @@ def test_hnsw_save_load_preserves_adjacency_order(spark, tmp_path):
     q = np.ones(4, dtype=np.float32)
     for ef in (1, 2, 4, 12):
         assert hnsw.hnsw_search(g2, q, k=3, ef=ef) == hnsw.hnsw_search(g, q, k=3, ef=ef)
+
+
+def test_hnsw_full_ef_reaches_every_node_under_aggressive_pruning():
+    """ADVICE r5: Algorithm-4 reverse-link pruning can orphan nodes once
+    neighbor lists saturate, which would break the 'ef >= n is exact'
+    claim outside the small-n regime. build_hnsw now ends with a
+    reachability sweep + repair, so a full-ef search must enumerate ALL
+    n nodes even with the most aggressive pruning (m=2, clustered points
+    that fight over the same neighbor slots)."""
+    rng = np.random.default_rng(11)
+    # tight clusters maximize reverse-link churn on a tiny m
+    centers = rng.normal(size=(8, 12)).astype(np.float32)
+    pts = np.concatenate(
+        [c + 0.01 * rng.normal(size=(50, 12)).astype(np.float32) for c in centers]
+    )
+    g = hnsw.build_hnsw(pts, m=2, ef_construction=8)
+    n = pts.shape[0]
+    q = rng.normal(size=12).astype(np.float32)
+    found = hnsw.hnsw_search(g, q, k=n, ef=n)
+    assert sorted(found) == list(range(n))
+    # and exactness still holds end-to-end
+    assert hnsw.hnsw_search(g, q, k=10, ef=n) == _brute_topk(pts, q, 10)

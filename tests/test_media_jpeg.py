@@ -132,7 +132,10 @@ def test_decode_on_error_skip_captures_bad_payloads(spark):
     assert out[2].features is None and "truncated" in out[2].error
     assert out[3].features is None and "NotImplementedError" in out[3].error
     assert out[4].features is None and "null payload" in out[4].error
-    assert out[4].n_bytes == 0
+    # ADVICE r5: NULL payload reports n_bytes NULL (not 0) so a failed
+    # fetch stays distinguishable from a genuine zero-byte payload
+    assert out[4].n_bytes is None
+    assert out[1].n_bytes == len(good)
 
     rz = {r.doc_id: r for r in resize_images(df, width=8, height=8, fake=False, on_error="skip").collect()}
     assert rz[1].error is None and mj.decode_jpeg(bytes(rz[1].resized)).shape == (8, 8, 3)
