@@ -512,18 +512,116 @@ def _apply_merge(syms, a: str, b: str):
     )
 
 
+def _driver_bpe_merges(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """In-memory BPE merge loop over a collected (word, freq) table, with
+    incremental pair-count maintenance: per merge only the words that
+    CONTAIN the winning pair are touched (pair -> word-ids inverted index),
+    and the arg-max uses a lazy-invalidation heap — so 32k merges cost
+    O(touched symbols), not O(n_merges x corpus_vocab). Identical
+    semantics to the distributed loop: (count DESC, a ASC, b ASC) winner,
+    greedy left-to-right non-overlapping within-word application
+    (equality-tested against it)."""
+    import heapq
+
+    syms: list[list[str]] = [list(w) for w, _ in word_freqs]
+    freqs: list[int] = [f for _, f in word_freqs]
+
+    def word_pairs(s: list[str]) -> dict[tuple[str, str], int]:
+        out: dict[tuple[str, str], int] = {}
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            out[p] = out.get(p, 0) + 1
+        return out
+
+    counts: dict[tuple[str, str], int] = {}
+    occur: dict[tuple[str, str], set[int]] = {}
+    for idx, s in enumerate(syms):
+        f = freqs[idx]
+        for p, c in word_pairs(s).items():
+            counts[p] = counts.get(p, 0) + c * f
+            occur.setdefault(p, set()).add(idx)
+    # heap entries are (-count, a, b); stale entries are skipped at pop by
+    # checking against the live counts dict (standard lazy invalidation)
+    heap = [(-c, a, b) for (a, b), c in counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best: tuple[str, str] | None = None
+        while heap:
+            negc, a, b = heap[0]
+            if counts.get((a, b), 0) == -negc and negc < 0:
+                best = (a, b)
+                break
+            heapq.heappop(heap)
+        if best is None:
+            break
+        a, b = best
+        merges.append(best)
+        touched: dict[tuple[str, str], int] = {}
+        for idx in list(occur.get(best, ())):
+            f = freqs[idx]
+            old = word_pairs(syms[idx])
+            s = syms[idx]
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[idx] = out
+            new = word_pairs(out)
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    counts[p] = counts.get(p, 0) + d * f
+                    touched[p] = 1
+                if new.get(p, 0) == 0:
+                    occ = occur.get(p)
+                    if occ is not None:
+                        occ.discard(idx)
+                elif old.get(p, 0) == 0:
+                    occur.setdefault(p, set()).add(idx)
+        for p in touched:
+            c = counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+            else:
+                counts.pop(p, None)
+                occur.pop(p, None)
+    vocab: dict[str, int] = {}
+    for idx, s in enumerate(syms):
+        f = freqs[idx]
+        for x in s:
+            vocab[x] = vocab.get(x, 0) + f
+    return merges, vocab
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    driver_vocab_rows: int | None = 2_000_000,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Full BPE tokenizer training (iterated merges), distributed the way
     every practical trainer does it: the CORPUS is touched exactly once
     (tokenize + word-frequency groupBy); the merge loop runs over the
     |vocab|-row (word, freq, syms) table — at 100 TB the corpus scan
-    dominates and the N merge steps are vocab-bounded (two small stages
-    each: exploded-pair count + fold-apply).
+    dominates and the N merge steps are vocab-bounded.
+
+    Merge-loop scheduling: the distributed loop costs two Spark stages
+    PER MERGE (~64k stages for a real 32k-merge train — hours of pure
+    scheduling). Since the word-frequency table is vocab-bounded (millions
+    of rows even at 100 TB), when it fits under ``driver_vocab_rows`` it
+    is collected ONCE (Arrow) and the merge loop runs in driver memory
+    with incremental pair counts (_driver_bpe_merges) — same corpus scan,
+    zero per-merge stages. Tables above the bound (or
+    ``driver_vocab_rows=None``) take the distributed per-merge loop.
+    Both paths are equality-tested against each other and against the
+    sequential pure-Python reference.
 
     Deterministic: the winning pair maximizes weighted count with
     (count DESC, a ASC, b ASC) tiebreak — differential-tested against a
@@ -539,6 +637,22 @@ def train_bpe(
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("freq"))
     )
+    if driver_vocab_rows is not None:
+        # Arrow-batched probe-collect: ask for bound+1 rows — getting more
+        # than the bound proves the table doesn't fit, and the distributed
+        # loop takes over; otherwise we hold the complete table already.
+        pdf = words.limit(driver_vocab_rows + 1).toPandas()
+        if len(pdf) <= driver_vocab_rows:
+            spark = df.sparkSession
+            wf = sorted(zip(pdf["token"], (int(f) for f in pdf["freq"])))
+            merges, vocab = _driver_bpe_merges(wf, n_merges)
+            import pandas as pd
+
+            vocab_pdf = pd.DataFrame(
+                {"symbol": list(vocab.keys()), "freq": list(vocab.values())}
+            )
+            vocab_df = spark.createDataFrame(vocab_pdf, "symbol string, freq long")
+            return merges, vocab_df
     state = words.select(
         "freq",
         F.expr("filter(split(token, ''), x -> x <> '')").alias("syms"),

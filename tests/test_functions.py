@@ -895,7 +895,11 @@ def test_train_bpe_matches_sequential_reference(spark):
     from blazingsql_spark.functions.text import train_bpe
 
     docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(60)
+    # default: driver fast path (vocab fits); None forces the distributed
+    # per-merge loop — both must equal the sequential reference AND each
+    # other, merge list and vocabulary alike
     got_merges, got_vocab_df = train_bpe(docs, n_merges=8)
+    dist_merges, dist_vocab_df = train_bpe(docs, n_merges=8, driver_vocab_rows=None)
 
     from blazingsql_spark.functions.text import _tokens
 
@@ -908,8 +912,28 @@ def test_train_bpe_matches_sequential_reference(spark):
     }
     want_merges, want_vocab = _python_bpe(wf, 8)
     assert got_merges == want_merges
+    assert dist_merges == want_merges
     got_vocab = {r.symbol: r.freq for r in got_vocab_df.collect()}
     assert got_vocab == want_vocab
+    dist_vocab = {r.symbol: r.freq for r in dist_vocab_df.collect()}
+    assert dist_vocab == want_vocab
+
+
+def test_train_bpe_driver_path_bound_fallback(spark):
+    """A driver_vocab_rows bound smaller than the vocab must fall back to
+    the distributed loop (same answer); the fast path at many merges must
+    exhaust cleanly when no pair repeats."""
+    from blazingsql_spark.functions.text import train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab cd cd xyz")], ["doc_id", "text"]
+    )
+    fast = train_bpe(df, n_merges=50)  # exhausts merges, must stop early
+    slow = train_bpe(df, n_merges=50, driver_vocab_rows=1)  # vocab=3 > 1
+    assert fast[0] == slow[0]
+    assert {r.symbol: r.freq for r in fast[1].collect()} == {
+        r.symbol: r.freq for r in slow[1].collect()
+    }
 
 
 def test_train_bpe_greedy_overlap_semantics(spark):
