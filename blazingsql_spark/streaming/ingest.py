@@ -224,7 +224,19 @@ class AnnIndexIngest:
 
     Restart-safe like DedupIngest: index presence is probed on disk, so a
     restart from checkpoint (or pointing at a pre-built index) extends
-    instead of rebuilding."""
+    instead of rebuilding.
+
+    Optional HNSW coarse tier (``hnsw_m``): the landmark graph over the
+    frozen centroid table (operators/hnsw.py) is built once alongside the
+    codebooks and persisted at ``{index_path}/hnsw`` through the same
+    frozen-artifact epoch discipline — centroids never change after the
+    build epoch, so the graph never rebuilds either; a restart (or a
+    pre-built IVF-PQ index missing the tier) reconstructs it
+    deterministically from the frozen centroids. Every epoch appends a
+    coarse-probe recall row (HNSW probes vs brute-force nearest-n_probe
+    landmarks, measured on a bounded sample of the batch's own vectors)
+    to ``{index_path}/hnsw_telemetry`` — the same recorded-not-guessed
+    discipline as the PQ drift report."""
 
     def __init__(
         self,
@@ -238,6 +250,10 @@ class AnnIndexIngest:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         retrain_ratio: float = 1.5,
+        hnsw_m: int | None = None,
+        hnsw_ef: int = 64,
+        hnsw_n_probe: int = 4,
+        hnsw_recall_sample: int = 16,
     ):
         self.spark = spark
         self.index_path = index_path.rstrip("/")
@@ -249,7 +265,12 @@ class AnnIndexIngest:
         self.id_col = id_col
         self.vec_col = vec_col
         self.retrain_ratio = retrain_ratio
+        self.hnsw_m = hnsw_m
+        self.hnsw_ef = hnsw_ef
+        self.hnsw_n_probe = hnsw_n_probe
+        self.hnsw_recall_sample = hnsw_recall_sample
         self._index_seen = False
+        self._hnsw_cache = None  # (graph, cids) once loaded/built
 
     def _index_exists(self) -> bool:
         if not self._index_seen:
@@ -310,8 +331,53 @@ class AnnIndexIngest:
         report.withColumn("epoch_id", F.lit(int(epoch_id))).write.mode(
             "append"
         ).parquet(f"{self.index_path}/drift")
+        if self.hnsw_m is not None:
+            self._maintain_hnsw_tier(batch, cents, int(epoch_id))
         self._index_seen = True
         batch.unpersist()
+
+    def _maintain_hnsw_tier(self, batch: DataFrame, cents: DataFrame, epoch: int) -> None:
+        """Load-or-build the frozen landmark graph, then append this
+        epoch's coarse-probe recall telemetry. Build happens at most once
+        per index lifetime (centroids freeze at the build epoch); the
+        recall measure is driver-side numpy over a bounded sample — zero
+        extra Spark jobs beyond the sample collect."""
+        import numpy as np
+
+        from blazingsql_spark.operators import hnsw as H
+
+        if self._hnsw_cache is None:
+            try:
+                self._hnsw_cache = H.load_hnsw_index(
+                    self.spark, f"{self.index_path}/hnsw"
+                )
+            except Exception:  # tier not on disk yet: build from frozen cents
+                graph, cids = H.graph_from_centroids(
+                    cents, m=self.hnsw_m,
+                    ef_construction=max(self.hnsw_ef, 4 * self.hnsw_m),
+                )
+                H.save_hnsw_index(self.spark, f"{self.index_path}/hnsw", graph, cids)
+                self._hnsw_cache = (graph, cids)
+        graph, cids = self._hnsw_cache
+        n_probe = min(self.hnsw_n_probe, len(cids))
+        sample = batch.select(self.vec_col).limit(self.hnsw_recall_sample).collect()
+        hits = total = 0
+        for row in sample:
+            q = np.asarray(row[self.vec_col], dtype=np.float32)
+            nrm = float(np.linalg.norm(q))
+            if nrm > 0:
+                q = q / nrm
+            sims = graph.points @ q
+            # brute-force coarse truth: top-n_probe by (sim desc, id asc)
+            exact = set(np.lexsort((np.arange(len(sims)), -sims))[:n_probe])
+            got = set(H.hnsw_search(graph, q, n_probe, ef=self.hnsw_ef))
+            hits += len(exact & got)
+            total += n_probe
+        recall = (hits / total) if total else 1.0
+        self.spark.createDataFrame(
+            [(int(epoch), float(recall), int(len(sample)))],
+            "epoch_id long, coarse_recall double, sample_n long",
+        ).write.mode("append").parquet(f"{self.index_path}/hnsw_telemetry")
 
 
 def run_ann_index_ingest(

@@ -339,6 +339,66 @@ def test_ann_index_ingest_builds_extends_and_tracks_drift(spark, tmp_path):
     assert hits.count() == 3 * 5
 
 
+def test_ann_index_ingest_hnsw_coarse_tier(spark, tmp_path):
+    """hnsw_m enables the landmark-graph coarse tier: epoch 0 builds AND
+    persists the graph with the frozen centroids; later epochs (including
+    a RESTARTED handler → disk load, not memory) reuse it unchanged and
+    append a coarse-probe recall row per epoch. The persisted graph must
+    route hnsw_ivf_topk identically to the in-memory build, and with
+    ef >= n_centroids the probes are exact (recall 1.0 telemetered)."""
+    from blazingsql_spark.functions import similarity as S
+    from blazingsql_spark.operators import hnsw as H
+    from blazingsql_spark.streaming.ingest import AnnIndexIngest
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    b1 = emb.filter("vec_id < 300")
+    b2 = emb.filter("vec_id >= 300 AND vec_id < 400")
+    b3 = emb.filter("vec_id >= 400 AND vec_id < 500")
+
+    path = str(tmp_path / "annidx_hnsw")
+    # ef >= n_centroids=8 ⇒ the graph probe is exact ⇒ recall rows = 1.0
+    handler = AnnIndexIngest(spark, path, iterations=2, hnsw_m=4, hnsw_ef=64)
+    handler(b1, 0)
+    graph_files_after_build = sorted(
+        spark.read.parquet(f"{path}/hnsw/nodes").collect(),
+        key=lambda r: r["node_idx"],
+    )
+    handler(b2, 1)
+    restarted = AnnIndexIngest(spark, path, hnsw_m=4, hnsw_ef=64)
+    restarted(b3, 2)
+
+    tel = {
+        r["epoch_id"]: r for r in spark.read.parquet(f"{path}/hnsw_telemetry").collect()
+    }
+    assert set(tel) == {0, 1, 2}
+    for r in tel.values():
+        assert r["coarse_recall"] == 1.0 and r["sample_n"] > 0
+
+    # graph frozen across epochs: nodes unchanged after extends
+    nodes_now = sorted(
+        spark.read.parquet(f"{path}/hnsw/nodes").collect(),
+        key=lambda r: r["node_idx"],
+    )
+    assert [r["centroid_id"] for r in nodes_now] == [
+        r["centroid_id"] for r in graph_files_after_build
+    ]
+
+    # persisted tier serves the probe path: probes routed through the
+    # RELOADED graph must equal probes through a fresh in-memory build
+    # over the same frozen centroids (round-trip identity on routing)
+    cents, _, _ = S.load_ann_index(spark, path)
+    reloaded = H.load_hnsw_index(spark, f"{path}/hnsw")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = H.hnsw_coarse_probes(
+        queries, cents, n_probe=3, ef=64, prebuilt=reloaded
+    )
+    fresh = H.graph_from_centroids(cents, m=4, ef_construction=64)
+    want = H.hnsw_coarse_probes(queries, cents, n_probe=3, ef=64, prebuilt=fresh)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_lexical_index_ingest_matches_batch_bm25(spark, tmp_path):
     """Streaming BM25 index: two epochs of documents appended to the
     postings/doclen index; the indexed probe must equal the one-shot
