@@ -32,6 +32,13 @@ COMMON_17 = (
     "tpch_q4", "tpch_q5", "tpch_q6", "window_running_sum",
 )
 
+# The 22 headline queries benched in rounds 3-5 — subtotal kept so the r6
+# additions (sim_ann_hnsw, vocab_bpe_pairs) never muddy that trend line.
+COMMON_22 = COMMON_17 + (
+    "docs_pack", "pipeline_prepare_corpus", "sim_ann_ivfpq",
+    "window_range_frame", "window_range_time",
+)
+
 
 def time_once(spec, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -116,6 +123,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     common17 = round(sum(timings[q] for q in COMMON_17 if q in timings), 3)
+    common22 = round(sum(timings[q] for q in COMMON_22 if q in timings), 3)
     print(
         json.dumps(
             {
@@ -124,6 +132,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "common17_total": common17,
+                "common22_total": common22,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

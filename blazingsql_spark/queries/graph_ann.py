@@ -33,6 +33,7 @@ from blazingsql_spark.queries.registry import load_table, register
            TRUE AS recall_ok
     FROM embeddings WHERE vec_id % 100 = 0
     """,
+    headline=True,  # benched from r6 (bench.py reports common22 w/o it)
 )
 def sim_ann_hnsw(spark, sf_dir):
     """HNSW graph ANN (operators.hnsw.hnsw_ivf_topk): driver-built graph

@@ -2003,6 +2003,7 @@ def text_bm25(spark, sf_dir):
 
 @register(
     "vocab_bpe_pairs",
+    headline=True,  # benched from r6 (bench.py reports common22 w/o it)
     oracle=r"""
     WITH toks AS (
         SELECT UNNEST(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),

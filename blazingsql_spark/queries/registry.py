@@ -42,6 +42,9 @@ _QUERY_MODULES = (
     # promoted in round 6 (staged through the r4-r5 registration freeze):
     "blazingsql_spark.queries.formats",
     "blazingsql_spark.queries.graph_ann",
+    # registered in round 6 for the round-7 window (sits past the 50-row
+    # driver window until the r7 flip, so it cannot perturb the r6 run):
+    "blazingsql_spark.queries.graph_inc",
 )
 
 
@@ -381,16 +384,83 @@ DRIVER_PRIORITY = _R6_WINDOW + tuple(
     n for n in _R5_WINDOW + _R4_WINDOW if n not in _R6_WINDOW
 )
 
-# Round-7 window, pre-queued (promote ONLY after CORRECTNESS_r06 lands
-# green — same discipline as r5→r6). Composition:
-#   - the 3 standing _SENTINELS, pinned first;
-#   - the staged registration "dedup_components_incremental" (add
-#     blazingsql_spark.queries.graph_inc to _QUERY_MODULES);
-#   - the remaining 29 r2-stale rows (the r2 green set minus
-#     _R2_STALE_FIRST_HALF);
-#   - the oldest r3-stale rows to fill the window to exactly 50.
+# Round-7 window, staged AS CODE in round 6 (flip DRIVER_PRIORITY to
+# _R7_WINDOW-first ONLY after CORRECTNESS_r06 lands green — same
+# discipline as r5→r6). Composition: the 3 standing _SENTINELS, the
+# r6-registered "dedup_components_incremental" (first driver row), the
+# remaining 29 r2-stale rows (r2 green set minus _R2_STALE_FIRST_HALF),
+# and the 17 alphabetically-first r3-stale rows to fill to exactly 50.
 # After r7, no registered query's latest driver row is older than two
 # rounds, and the rotation settles into alternating halves.
+
+_R2_STALE_SECOND_HALF = (
+    "agg_approx_distinct",
+    "agg_with_nulls",
+    "distinct_with_nulls",
+    "events_json_extract",
+    "events_tumbling_window",
+    "expr_bitwise",
+    "expr_case",
+    "expr_cast",
+    "expr_datetime",
+    "expr_extract",
+    "expr_interval",
+    "expr_is_truth",
+    "expr_literals",
+    "expr_predicates",
+    "expr_rand",
+    "expr_string",
+    "expr_to_timestamp",
+    "multimodal_decode",
+    "multimodal_meta",
+    "multimodal_resize",
+    "nested_struct_ops",
+    "pivot_status",
+    "range_join_orders",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_winnowing",
+    "topk_per_group",
+    "window_nth_value",
+)
+assert len(_R2_STALE_SECOND_HALF) == 29, len(_R2_STALE_SECOND_HALF)
+
+_R3_STALE_FIRST_17 = (
+    "agg_approx_percentile",
+    "agg_corr_covar",
+    "agg_filter_clause",
+    "agg_having",
+    "agg_percentile_cont",
+    "agg_regression",
+    "agg_salted_skew",
+    "dedup_contamination",
+    "docs_chunk",
+    "docs_pack",
+    "events_funnel",
+    "events_hopping_window",
+    "events_trending",
+    "expr_string_pad",
+    "knn_classify",
+    "limit_offset",
+    "multimodal_frames",
+)
+assert len(_R3_STALE_FIRST_17) == 17, len(_R3_STALE_FIRST_17)
+
+_R7_WINDOW = (
+    _SENTINELS
+    + ("dedup_components_incremental",)
+    + _R2_STALE_SECOND_HALF
+    + _R3_STALE_FIRST_17
+)
+assert len(_R7_WINDOW) == _DRIVER_WINDOW, (
+    f"driver window misbudgeted: {len(_R7_WINDOW)} names for "
+    f"{_DRIVER_WINDOW} rows"
+)
+assert len(set(_R7_WINDOW)) == len(_R7_WINDOW), "duplicate in driver window"
+assert not set(_R7_WINDOW[3:]) & set(_R6_WINDOW), (
+    "r7 rotation must not re-check r6-fresh rows (sentinels excepted)"
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:
