@@ -512,6 +512,145 @@ def _apply_merge(syms, a: str, b: str):
     )
 
 
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_top_2gram_frac: float = 0.20,
+) -> DataFrame:
+    """Repetition-based quality metrics in the style of the published
+    Gopher filtering rules (Rae et al. 2021 §A1.1): the fraction of
+    duplicate lines and the share of the document's word-2-grams taken by
+    its single most frequent 2-gram — high values mark boilerplate/spam
+    documents that length/punctuation filters (quality_features) miss.
+
+    Scale shape: line metrics are pure per-row array expressions (no
+    shuffle); the 2-gram share is one explode + (id, gram) partial-agg
+    groupBy + per-id rollup — rows bounded by total token count, the same
+    scale as tokenization itself. Output: (id, n_lines, dup_line_frac,
+    top_2gram_frac, repetition_ok), fractions rounded to 6 for
+    cross-engine compare while the verdict uses the unrounded values."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).alias("__nl"),
+        F.size(F.array_distinct(lines)).alias("__nd"),
+    )
+    arr = F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != "")
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size(arr) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda i: F.concat(
+                            F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__tot"))
+    )
+    dup_frac = F.lit(1.0) - F.col("__nd").cast("double") / F.greatest(
+        F.col("__nl"), F.lit(1)
+    ).cast("double")
+    top_frac = F.coalesce(
+        F.col("__top").cast("double") / F.col("__tot").cast("double"), F.lit(0.0)
+    )
+    return (
+        base.join(grams, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__nl").cast("long").alias("n_lines"),
+            F.round(dup_frac, 6).alias("dup_line_frac"),
+            F.round(top_frac, 6).alias("top_2gram_frac"),
+            (
+                (dup_frac <= F.lit(max_dup_line_frac))
+                & (top_frac <= F.lit(max_top_2gram_frac))
+            ).alias("repetition_ok"),
+        )
+    )
+
+
+def nfc_normalize(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_nfc"
+) -> DataFrame:
+    """Unicode NFC normalization — the canonical first step of every text
+    pipeline (combining-mark sequences, compatibility forms from OCR/web
+    scrapes). Spark SQL has no normalization builtin, so this is the
+    documented Arrow-batched pandas-UDF slow path (unicodedata.normalize
+    over each batch); the DuckDB twin is its native nfc_normalize()."""
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def nfc(s):
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return df.withColumn(out_col, nfc(F.col(text_col)))
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms with smoothed idf
+    (ln((N+1)/(df+1)) + 1 — the scikit-learn convention): the classic
+    sparse document representation behind keyword extraction and lexical
+    retrieval (BM25's sibling; bm25_topk shares the same posting shape).
+
+    Scale shape: tf = one (id, token) partial-agg groupBy; df = one
+    groupBy over the tf table (|vocab|-bounded); N joins in as a
+    broadcast 1-row aggregate (no driver scalar); top-k per doc is a
+    bounded window. Deterministic: ties by token ascending."""
+    from pyspark.sql.window import Window
+
+    toks = _tokens(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__score",
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("__n").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                )
+                + 1.0
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("tf"),
+            F.round(F.col("__score"), 6).alias("tfidf"),
+        )
+    )
+
+
 def _driver_bpe_merges(
     word_freqs: list[tuple[str, int]], n_merges: int
 ) -> tuple[list[tuple[str, str]], dict[str, int]]:

@@ -364,12 +364,17 @@ def hnsw_ivf_topk(
     query_id_col: str = "query_id",
     dim: int = 64,
     prebuilt: tuple[HnswGraph, np.ndarray] | None = None,
+    prebuilt_ivf: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF top-k with the coarse probe routed through the HNSW graph
     instead of the brute-force broadcast scan. Identical output contract
     to similarity.ivf_topk (query_id, vec_id, cosine_sim, rank); with
     ``ef >= n_centroids`` the probe is exact and results match ivf_topk
-    row-for-row (differential-tested)."""
+    row-for-row (differential-tested).
+
+    ``prebuilt_ivf`` = (cents, lists) skips centroid training and the
+    assignment pass — the resident-index production path (pair it with
+    ``prebuilt`` for the graph), same amortization as ivfpq_topk's."""
     from blazingsql_spark.functions.similarity import (
         assign_to_centroids,
         cosine,
@@ -377,8 +382,11 @@ def hnsw_ivf_topk(
     )
     from pyspark.sql.window import Window
 
-    cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
-    lists = assign_to_centroids(vectors, cents, id_col, vec_col)
+    if prebuilt_ivf is not None:
+        cents, lists = prebuilt_ivf
+    else:
+        cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
+        lists = assign_to_centroids(vectors, cents, id_col, vec_col)
     probes = hnsw_coarse_probes(
         queries, cents, n_probe=n_probe, ef=ef,
         query_id_col=query_id_col, vec_col=vec_col, prebuilt=prebuilt,

@@ -25,6 +25,27 @@ from blazingsql_spark.queries.pipeline import _recall_gate
 from blazingsql_spark.queries.registry import load_table, register
 
 
+def _hnsw_index(spark, sf_dir: str, emb):
+    """Session-scoped resident index: centroids + assignment lists
+    (persisted) + the landmark graph, built once per (app, sf_dir) so
+    bench repeats measure the probe path — the same amortization
+    discipline as pipeline._ivfpq_index, and the same dict so bench.py's
+    inter-query cleanup drops both together. Deterministic: a fresh
+    session rebuilds the identical index (md5-seeded k-means, seeded
+    level RNG)."""
+    from blazingsql_spark.queries.pipeline import _IVFPQ_PREBUILT
+
+    key = (spark.sparkContext.applicationId, sf_dir, "hnsw_ivf")
+    if key not in _IVFPQ_PREBUILT:
+        cents = similarity.ivf_train_centroids(emb, k=16, dim=64)
+        lists = similarity.assign_to_centroids(emb, cents, "vec_id", "embedding")
+        lists = lists.persist()
+        lists.count()  # materialize the assignment now
+        graph = hnsw.graph_from_centroids(cents, m=8, ef_construction=64)
+        _IVFPQ_PREBUILT[key] = (cents, lists, graph)
+    return _IVFPQ_PREBUILT[key]
+
+
 @register(
     "sim_ann_hnsw",
     oracle="""
@@ -45,9 +66,13 @@ def sim_ann_hnsw(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    cents, lists, graph = _hnsw_index(spark, sf_dir, emb)
     exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     approx = (
-        hnsw.hnsw_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, ef=64)
+        hnsw.hnsw_ivf_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=4, ef=64,
+            prebuilt=graph, prebuilt_ivf=(cents, lists),
+        )
         .select("query_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )
