@@ -2350,3 +2350,121 @@ pair(
     tables=("orders",),
     doc="Efraimidis-Spirakis exact-size weighted sample (hash-deterministic, P(top-k) ∝ weights)",
 )
+
+
+@register(
+    "text_gopher_quality",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, chr(10)),
+                               x -> LENGTH(TRIM(x)) > 0)) AS nl,
+               len(list_distinct(list_filter(string_split(text, chr(10)),
+                                             x -> LENGTH(TRIM(x)) > 0))) AS nd
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, arr[g.i] || ' ' || arr[g.i + 1] AS gram
+        FROM toks,
+             LATERAL (SELECT UNNEST(generate_series(1, len(arr) - 1)) AS i) g
+        WHERE len(arr) >= 2
+    ),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    gt AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM gc GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(b.nl AS BIGINT) AS n_lines,
+           ROUND(1.0 - CAST(b.nd AS DOUBLE) / GREATEST(b.nl, 1), 6) AS dup_line_frac,
+           ROUND(COALESCE(CAST(gt.top AS DOUBLE) / gt.tot, 0.0), 6) AS top_2gram_frac,
+           ((1.0 - CAST(b.nd AS DOUBLE) / GREATEST(b.nl, 1)) <= 0.3
+            AND COALESCE(CAST(gt.top AS DOUBLE) / gt.tot, 0.0) <= 0.2) AS repetition_ok
+    FROM base b LEFT JOIN gt USING (doc_id)
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition filters (functions.text.gopher_repetition):
+    duplicate-line fraction + most-frequent-2-gram share, the published
+    repetition rules (Rae et al. 2021 §A1.1) that catch boilerplate/spam
+    documents the length/punctuation filters miss. Line metrics are pure
+    array expressions; the 2-gram share is one explode + partial-agg
+    groupBy bounded by total token count."""
+    from blazingsql_spark.functions.text import gopher_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_repetition(docs)
+
+
+@register(
+    "text_nfc_normalize",
+    oracle="""
+    SELECT doc_id,
+           MD5(nfc_normalize(text)) AS nfc_hash,
+           nfc_normalize(text) <> text AS changed
+    FROM documents
+    """,
+)
+def text_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (functions.text.nfc_normalize): the
+    canonical first step of corpus cleaning. Spark has no normalization
+    builtin, so this is a documented Arrow-batched pandas-UDF path
+    (unicodedata per batch) vs DuckDB's native nfc_normalize(); compared
+    via md5 of the normalized text plus a changed flag."""
+    from blazingsql_spark.functions.text import nfc_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nfc_normalize(docs).select(
+        "doc_id",
+        F.md5(F.col("text_nfc")).alias("nfc_hash"),
+        (F.col("text_nfc") != F.col("text")).alias("changed"),
+    )
+
+
+@register(
+    "docs_tfidf_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               CAST(tf.tf AS DOUBLE)
+               * (LN((CAST(n.nd AS DOUBLE) + 1.0)
+                      / (CAST(dfq.df AS DOUBLE) + 1.0)) + 1.0) AS score
+        FROM tf JOIN dfq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, tf, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf,
+           ROUND(score, 6) AS tfidf
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def docs_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 TF-IDF terms (functions.text.tfidf_topk),
+    smoothed idf per the scikit-learn convention — keyword extraction /
+    sparse retrieval sibling of BM25. tf and df are single partial-agg
+    groupBys; N joins in as a broadcast 1-row aggregate (no driver
+    scalar); top-k is a bounded per-doc window. Ties by token ascending
+    in both engines."""
+    from blazingsql_spark.functions.text import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=5)

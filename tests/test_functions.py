@@ -1024,3 +1024,63 @@ def test_profile_skew_multi_column_keys(spark):
     assert (prof[0].k1, prof[0].k2) in {("a", "0"), ("a", "1")}
     assert prof[0].key_rows == 250 and prof[0].suggested_salt == 3
     assert prof[0].n_distinct_keys == 4
+
+
+def test_gopher_repetition_flags_repetitive_docs(spark):
+    """A document that is one line repeated, and one dominated by a single
+    2-gram, must be flagged; diverse text passes. Empty-gram docs (single
+    token) get top_2gram_frac 0.0 via the left join."""
+    from blazingsql_spark.functions.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam line\nspam line\nspam line\nspam line"),
+            (2, "buy now buy now buy now buy now buy now"),
+            (3, "a genuinely varied document with many different words here"),
+            (4, "single"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    assert rows[1].dup_line_frac == 0.75 and rows[1].repetition_ok is False
+    # doc 2: 2-grams = [buy now]*5 + [now buy]*4 -> top 5/9
+    assert abs(rows[2].top_2gram_frac - 5 / 9) < 1e-6
+    assert rows[2].repetition_ok is False
+    assert rows[3].repetition_ok is True
+    assert rows[4].top_2gram_frac == 0.0 and rows[4].n_lines == 1
+
+
+def test_nfc_normalize_composes_combining_marks(spark):
+    """NFC must compose e + COMBINING ACUTE into é and leave composed
+    text untouched; nulls stay null."""
+    from blazingsql_spark.functions.text import nfc_normalize
+
+    decomposed = "étude"  # NFD
+    composed = "étude"     # NFC
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r.text_nfc for r in nfc_normalize(df).collect()}
+    assert rows[1] == composed and rows[2] == composed and rows[3] is None
+
+
+def test_tfidf_topk_ranks_distinctive_terms_first(spark):
+    """A term unique to one document must outrank corpus-wide terms in
+    that document; ranks are dense 1..k with (score desc, token asc)
+    ties."""
+    from blazingsql_spark.functions.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared quantum quantum"),
+            (2, "shared shared shared"),
+            (3, "shared words words"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(df, k=2)
+    d1 = [r.token for r in out.filter("doc_id = 1").orderBy("rank").collect()]
+    # quantum: tf=2, df=1 -> 2*(ln(4/2)+1)=3.39; shared: tf=1, df=3 -> 1.0
+    assert d1[0] == "quantum"
+    ranks = [r.rank for r in out.filter("doc_id = 1").orderBy("rank").collect()]
+    assert ranks == [1, 2]
