@@ -601,6 +601,23 @@ def nfc_normalize(
     return df.withColumn(out_col, nfc(F.col(text_col)))
 
 
+def html_strip(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Strip HTML for web-scrape corpus prep: remove tags, unescape the
+    six ubiquitous entities (amp LAST so '&amp;lt;' ends as '&lt;', not
+    '<'), collapse whitespace. Pure codegen regexp/replace chain — no
+    UDF, scales as a map-only pass; pair with remove_boilerplate for
+    line-level chrome."""
+    t = F.regexp_replace(F.col(text_col), r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return df.withColumn(out_col, F.trim(F.regexp_replace(t, r"\s+", " ")))
+
+
 def tfidf_topk(
     df: DataFrame,
     k: int = 5,

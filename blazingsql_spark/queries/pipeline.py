@@ -2468,3 +2468,77 @@ def docs_tfidf_topk(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_topk(docs, k=5)
+
+
+@register(
+    "text_html_strip",
+    oracle=r"""
+    SELECT doc_id,
+           MD5(cleaned) AS clean_hash,
+           CAST(LENGTH(cleaned) AS BIGINT) AS clean_len
+    FROM (
+        SELECT doc_id,
+               TRIM(REGEXP_REPLACE(
+                   REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+                       REGEXP_REPLACE(text, '<[^>]*>', ' ', 'g'),
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS cleaned
+        FROM documents
+    )
+    """,
+)
+def text_html_strip(spark, sf_dir):
+    """HTML removal for web-scrape prep (functions.text.html_strip):
+    tag strip + entity unescape (amp last) + whitespace collapse, all
+    codegen regexp/replace — a map-only pass with no UDF. Compared via
+    md5 + length of the cleaned text."""
+    from blazingsql_spark.functions.text import html_strip
+
+    docs = load_table(spark, sf_dir, "documents")
+    return html_strip(docs).select(
+        "doc_id",
+        F.md5(F.col("text_clean")).alias("clean_hash"),
+        F.length("text_clean").cast("long").alias("clean_len"),
+    )
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    e AS (
+        SELECT doc_id AS u, doc_id + 1 AS v FROM documents, mx
+        WHERE doc_id + 1 <= mx.m
+        UNION ALL
+        SELECT doc_id AS u, doc_id + 2 AS v FROM documents, mx
+        WHERE doc_id + 2 <= mx.m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Exact triangle counting (operators.graph.triangle_count):
+    oriented-edge canonicalization then two shuffle equi-joins — each
+    triangle counted once at its smallest vertex. Demo graph: doc chain
+    with skip links (i→i+1, i→i+2), giving exactly max(doc_id)-1
+    triangles, closed only through the join path — the oracle runs the
+    identical 3-way self-join in DuckDB."""
+    from blazingsql_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    base = docs.crossJoin(F.broadcast(mx))
+    edges = (
+        base.filter(F.col("doc_id") + 1 <= F.col("m"))
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+        .unionAll(
+            base.filter(F.col("doc_id") + 2 <= F.col("m")).select(
+                F.col("doc_id").alias("src"), (F.col("doc_id") + 2).alias("dst")
+            )
+        )
+    )
+    return triangle_count(edges)

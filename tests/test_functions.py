@@ -1084,3 +1084,36 @@ def test_tfidf_topk_ranks_distinctive_terms_first(spark):
     assert d1[0] == "quantum"
     ranks = [r.rank for r in out.filter("doc_id = 1").orderBy("rank").collect()]
     assert ranks == [1, 2]
+
+
+def test_html_strip_tags_entities_whitespace(spark):
+    from blazingsql_spark.functions.text import html_strip
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>Hello <b>world</b></p>\n\n<div>bye</div>"),
+            (2, "a &amp;lt; b &nbsp; c&#39;s &quot;x&quot; &lt;tag&gt;"),
+            (3, "plain text"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.text_clean for r in html_strip(df).collect()}
+    assert got[1] == "Hello world bye"
+    # &amp;lt; must unescape to the LITERAL '&lt;', never to '<'
+    assert got[2] == "a &lt; b c's \"x\" <tag>"
+    assert got[3] == "plain text"
+
+
+def test_triangle_count_known_graphs(spark):
+    from blazingsql_spark.operators.graph import triangle_count
+
+    # K4 has C(4,3)=4 triangles; edges given unordered/duplicated/with a
+    # self-loop and a dangling pendant edge — canonicalization handles all
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges = spark.createDataFrame(
+        k4 + [(2, 2), (0, 9)], ["src", "dst"]
+    )
+    assert triangle_count(edges).first().n_triangles == 4
+    # triangle-free: a path graph
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    assert triangle_count(path).first().n_triangles == 0
