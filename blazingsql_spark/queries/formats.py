@@ -43,7 +43,7 @@ _CHECKSUM_COLS = (
     "l_shipdate",
 )
 
-_FORMATS = ("csv", "json", "orc")
+_FORMATS = ("csv", "json", "orc", "xml")
 
 
 def _checksum(df: DataFrame) -> DataFrame:
@@ -64,7 +64,7 @@ def _checksum(df: DataFrame) -> DataFrame:
     oracle="""
         SELECT f.format, a.n, a.sum_qty, a.sum_price_cents, a.key_check,
                a.min_ship, a.max_ship
-        FROM (VALUES ('csv'), ('json'), ('orc')) AS f(format)
+        FROM (VALUES ('csv'), ('json'), ('orc'), ('xml')) AS f(format)
         CROSS JOIN (
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
@@ -77,9 +77,10 @@ def _checksum(df: DataFrame) -> DataFrame:
         ) a
         ORDER BY f.format
     """,
-    doc="ORC+CSV+JSON writer->reader round trip, checksummed against the "
-    "parquet source (reference CSVParser.cpp / OrcParser.cpp / "
-    "JSONParser.cpp parity, driver-visible)",
+    doc="ORC+CSV+JSON+XML writer->reader round trip, checksummed against "
+    "the parquet source (reference CSVParser.cpp / OrcParser.cpp / "
+    "JSONParser.cpp parity plus Spark 4's built-in XML, driver-visible; "
+    "Avro stays env-capped — its external module jar is not deployed here)",
 )
 def io_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = (
@@ -111,9 +112,14 @@ def io_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         elif fmt == "json":
             sl.write.mode("overwrite").json(path)
             back = spark.read.schema(schema).json(path)
-        else:
+        elif fmt == "orc":
             sl.write.mode("overwrite").orc(path)
             back = spark.read.orc(path)
+        else:  # xml — built-in data source since Spark 4.0
+            sl.write.mode("overwrite").format("xml").option("rowTag", "row").save(path)
+            back = (
+                spark.read.schema(schema).format("xml").option("rowTag", "row").load(path)
+            )
         frames.append(_checksum(back).select(F.lit(fmt).alias("format"), "*"))
     out = frames[0]
     for f in frames[1:]:

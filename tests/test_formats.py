@@ -18,7 +18,7 @@ def parquet_result(spark):
     return normalize(Q1.fn(spark, SF_DIR).toPandas())
 
 
-@pytest.mark.parametrize("fmt", ["orc", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["orc", "csv", "json", "xml"])
 def test_q1_same_result_across_formats(spark, tmp_path_factory, parquet_result, fmt):
     import pandas as pd
 
@@ -31,6 +31,10 @@ def test_q1_same_result_across_formats(spark, tmp_path_factory, parquet_result, 
         writer = writer.option("header", True).option(
             "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
         )
+    elif fmt == "xml":  # built-in data source since Spark 4.0
+        writer = writer.option("rowTag", "row").option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        )
     writer.format(fmt).save(out)
 
     kwargs = {}
@@ -39,6 +43,9 @@ def test_q1_same_result_across_formats(spark, tmp_path_factory, parquet_result, 
                   "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
     elif fmt == "json":
         kwargs = {"schema": src.schema}
+    elif fmt == "xml":
+        kwargs = {"schema": src.schema, "rowTag": "row",
+                  "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
     bc.create_table("lineitem", out, file_format=fmt, **kwargs)
     got = normalize(bc.sql(Q1.fn.sql).toPandas())
     pd.testing.assert_frame_equal(got, parquet_result, check_dtype=False)
