@@ -50,6 +50,8 @@ def sniff_format(payload: bytes) -> str:
         return "wav"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
@@ -285,6 +287,11 @@ def media_meta(payload: bytes) -> dict:
     if fmt == "png":
         px = decode_png(payload)
         meta.update(media_type="image", height=px.shape[0], width=px.shape[1])
+    elif fmt == "gif":
+        from blazingsql_spark.functions.media_gif import gif_dimensions
+
+        w, h = gif_dimensions(payload)  # header parse only
+        meta.update(media_type="image", height=h, width=w)
     elif fmt == "jpeg":
         from blazingsql_spark.functions.media_jpeg import jpeg_dimensions
 

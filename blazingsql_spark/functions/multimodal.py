@@ -4,14 +4,15 @@ with typed metadata, processed via Arrow-batched pandas iterators.
 The Spark-side contract is real and tested — schema, partitioning, UDF
 signatures, batch shapes. Media decoding has TWO real paths:
 
-- ``fake=False`` decodes PNG + baseline JPEG images and WAV audio FOR
-  REAL via the zero-dependency stdlib/numpy codecs
-  (``functions.media_codec``, ``functions.media_jpeg``): header-parsed
-  metadata, box-pooled grayscale / energy-envelope feature vectors, and
-  box-average image resize (JPEG re-encoded at quality 90). Formats
-  needing external libraries (GIF, MP3, MP4 frames) raise
-  NotImplementedError naming the library to plug in — the boundary is
-  per-format, not per-operator.
+- ``fake=False`` decodes PNG + baseline JPEG + GIF images and WAV audio
+  FOR REAL via the zero-dependency stdlib/numpy codecs
+  (``functions.media_codec``, ``functions.media_jpeg``,
+  ``functions.media_gif``): header-parsed metadata, box-pooled
+  grayscale / energy-envelope feature vectors, and box-average image
+  resize (JPEG re-encoded at quality 90; GIF re-encoded as lossless PNG
+  since resize averaging breaks the 256-color palette). Formats needing
+  external libraries (MP3, MP4 frames) raise NotImplementedError naming
+  the library to plug in — the boundary is per-format, not per-operator.
 - ``fake=True`` keeps the deterministic sha256-seeded stand-in for
   payloads of ANY format — what the fixture-driven oracle queries use.
 
@@ -111,7 +112,7 @@ def decode_features(
 ) -> DataFrame:
     """Decode media payloads into feature vectors via mapInPandas.
 
-    ``fake=False`` REALLY decodes PNG/WAV (functions.media_codec:
+    ``fake=False`` REALLY decodes PNG/JPEG/GIF/WAV (functions.media_codec:
     box-pooled grayscale grid for images, energy envelope + rms/zcr for
     audio) and raises NotImplementedError for formats that need external
     libraries. The Arrow-batched plumbing is the production shape either
@@ -152,9 +153,13 @@ def decode_features(
             if fmt == "wav":
                 sr, _ch, x = mc.decode_wav(b)
                 return mc.audio_features(sr, x, feature_dim)
+            if fmt == "gif":
+                from blazingsql_spark.functions.media_gif import decode_gif
+
+                return mc.image_features(decode_gif(b), feature_dim)
             raise NotImplementedError(
-                f"payload format {fmt!r}: only PNG/JPEG/WAV decode with the "
-                "zero-dependency codec; plug in PIL/librosa for the rest "
+                f"payload format {fmt!r}: only PNG/JPEG/GIF/WAV decode with "
+                "the zero-dependency codec; plug in PIL/librosa for the rest "
                 "or use fake=True"
             )
 
@@ -260,9 +265,16 @@ def resize_images(
 
                 resized = mc.resize_image(mj.decode_jpeg(b), width, height)
                 return mj.encode_jpeg(resized, quality=90)
+            if fmt == "gif":
+                # box-resize averaging breaks the ≤256-color palette, and a
+                # quantizer is out of scope — re-encode losslessly as PNG
+                # (output format recorded in the bytes' own magic)
+                from blazingsql_spark.functions.media_gif import decode_gif
+
+                return mc.encode_png(mc.resize_image(decode_gif(b), width, height))
             raise NotImplementedError(
-                "only PNG/JPEG resize with the zero-dependency codec; plug "
-                "in PIL/cv2 for other formats or use fake=True"
+                "only PNG/JPEG/GIF resize with the zero-dependency codec; "
+                "plug in PIL/cv2 for other formats or use fake=True"
             )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

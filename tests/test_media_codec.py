@@ -165,10 +165,12 @@ def test_spark_real_decode_and_resize(spark):
     assert np.array_equal(back, want)
 
     # unsupported format names the boundary instead of fake-decoding
-    # (JPEG graduated to a real decoder in media_jpeg — GIF has not)
-    gif_ish = spark.createDataFrame([(3, bytearray(b"GIF89a junk"))], ["doc_id", "payload"])
-    with pytest.raises(Exception, match="PNG/JPEG/WAV|NotImplemented"):
-        decode_features(gif_ish, feature_dim=8, fake=False).collect()
+    # (JPEG and GIF graduated to real decoders — MP4 has not)
+    mp4_ish = spark.createDataFrame(
+        [(3, bytearray(b"\x00\x00\x00\x18ftypmp42 junk"))], ["doc_id", "payload"]
+    )
+    with pytest.raises(Exception, match="PNG/JPEG/GIF/WAV|NotImplemented"):
+        decode_features(mp4_ish, feature_dim=8, fake=False).collect()
 
 
 # Property tests: ANY 8-bit image round-trips byte-exactly through
