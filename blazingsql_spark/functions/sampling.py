@@ -190,3 +190,51 @@ def weighted_sample(
     probability) with probabilities quantized to 1e-6."""
     bucket = hash_bucket(F.col(id_col), 1_000_000, salt)
     return df.filter(bucket < (prob * 1_000_000).cast("long"))
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+    order_col: str = "shuffle_order",
+) -> DataFrame:
+    """Reproducible global corpus shuffle for training-data ordering:
+    sort by the salted 60-bit md5 hash of the id (ties broken by id —
+    md5 collisions on 60 bits are real at corpus scale). A distributed
+    range-partitioned sort, identical across runs/engines/partitionings;
+    changing ``seed`` yields an independent permutation (fresh data
+    order per training epoch without materializing anything).
+
+    At 100 TB: one range exchange — exactly the cost of any global sort,
+    and shards written from this order are internally shuffled too."""
+    key = hash_bucket(F.col(id_col), 1 << 60, salt=seed)
+    return df.withColumn(order_col, key).orderBy(order_col, id_col)
+
+
+def token_budget_head(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    seed: str = "budget",
+) -> DataFrame:
+    """Select documents up to a TOKEN budget (not a row budget) in
+    deterministic-shuffle order — 'give me ~1B tokens of this corpus,
+    reproducibly': running token total over the hash order, keep rows
+    while the PREVIOUS total is under budget (so the document that
+    crosses the line is included and the selection is never empty).
+
+    The running sum uses operators.window.global_running — chunked
+    two-pass prefix aggregation, NO single-partition window, so the
+    cut scales like a sort rather than a bottleneck."""
+    from blazingsql_spark.operators.window import global_running
+
+    ordered = deterministic_shuffle(df, id_col=id_col, seed=seed)
+    run = global_running(
+        ordered,
+        order_by=["shuffle_order", id_col],
+        sum_cols={"cum_tokens": token_col},
+    )
+    return run.filter(
+        (F.col("cum_tokens") - F.col(token_col)) < F.lit(budget)
+    ).drop("shuffle_order")

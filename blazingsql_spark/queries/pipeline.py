@@ -2542,3 +2542,69 @@ def graph_triangles(spark, sf_dir):
         )
     )
     return triangle_count(edges)
+
+
+@register(
+    "sample_shuffle_head",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || SUBSTR(MD5('epoch0' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS shuffle_order
+    FROM documents
+    ORDER BY shuffle_order, doc_id LIMIT 20
+    """,
+)
+def sample_shuffle_head(spark, sf_dir):
+    """Reproducible global corpus shuffle (functions.sampling
+    .deterministic_shuffle): range-sort on the salted 60-bit md5 of the
+    id — identical permutation across runs/engines/partitionings, a new
+    independent one per seed (per training epoch). One range exchange,
+    the cost of any global sort; top-20 here is TakeOrderedAndProject."""
+    from blazingsql_spark.functions.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_shuffle(docs, seed="epoch0")
+        .select("doc_id", "shuffle_order")
+        .limit(20)
+    )
+
+
+@register(
+    "docs_token_budget",
+    oracle="""
+    WITH ordered AS (
+        SELECT doc_id, n_chars,
+               ('0x' || SUBSTR(MD5('budget' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS shuffle_order
+        FROM documents
+    ),
+    run AS (
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (ORDER BY shuffle_order, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM ordered
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM run WHERE cum_tokens - n_chars < 20000
+    """,
+)
+def docs_token_budget(spark, sf_dir):
+    """Token-budget corpus head (functions.sampling.token_budget_head):
+    'give me ~N tokens of this corpus, reproducibly' — running token
+    total over the deterministic-shuffle order, keep rows whose PREVIOUS
+    total is under budget (the crossing document is included). The
+    running sum is operators.window.global_running — chunked two-pass
+    prefix aggregation, no single-partition window, so the budget cut
+    costs a sort, not a bottleneck. Budget column here is the fixture's
+    n_chars (a token proxy); any integer cost column works."""
+    from blazingsql_spark.functions.sampling import token_budget_head
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_head(docs, budget=20000, token_col="n_chars").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )

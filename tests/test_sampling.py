@@ -127,3 +127,42 @@ def test_domain_mix_drops_unlisted_domains(spark):
     )
     langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
     assert langs <= {"en", "de"}, langs
+
+
+def test_deterministic_shuffle_reproducible_and_seed_independent(spark):
+    from blazingsql_spark.functions.sampling import deterministic_shuffle
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    a = [r.doc_id for r in deterministic_shuffle(docs, seed="s1").collect()]
+    b = [r.doc_id for r in deterministic_shuffle(docs, seed="s1").collect()]
+    c = [r.doc_id for r in deterministic_shuffle(docs, seed="s2").collect()]
+    assert a == b                      # same seed -> identical permutation
+    assert a != c                      # different seed -> different order
+    assert sorted(a) == sorted(c)      # ... of the same rows
+    # repartitioning must not change the order (hash is per-row)
+    d = [
+        r.doc_id
+        for r in deterministic_shuffle(docs.repartition(7), seed="s1").collect()
+    ]
+    assert a == d
+
+
+def test_token_budget_head_cut_semantics(spark):
+    from blazingsql_spark.functions.sampling import token_budget_head
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = token_budget_head(docs, budget=5000, token_col="n_chars").collect()
+    assert out, "crossing document must be included (never empty)"
+    rows = sorted(out, key=lambda r: r.cum_tokens)
+    # every selected row's PREVIOUS total is under budget
+    assert all(r.cum_tokens - r.n_chars < 5000 for r in rows)
+    # the last selected row crosses (or exactly meets) the budget iff more
+    # data existed: its successor would have prev-total >= budget
+    total = sum(r.n_chars for r in docs.collect())
+    if total > 5000:
+        assert rows[-1].cum_tokens >= 5000
+    # cum_tokens is a true prefix sum of n_chars in the selection order
+    acc = 0
+    for r in rows:
+        acc += r.n_chars
+        assert r.cum_tokens == acc
