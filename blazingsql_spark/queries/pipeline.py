@@ -2506,13 +2506,12 @@ def text_html_strip(spark, sf_dir):
 @register(
     "graph_triangles",
     oracle="""
-    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
-    e AS (
-        SELECT doc_id AS u, doc_id + 1 AS v FROM documents, mx
-        WHERE doc_id + 1 <= mx.m
+    WITH e AS (
+        SELECT d1.doc_id AS u, d2.doc_id AS v
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
         UNION ALL
-        SELECT doc_id AS u, doc_id + 2 AS v FROM documents, mx
-        WHERE doc_id + 2 <= mx.m
+        SELECT d1.doc_id AS u, d2.doc_id AS v
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 2
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM e e1
@@ -2524,24 +2523,23 @@ def graph_triangles(spark, sf_dir):
     """Exact triangle counting (operators.graph.triangle_count):
     oriented-edge canonicalization then two shuffle equi-joins — each
     triangle counted once at its smallest vertex. Demo graph: doc chain
-    with skip links (i→i+1, i→i+2), giving exactly max(doc_id)-1
-    triangles, closed only through the join path — the oracle runs the
-    identical 3-way self-join in DuckDB."""
+    with skip links (i→i+1, i→i+2 when those ids exist — an equi-join
+    against the id set, so the construction itself is broadcast-hash,
+    never a nested loop, and survives id gaps), giving max(doc_id)-1
+    triangles on the contiguous fixture, closed only through the join
+    path — the oracle runs the identical 3-way self-join in DuckDB."""
     from blazingsql_spark.operators.graph import triangle_count
 
     docs = load_table(spark, sf_dir, "documents")
-    mx = docs.agg(F.max("doc_id").alias("m"))
-    base = docs.crossJoin(F.broadcast(mx))
-    edges = (
-        base.filter(F.col("doc_id") + 1 <= F.col("m"))
-        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
-        .unionAll(
-            base.filter(F.col("doc_id") + 2 <= F.col("m")).select(
-                F.col("doc_id").alias("src"), (F.col("doc_id") + 2).alias("dst")
-            )
-        )
-    )
-    return triangle_count(edges)
+    ids = docs.select("doc_id")
+    nxt = ids.select((F.col("doc_id")).alias("dst"))
+
+    def skip_edges(k: int):
+        return ids.select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") + k).alias("dst_want")
+        ).join(nxt, F.col("dst_want") == F.col("dst")).select("src", "dst")
+
+    return triangle_count(skip_edges(1).unionAll(skip_edges(2)))
 
 
 @register(

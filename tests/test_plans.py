@@ -94,6 +94,7 @@ def test_no_accidental_cartesian_products(spark):
         "sample_domain_mix",  # corpus x broadcast(1-row min-total aggregate)
         "text_perplexity",  # token stream x broadcast(1-row N/V totals)
         "text_bm25",  # scored terms x broadcast(1-row n_docs/avgdl aggregate)
+        "docs_tfidf_topk",  # tf table x broadcast(1-row corpus-N aggregate) — same shape as text_bm25
         "agg_equidepth",  # ranked rows x broadcast(|quantiles|-row target-rank table): the no-group-keys percentile path
         "rag_hybrid_rrf",  # same 1-row corpus-stats broadcast (BM25 branch) + 1-query cosine branch
         "events_gapfill",  # calendar(|days| rows) x types(|types| rows) — the dense grid IS the output shape
