@@ -1092,3 +1092,42 @@ def ann_index_drift_report(
             "retrain"
         ),
     )
+
+
+def semantic_dedup_keep(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means cluster the embeddings, then WITHIN each cluster drop every
+    item that has a lower-id neighbor above the cosine threshold; return
+    the keep set. The id-canonical drop rule ("any lower-id neighbor",
+    kept or not) replaces the paper's centroid-distance pick so the
+    policy is deterministic, engine-portable, and join-expressible — no
+    sequential scan.
+
+    Scale shape (the paper's whole point): pairwise cosine runs only
+    inside clusters via one equi-join on ``centroid_id`` — corpus-wide
+    work is O(sum of cluster_size²), never all-pairs; cross-cluster
+    near-dups are the documented approximation (n_clusters=1 is the
+    exact, quadratic special case — differential-tested against it)."""
+    cents = ivf_train_centroids(vectors, k=n_clusters, dim=dim)
+    assigned = assign_to_centroids(vectors, cents, id_col, vec_col)
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= F.lit(threshold))
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return vectors.join(dropped, id_col, "left_anti")

@@ -2606,3 +2606,43 @@ def docs_token_budget(spark, sf_dir):
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+@register(
+    "dedup_semantic",
+    oracle="""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        WHERE vec_id % 50 = 0
+    )
+    SELECT a.vec_id FROM corpus a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM corpus b
+        WHERE b.vec_id < a.vec_id
+          AND ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                    (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+              >= 0.95
+    )
+    ORDER BY vec_id
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup keep-set
+    (similarity.semantic_dedup_keep) over a corpus with injected
+    exact-copy vectors: drop items with a lower-id cosine>=0.95 neighbor
+    in their cluster. This row runs the exact n_clusters=1 special case
+    so the DuckDB twin is a plain all-pairs NOT EXISTS; the production
+    clustered path (within-cluster equi-join, O(sum cluster_size^2)) is
+    differential-tested against this exact case in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionAll(dups)
+    keep = similarity.semantic_dedup_keep(
+        corpus, n_clusters=1, threshold=0.95, dim=64
+    )
+    return keep.select("vec_id").orderBy("vec_id")

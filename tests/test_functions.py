@@ -1117,3 +1117,50 @@ def test_triangle_count_known_graphs(spark):
     # triangle-free: a path graph
     path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
     assert triangle_count(path).first().n_triangles == 0
+
+
+def test_semantic_dedup_clustered_vs_exact(spark):
+    """SemDeDup production path: the clustered keep-set must (a) drop
+    every injected exact copy (identical vectors always share a cluster),
+    and (b) equal a numpy brute-force of the same within-cluster
+    lower-id rule."""
+    import numpy as np
+
+    from blazingsql_spark.functions import similarity
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionAll(dups)
+    kept = {
+        r.vec_id
+        for r in similarity.semantic_dedup_keep(
+            corpus, n_clusters=8, threshold=0.95, dim=64
+        ).collect()
+    }
+    n_dups = dups.count()
+    assert n_dups > 0
+    # every injected copy has its identical lower-id original in-cluster
+    assert all(r.vec_id + 100000 not in kept for r in emb.collect() if r.vec_id % 50 == 0)
+
+    # numpy brute force of the identical rule on the identical clusters
+    cents = similarity.ivf_train_centroids(corpus, k=8, dim=64)
+    assigned = similarity.assign_to_centroids(corpus, cents, "vec_id", "embedding")
+    rows = assigned.select("centroid_id", "vec_id", "embedding").collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.centroid_id, []).append((r.vec_id, np.array(r.embedding, dtype=np.float64)))
+    want = set()
+    for members in by_cluster.values():
+        members.sort()
+        for i, (vid, v) in enumerate(members):
+            drop = False
+            for vjd, u in members[:i]:
+                cos = float(v @ u / (np.linalg.norm(v) * np.linalg.norm(u)))
+                if round(cos, 6) >= 0.95:
+                    drop = True
+                    break
+            if not drop:
+                want.add(vid)
+    assert kept == want
