@@ -1164,3 +1164,37 @@ def test_semantic_dedup_clustered_vs_exact(spark):
             if not drop:
                 want.add(vid)
     assert kept == want
+
+
+def test_new_text_ops_edge_documents(spark):
+    """Empty, whitespace-only, single-token, and unicode docs must flow
+    through gopher/tfidf/html/nfc without crashes and with sane values."""
+    from blazingsql_spark.functions.text import (
+        gopher_repetition,
+        html_strip,
+        nfc_normalize,
+        tfidf_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   \n  \n "),
+            (3, "sólo"),
+            (4, "naïve café naïve café naïve café"),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    g = {r.doc_id: r for r in gopher_repetition(df.filter("text IS NOT NULL")).collect()}
+    assert g[1].n_lines == 0 and g[1].top_2gram_frac == 0.0
+    assert g[2].n_lines == 0
+    assert g[3].top_2gram_frac == 0.0  # single token, no 2-grams
+    assert g[4].top_2gram_frac > 0.3   # 'naïve café' dominates
+    t = tfidf_topk(df.filter("text IS NOT NULL"))
+    assert t.filter("doc_id IN (1, 2)").count() == 0  # no tokens, no rows
+    assert t.filter("doc_id = 3").count() == 1
+    h = {r.doc_id: r.text_clean for r in html_strip(df.filter("text IS NOT NULL")).collect()}
+    assert h[1] == "" and h[2] == "" and h[3] == "sólo"
+    n = {r.doc_id: r.text_nfc for r in nfc_normalize(df).collect()}
+    assert n[5] is None and n[3] == "sólo"
