@@ -230,3 +230,78 @@ def test_fuzzed_scalar_expr_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
     got = spark_fuzz.sql(sql).toPandas()
     want = oracle_fuzz.execute(sql).fetchdf()
     compare_frames(got, want, sql)
+
+
+# ---- documents grammar: the string/text surface over the corpus table
+# (the other four grammars only touch lineitem/orders). Dialect-portable
+# by construction: LIKE instead of regex functions, POSITION/TRIM/MD5/
+# SUBSTRING/REPLACE spell identically in Spark SQL and DuckDB, integer
+# aggregates CAST to BIGINT (HUGEINT rule), no double SUMs. ----
+
+_doc_pred = st.one_of(
+    st.sampled_from(["lang = 'en'", "lang = 'es'", "lang IN ('de', 'fr')",
+                     "lang <> 'zh'", "source = 'src3'",
+                     "source IN ('src0', 'src11', 'src7')",
+                     "text LIKE '%the%'", "text NOT LIKE '%zz%'",
+                     "LENGTH(text) > 100"]),
+    st.integers(50, 900).map(lambda n: f"n_chars >= {n}"),
+    st.integers(100, 1200).map(lambda n: f"n_chars < {n}"),
+)
+
+_doc_expr = st.one_of(
+    st.just("lang"),
+    st.just("source"),
+    st.just("SUBSTRING(lang, 1, 1)"),
+    st.just("CONCAT(lang, ':', source)"),
+    st.just("CAST(n_chars % 7 AS BIGINT)"),
+    st.just("CAST(LENGTH(TRIM(text)) % 5 AS BIGINT)"),
+    st.just("CASE WHEN n_chars < 300 THEN 'short' ELSE 'long' END"),
+    st.just("UPPER(lang)"),
+    st.just("CAST(POSITION('e' IN lang) AS BIGINT)"),
+)
+
+_doc_agg = st.one_of(
+    st.just("CAST(COUNT(*) AS BIGINT) AS n"),
+    st.just("CAST(SUM(n_chars) AS BIGINT) AS sum_chars"),
+    st.just("CAST(COUNT(DISTINCT source) AS BIGINT) AS nd_source"),
+    st.just("CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len"),
+    st.just("MAX(MD5(text)) AS max_fp"),
+    st.just("MIN(SUBSTRING(REPLACE(text, ' ', '_'), 1, 12)) AS min_frag"),
+)
+
+
+@st.composite
+def _doc_query(draw):
+    expr = draw(_doc_expr)
+    agg1 = draw(_doc_agg)
+    agg2 = draw(_doc_agg)
+    preds = draw(st.lists(_doc_pred, min_size=1, max_size=2))
+    where = " AND ".join(preds)
+    aggs = agg1 if agg1.split(" AS ")[-1] == agg2.split(" AS ")[-1] else f"{agg1}, {agg2}"
+    return (f"SELECT {expr} AS k, {aggs} FROM documents "
+            f"WHERE {where} GROUP BY 1 ORDER BY 1")
+
+
+@settings(max_examples=20 * _SCALE, deadline=None)
+@given(sql=_doc_query())
+def test_fuzzed_documents_matches_duckdb(spark_fuzz_docs, oracle_fuzz_docs, sql):
+    got = spark_fuzz_docs.sql(sql).toPandas()
+    want = oracle_fuzz_docs.execute(sql).fetchdf()
+    compare_frames(got, want, sql)
+
+
+@pytest.fixture(scope="module")
+def spark_fuzz_docs(spark):
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView("documents")
+    return spark
+
+
+@pytest.fixture(scope="module")
+def oracle_fuzz_docs():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    yield con
+    con.close()
