@@ -7,8 +7,12 @@ WAV is a RIFF header over PCM frames (stdlib ``wave``), so both formats
 decode for REAL with numpy + the standard library. That turns the
 previously-stubbed ``fake=False`` path of ``decode_features`` /
 ``resize_images`` into an honest end-to-end pipeline for the two most
-common open formats; exotic formats (JPEG, MP3, MP4) still need external
-libraries and keep the documented NotImplementedError boundary.
+common open formats. Baseline JPEG (media_jpeg), GIF (media_gif), the
+MP4 container layer (media_mp4: box walk, sample tables, encoded-frame
+extraction) and the MP3 frame layer (media_mp3: frame walk, duration/
+bitrate) are real too; the remaining NotImplementedError boundary is
+codec *bitstream* decode (H.264/HEVC pixels, MP3 PCM), which needs an
+external codec library.
 
 Decoder scope (the PNG baseline that covers encoder output from virtually
 every tool): 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
@@ -52,6 +56,16 @@ def sniff_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 4
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+        and (payload[1] & 0x18) != 0x08
+        and (payload[1] & 0x06) != 0
+    ):
+        return "mp3"
     return "unknown"
 
 
@@ -300,4 +314,12 @@ def media_meta(payload: bytes) -> dict:
     elif fmt == "wav":
         sr, _n_ch, x = decode_wav(payload)
         meta.update(media_type="audio", duration_ms=int(1000 * len(x) / sr) if sr else 0)
+    elif fmt == "mp4":
+        from blazingsql_spark.functions.media_mp4 import mp4_meta
+
+        meta.update(mp4_meta(payload))  # container parse only, no codec decode
+    elif fmt == "mp3":
+        from blazingsql_spark.functions.media_mp3 import mp3_meta
+
+        meta.update(mp3_meta(payload))  # frame-header walk, no PCM decode
     return meta

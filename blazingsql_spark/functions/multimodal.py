@@ -10,9 +10,12 @@ signatures, batch shapes. Media decoding has TWO real paths:
   ``functions.media_gif``): header-parsed metadata, box-pooled
   grayscale / energy-envelope feature vectors, and box-average image
   resize (JPEG re-encoded at quality 90; GIF re-encoded as lossless PNG
-  since resize averaging breaks the 256-color palette). Formats needing
-  external libraries (MP3, MP4 frames) raise NotImplementedError naming
-  the library to plug in — the boundary is per-format, not per-operator.
+  since resize averaging breaks the 256-color palette). MP4 parses to the
+  container layer (typed metadata + REAL encoded-keyframe extraction via
+  ``extract_frames``/``functions.media_mp4``) and MP3 to the frame layer
+  (duration/bitrate via ``functions.media_mp3``); only codec *bitstream*
+  decode (H.264 pixels, MP3 PCM) raises NotImplementedError naming the
+  library to plug in — the boundary is per-layer, not per-operator.
 - ``fake=True`` keeps the deterministic sha256-seeded stand-in for
   payloads of ANY format — what the fixture-driven oracle queries use.
 
@@ -158,9 +161,11 @@ def decode_features(
 
                 return mc.image_features(decode_gif(b), feature_dim)
             raise NotImplementedError(
-                f"payload format {fmt!r}: only PNG/JPEG/GIF/WAV decode with "
-                "the zero-dependency codec; plug in PIL/librosa for the rest "
-                "or use fake=True"
+                f"payload format {fmt!r}: PNG/JPEG/GIF/WAV decode fully; "
+                "MP4/MP3 parse to the container/frame layer (media_mp4 "
+                "extract_frames, media_mp3 parse_mp3) but pixel/PCM decode "
+                "needs an external codec — plug in PIL/ffmpeg or use "
+                "fake=True"
             )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -208,13 +213,73 @@ def frame_sample_plan(
     df: DataFrame, id_col: str = "doc_id", n_frames: int = 4, duration_col: str | None = None
 ) -> DataFrame:
     """Frame-sampling plan for video payloads: emit (id, frame_idx, offset_pct)
-    rows JVM-side; the (stubbed) decoder joins by id and seeks per row.
-    Exploding the plan *before* decode keeps each Python task's working set
-    to one frame, not one video."""
+    rows JVM-side; a decoder joins by id and seeks per row. Exploding the
+    plan *before* decode keeps each Python task's working set to one frame,
+    not one video. ``extract_frames`` below is the real MP4 companion."""
     return df.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
     ).withColumn("offset_pct", F.col("frame_idx") / F.lit(n_frames))
+
+
+def extract_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL video frame sampling over MP4 payloads: parse the ISO-BMFF
+    container (functions.media_mp4 — zero dependencies), pick n uniformly
+    spaced SYNC samples (keyframes, so each extracted unit is independently
+    decodable), and emit one row per frame with the raw encoded bytes.
+
+    Output: (id, frame_idx = 0-based sample index in the video track,
+    frame_bytes, frame_len) [+ error when on_error='skip']. Decoding the
+    H.264/HEVC bitstream inside frame_bytes is the documented external-
+    library boundary (media_mp4.decode_frame); everything up to it — box
+    walk, stts/stsc/stsz/stco/stss resolution, mdat byte extraction — is
+    real parsing.
+
+    At 100 TB: one video in, <= n_frames small rows out, all inside one
+    Arrow-batched mapInPandas pass — the explode happens in Python per
+    payload so the JVM never materializes a (video x frame) join, and
+    downstream stages shuffle frames, not videos."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    id_type = df.schema[id_col].dataType
+    fields = [
+        T.StructField(id_col, id_type),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_len", T.LongType()),
+    ]
+    if on_error == "skip":
+        fields.append(T.StructField("error", T.StringType()))
+    out_schema = T.StructType(fields)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blazingsql_spark.functions import media_mp4 as m4
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for rid, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if b is None:
+                        raise ValueError("null payload")
+                    b = bytes(b)
+                    idxs = m4.sample_frame_indices(b, n_frames)
+                    frames = m4.extract_samples(b, idxs)
+                    for i, fb in zip(idxs, frames):
+                        row = (rid, i, fb, len(fb))
+                        rows.append(row + ((None,) if on_error == "skip" else ()))
+                except (ValueError, NotImplementedError) as e:
+                    if on_error == "raise":
+                        raise
+                    rows.append((rid, None, None, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
 def resize_images(
