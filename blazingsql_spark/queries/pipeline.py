@@ -1699,6 +1699,115 @@ def multimodal_frames(spark, sf_dir):
 
 
 @register(
+    "multimodal_mp4_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + (doc_id % 16) * 8 AS INT)  AS width,
+           CAST(16 + (doc_id % 9) * 8 AS INT)   AS height,
+           CAST(40 * (1 + doc_id % 4) AS BIGINT) AS duration_ms,
+           CAST(0 AS INT)                        AS frame_idx,
+           SHA256(text)                          AS frame_sha
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp4_frames(spark, sf_dir):
+    """REAL MP4 round trip, keyframe extraction included: each document is
+    muxed into a valid ISO-BMFF file (functions.media_mp4.encode_mp4 —
+    sample payload = the document's UTF-8 bytes, dimensions/duration
+    derived from doc_id), then the container is parsed BACK through the
+    public ops — derive_media_meta (box walk → typed width/height/
+    duration) and extract_frames (stts/stsc/stsz/stco resolution → raw
+    keyframe bytes out of mdat). The oracle recomputes every field from
+    the source columns, so a parser that misreads any sample table
+    mismatches. Frame bytes round-trip exactly: sha(frame) == sha(text).
+
+    Plan: two Arrow-batched Python stages over the same synthesized
+    payload + one AQE-decided join on doc_id — at corpus scale the join
+    keys are the doc ids, never the payload bytes."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf(T.BinaryType())
+    def synth_mp4(doc_id: pd.Series, txt: pd.Series) -> pd.Series:
+        from blazingsql_spark.functions.media_mp4 import encode_mp4
+
+        out = []
+        for i, t in zip(doc_id, txt):
+            i = int(i)
+            payload = (t or "").encode("utf-8")
+            out.append(
+                encode_mp4(
+                    [payload] * (1 + i % 4),
+                    width=16 + (i % 16) * 8,
+                    height=16 + (i % 9) * 8,
+                    sample_duration=40,
+                )
+            )
+        return pd.Series(out)
+
+    with_payload = docs.withColumn("payload", synth_mp4("doc_id", "text"))
+    meta = multimodal.derive_media_meta(with_payload).select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+    frames = multimodal.extract_frames(with_payload, n_frames=1).select(
+        "doc_id", "frame_idx", F.sha2("frame_bytes", 256).alias("frame_sha")
+    )
+    return meta.join(frames, "doc_id").orderBy("doc_id")
+
+
+@register(
+    "multimodal_mp3_meta",
+    oracle="""
+    SELECT doc_id,
+           'mp3'                                               AS fmt,
+           CAST((1 + doc_id % 50) * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+           CAST((1 + doc_id % 50) * 417 AS BIGINT)             AS n_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_mp3_meta(spark, sf_dir):
+    """REAL MP3 frame-layer round trip: synthesize a valid CBR stream per
+    document (functions.media_mp3.encode_mp3_cbr, frame count derived
+    from doc_id), then recover duration through the public
+    derive_media_meta path — an actual frame-by-frame header walk
+    (ISO 11172-3 bitrate/sample-rate tables), not a length heuristic.
+    The oracle recomputes duration and byte length from first principles:
+    1152 samples per MPEG1 Layer III frame at 44100 Hz, 417-byte frames
+    at 128 kbps. A parser off by one frame or one padding bit mismatches."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf(T.BinaryType())
+    def synth_mp3(doc_id: pd.Series) -> pd.Series:
+        from blazingsql_spark.functions.media_mp3 import encode_mp3_cbr
+
+        return pd.Series([encode_mp3_cbr(1 + int(i) % 50) for i in doc_id])
+
+    with_payload = docs.withColumn("payload", synth_mp3("doc_id"))
+    meta = multimodal.derive_media_meta(with_payload)
+    return (
+        meta.select(
+            "doc_id",
+            F.col("media_meta.format").alias("fmt"),
+            F.col("media_meta.duration_ms").alias("duration_ms"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_perplexity",
     oracle=r"""
     WITH toks AS (
