@@ -238,3 +238,97 @@ def token_budget_head(
     return run.filter(
         (F.col("cum_tokens") - F.col(token_col)) < F.lit(budget)
     ).drop("shuffle_order")
+
+
+def _hashed_grams(df: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+    """(id, bucket, c): hashed unigram+bigram counts per document — the
+    DSIR feature map. One explode, one partial-agg groupBy; bucket ids
+    come from the portable md5 hash so DuckDB reproduces them exactly."""
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    uni = F.filter(ws, lambda x: x != F.lit(""))
+    bi = F.when(
+        F.size(uni) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(uni) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(uni, i), F.element_at(uni, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col), F.explode(F.concat(uni, bi)).alias("gram")
+    )
+    return (
+        grams.select(id_col, hash_bucket(F.col("gram"), n_buckets, "dsir:").alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def _bucket_dist(feats: DataFrame, count_col: str) -> tuple[DataFrame, DataFrame]:
+    """((bucket, count), 1-row total) from a per-doc feature table — the
+    aggregate is bounded by n_buckets rows; the total is one row, so both
+    broadcast by construction."""
+    counts = feats.groupBy("bucket").agg(F.sum("c").alias(count_col))
+    total = counts.agg(F.sum(count_col).alias(f"{count_col}_total"))
+    return counts, total
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how target-like its hashed n-gram
+    distribution is, then resample the raw corpus by weight (compose with
+    ``weighted_sample`` / ``sample_weighted_es`` for the draw itself).
+
+    Features are hashed unigram+bigram counts in ``n_buckets`` dimensions
+    (the published estimator's bag-of-hashed-ngrams); the weight is the
+    log likelihood ratio  sum_b c_b * [ln p_hat(b) - ln q_hat(b)]  with
+    add-``alpha`` smoothed bucket distributions p_hat (target) and q_hat
+    (raw). Documents with no tokens score 0.
+
+    Plan shape at 100 TB: the raw corpus is scanned twice (once for its
+    bucket distribution, once for per-doc features) — both map-side
+    partial aggregates; the target corpus (typically a small quality
+    sample) once. Everything joined is bounded by ``n_buckets`` rows, so
+    the log-ratio table broadcasts by construction — per-doc scoring is
+    a map-side broadcast join + one partial-agg groupBy on the doc id.
+    No unbounded shuffle beyond the two feature groupBys."""
+    raw_feats = _hashed_grams(raw, id_col, text_col, n_buckets)
+    tgt_feats = _hashed_grams(target, id_col, text_col, n_buckets)
+    q_counts, q_total = _bucket_dist(raw_feats, "qc")
+    p_counts, p_total = _bucket_dist(tgt_feats, "pc")
+    # every scored gram exists in the raw corpus by construction, so raw
+    # buckets form the domain; missing target buckets smooth to alpha
+    ab = F.lit(float(alpha))
+    ratio = (
+        q_counts.join(p_counts, "bucket", "left")
+        .crossJoin(F.broadcast(q_total))
+        .crossJoin(F.broadcast(p_total))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("pc"), F.lit(0)).cast("double") + ab)
+                    / (F.coalesce(F.col("pc_total"), F.lit(0)).cast("double") + ab * n_buckets)
+                )
+                - F.log(
+                    (F.col("qc").cast("double") + ab)
+                    / (F.col("qc_total").cast("double") + ab * n_buckets)
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        raw_feats.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("log_ratio")).alias("dsir_logw"))
+    )
+    return raw.select(id_col).join(scored, id_col, "left").select(
+        id_col, F.coalesce(F.col("dsir_logw"), F.lit(0.0)).alias("dsir_logw")
+    )

@@ -2421,6 +2421,64 @@ def docs_feature_hash(spark, sf_dir):
     )
 
 
+@register(
+    "sample_dsir_weights",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents
+    ),
+    uni AS (SELECT doc_id, UNNEST(arr) AS gram FROM toks),
+    bi AS (
+        SELECT doc_id, arr[g.i] || ' ' || arr[g.i + 1] AS gram
+        FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(arr) - 1)) AS i) g
+        WHERE len(arr) >= 2
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    b AS (SELECT doc_id,
+                 ('0x' || SUBSTR(MD5('dsir:' || gram), 1, 15))::BIGINT % 256 AS bucket
+          FROM grams),
+    feats AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    q AS (SELECT bucket, SUM(c) AS qc FROM feats GROUP BY 1),
+    qt AS (SELECT SUM(qc) AS q_total FROM q),
+    pfeats AS (SELECT f.* FROM feats f JOIN documents d USING (doc_id)
+               WHERE d.lang = 'en'),
+    p AS (SELECT bucket, SUM(c) AS pc FROM pfeats GROUP BY 1),
+    pt AS (SELECT SUM(pc) AS p_total FROM p),
+    ratio AS (
+        SELECT q.bucket,
+               LN((COALESCE(p.pc, 0) + 1.0)
+                  / (COALESCE((SELECT p_total FROM pt), 0) + 256.0))
+             - LN((q.qc + 1.0) / ((SELECT q_total FROM qt) + 256.0)) AS log_ratio
+        FROM q LEFT JOIN p USING (bucket)
+    ),
+    w AS (SELECT f.doc_id, SUM(f.c * r.log_ratio) AS w
+          FROM feats f JOIN ratio r USING (bucket) GROUP BY 1)
+    SELECT d.doc_id, ROUND(COALESCE(w.w, 0.0), 6) AS dsir_logw
+    FROM documents d LEFT JOIN w USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def sample_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (functions.sampling.dsir_log_weights; Xie
+    et al. 2023): score every document by the log likelihood ratio of its
+    hashed unigram+bigram distribution under the target (here: the 'en'
+    slice as the quality exemplar) vs the raw corpus — the published
+    hashed-ngram estimator for "select raw data that looks like the
+    target". Everything joined is bounded by n_buckets=256 rows, so
+    per-doc scoring is a broadcast join + one groupBy; compose with
+    sample_weighted_es to draw the actual resample."""
+    from blazingsql_spark.functions.sampling import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs, docs.filter(F.col("lang") == "en"), n_buckets=256)
+    return w.select(
+        "doc_id", F.round("dsir_logw", 6).alias("dsir_logw")
+    ).orderBy("doc_id")
+
+
 # Efraimidis-Spirakis weighted sampling WITHOUT replacement: key each row
 # with ln(u)/w (u hash-derived, deterministic — no rand(), reproducible
 # across engines AND reruns) and take the global top-k by key. Gives an

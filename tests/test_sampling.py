@@ -166,3 +166,39 @@ def test_token_budget_head_cut_semantics(spark):
     for r in rows:
         acc += r.n_chars
         assert r.cum_tokens == acc
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = sampling.dsir_log_weights(docs, target, n_buckets=256)
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["lang"]: r["m"]
+        for r in joined.groupBy("lang").agg(F.avg("dsir_logw").alias("m")).collect()
+    }
+    # the estimator's whole point: target-language docs score higher on
+    # average than every other language under an en-slice target
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] > m, (lang, means)
+    # every doc scored exactly once, none dropped
+    assert w.count() == docs.count()
+    assert w.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_dsir_weights_degenerate_target_is_zero(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    w = sampling.dsir_log_weights(docs, docs, n_buckets=64)
+    # target == raw -> p_hat == q_hat -> log ratio identically 0
+    mx = w.agg(F.max(F.abs(F.col("dsir_logw")))).first()[0]
+    assert mx < 1e-9, mx
+
+
+def test_dsir_empty_and_no_token_docs(spark):
+    rows = [(1, "hello world hello"), (2, "   "), (3, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = sampling.dsir_log_weights(docs, docs.filter("doc_id = 1"), n_buckets=16)
+    got = {r.doc_id: r.dsir_logw for r in w.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == 0.0 and got[3] == 0.0  # token-free docs score 0, not NULL
