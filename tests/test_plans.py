@@ -96,6 +96,8 @@ def test_no_accidental_cartesian_products(spark):
         "text_bm25",  # scored terms x broadcast(1-row n_docs/avgdl aggregate)
         "docs_tfidf_topk",  # tf table x broadcast(1-row corpus-N aggregate) — same shape as text_bm25
         "agg_equidepth",  # ranked rows x broadcast(|quantiles|-row target-rank table): the no-group-keys percentile path
+        "dedup_semantic",  # corpus x broadcast(1-row centroid array) assignment, twice (a/b sides of the within-cluster self-join) — same bounded shape as sim_ann_ivf; the pairwise cosine itself is an equi-join on centroid_id
+        "sample_dsir_weights",  # bucket table x broadcast(two 1-row p/q total aggregates) — same bounded shape as text_bm25's corpus stats
         "rag_hybrid_rrf",  # same 1-row corpus-stats broadcast (BM25 branch) + 1-query cosine branch
         "events_gapfill",  # calendar(|days| rows) x types(|types| rows) — the dense grid IS the output shape
         "events_interpolate",  # same dense calendar x types grid as events_gapfill
