@@ -43,7 +43,7 @@ _CHECKSUM_COLS = (
     "l_shipdate",
 )
 
-_FORMATS = ("csv", "json", "orc", "xml")
+_FORMATS = ("avro", "csv", "json", "orc", "xml")
 
 
 def _checksum(df: DataFrame) -> DataFrame:
@@ -64,7 +64,7 @@ def _checksum(df: DataFrame) -> DataFrame:
     oracle="""
         SELECT f.format, a.n, a.sum_qty, a.sum_price_cents, a.key_check,
                a.min_ship, a.max_ship
-        FROM (VALUES ('csv'), ('json'), ('orc'), ('xml')) AS f(format)
+        FROM (VALUES ('avro'), ('csv'), ('json'), ('orc'), ('xml')) AS f(format)
         CROSS JOIN (
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
@@ -77,10 +77,11 @@ def _checksum(df: DataFrame) -> DataFrame:
         ) a
         ORDER BY f.format
     """,
-    doc="ORC+CSV+JSON+XML writer->reader round trip, checksummed against "
-    "the parquet source (reference CSVParser.cpp / OrcParser.cpp / "
-    "JSONParser.cpp parity plus Spark 4's built-in XML, driver-visible; "
-    "Avro stays env-capped — its external module jar is not deployed here)",
+    doc="ORC+CSV+JSON+XML+Avro writer->reader round trip, checksummed "
+    "against the parquet source (reference CSVParser.cpp / OrcParser.cpp / "
+    "JSONParser.cpp parity plus Spark 4's built-in XML; the Avro leg runs "
+    "on sources.avro_ocf — the zero-dependency OCF codec — because the "
+    "external spark-avro jar is not deployed here)",
 )
 def io_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = (
@@ -106,7 +107,15 @@ def io_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = []
     for fmt in _FORMATS:
         path = os.path.join(tmp, fmt)
-        if fmt == "csv":
+        if fmt == "avro":
+            # no spark-avro jar in this environment: the zero-dependency OCF
+            # source/sink (sources.avro_ocf) supplies the round trip —
+            # executor-parallel write, binaryFile + per-file block decode read
+            from blazingsql_spark.sources import avro_ocf
+
+            avro_ocf.write_avro(sl, path)
+            back = avro_ocf.read_avro(spark, path)
+        elif fmt == "csv":
             sl.write.mode("overwrite").option("header", True).csv(path)
             back = spark.read.schema(schema).option("header", True).csv(path)
         elif fmt == "json":

@@ -1,0 +1,144 @@
+"""Avro OCF source/sink tests: codec round trips (every supported type,
+both codecs, property-tested), corruption/typed-error paths, write modes,
+and the distributed Spark read/write over multi-part layouts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from blazingsql_spark.queries.registry import load_table
+from blazingsql_spark.sources import avro_ocf as av
+from tests.conftest import SF_DIR
+
+_SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "i", "type": ["null", "long"]},
+        {"name": "d", "type": ["null", "double"]},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "b", "type": ["null", "boolean"]},
+        {"name": "raw", "type": ["null", "bytes"]},
+        {"name": "arr", "type": ["null", {"type": "array", "items": "float"}]},
+    ],
+}
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_codec_roundtrip_all_types(codec):
+    rows = [
+        {"i": 2**62, "d": -1.5, "s": "héllo wörld", "b": True, "raw": b"\x00\xff", "arr": [1.5, -0.25]},
+        {"i": -1, "d": float("inf"), "s": "", "b": False, "raw": b"", "arr": []},
+        {"i": None, "d": None, "s": None, "b": None, "raw": None, "arr": None},
+    ]
+    blob = av.encode_ocf(rows, _SCHEMA, codec=codec)
+    schema, back = av.decode_ocf(blob)
+    assert schema == _SCHEMA
+    assert back == rows
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "i": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+                "s": st.one_of(st.none(), st.text(max_size=40)),
+            }
+        ),
+        max_size=30,
+    )
+)
+def test_codec_roundtrip_property(rows):
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": ["null", "long"]},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    blob = av.encode_ocf(rows, schema, codec="deflate", block_rows=7)
+    _s, back = av.decode_ocf(blob)
+    assert back == rows
+
+
+def test_multi_block_and_corruption():
+    rows = [{"i": i, "s": str(i)} for i in range(100)]
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": ["null", "long"]},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    blob = av.encode_ocf(rows, schema, block_rows=16)  # 7 blocks
+    _s, back = av.decode_ocf(blob)
+    assert back == rows
+    with pytest.raises(ValueError, match="magic"):
+        av.decode_ocf(b"NOPE" + blob[4:])
+    # flip a byte inside the final sync marker
+    broken = blob[:-1] + bytes([blob[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="sync"):
+        av.decode_ocf(broken)
+    with pytest.raises(ValueError, match="truncated"):
+        av.decode_ocf(blob[:-20])
+
+
+def test_unsupported_types_raise_by_name(spark):
+    from pyspark.sql import types as T
+
+    with pytest.raises(NotImplementedError, match="avro"):
+        av.schema_to_avro(T.StructType([T.StructField("m", T.MapType(T.StringType(), T.LongType()))]))
+    with pytest.raises(NotImplementedError, match="codec"):
+        av.encode_ocf([], _SCHEMA, codec="snappy")
+
+
+def test_spark_roundtrip_three_tables(spark, tmp_path):
+    for tbl in ("documents", "events", "embeddings"):
+        df = load_table(spark, SF_DIR, tbl)
+        path = str(tmp_path / tbl)
+        n_files = av.write_avro(df.repartition(3), path)
+        assert n_files == 3  # one part per non-empty partition
+        back = av.read_avro(spark, path)
+        assert back.schema == df.schema
+        key = df.columns[0]
+        a = df.orderBy(key).toPandas()
+        b = back.orderBy(key).toPandas()
+        assert a.shape == b.shape
+        for c in a.columns:
+            assert a[c].astype(str).tolist() == b[c].astype(str).tolist(), (tbl, c)
+
+
+def test_spark_write_modes(spark, tmp_path):
+    df = load_table(spark, SF_DIR, "documents").limit(50).coalesce(1)
+    path = str(tmp_path / "modes")
+    av.write_avro(df, path)
+    av.write_avro(df, path, mode="overwrite")
+    assert av.read_avro(spark, path).count() == 50  # no stale-part union
+    av.write_avro(df, path, mode="append")
+    assert av.read_avro(spark, path).count() == 100
+    with pytest.raises(ValueError, match="already has"):
+        av.write_avro(df, path, mode="error")
+
+
+def test_date_type_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("d"))
+        .limit(100)
+    )
+    path = str(tmp_path / "dates")
+    av.write_avro(df, path)
+    back = av.read_avro(spark, path)
+    assert dict(back.dtypes)["d"] == "date"
+    a = {r.o_orderkey: r.d for r in df.collect()}
+    b = {r.o_orderkey: r.d for r in back.collect()}
+    assert a == b and all(isinstance(v, dt.date) for v in b.values())
