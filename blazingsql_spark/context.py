@@ -114,13 +114,15 @@ class Context:
         ):
             paths = [str(input)] if isinstance(input, (str, os.PathLike)) else [str(p) for p in input]
             fmt = (file_format or _infer_format(paths[0])).lower()
-            reader = self.spark.read
-            if fmt == "csv":
-                kwargs.setdefault("header", True)
-                kwargs.setdefault("inferSchema", True)
-            if "schema" in kwargs:
-                reader = reader.schema(kwargs.pop("schema"))
-            df = reader.options(**kwargs).format(fmt).load(paths)
+            from blazingsql_spark.sources.io import read_any
+
+            df = read_any(
+                self.spark,
+                paths,
+                file_format=fmt,
+                schema=kwargs.pop("schema", None),
+                **kwargs,
+            )
             meta = TableMeta(table_name, "file", fmt, paths, kwargs)
         else:
             raise TypeError(f"create_table: unsupported input type {type(input)!r}")

@@ -46,6 +46,16 @@ def read_any(
     (CSV: header+inference unless a schema is given)."""
     path_list = [paths] if isinstance(paths, str) else list(paths)
     fmt = (file_format or infer_format(path_list[0])).lower()
+    if fmt == "avro":
+        # no spark-avro jar in this environment — the zero-dependency OCF
+        # source (sources.avro_ocf) supplies the same read, one task/file
+        from blazingsql_spark.sources.avro_ocf import read_avro
+
+        frames = [read_avro(spark, p) for p in path_list]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
     reader = spark.read
     if fmt == "csv" and schema is None:
         options.setdefault("header", True)
@@ -66,6 +76,13 @@ def write_any(
     """Write a DataFrame in any supported format — a capability the
     reference lacks entirely (no sink path, SURVEY §2.8)."""
     fmt = (file_format or infer_format(path)).lower()
+    if fmt == "avro":
+        from blazingsql_spark.sources.avro_ocf import write_avro
+
+        if partition_by:
+            raise NotImplementedError("avro: partitionBy not supported by the OCF sink")
+        write_avro(df, path, mode=mode)
+        return
     writer = df.write.mode(mode).options(**options)
     if fmt == "csv":
         options.setdefault("header", True)

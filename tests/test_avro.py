@@ -142,3 +142,21 @@ def test_date_type_roundtrip(spark, tmp_path):
     a = {r.o_orderkey: r.d for r in df.collect()}
     b = {r.o_orderkey: r.d for r in back.collect()}
     assert a == b and all(isinstance(v, dt.date) for v in b.values())
+
+
+def test_context_facade_avro(spark, tmp_path):
+    """BlazingContext-style surface: write_any/read_any/create_table route
+    .avro through the zero-dependency OCF source instead of the absent
+    spark-avro module."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.sources.io import read_any, write_any
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "facade")
+    write_any(docs, path, file_format="avro")
+    assert read_any(spark, path, file_format="avro").count() == docs.count()
+    bc = Context(spark=spark)
+    bc.create_table("docs_avro_facade", path, file_format="avro")
+    n = bc.sql("SELECT COUNT(*) AS n FROM docs_avro_facade").collect()[0].n
+    assert n == docs.count()
+    bc.drop_table("docs_avro_facade")
