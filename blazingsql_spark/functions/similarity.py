@@ -1131,3 +1131,57 @@ def semantic_dedup_keep(
         .distinct()
     )
     return vectors.join(dropped, id_col, "left_anti")
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization for embedding storage/serving:
+    scale = max|x| / 127, q_i = clip(floor(x_i/scale + 0.5), -127, 127) as
+    TINYINT — 4x smaller than float32 at <1% cosine error for typical
+    embedding distributions, the standard compression step before shipping
+    an ANN corpus to a serving tier (PQ/IVF-PQ in this module are the
+    heavier-compression alternatives sharing the same frozen-artifact
+    discipline).
+
+    Everything is JVM array expressions (transform/aggregate) — no UDF, no
+    shuffle; the rounding is spelled floor(x+0.5) rather than round() so
+    any engine reproduces it bit-for-bit (round()'s half-even vs half-up
+    varies by engine; floor(x+0.5) does not). All-zero vectors keep
+    scale=0 and quantize to zeros (guarded division).
+
+    Output: (id, scale DOUBLE, qvec ARRAY<TINYINT>, recon_mae DOUBLE) —
+    recon_mae is the mean |dequantized - original| per vector, the drift
+    stat a retrain gate can aggregate corpus-wide."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = (F.array_max(F.transform(xd, F.abs)) / F.lit(127.0)).alias("scale")
+    with_scale = df.select(F.col(id_col), xd.alias("__xd"), scale)
+    q = F.transform(
+        F.col("__xd"),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(
+                    F.when(F.col("scale") > 0, x / F.col("scale")).otherwise(F.lit(0.0))
+                    + F.lit(0.5)
+                ).cast("double"),
+            ),
+        ).cast("tinyint"),
+    )
+    out = with_scale.withColumn(out_col, q)
+    recon_err = F.aggregate(
+        F.zip_with(
+            F.col(out_col),
+            F.col("__xd"),
+            lambda qi, xi: F.abs(qi.cast("double") * F.col("scale") - xi),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    ) / F.size(F.col(out_col))
+    return out.select(
+        id_col, "scale", out_col, recon_err.alias("recon_mae")
+    )

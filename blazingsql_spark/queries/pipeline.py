@@ -2813,3 +2813,51 @@ def dedup_semantic(spark, sf_dir):
         corpus, n_clusters=1, threshold=0.95, dim=64
     )
     return keep.select("vec_id").orderBy("vec_id")
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS x,
+               list_max(list_transform(embedding::DOUBLE[], v -> ABS(v))) / 127.0
+                   AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, scale, x,
+               list_transform(x, v -> GREATEST(-127.0, LEAST(127.0,
+                   FLOOR((CASE WHEN scale > 0 THEN v / scale ELSE 0 END) + 0.5))))
+                   AS qv
+        FROM base
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, v -> ABS(v))) AS BIGINT) AS q_l1,
+           ROUND(list_sum(list_transform(list_zip(qv, x),
+                                         p -> ABS(p[1] * scale - p[2]))) / len(x), 6)
+               AS recon_mae
+    FROM q ORDER BY vec_id
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 embedding quantization
+    (functions.similarity.quantize_int8): scale = max|x|/127, engine-exact
+    floor(x+0.5) rounding, clip to [-127,127] — pure JVM array
+    expressions, no UDF, no shuffle. The compared columns fold the int8
+    vector into exact integer checksums (q_sum/q_l1) because the driver
+    harness cannot hash array cells; recon_mae is the per-vector
+    dequantization drift a retrain gate would aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    to_long = lambda a, x: a + x.cast("long")  # noqa: E731
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("long"), to_long).alias("q_sum"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda a, x: a + F.abs(x.cast("long"))
+        ).alias("q_l1"),
+        F.round("recon_mae", 6).alias("recon_mae"),
+    ).orderBy("vec_id")

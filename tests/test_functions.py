@@ -1198,3 +1198,31 @@ def test_new_text_ops_edge_documents(spark):
     assert h[1] == "" and h[2] == "" and h[3] == "sólo"
     n = {r.doc_id: r.text_nfc for r in nfc_normalize(df).collect()}
     assert n[5] is None and n[3] == "sólo"
+
+
+def test_quantize_int8_fidelity_and_edges(spark):
+    import numpy as np
+    import pandas as pd
+
+    from blazingsql_spark.functions import similarity
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.standard_normal(64).astype("float32").tolist() for _ in range(50)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(99, [0.0] * 64)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    out = similarity.quantize_int8(df)
+    assert dict(out.dtypes)["qvec"] == "array<tinyint>"
+    got = {r.vec_id: r for r in out.collect()}
+    # all-zero vector: scale 0, zero codes, zero error — no NaN from 0/0
+    z = got[99]
+    assert z.scale == 0.0 and all(q == 0 for q in z.qvec) and z.recon_mae == 0.0
+    for i, v in enumerate(vecs):
+        r = got[i]
+        x = np.array(v, dtype=np.float64)
+        deq = np.array(r.qvec, dtype=np.float64) * r.scale
+        cos = float(x @ deq / (np.linalg.norm(x) * np.linalg.norm(deq)))
+        assert cos > 0.999, (i, cos)  # int8 keeps cosine within 0.1%
+        assert np.max(np.abs(np.array(r.qvec))) <= 127
+        assert abs(r.recon_mae - float(np.abs(deq - x).mean())) < 1e-9
