@@ -2861,3 +2861,59 @@ def emb_quantize_int8(spark, sf_dir):
         ).alias("q_l1"),
         F.round("recon_mae", 6).alias("recon_mae"),
     ).orderBy("vec_id")
+
+
+@register(
+    "corpus_profile",
+    oracle=r"""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT)              AS n_langs,
+               CAST(SUM(n_chars) AS BIGINT)                      AS total_chars,
+               CAST(SUM(len(list_filter(
+                       string_split_regex(LOWER(TRIM(text)), '\s+'),
+                       x -> x <> ''))) AS BIGINT)                AS total_tokens,
+               CAST(COUNT(DISTINCT MD5(text)) AS BIGINT)         AS distinct_texts,
+               ROUND(1.0 - CAST(COUNT(DISTINCT MD5(text)) AS DOUBLE)
+                     / COUNT(*), 6)                              AS dup_frac
+        FROM documents
+    ),
+    pct AS (
+        SELECT ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY n_chars), 6)
+                   AS p50_chars,
+               ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY n_chars), 6)
+                   AS p99_chars
+        FROM documents
+    )
+    SELECT * FROM agg CROSS JOIN pct
+    """,
+)
+def corpus_profile(spark, sf_dir):
+    """One-pass corpus health report — the summary a pipeline operator
+    checks before/after every prep stage: doc and language counts, char/
+    token totals, exact-duplicate fraction (distinct md5 over count), and
+    exact length percentiles. One groupBy-less partial aggregate + the
+    distributed exact-percentile pass (operators.stats — no
+    single-partition sort), cross-joined as two 1-row frames. At 100 TB
+    every piece is map-side partial aggregation; the only shuffles are
+    the two distinct-count exchanges and the percentile range exchange."""
+    from blazingsql_spark.operators.stats import group_percentile_cont
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.size(F.filter(ws, lambda x: x != F.lit("")))
+    agg = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        F.countDistinct(F.md5("text")).alias("distinct_texts"),
+        F.round(
+            F.lit(1.0) - F.countDistinct(F.md5("text")).cast("double") / F.count("*"),
+            6,
+        ).alias("dup_frac"),
+    )
+    pct = group_percentile_cont(
+        docs, keys=[], value_col="n_chars", quantiles={"p50_chars": 0.5, "p99_chars": 0.99}
+    ).select(F.round("p50_chars", 6).alias("p50_chars"), F.round("p99_chars", 6).alias("p99_chars"))
+    return agg.crossJoin(pct)
