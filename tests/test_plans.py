@@ -98,6 +98,7 @@ def test_no_accidental_cartesian_products(spark):
         "agg_equidepth",  # ranked rows x broadcast(|quantiles|-row target-rank table): the no-group-keys percentile path
         "dedup_semantic",  # corpus x broadcast(1-row centroid array) assignment, twice (a/b sides of the within-cluster self-join) — same bounded shape as sim_ann_ivf; the pairwise cosine itself is an equi-join on centroid_id
         "sample_dsir_weights",  # bucket table x broadcast(two 1-row p/q total aggregates) — same bounded shape as text_bm25's corpus stats
+        "corpus_profile",  # 1-row corpus aggregate x 1-row percentile frame, plus the keyless percentile path's |quantiles|-row broadcast (agg_equidepth's accepted shape)
         "rag_hybrid_rrf",  # same 1-row corpus-stats broadcast (BM25 branch) + 1-query cosine branch
         "events_gapfill",  # calendar(|days| rows) x types(|types| rows) — the dense grid IS the output shape
         "events_interpolate",  # same dense calendar x types grid as events_gapfill
