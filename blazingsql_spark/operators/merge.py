@@ -15,7 +15,7 @@ logic runs anywhere:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,3 +58,44 @@ def scd2_apply(
     )
 
     return history.unionByName(closed).unionByName(untouched_current).unionByName(new_rows)
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    version_col: str = "version",
+) -> DataFrame:
+    """Apply a CDC change stream to a snapshot: latest-version-wins per
+    key, with delete tombstones — the read-side completion of the MERGE
+    family (merge_upsert has no delete path, scd2_apply keeps history;
+    this materializes "current state after the log").
+
+    ``changes`` rows carry ``op_col`` in {'I','U','D'} and a monotonically
+    comparable ``version_col`` (commit LSN / event time); for each key
+    only the highest-version change matters: I/U upsert the row, D
+    removes the key. Ties on version break deterministically by
+    preferring the delete (a same-version D|U pair means the key's final
+    fate is engine-ordering-dependent otherwise).
+
+    Plan shape at 100 TB: one window over (key) ordered by (version,
+    op-rank) on the CHANGE LOG only (sized by the log, not the
+    snapshot), then one shuffle join against the snapshot — both on the
+    same key, so the stages co-partition; no row-at-a-time apply loop.
+    """
+    payload = [c for c in snapshot.columns if c not in key_cols]
+    op_rank = F.when(F.col(op_col) == "D", 1).otherwise(0)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), op_rank.desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(*key_cols, *payload)
+    # every touched key leaves the snapshot (anti-join), then non-delete
+    # finals come back — deletes simply never return
+    survivors = snapshot.join(latest.select(*key_cols), key_cols, "left_anti")
+    return survivors.unionByName(upserts)

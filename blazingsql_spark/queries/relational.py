@@ -2480,3 +2480,105 @@ twin(
     """,
     tables=("lineitem",),
 )
+
+
+@register(
+    "cdc_apply_orders",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders
+    ),
+    changes AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice * 3 AS DECIMAL(18,2)) AS o_totalprice,
+               'U' AS op, 1 AS version
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(NULL AS DECIMAL(18,2)), 'D', 2
+        FROM base WHERE o_orderkey % 14 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice * 5 AS DECIMAL(18,2)), 'U', 2
+        FROM base WHERE o_orderkey % 21 = 0
+        UNION ALL
+        SELECT (SELECT MAX(o_orderkey) FROM base) + 1, 1, 'O',
+               CAST(42.42 AS DECIMAL(18,2)), 'I', 1
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT c.*, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey
+                ORDER BY version DESC,
+                         CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC) AS rn
+            FROM changes c) t
+        WHERE rn = 1
+    ),
+    survivors AS (
+        SELECT b.* FROM base b
+        WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    ),
+    cur AS (
+        SELECT * FROM survivors
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM latest WHERE op <> 'D'
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+    FROM cur GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def cdc_apply_orders(spark, sf_dir):
+    """CDC log application (operators.merge.cdc_apply): a multi-version
+    change stream — v1 reprice x3 on every 7th key, v2 delete on every
+    14th, v2 reprice x5 on every 21st, one insert — collapses to
+    latest-version-wins with delete tombstones. Keys divisible by 42
+    carry a same-version U and D pair, pinning the deterministic
+    delete-wins tie-break. One window over the log + one co-partitioned
+    anti-join/union against the snapshot; the oracle replays the same
+    log declaratively."""
+    from blazingsql_spark.operators.merge import cdc_apply
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    max_key = base.agg(F.max("o_orderkey")).first()[0]
+
+    def chg(cond_mod, mult, op, version):
+        out = base.filter(F.col("o_orderkey") % cond_mod == 0).select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            (F.col("o_totalprice") * mult).cast("decimal(18,2)").alias("o_totalprice")
+            if mult is not None
+            else F.lit(None).cast("decimal(18,2)").alias("o_totalprice"),
+        )
+        return out.withColumn("op", F.lit(op)).withColumn("version", F.lit(version))
+
+    inserts = (
+        spark.createDataFrame([(max_key + 1, 1, "O")],
+                              ["o_orderkey", "o_custkey", "o_orderstatus"])
+        .withColumn("o_totalprice", F.lit("42.42").cast("decimal(18,2)"))
+        .withColumn("op", F.lit("I"))
+        .withColumn("version", F.lit(1))
+    )
+    changes = (
+        chg(7, 3, "U", 1)
+        .unionByName(chg(14, None, "D", 2))
+        .unionByName(chg(21, 5, "U", 2))
+        .unionByName(inserts)
+    )
+    cur = cdc_apply(base, changes, ["o_orderkey"])
+    return (
+        cur.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+            F.sum("o_totalprice").cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -293,3 +293,29 @@ def test_salted_agg_equals_plain_agg(spark):
             ).collect()
         }
         assert got == plain, (salt, got, plain)
+
+
+def test_cdc_apply_semantics(spark):
+    from blazingsql_spark.operators.merge import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]
+    )
+    log = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1),  # update
+            (1, "a3", "U", 3),  # later update wins over v1
+            (2, None, "D", 2),  # delete
+            (2, "b2", "U", 1),  # older than the delete -> irrelevant
+            (4, "d", "I", 1),   # insert new key
+            (3, "c2", "U", 5),  # same-version U+D pair: delete wins
+            (3, None, "D", 5),
+        ],
+        ["id", "val", "op", "version"],
+    )
+    got = {r.id: r.val for r in cdc_apply(snap, log, ["id"]).collect()}
+    assert got == {1: "a3", 4: "d"}, got
+    # empty log is a no-op
+    empty = log.limit(0)
+    same = {r.id: r.val for r in cdc_apply(snap, empty, ["id"]).collect()}
+    assert same == {1: "a", 2: "b", 3: "c"}
