@@ -2917,3 +2917,81 @@ def corpus_profile(spark, sf_dir):
         docs, keys=[], value_col="n_chars", quantiles={"p50_chars": 0.5, "p99_chars": 0.99}
     ).select(F.round("p50_chars", 6).alias("p50_chars"), F.round("p99_chars", 6).alias("p99_chars"))
     return agg.crossJoin(pct)
+
+
+@register(
+    "docs_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, arr[g.i] || ' ' || arr[g.i + 1] || ' ' || arr[g.i + 2]
+                   AS gram
+        FROM toks,
+             LATERAL (SELECT UNNEST(generate_series(1, len(arr) - 2)) AS i) g
+        WHERE len(arr) >= 3
+    ),
+    dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+    df AS (SELECT gram, COUNT(*) AS gdf FROM dg GROUP BY gram)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           ROUND(CAST(SUM(CASE WHEN f.gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM dg d JOIN df f USING (gram)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def docs_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty — the diversity complement of the dedup
+    family: the fraction of a doc's distinct word-3-grams that appear in
+    NO other document (document frequency 1). Low novelty flags template/
+    boilerplate-heavy docs that per-doc repetition stats (gopher) miss
+    because the repetition is ACROSS documents, not within one. Docs with
+    fewer than 3 tokens have no grams and drop out, matching the oracle.
+
+    Shape at 100 TB: one explode -> per-doc-distinct -> one partial-agg
+    groupBy on the gram hash for df -> equi-join back on gram (AQE picks
+    the strategy; the df table is frequency-skewed but bounded by the
+    distinct-gram count) -> one groupBy on doc_id. The same scan/shuffle
+    skeleton as jaccard_pairs' shingle stage, minus the pair fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    arr = F.filter(ws, lambda x: x != F.lit(""))
+    grams = (
+        docs.select(
+            "doc_id",
+            F.when(
+                F.size(arr) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(arr, i),
+                        F.element_at(arr, i + 1),
+                        F.element_at(arr, i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")).alias("gs"),
+        )
+        .select("doc_id", F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    df_tbl = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
+    return (
+        grams.join(df_tbl, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("gdf") == 1).cast("int")).cast("long").alias("n_unique"),
+            F.round(
+                F.sum((F.col("gdf") == 1).cast("int")).cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
