@@ -58,14 +58,13 @@ def sniff_format(payload: bytes) -> str:
         return "gif"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
-    if payload[:3] == b"ID3" or (
-        len(payload) >= 4
-        and payload[0] == 0xFF
-        and (payload[1] & 0xE0) == 0xE0
-        and (payload[1] & 0x18) != 0x08
-        and (payload[1] & 0x06) != 0
-    ):
-        return "mp3"
+    if payload[:3] == b"ID3" or (len(payload) >= 4 and payload[0] == 0xFF):
+        # full header validation (bitrate/sample-rate indices too) — a
+        # sync-word-only sniff misroutes ~0.1% of random binary prefixes
+        from blazingsql_spark.functions.media_mp3 import is_mp3
+
+        if is_mp3(payload):
+            return "mp3"
     return "unknown"
 
 
@@ -317,9 +316,18 @@ def media_meta(payload: bytes) -> dict:
     elif fmt == "mp4":
         from blazingsql_spark.functions.media_mp4 import mp4_meta
 
-        meta.update(mp4_meta(payload))  # container parse only, no codec decode
+        try:  # container parse only, no codec decode
+            meta.update(mp4_meta(payload))
+        except (ValueError, NotImplementedError):
+            # sniffed-but-unparseable (truncated file, ftyp-lookalike):
+            # metadata extraction must degrade to NULL fields, not kill
+            # a corpus-wide derive_media_meta pass
+            pass
     elif fmt == "mp3":
         from blazingsql_spark.functions.media_mp3 import mp3_meta
 
-        meta.update(mp3_meta(payload))  # frame-header walk, no PCM decode
+        try:  # frame-header walk, no PCM decode
+            meta.update(mp3_meta(payload))
+        except (ValueError, NotImplementedError):
+            pass
     return meta

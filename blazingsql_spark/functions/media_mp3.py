@@ -41,13 +41,10 @@ _SAMPLE_RATES = {
 def is_mp3(payload: bytes) -> bool:
     if payload[:3] == b"ID3":
         return True
-    return (
-        len(payload) >= 4
-        and payload[0] == 0xFF
-        and (payload[1] & 0xE0) == 0xE0
-        and (payload[1] & 0x18) != 0x08  # version bits 01 = reserved
-        and (payload[1] & 0x06) != 0  # layer bits 00 = reserved
-    )
+    # full header validity, not just the sync word: random binary prefixes
+    # pass a sync-only check ~0.1% of the time and would crash the
+    # metadata pass downstream
+    return len(payload) >= 4 and _frame_header(payload, 0) is not None
 
 
 def _id3v2_size(payload: bytes) -> int:
@@ -79,6 +76,7 @@ def _frame_header(payload: bytes, pos: int) -> dict | None:
     bitrate = _BITRATES[(vgroup, layer)][bitrate_idx] * 1000
     sample_rate = _SAMPLE_RATES[version][sr_idx]
     padding = (h >> 9) & 1
+    protection = (h >> 16) & 1  # 0 = a 16-bit CRC follows the header
     channel_mode = ["stereo", "joint_stereo", "dual_channel", "mono"][(h >> 6) & 3]
     if layer == 1:
         spf = 384
@@ -96,17 +94,20 @@ def _frame_header(payload: bytes, pos: int) -> dict | None:
         "bitrate": bitrate,
         "sample_rate": sample_rate,
         "padding": padding,
+        "protection": protection,
         "channel_mode": channel_mode,
         "samples_per_frame": spf,
         "frame_len": frame_len,
     }
 
 
-def _xing_offset(version: str, channel_mode: str) -> int:
-    """Side-info length after the header, where a Xing/Info tag would sit."""
+def _xing_offset(version: str, channel_mode: str, protection: int = 1) -> int:
+    """Side-info length after the header, where a Xing/Info tag would sit;
+    CRC-protected frames (protection bit 0) carry a 16-bit CRC first."""
+    crc = 0 if protection else 2
     if version == "1":
-        return 4 + (17 if channel_mode == "mono" else 32)
-    return 4 + (9 if channel_mode == "mono" else 17)
+        return 4 + crc + (17 if channel_mode == "mono" else 32)
+    return 4 + crc + (9 if channel_mode == "mono" else 17)
 
 
 def parse_mp3(payload: bytes) -> dict:
@@ -121,10 +122,10 @@ def parse_mp3(payload: bytes) -> dict:
     first = _frame_header(payload, pos)
     if first is None:
         raise ValueError("mp3: no valid frame sync after header")
-    xo = pos + _xing_offset(first["version"], first["channel_mode"])
+    xo = pos + _xing_offset(first["version"], first["channel_mode"], first["protection"])
     xing_frames = None
     is_vbr = False
-    if payload[xo : xo + 4] in (b"Xing", b"Info"):
+    if payload[xo : xo + 4] in (b"Xing", b"Info") and len(payload) >= xo + 12:
         is_vbr = payload[xo : xo + 4] == b"Xing"
         flags = struct.unpack_from(">I", payload, xo + 4)[0]
         if flags & 1:
@@ -230,15 +231,14 @@ def encode_mp3_cbr(
     if with_id3:
         tag_body = b"\x00" * 32
         parts.append(b"ID3\x04\x00\x00" + bytes([0, 0, len(tag_body) >> 7, len(tag_body) & 0x7F]) + tag_body)
-    total = n_frames
     if with_xing:
-        xo = _xing_offset(version, channel_mode)
+        # the encoder always sets protection=1 (no CRC) — match the parser
+        xo = _xing_offset(version, channel_mode, protection=1)
         body = bytearray(frame)
         body[xo : xo + 4] = b"Info"  # CBR-style metadata frame
         struct.pack_into(">I", body, xo + 4, 1)  # flags: FRAMES
-        struct.pack_into(">I", body, xo + 8, n_frames)
+        struct.pack_into(">I", body, xo + 8, n_frames)  # excludes the tag frame
         parts.append(bytes(body))
-        total = n_frames  # Xing count excludes its own frame
     parts.extend([frame] * n_frames)
     return b"".join(parts)
 

@@ -12,8 +12,9 @@ Scope — the container layer decodes for REAL:
 - ftyp brand, mvhd movie timescale/duration, per-track tkhd dimensions,
   mdhd media timescale, hdlr kind (vide/soun), stsd codec fourcc;
 - the full sample-table stack resolved to absolute (offset, size) per
-  sample: stts (decode timestamps), stsc (chunk runs), stsz / stz2
-  (sizes), stco / co64 (chunk offsets), stss (sync samples);
+  sample: stts (decode timestamps), stsc (chunk runs), stsz (sizes —
+  the compact stz2 variant is rejected by name), stco / co64 (chunk
+  offsets), stss (sync samples);
 - sample extraction by index, and uniform sync-sample selection for
   frame sampling.
 
@@ -167,6 +168,15 @@ def parse_mp4(payload: bytes) -> dict:
     when no stss box is present, per ISO 14496-12 §8.6.2)."""
     if not is_mp4(payload):
         raise ValueError("mp4: missing ftyp header")
+    try:
+        return _parse_mp4_inner(payload)
+    except struct.error as e:
+        # malformed tables (e.g. a lying stsz count) otherwise leak
+        # struct.error past callers' ValueError handling (skip-mode decode)
+        raise ValueError(f"mp4: truncated or malformed structure ({e})") from e
+
+
+def _parse_mp4_inner(payload: bytes) -> dict:
     data = payload
     end = len(data)
     ftyp = _find(data, 0, end, b"ftyp")
@@ -252,6 +262,10 @@ def _parse_trak(data: bytes, tb: int, te: int) -> dict:
     stsz = _find(data, sb, se, b"stsz")
     stco = _find(data, sb, se, b"stco")
     co64 = _find(data, sb, se, b"co64")
+    if stsz is None and _find(data, sb, se, b"stz2") is not None:
+        raise NotImplementedError(
+            "mp4: compact stz2 sample sizes not supported (plain stsz only)"
+        )
     if stsz is None or stsc is None or (stco is None and co64 is None):
         return track  # metadata-only track (no sample data in this file)
     n, sizes = _parse_stsz(data, *stsz)

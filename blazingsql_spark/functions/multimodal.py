@@ -27,6 +27,7 @@ Arrow record batches so one task never holds more than
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -273,7 +274,10 @@ def extract_frames(
                     for i, fb in zip(idxs, frames):
                         row = (rid, i, fb, len(fb))
                         rows.append(row + ((None,) if on_error == "skip" else ()))
-                except (ValueError, NotImplementedError) as e:
+                # struct.error belt-and-braces: parse_mp4 wraps it into
+                # ValueError, but a corrupt payload must never kill a
+                # skip-mode corpus pass even if a path is missed
+                except (ValueError, NotImplementedError, struct.error) as e:
                     if on_error == "raise":
                         raise
                     rows.append((rid, None, None, None, f"{type(e).__name__}: {e}"))

@@ -110,7 +110,11 @@ def io_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         if fmt == "avro":
             # no spark-avro jar in this environment: the zero-dependency OCF
             # source/sink (sources.avro_ocf) supplies the round trip —
-            # executor-parallel write, binaryFile + per-file block decode read
+            # executor-parallel write, binaryFile + per-file block decode read.
+            # NOTE shared-POSIX-path only: with SPARK_GRAFT_SCRATCH on an
+            # object store (hdfs://, s3a://) this leg raises a typed
+            # NotImplementedError instead of silently writing executor-local
+            # files (avro_ocf._check_posix_path)
             from blazingsql_spark.sources import avro_ocf
 
             avro_ocf.write_avro(sl, path)

@@ -121,9 +121,12 @@ def _avro_field_schema(dt: T.DataType) -> object:
         return {"type": "int", "logicalType": "date"}
     if isinstance(dt, T.ArrayType):
         inner = _avro_field_schema(dt.elementType)
-        if isinstance(inner, dict) or not isinstance(inner, str):
+        if not isinstance(inner, str):
             raise NotImplementedError("avro: only arrays of plain scalars")
-        return {"type": "array", "items": inner}
+        # Spark arrays default to containsNull=True — mirror it with the
+        # standard per-element null union (a bare items type silently
+        # corrupted null elements: stringified "None" / TypeError)
+        return {"type": "array", "items": ["null", inner] if dt.containsNull else inner}
     raise NotImplementedError(f"avro: unsupported Spark type {dt.simpleString()}")
 
 
@@ -161,7 +164,9 @@ def avro_to_spark(avro_schema: dict) -> T.StructType:
             if t.get("logicalType") == "date":
                 return T.DateType()
             if t.get("type") == "array":
-                return T.ArrayType(one(t["items"]))
+                items = t["items"]
+                contains_null = isinstance(items, list) and "null" in items
+                return T.ArrayType(one(items), containsNull=contains_null)
             if t.get("type") in back:
                 return back[t["type"]]
             raise NotImplementedError(f"avro: unsupported schema node {t}")
@@ -364,13 +369,31 @@ def _pdf_from_rows(rows: list[dict], spark_schema: T.StructType) -> pd.DataFrame
     return pd.DataFrame(cols)
 
 
+def _check_posix_path(path: str) -> None:
+    """This source reads/writes with plain Python file IO: it needs a
+    POSIX path on a filesystem ALL executors share (local mode, NFS,
+    fuse mounts). URI schemes (hdfs://, s3a://...) would need the Hadoop
+    FS API — refuse them loudly instead of writing to a bogus local dir."""
+    head = path.split("/", 1)[0]
+    if head.endswith(":"):  # "hdfs:", "s3a:", ... before the first slash
+        raise NotImplementedError(
+            f"avro: the zero-dependency OCF source is shared-POSIX-path only; "
+            f"got URI {path!r} (use parquet/orc for object-store interchange)"
+        )
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Distributed OCF read: schema from ONE driver-side header parse of
     the first file, data via binaryFile (one task per file, pushdown-
     pruned to *.avro) -> Arrow-batched per-file block decode."""
     import glob as _glob
 
-    files = sorted(_glob.glob(os.path.join(path, "*.avro"))) or [path]
+    _check_posix_path(path)
+    files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    if not files:
+        if os.path.isdir(path):
+            raise ValueError(f"avro: no .avro files in directory {path!r}")
+        files = [path]
     with open(files[0], "rb") as fh:
         head = fh.read(1 << 20)
     # header parse only: stop at the first block (decode_ocf wants whole
@@ -416,7 +439,9 @@ def write_avro(
 
     mode mirrors DataFrameWriter: 'overwrite' clears existing part files
     (a re-run must not union with last run's parts), 'append' adds,
-    'error' refuses a non-empty target."""
+    'error' refuses a non-empty target. An empty DataFrame writes one
+    zero-block file so the schema (and an empty read) round-trips."""
+    _check_posix_path(path)
     os.makedirs(path, exist_ok=True)
     existing = [f for f in os.listdir(path) if f.endswith(".avro")]
     if existing:
@@ -462,4 +487,12 @@ def write_avro(
         yield pd.DataFrame({"file": [fname]})
 
     written = df.mapInPandas(write_part, marker_schema).collect()
+    if not written:
+        # empty input: persist the schema anyway (a zero-block file), so
+        # read_avro(path) of an empty result returns 0 rows, not an error
+        blob = encode_ocf([], avro_schema, codec=codec)
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+        with open(fname, "wb") as fh:
+            fh.write(blob)
+        return 1
     return len(written)

@@ -51,15 +51,25 @@ def read_any(
         # source (sources.avro_ocf) supplies the same read, one task/file
         from blazingsql_spark.sources.avro_ocf import read_avro
 
+        if schema is not None or options:
+            # the OCF source derives its schema from the file header and
+            # takes no reader options — refusing beats silently dropping
+            raise NotImplementedError(
+                "avro: reader schema/options are not supported by the "
+                "zero-dependency OCF source (schema comes from the file header)"
+            )
         frames = [read_avro(spark, p) for p in path_list]
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
     reader = spark.read
-    if fmt == "csv" and schema is None:
+    if fmt == "csv":
+        # header defaults on with or without a schema (a headered file's
+        # first line must never parse as data); inference only without one
         options.setdefault("header", True)
-        options.setdefault("inferSchema", True)
+        if schema is None:
+            options.setdefault("inferSchema", True)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.options(**options).format(fmt).load(path_list)
@@ -79,8 +89,10 @@ def write_any(
     if fmt == "avro":
         from blazingsql_spark.sources.avro_ocf import write_avro
 
-        if partition_by:
-            raise NotImplementedError("avro: partitionBy not supported by the OCF sink")
+        if partition_by or options:
+            raise NotImplementedError(
+                "avro: partitionBy/writer options not supported by the OCF sink"
+            )
         write_avro(df, path, mode=mode)
         return
     writer = df.write.mode(mode).options(**options)

@@ -160,3 +160,61 @@ def test_context_facade_avro(spark, tmp_path):
     n = bc.sql("SELECT COUNT(*) AS n FROM docs_avro_facade").collect()[0].n
     assert n == docs.count()
     bc.drop_table("docs_avro_facade")
+
+
+def test_array_null_elements_roundtrip(spark, tmp_path):
+    """Review finding: null elements inside arrays were stringified or
+    crashed the encoder — they must round-trip as nulls."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2],
+                "tags": [["x", None, "y"], None],
+                "nums": [[1.5, None], [None]],
+            }
+        ),
+        schema="id long, tags array<string>, nums array<double>",
+    )
+    path = str(tmp_path / "nullelems")
+    av.write_avro(df, path)
+    got = {r.id: (r.tags, r.nums) for r in av.read_avro(spark, path).collect()}
+    assert got[1] == (["x", None, "y"], [1.5, None])
+    assert got[2] == (None, [None])
+
+
+def test_empty_dataframe_roundtrip(spark, tmp_path):
+    """Review finding: an empty write produced zero files and the read
+    crashed — now one zero-block file persists the schema."""
+    df = load_table(spark, SF_DIR, "documents").limit(0)
+    path = str(tmp_path / "empty")
+    assert av.write_avro(df, path) == 1
+    back = av.read_avro(spark, path)
+    assert back.count() == 0
+    assert back.schema == df.schema
+
+
+def test_empty_dir_and_uri_scheme_are_typed_errors(spark, tmp_path):
+    import os
+
+    d = str(tmp_path / "nothing")
+    os.makedirs(d)
+    with pytest.raises(ValueError, match="no .avro files"):
+        av.read_avro(spark, d)
+    with pytest.raises(NotImplementedError, match="POSIX"):
+        av.write_avro(load_table(spark, SF_DIR, "documents"), "hdfs://nn/x")
+    with pytest.raises(NotImplementedError, match="POSIX"):
+        av.read_avro(spark, "s3a://bucket/x")
+
+
+def test_read_any_avro_refuses_schema_and_options(spark, tmp_path):
+    from blazingsql_spark.sources.io import read_any, write_any
+
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    path = str(tmp_path / "refuse")
+    write_any(docs, path, file_format="avro")
+    with pytest.raises(NotImplementedError, match="schema"):
+        read_any(spark, path, file_format="avro", schema=docs.schema)
+    with pytest.raises(NotImplementedError, match="options"):
+        write_any(docs, path, file_format="avro", compression="snappy")

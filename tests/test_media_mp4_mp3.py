@@ -255,3 +255,67 @@ def test_derive_media_meta_mp4_mp3(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["duration_ms"]) == (128, 96, 1000)
     assert got[2]["format"] == "mp3" and got[2]["media_type"] == "audio"
     assert got[2]["duration_ms"] == 20 * 1152 * 1000 // 44100
+
+
+def test_mp4_malformed_tables_raise_valueerror_not_struct_error():
+    """Review finding: a lying stsz count leaked struct.error past
+    skip-mode handlers — parse_mp4 now wraps it typed."""
+    b = bytearray(mp4.encode_mp4(_samples(3)))
+    i = bytes(b).find(b"stsz")
+    # corrupt the sample_count field (last 4 bytes before the size table)
+    struct.pack_into(">I", b, i + 4 + 8, 1 << 30)
+    with pytest.raises(ValueError, match="malformed|mismatch|truncated"):
+        mp4.parse_mp4(bytes(b))
+
+
+def test_mp4_stz2_rejected_by_name():
+    b = bytearray(mp4.encode_mp4(_samples(3)))
+    i = bytes(b).find(b"stsz")
+    b[i : i + 4] = b"stz2"  # same length, so the container stays well-formed
+    with pytest.raises(NotImplementedError, match="stz2"):
+        mp4.parse_mp4(bytes(b))
+
+
+def test_extract_frames_skip_survives_malformed_tables(spark):
+    import pandas as pd
+
+    from blazingsql_spark.functions import multimodal
+
+    good = mp4.encode_mp4(_samples(4))
+    bad = bytearray(mp4.encode_mp4(_samples(3)))
+    i = bytes(bad).find(b"stsz")
+    struct.pack_into(">I", bad, i + 4 + 8, 1 << 30)
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, good), (2, bytes(bad))], columns=["doc_id", "payload"])
+    )
+    out = multimodal.extract_frames(df, n_frames=2, on_error="skip").toPandas()
+    assert set(out[out["error"].notna()]["doc_id"]) == {2}
+    assert len(out[out["error"].isna()]) == 2
+
+
+def test_sniff_rejects_sync_only_false_positive():
+    # valid sync/version/layer bits but bitrate index 15 (invalid):
+    # previously sniffed as mp3 and crashed the metadata pass
+    fake = b"\xff\xfb\xf0\x00" + b"\x00" * 64
+    assert sniff_format(fake) == "unknown"
+    m = media_meta(fake)
+    assert m["format"] == "unknown" and m["duration_ms"] is None
+
+
+def test_media_meta_truncated_mp4_degrades_to_nulls():
+    b = mp4.encode_mp4(_samples(3))
+    m = media_meta(b[: len(b) - 10])  # truncated moov: parse fails
+    assert m["format"] == "mp4"
+    assert m["width"] is None and m["duration_ms"] is None
+    assert m["n_bytes"] == len(b) - 10
+
+
+def test_mp3_crc_protected_xing_offset():
+    """Review finding: CRC-protected frames carry a 16-bit CRC before the
+    side info, shifting the Xing tag by 2 bytes."""
+    # build a CRC-protected frame by clearing the protection bit
+    b = bytearray(mp3.encode_mp3_cbr(5, with_xing=True))
+    h = mp3._frame_header(bytes(b), 0)
+    assert h["protection"] == 1
+    assert mp3._xing_offset("1", "stereo", protection=0) == mp3._xing_offset("1", "stereo", protection=1) + 2
+    assert mp3._xing_offset("2", "mono", protection=0) == 4 + 2 + 9
