@@ -743,3 +743,51 @@ pair(
     """,
     tables=("documents",),
 )
+
+
+@register(
+    "expr_url_parse",
+    oracle=r"""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/' || lang || '/doc/'
+                   || doc_id || '?q=' || n_chars || '&lang=' || lang || '#s'
+                   || (doc_id % 5) AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)', 1)      AS host,
+           regexp_extract(url, '^https://[^/]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1)              AS query,
+           regexp_extract(url, '[?&]q=([^&#]*)', 1)         AS q_param,
+           regexp_extract(url, '#(.*)$', 1)                 AS fragment
+    FROM u ORDER BY doc_id
+    """,
+)
+def expr_url_parse(spark, sf_dir):
+    """URL component extraction (Spark's parse_url — HOST/PATH/QUERY/
+    query-parameter/REF), the first step of every web-corpus pipeline
+    (domain blocklists, per-site caps, dedup by canonical URL). URLs are
+    constructed deterministically from the fixture columns so the DuckDB
+    oracle can verify via regexes what Spark extracts via its dedicated
+    parser — the values must agree exactly. Pure codegen projection, no
+    shuffle beyond the output sort."""
+    from blazingsql_spark.queries.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?q="), F.col("n_chars").cast("string"),
+        F.lit("&lang="), F.col("lang"),
+        F.lit("#s"), (F.col("doc_id") % 5).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    ).orderBy("doc_id")
