@@ -158,6 +158,39 @@ def test_fuzzed_join_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
     compare_frames(got, want, sql)
 
 
+# ---- set-operation grammar: UNION [ALL] / INTERSECT / EXCEPT between a
+# lineitem branch and an orders branch (distinct-form semantics are a
+# deterministic multiset in both engines), folded to a scalar checksum ----
+
+_SETOPS = ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]
+
+
+@st.composite
+def _setop_query(draw):
+    op = draw(st.sampled_from(_SETOPS))
+    lp = draw(_pred)
+    rp = draw(_o_pred)
+    # branch projections share (k BIGINT, j BIGINT); j is a small modulus
+    # so INTERSECT/EXCEPT actually collide across the two tables
+    left = (f"SELECT CAST(l_orderkey AS BIGINT) AS k, "
+            f"CAST(l_linenumber % 4 AS BIGINT) AS j FROM lineitem WHERE {lp}")
+    right = (f"SELECT CAST(o_orderkey AS BIGINT) AS k, "
+             f"CAST(o_orderkey % 4 AS BIGINT) AS j FROM orders WHERE {rp}")
+    if draw(st.booleans()):
+        left, right = right, left
+    return (f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(k) AS BIGINT) AS sum_k, CAST(SUM(j) AS BIGINT) AS sum_j "
+            f"FROM (({left}) {op} ({right})) t")
+
+
+@settings(max_examples=15 * _SCALE, deadline=None)
+@given(sql=_setop_query())
+def test_fuzzed_setop_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
+    got = spark_fuzz.sql(sql).toPandas()
+    want = oracle_fuzz.execute(sql).fetchdf()
+    compare_frames(got, want, sql)
+
+
 # ---- window grammar: RANK/DENSE_RANK (tie-stable row multisets even
 # with duplicate rows — unlike ROW_NUMBER) and whole-partition
 # aggregates; the compare sorts rows so only the MULTISET must match ----
