@@ -138,3 +138,63 @@ def io_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("format")
+
+
+@register(
+    "io_webdataset_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               lang AS lang_back,
+               SHA256(text) AS txt_sha,
+               CAST(2 AS INT) AS n_members
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="WebDataset tar-shard round trip (sources.archives): documents "
+    "exported as key-grouped tar shards, read back sample-grouped, text "
+    "bytes and language member recovered exactly",
+)
+def io_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table as WebDataset tar shards (two members
+    per sample: .txt = the document bytes, .lang = the language tag),
+    read it back with the sample-grouped reader, and recover both
+    members JVM-side from the parallel-array layout. The oracle
+    recomputes everything from the source columns, so a member-grouping
+    or byte-extraction defect mismatches. Same scratch/POSIX contract
+    as the avro leg of io_format_matrix."""
+    from blazingsql_spark.sources import archives
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    out = os.path.join(
+        scratch,
+        "blazingsql_spark_wds_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    # overwrite semantics for in-session repeats: stale shards would
+    # duplicate samples on the grouped read (same hazard the avro sink's
+    # mode='overwrite' closes)
+    if os.path.isdir(out):
+        for f in os.listdir(out):
+            if f.endswith(".tar"):
+                os.remove(os.path.join(out, f))
+    members = docs.selectExpr(
+        "lpad(CAST(doc_id AS STRING), 12, '0') AS key", "'txt' AS ext",
+        "CAST(text AS BINARY) AS payload",
+    ).unionByName(
+        docs.selectExpr(
+            "lpad(CAST(doc_id AS STRING), 12, '0') AS key", "'lang' AS ext",
+            "CAST(lang AS BINARY) AS payload",
+        )
+    )
+    archives.write_tar_shards(members, out, num_shards=4)
+    wds = archives.read_webdataset(spark, out)
+    pick = lambda ext: F.element_at(  # noqa: E731
+        "payloads", F.array_position("exts", ext).cast("int")
+    )
+    return wds.select(
+        F.col("key").cast("long").alias("doc_id"),
+        pick("lang").cast("string").alias("lang_back"),
+        F.sha2(pick("txt"), 256).alias("txt_sha"),
+        F.size("exts").alias("n_members"),
+    ).orderBy("doc_id")
