@@ -56,6 +56,8 @@ def sniff_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if is_bmp(payload):
+        return "bmp"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     if payload[:3] == b"ID3" or (len(payload) >= 4 and payload[0] == 0xFF):
@@ -310,6 +312,9 @@ def media_meta(payload: bytes) -> dict:
 
         w, h, _nc = jpeg_dimensions(payload)  # header parse, no entropy decode
         meta.update(media_type="image", height=h, width=w)
+    elif fmt == "bmp":
+        w, h = struct.unpack_from("<ii", payload, 18)  # header parse only
+        meta.update(media_type="image", width=w, height=abs(h))
     elif fmt == "wav":
         sr, _n_ch, x = decode_wav(payload)
         meta.update(media_type="audio", duration_ms=int(1000 * len(x) / sr) if sr else 0)
@@ -331,3 +336,60 @@ def media_meta(payload: bytes) -> dict:
         except (ValueError, NotImplementedError):
             pass
     return meta
+
+
+# --------------------------------------------------------------- BMP ----
+# Uncompressed 24-bit BI_RGB — no entropy coding, so unlike JPEG/GIF the
+# whole format decodes with pure slicing: pixel rows are bottom-up (or
+# top-down when height is negative), BGR order, padded to 4 bytes.
+
+
+def is_bmp(payload: bytes) -> bool:
+    return payload[:2] == b"BM" and len(payload) >= 54
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP -> uint8 (height, width, 3) RGB. Scope: the BITMAPINFOHEADER
+    24-bit BI_RGB baseline virtually every writer emits; other depths or
+    compressions are rejected by name."""
+    if not is_bmp(payload):
+        raise ValueError("bmp: missing BM signature or truncated header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError(f"bmp: legacy BITMAPCOREHEADER ({hdr_size}) unsupported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(f"bmp: compression {compression} (BI_RGB only)")
+    if bpp != 24:
+        raise NotImplementedError(f"bmp: {bpp}-bit (24-bit BI_RGB only)")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError(f"bmp: truncated pixel data ({len(payload)} < {need})")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) -> 24-bit BI_RGB BMP (bottom-up)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError(f"bmp: need 3 channels, got {c}")
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix

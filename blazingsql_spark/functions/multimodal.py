@@ -161,6 +161,8 @@ def decode_features(
                 from blazingsql_spark.functions.media_gif import decode_gif
 
                 return mc.image_features(decode_gif(b), feature_dim)
+            if fmt == "bmp":
+                return mc.image_features(mc.decode_bmp(b), feature_dim)
             raise NotImplementedError(
                 f"payload format {fmt!r}: PNG/JPEG/GIF/WAV decode fully; "
                 "MP4/MP3 parse to the container/frame layer (media_mp4 "
@@ -341,8 +343,10 @@ def resize_images(
                 from blazingsql_spark.functions.media_gif import decode_gif
 
                 return mc.encode_png(mc.resize_image(decode_gif(b), width, height))
+            if fmt == "bmp":
+                return mc.encode_bmp(mc.resize_image(mc.decode_bmp(b), width, height))
             raise NotImplementedError(
-                "only PNG/JPEG/GIF resize with the zero-dependency codec; "
+                "only PNG/JPEG/GIF/BMP resize with the zero-dependency codec; "
                 "plug in PIL/cv2 for other formats or use fake=True"
             )
 

@@ -256,3 +256,62 @@ def test_png_wav_truncation_typed_errors():
     wav = _wav_bytes()
     with pytest.raises(ValueError):
         mc.decode_wav(bytes(wav[:20]))
+
+
+# ------------------------------------------------------------------ BMP ----
+
+
+def test_bmp_roundtrip_padded_widths():
+    import numpy as np
+
+    from blazingsql_spark.functions import media_codec as mc
+
+    rng = np.random.default_rng(11)
+    for h, w in [(7, 5), (1, 1), (16, 16), (9, 6), (3, 13)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mc.decode_bmp(mc.encode_bmp(px)), px), (h, w)
+
+
+def test_bmp_top_down_and_errors():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from blazingsql_spark.functions import media_codec as mc
+
+    px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    b = bytearray(mc.encode_bmp(px))
+    # flip to top-down (negative height) and re-order rows to match
+    h = struct.unpack_from("<i", b, 22)[0]
+    struct.pack_into("<i", b, 22, -h)
+    top_down = mc.decode_bmp(bytes(b))
+    assert np.array_equal(top_down, px[::-1])
+    with pytest.raises(ValueError, match="BM signature"):
+        mc.decode_bmp(b"nope")
+    with pytest.raises(ValueError, match="truncated pixel"):
+        mc.decode_bmp(bytes(mc.encode_bmp(px))[:-8])
+    bad = bytearray(mc.encode_bmp(px))
+    struct.pack_into("<H", bad, 28, 8)  # 8-bit palette
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        mc.decode_bmp(bytes(bad))
+
+
+def test_bmp_sniff_meta_decode_resize(spark):
+    import numpy as np
+    import pandas as pd
+
+    from blazingsql_spark.functions import media_codec as mc
+    from blazingsql_spark.functions import multimodal
+
+    px = np.random.default_rng(5).integers(0, 256, (32, 20, 3), dtype=np.uint8)
+    b = mc.encode_bmp(px)
+    assert mc.sniff_format(b) == "bmp"
+    m = mc.media_meta(b)
+    assert (m["media_type"], m["format"], m["width"], m["height"]) == ("image", "bmp", 20, 32)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [b]}))
+    feats = multimodal.decode_features(df, fake=False).collect()[0]
+    assert len(feats.features) == 16
+    out = multimodal.resize_images(df, width=8, height=8, fake=False).collect()[0]
+    rz = mc.decode_bmp(bytes(out.resized))
+    assert rz.shape == (8, 8, 3)
