@@ -196,3 +196,47 @@ def write_tar_shards(
         write_part, marker
     ).collect()
     return len(written)
+
+
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def stream_webdataset(spark: SparkSession, path: str, glob: str = "*.tar") -> DataFrame:
+    """STREAMING sample-grouped WebDataset reader: new tar shards landing
+    in ``path`` flow through as (shard, key, exts, payloads) rows. Built
+    on the file stream source over binaryFile (schema must be passed
+    explicitly — Spark refuses to infer for streaming sources), so Spark's
+    source log gives exactly-once SHARD processing across restarts for
+    free: a shard is the atomic unit, matching how WebDataset corpora are
+    produced (writers rename complete shards in, never append). Feed the
+    result to foreachBatch / any sink; compose with streaming.ingest
+    maintainers for index upkeep."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(p)
+                groups: dict[str, dict[str, bytes]] = {}
+                for name, data in _iter_tar(bytes(content)):
+                    key, ext = split_member_key(name)
+                    groups.setdefault(key, {})[ext] = data
+                for key in sorted(groups):
+                    exts = sorted(groups[key])
+                    rows.append((shard, key, exts, [groups[key][e] for e in exts]))
+            yield pd.DataFrame(rows, columns=["shard", "key", "exts", "payloads"])
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return files.select("path", "content").mapInPandas(batches, _SAMPLE_SCHEMA)

@@ -99,3 +99,41 @@ def test_write_tar_shards_posix_only(spark):
     df = spark.createDataFrame(pd.DataFrame({"key": ["a"], "ext": ["txt"], "payload": [b"x"]}))
     with pytest.raises(NotImplementedError, match="POSIX"):
         ar.write_tar_shards(df, "s3a://bucket/shards")
+
+
+def test_stream_webdataset_exactly_once_per_shard(spark, tmp_path):
+    """New shards flow through as sample rows; Spark's file-source log
+    makes each shard process exactly once across triggers."""
+    import time
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    (src / "shard-0.tar").write_bytes(_make_tar(_shard(0, n_samples=3)))
+
+    def run_trigger():
+        # parquet sink: the memory sink cannot recover from a checkpoint,
+        # and checkpoint recovery IS what this test pins down
+        q = (
+            ar.stream_webdataset(spark, str(src))
+            .selectExpr("shard", "key", "size(exts) AS n_members")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_trigger()
+    first = spark.read.parquet(sink).collect()
+    assert len(first) == 3 and all(r.n_members == 3 for r in first)
+
+    # drop a second shard; only ITS samples arrive on the next trigger
+    (src / "shard-1.tar").write_bytes(_make_tar(_shard(1, n_samples=2)))
+    time.sleep(1.1)  # file-source mtime granularity
+    run_trigger()
+    allrows = spark.read.parquet(sink).collect()
+    assert len(allrows) == 5  # 3 + 2, shard-0 NOT reprocessed
+    assert sorted({r.shard for r in allrows}) == ["shard-0.tar", "shard-1.tar"]
