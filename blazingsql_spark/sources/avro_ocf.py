@@ -193,7 +193,15 @@ def _encode_value(buf: bytearray, t: object, v: object) -> None:
         _encode_value(buf, [x for x in t if x != "null"][0], v)
         return
     if isinstance(t, dict):
-        if t.get("logicalType") == "timestamp-micros":
+        if t.get("logicalType") in ("timestamp-micros", "local-timestamp-micros"):
+            import datetime as _dt
+
+            if isinstance(v, _dt.datetime):
+                # Row-based writers (pyds) hand datetimes; the pandas path
+                # pre-converts to µs ints. Integer timedelta fields keep
+                # this exact (total_seconds() would round through float)
+                td = v - _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                v = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
             _write_long(buf, int(v))
             return
         if t.get("logicalType") == "date":
