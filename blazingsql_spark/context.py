@@ -116,6 +116,12 @@ class Context:
             fmt = (file_format or _infer_format(paths[0])).lower()
             from blazingsql_spark.sources.io import read_any
 
+            if fmt == "csv":
+                # create_table's historical contract: header on by default
+                # even WITH an explicit schema (BlazingContext CSV tables
+                # are headered exports) — read_any's schema-given path
+                # deliberately defaults header off for .tbl-style files
+                kwargs.setdefault("header", True)
             df = read_any(
                 self.spark,
                 paths,

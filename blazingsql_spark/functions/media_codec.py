@@ -345,14 +345,32 @@ def media_meta(payload: bytes) -> dict:
 
 
 def is_bmp(payload: bytes) -> bool:
-    return payload[:2] == b"BM" and len(payload) >= 54
+    """Full header validation, not just the 2-byte signature: random text
+    starting 'BM' (or legacy BITMAPCOREHEADER files whose dims live at a
+    different offset) must not sniff as bmp and yield garbage metadata."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return False
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size not in (40, 52, 56, 108, 124):  # BITMAPINFOHEADER family
+        return False
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    return (
+        planes == 1
+        and bpp in (1, 4, 8, 16, 24, 32)
+        and 0 < w <= 1 << 20
+        and 0 < abs(h) <= 1 << 20
+    )
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
     """BMP -> uint8 (height, width, 3) RGB. Scope: the BITMAPINFOHEADER
     24-bit BI_RGB baseline virtually every writer emits; other depths or
     compressions are rejected by name."""
-    if not is_bmp(payload):
+    # raw signature test, not is_bmp(): the sniffer's full validation would
+    # turn "legacy header" / "unsupported depth" into a misleading
+    # missing-signature error instead of the named NotImplementedError
+    if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("bmp: missing BM signature or truncated header")
     data_off = struct.unpack_from("<I", payload, 10)[0]
     hdr_size = struct.unpack_from("<I", payload, 14)[0]

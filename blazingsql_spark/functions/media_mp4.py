@@ -170,9 +170,10 @@ def parse_mp4(payload: bytes) -> dict:
         raise ValueError("mp4: missing ftyp header")
     try:
         return _parse_mp4_inner(payload)
-    except struct.error as e:
-        # malformed tables (e.g. a lying stsz count) otherwise leak
-        # struct.error past callers' ValueError handling (skip-mode decode)
+    except (struct.error, IndexError) as e:
+        # malformed tables (a lying stsz count -> struct.error; a FullBox
+        # ending exactly at EOF -> IndexError from the version byte read)
+        # must surface as the typed decode error skip-mode callers catch
         raise ValueError(f"mp4: truncated or malformed structure ({e})") from e
 
 

@@ -121,6 +121,22 @@ def split_member_key(member: str) -> tuple[str, str]:
     return (os.path.join(d, stem) if d else stem), ext
 
 
+def group_samples(payload: bytes) -> list[tuple[str, list[str], list[bytes]]]:
+    """Group one tar shard's members into samples: [(key, sorted exts,
+    aligned payloads)]. The ONE implementation behind the batch reader,
+    the streaming reader, and the DataSource-API reader — a grouping-rule
+    change must not let the three silently diverge."""
+    groups: dict[str, dict[str, bytes]] = {}
+    for name, data in _iter_tar(payload):
+        key, ext = split_member_key(name)
+        groups.setdefault(key, {})[ext] = data
+    out = []
+    for key in sorted(groups):
+        exts = sorted(groups[key])
+        out.append((key, exts, [groups[key][e] for e in exts]))
+    return out
+
+
 def read_webdataset(spark: SparkSession, path: str, glob: str = "*.tar") -> DataFrame:
     """One row per SAMPLE: (shard, key, exts, payloads) with exts sorted
     and payloads aligned — ``F.element_at(payloads, array_position(exts,
@@ -131,13 +147,8 @@ def read_webdataset(spark: SparkSession, path: str, glob: str = "*.tar") -> Data
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 shard = os.path.basename(p)
-                groups: dict[str, dict[str, bytes]] = {}
-                for name, data in _iter_tar(bytes(content)):
-                    key, ext = split_member_key(name)
-                    groups.setdefault(key, {})[ext] = data
-                for key in sorted(groups):
-                    exts = sorted(groups[key])
-                    rows.append((shard, key, exts, [groups[key][e] for e in exts]))
+                for key, exts, payloads in group_samples(bytes(content)):
+                    rows.append((shard, key, exts, payloads))
             yield pd.DataFrame(rows, columns=["shard", "key", "exts", "payloads"])
 
     files = _binary_files(spark, path, glob)
@@ -224,13 +235,8 @@ def stream_webdataset(spark: SparkSession, path: str, glob: str = "*.tar") -> Da
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 shard = os.path.basename(p)
-                groups: dict[str, dict[str, bytes]] = {}
-                for name, data in _iter_tar(bytes(content)):
-                    key, ext = split_member_key(name)
-                    groups.setdefault(key, {})[ext] = data
-                for key in sorted(groups):
-                    exts = sorted(groups[key])
-                    rows.append((shard, key, exts, [groups[key][e] for e in exts]))
+                for key, exts, payloads in group_samples(bytes(content)):
+                    rows.append((shard, key, exts, payloads))
             yield pd.DataFrame(rows, columns=["shard", "key", "exts", "payloads"])
 
     files = (

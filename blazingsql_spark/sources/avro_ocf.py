@@ -184,13 +184,18 @@ def avro_to_spark(avro_schema: dict) -> T.StructType:
 # ---------------------------------------------------------------- encode ----
 
 
-def _encode_value(buf: bytearray, t: object, v: object) -> None:
+def _encode_value(buf: bytearray, t: object, v: object, nan_as_null: bool = True) -> None:
+    """nan_as_null: the pandas write path CANNOT distinguish SQL NULL from
+    NaN (Arrow hands both back as NaN in float columns/arrays — probed),
+    so it coerces NaN to the null branch; the Row-based path (pyds) CAN
+    distinguish (None vs nan) and passes nan_as_null=False to round-trip
+    real NaN payloads."""
     if isinstance(t, list):  # ["null", T]
-        if v is None or (isinstance(v, float) and np.isnan(v)):
+        if v is None or (nan_as_null and isinstance(v, float) and np.isnan(v)):
             _write_long(buf, 0)
             return
         _write_long(buf, 1)
-        _encode_value(buf, [x for x in t if x != "null"][0], v)
+        _encode_value(buf, [x for x in t if x != "null"][0], v, nan_as_null)
         return
     if isinstance(t, dict):
         if t.get("logicalType") in ("timestamp-micros", "local-timestamp-micros"):
@@ -199,8 +204,15 @@ def _encode_value(buf: bytearray, t: object, v: object) -> None:
             if isinstance(v, _dt.datetime):
                 # Row-based writers (pyds) hand datetimes; the pandas path
                 # pre-converts to µs ints. Integer timedelta fields keep
-                # this exact (total_seconds() would round through float)
-                td = v - _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                # this exact (total_seconds() would round through float);
+                # tz-aware values subtract the UTC epoch so the stored
+                # instant is absolute (an epoch carrying v.tzinfo would
+                # store local wall-clock micros)
+                if v.tzinfo is not None:
+                    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                else:
+                    epoch = _dt.datetime(1970, 1, 1)
+                td = v - epoch
                 v = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
             _write_long(buf, int(v))
             return
@@ -217,7 +229,7 @@ def _encode_value(buf: bytearray, t: object, v: object) -> None:
             if v:
                 _write_long(buf, len(v))
                 for item in v:
-                    _encode_value(buf, items, item)
+                    _encode_value(buf, items, item, nan_as_null)
             _write_long(buf, 0)
             return
         t = t["type"]
@@ -282,9 +294,10 @@ def _decode_value(r: _Reader, t: object) -> object:
 
 def encode_ocf(
     rows: list[dict], avro_schema: dict, codec: str = "deflate", sync: bytes | None = None,
-    block_rows: int = 4096,
+    block_rows: int = 4096, nan_as_null: bool = True,
 ) -> bytes:
-    """Rows -> one complete OCF byte string (header + blocks)."""
+    """Rows -> one complete OCF byte string (header + blocks). See
+    _encode_value for the nan_as_null contract."""
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"avro: codec {codec!r} (null/deflate supported)")
     sync = sync or uuid.uuid4().bytes
@@ -310,7 +323,7 @@ def encode_ocf(
         body = bytearray()
         for row in chunk:
             for f in fields:
-                _encode_value(body, f["type"], row.get(f["name"]))
+                _encode_value(body, f["type"], row.get(f["name"]), nan_as_null)
         payload = bytes(body)
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
@@ -390,25 +403,14 @@ def _check_posix_path(path: str) -> None:
         )
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed OCF read: schema from ONE driver-side header parse of
-    the first file, data via binaryFile (one task per file, pushdown-
-    pruned to *.avro) -> Arrow-batched per-file block decode."""
-    import glob as _glob
-
-    _check_posix_path(path)
-    files = sorted(_glob.glob(os.path.join(path, "*.avro")))
-    if not files:
-        if os.path.isdir(path):
-            raise ValueError(f"avro: no .avro files in directory {path!r}")
-        files = [path]
-    with open(files[0], "rb") as fh:
+def read_header_schema(path: str) -> dict:
+    """Header-ONLY parse of one OCF file's Avro schema — O(header), never
+    decompresses or materializes blocks (planning must not pay for data)."""
+    with open(path, "rb") as fh:
         head = fh.read(1 << 20)
-    # header parse only: stop at the first block (decode_ocf wants whole
-    # file; parse meta inline)
     r = _Reader(head, 4)
     if head[:4] != MAGIC:
-        raise ValueError(f"avro: bad OCF magic in {files[0]}")
+        raise ValueError(f"avro: bad OCF magic in {path}")
     meta: dict[str, bytes] = {}
     while True:
         n = r.long()
@@ -420,7 +422,27 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         for _ in range(n):
             k = r.bytes_().decode()
             meta[k] = r.bytes_()
-    avro_schema = json.loads(meta["avro.schema"])
+    return json.loads(meta["avro.schema"])
+
+
+def list_avro_files(path: str) -> list[str]:
+    import glob as _glob
+
+    _check_posix_path(path)
+    files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    if not files:
+        if os.path.isdir(path):
+            raise ValueError(f"avro: no .avro files in directory {path!r}")
+        files = [path]
+    return files
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed OCF read: schema from ONE driver-side header parse of
+    the first file, data via binaryFile (one task per file, pushdown-
+    pruned to *.avro) -> Arrow-batched per-file block decode."""
+    files = list_avro_files(path)
+    avro_schema = read_header_schema(files[0])
     spark_schema = avro_to_spark(avro_schema)
 
     def decode_files(it):

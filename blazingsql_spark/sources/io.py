@@ -64,12 +64,15 @@ def read_any(
             out = out.unionByName(f)
         return out
     reader = spark.read
-    if fmt == "csv":
-        # header defaults on with or without a schema (a headered file's
-        # first line must never parse as data); inference only without one
+    if fmt == "csv" and schema is None:
+        # reference-like defaults ONLY when the caller supplies nothing: a
+        # caller passing a schema is describing the file precisely and may
+        # well be reading a headerless .tbl-style export — defaulting
+        # header=True there silently drops its first data row. Headered
+        # CSV + explicit schema must pass header=True explicitly
+        # (create_table does).
         options.setdefault("header", True)
-        if schema is None:
-            options.setdefault("inferSchema", True)
+        options.setdefault("inferSchema", True)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.options(**options).format(fmt).load(path_list)
@@ -95,10 +98,12 @@ def write_any(
             )
         write_avro(df, path, mode=mode)
         return
-    writer = df.write.mode(mode).options(**options)
     if fmt == "csv":
+        # default, not forced: an explicit header=False must win (the old
+        # unconditional writer.option("header", True) made headerless CSV
+        # output impossible)
         options.setdefault("header", True)
-        writer = writer.option("header", True)
+    writer = df.write.mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)

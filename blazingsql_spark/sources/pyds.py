@@ -70,14 +70,13 @@ class AvroOcfDataSource(DataSource):
         return "avro_ocf"
 
     def schema(self):
-        from blazingsql_spark.sources.avro_ocf import avro_to_spark, decode_ocf
+        from blazingsql_spark.sources.avro_ocf import avro_to_spark, read_header_schema
 
         files = _expand(self.options["path"], ".avro")
         if not files:
             raise ValueError(f"avro_ocf: no .avro files at {self.options['path']!r}")
-        with open(files[0], "rb") as fh:
-            schema, _rows = decode_ocf(fh.read())
-        return avro_to_spark(schema)
+        # header-only parse: planning must cost O(header), not O(first file)
+        return avro_to_spark(read_header_schema(files[0]))
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _AvroReader(self.options["path"], schema)
@@ -125,7 +124,9 @@ class _AvroWriter(DataSourceWriter):
         base = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
         staged = base + ".staged"
         with open(staged, "wb") as fh:
-            fh.write(encode_ocf(rows, avro_schema))
+            # Rows distinguish None from nan, so real NaN payloads survive
+            # (the pandas path cannot — see _encode_value)
+            fh.write(encode_ocf(rows, avro_schema, nan_as_null=False))
         return _StagedFile(staged=staged, final=base)
 
     def commit(self, messages) -> None:
@@ -166,18 +167,13 @@ class _WdsReader(DataSourceReader):
         return [_FilePartition(p) for p in self.files]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        from blazingsql_spark.sources.archives import _iter_tar, split_member_key
+        from blazingsql_spark.sources.archives import group_samples
 
         with open(partition.path, "rb") as fh:
             payload = fh.read()
         shard = os.path.basename(partition.path)
-        groups: dict[str, dict[str, bytes]] = {}
-        for name, data in _iter_tar(payload):
-            key, ext = split_member_key(name)
-            groups.setdefault(key, {})[ext] = data
-        for key in sorted(groups):
-            exts = sorted(groups[key])
-            yield (shard, key, exts, [groups[key][e] for e in exts])
+        for key, exts, payloads in group_samples(payload):
+            yield (shard, key, exts, payloads)
 
 
 def register_data_sources(spark) -> None:

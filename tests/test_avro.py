@@ -218,3 +218,54 @@ def test_read_any_avro_refuses_schema_and_options(spark, tmp_path):
         read_any(spark, path, file_format="avro", schema=docs.schema)
     with pytest.raises(NotImplementedError, match="options"):
         write_any(docs, path, file_format="avro", compression="snappy")
+
+
+def test_nan_array_elements_roundtrip_row_path():
+    """Second review pass: real NaN must survive the Row-based (pyds)
+    encode path; only the pandas path coerces NaN->null (Arrow hands
+    nulls back as NaN there — indistinguishable)."""
+    import math
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "nums", "type": ["null", {"type": "array", "items": ["null", "double"]}]}
+        ],
+    }
+    rows = [{"nums": [1.0, float("nan"), None]}]
+    blob = av.encode_ocf(rows, schema, nan_as_null=False)
+    _s, back = av.decode_ocf(blob)
+    got = back[0]["nums"]
+    assert got[0] == 1.0 and math.isnan(got[1]) and got[2] is None
+
+
+def test_tz_aware_timestamp_encodes_utc_instant():
+    import datetime as dt
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "ts", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]}],
+    }
+    plus2 = dt.timezone(dt.timedelta(hours=2))
+    aware = dt.datetime(2026, 1, 1, 12, 0, tzinfo=plus2)  # = 10:00 UTC
+    blob = av.encode_ocf([{"ts": aware}], schema)
+    _s, back = av.decode_ocf(blob)
+    expected = int(dt.datetime(2026, 1, 1, 10, 0, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert back[0]["ts"] == expected
+
+
+def test_read_header_schema_is_header_only(tmp_path):
+    """Planning must not decompress data blocks: a file whose block
+    payload is CORRUPT still yields its schema."""
+    docs_schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "i", "type": ["null", "long"]}],
+    }
+    blob = bytearray(av.encode_ocf([{"i": 1}] * 100, docs_schema))
+    blob[-20] ^= 0xFF  # corrupt inside the last block's payload
+    f = tmp_path / "x.avro"
+    f.write_bytes(bytes(blob))
+    assert av.read_header_schema(str(f)) == docs_schema

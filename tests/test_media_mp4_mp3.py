@@ -319,3 +319,27 @@ def test_mp3_crc_protected_xing_offset():
     assert h["protection"] == 1
     assert mp3._xing_offset("1", "stereo", protection=0) == mp3._xing_offset("1", "stereo", protection=1) + 2
     assert mp3._xing_offset("2", "mono", protection=0) == 4 + 2 + 9
+
+
+def test_mp4_fullbox_at_eof_is_typed_valueerror():
+    """Second review pass: a FullBox whose payload starts exactly at EOF
+    raised IndexError past the skip-mode handlers."""
+    # hand-build: ftyp + moov containing ONLY an empty mvhd (size 8 -> its
+    # FullBox version byte would be read at EOF)
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0x200)
+    mvhd = struct.pack(">I", 8) + b"mvhd"  # no body at all
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    with pytest.raises(ValueError, match="malformed|truncated"):
+        mp4.parse_mp4(ftyp + moov)
+
+
+def test_bmp_sniff_rejects_lookalikes():
+    from blazingsql_spark.functions.media_codec import is_bmp
+
+    # text starting "BM" must not sniff as bmp
+    fake = b"BMW is a car maker" + b"\x00" * 64
+    assert sniff_format(fake) == "unknown"
+    assert not is_bmp(fake)
+    # legacy BITMAPCOREHEADER (hdr_size 12) rejected by the sniffer
+    core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + b"\x00" * 48
+    assert not is_bmp(core)
