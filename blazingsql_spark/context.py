@@ -116,11 +116,17 @@ class Context:
             fmt = (file_format or _infer_format(paths[0])).lower()
             from blazingsql_spark.sources.io import read_any
 
+            post_limit = None
             if fmt == "csv":
+                # reference-compat kwarg surface (cudf names -> Spark
+                # options, pyblazing context.py:890-935), then
                 # create_table's historical contract: header on by default
                 # even WITH an explicit schema (BlazingContext CSV tables
                 # are headered exports) — read_any's schema-given path
                 # deliberately defaults header off for .tbl-style files
+                explicit_schema = kwargs.pop("schema", None)
+                kwargs, mapped_schema, post_limit = _map_reference_csv_kwargs(kwargs)
+                kwargs["schema"] = explicit_schema or mapped_schema
                 kwargs.setdefault("header", True)
             df = read_any(
                 self.spark,
@@ -129,6 +135,8 @@ class Context:
                 schema=kwargs.pop("schema", None),
                 **kwargs,
             )
+            if post_limit is not None:
+                df = df.limit(int(post_limit))
             meta = TableMeta(table_name, "file", fmt, paths, kwargs)
         else:
             raise TypeError(f"create_table: unsupported input type {type(input)!r}")
@@ -285,6 +293,86 @@ class Context:
         """Register an HDFS namenode (context.py:1703) → defaultFS conf."""
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
         conf.set("fs.defaultFS", f"hdfs://{host}:{port}")
+
+
+def _map_reference_csv_kwargs(kwargs: dict) -> tuple[dict, object, int | None]:
+    """Translate the reference's cudf-style CSV create_table kwargs
+    (pyblazing context.py:890-935 full_kwargs) into Spark reader options.
+
+    Returns (spark_options, schema_or_None, post_limit_or_None). Names
+    with no clean Spark equivalent raise NotImplementedError BY NAME so a
+    migrating user gets a precise answer, not silent misparsing."""
+    from pyspark.sql import types as T
+
+    out = dict(kwargs)
+    opts: dict = {}
+    if "delimiter" in out:
+        opts["sep"] = out.pop("delimiter")
+    if "quotechar" in out:
+        opts["quote"] = out.pop("quotechar")
+    if "comment" in out:
+        opts["comment"] = out.pop("comment")
+    if "lineterminator" in out:
+        opts["lineSep"] = out.pop("lineterminator")
+    if "skipinitialspace" in out:
+        opts["ignoreLeadingWhiteSpace"] = bool(out.pop("skipinitialspace"))
+    if "skip_blank_lines" in out:
+        # Spark's CSV reader always drops fully-blank lines; reject the
+        # only semantic we cannot honor
+        if not out.pop("skip_blank_lines"):
+            raise NotImplementedError(
+                "create_table(skip_blank_lines=False): Spark's CSV reader "
+                "always skips blank lines"
+            )
+    if "na_values" in out:
+        na = out.pop("na_values")
+        vals = [na] if isinstance(na, str) else list(na)
+        if len(vals) != 1:
+            raise NotImplementedError(
+                "create_table(na_values=[...]): Spark CSV takes ONE "
+                "nullValue; pass a single sentinel"
+            )
+        opts["nullValue"] = vals[0]
+    if "header" in out:
+        # reference/cudf semantics: header=0 -> first row IS the header,
+        # header=-1/None -> no header. Booleans pass through.
+        h = out.pop("header")
+        if isinstance(h, bool):
+            opts["header"] = h
+        else:
+            opts["header"] = h == 0
+    post_limit = out.pop("nrows", None)
+    schema = None
+    names = out.pop("names", None)
+    dtypes = out.pop("dtype", None)
+    if names is not None:
+        _MAP = {
+            "int32": T.IntegerType(), "int64": T.LongType(),
+            "float32": T.FloatType(), "float64": T.DoubleType(),
+            "double": T.DoubleType(), "str": T.StringType(),
+            "string": T.StringType(), "bool": T.BooleanType(),
+            "date64": T.TimestampType(), "timestamp": T.TimestampType(),
+            "date": T.DateType(),
+        }
+        if dtypes is None:
+            dtypes = ["string"] * len(names)
+        schema = T.StructType(
+            [T.StructField(n, _MAP.get(str(d).lower(), T.StringType()))
+             for n, d in zip(names, dtypes)]
+        )
+        opts.setdefault("header", False)  # names given -> file has no header row
+    for unsupported in ("skiprows", "skipfooter", "byte_range_offset",
+                        "byte_range_size", "delim_whitespace", "true_values",
+                        "false_values", "quoting", "doublequote", "decimal",
+                        "keep_default_na", "na_filter",
+                        "use_cols_indexes", "use_cols_names"):
+        if unsupported in out:
+            raise NotImplementedError(
+                f"create_table({unsupported}=...): no Spark CSV reader "
+                "equivalent — preprocess the file or drop the argument"
+            )
+    opts.update(out)  # anything else passes through as a native Spark option
+    return opts, schema, post_limit
 
 
 def _infer_format(path: str) -> str:

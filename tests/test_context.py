@@ -168,3 +168,41 @@ def test_rapids_conf_assembly(monkeypatch):
     assert conf["spark.rapids.sql.concurrentGpuTasks"] == "4"
     assert conf["spark.rapids.memory.pinnedPool.size"] == "2g"
     assert conf["spark.rapids.sql.explain"] == "NOT_ON_GPU"
+
+
+def test_create_table_reference_csv_kwargs(spark, tmp_path):
+    """cudf-style CSV kwargs from the reference's create_table
+    (pyblazing context.py:890-935) map onto Spark reader options."""
+    import pytest
+
+    from blazingsql_spark.context import Context
+
+    bc = Context(spark=spark)
+    # headerless pipe-delimited .tbl (the TPC-H dbgen dump shape)
+    tbl = tmp_path / "part.tbl"
+    tbl.write_text("1|widget|9.99\n2|gadget|12.50\n")
+    bc.create_table(
+        "ref_tbl", str(tbl),
+        names=["id", "name", "price"], dtype=["int64", "str", "float64"],
+        delimiter="|",
+    )
+    rows = {r.id: (r.name, r.price) for r in bc.sql("SELECT * FROM ref_tbl").collect()}
+    assert rows == {1: ("widget", 9.99), 2: ("gadget", 12.5)}
+    assert bc.describe_table("ref_tbl") == {"id": "bigint", "name": "string", "price": "double"}
+
+    # headered file + nrows cap + quotechar + header=0 (cudf spelling)
+    csv = tmp_path / "docs.csv"
+    csv.write_text("id;txt\n1;'a;b'\n2;'c'\n3;'d'\n")
+    bc.create_table(
+        "ref_csv", str(csv), delimiter=";", quotechar="'", header=0, nrows=2
+    )
+    got = bc.sql("SELECT * FROM ref_csv ORDER BY id").collect()
+    assert len(got) == 2 and got[0].txt == "a;b"
+
+    # unsupported reference kwargs are rejected BY NAME, never misparsed
+    with pytest.raises(NotImplementedError, match="skiprows"):
+        bc.create_table("nope", str(csv), skiprows=2)
+    with pytest.raises(NotImplementedError, match="na_values"):
+        bc.create_table("nope", str(csv), na_values=["NA", "null"])
+    for t in ("ref_tbl", "ref_csv"):
+        bc.drop_table(t)
