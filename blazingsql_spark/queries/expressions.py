@@ -791,3 +791,94 @@ def expr_url_parse(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
         F.parse_url("url", F.lit("REF")).alias("fragment"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=r"""
+    WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
+               || CASE WHEN doc_id % 3 = 0 THEN UPPER(source) ELSE source END
+               || '.Example.COM'
+               || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+               || '/doc/' || (doc_id % 40)
+               || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END
+               || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               LOWER(regexp_extract(url, '(?i)^(https?)://', 1))
+               || '://'
+               || LOWER(regexp_replace(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1),
+                                       ':443$|:80$', ''))
+               || regexp_replace(regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1),
+                                 '/$', '')
+               || '?' || array_to_string(
+                      list_sort(string_split(
+                          regexp_extract(url, '\?([^#]*)', 1), '&')), '&')
+                   AS canonical
+        FROM u
+    )
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+    FROM canon
+    GROUP BY canonical
+    HAVING COUNT(*) > 1
+    ORDER BY canonical
+    """,
+)
+def dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization dedup — the web-crawl staple that exact text
+    dedup misses: scheme/host case, default :443/:80 ports, trailing
+    slashes, fragments, and query-parameter ORDER all vary across crawls
+    of the same page. Messy URL variants are constructed deterministically
+    from the fixture columns, canonicalized with pure codegen expressions
+    (lowercase scheme+host, strip default port, strip trailing slash,
+    drop fragment, sort query params via array_sort — no UDF), and
+    grouped: rows sharing a canonical form are the duplicate clusters,
+    keep_doc = the id-canonical survivor. One partial-agg shuffle on the
+    canonical hash; at 100 TB this is the same md5-groupBy shape as
+    dedup_exact with a normalization in front."""
+    from blazingsql_spark.queries.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/doc/"), (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.lower(F.regexp_extract("url", r"(?i)^(https?)://", 1)),
+        F.lit("://"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"(?i)^https?://([^/?#]+)", 1)),
+            r":443$|:80$", "",
+        ),
+        F.regexp_replace(
+            F.regexp_extract("url", r"(?i)^https?://[^/?#]+([^?#]*)", 1), r"/$", ""
+        ),
+        F.lit("?"),
+        F.array_join(
+            F.array_sort(F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&")), "&"
+        ),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("canonical")
+    )
