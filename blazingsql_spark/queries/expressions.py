@@ -882,3 +882,41 @@ def dedup_url_canonical(spark, sf_dir):
         .filter(F.col("n_dups") > 1)
         .orderBy("canonical")
     )
+
+
+@register(
+    "expr_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE CAST(o_custkey AS BIGINT) // (o_orderkey % 10) END
+               AS safe_div,
+           CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                ELSE CAST(9223372036854775807 AS BIGINT) END AS big_or_null,
+           CAST(o_custkey + o_orderkey AS BIGINT) AS safe_add
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def expr_try_arithmetic(spark, sf_dir):
+    """Error-safe arithmetic (try_divide/try_add + a guarded overflow
+    case): ANSI-mode Spark turns division-by-zero and overflow into
+    runtime errors, and the try_* family is the per-expression escape
+    hatch a batch pipeline needs (one poisoned row must not kill a 100 TB
+    aggregation). DuckDB has no try_divide, so the oracle spells the same
+    semantics with CASE guards — values must agree exactly, nulls where
+    the error would have been."""
+    from blazingsql_spark.queries.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.floor(
+            F.try_divide(F.col("o_custkey").cast("bigint"), F.col("o_orderkey") % 10)
+        ).cast("long").alias("safe_div"),
+        F.when(
+            F.col("o_orderkey") % 1000 == 0, F.try_add(F.lit(2**63 - 1).cast("long"), F.lit(1))
+        ).otherwise(F.lit(2**63 - 1)).alias("big_or_null"),
+        F.try_add(F.col("o_custkey"), F.col("o_orderkey")).cast("long").alias("safe_add"),
+    ).orderBy("o_orderkey")
