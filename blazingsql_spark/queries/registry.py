@@ -378,15 +378,9 @@ assert len(_R6_WINDOW) == _DRIVER_WINDOW, (
 )
 assert len(set(_R6_WINDOW)) == len(_R6_WINDOW), "duplicate in driver window"
 
-# Past the window, queue the freshest-green rows first (r5, then r4) so any
-# driver overflow re-checks the most recently verified work.
-DRIVER_PRIORITY = _R6_WINDOW + tuple(
-    n for n in _R5_WINDOW + _R4_WINDOW if n not in _R6_WINDOW
-)
-
-# Round-7 window, staged AS CODE in round 6 (flip DRIVER_PRIORITY to
-# _R7_WINDOW-first ONLY after CORRECTNESS_r06 lands green — same
-# discipline as r5→r6). Composition: the 3 standing _SENTINELS, the
+# Round-7 window, staged AS CODE in round 6 and PROMOTED round 7 after
+# CORRECTNESS_r06 landed 50/50 green (same discipline as r5→r6 and
+# r6→r7). Composition: the 3 standing _SENTINELS, the
 # r6-registered "dedup_components_incremental" (first driver row), the
 # remaining 29 r2-stale rows (r2 green set minus _R2_STALE_FIRST_HALF),
 # and the 17 alphabetically-first r3-stale rows to fill to exactly 50.
@@ -460,6 +454,14 @@ assert len(_R7_WINDOW) == _DRIVER_WINDOW, (
 assert len(set(_R7_WINDOW)) == len(_R7_WINDOW), "duplicate in driver window"
 assert not set(_R7_WINDOW[3:]) & set(_R6_WINDOW), (
     "r7 rotation must not re-check r6-fresh rows (sentinels excepted)"
+)
+
+# Past the window, queue the freshest-green rows first (r6, then r5, then
+# r4) so any driver overflow re-checks the most recently verified work.
+DRIVER_PRIORITY = _R7_WINDOW + tuple(
+    n
+    for n in _R6_WINDOW + _R5_WINDOW + _R4_WINDOW
+    if n not in _R7_WINDOW
 )
 
 
