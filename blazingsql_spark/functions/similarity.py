@@ -1094,6 +1094,130 @@ def ann_index_drift_report(
     )
 
 
+def _bounded_cluster_keys(
+    assigned: DataFrame,
+    max_cluster_size: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    split_bits: int,
+    salt_headroom: float = 0.75,
+) -> DataFrame:
+    """Rewrite ``centroid_id`` into a string group key ``__grp`` such that
+    no group (and therefore no side of the within-group self-join) exceeds
+    ``max_cluster_size``, whatever the input skew.
+
+    k-means on real web-crawl embeddings is skew-prone — one cluster can
+    hold 10% of the corpus and send the within-cluster O(size²) term
+    quadratic. The SemDeDup paper uses balanced k-means for exactly this;
+    a per-oversized-cluster Lloyd re-run on Spark would be a driver loop
+    over an unbounded cluster count, so the distributed equivalent here is
+    hierarchical bisection by seeded random hyperplanes (the same
+    md5-derived Rademacher planes as ``lsh_band_signatures``, so the split
+    is deterministic and engine-portable):
+
+    1. one map-only pass tags every row with its ``split_bits`` sign bits
+       and the (split_bits+1)-level prefix chain
+       ``centroid_id → centroid_id.b0 → centroid_id.b0.b1 → …``;
+    2. one exploded groupBy counts every prefix group (partial aggregation
+       collapses each id's chain map-side, so the exchange carries ~N rows,
+       not N×levels);
+    3. all split DECISIONS happen on that small size table: each finest
+       group resolves to its shallowest ancestor whose size fits the cap —
+       so clusters already under the cap keep their exact unbounded-path
+       key, and recall is only spent where the bound forces it (a
+       cos≥0.95 pair lands on opposite sides of one hyperplane with
+       p≈acos(0.95)/π≈0.10 per consumed bit);
+    4. groups still over the cap after ``split_bits`` bisections are
+       near-identical point masses no geometric split can separate —
+       those are salted by ``xxhash64(id)`` into ``ceil(size/(headroom·
+       cap))`` buckets. Salting is the documented recall trade-off of
+       last resort (cross-bucket pairs inside such a group are not
+       compared), and the only probabilistic piece: buckets are expected
+       ≤ headroom·cap, the 1/headroom slack absorbing hash variance.
+
+    Returns the assigned frame with ``__grp`` replacing ``centroid_id``.
+    Cost: one map pass + two small-table shuffles + one corpus join
+    against the (≤ #finest-groups)-row decision table — AQE broadcasts it
+    when small. Verified by a skewed-fixture property test
+    (tests/test_functions.py) and a balanced-data differential vs the
+    unbounded path."""
+    levels = split_bits + 1
+    bits = [
+        _hyperplane_sign(F.col(vec_col), 1000 + j, dim) for j in range(split_bits)
+    ]
+    pref = F.col("centroid_id").cast("string")
+    prefs = [pref]
+    for j in range(split_bits):
+        pref = F.concat(pref, F.lit("."), bits[j].cast("string"))
+        prefs.append(pref)
+    base = assigned.withColumn("__prefs", F.array(*prefs))
+
+    sizes = (
+        base.select(F.posexplode("__prefs").alias("__k", "__g"))
+        .groupBy("__k", "__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # Resolve each FINEST group to its shallowest fitting ancestor on the
+    # size table alone (groups are hierarchical: rows sharing the level-k
+    # prefix share all shallower prefixes, so the choice is well-defined
+    # per finest group). Ancestor keys are recovered by re-slicing the
+    # dot-joined key — no second corpus pass.
+    finest = sizes.filter(F.col("__k") == split_bits).select(
+        F.col("__g").alias("__deep"), F.col("__n").alias("__deep_n")
+    )
+    ancestors = finest.select(
+        "__deep",
+        "__deep_n",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(levels)])
+        ).alias("__k"),
+    ).withColumn(
+        "__g",
+        F.array_join(
+            F.slice(F.split(F.col("__deep"), r"\."), 1, F.col("__k") + 1),
+            ".",
+        ),
+    )
+    fitting = (
+        ancestors.join(sizes, ["__k", "__g"])
+        .filter(F.col("__n") <= F.lit(max_cluster_size))
+        .groupBy("__deep")
+        .agg(F.min(F.struct(F.col("__k"), F.col("__g"))).alias("__best"))
+        .select("__deep", F.col("__best.__g").alias("__fit"))
+    )
+    decision = finest.join(fitting, "__deep", "left").select(
+        "__deep",
+        F.coalesce(F.col("__fit"), F.col("__deep")).alias("__key"),
+        F.when(
+            F.col("__fit").isNull(),
+            F.ceil(
+                F.col("__deep_n")
+                / F.lit(float(max(1, int(max_cluster_size * salt_headroom))))
+            ).cast("long"),
+        ).alias("__nsalt"),
+    )
+    return (
+        base.withColumn("__deep", F.element_at("__prefs", levels))
+        .join(decision, "__deep")
+        .withColumn(
+            "__grp",
+            F.when(
+                F.col("__nsalt").isNotNull(),
+                F.concat(
+                    F.col("__key"),
+                    F.lit("#"),
+                    F.pmod(
+                        F.xxhash64(F.col(id_col).cast("string"), F.lit(42)),
+                        F.col("__nsalt"),
+                    ).cast("string"),
+                ),
+            ).otherwise(F.col("__key")),
+        )
+        .drop("__prefs", "__deep", "__key", "__nsalt", "centroid_id")
+    )
+
+
 def semantic_dedup_keep(
     vectors: DataFrame,
     n_clusters: int = 8,
@@ -1101,6 +1225,8 @@ def semantic_dedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    max_cluster_size: int | None = None,
+    split_bits: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     k-means cluster the embeddings, then WITHIN each cluster drop every
@@ -1111,20 +1237,34 @@ def semantic_dedup_keep(
     sequential scan.
 
     Scale shape (the paper's whole point): pairwise cosine runs only
-    inside clusters via one equi-join on ``centroid_id`` — corpus-wide
+    inside clusters via one equi-join on the cluster key — corpus-wide
     work is O(sum of cluster_size²), never all-pairs; cross-cluster
     near-dups are the documented approximation (n_clusters=1 is the
-    exact, quadratic special case — differential-tested against it)."""
+    exact, quadratic special case — differential-tested against it).
+
+    ``max_cluster_size`` bounds the skew hazard: k-means clusters above
+    the cap are hierarchically bisected by seeded hyperplanes (then
+    hash-salted if even ``split_bits`` bisections cannot separate them)
+    so no self-join side ever exceeds the cap — see
+    ``_bounded_cluster_keys`` for the recall accounting. ``None``
+    preserves the paper-exact unbounded behavior."""
     cents = ivf_train_centroids(vectors, k=n_clusters, dim=dim)
     assigned = assign_to_centroids(vectors, cents, id_col, vec_col)
+    if max_cluster_size is not None:
+        assigned = _bounded_cluster_keys(
+            assigned, max_cluster_size, id_col, vec_col, dim, split_bits
+        )
+        key = "__grp"
+    else:
+        key = "centroid_id"
     a = assigned.select(
-        "centroid_id", F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+        key, F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
     )
     b = assigned.select(
-        "centroid_id", F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+        key, F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
     )
     dropped = (
-        a.join(b, "centroid_id")
+        a.join(b, key)
         .filter(F.col("__idb") < F.col("__ida"))
         .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= F.lit(threshold))
         .select(F.col("__ida").alias(id_col))

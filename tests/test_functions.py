@@ -1166,6 +1166,113 @@ def test_semantic_dedup_clustered_vs_exact(spark):
     assert kept == want
 
 
+def _skewed_embedding_fixture(spark, n_mass=200, n_spread=200, dim=8):
+    """Deliberately skewed embedding corpus: half the vectors piled near one
+    direction (k-means will dump them into one oversized cluster), half
+    spread uniformly. Seeded numpy — deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    mass = rng.normal([5.0] + [0.0] * (dim - 1), 0.05, size=(n_mass, dim))
+    spread = rng.normal(0.0, 1.0, size=(n_spread, dim))
+    rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in enumerate(list(mass) + list(spread))
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_bounded_balanced_is_exactly_unbounded(spark):
+    """With every cluster under the cap, the bounded path must take the
+    k*=0 (whole-cluster) branch for every row and reproduce the unbounded
+    keep-set EXACTLY — the bound spends recall only where it must."""
+    from blazingsql_spark.functions import similarity
+
+    df = _skewed_embedding_fixture(spark, n_mass=30, n_spread=90)
+    unbounded = {
+        r.vec_id
+        for r in similarity.semantic_dedup_keep(
+            df, n_clusters=4, threshold=0.95, dim=8
+        ).collect()
+    }
+    bounded = {
+        r.vec_id
+        for r in similarity.semantic_dedup_keep(
+            df, n_clusters=4, threshold=0.95, dim=8, max_cluster_size=10_000
+        ).collect()
+    }
+    assert bounded == unbounded
+
+
+def test_semantic_dedup_bounded_skewed_cap_enforced(spark):
+    """Skewed fixture (half the corpus near one centroid): every
+    hyperplane-split group must sit strictly under the cap, and the
+    bounded keep-set must be a SUPERSET of the unbounded one (splitting
+    only removes comparisons, so it can only drop fewer rows)."""
+    from blazingsql_spark.functions import similarity
+
+    cap = 40
+    df = _skewed_embedding_fixture(spark)
+    cents = similarity.ivf_train_centroids(df, k=4, dim=8)
+    assigned = similarity.assign_to_centroids(df, cents, "vec_id", "embedding")
+    # precondition: the fixture really is skewed past the cap
+    biggest = max(
+        r["count"] for r in assigned.groupBy("centroid_id").count().collect()
+    )
+    assert biggest > cap
+    keyed = similarity._bounded_cluster_keys(
+        assigned, cap, "vec_id", "embedding", 8, split_bits=8
+    )
+    grp_sizes = {r["__grp"]: r["count"] for r in keyed.groupBy("__grp").count().collect()}
+    assert keyed.count() == df.count()  # rewrite loses no rows
+    assert max(grp_sizes.values()) <= cap
+    # rows from under-cap clusters keep their bare centroid key (no '.')
+    assert any("." not in g and "#" not in g for g in grp_sizes)
+
+    unbounded = {
+        r.vec_id
+        for r in similarity.semantic_dedup_keep(
+            df, n_clusters=4, threshold=0.95, dim=8
+        ).collect()
+    }
+    bounded = {
+        r.vec_id
+        for r in similarity.semantic_dedup_keep(
+            df, n_clusters=4, threshold=0.95, dim=8, max_cluster_size=cap
+        ).collect()
+    }
+    assert bounded >= unbounded
+
+
+def test_semantic_dedup_bounded_point_mass_salts(spark):
+    """A point mass of IDENTICAL vectors shares every hyperplane bit, so no
+    geometric split can separate it — the salting fallback must still hold
+    every group under the cap (deterministic seed, so this stays stable)
+    and still collapse each salt bucket to its lowest id."""
+    from blazingsql_spark.functions import similarity
+
+    cap = 40
+    rows = [(i, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]) for i in range(300)]
+    rows += [(300 + i, [float(i + 1), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -5.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity.ivf_train_centroids(df, k=2, dim=8)
+    assigned = similarity.assign_to_centroids(df, cents, "vec_id", "embedding")
+    keyed = similarity._bounded_cluster_keys(
+        assigned, cap, "vec_id", "embedding", 8, split_bits=8
+    )
+    grp_sizes = {r["__grp"]: r["count"] for r in keyed.groupBy("__grp").count().collect()}
+    assert max(grp_sizes.values()) <= cap
+    salted = [g for g in grp_sizes if "#" in g]
+    assert salted, "the point mass must have hit the salting fallback"
+    kept = similarity.semantic_dedup_keep(
+        df, n_clusters=2, threshold=0.95, dim=8, max_cluster_size=cap
+    )
+    n_kept_mass = kept.filter(F.col("vec_id") < 300).count()
+    # each non-empty salt bucket keeps exactly its lowest id
+    assert n_kept_mass == len(salted)
+    assert 0 in {r.vec_id for r in kept.collect()}
+
+
 def test_new_text_ops_edge_documents(spark):
     """Empty, whitespace-only, single-token, and unicode docs must flow
     through gopher/tfidf/html/nfc without crashes and with sane values."""
