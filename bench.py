@@ -110,6 +110,7 @@ def main() -> None:
         from blazingsql_spark.queries import pipeline as _pl
 
         _pl._IVFPQ_PREBUILT.clear()
+        _pl._IVF_INT8_PREBUILT.clear()
         # Dead broadcast blocks (one per broadcast join per execution) are
         # only reclaimed when a DRIVER GC collects their handles and the
         # ContextCleaner notices — with a 48g heap that can be never during

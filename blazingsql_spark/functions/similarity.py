@@ -39,7 +39,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector is all-zero (the norm
+    product is hoisted into a 1-element array so it evaluates once per
+    row — same trick as l2_normalize — and the zero guard keeps ANSI
+    mode from raising DIVIDE_BY_ZERO on degenerate embeddings, which
+    real web-crawl corpora do contain)."""
+    return F.transform(
+        F.array(l2_norm(a) * l2_norm(b)),
+        lambda d: F.when(d != 0.0, dot(a, b) / d),
+    )[0]
 
 
 def l2_normalize(a: Column) -> Column:
@@ -1278,6 +1286,7 @@ def quantize_int8(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "qvec",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization for embedding storage/serving:
     scale = max|x| / 127, q_i = clip(floor(x_i/scale + 0.5), -127, 127) as
@@ -1295,10 +1304,14 @@ def quantize_int8(
 
     Output: (id, scale DOUBLE, qvec ARRAY<TINYINT>, recon_mae DOUBLE) —
     recon_mae is the mean |dequantized - original| per vector, the drift
-    stat a retrain gate can aggregate corpus-wide."""
+    stat a retrain gate can aggregate corpus-wide. ``keep_cols`` ride
+    through untouched (e.g. the IVF ``centroid_id`` when quantizing an
+    already-routed corpus — see ivf_int8_build)."""
     xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scale = (F.array_max(F.transform(xd, F.abs)) / F.lit(127.0)).alias("scale")
-    with_scale = df.select(F.col(id_col), xd.alias("__xd"), scale)
+    with_scale = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], xd.alias("__xd"), scale
+    )
     q = F.transform(
         F.col("__xd"),
         lambda x: F.greatest(
@@ -1323,5 +1336,120 @@ def quantize_int8(
         lambda acc, e: acc + e,
     ) / F.size(F.col(out_col))
     return out.select(
-        id_col, "scale", out_col, recon_err.alias("recon_mae")
+        id_col, *keep_cols, "scale", out_col, recon_err.alias("recon_mae")
+    )
+
+
+def ivf_int8_build(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF + int8 scalar-quantizer serving index (the public
+    FAISS ``IndexIVFScalarQuantizer`` shape): coarse centroids route each
+    vector to an inverted list, then the stored payload is the int8
+    quantization of the raw vector (quantize_int8) plus its true float
+    norm — 4× smaller than float32 at <1% cosine error, without PQ's
+    codebook training. Returns (centroids, quantized_lists) where
+    quantized_lists = (id, centroid_id, __norm, scale, qvec, recon_mae).
+    Everything is map-only over the corpus (broadcast centroid argmax +
+    JVM array expressions); the corpus is scanned once."""
+    cents = ivf_train_centroids(
+        vectors, k=n_centroids, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    lists = assign_to_centroids(vectors, cents, id_col, vec_col).withColumn(
+        "__norm", l2_norm(F.col(vec_col))
+    )
+    qlists = quantize_int8(
+        lists, id_col=id_col, vec_col=vec_col, keep_cols=("centroid_id", "__norm")
+    )
+    return cents, qlists
+
+
+def ivf_int8_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF top-k over the int8-quantized corpus: probe the n_probe nearest
+    inverted lists per query (float centroid routing — the centroid table
+    is tiny, routing precision stays free), then score candidates with
+    DEQUANTIZE-FREE integer dot products in pure JVM expressions:
+
+        cos(x, q) ≈ scale_x · scale_q · Σ qx_i·qq_i / (‖x‖·‖q‖)
+
+    The per-element work is a tinyint×tinyint multiply accumulated as a
+    long fold — no per-element float reconstruction — and the two scales
+    multiply once per pair. The candidate retrieval stays the same
+    equi-join on ``centroid_id`` as every other ANN tier here, so the
+    corpus side reads ~n_probe/n_centroids of the data at 4×
+    compression. All-zero vectors have no cosine direction and are
+    excluded at routing time (NULL centroid) — a zero QUERY likewise
+    returns no rows; ranking ties break on ascending id. This is the
+    serving-path composition of ``quantize_int8`` with the ANN stack —
+    recall-delta-gated against the float ``ivf_topk`` at identical
+    settings by the ``sim_ann_ivf_int8`` registry row."""
+    cents, qlists = prebuilt or ivf_int8_build(
+        vectors, n_centroids, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    qq = quantize_int8(
+        q.withColumn("__qnorm", l2_norm(F.col("__qvec"))),
+        id_col=query_id_col,
+        vec_col="__qvec",
+        out_col="__qq",
+        keep_cols=("__qnorm",),
+    ).select(
+        query_id_col, F.col("scale").alias("__qscale"), "__qq", "__qnorm"
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        query_id_col,
+        "centroid_id",
+        cosine(F.col("__qvec"), F.col("centroid")).alias("sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id_col, "centroid_id")
+        .join(qq, query_id_col)
+    )
+
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("__qq"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cands = qlists.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            F.when(
+                (F.col("__norm") != 0.0) & (F.col("__qnorm") != 0.0),
+                (F.col("scale") * F.col("__qscale") * int_dot.cast("double"))
+                / (F.col("__norm") * F.col("__qnorm")),
+            ),
+            6,
+        ).alias("int8_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("int8_sim"), F.asc(id_col))
+    return (
+        cands.filter(F.col("int8_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "int8_sim", "rank")
     )

@@ -671,6 +671,9 @@ def ann_recall_telemetry(spark, sf_dir: str) -> dict[str, float]:
         "sim_ann_ivfpq": lambda: similarity.ivfpq_topk(
             emb, queries, k=5, n_centroids=8, n_probe=6, m=16, ksub=16
         ),
+        "sim_ann_ivf_int8": lambda: similarity.ivf_int8_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=6
+        ),
         # r6-staged registry row; telemetered now so drift history exists
         # before the row lands (ef >= n_centroids -> equals the IVF tier)
         "sim_ann_hnsw": _hnsw,
@@ -1086,6 +1089,79 @@ def _ivfpq_index(spark, sf_dir: str, emb):
         encoded.count()  # materialize the compressed codes now
         _IVFPQ_PREBUILT[key] = (cents, books, encoded)
     return _IVFPQ_PREBUILT[key]
+
+
+@register(
+    "sim_ann_ivf_int8",
+    headline=True,
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_exact_results,
+           TRUE AS recall_ok,
+           TRUE AS int8_tracks_float
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+)
+def sim_ann_ivf_int8(spark, sf_dir):
+    """IVF + int8 scalar-quantizer ANN (functions.similarity.ivf_int8_topk):
+    float centroid routing, dequantize-free integer dot products over the
+    4x-compressed corpus — the serving-path composition of quantize_int8
+    with the ANN stack. Two gates in one row: recall@5 vs brute force
+    (threshold 0.6, same as the other tiers) AND a recall-DELTA gate vs
+    the float ivf_topk at identical settings — the candidate sets are
+    identical (same md5-seeded centroids), so any gap is pure
+    quantization rank-flip, allowed at most max(1, 2% of exact results).
+    Measured: int8 recall == float recall exactly at sf0.001-0.1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    approx8 = (
+        similarity.ivf_int8_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=6,
+            prebuilt=_ivf_int8_index(spark, sf_dir, emb),
+        )
+        .select("query_id", "vec_id")
+        .withColumn("hit8", F.lit(1))
+    )
+    approxf = (
+        similarity.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=6)
+        .select("query_id", "vec_id")
+        .withColumn("hitf", F.lit(1))
+    )
+    marked = exact.join(approx8, ["query_id", "vec_id"], "left").join(
+        approxf, ["query_id", "vec_id"], "left"
+    )
+    return marked.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact_results"),
+        F.coalesce(F.sum("hit8"), F.lit(0)).cast("long").alias("n8"),
+        F.coalesce(F.sum("hitf"), F.lit(0)).cast("long").alias("nf"),
+    ).select(
+        "n_queries",
+        "n_exact_results",
+        (F.col("n8") >= F.col("n_exact_results") * 0.6).alias("recall_ok"),
+        (
+            F.col("n8")
+            >= F.col("nf")
+            - F.greatest(F.lit(1), F.ceil(F.col("n_exact_results") * 0.02))
+        ).alias("int8_tracks_float"),
+    )
+
+
+# Session-scoped prebuilt IVF-int8 index (same discipline as _IVFPQ_PREBUILT).
+_IVF_INT8_PREBUILT: dict = {}
+
+
+def _ivf_int8_index(spark, sf_dir: str, emb):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INT8_PREBUILT:
+        cents, qlists = similarity.ivf_int8_build(emb, n_centroids=8)
+        qlists = qlists.persist()
+        qlists.count()  # materialize the quantized lists now
+        _IVF_INT8_PREBUILT[key] = (cents, qlists)
+    return _IVF_INT8_PREBUILT[key]
 
 
 @register(
@@ -2777,6 +2853,7 @@ def docs_token_budget(spark, sf_dir):
 
 @register(
     "dedup_semantic",
+    headline=True,
     oracle="""
     WITH corpus AS (
         SELECT vec_id, embedding FROM embeddings
@@ -2865,6 +2942,7 @@ def emb_quantize_int8(spark, sf_dir):
 
 @register(
     "corpus_profile",
+    headline=True,
     oracle=r"""
     WITH agg AS (
         SELECT CAST(COUNT(*) AS BIGINT)                          AS n_docs,

@@ -1166,6 +1166,56 @@ def test_semantic_dedup_clustered_vs_exact(spark):
     assert kept == want
 
 
+def test_ivf_int8_probe_all_matches_float_ranking(spark):
+    """With every list probed the candidate set is the full corpus, so the
+    int8 tier's divergence from exact float cosine top-k is pure
+    quantization rank-flip — on the fixture it must agree on the
+    self-match and lose at most a small recall margin."""
+    from blazingsql_spark.functions import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    int8 = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_int8_topk(
+            emb, queries, k=5, n_centroids=4, n_probe=4
+        ).collect()
+    }
+    for qid in {q for q, _ in exact}:
+        assert (qid, qid) in int8  # self-match survives quantization
+    recall = len(exact & int8) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_int8_zero_vector_excluded_not_crashing(spark):
+    """All-zero vectors have no cosine direction: they must be EXCLUDED
+    from the index (NULL routing) rather than crash ANSI mode with
+    DIVIDE_BY_ZERO, and real vectors must still rank exactly."""
+    from blazingsql_spark.functions import similarity
+
+    rows = [
+        (0, [0.0] * 8),
+        (1, [1.0] + [0.0] * 7),
+        (2, [0.9, 0.1] + [0.0] * 6),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame([(100, [1.0] + [0.0] * 7)], ["query_id", "embedding"])
+    got = similarity.ivf_int8_topk(df, q, k=3, n_centroids=2, n_probe=2, dim=8).collect()
+    by_rank = {r.rank: (r.vec_id, r.int8_sim) for r in got}
+    assert by_rank[1][0] == 1 and abs(by_rank[1][1] - 1.0) < 1e-4
+    assert by_rank[2][0] == 2
+    assert 3 not in by_rank  # the zero vector is not indexable
+    # a zero-vector QUERY likewise returns no rows instead of raising
+    zq = spark.createDataFrame([(200, [0.0] * 8)], ["query_id", "embedding"])
+    assert similarity.ivf_int8_topk(df, zq, k=3, n_centroids=2, n_probe=2, dim=8).count() == 0
+
+
 def _skewed_embedding_fixture(spark, n_mass=200, n_spread=200, dim=8):
     """Deliberately skewed embedding corpus: half the vectors piled near one
     direction (k-means will dump them into one oversized cluster), half
