@@ -361,17 +361,57 @@ def _map_reference_csv_kwargs(kwargs: dict) -> tuple[dict, object, int | None]:
              for n, d in zip(names, dtypes)]
         )
         opts.setdefault("header", False)  # names given -> file has no header row
+    if "compression" in out:
+        # Spark's CSV reader infers the codec from the file extension; only
+        # cudf's 'infer'/None semantics can be honored
+        comp = out.pop("compression")
+        if comp not in (None, "infer"):
+            raise NotImplementedError(
+                f"create_table(compression={comp!r}): Spark's CSV reader "
+                "infers compression from the file extension — rename the "
+                "files or use compression='infer'"
+            )
+    # results-neutral reference execution hints: cudf chunking/metadata
+    # prefetch knobs that cannot change query output on Spark (splitting
+    # and footer handling are Spark's own) — accepted and ignored
+    for hint in ("max_bytes_chunk_read", "get_metadata", "local_files"):
+        out.pop(hint, None)
     for unsupported in ("skiprows", "skipfooter", "byte_range_offset",
                         "byte_range_size", "delim_whitespace", "true_values",
                         "false_values", "quoting", "doublequote", "decimal",
                         "keep_default_na", "na_filter",
-                        "use_cols_indexes", "use_cols_names"):
+                        "use_cols_indexes", "use_cols_names",
+                        "stripes", "num_rows", "use_index", "lines"):
         if unsupported in out:
             raise NotImplementedError(
                 f"create_table({unsupported}=...): no Spark CSV reader "
                 "equivalent — preprocess the file or drop the argument"
             )
-    opts.update(out)  # anything else passes through as a native Spark option
+    # the remainder must be RECOGNIZED Spark CSV reader options; an unknown
+    # name raises instead of being silently ignored by Spark's option map
+    # (ADVICE r6: every reference full_kwarg now either maps, raises by
+    # name, or is a documented results-neutral ignore — nothing falls
+    # through to Spark unvetted)
+    _SPARK_CSV_OPTS = {
+        "sep", "encoding", "quote", "escape", "charToEscapeQuoteEscaping",
+        "comment", "header", "inferSchema", "enforceSchema",
+        "ignoreLeadingWhiteSpace", "ignoreTrailingWhiteSpace", "nullValue",
+        "nanValue", "positiveInf", "negativeInf", "dateFormat",
+        "timestampFormat", "timestampNTZFormat", "maxColumns",
+        "maxCharsPerColumn", "mode", "columnNameOfCorruptRecord",
+        "multiLine", "samplingRatio", "emptyValue", "locale", "lineSep",
+        "unescapedQuoteHandling", "preferDate", "columnPruning",
+        "recursiveFileLookup", "pathGlobFilter", "modifiedBefore",
+        "modifiedAfter",
+    }
+    unknown = sorted(set(out) - _SPARK_CSV_OPTS)
+    if unknown:
+        raise NotImplementedError(
+            f"create_table: unrecognized CSV argument(s) {unknown} — not a "
+            "reference (cudf) kwarg with a Spark mapping and not a Spark "
+            "CSV reader option"
+        )
+    opts.update(out)  # vetted native Spark options pass through
     return opts, schema, post_limit
 
 

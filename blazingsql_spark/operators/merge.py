@@ -75,19 +75,27 @@ def cdc_apply(
     ``changes`` rows carry ``op_col`` in {'I','U','D'} and a monotonically
     comparable ``version_col`` (commit LSN / event time); for each key
     only the highest-version change matters: I/U upsert the row, D
-    removes the key. Ties on version break deterministically by
-    preferring the delete (a same-version D|U pair means the key's final
-    fate is engine-ordering-dependent otherwise).
+    removes the key. Ties on version break deterministically: first
+    prefer the delete (a same-version D|U pair means the key's final
+    fate is engine-ordering-dependent otherwise), then — for two
+    same-version non-delete rows — by an xxhash64 of the payload
+    columns, so the SURVIVING PAYLOAD is also engine-independent (a
+    well-formed log has unique (key, version) per non-delete op, but a
+    replayed/duplicated log must still apply reproducibly).
 
     Plan shape at 100 TB: one window over (key) ordered by (version,
-    op-rank) on the CHANGE LOG only (sized by the log, not the
-    snapshot), then one shuffle join against the snapshot — both on the
-    same key, so the stages co-partition; no row-at-a-time apply loop.
+    op-rank, payload-hash) on the CHANGE LOG only (sized by the log,
+    not the snapshot), then one shuffle join against the snapshot —
+    both on the same key, so the stages co-partition; no row-at-a-time
+    apply loop.
     """
     payload = [c for c in snapshot.columns if c not in key_cols]
     op_rank = F.when(F.col(op_col) == "D", 1).otherwise(0)
+    payload_hash = F.xxhash64(
+        *[F.col(c).cast("string") for c in payload], F.lit(42)
+    )
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), op_rank.desc()
+        F.col(version_col).desc(), op_rank.desc(), payload_hash.asc()
     )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))

@@ -437,18 +437,44 @@ def list_avro_files(path: str) -> list[str]:
     return files
 
 
+def _schema_fields_key(avro_schema: dict) -> str:
+    """Canonical (name, type) rendering of a record schema's fields, for
+    cross-file schema-equality checks (docs/aliases/defaults ignored —
+    they don't change decoding)."""
+    return json.dumps(
+        [[f["name"], f["type"]] for f in avro_schema.get("fields", [])],
+        sort_keys=True,
+    )
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Distributed OCF read: schema from ONE driver-side header parse of
     the first file, data via binaryFile (one task per file, pushdown-
-    pruned to *.avro) -> Arrow-batched per-file block decode."""
+    pruned to *.avro) -> Arrow-batched per-file block decode. Every
+    file's embedded schema is checked against the driver-resolved one at
+    decode time: a renamed/added/removed field raises a ValueError naming
+    the offending file instead of silently NULL-filling missing columns
+    and dropping extras through the by-name remap."""
     files = list_avro_files(path)
     avro_schema = read_header_schema(files[0])
     spark_schema = avro_to_spark(avro_schema)
+    expected_fields = _schema_fields_key(avro_schema)
+    first_file = files[0]
 
     def decode_files(it):
         for pdf in it:
             for _, row in pdf.iterrows():
                 _schema, rows = decode_ocf(bytes(row["content"]))
+                got_fields = _schema_fields_key(_schema)
+                if got_fields != expected_fields:
+                    raise ValueError(
+                        f"avro: schema mismatch in {row['path']}: its fields "
+                        f"{got_fields} differ from {first_file}'s "
+                        f"{expected_fields} — all OCF files of one read must "
+                        f"share the schema (schema evolution across files is "
+                        f"not resolved, and a silent by-name remap would "
+                        f"NULL-fill renamed fields)"
+                    )
                 yield _pdf_from_rows(rows, spark_schema)
 
     binary = (
@@ -456,7 +482,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         if os.path.isdir(path)
         else spark.read.format("binaryFile").load(path)
     )
-    return binary.select("content").mapInPandas(decode_files, spark_schema)
+    return binary.select("path", "content").mapInPandas(decode_files, spark_schema)
 
 
 def write_avro(

@@ -208,6 +208,28 @@ def test_empty_dir_and_uri_scheme_are_typed_errors(spark, tmp_path):
         av.read_avro(spark, "s3a://bucket/x")
 
 
+def test_cross_file_schema_mismatch_raises_naming_file(spark, tmp_path):
+    """ADVICE r6: a directory mixing OCF files with DIFFERENT embedded
+    schemas must raise a ValueError naming the offending file, never
+    silently NULL-fill renamed fields through the by-name remap."""
+    import os
+    import shutil
+
+    a = spark.createDataFrame([(1, "x")], ["id", "name"])
+    b = spark.createDataFrame([(2, "y")], ["id", "label"])  # renamed field
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    av.write_avro(a, da)
+    av.write_avro(b, db)
+    rogue = [f for f in os.listdir(db) if f.endswith(".avro")][0]
+    shutil.copy(
+        os.path.join(db, rogue), os.path.join(da, "part-rogue.avro")
+    )
+    with pytest.raises(Exception, match="schema mismatch.*part-rogue"):
+        av.read_avro(spark, da).collect()
+    # homogeneous directories still read fine after the check
+    assert av.read_avro(spark, db).count() == 1
+
+
 def test_read_any_avro_refuses_schema_and_options(spark, tmp_path):
     from blazingsql_spark.sources.io import read_any, write_any
 

@@ -204,5 +204,30 @@ def test_create_table_reference_csv_kwargs(spark, tmp_path):
         bc.create_table("nope", str(csv), skiprows=2)
     with pytest.raises(NotImplementedError, match="na_values"):
         bc.create_table("nope", str(csv), na_values=["NA", "null"])
-    for t in ("ref_tbl", "ref_csv"):
+    # ADVICE r6: the REST of the reference full_kwargs must not fall
+    # through to Spark's option map silently — ORC-family / chunking names
+    # raise by name, unknown names raise listing themselves
+    with pytest.raises(NotImplementedError, match="stripes"):
+        bc.create_table("nope", str(csv), stripes=[0, 1])
+    with pytest.raises(NotImplementedError, match="num_rows"):
+        bc.create_table("nope", str(csv), num_rows=10)
+    with pytest.raises(NotImplementedError, match="use_index"):
+        bc.create_table("nope", str(csv), use_index=True)
+    with pytest.raises(NotImplementedError, match="compression"):
+        bc.create_table("nope", str(csv), compression="gzip")
+    with pytest.raises(NotImplementedError, match="totally_bogus"):
+        bc.create_table("nope", str(csv), totally_bogus=1)
+    # results-neutral reference hints are accepted and ignored
+    bc.create_table(
+        "ref_hints", str(csv), delimiter=";", quotechar="'", header=0,
+        max_bytes_chunk_read=268435456, get_metadata=False,
+    )
+    assert bc.sql("SELECT COUNT(*) AS n FROM ref_hints").first().n == 3
+    # recognized native Spark options still pass through
+    bc.create_table(
+        "ref_native", str(csv), delimiter=";", quotechar="'", header=0,
+        mode="PERMISSIVE",
+    )
+    assert bc.sql("SELECT COUNT(*) AS n FROM ref_native").first().n == 3
+    for t in ("ref_tbl", "ref_csv", "ref_hints", "ref_native"):
         bc.drop_table(t)

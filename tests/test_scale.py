@@ -319,3 +319,16 @@ def test_cdc_apply_semantics(spark):
     empty = log.limit(0)
     same = {r.id: r.val for r in cdc_apply(snap, empty, ["id"]).collect()}
     assert same == {1: "a", 2: "b", 3: "c"}
+
+    # ADVICE r6: two same-version non-delete rows for one key (a replayed/
+    # duplicated log) must survive DETERMINISTICALLY — the payload-hash
+    # tie-break picks the same row on every run and partitioning
+    dup = spark.createDataFrame(
+        [(1, "x1", "U", 7), (1, "x2", "U", 7), (1, "x3", "U", 7)],
+        ["id", "val", "op", "version"],
+    )
+    winners = {
+        cdc_apply(snap, dup.repartition(n), ["id"]).filter("id = 1").first().val
+        for n in (1, 3, 7)
+    }
+    assert len(winners) == 1, winners  # same survivor at any partitioning
