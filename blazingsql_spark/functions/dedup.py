@@ -123,6 +123,70 @@ def lsh_candidate_pairs(
     )
 
 
+def cross_corpus_candidates(
+    reference: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH candidates: corpus documents that share a
+    band bucket with ANY reference document — distinct (ref_id, corpus_id)
+    pairs. This is the banded-join scale path for decontamination /
+    cross-corpus near-dup detection: ``detect_contamination`` broadcasts
+    the eval set's n-grams (exact containment, eval-side must be small),
+    while this shape handles a LARGE reference side too — both corpora
+    reduce to (id, band, band_hash) rows (32-byte hashes, O(rows×bands)
+    shuffle regardless of document size) and candidates come from one
+    equi-join on (band, band_hash); no all-pairs, no broadcast
+    requirement (AQE broadcasts the smaller banded side when it fits).
+    The same md5-seeded signatures as lsh_candidate_pairs, so identical
+    text always collides in every band and the whole pipeline stays
+    engine-portable (oracle-checkable)."""
+    ref_b = _banded_signatures(
+        reference, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(F.col(id_col).alias("ref_id"), "band", "band_hash")
+    cor_b = _banded_signatures(
+        corpus, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(F.col(id_col).alias("corpus_id"), "band", "band_hash")
+    return (
+        ref_b.join(cor_b, ["band", "band_hash"])
+        .select("ref_id", "corpus_id")
+        .distinct()
+    )
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the BEST-scoring row per identical content
+    (ties broken by smallest id) instead of exact_dedup's min-id rule —
+    the practical production policy when duplicates differ in metadata
+    quality (e.g. keep the copy with the richest extraction score).
+    Returns (fp, keep_id, n_dups, best_score).
+
+    Same scale shape as exact_dedup: ONE shuffle on md5(text) carrying
+    (32-byte hash, id, score) per row; the winner is a max_by partial
+    aggregate — no per-group sort, no window."""
+    fp = F.md5(F.col(text_col)).alias("fp")
+    return (
+        df.select(fp, F.col(id_col), F.col(score_col).cast("double").alias("__s"))
+        .groupBy("fp")
+        .agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col("__s"), (-F.col(id_col)).cast("double"))
+            ).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+            F.max("__s").alias("best_score"),
+        )
+    )
+
+
 # ------------------------------------------------------------ n-gram Jaccard
 def jaccard_pairs(
     df: DataFrame,

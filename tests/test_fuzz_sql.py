@@ -323,6 +323,165 @@ def test_fuzzed_documents_matches_duckdb(spark_fuzz_docs, oracle_fuzz_docs, sql)
     compare_frames(got, want, sql)
 
 
+# ---- nested-subquery grammar (#7): correlated EXISTS / NOT EXISTS,
+# (NOT) IN, scalar and correlated-scalar subqueries, two-level IN
+# nesting through customer, and derived-table joins — mirroring the
+# reference's nestedQueriesSuite.yaml (tests/BlazingSQLTest/EndToEndTests/
+# TestSuites/nestedQueriesSuite.yaml) whose shapes are FROM-subqueries +
+# subquery joins. Catalyst decorrelates EXISTS/IN to semi/anti joins
+# (plan-asserted in test_plans.py); this grammar checks the VALUES match
+# DuckDB across fresh combinations. Dialect rules as above: BIGINT casts,
+# no double SUM/AVG; o_orderkey/c_custkey are never NULL so NOT IN keeps
+# two-valued logic. ----
+
+_lpred_conj = st.lists(_pred, min_size=1, max_size=2).map(" AND ".join)
+
+_sub_where = st.one_of(
+    # uncorrelated IN / NOT IN over orders, optionally nested one level
+    # deeper through customer (IN inside IN)
+    st.tuples(st.sampled_from(["IN", "NOT IN"]), _o_pred, st.booleans()).map(
+        lambda t: (
+            f"l_orderkey {t[0]} (SELECT o_orderkey FROM orders WHERE {t[1]}"
+            + (
+                " AND o_custkey IN (SELECT c_custkey FROM customer"
+                " WHERE c_nationkey <= 12)"
+                if t[2]
+                else ""
+            )
+            + ")"
+        )
+    ),
+    # correlated EXISTS / NOT EXISTS against orders
+    st.tuples(st.sampled_from(["EXISTS", "NOT EXISTS"]), _o_pred).map(
+        lambda t: (
+            f"{t[0]} (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey "
+            f"AND {t[1]})"
+        )
+    ),
+    # uncorrelated scalar subquery (MAX is engine-exact; / 2 keeps it
+    # selective but non-empty)
+    _o_pred.map(
+        lambda p: (
+            f"l_orderkey <= (SELECT MAX(o_orderkey) FROM orders WHERE {p}) / 2"
+        )
+    ),
+)
+
+
+@st.composite
+def _subquery_query(draw):
+    lpred = draw(_lpred_conj)
+    sub = draw(_sub_where)
+    groups = draw(
+        st.lists(st.sampled_from(GROUP_COLS), min_size=0, max_size=1)
+    )
+    aggs = draw(
+        st.lists(_agg, min_size=1, max_size=2, unique_by=lambda a: a.split(" AS ")[1])
+    )
+    select = ", ".join(groups + aggs)
+    sql = f"SELECT {select} FROM lineitem WHERE {lpred} AND {sub}"
+    if groups:
+        sql += f" GROUP BY {', '.join(groups)} ORDER BY {', '.join(groups)}"
+    return sql
+
+
+@settings(max_examples=20 * _SCALE, deadline=None)
+@given(sql=_subquery_query())
+def test_fuzzed_subquery_matches_duckdb(spark_fuzz_nested, oracle_fuzz_nested, sql):
+    got = spark_fuzz_nested.sql(sql).toPandas()
+    want = oracle_fuzz_nested.execute(sql).fetchdf()
+    compare_frames(got, want, sql)
+
+
+@st.composite
+def _correlated_scalar_query(draw):
+    """orders as the outer table, a correlated scalar COUNT/MIN over
+    lineitem in the projection AND optionally the predicate — the shape
+    Catalyst rewrites to an aggregate-then-left-join."""
+    opred = draw(_o_pred)
+    lpred = draw(_pred)
+    proj = draw(
+        st.sampled_from(
+            [
+                "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem"
+                " WHERE l_orderkey = o_orderkey)",
+                "(SELECT CAST(MIN(l_linenumber) AS BIGINT) FROM lineitem"
+                " WHERE l_orderkey = o_orderkey)",
+                "(SELECT CAST(MAX(l_suppkey) AS BIGINT) FROM lineitem"
+                " WHERE l_orderkey = o_orderkey)",
+            ]
+        )
+    )
+    in_pred = draw(st.booleans())
+    where = f"WHERE {opred}"
+    if in_pred:
+        where += (
+            f" AND (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey"
+            f" AND {lpred}) >= 2"
+        )
+    return (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        f"CAST(SUM(sub.x) AS BIGINT) AS checksum FROM "
+        f"(SELECT o_orderkey, COALESCE({proj}, -1) AS x "
+        f"FROM orders {where}) sub"
+    )
+
+
+@settings(max_examples=15 * _SCALE, deadline=None)
+@given(sql=_correlated_scalar_query())
+def test_fuzzed_correlated_scalar_matches_duckdb(
+    spark_fuzz_nested, oracle_fuzz_nested, sql
+):
+    got = spark_fuzz_nested.sql(sql).toPandas()
+    want = oracle_fuzz_nested.execute(sql).fetchdf()
+    compare_frames(got, want, sql)
+
+
+@st.composite
+def _derived_table_query(draw):
+    """nestedQueriesSuite.yaml's own shape: join an aggregate derived
+    table back against a base table."""
+    opred = draw(_o_pred)
+    lpred = draw(_pred)
+    jtype = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    return (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(t.n_ord) AS BIGINT) AS s FROM lineitem {jtype} "
+        f"(SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n_ord "
+        f"FROM orders WHERE {opred} GROUP BY o_orderkey) t "
+        f"ON l_orderkey = t.k WHERE {lpred}"
+    )
+
+
+@settings(max_examples=15 * _SCALE, deadline=None)
+@given(sql=_derived_table_query())
+def test_fuzzed_derived_table_matches_duckdb(
+    spark_fuzz_nested, oracle_fuzz_nested, sql
+):
+    got = spark_fuzz_nested.sql(sql).toPandas()
+    want = oracle_fuzz_nested.execute(sql).fetchdf()
+    compare_frames(got, want, sql)
+
+
+@pytest.fixture(scope="module")
+def spark_fuzz_nested(spark):
+    for t in ("lineitem", "orders", "customer"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").createOrReplaceTempView(t)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def oracle_fuzz_nested():
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
 @pytest.fixture(scope="module")
 def spark_fuzz_docs(spark):
     spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView("documents")
