@@ -1109,7 +1109,6 @@ def _bounded_cluster_keys(
     vec_col: str,
     dim: int,
     split_bits: int,
-    salt_headroom: float = 0.75,
 ) -> DataFrame:
     """Rewrite ``centroid_id`` into a string group key ``__grp`` such that
     no group (and therefore no side of the within-group self-join) exceeds
@@ -1138,11 +1137,14 @@ def _bounded_cluster_keys(
        p≈acos(0.95)/π≈0.10 per consumed bit);
     4. groups still over the cap after ``split_bits`` bisections are
        near-identical point masses no geometric split can separate —
-       those are salted by ``xxhash64(id)`` into ``ceil(size/(headroom·
-       cap))`` buckets. Salting is the documented recall trade-off of
-       last resort (cross-bucket pairs inside such a group are not
-       compared), and the only probabilistic piece: buckets are expected
-       ≤ headroom·cap, the 1/headroom slack absorbing hash variance.
+       those are salted into rank-range buckets (bucket = rank-within-
+       group by id, integer-divided by the cap), so every bucket holds
+       EXACTLY ≤ cap rows whatever the input — no hash variance, no
+       probabilistic headroom (the r7 xxhash64-mod spelling only bounded
+       buckets in expectation; ADVICE r7). Salting remains the documented
+       recall trade-off of last resort: cross-bucket pairs inside such a
+       group are not compared. The rank window shuffles only the salted
+       subset, never the corpus.
 
     Returns the assigned frame with ``__grp`` replacing ``centroid_id``.
     Cost: one map pass + two small-table shuffles + one corpus join
@@ -1151,20 +1153,45 @@ def _bounded_cluster_keys(
     (tests/test_functions.py) and a balanced-data differential vs the
     unbounded path."""
     levels = split_bits + 1
-    bits = [
-        _hyperplane_sign(F.col(vec_col), 1000 + j, dim) for j in range(split_bits)
+    # All split_bits sign bits come from ONE parsed transform over a literal
+    # plane matrix — the same lesson lsh_band_signatures learned: building
+    # split_bits separate aggregate expressions and chaining them into
+    # cumulative concats puts O(split_bits^2) aggregate-fold copies into the
+    # plan, which costs seconds of analysis + codegen per query and ran the
+    # 500-row fixture in ~9 s (measured round 8; this spelling runs it in
+    # well under a second). The fold order inside the transform is the exact
+    # left-fold _hyperplane_sign computes, so the bits are bit-identical to
+    # the per-plane spelling and to the md5-parity SQL twin.
+    matrix = [_plane_signs(1000 + j, dim) for j in range(split_bits)]
+    mat_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{s:.0f}D" for s in row) + ")" for row in matrix
+    ) + ")"
+    bits_expr = F.expr(
+        f"transform({mat_sql}, plane -> IF(aggregate("
+        f"zip_with({vec_col}, plane, (x, s) -> CAST(x AS DOUBLE) * s), "
+        f"0D, (acc, v) -> acc + v) >= 0D, '1', '0'))"
+    )
+    pref0 = F.col("centroid_id").cast("string")
+    prefs = [pref0] + [
+        F.concat(
+            pref0, F.lit("."), F.array_join(F.slice(F.col("__bits"), 1, k), ".")
+        )
+        for k in range(1, levels)
     ]
-    pref = F.col("centroid_id").cast("string")
-    prefs = [pref]
-    for j in range(split_bits):
-        pref = F.concat(pref, F.lit("."), bits[j].cast("string"))
-        prefs.append(pref)
-    base = assigned.withColumn("__prefs", F.array(*prefs))
+    base = (
+        assigned.withColumn("__bits", bits_expr)
+        .withColumn("__prefs", F.array(*prefs))
+        .drop("__bits")
+    )
 
     sizes = (
         base.select(F.posexplode("__prefs").alias("__k", "__g"))
         .groupBy("__k", "__g")
         .agg(F.count(F.lit(1)).alias("__n"))
+        # sizes feeds the plan TWICE (finest + the ancestors fit join); left
+        # lazy, each consumer re-runs the corpus scan + explode + shuffle.
+        # It is a tiny table (≤ levels × #finest-groups rows), so pin it.
+        .localCheckpoint(eager=False)
     )
     # Resolve each FINEST group to its shallowest fitting ancestor on the
     # size table alone (groups are hierarchical: rows sharing the level-k
@@ -1172,11 +1199,10 @@ def _bounded_cluster_keys(
     # per finest group). Ancestor keys are recovered by re-slicing the
     # dot-joined key — no second corpus pass.
     finest = sizes.filter(F.col("__k") == split_bits).select(
-        F.col("__g").alias("__deep"), F.col("__n").alias("__deep_n")
+        F.col("__g").alias("__deep")
     )
     ancestors = finest.select(
         "__deep",
-        "__deep_n",
         F.explode(
             F.array(*[F.lit(k) for k in range(levels)])
         ).alias("__k"),
@@ -1197,32 +1223,35 @@ def _bounded_cluster_keys(
     decision = finest.join(fitting, "__deep", "left").select(
         "__deep",
         F.coalesce(F.col("__fit"), F.col("__deep")).alias("__key"),
-        F.when(
-            F.col("__fit").isNull(),
-            F.ceil(
-                F.col("__deep_n")
-                / F.lit(float(max(1, int(max_cluster_size * salt_headroom))))
-            ).cast("long"),
-        ).alias("__nsalt"),
+        F.col("__fit").isNull().alias("__salt"),
     )
-    return (
-        base.withColumn("__deep", F.element_at("__prefs", levels))
-        .join(decision, "__deep")
-        .withColumn(
-            "__grp",
-            F.when(
-                F.col("__nsalt").isNotNull(),
-                F.concat(
-                    F.col("__key"),
-                    F.lit("#"),
-                    F.pmod(
-                        F.xxhash64(F.col(id_col).cast("string"), F.lit(42)),
-                        F.col("__nsalt"),
-                    ).cast("string"),
-                ),
-            ).otherwise(F.col("__key")),
-        )
-        .drop("__prefs", "__deep", "__key", "__nsalt", "centroid_id")
+    resolved = base.withColumn("__deep", F.element_at("__prefs", levels)).join(
+        decision, "__deep"
+    )
+    plain = resolved.filter(~F.col("__salt")).withColumn("__grp", F.col("__key"))
+    # Rank-range salting: bucket = floor(rank_within_group / cap), ranks by
+    # id. Unlike hash-mod salting this bounds every bucket at EXACTLY cap
+    # rows whatever the input (hash variance pushed ~e^-11-probability
+    # buckets over the cap per draw — vanishingly rare per bucket but a
+    # certainty across the millions of buckets a 100 TB corpus produces).
+    # The row_number window shuffles ONLY the salted subset (rows whose
+    # group no bisection level could fit — rare, point-mass shaped), not
+    # the corpus; partitions are ≤ the pre-salt group size, which the
+    # upstream explode already handled.
+    w = Window.partitionBy("__key").orderBy(F.col(id_col))
+    salted = resolved.filter(F.col("__salt")).withColumn(
+        "__grp",
+        F.concat(
+            F.col("__key"),
+            F.lit("#"),
+            F.floor(
+                (F.row_number().over(w) - F.lit(1))
+                / F.lit(int(max_cluster_size))
+            ).cast("string"),
+        ),
+    )
+    return plain.unionByName(salted).drop(
+        "__prefs", "__deep", "__key", "__salt", "centroid_id"
     )
 
 
@@ -1256,8 +1285,19 @@ def semantic_dedup_keep(
     so no self-join side ever exceeds the cap — see
     ``_bounded_cluster_keys`` for the recall accounting. ``None``
     preserves the paper-exact unbounded behavior."""
-    cents = ivf_train_centroids(vectors, k=n_clusters, dim=dim)
-    assigned = assign_to_centroids(vectors, cents, id_col, vec_col)
+    if n_clusters == 1:
+        # k=1 Lloyd is a no-op for the keep-set: every row lands in the one
+        # cluster whatever the centroid value is, so skip the O(iter)
+        # training scans entirely and tag the constant assignment. (The
+        # only behavioral corner is all-zero vectors, which the trained
+        # path assigns a NULL centroid — but those have NULL cosine to
+        # everything and are kept by both paths, so the result is equal.)
+        assigned = vectors.select(
+            F.col(id_col), F.col(vec_col), F.lit(0).cast("long").alias("centroid_id")
+        )
+    else:
+        cents = ivf_train_centroids(vectors, k=n_clusters, dim=dim)
+        assigned = assign_to_centroids(vectors, cents, id_col, vec_col)
     if max_cluster_size is not None:
         assigned = _bounded_cluster_keys(
             assigned, max_cluster_size, id_col, vec_col, dim, split_bits
@@ -1265,16 +1305,115 @@ def semantic_dedup_keep(
         key = "__grp"
     else:
         key = "centroid_id"
-    a = assigned.select(
-        key, F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    if max_cluster_size is not None:
+        # Bounded groups (≤ ~cap rows each) make the pairwise stage an
+        # in-memory problem per group, so run it as ONE applyInPandas pass:
+        # an n×n numpy accumulation per group instead of a self-join whose
+        # per-pair interpreted aggregate-fold cosine costs ~100× the
+        # arithmetic (measured 7.5 s for 265k pairs at sf0.1) AND whose two
+        # join sides recompute the whole upstream (bits → sizes → decision
+        # join) twice. The accumulation loops over dims SEQUENTIALLY (the
+        # same discipline as lsh_band_signatures' vectorized path), so every
+        # pair dot and norm is the exact left-fold dot()/l2_norm() compute —
+        # bit-identical to the JVM-expression path. Candidates leave the UDF
+        # with their raw (dot, norm-product) values prefiltered at
+        # threshold − 1e-6 (strictly below the round-up boundary, so no true
+        # candidate is lost), and the authoritative HALF_UP round(…, 6) ≥
+        # threshold decision happens in Spark expressions on those exact
+        # doubles — engine-identical to the unbounded path's filter. Memory
+        # is capped by construction: every group — bisected or rank-range
+        # salted — holds ≤ max_cluster_size rows, so the n×n buffer is
+        # ~cap² doubles, not corpus².
+        id_field = next(f for f in assigned.schema.fields if f.name == id_col)
+        out_schema = T.StructType(
+            [
+                T.StructField("__ida", id_field.dataType),
+                T.StructField("__dot", T.DoubleType()),
+                T.StructField("__nprod", T.DoubleType()),
+            ]
+        )
+        margin = float(threshold) - 1e-6
+
+        def _grp_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"__ida": pdf[id_col].iloc[:0], "__dot": [], "__nprod": []}
+            )
+            if len(pdf) < 2:
+                return empty
+            pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n, d = X.shape
+            D = np.zeros((n, n))
+            s = np.zeros(n)
+            for i in range(d):  # sequential over dims = the SQL fold order
+                xi = X[:, i]
+                D += xi[:, None] * xi[None, :]
+                s += xi * xi
+            nrm = np.sqrt(s)
+            P = nrm[:, None] * nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(P != 0.0, D / P, -2.0)
+            hi, lo = np.tril_indices(n, k=-1)  # row index hi = higher id
+            keep = cos[hi, lo] >= margin
+            hi, lo = hi[keep], lo[keep]
+            return pd.DataFrame(
+                {
+                    "__ida": pdf[id_col].to_numpy()[hi],
+                    "__dot": D[hi, lo],
+                    "__nprod": P[hi, lo],
+                }
+            )
+
+        cand = assigned.groupBy(key).applyInPandas(_grp_pairs, out_schema)
+        dropped = (
+            cand.filter(
+                F.round(
+                    F.when(
+                        F.col("__nprod") != 0.0, F.col("__dot") / F.col("__nprod")
+                    ),
+                    6,
+                )
+                >= F.lit(threshold)
+            )
+            .select(F.col("__ida").alias(id_col))
+            .distinct()
+        )
+        return vectors.join(dropped, id_col, "left_anti")
+
+    # Unbounded path: groups can be cluster-sized (that is exactly the skew
+    # hazard max_cluster_size exists for), so stay with the streaming
+    # self-join — it shuffles but never materializes a group in memory.
+    # Hoist the per-row norm OUT of the pairwise join: cosine(a, b) inside
+    # the join recomputes l2_norm(a) and l2_norm(b) for every PAIR — 3x
+    # O(d) interpreted higher-order-function passes per pair instead of 1.
+    # Precomputing the norm per row (N rows, one pass) and dividing the
+    # per-pair dot by the norm product is the exact same float ops in the
+    # same order (sqrt each side, multiply, divide), so results are
+    # bit-identical to cosine() — including the NULL-on-zero-norm guard,
+    # reproduced below with the same hoisted 1-element-array trick.
+    pre = assigned.withColumn("__nrm", l2_norm(F.col(vec_col)))
+    a = pre.select(
+        key,
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
     )
-    b = assigned.select(
-        key, F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    b = pre.select(
+        key,
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
     )
+    pair_cos = F.transform(
+        F.array(F.col("__na") * F.col("__nb")),
+        lambda d: F.when(d != 0.0, dot(F.col("__va"), F.col("__vb")) / d),
+    )[0]
     dropped = (
         a.join(b, key)
         .filter(F.col("__idb") < F.col("__ida"))
-        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= F.lit(threshold))
+        .filter(F.round(pair_cos, 6) >= F.lit(threshold))
         .select(F.col("__ida").alias(id_col))
         .distinct()
     )

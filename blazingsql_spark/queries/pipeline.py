@@ -2853,7 +2853,6 @@ def docs_token_budget(spark, sf_dir):
 
 @register(
     "dedup_semantic",
-    headline=True,
     oracle="""
     WITH corpus AS (
         SELECT vec_id, embedding FROM embeddings
@@ -2878,9 +2877,10 @@ def dedup_semantic(spark, sf_dir):
     (similarity.semantic_dedup_keep) over a corpus with injected
     exact-copy vectors: drop items with a lower-id cosine>=0.95 neighbor
     in their cluster. This row runs the exact n_clusters=1 special case
-    so the DuckDB twin is a plain all-pairs NOT EXISTS; the production
-    clustered path (within-cluster equi-join, O(sum cluster_size^2)) is
-    differential-tested against this exact case in pytest."""
+    so the DuckDB twin is a plain all-pairs NOT EXISTS; it is the
+    CORRECTNESS anchor for the family, deliberately quadratic (the
+    paper's exact case), so it is NOT a headline bench row — the
+    production bounded path is benched as `dedup_semantic_bounded`."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dups = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
@@ -2888,6 +2888,96 @@ def dedup_semantic(spark, sf_dir):
     corpus = emb.unionAll(dups)
     keep = similarity.semantic_dedup_keep(
         corpus, n_clusters=1, threshold=0.95, dim=64
+    )
+    return keep.select("vec_id").orderBy("vec_id")
+
+
+@register(
+    "dedup_semantic_bounded",
+    headline=True,
+    oracle="""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        WHERE vec_id % 50 = 0
+    ),
+    planes AS (
+        SELECT p, i,
+               CASE WHEN ASCII(SUBSTRING(MD5((p + 1000)::VARCHAR || '-' || i::VARCHAR), 1, 1)) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM range(0, 10) tp(p) CROSS JOIN range(1, 65) ti(i)
+    ),
+    elems AS (
+        SELECT vec_id, ti.i, embedding[ti.i]::DOUBLE AS x
+        FROM corpus CROSS JOIN range(1, 65) ti(i)
+    ),
+    bits AS (
+        SELECT vec_id, p AS j,
+               CASE WHEN SUM(x * s) >= 0 THEN 1 ELSE 0 END AS b
+        FROM elems JOIN planes USING (i) GROUP BY vec_id, p
+    ),
+    chains AS (
+        SELECT b.vec_id, tk.k,
+               '0' || COALESCE(
+                   '.' || STRING_AGG(b.b::VARCHAR, '.' ORDER BY b.j)
+                       FILTER (WHERE b.j < tk.k), '') AS g
+        FROM bits b CROSS JOIN range(0, 11) tk(k)
+        GROUP BY b.vec_id, tk.k
+    ),
+    sizes AS (SELECT k, g, COUNT(*) AS n FROM chains GROUP BY k, g),
+    fitk AS (
+        SELECT c.vec_id, MIN(c.k) AS bk
+        FROM chains c JOIN sizes s ON s.k = c.k AND s.g = c.g
+        WHERE s.n <= 400
+        GROUP BY c.vec_id
+    ),
+    grp AS (
+        SELECT c.vec_id, c.g
+        FROM chains c JOIN fitk f ON f.vec_id = c.vec_id AND f.bk = c.k
+    )
+    SELECT c.vec_id FROM corpus c JOIN grp ga ON ga.vec_id = c.vec_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM corpus b JOIN grp gb ON gb.vec_id = b.vec_id
+        WHERE gb.g = ga.g AND b.vec_id < c.vec_id
+          AND ROUND(list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                    (SQRT(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                     * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+              >= 0.95
+    )
+    ORDER BY c.vec_id
+    """,
+)
+def dedup_semantic_bounded(spark, sf_dir):
+    """PRODUCTION SemDeDup path: semantic_dedup_keep with the
+    max_cluster_size bound active, so the pairwise stage runs inside
+    hyperplane-bisected groups (no side over 400 rows) instead of one
+    quadratic blob — the shape that survives 100 TB. The group keys are
+    the md5-parity Rademacher bisection prefixes (engine-portable, same
+    spelling as the LSH oracles), resolved to the shallowest prefix
+    whose group fits the cap, so the DuckDB twin reproduces the grouping
+    EXACTLY — this row's oracle checks the real bounded semantics, not a
+    simplification. The salting last resort is deliberately out of
+    fixture reach (it needs >400 near-identical vectors; the injected
+    dup groups have 2) and pytest asserts it stays unused here; the
+    skew/salting behavior itself is property-tested in
+    tests/test_functions.py. Replaced `dedup_semantic` (the exact
+    quadratic special case, still registered for correctness) in the
+    headline bench set in round 8 — benchmarking the deliberately
+    quadratic oracle anchor was measuring the paper's worst case, not
+    the operator."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionAll(dups)
+    keep = similarity.semantic_dedup_keep(
+        corpus,
+        n_clusters=1,
+        threshold=0.95,
+        dim=64,
+        max_cluster_size=400,
+        split_bits=10,
     )
     return keep.select("vec_id").orderBy("vec_id")
 

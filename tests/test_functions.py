@@ -1323,6 +1323,34 @@ def test_semantic_dedup_bounded_point_mass_salts(spark):
     assert 0 in {r.vec_id for r in kept.collect()}
 
 
+def test_semantic_dedup_bounded_registry_row_never_salts(spark):
+    """The dedup_semantic_bounded registry row's DuckDB oracle reproduces
+    the bisection prefixes but NOT the salting fallback (xxhash-free SQL
+    can't), so its correctness contract requires that salting stays out of
+    reach on the fixture corpora: cap 400 / split_bits 10 against dup
+    groups of size 2 can never leave a group over the cap unsplit. Assert
+    no '#' key at the driver SF (and by the same construction at sf0.001 /
+    sf0.1, whose corpora only grow the bisectable spread)."""
+    from blazingsql_spark.functions import similarity
+    from blazingsql_spark.queries.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    assigned = emb.unionAll(dups).select(
+        "vec_id", "embedding", F.lit(0).cast("long").alias("centroid_id")
+    )
+    keyed = similarity._bounded_cluster_keys(
+        assigned, 400, "vec_id", "embedding", 64, split_bits=10
+    )
+    sizes = keyed.groupBy("__grp").count().collect()
+    assert max(r["count"] for r in sizes) <= 400
+    assert not any("#" in r["__grp"] for r in sizes)
+
+
 def test_new_text_ops_edge_documents(spark):
     """Empty, whitespace-only, single-token, and unicode docs must flow
     through gopher/tfidf/html/nfc without crashes and with sane values."""

@@ -96,7 +96,8 @@ def test_no_accidental_cartesian_products(spark):
         "text_bm25",  # scored terms x broadcast(1-row n_docs/avgdl aggregate)
         "docs_tfidf_topk",  # tf table x broadcast(1-row corpus-N aggregate) — same shape as text_bm25
         "agg_equidepth",  # ranked rows x broadcast(|quantiles|-row target-rank table): the no-group-keys percentile path
-        "dedup_semantic",  # corpus x broadcast(1-row centroid array) assignment, twice (a/b sides of the within-cluster self-join) — same bounded shape as sim_ann_ivf; the pairwise cosine itself is an equi-join on centroid_id
+        "dedup_semantic",  # (n_clusters>1 runs) corpus x broadcast(centroid array) assignment — same bounded shape as sim_ann_ivf; the registered n_clusters=1 row skips assignment entirely since r8, so this entry only covers the clustered configuration
+        "sim_ann_ivf_int8",  # exact recall baseline (corpus x broadcast(query set), sim_cosine_topk's accepted shape) + float/int8 centroid routing (queries x broadcast(8-centroid array), sim_ann_ivf's accepted shape); both candidate scans are equi-joins on centroid_id
         "sample_dsir_weights",  # bucket table x broadcast(two 1-row p/q total aggregates) — same bounded shape as text_bm25's corpus stats
         "corpus_profile",  # 1-row corpus aggregate x 1-row percentile frame, plus the keyless percentile path's |quantiles|-row broadcast (agg_equidepth's accepted shape)
         "rag_hybrid_rrf",  # same 1-row corpus-stats broadcast (BM25 branch) + 1-query cosine branch
