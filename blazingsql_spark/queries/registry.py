@@ -456,12 +456,94 @@ assert not set(_R7_WINDOW[3:]) & set(_R6_WINDOW), (
     "r7 rotation must not re-check r6-fresh rows (sentinels excepted)"
 )
 
-# Past the window, queue the freshest-green rows first (r6, then r5, then
-# r4) so any driver overflow re-checks the most recently verified work.
-DRIVER_PRIORITY = _R7_WINDOW + tuple(
+# Round-8 window, promoted first-commit of round 8 after CORRECTNESS_r07
+# landed 50/50 green (same discipline as r5→r6→r7→r8). Composition: the 3
+# standing _SENTINELS; the 21 never-driver-checked rows — the 19
+# r6-registered queries, `sim_ann_ivf_int8` (r7-registered; ADVICE r7
+# flagged that its oracle gate had no recorded driver run) and
+# `dedup_semantic_bounded` (r8-registered production SemDeDup path); all
+# 19 remaining r3-stale rows (subqueries ×6, PQ/IVF-PQ, tpch_extra ×4,
+# text ops, unpivot, vocab, 2 windows); and the 7 alphabetically-first
+# r4-stale rows to fill to exactly 50. After r8, every registered query
+# has ≥1 driver row and no row's latest check is older than r4.
+
+_NEVER_CHECKED_R8 = (
+    "cdc_apply_orders",
+    "corpus_profile",
+    "dedup_semantic",
+    "dedup_semantic_bounded",
+    "dedup_url_canonical",
+    "docs_ngram_novelty",
+    "docs_tfidf_topk",
+    "docs_token_budget",
+    "emb_quantize_int8",
+    "expr_try_arithmetic",
+    "expr_url_parse",
+    "graph_triangles",
+    "io_webdataset_roundtrip",
+    "multimodal_mp3_meta",
+    "multimodal_mp4_frames",
+    "sample_dsir_weights",
+    "sample_shuffle_head",
+    "sim_ann_ivf_int8",
+    "text_gopher_quality",
+    "text_html_strip",
+    "text_nfc_normalize",
+)
+assert len(_NEVER_CHECKED_R8) == 21, len(_NEVER_CHECKED_R8)
+
+_R3_STALE_REMAINING = (
+    "sim_ann_ivfpq",
+    "sim_ann_pq",
+    "subquery_correlated_scalar",
+    "subquery_exists",
+    "subquery_in",
+    "subquery_not_exists",
+    "subquery_not_in",
+    "subquery_scalar",
+    "text_boilerplate",
+    "text_redact",
+    "text_stopwords",
+    "tpch_q11",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q9",
+    "unpivot_metrics",
+    "vocab_topk",
+    "window_ignore_nulls",
+    "window_range_time",
+)
+assert len(_R3_STALE_REMAINING) == 19, len(_R3_STALE_REMAINING)
+
+_R4_STALE_FIRST_7 = (
+    "agg_grouping_fn",
+    "dedup_components",
+    "dedup_spans",
+    "emb_label_centroids",
+    "events_anomaly",
+    "events_gapfill",
+    "events_retention",
+)
+
+_R8_WINDOW = (
+    _SENTINELS + _NEVER_CHECKED_R8 + _R3_STALE_REMAINING + _R4_STALE_FIRST_7
+)
+assert len(_R8_WINDOW) == _DRIVER_WINDOW, (
+    f"driver window misbudgeted: {len(_R8_WINDOW)} names for "
+    f"{_DRIVER_WINDOW} rows"
+)
+assert len(set(_R8_WINDOW)) == len(_R8_WINDOW), "duplicate in driver window"
+assert not set(_R8_WINDOW[3:]) & set(_R7_WINDOW), (
+    "r8 rotation must not re-check r7-fresh rows (sentinels excepted)"
+)
+
+# Past the window, queue the freshest-green rows first (r7, then r6, then
+# r5, then r4) so any driver overflow re-checks the most recently verified
+# work.
+DRIVER_PRIORITY = _R8_WINDOW + tuple(
     n
-    for n in _R6_WINDOW + _R5_WINDOW + _R4_WINDOW
-    if n not in _R7_WINDOW
+    for n in _R7_WINDOW + _R6_WINDOW + _R5_WINDOW + _R4_WINDOW
+    if n not in _R8_WINDOW
 )
 
 
