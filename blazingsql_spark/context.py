@@ -403,6 +403,14 @@ def _map_reference_csv_kwargs(kwargs: dict) -> tuple[dict, object, int | None]:
         "unescapedQuoteHandling", "preferDate", "columnPruning",
         "recursiveFileLookup", "pathGlobFilter", "modifiedBefore",
         "modifiedAfter",
+        # ADVICE r7: audit against CSVOptions — names Spark's reader accepts
+        # that the first allowlist cut missed. "delimiter"/"charset" are
+        # CSVOptions' documented aliases for sep/encoding; timeZone and
+        # enableDateTimeParsingFallback are option-map-only (absent from the
+        # DataFrameReader.csv python signature but parsed by CSVOptions);
+        # maxMalformedLogPerPartition is in the python signature itself.
+        "timeZone", "enableDateTimeParsingFallback",
+        "maxMalformedLogPerPartition", "delimiter", "charset",
     }
     unknown = sorted(set(out) - _SPARK_CSV_OPTS)
     if unknown:

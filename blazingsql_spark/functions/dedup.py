@@ -174,12 +174,19 @@ def exact_dedup_keep_best(
     (32-byte hash, id, score) per row; the winner is a max_by partial
     aggregate — no per-group sort, no window."""
     fp = F.md5(F.col(text_col)).alias("fp")
+    # Tie-break via min_by over (negated score, NATIVE id): negating the id
+    # instead (the r7 spelling) required a numeric cast that broke string
+    # doc_ids at analysis time and silently mis-ranked int64 ids past
+    # double's 2^53 integer cliff (ADVICE r7). Struct comparison is
+    # lexicographic, so this is max-score-then-min-id for any orderable id
+    # type, with the id compared in its own type.
     return (
         df.select(fp, F.col(id_col), F.col(score_col).cast("double").alias("__s"))
         .groupBy("fp")
         .agg(
-            F.max_by(
-                F.col(id_col), F.struct(F.col("__s"), (-F.col(id_col)).cast("double"))
+            F.min_by(
+                F.col(id_col),
+                F.struct((-F.col("__s")).alias("ns"), F.col(id_col).alias("i")),
             ).alias("keep_id"),
             F.count("*").alias("n_dups"),
             F.max("__s").alias("best_score"),

@@ -91,8 +91,21 @@ def cdc_apply(
     """
     payload = [c for c in snapshot.columns if c not in key_cols]
     op_rank = F.when(F.col(op_col) == "D", 1).otherwise(0)
+    # xxhash64 SKIPS null inputs (xxhash64(NULL,'a',s) == xxhash64('a',
+    # NULL,s)), so two same-version payloads differing only in WHICH column
+    # is null would hash identically and the survivor would again be
+    # engine-ordering-dependent — exactly the hole this hash exists to
+    # close (ADVICE r7). Coalesce every column to a NULL-distinguishing
+    # sentinel so null participates in the hash positionally; the columns
+    # are hashed as separate arguments (not concatenated), so the only
+    # residual collision is a real payload string equal to the sentinel
+    # itself.
     payload_hash = F.xxhash64(
-        *[F.col(c).cast("string") for c in payload], F.lit(42)
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in payload
+        ],
+        F.lit(42),
     )
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(), op_rank.desc(), payload_hash.asc()

@@ -223,6 +223,15 @@ def test_create_table_reference_csv_kwargs(spark, tmp_path):
         max_bytes_chunk_read=268435456, get_metadata=False,
     )
     assert bc.sql("SELECT COUNT(*) AS n FROM ref_hints").first().n == 3
+    # ADVICE r7: valid Spark reader options the first allowlist cut missed
+    # (option-map-only names + documented aliases) must pass through, not
+    # raise as "not a Spark CSV reader option"
+    bc.create_table(
+        "ref_tz", str(csv), delimiter=";", quotechar="'", header=0,
+        timeZone="UTC", enableDateTimeParsingFallback=True,
+        maxMalformedLogPerPartition=10,
+    )
+    assert bc.sql("SELECT COUNT(*) AS n FROM ref_tz").first().n == 3
     # recognized native Spark options still pass through
     bc.create_table(
         "ref_native", str(csv), delimiter=";", quotechar="'", header=0,

@@ -1323,6 +1323,25 @@ def test_semantic_dedup_bounded_point_mass_salts(spark):
     assert 0 in {r.vec_id for r in kept.collect()}
 
 
+def test_exact_dedup_keep_best_string_and_big_ids(spark):
+    """Tie-break must work for NON-numeric ids and for int64 ids past
+    double's 2^53 integer cliff (ADVICE r7: the old negate-and-cast-to-
+    double spelling failed analysis on strings and mis-ranked huge ids)."""
+    s = spark.createDataFrame(
+        [("docB", "same", 1.0), ("docA", "same", 1.0), ("docC", "same", 0.5)],
+        ["doc_id", "text", "score"],
+    )
+    row = dedup.exact_dedup_keep_best(s, "score").first()
+    assert row.keep_id == "docA" and row.n_dups == 3 and row.best_score == 1.0
+
+    base = 2**53  # 9007199254740992: base+1 and base+2 collide as doubles
+    b = spark.createDataFrame(
+        [(base + 2, "same", 1.0), (base + 1, "same", 1.0)],
+        ["doc_id", "text", "score"],
+    )
+    assert dedup.exact_dedup_keep_best(b, "score").first().keep_id == base + 1
+
+
 def test_semantic_dedup_bounded_registry_row_never_salts(spark):
     """The dedup_semantic_bounded registry row's DuckDB oracle reproduces
     the bisection prefixes but NOT the salting fallback (xxhash-free SQL

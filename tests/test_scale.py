@@ -332,3 +332,24 @@ def test_cdc_apply_semantics(spark):
         for n in (1, 3, 7)
     }
     assert len(winners) == 1, winners  # same survivor at any partitioning
+
+    # ADVICE r7: xxhash64 SKIPS null arguments, so two same-version
+    # payloads differing only in WHICH column is null used to hash
+    # identically ((NULL,'a') vs ('a',NULL)) and the survivor was again
+    # engine-ordering-dependent. With the null-sentinel encoding the two
+    # rows hash apart and the same one wins at any partitioning.
+    snap2 = spark.createDataFrame([(9, "a", "b")], ["id", "v1", "v2"])
+    nulldup = spark.createDataFrame(
+        [(9, None, "a", "U", 7), (9, "a", None, "U", 7)],
+        ["id", "v1", "v2", "op", "version"],
+    )
+    null_winners = {
+        tuple(
+            cdc_apply(snap2, nulldup.repartition(n), ["id"])
+            .filter("id = 9")
+            .select("v1", "v2")
+            .first()
+        )
+        for n in (1, 2, 3)
+    }
+    assert len(null_winners) == 1, null_winners
