@@ -488,13 +488,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the n_probe nearest inverted lists per
     query, exact cosine only within them. The candidate join is an equi-join
     on centroid_id — the corpus partition scanned per query is ~n_probe/k
-    of the data, the IVF trade-off."""
-    cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
-    lists = assign_to_centroids(vectors, cents, id_col, vec_col)
+    of the data, the IVF trade-off.
+
+    ``prebuilt`` takes an already-built (centroids, assigned_lists) pair —
+    the serving-path discipline every other tier here has: train/assign
+    once per corpus epoch, probe many times. Training is md5-seeded and
+    deterministic, so a prebuilt index gives bit-identical results to the
+    self-training path."""
+    if prebuilt is not None:
+        cents, lists = prebuilt
+    else:
+        cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
+        lists = assign_to_centroids(vectors, cents, id_col, vec_col)
 
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     q_scored = q.crossJoin(F.broadcast(cents)).select(
