@@ -347,6 +347,101 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+# ------------------------------------------------------ bloom membership
+def _bloom_positions(fp: Column, n_bits: int, n_hashes: int) -> Column:
+    """Array of ``n_hashes`` bit positions for a 32-hex content fingerprint.
+
+    Positions are md5-derived (seed-prefixed, first 15 hex digits → bigint
+    → pmod n_bits) — the same engine-portable hash idiom as
+    minhash_signature and sampling.hash_bucket, so an external SQL oracle
+    reproduces every bit exactly."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bf{i}|"), fp)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_bits),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over a corpus's CONTENT fingerprints as a tiny
+    (word_idx BIGINT, word BIGINT) table: n_bits packed 32-per-word via a
+    bit_or aggregate. The membership screen for incremental ingestion at
+    100 TB: a new batch asks "which documents are DEFINITELY new?" against
+    the whole history by joining ~n_bits/32 rows (broadcastable at any
+    corpus size — size the filter by history cardinality, ~10 bits/item
+    for ~1% false positives), instead of anti-joining petabytes of
+    history. Definitely-new docs skip the exact-dedup path entirely;
+    maybe-present docs (bounded false-positive rate) fall through to the
+    exact md5 anti-join on a tiny fraction of the batch.
+
+    Only 32 of each word's 64 bits are used so the `1 << (p % 32)` bit
+    value stays positive and bit-identical in any engine (bit 63 would
+    need engine-specific overflow/sign handling). The filter is
+    DETERMINISTIC — same corpus, same bits, on any engine and any
+    partitioning — so it is differential-testable, unlike library blooms
+    with private hash mixes."""
+    fp = F.md5(F.col(text_col))
+    return (
+        df.select(F.explode(_bloom_positions(fp, n_bits, n_hashes)).alias("p"))
+        .select(
+            F.floor(F.col("p") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(p % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Probe a bloom_build filter: returns (id, maybe_dup) — maybe_dup is
+    TRUE iff ALL n_hashes bits for the document's content fingerprint are
+    set (present-or-false-positive; FALSE is a guarantee of novelty).
+
+    Shape: explode the batch to n_hashes (id, position) rows, equi-join
+    the ≤ n_bits/32-row word table (AQE broadcasts it), one groupBy on id.
+    The history corpus is never touched."""
+    fp = F.md5(F.col(text_col))
+    probes = df.select(
+        F.col(id_col),
+        F.explode(_bloom_positions(fp, n_bits, n_hashes)).alias("p"),
+    ).select(
+        F.col(id_col),
+        F.floor(F.col("p") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(1L, CAST(p % 32 AS INT))").alias("bit"),
+    )
+    hit = (
+        F.col("word").isNotNull()
+        & (F.col("word").bitwiseAND(F.col("bit")) != 0)
+    ).cast("int")
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(id_col)
+        .agg((F.sum(hit) == F.lit(n_hashes)).alias("maybe_dup"))
+    )
+
+
 # ------------------------------------------------------- incremental dedup
 def build_signature_index(
     df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id",

@@ -104,6 +104,68 @@ def cosine_topk(
     )
 
 
+def margin_mine(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ratio-margin candidate mining between two embedding corpora — the
+    criterion behind large-scale bitext/parallel-pair mining (Artetxe &
+    Schwenk 2019, "Margin-based Parallel Corpus Mining", public; the
+    CCMatrix recipe): a pair (x∈A, y∈B) is kept not for its raw cosine
+    but for how much it stands OUT of each side's neighborhood,
+
+        margin(x, y) = cos(x, y) / ((avg_k cos(x, NN_B(x)) +
+                                     avg_k cos(y, NN_A(y))) / 2),
+
+    which suppresses hub vectors that are near everything. Strategy is
+    the paper's "max": each x keeps its best-margin y, filtered at
+    ``threshold`` (1.0 = better than the neighborhood average).
+
+    Shape: two k-NN passes (A→B and B→A) — here the exact cosine_topk
+    whose only shuffle is the per-query top-k window; at corpus scale
+    swap either pass for any ANN tier in this module (the margin algebra
+    only needs (query, neighbor, sim) triples) — then two small
+    per-query averages and one join of the k·|A| forward candidates
+    against them. Margins are ranked ROUNDED to 6 (id tiebreak), the
+    same engine-portable discipline as cosine_topk. Non-positive
+    neighborhood denominators (pathological all-negative neighborhoods)
+    yield NULL margins and drop out."""
+    a_q = a.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    b_q = b.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    fwd = cosine_topk(b, a_q, k=k, id_col=id_col, vec_col=vec_col)
+    bwd = cosine_topk(a, b_q, k=k, id_col=id_col, vec_col=vec_col)
+    ax = fwd.groupBy("query_id").agg(F.avg("cosine_sim").alias("__ax"))
+    ay = (
+        bwd.groupBy("query_id")
+        .agg(F.avg("cosine_sim").alias("__ay"))
+        .select(F.col("query_id").alias("__yid"), "__ay")
+    )
+    denom = (F.col("__ax") + F.col("__ay")) / F.lit(2.0)
+    margin = F.round(
+        F.when(denom > 0, F.col("cosine_sim") / denom), 6
+    )
+    pairs = (
+        fwd.join(ax, "query_id")
+        .join(ay, F.col(id_col) == F.col("__yid"))
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col(id_col).alias("dst_id"),
+            margin.alias("margin"),
+        )
+        .filter(F.col("margin").isNotNull())
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("dst_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("margin") >= F.lit(threshold)))
+        .drop("__rn")
+    )
+
+
 def label_centroids(
     vectors: DataFrame,
     label_col: str = "label",

@@ -172,6 +172,56 @@ def dedup_exact(spark, sf_dir):
 
 
 @register(
+    "dedup_bloom_incremental",
+    oracle=f"""
+    WITH hist AS (SELECT MD5(text) AS fp FROM documents),
+    hpos AS (
+        SELECT ('0x' || SUBSTR(MD5('bf' || i || '|' || fp), 1, 15))::BIGINT
+                   % 65536 AS p
+        FROM hist CROSS JOIN range(0, 4) t(i)
+    ),
+    words AS (
+        SELECT p // 32 AS word_idx,
+               BIT_OR(1::BIGINT << CAST(p % 32 AS INT)) AS word
+        FROM hpos GROUP BY p // 32
+    ),
+    batch AS ({_CORPUS_ORACLE}),
+    bpos AS (
+        SELECT doc_id,
+               ('0x' || SUBSTR(MD5('bf' || i || '|' || MD5(text)), 1, 15))::BIGINT
+                   % 65536 AS p
+        FROM batch CROSS JOIN range(0, 4) t(i)
+    )
+    SELECT b.doc_id,
+           (COUNT(*) FILTER (WHERE (COALESCE(w.word, 0)
+                                    & (1::BIGINT << CAST(b.p % 32 AS INT))) <> 0)
+            = 4) AS maybe_dup
+    FROM bpos b LEFT JOIN words w ON w.word_idx = b.p // 32
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_bloom_incremental(spark, sf_dir):
+    """Bloom-filter membership screen for incremental corpus ingestion
+    (functions.dedup.bloom_build/bloom_probe): the history's content
+    fingerprints fold into a ~n_bits/32-row word table (engine-portable
+    md5-derived bit positions, 100% deterministic — no library bloom with
+    a private hash mix), and a new batch classifies each document as
+    definitely-new vs maybe-present by joining THAT instead of
+    anti-joining the petabyte history. Fixture: history = documents;
+    batch = documents ∪ exact copies ∪ near copies — originals and exact
+    copies must probe maybe_dup, the appended-token near copies come out
+    definitely-new modulo the filter's designed false-positive rate,
+    which the oracle reproduces bit-for-bit rather than bounding."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bloom = dedup.bloom_build(docs, n_bits=1 << 16, n_hashes=4)
+    out = dedup.bloom_probe(
+        _corpus(spark, sf_dir), bloom, n_bits=1 << 16, n_hashes=4
+    )
+    return out.select("doc_id", "maybe_dup").orderBy("doc_id")
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=rf"""
     WITH corpus AS ({_CORPUS_ORACLE}),
@@ -342,6 +392,60 @@ def sim_cosine_topk(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", "cosine_sim", F.col("rank").alias("rnk")
     ).orderBy("query_id", "rnk")
+
+
+@register(
+    "sim_margin_mine",
+    oracle="""
+    WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+    b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+    fwd AS (
+        SELECT * FROM (
+            SELECT a.vec_id AS src, bb.vec_id AS dst,
+                   ROUND(list_dot_product(a.embedding::DOUBLE[], bb.embedding::DOUBLE[]) /
+                         (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * SQRT(list_dot_product(bb.embedding::DOUBLE[], bb.embedding::DOUBLE[]))), 6) AS cos
+            FROM a CROSS JOIN b bb) t
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= 4
+    ),
+    bwd AS (
+        SELECT * FROM (
+            SELECT bb.vec_id AS src, a.vec_id AS dst,
+                   ROUND(list_dot_product(bb.embedding::DOUBLE[], a.embedding::DOUBLE[]) /
+                         (SQRT(list_dot_product(bb.embedding::DOUBLE[], bb.embedding::DOUBLE[]))
+                          * SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))), 6) AS cos
+            FROM b bb CROSS JOIN a) t
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= 4
+    ),
+    ax AS (SELECT src, AVG(cos) AS av FROM fwd GROUP BY src),
+    ay AS (SELECT src AS yid, AVG(cos) AS av FROM bwd GROUP BY src),
+    scored AS (
+        SELECT f.src AS src_id, f.dst AS dst_id,
+               ROUND(CASE WHEN (ax.av + ay.av) / 2 > 0
+                          THEN f.cos / ((ax.av + ay.av) / 2) END, 6) AS margin
+        FROM fwd f JOIN ax ON ax.src = f.src JOIN ay ON ay.yid = f.dst
+    )
+    SELECT src_id, dst_id, margin FROM scored
+    WHERE margin IS NOT NULL AND margin >= 1.0
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY margin DESC, dst_id) = 1
+    ORDER BY src_id
+    """,
+)
+def sim_margin_mine(spark, sf_dir):
+    """Ratio-margin pair mining between two embedding corpora
+    (functions.similarity.margin_mine; Artetxe & Schwenk 2019, the
+    CCMatrix bitext-mining criterion): each source vector keeps its
+    best-margin target, margin = cos / (mean of the two neighborhoods'
+    avg top-k cos) — hub vectors that are near EVERYTHING score ~1 and
+    drop. k-NN passes here are the exact cosine_topk baseline (fixture
+    scale); at corpus scale either pass swaps for an ANN tier since the
+    margin algebra only consumes (query, neighbor, sim) triples."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.filter(F.col("vec_id") % 20 == 0)
+    b = emb.filter(F.col("vec_id") % 20 != 0)
+    out = similarity.margin_mine(a, b, k=4, threshold=1.0)
+    return out.select("src_id", "dst_id", "margin").orderBy("src_id")
 
 
 # Banded AND-OR hyperplane signatures (4 bands x 16 bits = 64 planes), the

@@ -641,3 +641,162 @@ class DedupClusterIngest(DedupIngest):
         """(node, component_id) for every doc that ever near-duplicated;
         ids absent here are singletons."""
         return self.components.read_labels()
+
+
+class BloomCorpusIngest:
+    """foreachBatch handler: EXACT-dedup corpus ingestion screened by a
+    Bloom filter maintained incrementally under the crash-safe manifest
+    layout (functions.dedup.bloom_build/bloom_probe — the engine-portable
+    md5-bit filter).
+
+    Per micro-batch: (1) in-batch exact dedup (min id per text, the
+    deterministic rule replay idempotence needs); (2) probe the merged
+    history filter — bloom-FALSE documents are GUARANTEED new and skip
+    membership verification entirely, only the bloom-TRUE sliver (real
+    dups + the designed false-positive rate) anti-joins the content-
+    fingerprint table; (3) append survivors to the corpus, their 16-byte
+    fingerprints to ``<screen>/fps``, and their bloom words to
+    ``<screen>/words``.
+
+    Why this scales where a plain fp anti-join stalls: the per-batch
+    reference is ~n_bits/32 words (+ the fp table for only the maybe
+    sliver), not the full history per batch. Incremental maintenance is
+    free because bit_or is ASSOCIATIVE and IDEMPOTENT — per-epoch word
+    partitions merge by one groupBy at read, replays overwrite their own
+    partition with identical bits, and compaction (shared
+    compact_epoch_tables protocol) is the same fold published under one
+    manifest covering words and fps together. The replay hazard class
+    DedupIngest documents is handled the same way: a replaying epoch
+    excludes its own partitions from the reference, so its decisions
+    equal the first attempt's."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        screen_path: str,
+        corpus_path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_bits: int = 1 << 16,
+        n_hashes: int = 4,
+        max_index_files: int = 64,
+    ):
+        self.spark = spark
+        self.screen_path = screen_path
+        self.words_path = f"{screen_path}/words"
+        self.fps_path = f"{screen_path}/fps"
+        self.corpus_path = corpus_path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.max_index_files = max_index_files
+        self._screen_seen = False
+
+    def _screen_exists(self) -> bool:
+        if not self._screen_seen:
+            try:
+                self.spark.read.parquet(self.words_path)
+                self._screen_seen = True
+            except Exception:  # path does not exist before the first epoch
+                return False
+        return True
+
+    def _reference(self, exclude_epoch: int):
+        """(merged bloom words, history fingerprints), both excluding the
+        possibly-replaying epoch's own partitions."""
+        from blazingsql_spark.sources import manifest as mf
+
+        man = mf.read_manifest(self.spark, self.screen_path)
+        words = (
+            mf.read_live(self.spark, self.words_path, man, exclude_epoch)
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+        fps = mf.read_live(self.spark, self.fps_path, man, exclude_epoch)
+        return words, fps
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        from blazingsql_spark.functions import dedup
+        from blazingsql_spark.sources import manifest as mf
+
+        epoch = int(epoch_id)
+        w = Window.partitionBy(self.text_col).orderBy(F.col(self.id_col))
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .persist()
+        )
+        if self._screen_exists():
+            words, fps = self._reference(epoch)
+            probed = dedup.bloom_probe(
+                batch, words, self.text_col, self.id_col, self.n_bits, self.n_hashes
+            )
+            maybe_ids = probed.filter(F.col("maybe_dup")).select(self.id_col)
+            sure_new = batch.join(maybe_ids, self.id_col, "left_anti")
+            confirmed_new = (
+                batch.join(maybe_ids, self.id_col, "left_semi")
+                .withColumn("fp", F.md5(F.col(self.text_col)))
+                .join(fps.select("fp"), "fp", "left_anti")
+                .drop("fp")
+            )
+            clean = sure_new.unionByName(confirmed_new).persist()
+        else:
+            clean = batch
+        mf.write_epoch_partition(clean, self.corpus_path, epoch)
+        mf.write_epoch_partition(
+            clean.select(F.md5(F.col(self.text_col)).alias("fp")),
+            self.fps_path,
+            epoch,
+        )
+        mf.write_epoch_partition(
+            dedup.bloom_build(clean, self.text_col, self.n_bits, self.n_hashes),
+            self.words_path,
+            epoch,
+        )
+        self._screen_seen = True
+        self._compact_if_needed(epoch)
+        if clean is not batch:
+            clean.unpersist()
+        batch.unpersist()
+
+    def _compact_if_needed(self, epoch: int) -> None:
+        from blazingsql_spark.sources import manifest as mf
+
+        mf.compact_epoch_tables(
+            self.spark,
+            self.screen_path,
+            {
+                "words": lambda df: df.groupBy("word_idx").agg(
+                    F.bit_or("word").alias("word")
+                ),
+                "fps": lambda df: df.repartition(4, "fp"),
+            },
+            epoch,
+            self.max_index_files,
+        )
+
+    def read_corpus(self) -> DataFrame:
+        return self.spark.read.parquet(self.corpus_path).drop("epoch_id")
+
+
+def run_bloom_corpus_ingest(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    screen_path: str,
+    corpus_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Wire a document stream through the bloom-screened exact-dedup
+    ingest. Returns the started StreamingQuery."""
+    handler = BloomCorpusIngest(spark, screen_path, corpus_path, **kwargs)
+    return (
+        doc_stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1323,6 +1323,72 @@ def test_semantic_dedup_bounded_point_mass_salts(spark):
     assert 0 in {r.vec_id for r in kept.collect()}
 
 
+def test_margin_mine_prefers_standout_pairs_over_hubs(spark):
+    """A planted exact-duplicate pair must mine with the highest margin,
+    while a hub vector (near everything on its side) must NOT beat it —
+    the entire point of the ratio margin vs raw cosine."""
+    import math
+    import random
+
+    from blazingsql_spark.functions import similarity
+
+    rnd = random.Random(7)
+
+    def unit(seedvec):
+        n = math.sqrt(sum(v * v for v in seedvec))
+        return [v / n for v in seedvec]
+
+    dim = 8
+    base = [unit([rnd.gauss(0, 1) for _ in range(dim)]) for _ in range(12)]
+    planted = base[0]
+    hub = unit([sum(v[i] for v in base[1:]) for i in range(dim)])
+    a_rows = [(0, planted), (1, hub)] + [(2 + i, base[2 + i]) for i in range(4)]
+    b_rows = [(100, planted)] + [(101 + i, base[6 + i]) for i in range(5)]
+    a = spark.createDataFrame(a_rows, ["vec_id", "embedding"])
+    b = spark.createDataFrame(b_rows, ["vec_id", "embedding"])
+    got = {r.src_id: (r.dst_id, r.margin) for r in
+           similarity.margin_mine(a, b, k=3, threshold=0.0).collect()}
+    assert got[0][0] == 100  # the planted duplicate is src 0's best pair
+    assert got[0][1] > 1.0  # and it stands out of its neighborhoods
+    if 1 in got:  # the hub's best margin must not rival the planted pair
+        assert got[1][1] < got[0][1]
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Bloom screen invariants: every inserted content probes maybe_dup
+    (NO false negatives, the guarantee the incremental-ingest shortcut
+    rests on); results are identical at any partitioning (deterministic
+    md5-derived bits, no library hash mix); and the false-positive rate
+    on novel content stays near the designed (1-e^(-kn/m))^k."""
+    hist = spark.createDataFrame(
+        [(i, f"known document number {i}") for i in range(500)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(i, f"known document number {i}") for i in range(500)]
+        + [(1000 + i, f"novel document number {i}") for i in range(500)],
+        ["doc_id", "text"],
+    )
+    bloom = dedup.bloom_build(hist, n_bits=1 << 14, n_hashes=4)
+    got = {
+        r.doc_id: r.maybe_dup
+        for r in dedup.bloom_probe(batch, bloom, n_bits=1 << 14, n_hashes=4).collect()
+    }
+    assert all(got[i] for i in range(500))  # no false negative, ever
+    fps = sum(1 for i in range(500) if got[1000 + i])
+    # k=4, n=500, m=16384 -> p_fp ~ (1-e^(-4*500/16384))^4 ~ 1.7e-4;
+    # 500 draws -> expect ~0. Allow slack without letting brokenness pass.
+    assert fps <= 5, fps
+    again = {
+        r.doc_id: r.maybe_dup
+        for r in dedup.bloom_probe(
+            batch.repartition(7), dedup.bloom_build(hist.repartition(3), n_bits=1 << 14, n_hashes=4),
+            n_bits=1 << 14, n_hashes=4,
+        ).collect()
+    }
+    assert again == got
+
+
 def test_exact_dedup_keep_best_string_and_big_ids(spark):
     """Tie-break must work for NON-numeric ids and for int64 ids past
     double's 2^53 integer cliff (ADVICE r7: the old negate-and-cast-to-

@@ -984,3 +984,75 @@ def test_dedup_ingest_in_batch_keep_is_min_id(spark, tmp_path):
     # all three cluster together under the min id (the kept doc is an
     # edge endpoint, so it carries its own label too)
     assert labels == {901: 901, 903: 901, 905: 901}
+
+
+def test_bloom_corpus_ingest_exact_dedup_and_replay(spark, tmp_path):
+    """Bloom-screened exact-dedup ingest: cross-epoch exact duplicates are
+    dropped (bloom hit -> fp-verified), novel docs always land (bloom
+    FALSE is a no-false-negative guarantee), in-batch dups keep min id,
+    and an at-least-once replay is a no-op because a replaying epoch
+    excludes its own words/fps partitions from the reference."""
+    from blazingsql_spark.streaming.ingest import BloomCorpusIngest
+
+    handler = BloomCorpusIngest(
+        spark, str(tmp_path / "screen"), str(tmp_path / "corpus"), n_bits=1 << 14
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    )
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "beta"), (13, "delta")],
+        ["doc_id", "text"],
+    )
+    b3 = spark.createDataFrame(
+        [(20, "gamma"), (21, "epsilon")], ["doc_id", "text"]
+    )
+    handler(b1, 0)
+    handler(b2, 1)
+    handler(b3, 2)
+    got = {r.doc_id: r.text for r in handler.read_corpus().collect()}
+    # epoch 0: min-id per text (1 wins over 3); later epochs: only novel texts
+    assert got == {1: "alpha", 2: "beta", 11: "gamma", 13: "delta", 21: "epsilon"}
+    # replay epoch 1 -> identical corpus (decision made against history
+    # EXCLUDING epoch 1's own partitions)
+    handler(b2, 1)
+    again = {r.doc_id: r.text for r in handler.read_corpus().collect()}
+    assert again == got
+    # a fresh handler over the same paths (restart) still screens correctly
+    restarted = BloomCorpusIngest(
+        spark, str(tmp_path / "screen"), str(tmp_path / "corpus"), n_bits=1 << 14
+    )
+    b4 = spark.createDataFrame([(30, "beta"), (31, "zeta")], ["doc_id", "text"])
+    restarted(b4, 3)
+    final = {r.doc_id: r.text for r in restarted.read_corpus().collect()}
+    assert 31 in final and 30 not in final
+
+
+def test_bloom_corpus_ingest_compaction_preserves_screen(spark, tmp_path):
+    """After word/fp compaction folds committed epochs into a base
+    partition, the merged filter must still reject every previously seen
+    text and admit novel ones."""
+    from blazingsql_spark.streaming.ingest import BloomCorpusIngest
+
+    handler = BloomCorpusIngest(
+        spark,
+        str(tmp_path / "screen"),
+        str(tmp_path / "corpus"),
+        n_bits=1 << 14,
+        max_index_files=1,  # force compaction every epoch
+    )
+    for e in range(4):
+        handler(
+            spark.createDataFrame(
+                [(100 * e + i, f"doc {e} {i}") for i in range(5)]
+                + [(100 * e + 50, "repeated across epochs")],
+                ["doc_id", "text"],
+            ),
+            e,
+        )
+    texts = [r.text for r in handler.read_corpus().collect()]
+    assert len(texts) == len(set(texts))  # no text ever admitted twice
+    assert texts.count("repeated across epochs") == 1
+    assert sorted(t for t in texts if t.startswith("doc 3")) == [
+        f"doc 3 {i}" for i in range(5)
+    ]
