@@ -916,3 +916,288 @@ def bpe_encode(
         return pd.Series(out)
 
     return df.select(F.col(id_col), encode(F.col(text_col)).alias("tokens"))
+
+
+# ----------------------------------------------------- unigram LM tokenizer
+def unigram_seed_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    top_n: int = 20,
+) -> DataFrame:
+    """Seed-candidate counting for unigram-LM tokenizer training (the
+    SentencePiece vocabulary family; Kudo 2018): frequency of every
+    substring of length 2..max_piece_len across the corpus, weighted by
+    word frequency — the distributed step that bounds the rest of
+    training. Same shuffle shape as bpe_pair_counts: one corpus-wide
+    token count (partial-aggregated), then substring explosion over the
+    |vocab|-row word table (× avg_len × piece lengths), never over the
+    raw token stream. Top-n is TakeOrderedAndProject."""
+    words = (
+        _tokens(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("token") >= 2)
+    )
+    subs = words.select(
+        F.col("freq"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(2, {int(max_piece_len)}), n ->"
+                " CASE WHEN length(token) >= n THEN"
+                " transform(sequence(1, length(token) - n + 1),"
+                " i -> substring(token, i, n)) ELSE array() END))"
+            )
+        ).alias("piece"),
+    )
+    return (
+        subs.groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("piece_count"))
+        .orderBy(F.desc("piece_count"), F.asc("piece"))
+        .limit(top_n)
+    )
+
+
+def _viterbi_segment(word: str, logp: dict, max_len: int) -> tuple[list, float]:
+    """Best segmentation of one word under piece log-probs: maximize the
+    logp sum; equal scores prefer the LONGER last piece (deterministic).
+    Characters absent from the vocabulary segment as themselves at
+    UNK_LOGP so reconstruction always holds."""
+    UNK = -1e9
+    n = len(word)
+    best = [(-float("inf"), -1)] * (n + 1)
+    best[0] = (0.0, -1)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            if best[i][0] == -float("inf"):
+                continue
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None:
+                if j - i > 1:
+                    continue
+                lp = UNK  # single unknown char: always segmentable
+            cand = best[i][0] + lp
+            # strictly-greater keeps the SMALLEST i on ties -> longer last
+            # piece (i iterates ascending, first winner kept)
+            if cand > best[j][0]:
+                best[j] = (cand, i)
+    out, j = [], n
+    while j > 0:
+        i = best[j][1]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out, best[n][0]
+
+
+def train_unigram(
+    df: DataFrame,
+    vocab_size: int = 120,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 5,
+    seed_multiplier: int = 3,
+    em_iters: int = 3,
+) -> tuple[DataFrame, list]:
+    """Unigram-LM tokenizer training (the SentencePiece family; Kudo
+    2018), distributed the way the word-frequency bound allows: the
+    corpus is scanned ONCE into the (word, freq) table; every EM
+    iteration is one Arrow-batched pass over that vocab-bounded table
+    (forward-backward per word inside the UDF — each word is a
+    ≤chars-long lattice, pure python-local work) plus one piece-keyed
+    aggregation whose output is VOCAB-sized, collected to the driver for
+    the M-step and prune decisions (≤ seed_multiplier×vocab_size rows —
+    bounded by construction, the same collect discipline as the ANN
+    centroid tables).
+
+    Simplifications vs the reference implementation, documented rather
+    than hidden: plain MLE M-step (no digamma/Bayesian smoothing), and
+    pruning keeps the top multi-char pieces by expected count (rounded
+    to 6dp, piece-ascending tiebreak) instead of the exact
+    loss-difference ranking — deterministic and order-stable where the
+    float-sum alternative is not. Single characters are never pruned, so
+    every word stays segmentable. Returns (pieces_df(piece, logp),
+    corpus-NLL per EM iteration — non-increasing, property-tested)."""
+    import math
+
+    words = (
+        _tokens(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    # seed: every single char (the segmentability floor) + the top
+    # multi-char substrings by corpus frequency
+    chars = {
+        r["piece"]: int(r["cnt"])
+        for r in words.select(
+            F.explode(F.expr("filter(split(token, ''), x -> x <> '')")).alias(
+                "piece"
+            ),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    }
+    n_multi_seed = max(0, seed_multiplier * vocab_size - len(chars))
+    multi = {
+        r["piece"]: int(r["piece_count"])
+        for r in unigram_seed_counts(
+            df, id_col, text_col, max_piece_len, n_multi_seed
+        ).collect()
+    }
+    counts = dict(chars)
+    counts.update({p: c for p, c in multi.items() if p not in counts})
+    total = float(sum(counts.values()))
+    logp = {p: math.log(c / total) for p, c in counts.items()}
+
+    n_multi_target = max(0, vocab_size - len(chars))
+    nlls: list = []
+    spark = df.sparkSession
+    for it in range(em_iters):
+        cur = dict(logp)  # closure snapshot shipped to the executors
+        mpl = int(max_piece_len)
+
+        def estep(batches, _cur=cur, _mpl=mpl):
+            import collections
+            import math as m
+
+            import pandas as pd
+
+            for pdf in batches:
+                acc: dict = collections.defaultdict(float)
+                ll = 0.0
+                for word, freq in zip(pdf["token"], pdf["freq"]):
+                    n = len(word)
+                    NEG = -float("inf")
+                    alpha = [NEG] * (n + 1)
+                    alpha[0] = 0.0
+                    spans = []
+                    for j in range(1, n + 1):
+                        for i in range(max(0, j - _mpl), j):
+                            lp = _cur.get(word[i:j])
+                            if lp is None or alpha[i] == NEG:
+                                continue
+                            spans.append((i, j, lp))
+                            a = alpha[i] + lp
+                            alpha[j] = a if alpha[j] == NEG else (
+                                max(alpha[j], a)
+                                + m.log1p(m.exp(-abs(alpha[j] - a)))
+                            )
+                    if alpha[n] == NEG:
+                        continue  # unsegmentable under current vocab
+                    beta = [NEG] * (n + 1)
+                    beta[n] = 0.0
+                    for i in range(n - 1, -1, -1):
+                        for j in range(i + 1, min(n, i + _mpl) + 1):
+                            lp = _cur.get(word[i:j])
+                            if lp is None or beta[j] == NEG:
+                                continue
+                            b = beta[j] + lp
+                            beta[i] = b if beta[i] == NEG else (
+                                max(beta[i], b)
+                                + m.log1p(m.exp(-abs(beta[i] - b)))
+                            )
+                    f = float(freq)
+                    ll += f * alpha[n]
+                    for i, j, lp in spans:
+                        if beta[j] == NEG:
+                            continue
+                        post = m.exp(alpha[i] + lp + beta[j] - alpha[n])
+                        if post > 0.0:
+                            acc[word[i:j]] += f * post
+                yield pd.DataFrame(
+                    {
+                        "piece": list(acc.keys()) + ["\x00nll"],
+                        "ec": list(acc.values()) + [-ll],
+                    }
+                )
+
+        agg = (
+            words.mapInPandas(estep, "piece string, ec double")
+            .groupBy("piece")
+            .agg(F.sum("ec").alias("ec"))
+            .collect()
+        )
+        exp_counts = {r["piece"]: r["ec"] for r in agg}
+        nlls.append(round(exp_counts.pop("\x00nll", 0.0), 6))
+        # prune multi-char pieces toward the target, geometrically —
+        # ranked by ROUNDED expected count (order-stable), chars immune
+        ranked = sorted(
+            (
+                (round(c, 6), p)
+                for p, c in exp_counts.items()
+                if len(p) > 1 and c > 1e-12
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        keep_multi = (
+            n_multi_target
+            if it == em_iters - 1
+            else max(n_multi_target, int(len(ranked) * 0.6))
+        )
+        kept = {p: c for c, p in ranked[:keep_multi]}
+        for ch in chars:
+            kept[ch] = max(round(exp_counts.get(ch, 0.0), 6), 1e-6)
+        tot = float(sum(kept.values()))
+        logp = {p: math.log(c / tot) for p, c in kept.items()}
+
+    import pandas as pd
+
+    out = pd.DataFrame(
+        sorted(logp.items()), columns=["piece", "logp"]
+    )
+    return spark.createDataFrame(out, "piece string, logp double"), nlls
+
+
+def unigram_encode(
+    df: DataFrame,
+    pieces: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "pieces",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Viterbi-encode documents with a trained unigram vocabulary:
+    (id, array<string> pieces in document order). The expensive step runs
+    once per DISTINCT word (pandas UDF over the vocab-bounded word table,
+    piece table rides in the closure — it is vocab_size rows by
+    construction), then joins back to the (id, position, word) stream and
+    reassembles per-doc arrays with one grouped sort — the same
+    distinct-word discipline as the BPE encoder. Unknown characters
+    segment as themselves (reconstruction is total, property-tested)."""
+    lp = {r["piece"]: float(r["logp"]) for r in pieces.collect()}
+    mpl = int(max_piece_len)
+
+    @F.pandas_udf("array<string>")
+    def seg(tokens):
+        import pandas as pd
+
+        return pd.Series(
+            [_viterbi_segment(t, lp, mpl)[0] for t in tokens]
+        )
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')")
+        ).alias("pos", "token"),
+    )
+    dw = toks.select("token").distinct().withColumn("__segs", seg(F.col("token")))
+    return (
+        toks.join(dw, "token")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("__segs")))
+                    ),
+                    lambda s: s["__segs"],
+                )
+            ).alias(out_col)
+        )
+    )

@@ -2343,6 +2343,46 @@ def vocab_bpe_pairs(spark, sf_dir):
 
 
 @register(
+    "vocab_unigram_seed",
+    oracle=r"""
+    WITH toks AS (
+        SELECT UNNEST(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    words AS (
+        SELECT token, COUNT(*) AS freq FROM toks
+        GROUP BY token HAVING LENGTH(token) >= 2
+    ),
+    subs AS (
+        SELECT SUBSTR(token, s.i, l.n) AS piece, freq
+        FROM words,
+        LATERAL (SELECT UNNEST(generate_series(2, 4)) AS n) l,
+        LATERAL (SELECT UNNEST(generate_series(1, LENGTH(token) - l.n + 1)) AS i) s
+        WHERE LENGTH(token) >= l.n
+    )
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS piece_count
+    FROM subs GROUP BY piece
+    ORDER BY piece_count DESC, piece LIMIT 20
+    """,
+)
+def vocab_unigram_seed(spark, sf_dir):
+    """The distributed seed step of unigram-LM tokenizer training
+    (functions.text.unigram_seed_counts; the SentencePiece vocabulary
+    family): substring frequencies over the |vocab|-row word table —
+    the step that bounds the rest of training, which then runs EM over
+    vocab-sized state (train_unigram: per-iteration forward-backward in
+    an Arrow-batched pass, M-step/prune on the bounded piece table;
+    NLL-monotonicity, exhaustive-Viterbi, and reconstruction
+    property-tested — the same oracle-the-distributed-step,
+    pytest-the-loop discipline as vocab_bpe_pairs/train_bpe)."""
+    from blazingsql_spark.functions.text import unigram_seed_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_seed_counts(docs, max_piece_len=4, top_n=20)
+
+
+@register(
     "rag_hybrid_rrf",
     oracle=rf"""
     WITH q AS (

@@ -1496,3 +1496,93 @@ def test_quantize_int8_fidelity_and_edges(spark):
         assert cos > 0.999, (i, cos)  # int8 keeps cosine within 0.1%
         assert np.max(np.abs(np.array(r.qvec))) <= 127
         assert abs(r.recon_mae - float(np.abs(deq - x).mean())) < 1e-9
+
+
+def test_unigram_seed_counts_manual(spark):
+    from blazingsql_spark.functions.text import unigram_seed_counts
+
+    df = spark.createDataFrame([(1, "abc abc ab")], ["doc_id", "text"])
+    got = {r.piece: r.piece_count for r in unigram_seed_counts(df, top_n=10).collect()}
+    # "abc" x2 contributes ab/bc/abc x2; "ab" x1 contributes ab x1
+    assert got == {"ab": 3, "bc": 2, "abc": 2}
+
+
+def test_unigram_train_learns_repeated_pieces(spark):
+    """The EM loop must concentrate probability on genuinely repeated
+    multi-char pieces, keep every single char segmentable, and decrease
+    corpus NLL monotonically when no pruning happens between iterations
+    (seed == target vocab; plain-EM monotonicity holds exactly then)."""
+    from blazingsql_spark.functions.text import train_unigram, unigram_encode
+
+    rows = [(i, "banana band ana nab banana") for i in range(50)] + [
+        (100 + i, "cadcad cad dac") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pieces, nlls = train_unigram(
+        df, vocab_size=20, em_iters=3, max_piece_len=4, seed_multiplier=1
+    )
+    lp = {r.piece: r.logp for r in pieces.collect()}
+    assert "ana" in lp and "cad" in lp
+    assert lp["ana"] > lp["a"]  # the repeated trigram beats its chars
+    assert all(nlls[i + 1] <= nlls[i] + 1e-6 for i in range(len(nlls) - 1)), nlls
+    # every char of the corpus is segmentable -> encode reconstructs
+    enc = unigram_encode(
+        spark.createDataFrame([(1, "banana cadcad")], ["doc_id", "text"]), pieces
+    ).first()
+    assert "".join(enc.pieces) == "bananacadcad"
+
+
+def test_unigram_viterbi_matches_exhaustive(spark):
+    """Viterbi must achieve the exact optimum: for short words, enumerate
+    EVERY segmentation and compare total log-prob; reconstruction must
+    hold even with unknown characters."""
+    import itertools
+    import random
+
+    from blazingsql_spark.functions.text import _viterbi_segment
+
+    rnd = random.Random(11)
+    alphabet = "abcd"
+    for _ in range(40):
+        vocab = {"a": -2.0, "b": -2.2, "c": -2.4, "d": -2.6}
+        for _ in range(6):
+            ln = rnd.randint(2, 3)
+            piece = "".join(rnd.choice(alphabet) for _ in range(ln))
+            vocab[piece] = -rnd.uniform(0.5, 3.0)
+        word = "".join(rnd.choice(alphabet + "z") for _ in range(rnd.randint(1, 7)))
+        segs, score = _viterbi_segment(word, vocab, 8)
+        assert "".join(segs) == word
+        best = -float("inf")
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            s = 0.0
+            ok = True
+            for a, b in zip(pos, pos[1:]):
+                p = word[a:b]
+                if p in vocab:
+                    s += vocab[p]
+                elif len(p) == 1:
+                    s += -1e9
+                else:
+                    ok = False
+                    break
+            if ok:
+                best = max(best, s)
+        assert abs(score - best) < 1e-9, (word, score, best)
+
+
+def test_unigram_encode_distinct_word_path_is_order_stable(spark):
+    from blazingsql_spark.functions.text import train_unigram, unigram_encode
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta alpha gamma") for i in range(20)], ["doc_id", "text"]
+    )
+    pieces, _ = train_unigram(df, vocab_size=30, em_iters=2)
+    doc = spark.createDataFrame(
+        [(1, "beta alpha gamma beta")], ["doc_id", "text"]
+    )
+    a = unigram_encode(doc, pieces).first().pieces
+    b = unigram_encode(doc.repartition(5), pieces).first().pieces
+    assert a == b
+    assert "".join(a) == "betaalphagammabeta"  # document order preserved
