@@ -1201,3 +1201,77 @@ def unigram_encode(
             ).alias(out_col)
         )
     )
+
+
+def kn_bigram_negative_logprob(
+    df: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney BIGRAM
+    model of the corpus — the serious tier of the CCNet-style perplexity
+    quality filter (unigram add-one is `unigram_negative_logprob`). The
+    published absolute-discount interpolation (Kneser & Ney 1995 /
+    Chen & Goodman 1998):
+
+        P(w2|w1) = (max(c(w1,w2) − D, 0) + D·N1+(w1,·)·Pcont(w2)) / c(w1·)
+        Pcont(w2) = (N1+(·,w2) + 1) / (B + V + 1)
+
+    where c(w1·) is w1's BIGRAM-PREFIX count (so the denominator is
+    never zero for an observed bigram), N1+ are distinct-continuation /
+    distinct-history counts, B = distinct bigrams, V = vocab size. The
+    +1/+V+1 floor on Pcont is the one documented deviation: it reserves
+    mass so the formula stays total (and engine-exact) without held-out
+    estimation. Scoring the training corpus itself means every scored
+    bigram has observed components — the backoff term is exercised by
+    LOW-count bigrams, not OOV.
+
+    Everything is groupBy aggregates over the bigram stream + equi-joins
+    back onto it (token-keyed shuffles, the 100 TB shape); the only
+    broadcast is the 1-row (B, V) scalar frame — text_bm25's accepted
+    corpus-stats pattern. Output: (doc_id, n_bigrams, avg_neg_logprob
+    FLOOR-gridded to 4dp) for every document with ≥1 bigram; the grid
+    absorbs summation-order ulps so the row is oracle-comparable."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')")
+        ).alias("pos", "w1"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    pref = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1dot"), F.count("*").cast("double").alias("n1p_left")
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").cast("double").alias("n1p_right"))
+    stats = bc.agg(F.count("*").cast("double").alias("B")).crossJoin(
+        toks.agg(F.count_distinct("w1").cast("double").alias("V"))
+    )
+    D = float(discount)
+    p = (
+        F.greatest(F.col("c12") - F.lit(D), F.lit(0.0))
+        + F.lit(D)
+        * F.col("n1p_left")
+        * ((F.col("n1p_right") + 1.0) / (F.col("B") + F.col("V") + 1.0))
+    ) / F.col("c1dot")
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(pref, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (
+                F.floor((-F.sum(F.log(p)) / F.count("*")) * 10000) / 10000
+            ).alias("avg_neg_logprob"),
+        )
+    )

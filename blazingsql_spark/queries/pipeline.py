@@ -2037,6 +2037,60 @@ def text_perplexity(spark, sf_dir):
 
 
 @register(
+    "text_perplexity_kn",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+        FROM d, LATERAL (SELECT UNNEST(generate_series(1, LEN(ws) - 1)) AS i) g
+        WHERE LEN(ws) >= 2
+    ),
+    bc AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c12 FROM big GROUP BY w1, w2),
+    pref AS (SELECT w1, SUM(c12) AS c1dot, COUNT(*)::DOUBLE AS n1p_left
+             FROM bc GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*)::DOUBLE AS n1p_right FROM bc GROUP BY w2),
+    stats AS (SELECT COUNT(*)::DOUBLE AS bcount FROM bc),
+    vocab AS (
+        SELECT COUNT(DISTINCT t.tok)::DOUBLE AS v
+        FROM d, LATERAL (SELECT UNNEST(ws) AS tok) t
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(-SUM(LN(
+               (GREATEST(bc.c12 - 0.75, 0)
+                + 0.75 * pref.n1p_left
+                  * ((cont.n1p_right + 1) / (stats.bcount + vocab.v + 1)))
+               / pref.c1dot)) / COUNT(*) * 10000) / 10000 AS avg_neg_logprob
+    FROM big b
+    JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    JOIN pref ON pref.w1 = b.w1
+    JOIN cont ON cont.w2 = b.w2
+    CROSS JOIN stats CROSS JOIN vocab
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+)
+def text_perplexity_kn(spark, sf_dir):
+    """Interpolated Kneser-Ney BIGRAM perplexity
+    (functions.text.kn_bigram_negative_logprob) — the serious tier of
+    the perplexity quality filter: absolute discounting with the
+    distinct-history continuation distribution, so frequent-but-
+    predictable bigrams score differently from genuinely novel text.
+    Counts are groupBy aggregates over the bigram stream, scoring is
+    token-keyed equi-joins back onto it, and the only broadcast is the
+    1-row (B, V) scalar frame — text_bm25's accepted corpus-stats
+    shape."""
+    from blazingsql_spark.functions.text import kn_bigram_negative_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_bigram_negative_logprob(docs).orderBy("doc_id")
+
+
+@register(
     "dedup_components",
     oracle="""
     WITH RECURSIVE e AS (

@@ -1586,3 +1586,19 @@ def test_unigram_encode_distinct_word_path_is_order_stable(spark):
     b = unigram_encode(doc.repartition(5), pieces).first().pieces
     assert a == b
     assert "".join(a) == "betaalphagammabeta"  # document order preserved
+
+
+def test_kn_bigram_perplexity_semantics(spark):
+    """KN bigram scoring: a document made of the corpus's dominant bigram
+    chain must score LOWER (more predictable) than one made of bigrams
+    seen only once; probabilities stay in (0,1) so scores are positive."""
+    from blazingsql_spark.functions.text import kn_bigram_negative_logprob
+
+    rows = [(i, "the quick brown fox jumps over") for i in range(30)]
+    rows += [(100, "zeta omega prime nebula quartz vector")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in kn_bigram_negative_logprob(df).collect()}
+    assert got[0].n_bigrams == 5 and got[100].n_bigrams == 5
+    assert 0 < got[0].avg_neg_logprob < got[100].avg_neg_logprob
+    # identical docs score identically (pure function of corpus + content)
+    assert got[0].avg_neg_logprob == got[29].avg_neg_logprob
