@@ -1,0 +1,92 @@
+"""Right-to-be-forgotten delete propagation across the corpus + its
+derived index tables.
+
+A training-data lake is append-mostly (the ingest maintainers in
+streaming/ingest.py write epoch partitions and never rewrite history), so
+an erasure request is the one operation that must REACH BACK into
+committed data — and do it without rewriting the lake. The shape here:
+
+1. find the epoch partitions that actually CONTAIN the target ids (one
+   column-pruned scan of the id column; at 100 TB this reads one column
+   of each table, nothing else);
+2. rewrite ONLY those partitions via dynamic partition overwrite, minus
+   the targets. Untouched epochs keep their files byte-for-byte.
+
+Deletion is idempotent (re-running removes nothing new and rewrites the
+same already-clean partitions deterministically) and crash-safe in the
+same sense as the ingest writes: each partition overwrite is atomic at
+the directory level, a crash part-way leaves some partitions cleaned and
+the rest cleanable by re-running.
+
+The reference engine has no DML at all (SURVEY §2.8), so this whole
+surface is beyond-reference — it exists because a 100 TB TRAINING lake
+legally needs it, not for parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def forget_from_epoch_table(
+    spark: SparkSession,
+    table_dir: str,
+    ids: DataFrame,
+    id_col: str,
+) -> int:
+    """Remove all rows matching ``ids`` (a 1-column frame of ``id_col``
+    values) from one epoch-partitioned table. Returns rows removed.
+    Tables without the epoch layout (legacy flat) are rewritten whole —
+    correct, just without the partition-pruned write."""
+    try:
+        df = spark.read.parquet(table_dir)
+    except Exception:  # table does not exist: nothing to forget
+        return 0
+    targets = F.broadcast(ids.select(id_col).distinct())
+    if "epoch_id" not in df.columns:
+        kept = df.join(targets, id_col, "left_anti")
+        removed = df.count() - kept.count()
+        if removed:
+            kept.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                table_dir
+            )
+        return removed
+    hits = (
+        df.join(targets, id_col, "left_semi")
+        .select("epoch_id")
+        .distinct()
+        .collect()
+    )
+    if not hits:
+        return 0
+    hit_ids = [r["epoch_id"] for r in hits]
+    touched = df.filter(F.col("epoch_id").isin(hit_ids))
+    kept = touched.join(targets, id_col, "left_anti")
+    removed = touched.count() - kept.count()
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(table_dir)
+    )
+    return removed
+
+
+def forget_documents(
+    spark: SparkSession,
+    ids: DataFrame,
+    tables: dict[str, str],
+) -> dict[str, int]:
+    """Propagate an erasure request across every table that carries the
+    documents: ``tables`` maps table_dir -> id column name (the corpus,
+    the MinHash band index, lexical postings, cluster labels — whatever
+    derived state exists). Returns per-table removed-row counts.
+
+    Order note: indexes are cleaned AFTER their corpus in the iteration
+    order given, but every step is idempotent, so a partial failure is
+    repaired by re-running the same call."""
+    return {
+        table_dir: forget_from_epoch_table(spark, table_dir, ids, id_col)
+        for table_dir, id_col in tables.items()
+    }

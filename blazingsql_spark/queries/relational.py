@@ -416,6 +416,48 @@ def agg_approx_distinct(spark, sf_dir):
 
 
 @register(
+    "sketch_hll_mergeable",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT DATE_TRUNC('month', o_orderdate)) AS BIGINT)
+               AS n_partitions,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS merged_within_10pct
+    FROM orders
+    """,
+)
+def sketch_hll_mergeable(spark, sf_dir):
+    """Mergeable-sketch rollup: per-month HLL sketches of o_custkey
+    (Datasketches binary via hll_sketch_agg) UNIONED into one estimate
+    with hll_union_agg — the pre-aggregated-sketch pattern that answers
+    'distinct users over any date range' at 100 TB without rescanning
+    raw data: store one tiny sketch per partition, merge at query time.
+    Sketch building is order-independent (per-bucket max of hashed
+    values), so the estimate is deterministic; it is still
+    engine-specific, so the checkable output is the exact global count
+    plus a thresholded |merged-exact| <= 10% boolean (same discipline as
+    agg_approx_distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    sketches = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("g")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    merged = sketches.agg(
+        F.count("*").cast("long").alias("n_partitions"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    exact = orders.agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_custs")
+    )
+    return merged.crossJoin(exact).select(
+        "n_partitions",
+        "exact_custs",
+        (
+            F.abs(F.col("merged_est") - F.col("exact_custs"))
+            <= F.col("exact_custs") * 0.10
+        ).alias("merged_within_10pct"),
+    )
+
+
+@register(
     "agg_approx_percentile",
     oracle="""
     SELECT l_returnflag,

@@ -102,6 +102,7 @@ def test_no_accidental_cartesian_products(spark):
         "sim_ann_ivf_int8",  # exact recall baseline (corpus x broadcast(query set), sim_cosine_topk's accepted shape) + float/int8 centroid routing (queries x broadcast(8-centroid array), sim_ann_ivf's accepted shape); both candidate scans are equi-joins on centroid_id
         "sample_dsir_weights",  # bucket table x broadcast(two 1-row p/q total aggregates) — same bounded shape as text_bm25's corpus stats
         "corpus_profile",  # 1-row corpus aggregate x 1-row percentile frame, plus the keyless percentile path's |quantiles|-row broadcast (agg_equidepth's accepted shape)
+        "sketch_hll_mergeable",  # 1-row merged-sketch frame x 1-row exact-count frame — corpus_profile's accepted two-scalar-frames shape
         "rag_hybrid_rrf",  # same 1-row corpus-stats broadcast (BM25 branch) + 1-query cosine branch
         "events_gapfill",  # calendar(|days| rows) x types(|types| rows) — the dense grid IS the output shape
         "events_interpolate",  # same dense calendar x types grid as events_gapfill

@@ -1056,3 +1056,72 @@ def test_bloom_corpus_ingest_compaction_preserves_screen(spark, tmp_path):
     assert sorted(t for t in texts if t.startswith("doc 3")) == [
         f"doc 3 {i}" for i in range(5)
     ]
+
+
+def test_forget_documents_propagates_and_is_idempotent(spark, tmp_path):
+    """Erasure must reach corpus AND derived index state, rewrite only the
+    partitions that contain targets, be idempotent — and semantically
+    free the content: a re-submission of a FORGOTTEN text must be
+    admitted by the dedup screen, while a copy of a remaining text stays
+    blocked."""
+    import os
+
+    from blazingsql_spark.operators.forget import forget_documents
+    from blazingsql_spark.streaming.ingest import DedupIngest
+
+    index, corpus = str(tmp_path / "index"), str(tmp_path / "corpus")
+    handler = DedupIngest(spark, index, corpus)
+    handler(
+        spark.createDataFrame(
+            [(1, "erase me please now"), (2, "keep me around forever")],
+            ["doc_id", "text"],
+        ),
+        0,
+    )
+    handler(
+        spark.createDataFrame(
+            [(10, "later batch content here")], ["doc_id", "text"]
+        ),
+        1,
+    )
+
+    def listing(path):
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getsize(p)
+        return out
+
+    epoch1_before = {
+        p: s for p, s in listing(corpus).items() if "epoch_id=1" in p
+    }
+    ids = spark.createDataFrame([(1,)], ["doc_id"])
+    removed = forget_documents(
+        spark, ids, {corpus: "doc_id", index: "doc_id"}
+    )
+    assert removed[corpus] == 1 and removed[index] > 0
+    left = spark.read.parquet(corpus)
+    assert left.filter("doc_id = 1").count() == 0
+    assert spark.read.parquet(index).filter("doc_id = 1").count() == 0
+    assert left.filter("doc_id = 2").count() == 1  # co-resident row kept
+    # untouched epoch's files are byte-identical (never rewritten)
+    epoch1_after = {
+        p: s for p, s in listing(corpus).items() if "epoch_id=1" in p
+    }
+    assert epoch1_after == epoch1_before
+    # idempotent
+    again = forget_documents(spark, ids, {corpus: "doc_id", index: "doc_id"})
+    assert again == {corpus: 0, index: 0}
+    # semantic proof: forgotten text re-admits, remaining text stays blocked
+    handler(
+        spark.createDataFrame(
+            [(20, "erase me please now"), (21, "keep me around forever")],
+            ["doc_id", "text"],
+        ),
+        2,
+    )
+    final = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert 20 in final  # forgotten content no longer blocks re-submission
+    assert 21 not in final  # surviving content still dedups
