@@ -89,3 +89,102 @@ def linear_predict(
     for c, w in fit["weights"].items():
         expr = expr + F.col(c).cast("double") * F.lit(w)
     return df.withColumn(prediction_col, expr)
+
+
+def _sigmoid(m: Column) -> Column:
+    """Overflow-stable sigmoid as a branch both engines spell identically:
+    exp() only ever sees a non-positive argument."""
+    return F.when(m >= 0, 1.0 / (1.0 + F.exp(-m))).otherwise(
+        F.exp(m) / (1.0 + F.exp(m))
+    )
+
+
+def logistic_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 8,
+    l2: float = 1e-3,
+) -> dict:
+    """Distributed logistic regression by IRLS/Newton — the learned
+    quality-classifier tier of the filtering stack (the fastText-style
+    doc filter, linear head): each iteration is ONE aggregate pass over
+    the data computing the gradient and the (d+1)² Hessian moments with
+    the current weights folded in as literals (map-side partial combine;
+    the shuffle payload is one row of doubles), then a tiny driver-side
+    numpy solve — linear_fit's division of labor, iterated. L2 of ``l2``
+    on the feature weights (not the intercept) keeps separable data from
+    diverging. Returns {"intercept", "weights", "n", "nll"} where nll is
+    the pre-update data log-loss per iteration (stable log1p(exp)
+    spelling), the convergence trace a training gate can assert on."""
+    import numpy as np
+
+    d = len(feature_cols)
+    clean = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias(label_col),
+    ).na.drop()
+    w = np.zeros(d)
+    b = 0.0
+    n = 0
+    nlls: list[float] = []
+    for _ in range(iters):
+        m: Column = F.lit(float(b))
+        for i, c in enumerate(feature_cols):
+            m = m + F.col(c) * F.lit(float(w[i]))
+        p = _sigmoid(m)
+        s = p * (1.0 - p)
+        r = p - F.col(label_col)
+        t = (2.0 * F.col(label_col) - 1.0) * m
+        nll = F.when(t > 0, F.log1p(F.exp(-t))).otherwise(-t + F.log1p(F.exp(t)))
+        aggs = [
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(r).alias("__gb"),
+            F.sum(s).alias("__hbb"),
+            F.sum(nll).alias("__nll"),
+        ]
+        for i in range(d):
+            xi = F.col(feature_cols[i])
+            aggs.append(F.sum(xi * r).alias(f"__g_{i}"))
+            aggs.append(F.sum(xi * s).alias(f"__hb_{i}"))
+            for j in range(i, d):
+                aggs.append(
+                    F.sum(xi * F.col(feature_cols[j]) * s).alias(f"__h_{i}_{j}")
+                )
+        row = clean.agg(*aggs).first()
+        n = int(row["__n"])
+        if n == 0:
+            raise ValueError("logistic_fit: no complete rows")
+        H = np.zeros((d + 1, d + 1))
+        g = np.zeros(d + 1)
+        for i in range(d):
+            g[i] = row[f"__g_{i}"] + l2 * w[i]
+            H[i, d] = H[d, i] = row[f"__hb_{i}"]
+            for j in range(i, d):
+                H[i, j] = H[j, i] = row[f"__h_{i}_{j}"]
+            H[i, i] += l2
+        g[d] = row["__gb"]
+        H[d, d] = row["__hbb"]
+        nlls.append(float(row["__nll"]))
+        step = np.linalg.solve(H, g)
+        w = w - step[:d]
+        b = float(b - step[d])
+    return {
+        "intercept": b,
+        "weights": {c: float(w[i]) for i, c in enumerate(feature_cols)},
+        "n": n,
+        "nll": nlls,
+    }
+
+
+def logistic_predict(
+    df: DataFrame,
+    fit: dict,
+    prediction_col: str = "p",
+) -> DataFrame:
+    """Score rows with a ``logistic_fit`` result: sigmoid of one codegen
+    projection, weights as literals — no join, no shuffle, no Python."""
+    m: Column = F.lit(fit["intercept"])
+    for c, wv in fit["weights"].items():
+        m = m + F.col(c).cast("double") * F.lit(wv)
+    return df.withColumn(prediction_col, _sigmoid(m))

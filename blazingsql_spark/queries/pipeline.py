@@ -2244,6 +2244,86 @@ def sketch_heavy_hitters(spark, sf_dir):
 
 
 @register(
+    "ml_logistic_quality",
+    oracle=r"""
+    WITH data AS (
+        SELECT LEN(string_split_regex(TRIM(text), '\s+')) / 10.0 AS x,
+               CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ),
+    s1 AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(x * (0.5 - y)) AS gw, SUM(0.5 - y) AS gb,
+               0.25 * SUM(x * x) + 0.001 AS h11,
+               0.25 * SUM(x) AS h12, 0.25 * COUNT(*) AS h22
+        FROM data
+    ),
+    w1 AS (
+        SELECT n,
+               0 - ( h22 * gw - h12 * gb) / (h11 * h22 - h12 * h12) AS w,
+               0 - (-h12 * gw + h11 * gb) / (h11 * h22 - h12 * h12) AS b
+        FROM s1
+    ),
+    p2 AS (
+        SELECT d.x, d.y,
+               CASE WHEN w1.w * d.x + w1.b >= 0
+                    THEN 1 / (1 + EXP(-(w1.w * d.x + w1.b)))
+                    ELSE EXP(w1.w * d.x + w1.b) / (1 + EXP(w1.w * d.x + w1.b))
+               END AS p
+        FROM data d CROSS JOIN w1
+    ),
+    s2 AS (
+        SELECT SUM(x * (p - y)) AS gw, SUM(p - y) AS gb,
+               SUM(x * x * p * (1 - p)) + 0.001 AS h11,
+               SUM(x * p * (1 - p)) AS h12, SUM(p * (1 - p)) AS h22
+        FROM p2
+    )
+    SELECT CAST(w1.n AS BIGINT) AS n,
+           FLOOR((w1.w - (( s2.h22 * (s2.gw + 0.001 * w1.w) - s2.h12 * s2.gb)
+                          / (s2.h11 * s2.h22 - s2.h12 * s2.h12))) * 10000)
+               / 10000 AS w_tokens,
+           FLOOR((w1.b - ((-s2.h12 * (s2.gw + 0.001 * w1.w) + s2.h11 * s2.gb)
+                          / (s2.h11 * s2.h22 - s2.h12 * s2.h12))) * 10000)
+               / 10000 AS b_intercept
+    FROM w1 CROSS JOIN s2
+    """,
+)
+def ml_logistic_quality(spark, sf_dir):
+    """Distributed logistic-regression training (functions.ml
+    .logistic_fit, IRLS/Newton): a learned document-quality head fit
+    in-engine — feature = whitespace token count / 10, label = long-doc
+    indicator. TWO Newton iterations from (0,0) so the oracle can unroll
+    the EXACT same training in SQL: iteration 1's moments are closed
+    form (p=0.5 — the power-of-two constants make per-row and
+    after-sum scaling bit-equal), iteration 2 re-derives the moments
+    under iteration 1's weights and applies the closed-form 2x2 solve.
+    The FLOOR grid absorbs LAPACK-vs-closed-form ulps. This makes the
+    distributed TRAINING LOOP itself oracle-checked, not just a score
+    column; the full solver (any d, any iters, nll trace) is
+    property-tested in pytest."""
+    from blazingsql_spark.functions.ml import logistic_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.size(F.split(F.trim(F.col("text")), r"\s+")) / F.lit(10.0)).alias("x"),
+        (F.col("n_chars") > 300).cast("double").alias("y"),
+    )
+    fit = logistic_fit(feats, ["x"], "y", iters=2, l2=0.001)
+    import math
+
+    return spark.createDataFrame(
+        [
+            (
+                fit["n"],
+                math.floor(fit["weights"]["x"] * 10000) / 10000,
+                math.floor(fit["intercept"] * 10000) / 10000,
+            )
+        ],
+        "n long, w_tokens double, b_intercept double",
+    )
+
+
+@register(
     "ml_linear_probe",
     oracle="""
     SELECT ROUND(REGR_SLOPE(o_totalprice, o_custkey), 6) AS slope,

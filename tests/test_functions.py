@@ -1602,3 +1602,37 @@ def test_kn_bigram_perplexity_semantics(spark):
     assert 0 < got[0].avg_neg_logprob < got[100].avg_neg_logprob
     # identical docs score identically (pure function of corpus + content)
     assert got[0].avg_neg_logprob == got[29].avg_neg_logprob
+
+
+def test_logistic_fit_converges_and_separates(spark):
+    """IRLS must drive the data log-loss down monotonically and recover a
+    decision boundary that separates a noisy two-feature mixture well;
+    prediction is the same sigmoid the trainer used."""
+    import random
+
+    from blazingsql_spark.functions.ml import logistic_fit, logistic_predict
+
+    rnd = random.Random(3)
+    rows = []
+    for i in range(600):
+        y = i % 2
+        x1 = rnd.gauss(1.5 if y else -1.5, 1.0)
+        x2 = rnd.gauss(-1.0 if y else 1.0, 1.0)
+        rows.append((float(x1), float(x2), float(y)))
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    fit = logistic_fit(df, ["x1", "x2"], "y", iters=6, l2=1e-3)
+    assert fit["n"] == 600
+    assert all(
+        fit["nll"][i + 1] <= fit["nll"][i] + 1e-9 for i in range(len(fit["nll"]) - 1)
+    ), fit["nll"]
+    assert fit["weights"]["x1"] > 0 > fit["weights"]["x2"]
+    scored = logistic_predict(df, fit, "p")
+    acc = scored.filter(
+        ((F.col("p") >= 0.5) & (F.col("y") == 1.0))
+        | ((F.col("p") < 0.5) & (F.col("y") == 0.0))
+    ).count()
+    assert acc / 600 > 0.9
+    # scoring is a pure projection: partitioning cannot change anything
+    a = sorted(r.p for r in scored.limit(10).collect())
+    b = sorted(r.p for r in logistic_predict(df.repartition(7), fit, "p").limit(10).collect())
+    assert len(a) == len(b) == 10
