@@ -537,6 +537,74 @@ assert not set(_R8_WINDOW[3:]) & set(_R7_WINDOW), (
     "r8 rotation must not re-check r7-fresh rows (sentinels excepted)"
 )
 
+# Round-9 window, STAGED as code in round 8 (same discipline as every
+# round since r5): promote by swapping it into DRIVER_PRIORITY as r9's
+# first commit ONLY after CORRECTNESS_r08 lands 50/50 green. Composition:
+# the 3 standing sentinels; the 6 rows registered in r8 after the r8
+# window froze (bloom screen, margin mining, unigram seed, KN perplexity,
+# HLL rollup, logistic training — first driver rows); all 40 remaining
+# r4-stale rows; and the alphabetically-first r5-stale row to fill to 50.
+# Recount against the live registry at flip time if r9 registers early.
+_NEW_IN_R8 = (
+    "dedup_bloom_incremental",
+    "ml_logistic_quality",
+    "sim_margin_mine",
+    "sketch_hll_mergeable",
+    "text_perplexity_kn",
+    "vocab_unigram_seed",
+)
+_R4_STALE_REMAINING = (
+    "except_distinct",
+    "expr_array",
+    "expr_greatest_least",
+    "expr_like_wildcards",
+    "expr_map",
+    "expr_try_cast",
+    "graph_pagerank",
+    "intersect_all",
+    "join_full_outer",
+    "join_inner",
+    "join_nonequi",
+    "join_nullsafe",
+    "merge_upsert_orders",
+    "pipeline_prepare_corpus",
+    "profile_lineitem",
+    "sample_domain_mix",
+    "sample_stratified",
+    "sample_weighted",
+    "shard_assign",
+    "split_assign",
+    "text_bm25",
+    "text_perplexity",
+    "text_repetition",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "window_ratio_to_report",
+)
+assert len(_R4_STALE_REMAINING) == 40, len(_R4_STALE_REMAINING)
+_R9_WINDOW_STAGED = (
+    _SENTINELS + _NEW_IN_R8 + _R4_STALE_REMAINING + ("agg_bool_bit",)
+)
+assert len(_R9_WINDOW_STAGED) == _DRIVER_WINDOW, len(_R9_WINDOW_STAGED)
+assert len(set(_R9_WINDOW_STAGED)) == len(_R9_WINDOW_STAGED)
+assert not set(_R9_WINDOW_STAGED[3:]) & set(_R8_WINDOW), (
+    "r9 rotation must not re-check r8-fresh rows (sentinels excepted)"
+)
+
 # Past the window, queue the freshest-green rows first (r7, then r6, then
 # r5, then r4) so any driver overflow re-checks the most recently verified
 # work.
