@@ -62,7 +62,11 @@ def forget_from_epoch_table(
         return 0
     hit_ids = [r["epoch_id"] for r in hits]
     touched = df.filter(F.col("epoch_id").isin(hit_ids))
-    kept = touched.join(targets, id_col, "left_anti")
+    # materialize the survivors BEFORE overwriting: the write lands on the
+    # same directory the plan reads, so the lineage must be severed first
+    # (localCheckpoint pins the survivor rows; size is bounded by the
+    # touched partitions, which is the whole point of the epoch pruning)
+    kept = touched.join(targets, id_col, "left_anti").localCheckpoint(eager=True)
     removed = touched.count() - kept.count()
     (
         kept.write.mode("overwrite")
