@@ -404,13 +404,15 @@ def _map_reference_csv_kwargs(kwargs: dict) -> tuple[dict, object, int | None]:
         "recursiveFileLookup", "pathGlobFilter", "modifiedBefore",
         "modifiedAfter",
         # ADVICE r7: audit against CSVOptions — names Spark's reader accepts
-        # that the first allowlist cut missed. "delimiter"/"charset" are
-        # CSVOptions' documented aliases for sep/encoding; timeZone and
+        # that the first allowlist cut missed. "charset" is CSVOptions'
+        # documented alias for encoding; timeZone and
         # enableDateTimeParsingFallback are option-map-only (absent from the
         # DataFrameReader.csv python signature but parsed by CSVOptions);
         # maxMalformedLogPerPartition is in the python signature itself.
+        # ("delimiter" needs no entry: it is a cudf kwarg popped and mapped
+        # to sep before this allowlist is ever consulted.)
         "timeZone", "enableDateTimeParsingFallback",
-        "maxMalformedLogPerPartition", "delimiter", "charset",
+        "maxMalformedLogPerPartition", "charset",
     }
     unknown = sorted(set(out) - _SPARK_CSV_OPTS)
     if unknown:

@@ -179,14 +179,24 @@ def exact_dedup_keep_best(
     # doc_ids at analysis time and silently mis-ranked int64 ids past
     # double's 2^53 integer cliff (ADVICE r7). Struct comparison is
     # lexicographic, so this is max-score-then-min-id for any orderable id
-    # type, with the id compared in its own type.
+    # type, with the id compared in its own type. The ordering key guards
+    # the two degenerate score classes so keep_id stays consistent with
+    # best_score = max(__s): NULL scores order LAST (a bare -NULL would
+    # sort FIRST in the struct and let an unscored row win), and NaN maps
+    # to -inf so a NaN row wins exactly when max() reports NaN as best.
+    ns = F.when(F.isnan(F.col("__s")), F.lit(float("-inf"))).otherwise(
+        -F.col("__s")
+    )
     return (
         df.select(fp, F.col(id_col), F.col(score_col).cast("double").alias("__s"))
         .groupBy("fp")
         .agg(
             F.min_by(
                 F.col(id_col),
-                F.struct((-F.col("__s")).alias("ns"), F.col(id_col).alias("i")),
+                F.struct(
+                    F.coalesce(ns, F.lit(float("inf"))).alias("ns"),
+                    F.col(id_col).alias("i"),
+                ),
             ).alias("keep_id"),
             F.count("*").alias("n_dups"),
             F.max("__s").alias("best_score"),
@@ -431,14 +441,24 @@ def bloom_probe(
         F.floor(F.col("p") / 32).cast("long").alias("word_idx"),
         F.expr("shiftleft(1L, CAST(p % 32 AS INT))").alias("bit"),
     )
-    hit = (
-        F.col("word").isNotNull()
-        & (F.col("word").bitwiseAND(F.col("bit")) != 0)
-    ).cast("int")
+    # min(hit) == 1 ⇔ EVERY probed bit was set. sum(hit) == n_hashes (the
+    # first spelling) breaks on duplicated ids (2·n_hashes hits read as a
+    # miss — a false NEGATIVE from the screen whose contract forbids them)
+    # and on NULL fingerprints (NULL hits vanish from the sum). The
+    # coalesce pins NULL-position probes to a definite miss, so a NULL
+    # text yields maybe_dup = false — "treat as novel", which the exact
+    # downstream verify then adjudicates.
+    hit = F.coalesce(
+        (
+            F.col("word").isNotNull()
+            & (F.col("word").bitwiseAND(F.col("bit")) != 0)
+        ).cast("int"),
+        F.lit(0),
+    )
     return (
         probes.join(F.broadcast(bloom), "word_idx", "left")
         .groupBy(id_col)
-        .agg((F.sum(hit) == F.lit(n_hashes)).alias("maybe_dup"))
+        .agg((F.min(hit) == F.lit(1)).alias("maybe_dup"))
     )
 
 

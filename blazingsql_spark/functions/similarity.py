@@ -136,8 +136,16 @@ def margin_mine(
     yield NULL margins and drop out."""
     a_q = a.select(F.col(id_col).alias("query_id"), F.col(vec_col))
     b_q = b.select(F.col(id_col).alias("query_id"), F.col(vec_col))
-    fwd = cosine_topk(b, a_q, k=k, id_col=id_col, vec_col=vec_col)
-    bwd = cosine_topk(a, b_q, k=k, id_col=id_col, vec_col=vec_col)
+    # Each k-NN result feeds the plan twice (its per-query average AND the
+    # pair join); left lazy, the expensive corpus×queries scoring pass
+    # would re-run per consumer. The results are only k·|A| / k·|B| rows —
+    # pin them.
+    fwd = cosine_topk(b, a_q, k=k, id_col=id_col, vec_col=vec_col).localCheckpoint(
+        eager=False
+    )
+    bwd = cosine_topk(a, b_q, k=k, id_col=id_col, vec_col=vec_col).localCheckpoint(
+        eager=False
+    )
     ax = fwd.groupBy("query_id").agg(F.avg("cosine_sim").alias("__ax"))
     ay = (
         bwd.groupBy("query_id")
@@ -1300,6 +1308,14 @@ def _bounded_cluster_keys(
     resolved = base.withColumn("__deep", F.element_at("__prefs", levels)).join(
         decision, "__deep"
     )
+    drop_cols = ("__prefs", "__deep", "__key", "__salt", "centroid_id")
+    # The salted branch exists only for point-mass groups no bisection can
+    # split. Peek at the SMALL decision table (derived from the pinned
+    # sizes table — no corpus scan): when nothing salts — the
+    # overwhelmingly common case — return the single-branch frame, so the
+    # corpus is scanned ONCE instead of twice by a filter/union pair.
+    if decision.filter(F.col("__salt")).limit(1).count() == 0:
+        return resolved.withColumn("__grp", F.col("__key")).drop(*drop_cols)
     plain = resolved.filter(~F.col("__salt")).withColumn("__grp", F.col("__key"))
     # Rank-range salting: bucket = floor(rank_within_group / cap), ranks by
     # id. Unlike hash-mod salting this bounds every bucket at EXACTLY cap
@@ -1322,9 +1338,7 @@ def _bounded_cluster_keys(
             ).cast("string"),
         ),
     )
-    return plain.unionByName(salted).drop(
-        "__prefs", "__deep", "__key", "__salt", "centroid_id"
-    )
+    return plain.unionByName(salted).drop(*drop_cols)
 
 
 def semantic_dedup_keep(
@@ -1413,30 +1427,52 @@ def semantic_dedup_keep(
             if len(pdf) < 2:
                 return empty
             pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-            X = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            n, d = X.shape
-            D = np.zeros((n, n))
-            s = np.zeros(n)
-            for i in range(d):  # sequential over dims = the SQL fold order
-                xi = X[:, i]
-                D += xi[:, None] * xi[None, :]
-                s += xi * xi
-            nrm = np.sqrt(s)
-            P = nrm[:, None] * nrm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(P != 0.0, D / P, -2.0)
-            hi, lo = np.tril_indices(n, k=-1)  # row index hi = higher id
-            keep = cos[hi, lo] >= margin
-            hi, lo = hi[keep], lo[keep]
-            return pd.DataFrame(
-                {
-                    "__ida": pdf[id_col].to_numpy()[hi],
-                    "__dot": D[hi, lo],
-                    "__nprod": P[hi, lo],
-                }
-            )
+            ids_np = pdf[id_col].to_numpy()
+            # NULL vectors (and vectors carrying NULL elements) have NULL
+            # cosine to everything under the SQL fold — never dropped —
+            # and pairs of UNEQUAL length zip_with to a NULL dot likewise.
+            # Mirror both: skip null-ish rows entirely and pair only
+            # within equal-length groups.
+            vecs = list(pdf[vec_col])
+            by_len: dict = {}
+            for idx, v in enumerate(vecs):
+                if v is None or any(e is None for e in v):
+                    continue
+                by_len.setdefault(len(v), []).append(idx)
+            frames = []
+            for length, idxs in by_len.items():
+                if length == 0 or len(idxs) < 2:
+                    continue
+                X = np.asarray(
+                    [np.asarray(vecs[i], dtype=np.float64) for i in idxs]
+                )
+                n, d = X.shape
+                D = np.zeros((n, n))
+                s = np.zeros(n)
+                for i in range(d):  # sequential over dims = the SQL fold order
+                    xi = X[:, i]
+                    D += xi[:, None] * xi[None, :]
+                    s += xi * xi
+                nrm = np.sqrt(s)
+                P = nrm[:, None] * nrm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(P != 0.0, D / P, -2.0)
+                hi, lo = np.tril_indices(n, k=-1)  # row index hi = higher id
+                keep = cos[hi, lo] >= margin
+                hi, lo = hi[keep], lo[keep]
+                sub = np.asarray(idxs)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__ida": ids_np[sub[hi]],
+                            "__dot": D[hi, lo],
+                            "__nprod": P[hi, lo],
+                        }
+                    )
+                )
+            if not frames:
+                return empty
+            return pd.concat(frames, ignore_index=True)
 
         cand = assigned.groupBy(key).applyInPandas(_grp_pairs, out_schema)
         dropped = (

@@ -39,10 +39,24 @@ def forget_from_epoch_table(
     values) from one epoch-partitioned table. Returns rows removed.
     Tables without the epoch layout (legacy flat) are rewritten whole —
     correct, just without the partition-pruned write."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(table_dir)
-    except Exception:  # table does not exist: nothing to forget
-        return 0
+    except AnalysisException as e:
+        # ONLY a missing table is a legitimate no-op; any other read
+        # failure (corrupt footers, permissions, transient I/O) must
+        # surface — returning 0 would report an erasure request satisfied
+        # when nothing was even examined.
+        if (
+            "PATH_NOT_FOUND" in str(e)
+            or "Path does not exist" in str(e)
+            # a table whose every partition was already erased is empty —
+            # schema inference fails, and the erasure is a legitimate no-op
+            or "UNABLE_TO_INFER_SCHEMA" in str(e)
+        ):
+            return 0
+        raise
     targets = F.broadcast(ids.select(id_col).distinct())
     if "epoch_id" not in df.columns:
         kept = df.join(targets, id_col, "left_anti")
@@ -74,6 +88,22 @@ def forget_from_epoch_table(
         .partitionBy("epoch_id")
         .parquet(table_dir)
     )
+    # Dynamic overwrite only replaces partitions PRESENT in the written
+    # data: a hit epoch whose rows were ALL targets has zero survivors,
+    # never appears in `kept`, and its files would silently outlive the
+    # "successful" erasure. Delete those partition directories explicitly
+    # (the same jvm-FS surface gc_partitions uses).
+    surviving = {r["epoch_id"] for r in kept.select("epoch_id").distinct().collect()}
+    emptied = [e for e in hit_ids if e not in surviving]
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        conf = jsc.hadoopConfiguration()
+        for e in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/epoch_id={e}")
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
     return removed
 
 

@@ -1636,3 +1636,69 @@ def test_logistic_fit_converges_and_separates(spark):
     a = sorted(r.p for r in scored.limit(10).collect())
     b = sorted(r.p for r in logistic_predict(df.repartition(7), fit, "p").limit(10).collect())
     assert len(a) == len(b) == 10
+
+
+def test_keep_best_null_and_nan_scores(spark):
+    """NULL-score rows must never win the keep slot (struct-ordering NULLs
+    sort first and would); NaN wins exactly when max() calls NaN best, so
+    keep_id and best_score stay consistent."""
+    s = spark.createDataFrame(
+        [(1, "t", None), (2, "t", 0.9), (3, "t", 0.1)],
+        "doc_id long, text string, score double",
+    )
+    row = dedup.exact_dedup_keep_best(s, "score").first()
+    assert row.keep_id == 2 and row.best_score == 0.9
+
+    nan = float("nan")
+    s2 = spark.createDataFrame(
+        [(1, "t", 0.9), (2, "t", nan)], "doc_id long, text string, score double"
+    )
+    row2 = dedup.exact_dedup_keep_best(s2, "score").first()
+    import math
+
+    assert row2.keep_id == 2 and math.isnan(row2.best_score)
+
+
+def test_bloom_probe_duplicate_ids_and_null_text(spark):
+    """A duplicated doc_id must not read as a miss (sum==n_hashes broke
+    this — a false negative), and NULL texts probe definitely-new
+    instead of vanishing or yielding NULL."""
+    hist = spark.createDataFrame([(1, "known text")], ["doc_id", "text"])
+    bloom = dedup.bloom_build(hist, n_bits=1 << 12)
+    batch = spark.createDataFrame(
+        [(7, "known text"), (7, "known text"), (8, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.maybe_dup for r in
+           dedup.bloom_probe(batch, bloom, n_bits=1 << 12).collect()}
+    assert got == {7: True, 8: False}
+
+
+def test_semantic_dedup_bounded_null_vector_rows_survive(spark):
+    """NULL / null-element / odd-length vectors have NULL cosine to
+    everything, so the bounded numpy pairwise stage must keep them (and
+    not crash on ragged input) — matching the SQL-fold semantics."""
+    from blazingsql_spark.functions import similarity
+
+    import random
+
+    rnd = random.Random(5)
+    rows = [
+        (i, [rnd.gauss(0.0, 1.0) for _ in range(4)]) for i in range(10)
+    ]
+    rows += [(100, [5.0, 1.0, 2.0, 3.0]), (101, [5.0, 1.0, 2.0, 3.0])]  # dup pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    weird = spark.createDataFrame(
+        [(200, None), (201, [1.0, None, 2.0, 3.0]), (202, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = df.unionByName(weird)
+    kept = {
+        r.vec_id
+        for r in similarity.semantic_dedup_keep(
+            corpus, n_clusters=1, threshold=0.95, dim=4,
+            max_cluster_size=6, split_bits=6,
+        ).collect()
+    }
+    assert {200, 201, 202} <= kept  # null-ish rows always survive
+    assert 100 in kept and 101 not in kept  # the real dup still collapses

@@ -1125,3 +1125,26 @@ def test_forget_documents_propagates_and_is_idempotent(spark, tmp_path):
     final = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
     assert 20 in final  # forgotten content no longer blocks re-submission
     assert 21 not in final  # surviving content still dedups
+
+
+def test_forget_erases_fully_targeted_epoch_partition(spark, tmp_path):
+    """An epoch whose rows are ALL forget targets has zero survivors, so
+    dynamic overwrite alone would never rewrite it — the partition
+    directory itself must be deleted, and the table must keep working."""
+    from blazingsql_spark.operators.forget import forget_documents
+    from blazingsql_spark.sources.manifest import write_epoch_partition
+
+    t = str(tmp_path / "t")
+    write_epoch_partition(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"]), t, 0
+    )
+    write_epoch_partition(
+        spark.createDataFrame([(3, "c")], ["doc_id", "text"]), t, 1
+    )
+    ids = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    assert forget_documents(spark, ids, {t: "doc_id"}) == {t: 2}
+    left = spark.read.parquet(t)
+    assert {r.doc_id for r in left.collect()} == {3}
+    assert left.filter("epoch_id = 0").count() == 0
+    # idempotent after the full-partition deletion
+    assert forget_documents(spark, ids, {t: "doc_id"}) == {t: 0}
