@@ -1988,6 +1988,62 @@ pair(
 )
 
 
+# CEP-lite sequence pattern matching (the MATCH_RECOGNIZE gap, reduced to
+# its regex core): encode each user's time-ordered event stream as a code
+# string, then count non-overlapping greedy matches of a pattern over it —
+# 'vc+p' = view, one-or-more clicks, purchase. One groupBy assembles the
+# per-user sequence (the only shuffle — |users| result rows); the regex
+# runs per user string, never per event, and both engines' regex cores
+# (Java util.regex / RE2) agree on greedy non-overlapping semantics for
+# patterns without backrefs. Pattern spans beyond funnels/top-paths: those
+# count FIXED stage chains, this matches an arbitrary regular language
+# over the event alphabet.
+pair(
+    "events_pattern_match",
+    """
+    WITH coded AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                    ELSE 's' END AS code
+        FROM events
+    ), seqs AS (
+        SELECT user_id,
+               LISTAGG(code, '') WITHIN GROUP (ORDER BY ts, event_id) AS seq
+        FROM coded GROUP BY user_id
+    ), m AS (
+        SELECT user_id, regexp_extract_all(seq, 'vc+p', 0) AS ms FROM seqs
+    )
+    SELECT user_id,
+           CAST(size(ms) AS BIGINT) AS n_matches,
+           CAST(COALESCE(array_max(transform(ms, x -> length(x))), 0) AS BIGINT)
+               AS longest_match
+    FROM m ORDER BY user_id
+    """,
+    """
+    WITH coded AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                    ELSE 's' END AS code
+        FROM events
+    ), seqs AS (
+        SELECT user_id,
+               STRING_AGG(code, '' ORDER BY ts, event_id) AS seq
+        FROM coded GROUP BY user_id
+    ), m AS (
+        SELECT user_id, regexp_extract_all(seq, 'vc+p') AS ms FROM seqs
+    )
+    SELECT user_id,
+           CAST(LEN(ms) AS BIGINT) AS n_matches,
+           CAST(COALESCE(list_max(list_transform(ms, x -> LENGTH(x))), 0) AS BIGINT)
+               AS longest_match
+    FROM m ORDER BY user_id
+    """,
+    tables=("events",),
+)
+
+
 # First-touch attribution: each user's conversion credited to the channel
 # (event type) of their FIRST event — the marketing-attribution primitive.
 # One ranked window + one tiny conversion aggregate; the rn=1 filter cuts
@@ -2624,3 +2680,44 @@ def cdc_apply_orders(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# Z-order (Morton) key — the multi-column data-skipping layout primitive
+# (operators.zorder). The oracle spells the identical shift/mask
+# arithmetic, generated once at import for 16 bits x 2 columns.
+_Z_TERMS_SQL = " + ".join(
+    f"(((pk >> {i}) & 1) << {2 * i}) + (((sk >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+
+@register(
+    "zorder_values",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_orderkey, l_linenumber,
+               l_partkey % 65536 AS pk, l_suppkey % 65536 AS sk
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    )
+    SELECT l_orderkey, l_linenumber, CAST({_Z_TERMS_SQL} AS BIGINT) AS z
+    FROM b ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def zorder_values(spark, sf_dir):
+    """Morton z-values over (l_partkey, l_suppkey) — the engine-portable
+    core of OPTIMIZE ZORDER BY (operators.zorder.z_value): pure integer
+    shift/mask interleave, map-only. The LAYOUT effect (tight per-file
+    bounding boxes on both columns after repartitionByRange + sort on z)
+    is asserted structurally in tests/test_scale.py over real parquet
+    footers; this row pins the key arithmetic bit-for-bit."""
+    from blazingsql_spark.operators.zorder import z_value
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    z = z_value(
+        [F.pmod(F.col("l_partkey"), F.lit(65536)),
+         F.pmod(F.col("l_suppkey"), F.lit(65536))],
+        16,
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", z.alias("z")
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -353,3 +353,50 @@ def test_cdc_apply_semantics(spark):
         for n in (1, 2, 3)
     }
     assert len(null_winners) == 1, null_winners
+
+
+def test_zorder_layout_tightens_per_file_bounding_boxes(spark, tmp_path):
+    """The point of z-ordering: after repartitionByRange+sort on the
+    Morton key, each parquet file's (min,max) box over BOTH participating
+    columns is tight, so multi-predicate scans prune. Assert it
+    structurally from the real file footers: the summed bounding-box AREA
+    of the z-ordered layout must be a small fraction of the natural
+    layout's (which has near-full-range boxes on at least one column).
+    Results themselves must be identical on both layouts."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from blazingsql_spark.operators.zorder import zorder_layout
+    from blazingsql_spark.queries.registry import load_table
+
+    li = load_table(spark, SF_DIR.replace("0.001", "0.01"), "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    nat, zod = str(tmp_path / "nat"), str(tmp_path / "zod")
+    li.repartition(16).write.parquet(nat)
+    zorder_layout(li, ["l_partkey", "l_suppkey"], bits=16, n_partitions=16).drop(
+        "__z"
+    ).write.parquet(zod)
+
+    def box_area(path):
+        total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {
+                    row.column(c).path_in_schema: row.column(c).statistics
+                    for c in range(row.num_columns)
+                }
+                pk, sk = cols["l_partkey"], cols["l_suppkey"]
+                total += (pk.max - pk.min + 1) * (sk.max - sk.min + 1)
+        return total
+
+    a_nat, a_zod = box_area(nat), box_area(zod)
+    assert a_zod < a_nat / 4, (a_nat, a_zod)
+
+    pred = "l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40"
+    r_nat = spark.read.parquet(nat).filter(pred).count()
+    r_zod = spark.read.parquet(zod).filter(pred).count()
+    assert r_nat == r_zod and r_nat > 0
