@@ -920,3 +920,49 @@ def expr_try_arithmetic(spark, sf_dir):
         ).otherwise(F.lit(2**63 - 1)).alias("big_or_null"),
         F.try_add(F.col("o_custkey"), F.col("o_orderkey")).cast("long").alias("safe_add"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "url_domain_blocklist",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, lang || '.' || source || '.example.com' AS host
+        FROM documents
+    ),
+    bl(domain) AS (
+        VALUES ('src3.example.com'), ('en.src7.example.com'), ('example.net')
+    ),
+    blocked AS (
+        SELECT DISTINCT u.doc_id FROM u JOIN bl
+            ON u.host = bl.domain OR u.host LIKE '%.' || bl.domain
+    )
+    SELECT u.doc_id, u.host FROM u
+    WHERE u.doc_id NOT IN (SELECT doc_id FROM blocked)
+    ORDER BY u.doc_id
+    """,
+)
+def url_domain_blocklist(spark, sf_dir):
+    """Domain blocklist with SUBDOMAIN semantics (functions.web
+    .blocklist_filter): hosts explode into their dot-suffixes and match
+    the list via ONE equi-join — never the quadratic LIKE-against-every-
+    domain cross join (the oracle deliberately uses that naive spelling:
+    same semantics, fixture-scale only). The fixture blocklist exercises
+    all three cases: a registrable domain that blocks every subdomain
+    (src3.example.com catches all five language hosts), an exact deep
+    host (en.src7.example.com leaves src7's other languages alone), and
+    a miss (example.net)."""
+    from blazingsql_spark.functions.web import blocklist_filter
+    from blazingsql_spark.queries.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("lang"), F.lit("."), F.col("source"), F.lit(".example.com")
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("src3.example.com",), ("en.src7.example.com",), ("example.net",)],
+        ["domain"],
+    )
+    return blocklist_filter(u, bl).select("doc_id", "host").orderBy("doc_id")

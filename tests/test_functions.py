@@ -1702,3 +1702,27 @@ def test_semantic_dedup_bounded_null_vector_rows_survive(spark):
     }
     assert {200, 201, 202} <= kept  # null-ish rows always survive
     assert 100 in kept and 101 not in kept  # the real dup still collapses
+
+
+def test_blocklist_filter_subdomain_semantics(spark):
+    from blazingsql_spark.functions.web import blocklist_filter, host_suffixes
+
+    df = spark.createDataFrame(
+        [
+            (1, "a.b.evil.com"),
+            (2, "evil.com"),
+            (3, "notevil.com"),   # suffix STRING but not suffix DOMAIN
+            (4, "good.org"),
+            (5, None),            # NULL host is never blocked
+        ],
+        "doc_id long, host string",
+    )
+    bl = spark.createDataFrame([("evil.com",)], ["domain"])
+    kept = {r.doc_id for r in blocklist_filter(df, bl).collect()}
+    assert kept == {3, 4, 5}
+    blocked = {r.doc_id for r in blocklist_filter(df, bl, keep_blocked=True).collect()}
+    assert blocked == {1, 2}
+    sfx = df.filter("doc_id = 1").select(
+        F.explode(host_suffixes(F.col("host"))).alias("s")
+    ).collect()
+    assert [r.s for r in sfx] == ["a.b.evil.com", "b.evil.com", "evil.com", "com"]
