@@ -111,6 +111,7 @@ def margin_mine(
     threshold: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    knn=None,
 ) -> DataFrame:
     """Ratio-margin candidate mining between two embedding corpora — the
     criterion behind large-scale bitext/parallel-pair mining (Artetxe &
@@ -136,16 +137,19 @@ def margin_mine(
     yield NULL margins and drop out."""
     a_q = a.select(F.col(id_col).alias("query_id"), F.col(vec_col))
     b_q = b.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    # ``knn(corpus, queries, k)`` must return (query_id, id_col,
+    # cosine_sim) triples — the default is the exact brute-force pass; at
+    # corpus scale pass any ANN tier (they all share this output shape,
+    # e.g. ann_lsh_topk / ivf_topk) and the margin algebra is unchanged.
+    if knn is None:
+        def knn(corpus, queries, kk):
+            return cosine_topk(corpus, queries, k=kk, id_col=id_col, vec_col=vec_col)
     # Each k-NN result feeds the plan twice (its per-query average AND the
     # pair join); left lazy, the expensive corpus×queries scoring pass
     # would re-run per consumer. The results are only k·|A| / k·|B| rows —
     # pin them.
-    fwd = cosine_topk(b, a_q, k=k, id_col=id_col, vec_col=vec_col).localCheckpoint(
-        eager=False
-    )
-    bwd = cosine_topk(a, b_q, k=k, id_col=id_col, vec_col=vec_col).localCheckpoint(
-        eager=False
-    )
+    fwd = knn(b, a_q, k).localCheckpoint(eager=False)
+    bwd = knn(a, b_q, k).localCheckpoint(eager=False)
     ax = fwd.groupBy("query_id").agg(F.avg("cosine_sim").alias("__ax"))
     ay = (
         bwd.groupBy("query_id")

@@ -517,6 +517,84 @@ def sim_ann_lsh(spark, sf_dir):
 
 
 @register(
+    "sim_margin_mine_ann",
+    oracle=f"""
+    WITH {_LSH_SIG_ORACLE},
+    a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+    b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+    fcand AS (
+        SELECT DISTINCT qa.vec_id AS src, cs.vec_id AS dst
+        FROM sigs qs JOIN a qa ON qa.vec_id = qs.vec_id
+        JOIN sigs cs ON cs.band = qs.band AND cs.band_sig = qs.band_sig
+        JOIN b cb ON cb.vec_id = cs.vec_id
+    ),
+    fwd AS (
+        SELECT * FROM (
+            SELECT f.src, f.dst,
+                   ROUND(list_dot_product(qa.embedding::DOUBLE[], cb.embedding::DOUBLE[]) /
+                         (SQRT(list_dot_product(qa.embedding::DOUBLE[], qa.embedding::DOUBLE[]))
+                          * SQRT(list_dot_product(cb.embedding::DOUBLE[], cb.embedding::DOUBLE[]))), 6) AS cos
+            FROM fcand f JOIN a qa ON qa.vec_id = f.src
+            JOIN b cb ON cb.vec_id = f.dst) t
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= 4
+    ),
+    bcand AS (
+        SELECT DISTINCT qb.vec_id AS src, cs.vec_id AS dst
+        FROM sigs qs JOIN b qb ON qb.vec_id = qs.vec_id
+        JOIN sigs cs ON cs.band = qs.band AND cs.band_sig = qs.band_sig
+        JOIN a ca ON ca.vec_id = cs.vec_id
+    ),
+    bwd AS (
+        SELECT * FROM (
+            SELECT f.src, f.dst,
+                   ROUND(list_dot_product(qb.embedding::DOUBLE[], ca.embedding::DOUBLE[]) /
+                         (SQRT(list_dot_product(qb.embedding::DOUBLE[], qb.embedding::DOUBLE[]))
+                          * SQRT(list_dot_product(ca.embedding::DOUBLE[], ca.embedding::DOUBLE[]))), 6) AS cos
+            FROM bcand f JOIN b qb ON qb.vec_id = f.src
+            JOIN a ca ON ca.vec_id = f.dst) t
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= 4
+    ),
+    ax AS (SELECT src, AVG(cos) AS av FROM fwd GROUP BY src),
+    ay AS (SELECT src AS yid, AVG(cos) AS av FROM bwd GROUP BY src),
+    scored AS (
+        SELECT f.src AS src_id, f.dst AS dst_id,
+               ROUND(CASE WHEN (ax.av + ay.av) / 2 > 0
+                          THEN f.cos / ((ax.av + ay.av) / 2) END, 6) AS margin
+        FROM fwd f JOIN ax ON ax.src = f.src JOIN ay ON ay.yid = f.dst
+    )
+    SELECT src_id, dst_id, margin FROM scored
+    WHERE margin IS NOT NULL AND margin >= 1.0
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY margin DESC, dst_id) = 1
+    ORDER BY src_id
+    """,
+)
+def sim_margin_mine_ann(spark, sf_dir):
+    """Margin mining with the candidate stage swapped for the banded-LSH
+    ANN tier (margin_mine(knn=ann_lsh_topk)) — the at-scale composition:
+    the margin algebra consumes whatever (query, neighbor, sim) triples
+    the tier emits, so the whole pipeline stays equi-join-shaped with no
+    brute-force pass. Because the LSH signatures are md5-derived and
+    engine-portable, this row's DuckDB twin replays the ENTIRE
+    ANN-candidates→top-k→margin pipeline exactly — the composed system
+    is oracle-checked, not recall-gated. Neighborhood averages here are
+    over the ANN tier's k-NN (the paper's practice at scale); pairs can
+    differ from the exact row's where LSH misses a neighbor, which is
+    the documented approximation, reproduced identically in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.filter(F.col("vec_id") % 20 == 0)
+    b = emb.filter(F.col("vec_id") % 20 != 0)
+
+    def lsh_knn(corpus, queries, kk):
+        return similarity.ann_lsh_topk(
+            corpus, queries, k=kk, dim=64, bands=4, bits_per_band=16
+        )
+
+    out = similarity.margin_mine(a, b, k=4, threshold=1.0, knn=lsh_knn)
+    return out.select("src_id", "dst_id", "margin").orderBy("src_id")
+
+
+@register(
     "sim_near_dup",
     oracle=f"""
     WITH corpus AS (
