@@ -198,3 +198,48 @@ def io_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(pick("txt"), 256).alias("txt_sha"),
         F.size("exts").alias("n_members"),
     ).orderBy("doc_id")
+
+
+@register(
+    "io_arrow_roundtrip",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey,
+               o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+        ORDER BY o_orderkey
+    """,
+    doc="Arrow IPC (Feather V2) round trip (sources.arrow_ipc): "
+    "executor-parallel part writes, per-file binaryFile decode read, "
+    "values and the NTZ timestamp family recovered exactly",
+)
+def io_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an orders projection as zstd Arrow IPC part files, read it
+    back, and surface the values for the driver compare. Types cross the
+    boundary through pyspark's own to_arrow_schema/from_arrow_schema
+    (prefer_timestamp_ntz on read), so a type-mapping defect mismatches
+    loudly rather than coercing. Same scratch/POSIX contract as the avro
+    and WebDataset legs."""
+    from blazingsql_spark.sources.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    out = os.path.join(
+        scratch,
+        "blazingsql_spark_arrow_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    write_arrow_ipc(orders, out, compression="zstd", mode="overwrite")
+    back = read_arrow_ipc(spark, out)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.col("o_orderdate").cast("date").cast("string").alias("o_date"),
+    ).orderBy("o_orderkey")

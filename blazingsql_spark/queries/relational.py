@@ -2705,15 +2705,17 @@ _Z_TERMS_SQL = " + ".join(
 )
 def zorder_values(spark, sf_dir):
     """Morton z-values over (l_partkey, l_suppkey) — the engine-portable
-    core of OPTIMIZE ZORDER BY (operators.zorder.z_value): pure integer
+    core of OPTIMIZE ZORDER BY (sources.layout.zorder_key, the key the
+    clustered writer zorder_write lays files out by): pure integer
     shift/mask interleave, map-only. The LAYOUT effect (tight per-file
-    bounding boxes on both columns after repartitionByRange + sort on z)
-    is asserted structurally in tests/test_scale.py over real parquet
-    footers; this row pins the key arithmetic bit-for-bit."""
-    from blazingsql_spark.operators.zorder import z_value
+    bounding boxes on both columns) is asserted structurally over real
+    parquet footers in tests/test_scale.py and per-file spans in
+    tests/test_sources.py; this row pins the key arithmetic bit-for-bit
+    against an independent SQL spelling."""
+    from blazingsql_spark.sources.layout import zorder_key
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
-    z = z_value(
+    z = zorder_key(
         [F.pmod(F.col("l_partkey"), F.lit(65536)),
          F.pmod(F.col("l_suppkey"), F.lit(65536))],
         16,

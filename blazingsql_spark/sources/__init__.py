@@ -11,6 +11,7 @@ streaming), and Spark-4 Python DataSource registrations for both (pyds:
 spark.read.format("avro_ocf"/"webdataset") with a two-phase commit).
 """
 
+from blazingsql_spark.sources.arrow_ipc import read_arrow_ipc, write_arrow_ipc
 from blazingsql_spark.sources.avro_ocf import read_avro, write_avro
 from blazingsql_spark.sources.archives import (
     read_tar_members,
@@ -33,6 +34,8 @@ from blazingsql_spark.sources.jdbc import (
 )
 
 __all__ = [
+    "read_arrow_ipc",
+    "write_arrow_ipc",
     "read_avro",
     "write_avro",
     "read_tar_members",

@@ -1,0 +1,121 @@
+"""Arrow IPC (Feather V2) file source/sink — the zero-copy interchange
+format of the Arrow ecosystem (pandas/polars/duckdb all read it
+natively), built only on pyarrow + the binaryFile source, same pattern
+as the zero-dependency Avro OCF pair (sources/avro_ocf.py):
+
+- write: every partition serializes its Arrow batches into ONE
+  part-*.arrow file directly from the executor (atomic per-file rename;
+  shared-filesystem layout — compose with sources.manifest for atomic
+  multi-file publication). The schema travels via pyspark's own
+  to_arrow_schema, so Spark→Arrow type mapping is exactly what Spark's
+  internal Arrow path uses, not a hand-rolled table.
+- read: schema from one file's footer on the driver, data via
+  binaryFile (one task per file) feeding an Arrow-batched mapInPandas
+  that opens each file with pa.ipc.open_file — per-file parallelism,
+  never a driver collect.
+
+Unlike CSV/JSON there is no parsing ambiguity to vet: IPC files carry
+their schema; a mismatched file fails loudly in the decoder.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from blazingsql_spark.sources.avro_ocf import _check_posix_path
+
+
+def write_arrow_ipc(
+    df: DataFrame, path: str, compression: str | None = None, mode: str = "overwrite"
+) -> int:
+    """Distributed IPC write; returns the part-file count. ``mode``
+    mirrors DataFrameWriter ('overwrite'/'append'/'error'); an empty
+    DataFrame writes one zero-batch file so schema round-trips."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    _check_posix_path(path)
+    os.makedirs(path, exist_ok=True)
+    existing = [f for f in os.listdir(path) if f.endswith(".arrow")]
+    if existing:
+        if mode == "error":
+            raise ValueError(f"arrow: target {path} already has {len(existing)} files")
+        if mode == "overwrite":
+            for f in existing:
+                os.remove(os.path.join(path, f))
+    arrow_schema = to_arrow_schema(df.schema)
+
+    def write_part(batches):
+        # IpcWriteOptions is a cython object cloudpickle cannot ship —
+        # construct it executor-side from the plain compression string
+        opts = (
+            ipc.IpcWriteOptions(compression=compression) if compression else None
+        )
+        wrote = False
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        tmp = fname + ".tmp"
+        sink = None
+        writer = None
+        for batch in batches:
+            if writer is None:
+                sink = pa.OSFile(tmp, "wb")
+                writer = ipc.new_file(sink, arrow_schema, options=opts)
+            writer.write_batch(
+                batch.cast(arrow_schema) if batch.schema != arrow_schema else batch
+            )
+            wrote = True
+        if writer is not None:
+            writer.close()
+            sink.close()
+            os.replace(tmp, fname)  # atomic per-file rename
+        if wrote:
+            yield pa.RecordBatch.from_pydict({"file": [fname]})
+
+    marker = df.mapInArrow(write_part, "file string").collect()
+    if not marker:
+        # empty input: persist the schema anyway for an empty round-trip
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        dopts = ipc.IpcWriteOptions(compression=compression) if compression else None
+        with pa.OSFile(fname, "wb") as sink:
+            ipc.new_file(sink, arrow_schema, options=dopts).close()
+        return 1
+    return len(marker)
+
+
+def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory of part-*.arrow IPC files: one task per file."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    _check_posix_path(path)
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".arrow")
+    )
+    if not files:
+        raise ValueError(f"arrow: no part-*.arrow files under {path}")
+    with pa.OSFile(files[0], "rb") as fh:
+        arrow_schema = ipc.open_file(fh).schema
+    # tz-less arrow timestamps must come back as TimestampNTZ (a tz-aware
+    # column carries its zone in the arrow type, so it still maps to
+    # TimestampType) — without the flag NTZ columns silently gain
+    # session-timezone semantics on the round trip
+    spark_schema = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
+
+    def decode_files(it):
+        for pdf in it:
+            for blob in pdf["content"]:
+                reader = ipc.open_file(pa.BufferReader(bytes(blob)))
+                tbl = reader.read_all()
+                if tbl.num_rows:
+                    yield tbl.to_pandas()
+
+    binary = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.arrow").load(path)
+    )
+    return binary.select("path", "content").mapInPandas(decode_files, spark_schema)

@@ -367,17 +367,15 @@ def test_zorder_layout_tightens_per_file_bounding_boxes(spark, tmp_path):
 
     import pyarrow.parquet as pq
 
-    from blazingsql_spark.operators.zorder import zorder_layout
     from blazingsql_spark.queries.registry import load_table
+    from blazingsql_spark.sources.layout import zorder_write
 
     li = load_table(spark, SF_DIR.replace("0.001", "0.01"), "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey"
     )
     nat, zod = str(tmp_path / "nat"), str(tmp_path / "zod")
     li.repartition(16).write.parquet(nat)
-    zorder_layout(li, ["l_partkey", "l_suppkey"], bits=16, n_partitions=16).drop(
-        "__z"
-    ).write.parquet(zod)
+    zorder_write(li, ["l_partkey", "l_suppkey"], zod, n_files=16, bits=16)
 
     def box_area(path):
         total = 0

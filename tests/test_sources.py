@@ -231,3 +231,38 @@ def test_create_table_from_jdbc_reader(spark, tmp_path):
     assert got == src.count()
     assert "region_jdbc" in bc.list_tables()
     bc.drop_table("region_jdbc")
+
+
+def test_arrow_ipc_roundtrip_modes_and_empty(spark, tmp_path):
+    """Arrow IPC source/sink: multi-part zstd round trip is value- and
+    SCHEMA-exact (incl. the TimestampNTZ family), writer modes mirror
+    DataFrameWriter, and an empty frame round-trips its schema."""
+    import pytest
+
+    from blazingsql_spark.queries.registry import load_table
+    from blazingsql_spark.sources.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+
+    li = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        .limit(400)
+        .repartition(4)
+    )
+    path = str(tmp_path / "li")
+    n = write_arrow_ipc(li, path, compression="zstd")
+    assert n == 4
+    back = read_arrow_ipc(spark, path)
+    assert back.schema == li.schema  # NTZ survives the round trip
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+
+    with pytest.raises(ValueError, match="already has"):
+        write_arrow_ipc(li, path, mode="error")
+    write_arrow_ipc(li.limit(7), path, mode="append")
+    assert read_arrow_ipc(spark, path).count() == 407
+    write_arrow_ipc(li.limit(3), path, mode="overwrite")
+    assert read_arrow_ipc(spark, path).count() == 3
+
+    empty = str(tmp_path / "empty")
+    assert write_arrow_ipc(li.limit(0), empty) == 1
+    out = read_arrow_ipc(spark, empty)
+    assert out.count() == 0 and out.schema == li.schema
