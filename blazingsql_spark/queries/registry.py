@@ -540,18 +540,25 @@ assert not set(_R8_WINDOW[3:]) & set(_R7_WINDOW), (
 # Round-9 window, STAGED as code in round 8 (same discipline as every
 # round since r5): promote by swapping it into DRIVER_PRIORITY as r9's
 # first commit ONLY after CORRECTNESS_r08 lands 50/50 green. Composition:
-# the 3 standing sentinels; the 6 rows registered in r8 after the r8
-# window froze (bloom screen, margin mining, unigram seed, KN perplexity,
-# HLL rollup, logistic training — first driver rows); all 40 remaining
-# r4-stale rows; and the alphabetically-first r5-stale row to fill to 50.
-# Recount against the live registry at flip time if r9 registers early.
+# the 3 standing sentinels; the 11 rows registered in r8 after the r8
+# window froze (bloom screen, exact+ANN margin mining, unigram seed, KN
+# perplexity, HLL rollup, logistic training, pattern matching, zorder
+# key, domain blocklist, arrow IPC — first driver rows); and the 36
+# alphabetically-first of the 40 remaining r4-stale rows to fill to 50
+# (the last 4 + the r5 block roll to r10). Recount against the live
+# registry at flip time if r9 registers early.
 _NEW_IN_R8 = (
     "dedup_bloom_incremental",
+    "events_pattern_match",
+    "io_arrow_roundtrip",
     "ml_logistic_quality",
     "sim_margin_mine",
+    "sim_margin_mine_ann",
     "sketch_hll_mergeable",
     "text_perplexity_kn",
+    "url_domain_blocklist",
     "vocab_unigram_seed",
+    "zorder_values",
 )
 _R4_STALE_REMAINING = (
     "except_distinct",
@@ -596,9 +603,7 @@ _R4_STALE_REMAINING = (
     "window_ratio_to_report",
 )
 assert len(_R4_STALE_REMAINING) == 40, len(_R4_STALE_REMAINING)
-_R9_WINDOW_STAGED = (
-    _SENTINELS + _NEW_IN_R8 + _R4_STALE_REMAINING + ("agg_bool_bit",)
-)
+_R9_WINDOW_STAGED = _SENTINELS + _NEW_IN_R8 + _R4_STALE_REMAINING[:36]
 assert len(_R9_WINDOW_STAGED) == _DRIVER_WINDOW, len(_R9_WINDOW_STAGED)
 assert len(set(_R9_WINDOW_STAGED)) == len(_R9_WINDOW_STAGED)
 assert not set(_R9_WINDOW_STAGED[3:]) & set(_R8_WINDOW), (
