@@ -39,6 +39,14 @@ COMMON_22 = COMMON_17 + (
     "window_range_frame", "window_range_time",
 )
 
+# The 26 queries shared by the r7 and r8 headline sets (r8 swapped the
+# deliberately-quadratic dedup_semantic for the production
+# dedup_semantic_bounded — see that query's docstring) — subtotal so the
+# swap never muddies the r7↔r8 comparison.
+COMMON_26 = COMMON_22 + (
+    "corpus_profile", "sim_ann_hnsw", "sim_ann_ivf_int8", "vocab_bpe_pairs",
+)
+
 
 def time_once(spec, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -125,6 +133,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     common17 = round(sum(timings[q] for q in COMMON_17 if q in timings), 3)
     common22 = round(sum(timings[q] for q in COMMON_22 if q in timings), 3)
+    common26 = round(sum(timings[q] for q in COMMON_26 if q in timings), 3)
     print(
         json.dumps(
             {
@@ -134,6 +143,7 @@ def main() -> None:
                 "queries": timings,
                 "common17_total": common17,
                 "common22_total": common22,
+                "common26_total": common26,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
