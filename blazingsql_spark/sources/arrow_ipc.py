@@ -10,12 +10,13 @@ as the zero-dependency Avro OCF pair (sources/avro_ocf.py):
   to_arrow_schema, so Spark→Arrow type mapping is exactly what Spark's
   internal Arrow path uses, not a hand-rolled table.
 - read: schema from one file's footer on the driver, data via
-  binaryFile (one task per file) feeding an Arrow-batched mapInPandas
-  that opens each file with pa.ipc.open_file — per-file parallelism,
-  never a driver collect.
-
-Unlike CSV/JSON there is no parsing ambiguity to vet: IPC files carry
-their schema; a mismatched file fails loudly in the decoder.
+  binaryFile (one task per file) feeding mapInArrow — record batches
+  flow Arrow→Arrow into Spark with NO pandas round trip, which is what
+  keeps the promise of exact values (pandas conversion turns
+  int64-with-nulls into float64, silently corrupting ids past 2^53,
+  and rejects timestamps outside datetime64[ns]'s range). Every file's
+  schema is checked against the directory schema and a mismatch names
+  the offending file (the same cross-file contract read_avro enforces).
 """
 
 from __future__ import annotations
@@ -23,28 +24,36 @@ from __future__ import annotations
 import os
 import uuid
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from blazingsql_spark.sources.avro_ocf import _check_posix_path
+
+_MODES = ("overwrite", "append", "error", "ignore")
 
 
 def write_arrow_ipc(
     df: DataFrame, path: str, compression: str | None = None, mode: str = "overwrite"
 ) -> int:
-    """Distributed IPC write; returns the part-file count. ``mode``
-    mirrors DataFrameWriter ('overwrite'/'append'/'error'); an empty
-    DataFrame writes one zero-batch file so schema round-trips."""
+    """Distributed IPC write; returns the part-file count (0 when
+    mode='ignore' skips a non-empty target). ``mode`` mirrors
+    DataFrameWriter ('overwrite'/'append'/'error'/'ignore') and anything
+    else raises — an unrecognized mode must not silently behave like
+    append. An empty DataFrame writes one zero-batch file so schema
+    round-trips."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    if mode not in _MODES:
+        raise ValueError(f"arrow: unknown write mode {mode!r}; one of {_MODES}")
     _check_posix_path(path)
     os.makedirs(path, exist_ok=True)
     existing = [f for f in os.listdir(path) if f.endswith(".arrow")]
     if existing:
         if mode == "error":
             raise ValueError(f"arrow: target {path} already has {len(existing)} files")
+        if mode == "ignore":
+            return 0
         if mode == "overwrite":
             for f in existing:
                 os.remove(os.path.join(path, f))
@@ -78,17 +87,24 @@ def write_arrow_ipc(
 
     marker = df.mapInArrow(write_part, "file string").collect()
     if not marker:
-        # empty input: persist the schema anyway for an empty round-trip
+        # empty input: persist the schema anyway for an empty round-trip —
+        # through the same tmp-write + atomic-rename window as every other
+        # part file (a crash mid-write must not leave a truncated
+        # final-name file to poison later reads/appends)
         fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
         dopts = ipc.IpcWriteOptions(compression=compression) if compression else None
-        with pa.OSFile(fname, "wb") as sink:
+        tmp = fname + ".tmp"
+        with pa.OSFile(tmp, "wb") as sink:
             ipc.new_file(sink, arrow_schema, options=dopts).close()
+        os.replace(tmp, fname)
         return 1
     return len(marker)
 
 
 def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
-    """Read a directory of part-*.arrow IPC files: one task per file."""
+    """Read a directory of part-*.arrow IPC files: one task per file,
+    record batches streamed Arrow→Arrow (no pandas round trip), every
+    file's schema validated against the directory schema by name."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
     from pyspark.sql.pandas.types import from_arrow_schema
@@ -106,16 +122,30 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
     # TimestampType) — without the flag NTZ columns silently gain
     # session-timezone semantics on the round trip
     spark_schema = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
+    ref_schema = arrow_schema.remove_metadata()
 
-    def decode_files(it):
-        for pdf in it:
-            for blob in pdf["content"]:
-                reader = ipc.open_file(pa.BufferReader(bytes(blob)))
-                tbl = reader.read_all()
-                if tbl.num_rows:
-                    yield tbl.to_pandas()
+    def decode_files(batches):
+        for batch in batches:
+            paths = batch.column(0).to_pylist()
+            contents = batch.column(1).to_pylist()
+            for fpath, blob in zip(paths, contents):
+                reader = ipc.open_file(pa.BufferReader(blob))
+                fsch = reader.schema.remove_metadata()
+                if not fsch.equals(ref_schema):
+                    # appended/foreign file with a different shape: fail
+                    # LOUDLY, naming the file — to_pandas/arrow coercion
+                    # would otherwise drop or miscast columns silently
+                    raise ValueError(
+                        f"arrow: {fpath} schema does not match the "
+                        f"directory schema resolved from the first file: "
+                        f"{fsch} vs {ref_schema}"
+                    )
+                for i in range(reader.num_record_batches):
+                    rb = reader.get_batch(i)
+                    if rb.num_rows:
+                        yield rb
 
     binary = (
         spark.read.format("binaryFile").option("pathGlobFilter", "*.arrow").load(path)
     )
-    return binary.select("path", "content").mapInPandas(decode_files, spark_schema)
+    return binary.select("path", "content").mapInArrow(decode_files, spark_schema)

@@ -266,3 +266,35 @@ def test_arrow_ipc_roundtrip_modes_and_empty(spark, tmp_path):
     assert write_arrow_ipc(li.limit(0), empty) == 1
     out = read_arrow_ipc(spark, empty)
     assert out.count() == 0 and out.schema == li.schema
+
+
+def test_arrow_ipc_exact_values_and_schema_guard(spark, tmp_path):
+    """The no-pandas read path must recover int64-with-nulls EXACTLY
+    (pandas conversion floats them and corrupts ids past 2^53); a
+    mixed-schema append fails loudly naming the file; mode='ignore'
+    skips; unknown modes raise."""
+    import pytest
+
+    from blazingsql_spark.sources.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+
+    big = 2**53 + 1  # not representable as a double
+    df = spark.createDataFrame(
+        [(big, "a"), (None, "b"), (7, None)], "id long, s string"
+    )
+    p = str(tmp_path / "t")
+    write_arrow_ipc(df, p)
+    got = sorted(
+        read_arrow_ipc(spark, p).collect(), key=lambda r: (r.id is None, r.id)
+    )
+    assert got[0].id == 7 and got[1].id == big and got[2].id is None
+
+    assert write_arrow_ipc(df, p, mode="ignore") == 0
+    assert read_arrow_ipc(spark, p).count() == 3
+    with pytest.raises(ValueError, match="unknown write mode"):
+        write_arrow_ipc(df, p, mode="overwite")
+
+    # foreign-schema file appended: the read names the offender
+    other = spark.createDataFrame([(1.5,)], "x double")
+    write_arrow_ipc(other, p, mode="append")
+    with pytest.raises(Exception, match="does not match the"):
+        read_arrow_ipc(spark, p).collect()
