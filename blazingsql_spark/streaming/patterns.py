@@ -1,0 +1,310 @@
+"""Streaming CEP sequence-pattern matching — the incremental twin of the
+batch ``events_pattern_match`` query (queries/relational.py).
+
+The batch query assembles each user's full event-code string and counts
+non-overlapping greedy regex matches (``'vc+p'`` = view, 1+ clicks,
+purchase). A streaming twin cannot hold the whole per-user history: state
+must be bounded. This module compiles the pattern to a Thompson NFA and
+runs an incremental leftmost-longest scanner whose per-user state is
+
+    (n_matches, longest_match, carry)
+
+where ``carry`` is ONLY the suffix of the stream belonging to the
+in-flight match attempt — bounded by the longest single match the pattern
+can absorb (e.g. the longest click run for ``vc+p``), never by the
+per-user event count. That is the property that makes the operator safe
+on an unbounded stream: a user with a year of history carries a few
+bytes of state, not the year.
+
+Semantics: leftmost-longest, non-overlapping. For patterns without
+ambiguous alternation (no two alternatives matching different-length
+prefixes at the same start) this coincides with the Java/Python/RE2
+leftmost-GREEDY semantics the batch twin uses — property-tested against
+``re.findall`` in tests/test_streaming_patterns.py. Supported syntax:
+literal characters, ``.``, ``|``, ``(...)``, postfix ``* + ?`` — the
+regular core of MATCH_RECOGNIZE patterns (reference has no CEP operator;
+this is a superset surface; cf. reference io/src parsers having no
+streaming layer at all).
+
+Each micro-batch emits the user's totals *as if the stream ended here*
+(the pending attempt is resolved against end-of-input without mutating
+stored state), so the last emitted row per user equals the batch query on
+the same prefix. Cross-batch event order: within a micro-batch, rows are
+sorted by (ts, event_id); across micro-batches the source must deliver
+per-user events in order (true for the file source used in tests; a
+production kafka deployment would buffer by event time upstream — the
+same contract as the reference-free ``user_running_totals`` operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Thompson NFA over single characters (public-textbook construction).
+# ---------------------------------------------------------------------------
+
+
+class _Nfa:
+    __slots__ = ("eps", "trans", "start", "accept")
+
+    def __init__(self) -> None:
+        self.eps: dict[int, list[int]] = {}
+        self.trans: dict[int, list[tuple[str | None, int]]] = {}
+        self.start = 0
+        self.accept = 0
+
+    def new_state(self) -> int:
+        s = len(self.eps)
+        self.eps[s] = []
+        self.trans[s] = []
+        return s
+
+    def closure(self, states: frozenset[int]) -> frozenset[int]:
+        seen = set(states)
+        stack = list(states)
+        while stack:
+            s = stack.pop()
+            for t in self.eps[s]:
+                if t not in seen:
+                    seen.add(t)
+                    stack.append(t)
+        return frozenset(seen)
+
+    def step(self, states: frozenset[int], ch: str) -> frozenset[int]:
+        nxt: set[int] = set()
+        for s in states:
+            for want, t in self.trans[s]:
+                if want is None or want == ch:
+                    nxt.add(t)
+        return self.closure(frozenset(nxt)) if nxt else frozenset()
+
+
+def compile_pattern(pattern: str) -> _Nfa:
+    """Parse the supported regex subset into an NFA (recursive descent:
+    alt := concat ('|' concat)* ; concat := repeat+ ;
+    repeat := atom ('*'|'+'|'?')* ; atom := '(' alt ')' | '.' | literal).
+    Rejects patterns that match the empty string (a zero-width match has
+    no non-overlapping-count semantics)."""
+    nfa = _Nfa()
+    pos = 0
+
+    def peek() -> str | None:
+        return pattern[pos] if pos < len(pattern) else None
+
+    def frag_char(want: str | None) -> tuple[int, int]:
+        s, e = nfa.new_state(), nfa.new_state()
+        nfa.trans[s].append((want, e))
+        return s, e
+
+    def parse_alt() -> tuple[int, int]:
+        nonlocal pos
+        frags = [parse_concat()]
+        while peek() == "|":
+            pos += 1
+            frags.append(parse_concat())
+        if len(frags) == 1:
+            return frags[0]
+        s, e = nfa.new_state(), nfa.new_state()
+        for fs, fe in frags:
+            nfa.eps[s].append(fs)
+            nfa.eps[fe].append(e)
+        return s, e
+
+    def parse_concat() -> tuple[int, int]:
+        frags = []
+        while peek() is not None and peek() not in "|)":
+            frags.append(parse_repeat())
+        if not frags:
+            raise ValueError(f"empty branch in pattern {pattern!r}")
+        s, e = frags[0]
+        for fs, fe in frags[1:]:
+            nfa.eps[e].append(fs)
+            e = fe
+        return s, e
+
+    def parse_repeat() -> tuple[int, int]:
+        nonlocal pos
+        s, e = parse_atom()
+        while peek() in ("*", "+", "?"):
+            op = pattern[pos]
+            pos += 1
+            ns, ne = nfa.new_state(), nfa.new_state()
+            nfa.eps[ns].append(s)
+            nfa.eps[e].append(ne)
+            if op in ("*", "+"):
+                nfa.eps[e].append(s)
+            if op in ("*", "?"):
+                nfa.eps[ns].append(ne)
+            s, e = ns, ne
+        return s, e
+
+    def parse_atom() -> tuple[int, int]:
+        nonlocal pos
+        ch = peek()
+        if ch is None:
+            raise ValueError(f"unexpected end of pattern {pattern!r}")
+        if ch == "(":
+            pos += 1
+            frag = parse_alt()
+            if peek() != ")":
+                raise ValueError(f"unbalanced '(' in pattern {pattern!r}")
+            pos += 1
+            return frag
+        if ch == ".":
+            pos += 1
+            return frag_char(None)
+        if ch == "\\":
+            if pos + 1 >= len(pattern):
+                raise ValueError(f"trailing backslash in pattern {pattern!r}")
+            pos += 1
+            ch = pattern[pos]
+            pos += 1
+            return frag_char(ch)
+        if ch in "*+?)|":
+            raise ValueError(f"misplaced {ch!r} in pattern {pattern!r}")
+        pos += 1
+        return frag_char(ch)
+
+    s, e = parse_alt()
+    if pos != len(pattern):
+        raise ValueError(f"trailing {pattern[pos:]!r} in pattern {pattern!r}")
+    nfa.start, nfa.accept = s, e
+    if nfa.accept in nfa.closure(frozenset([nfa.start])):
+        raise ValueError(f"pattern {pattern!r} matches the empty string")
+    return nfa
+
+
+# ---------------------------------------------------------------------------
+# Incremental leftmost-longest scanner.
+# ---------------------------------------------------------------------------
+
+
+class StreamMatcher:
+    """Incremental non-overlapping leftmost-longest matcher.
+
+    ``feed(text)`` consumes more of the stream; ``snapshot()`` returns the
+    (n_matches, longest) pair *as if the stream ended now* without
+    disturbing the in-flight attempt; ``carry`` is the bounded suffix that
+    must persist across batches (the state-store payload).
+    """
+
+    def __init__(self, nfa: _Nfa, n_matches: int = 0, longest: int = 0, carry: str = ""):
+        self.nfa = nfa
+        self.n_matches = n_matches
+        self.longest = longest
+        self.carry = carry
+
+    def feed(self, text: str) -> None:
+        self.n_matches, self.longest, self.carry = self._scan(
+            self.carry + text, self.n_matches, self.longest, final=False
+        )
+
+    def snapshot(self) -> tuple[int, int]:
+        n, longest, _ = self._scan(self.carry, self.n_matches, self.longest, final=True)
+        return n, longest
+
+    def _scan(self, text: str, n: int, longest: int, final: bool) -> tuple[int, int, str]:
+        nfa = self.nfa
+        start_closure = nfa.closure(frozenset([nfa.start]))
+        pos, size = 0, len(text)
+        while pos < size:
+            states = start_closure
+            last_acc = -1
+            j = pos
+            while j < size:
+                nxt = nfa.step(states, text[j])
+                if not nxt:
+                    break
+                states = nxt
+                j += 1
+                if nfa.accept in states:
+                    last_acc = j
+            else:
+                # Attempt hit end of input with live states. It is only
+                # genuinely in-flight if some live state can still consume a
+                # character (e.g. {accept} alone for 'vc+p' after the 'p'
+                # cannot — that match is final regardless of future input).
+                if not final and any(nfa.trans[s] for s in states):
+                    # Everything from `pos` is the in-flight carry. Nothing
+                    # here is committed (more input could extend the match).
+                    return n, longest, text[pos:]
+            if last_acc > pos:
+                n += 1
+                longest = max(longest, last_acc - pos)
+                pos = last_acc
+            else:
+                pos += 1
+        return n, longest, ""
+
+
+# ---------------------------------------------------------------------------
+# The streaming operator.
+# ---------------------------------------------------------------------------
+
+DEFAULT_CODE_MAP = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+DEFAULT_CODE = "s"
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("longest_match", T.LongType()),
+        T.StructField("n_codes", T.LongType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("longest", T.LongType()),
+        T.StructField("carry", T.StringType()),
+        T.StructField("n_codes", T.LongType()),
+    ]
+)
+
+
+def pattern_match_stream(
+    events: DataFrame,
+    pattern: str = "vc+p",
+    code_map: dict[str, str] | None = None,
+    default_code: str = DEFAULT_CODE,
+) -> DataFrame:
+    """Per-user incremental pattern matching over an event stream.
+
+    Emits one (user_id, n_matches, longest_match, n_codes) row per user
+    per micro-batch with the totals the batch query would report on the
+    prefix seen so far; ``n_codes`` is the processed-event count (use the
+    max-n_codes row per user as the final answer in at-least-once sinks).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    cmap = dict(code_map or DEFAULT_CODE_MAP)
+    nfa = compile_pattern(pattern)  # validate eagerly on the driver
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            n0, longest0, carry0, seen0 = state.get
+        else:
+            n0, longest0, carry0, seen0 = 0, 0, "", 0
+        chunks = [pdf[["ts", "event_id", "event_type"]] for pdf in pdfs]
+        batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+        codes = "".join(batch["event_type"].map(lambda t: cmap.get(t, default_code)))
+        m = StreamMatcher(nfa, n0, longest0, carry0)
+        m.feed(codes)
+        seen = seen0 + len(batch)
+        state.update((m.n_matches, m.longest, m.carry, seen))
+        n_fin, longest_fin = m.snapshot()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_matches": [n_fin],
+                "longest_match": [longest_fin],
+                "n_codes": [seen],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, _OUT_SCHEMA, _STATE_SCHEMA, "update", "NoTimeout"
+    )

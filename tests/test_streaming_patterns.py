@@ -1,0 +1,109 @@
+"""Streaming CEP pattern matching — differential vs the batch
+`events_pattern_match` query and vs Python's regex engine."""
+
+from __future__ import annotations
+
+import random
+import re
+import time
+
+from pyspark.sql import functions as F
+
+from blazingsql_spark.queries.registry import all_queries, load_table
+from blazingsql_spark.streaming import events as st
+from blazingsql_spark.streaming.patterns import (
+    StreamMatcher,
+    compile_pattern,
+    pattern_match_stream,
+)
+from tests.conftest import SF_DIR
+
+PATTERNS = ["vc+p", "vcp", "v?c+p", "c*p", "(vc|cp)e?", "v.p", "ve*c+p", "p+", "v(c|e)+p"]
+
+
+def test_matcher_matches_re_on_random_streams():
+    rng = random.Random(20260815)
+    for pat in PATTERNS:
+        nfa = compile_pattern(pat)
+        for _ in range(200):
+            s = "".join(rng.choice("vcpes") for _ in range(rng.randint(0, 60)))
+            ms = [m.group(0) for m in re.finditer(pat, s)]
+            want = (len(ms), max((len(m) for m in ms), default=0))
+            whole = StreamMatcher(nfa)
+            whole.feed(s)
+            chunked = StreamMatcher(nfa)
+            i = 0
+            while i < len(s):
+                k = rng.randint(1, 5)
+                chunked.feed(s[i : i + k])
+                i += k
+            assert whole.snapshot() == want, (pat, s)
+            assert chunked.snapshot() == want, (pat, s)
+
+
+def test_matcher_carry_is_bounded():
+    m = StreamMatcher(compile_pattern("vc+p"))
+    for _ in range(1000):
+        m.feed("ssssssssss")
+    assert m.carry == ""  # dead prefixes never accumulate
+    m.feed("v" + "c" * 50)
+    assert len(m.carry) == 51  # only the in-flight attempt persists
+    m.feed("p")
+    assert m.carry == "" and m.n_matches == 1 and m.longest == 52
+
+
+def test_compile_rejects_empty_and_malformed():
+    import pytest
+
+    for bad in ["c*", "v?", "(c|v)*", "", "(vc", "vc)", "+v", "v||c"]:
+        with pytest.raises(ValueError):
+            compile_pattern(bad)
+
+
+def _final_rows(got_pdf):
+    return (
+        got_pdf.sort_values("n_codes").groupby("user_id").last().reset_index()
+    )
+
+
+def test_pattern_match_stream_matches_batch(spark):
+    stream = pattern_match_stream(st.stream_events(spark, SF_DIR))
+    got = st.run_to_memory(spark, stream, "t_patterns", output_mode="update")
+    want = all_queries()["events_pattern_match"].fn(spark, SF_DIR).toPandas()
+    got_pdf = _final_rows(got.toPandas())
+    merged = got_pdf.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged["n_matches_got"] == merged["n_matches_want"]).all()
+    assert (merged["longest_match_got"] == merged["longest_match_want"]).all()
+
+
+def test_pattern_match_stream_multi_batch(spark, tmp_path):
+    """Split the events by time into two files so the matcher crosses a
+    real micro-batch boundary mid-attempt, then compare to batch totals."""
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) / 2
+    src = str(tmp_path / "ev_stream")
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(f"{src}/a")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.parquet(f"{src}/b")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    got = st.run_to_memory(
+        spark, pattern_match_stream(raw), "t_patterns_mb", output_mode="update"
+    )
+    got_pdf = _final_rows(got.toPandas())
+    want = all_queries()["events_pattern_match"].fn(spark, SF_DIR).toPandas()
+    merged = got_pdf.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged["n_matches_got"] == merged["n_matches_want"]).all()
+    assert (merged["longest_match_got"] == merged["longest_match_want"]).all()
+    # the split genuinely produced >1 micro-batch: some user must have
+    # emitted two update rows
+    assert (got.groupBy("user_id").count().agg(F.max("count")).first()[0] or 0) >= 2
