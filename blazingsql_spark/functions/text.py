@@ -1275,3 +1275,86 @@ def kn_bigram_negative_logprob(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def kn_trigram_negative_logprob(
+    df: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney TRIGRAM
+    model of the corpus — the third tier of the perplexity quality filter
+    (unigram add-one → KN bigram → KN trigram). The published recursion
+    (Chen & Goodman 1998, eq. 4.24): the highest order uses raw counts,
+    every lower order uses CONTINUATION counts ĉ(w2,w3) = N1+(·,w2,w3):
+
+        P(w3|w1w2) = (max(c123 − D, 0) + D·N1+(w1w2·)·P2(w3|w2)) / c(w1w2·)
+        P2(w3|w2)  = (max(ĉ(w2,w3) − D, 0) + D·N1+mid(w2)·Pc(w3)) / ĉ(w2,·)
+        Pc(w3)     = (N1+(·,w3 in ĉ) + 1) / (B̂ + V + 1)
+
+    with c(w1w2·) the trigram-prefix count (never zero for an observed
+    trigram), N1+(w1w2·) the distinct-continuation count of the history,
+    ĉ(w2,·) = N1+(·,w2,·), B̂ = distinct (w2,w3) pairs, V = vocab size.
+    The +1/+V+1 floor on Pc is the same documented totality deviation as
+    the bigram tier — it reserves mass so the formula is engine-exact
+    without held-out estimation.
+
+    Shape at 100 TB: the trigram stream is two `lead` columns over one
+    per-document window shuffle; every count table is a groupBy over it
+    and every score component joins back by token-key equi-join; the only
+    broadcast is the 1-row (B̂, V) scalar frame. Output: (doc_id,
+    n_trigrams, avg_neg_logprob FLOOR-gridded to 4dp) for docs with ≥3
+    tokens."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')")
+        ).alias("pos", "w1"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    tri = (
+        toks.withColumn("w2", F.lead("w1", 1).over(w))
+        .withColumn("w3", F.lead("w1", 2).over(w))
+        .filter(F.col("w3").isNotNull())
+        .select(id_col, "w1", "w2", "w3")
+    )
+    tc = tri.groupBy("w1", "w2", "w3").agg(F.count("*").cast("double").alias("c123"))
+    pref12 = tc.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12dot"), F.count("*").cast("double").alias("n1p_12")
+    )
+    chat = tc.groupBy("w2", "w3").agg(F.count("*").cast("double").alias("chat23"))
+    mid = chat.groupBy("w2").agg(
+        F.sum("chat23").alias("chat2dot"), F.count("*").cast("double").alias("n1p_mid")
+    )
+    cont3 = chat.groupBy("w3").agg(F.count("*").cast("double").alias("n1p_right"))
+    stats = chat.agg(F.count("*").cast("double").alias("Bhat")).crossJoin(
+        toks.agg(F.count_distinct("w1").cast("double").alias("V"))
+    )
+    D = float(discount)
+    pc = (F.col("n1p_right") + 1.0) / (F.col("Bhat") + F.col("V") + 1.0)
+    p2 = (
+        F.greatest(F.col("chat23") - F.lit(D), F.lit(0.0))
+        + F.lit(D) * F.col("n1p_mid") * pc
+    ) / F.col("chat2dot")
+    p3 = (
+        F.greatest(F.col("c123") - F.lit(D), F.lit(0.0))
+        + F.lit(D) * F.col("n1p_12") * p2
+    ) / F.col("c12dot")
+    return (
+        tri.join(tc, ["w1", "w2", "w3"])
+        .join(pref12, ["w1", "w2"])
+        .join(chat, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(cont3, "w3")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            (
+                F.floor((-F.sum(F.log(p3)) / F.count("*")) * 10000) / 10000
+            ).alias("avg_neg_logprob"),
+        )
+    )

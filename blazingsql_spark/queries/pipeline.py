@@ -2169,6 +2169,71 @@ def text_perplexity_kn(spark, sf_dir):
 
 
 @register(
+    "text_perplexity_kn3",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2, ws[g.i + 2] AS w3
+        FROM d, LATERAL (SELECT UNNEST(generate_series(1, LEN(ws) - 2)) AS i) g
+        WHERE LEN(ws) >= 3
+    ),
+    tc AS (SELECT w1, w2, w3, COUNT(*)::DOUBLE AS c123
+           FROM tri GROUP BY w1, w2, w3),
+    pref12 AS (SELECT w1, w2, SUM(c123) AS c12dot,
+                      COUNT(*)::DOUBLE AS n1p_12
+               FROM tc GROUP BY w1, w2),
+    chat AS (SELECT w2, w3, COUNT(*)::DOUBLE AS chat23
+             FROM tc GROUP BY w2, w3),
+    mid AS (SELECT w2, SUM(chat23) AS chat2dot, COUNT(*)::DOUBLE AS n1p_mid
+            FROM chat GROUP BY w2),
+    cont3 AS (SELECT w3, COUNT(*)::DOUBLE AS n1p_right FROM chat GROUP BY w3),
+    stats AS (SELECT COUNT(*)::DOUBLE AS bhat FROM chat),
+    vocab AS (
+        SELECT COUNT(DISTINCT t.tok)::DOUBLE AS v
+        FROM d, LATERAL (SELECT UNNEST(ws) AS tok) t
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           FLOOR(-SUM(LN(
+               (GREATEST(tc.c123 - 0.75, 0)
+                + 0.75 * pref12.n1p_12
+                  * ((GREATEST(chat.chat23 - 0.75, 0)
+                      + 0.75 * mid.n1p_mid
+                        * ((cont3.n1p_right + 1) / (stats.bhat + vocab.v + 1)))
+                     / mid.chat2dot))
+               / pref12.c12dot)) / COUNT(*) * 10000) / 10000 AS avg_neg_logprob
+    FROM tri t
+    JOIN tc ON tc.w1 = t.w1 AND tc.w2 = t.w2 AND tc.w3 = t.w3
+    JOIN pref12 ON pref12.w1 = t.w1 AND pref12.w2 = t.w2
+    JOIN chat ON chat.w2 = t.w2 AND chat.w3 = t.w3
+    JOIN mid ON mid.w2 = t.w2
+    JOIN cont3 ON cont3.w3 = t.w3
+    CROSS JOIN stats CROSS JOIN vocab
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def text_perplexity_kn3(spark, sf_dir):
+    """Interpolated Kneser-Ney TRIGRAM perplexity
+    (functions.text.kn_trigram_negative_logprob): the full Chen & Goodman
+    recursion — raw counts at the top order, continuation counts
+    ĉ(w2,w3)=N1+(·,w2,w3) at the bigram level, the same +1-floored
+    continuation unigram as the bigram tier. All
+
+    counts are groupBy aggregates over the trigram stream; scoring is
+    five token-keyed equi-joins back onto it; the only broadcast is the
+    1-row (B̂, V) scalar frame."""
+    from blazingsql_spark.functions.text import kn_trigram_negative_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_trigram_negative_logprob(docs).orderBy("doc_id")
+
+
+@register(
     "dedup_components",
     oracle="""
     WITH RECURSIVE e AS (

@@ -1604,6 +1604,26 @@ def test_kn_bigram_perplexity_semantics(spark):
     assert got[0].avg_neg_logprob == got[29].avg_neg_logprob
 
 
+def test_kn_trigram_perplexity_semantics(spark):
+    """KN trigram tier: the dominant trigram chain scores lowest; a NOVEL
+    continuation of a COMMON history ('the quick' → 'fox') scores highest
+    — more surprising than wholly-unique text, whose singleton histories
+    are trivially predictable. That history-conditioning is exactly what
+    the trigram tier buys over unigram frequency scoring."""
+    from blazingsql_spark.functions.text import kn_trigram_negative_logprob
+
+    rows = [(i, "the quick brown fox jumps over") for i in range(30)]
+    # common histories ('the quick', 'brown fox') with novel continuations
+    rows += [(200, "the quick fox brown fox jumps")]
+    rows += [(100, "zeta omega prime nebula quartz vector")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in kn_trigram_negative_logprob(df).collect()}
+    assert got[0].n_trigrams == 4 and got[100].n_trigrams == 4
+    assert 0 < got[0].avg_neg_logprob < got[100].avg_neg_logprob
+    assert got[100].avg_neg_logprob < got[200].avg_neg_logprob
+    assert got[0].avg_neg_logprob == got[29].avg_neg_logprob
+
+
 def test_logistic_fit_converges_and_separates(spark):
     """IRLS must drive the data log-loss down monotonically and recover a
     decision boundary that separates a noisy two-feature mixture well;

@@ -95,6 +95,7 @@ def test_no_accidental_cartesian_products(spark):
         "sample_domain_mix",  # corpus x broadcast(1-row min-total aggregate)
         "text_perplexity",  # token stream x broadcast(1-row N/V totals)
         "text_perplexity_kn",  # bigram stream x broadcast(1-row B/V totals) — same corpus-stats shape; all count joins are token-keyed equi-joins
+        "text_perplexity_kn3",  # trigram stream x broadcast(1-row B̂/V totals) — the same corpus-stats shape one order up; all five count joins are token-keyed equi-joins
         "text_bm25",  # scored terms x broadcast(1-row n_docs/avgdl aggregate)
         "docs_tfidf_topk",  # tf table x broadcast(1-row corpus-N aggregate) — same shape as text_bm25
         "agg_equidepth",  # ranked rows x broadcast(|quantiles|-row target-rank table): the no-group-keys percentile path
