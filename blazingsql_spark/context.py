@@ -39,6 +39,8 @@ _EXT_FORMAT = {
     ".txt": "csv",
     ".json": "json",
     ".ndjson": "json",
+    ".arrow": "arrow",
+    ".feather": "arrow",
 }
 
 

@@ -102,19 +102,27 @@ def write_arrow_ipc(
 
 
 def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
-    """Read a directory of part-*.arrow IPC files: one task per file,
-    record batches streamed Arrow→Arrow (no pandas round trip), every
-    file's schema validated against the directory schema by name."""
+    """Read a directory of part-*.arrow IPC files — or a single
+    .arrow/.feather file (Feather V2 IS the IPC file format) — one task
+    per file, record batches streamed Arrow→Arrow (no pandas round trip),
+    every file's schema validated against the directory schema by name."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
     from pyspark.sql.pandas.types import from_arrow_schema
 
     _check_posix_path(path)
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".arrow")
-    )
+    if os.path.isfile(path):
+        files = [path]
+        glob = os.path.basename(path)
+    else:
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".arrow", ".feather"))
+        )
+        glob = "*.{arrow,feather}"
     if not files:
-        raise ValueError(f"arrow: no part-*.arrow files under {path}")
+        raise ValueError(f"arrow: no part .arrow/.feather files under {path}")
     with pa.OSFile(files[0], "rb") as fh:
         arrow_schema = ipc.open_file(fh).schema
     # tz-less arrow timestamps must come back as TimestampNTZ (a tz-aware
@@ -146,6 +154,6 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
                         yield rb
 
     binary = (
-        spark.read.format("binaryFile").option("pathGlobFilter", "*.arrow").load(path)
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
     )
     return binary.select("path", "content").mapInArrow(decode_files, spark_schema)

@@ -24,6 +24,8 @@ _EXT_FORMAT = {
     ".ndjson": "json",
     ".jsonl": "json",
     ".avro": "avro",
+    ".arrow": "arrow",
+    ".feather": "arrow",
 }
 
 
@@ -63,6 +65,21 @@ def read_any(
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+    if fmt == "arrow":
+        # Arrow IPC / Feather V2 — same zero-extra-dependency pattern as
+        # avro: schema comes from the file footer, no reader options
+        from blazingsql_spark.sources.arrow_ipc import read_arrow_ipc
+
+        if schema is not None or options:
+            raise NotImplementedError(
+                "arrow: reader schema/options are not supported by the IPC "
+                "source (schema comes from the file footer)"
+            )
+        frames = [read_arrow_ipc(spark, p) for p in path_list]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
     reader = spark.read
     if fmt == "csv" and schema is None:
         # reference-like defaults ONLY when the caller supplies nothing: a
@@ -97,6 +114,17 @@ def write_any(
                 "avro: partitionBy/writer options not supported by the OCF sink"
             )
         write_avro(df, path, mode=mode)
+        return
+    if fmt == "arrow":
+        from blazingsql_spark.sources.arrow_ipc import write_arrow_ipc
+
+        compression = options.pop("compression", None)
+        if partition_by or options:
+            raise NotImplementedError(
+                "arrow: partitionBy/writer options beyond 'compression' are "
+                "not supported by the IPC sink"
+            )
+        write_arrow_ipc(df, path, compression=compression, mode=mode)
         return
     if fmt == "csv":
         # default, not forced: an explicit header=False must win (the old

@@ -298,3 +298,45 @@ def test_arrow_ipc_exact_values_and_schema_guard(spark, tmp_path):
     write_arrow_ipc(other, p, mode="append")
     with pytest.raises(Exception, match="does not match the"):
         read_arrow_ipc(spark, p).collect()
+
+
+def test_arrow_routing_read_any_write_any_create_table(spark, tmp_path):
+    """Format routing: write_any/read_any dispatch 'arrow' (and infer it
+    from .arrow/.feather extensions), Context.create_table registers a
+    single .feather file written by plain pyarrow, and the option-refusal
+    contracts mirror the avro source."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pytest
+
+    from blazingsql_spark.queries.registry import load_table
+    from blazingsql_spark.sources.io import read_any, write_any
+
+    li = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .limit(50)
+    )
+    d = str(tmp_path / "li_arrow")
+    write_any(li, d, file_format="arrow", compression="zstd")
+    back = read_any(spark, d, file_format="arrow")
+    assert back.count() == 50
+    assert back.schema == li.schema
+
+    with pytest.raises(NotImplementedError, match="reader schema/options"):
+        read_any(spark, d, file_format="arrow", schema=li.schema)
+    with pytest.raises(NotImplementedError, match="partitionBy/writer"):
+        write_any(li, d, file_format="arrow", partition_by=["l_returnflag"])
+
+    # a foreign single-file .feather (Feather V2 == IPC) registers via
+    # create_table with the format inferred from the extension alone
+    f = str(tmp_path / "dim.feather")
+    feather.write_feather(
+        pa.table({"k": [1, 2, 3], "name": ["a", "b", "c"]}), f
+    )
+    from blazingsql_spark import Context
+
+    bc = Context(spark=spark)
+    bc.create_table("dim_feather", f)
+    got = sorted(bc.sql("SELECT k, name FROM dim_feather").collect())
+    assert [(r.k, r.name) for r in got] == [(1, "a"), (2, "b"), (3, "c")]
