@@ -737,3 +737,83 @@ def duplicated_ngram_spans(
             ),
         )
     )
+
+
+def remove_duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """The REWRITE form of span dedup (Lee et al. 2022 ExactSubstr removes
+    the repeated spans themselves, keeping the rest of the document —
+    ``duplicated_ngram_spans`` only measures exposure): every token
+    covered by an n-gram that occurs in >= ``min_doc_freq`` distinct
+    documents is dropped, and the survivors are reassembled in order.
+
+    Returns (id, n_tokens, n_removed, text_clean) for every doc with >= 1
+    token; a fully-boilerplate doc comes back with text_clean = ''
+    (downstream length filters then drop it — rewriting and dropping stay
+    separate decisions).
+
+    Scale shape: tokenize → per-doc lead-window grams (one shuffle on the
+    doc key); the duplicated-gram table is a groupBy on the gram key;
+    coverage explodes each duplicated gram occurrence into n (doc, pos)
+    rows and joins back token-by-token — every join is a key equi-join,
+    nothing broadcasts, nothing is quadratic. Unlike the exposure metric
+    this inherently re-reads the token stream on both branches (the
+    rewrite needs token-level positions back); at 100 TB persist the
+    token table between the two uses rather than re-tokenizing."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy("_id").orderBy("pos")
+    parts: list[Column] = [F.col("token")]
+    for i in range(1, n):
+        parts.extend([F.lit(" "), F.lead("token", i).over(w)])
+    grams = toks.select("_id", "pos", F.concat(*parts).alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("_id").alias("df"))
+        .filter(F.col("df") >= int(min_doc_freq))
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(int(n) - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("cov", F.lit(True))
+    )
+    return (
+        toks.join(covered, ["_id", "pos"], "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("cov"), 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("cov").isNull(), F.struct("pos", "token"))
+                        )
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "n_removed", "text_clean")
+    )

@@ -2537,6 +2537,55 @@ def dedup_spans(spark, sf_dir):
     return duplicated_ngram_spans(docs, n=3).orderBy("doc_id")
 
 
+@register(
+    "dedup_spans_rewrite",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, g.i AS pos, toks[g.i] AS token
+        FROM base, LATERAL (SELECT UNNEST(generate_series(1, len(toks))) AS i) g
+    ),
+    g2 AS (
+        SELECT doc_id, g.i AS pos,
+               toks[g.i] || ' ' || toks[g.i + 1] || ' ' || toks[g.i + 2] AS gram
+        FROM base, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 2)) AS i) g
+    ),
+    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+    covered AS (
+        SELECT DISTINCT g2.doc_id, g2.pos + o.o AS pos
+        FROM g2 JOIN dup USING (gram),
+             LATERAL (SELECT UNNEST([0, 1, 2]) AS o) o
+    ),
+    fl AS (
+        SELECT t.doc_id, t.pos, t.token, c.pos IS NOT NULL AS cov
+        FROM t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(STRING_AGG(CASE WHEN NOT cov THEN token END,
+                               ' ' ORDER BY pos), '') AS text_clean
+    FROM fl GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_spans_rewrite(spark, sf_dir):
+    """Span REMOVAL (functions.dedup.remove_duplicated_ngram_spans): the
+    rewrite form of ExactSubstr dedup — tokens covered by any cross-doc
+    duplicated 3-gram are dropped and the document reassembled, so
+    boilerplate is cut while unique content survives. Every join is a key
+    equi-join (gram key for the dup table, (doc, pos) for coverage);
+    nothing broadcasts, nothing is quadratic."""
+    from blazingsql_spark.functions.dedup import remove_duplicated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_ngram_spans(docs, n=3).orderBy("doc_id")
+
+
 # Query terms for the BM25 demo: mid-frequency tokens of the synthetic
 # vocabulary so idf actually discriminates (both engines see the same set).
 _BM25_TERMS = ("vector", "spark", "hash")

@@ -1746,3 +1746,28 @@ def test_blocklist_filter_subdomain_semantics(spark):
         F.explode(host_suffixes(F.col("host"))).alias("s")
     ).collect()
     assert [r.s for r in sfx] == ["a.b.evil.com", "b.evil.com", "evil.com", "com"]
+
+
+def test_remove_duplicated_ngram_spans_semantics(spark):
+    """Span rewrite: shared boilerplate is cut from every doc carrying it,
+    wholly-unique text is untouched, a pure-boilerplate doc rewrites to ''
+    (still present — dropping is a separate decision), and surviving
+    tokens keep their original order."""
+    from blazingsql_spark.functions.dedup import remove_duplicated_ngram_spans
+
+    boiler = "all rights reserved by the site"
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon"),
+        (2, f"{boiler} one two three four five"),
+        (3, boiler),
+        (4, "totally unique content nothing shared here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in remove_duplicated_ngram_spans(df, n=3).collect()}
+    assert len(got) == 4
+    assert got[1].text_clean == "alpha beta gamma delta epsilon"
+    assert got[2].text_clean == "one two three four five"
+    assert got[3].text_clean == "" and got[3].n_removed == got[3].n_tokens
+    assert got[4].text_clean == "totally unique content nothing shared here"
+    assert got[4].n_removed == 0
+    assert got[1].n_tokens == 11 and got[1].n_removed == 6
