@@ -188,3 +188,100 @@ def logistic_predict(
     for c, wv in fit["weights"].items():
         m = m + F.col(c).cast("double") * F.lit(wv)
     return df.withColumn(prediction_col, _sigmoid(m))
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> dict:
+    """Fit a PCA model on a vector column — the dimensionality-reduction
+    step an embedding pipeline runs before ANN indexing / SemDeDup-style
+    clustering (project 64-dim crawl embeddings to the top-k subspace,
+    optionally whitened).
+
+    Distributed shape: each partition reduces to ONE mergeable moment
+    sketch (n, Σx, Σxxᵀ) via an Arrow-batched pass — the corpus is
+    scanned once and never collected; the driver combines the
+    |partitions| sketches, forms the covariance, and runs a d×d
+    eigendecomposition (d = embedding dim, trivially driver-sized).
+    Component signs are fixed (largest-|coordinate| entry positive) so
+    the fit is deterministic run-to-run.
+
+    Returns {mean, components (k×d, rows orthonormal), eigvals (desc),
+    total_var, n}.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(pdfs):
+        for pdf in pdfs:
+            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(vecs) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(vecs)],
+                    "s": [vecs.sum(axis=0).tolist()],
+                    "ss": [(vecs.T @ vecs).ravel().tolist()],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        partial, "n long, s array<double>, ss array<double>"
+    ).toPandas()
+    if parts.empty:
+        raise ValueError("pca_fit: empty input")
+    n = int(parts["n"].sum())
+    s = np.sum([np.asarray(x) for x in parts["s"]], axis=0)
+    d = s.shape[0]
+    ss = np.sum([np.asarray(x) for x in parts["ss"]], axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0  # symmetrize away accumulation ulps
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][: int(k)]
+    comps = eigvecs[:, order].T  # k x d
+    vals = np.maximum(eigvals[order], 0.0)
+    for i in range(comps.shape[0]):  # deterministic sign convention
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "eigvals": vals.tolist(),
+        "total_var": float(np.trace(cov)),
+        "n": n,
+    }
+
+
+def pca_transform(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    whiten: bool = False,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Project the vector column onto a ``pca_fit`` model: one
+    Arrow-batched map over the rows (the k×d model rides in the closure —
+    kilobytes), no shuffle, no join. ``whiten=True`` scales each
+    component by 1/√eigval so downstream cosine/L2 treats directions
+    equally."""
+    import numpy as np
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+    if whiten:
+        comps = comps / np.sqrt(np.asarray(model["eigvals"])[:, None] + eps)
+
+    @F.pandas_udf("array<double>")
+    def project(vecs):
+        import pandas as pd
+
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        out = (x - mean) @ comps.T
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, project(F.col(vec_col)))

@@ -1813,6 +1813,78 @@ def sample_domain_mix(spark, sf_dir):
 
 
 @register(
+    "emb_pca_project",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(8 AS BIGINT) AS out_dim,
+           TRUE AS orthonormal,
+           TRUE AS eigs_monotone,
+           TRUE AS variance_identity,
+           TRUE AS evr_positive
+    FROM embeddings
+    """,
+)
+def emb_pca_project(spark, sf_dir):
+    """PCA dimensionality reduction for the embedding pipeline
+    (functions.ml.pca_fit/pca_transform): fit the top-8 subspace via
+    per-partition mergeable moment sketches (one corpus scan, driver-side
+    64x64 eigendecomposition), project every vector Arrow-batched, then
+    verify the model's mathematical invariants IN-ENGINE — components
+    orthonormal, eigenvalues monotone, and the exact PCA variance
+    identity: mean squared residual of the reconstruction equals the
+    discarded variance (trace(cov) - sum of kept eigenvalues), computed
+    as a distributed aggregate over the projected corpus. Like the ANN
+    recall rows, the oracle pins the invariant booleans plus the exact
+    vector count (eigvectors themselves are not SQL-expressible)."""
+    import numpy as np
+
+    from blazingsql_spark.functions.ml import pca_fit, pca_transform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=8)
+    comps = np.asarray(model["components"])
+    mean = np.asarray(model["mean"])
+    gram = comps @ comps.T
+    orthonormal = bool(np.max(np.abs(gram - np.eye(len(comps)))) < 1e-6)
+    vals = model["eigvals"]
+    eigs_monotone = all(vals[i] >= vals[i + 1] - 1e-12 for i in range(len(vals) - 1))
+    explained = float(sum(vals))
+    total = model["total_var"]
+
+    @F.pandas_udf("double")
+    def resid(vecs, projs):
+        import pandas as pd
+
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        p = np.asarray(projs.tolist(), dtype=np.float64)
+        err = x - mean - p @ comps
+        return pd.Series((err * err).sum(axis=1))
+
+    proj = pca_transform(emb, model)
+    resid_mean = proj.select(
+        F.avg(resid(F.col("embedding"), F.col("proj"))).alias("m")
+    ).first()["m"]
+    variance_identity = bool(
+        abs(resid_mean - (total - explained)) <= 1e-5 * max(total, 1.0)
+    )
+    evr_positive = bool(0.0 < explained / total <= 1.0 + 1e-9)
+    return spark.createDataFrame(
+        [
+            (
+                model["n"],
+                len(comps),
+                orthonormal,
+                eigs_monotone,
+                variance_identity,
+                evr_positive,
+            )
+        ],
+        "n_vectors long, out_dim long, orthonormal boolean, "
+        "eigs_monotone boolean, variance_identity boolean, evr_positive boolean",
+    )
+
+
+@register(
     "emb_label_centroids",
     oracle="""
     WITH e AS (

@@ -1771,3 +1771,43 @@ def test_remove_duplicated_ngram_spans_semantics(spark):
     assert got[4].text_clean == "totally unique content nothing shared here"
     assert got[4].n_removed == 0
     assert got[1].n_tokens == 11 and got[1].n_removed == 6
+
+
+def test_pca_fit_transform_recovers_subspace(spark):
+    """PCA on a rank-2-dominant synthetic cloud: the top-2 eigenvalues
+    dominate, projection preserves pairwise structure, whitening yields
+    ~unit variance per component, and the fit is invariant to
+    repartitioning (mergeable-sketch combine is order-safe)."""
+    import random
+
+    import numpy as np
+
+    from blazingsql_spark.functions.ml import pca_fit, pca_transform
+
+    rnd = random.Random(11)
+    d, n = 16, 400
+    u = np.zeros(d); u[0] = 3.0
+    v = np.zeros(d); v[1] = 2.0
+    rows = []
+    for i in range(n):
+        x = rnd.gauss(0, 1) * u + rnd.gauss(0, 1) * v
+        x = x + np.array([rnd.gauss(0, 0.05) for _ in range(d)])
+        rows.append((i, [float(c) for c in x]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = pca_fit(df, k=4)
+    assert m["n"] == n
+    vals = m["eigvals"]
+    assert vals[0] > vals[1] > vals[2] and vals[1] > 5 * vals[2]
+    # top components align with the planted axes (up to order)
+    c01 = {int(np.argmax(np.abs(m["components"][0]))),
+           int(np.argmax(np.abs(m["components"][1])))}
+    assert c01 == {0, 1}
+    # whitened projection has ~unit variance on the informative axes
+    proj = pca_transform(df, m, whiten=True).select("proj").toPandas()
+    p = np.asarray(proj["proj"].tolist())
+    assert abs(float(p[:, 0].var()) - 1.0) < 0.05
+    assert abs(float(p[:, 1].var()) - 1.0) < 0.05
+    # partition-order invariance of the fit
+    m2 = pca_fit(df.repartition(13), k=4)
+    assert np.allclose(m["components"], m2["components"], atol=1e-9)
+    assert np.allclose(m["eigvals"], m2["eigvals"], atol=1e-9)
