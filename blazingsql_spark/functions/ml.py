@@ -285,3 +285,48 @@ def pca_transform(
         return pd.Series(list(out))
 
     return df.withColumn(out_col, project(F.col(vec_col)))
+
+
+def categorical_fit(
+    df: DataFrame,
+    col: str,
+    id_col: str = "cat_id",
+) -> DataFrame:
+    """Frequency-ordered label encoding (the StringIndexer shape): build a
+    (value, id, n) dictionary with ids dense from 0, assigned by count
+    descending then value ascending — fully deterministic, so encoders
+    fit on different days agree whenever the frequency order does.
+
+    The no-partition window runs over the DISTINCT-value table (the
+    dictionary), never the corpus — the same bounded-stage justification
+    as the k-means init. NULL values are excluded (encode them
+    explicitly upstream if they are a category)."""
+    from pyspark.sql import Window
+
+    counts = df.filter(F.col(col).isNotNull()).groupBy(col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc(col))
+    return counts.select(
+        F.col(col),
+        (F.row_number().over(w) - 1).cast("long").alias(id_col),
+        F.col("n"),
+    )
+
+
+def categorical_transform(
+    df: DataFrame,
+    mapping: DataFrame,
+    col: str,
+    id_col: str = "cat_id",
+    unknown_id: int = -1,
+) -> DataFrame:
+    """Apply a ``categorical_fit`` dictionary: one equi-join on the value
+    (the dictionary side is broadcast-sized by construction — it has one
+    row per distinct category); unseen values encode as ``unknown_id``
+    rather than dropping rows."""
+    m = mapping.select(col, id_col)
+    return (
+        df.join(F.broadcast(m), col, "left")
+        .withColumn(id_col, F.coalesce(F.col(id_col), F.lit(int(unknown_id))))
+    )

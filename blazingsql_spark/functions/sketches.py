@@ -73,3 +73,77 @@ def space_saving_topk(
     )
     merged = summaries.groupBy("item").agg(F.sum("est").alias("est"))
     return merged.orderBy(F.col("est").desc(), "item").limit(k)
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Mergeable count-min sketch (Cormode & Muthukrishnan 2005) over
+    ``df[col]``: ``depth`` hash rows of ``width`` counters. Each
+    partition reduces to one depth x width matrix (bounded state,
+    cardinality-independent) emitted as sparse (j, w, c) rows; the merge
+    is a groupBy element-wise sum — so shards/days can be sketched
+    independently and combined, the same contract as the HLL rollup.
+    Hashing is md5-derived and seed-fixed: the sketch is deterministic
+    for a given dataset, and estimates NEVER undercount."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    wd, dp = int(width), int(depth)
+
+    def sketch_partition(batches):
+        m = np.zeros((dp, wd), dtype=np.int64)
+        for pdf in batches:
+            vc = pdf[col].astype(str).value_counts()
+            for item, cnt in vc.items():
+                for j in range(dp):
+                    h = int.from_bytes(
+                        hashlib.md5(f"{j}:{item}".encode()).digest()[:8], "big"
+                    )
+                    m[j, h % wd] += int(cnt)
+        js, ws = np.nonzero(m)
+        if len(js):
+            yield pd.DataFrame({"j": js, "w": ws, "c": m[js, ws]})
+
+    parts = df.select(col).mapInPandas(sketch_partition, "j int, w int, c long")
+    return parts.groupBy("j", "w").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: list[str],
+    width: int = 1024,
+    depth: int = 4,
+) -> dict[str, int]:
+    """Point-query a ``cms_sketch``: min over the depth rows of the
+    hashed counter — an upper bound on the true count, within
+    e*N/width of it with probability 1-(1/e)^depth. The collect is the
+    sketch itself (<= depth*width rows by construction), never data."""
+    import hashlib
+
+    import numpy as np
+
+    wd, dp = int(width), int(depth)
+    m = np.zeros((dp, wd), dtype=np.int64)
+    for r in sketch.collect():
+        m[r["j"], r["w"]] = r["c"]
+    out = {}
+    for item in items:
+        out[item] = int(
+            min(
+                m[
+                    j,
+                    int.from_bytes(
+                        hashlib.md5(f"{j}:{item}".encode()).digest()[:8], "big"
+                    )
+                    % wd,
+                ]
+                for j in range(dp)
+            )
+        )
+    return out

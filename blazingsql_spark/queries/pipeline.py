@@ -1813,6 +1813,106 @@ def sample_domain_mix(spark, sf_dir):
 
 
 @register(
+    "sketch_cms_counts",
+    oracle=r"""
+    WITH toks AS (
+        SELECT UNNEST(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n,
+           TRUE AS est_ge_exact, TRUE AS within_eps
+    FROM toks WHERE token IN ('hash', 'spark', 'vector')
+    GROUP BY token ORDER BY token
+    """,
+)
+def sketch_cms_counts(spark, sf_dir):
+    """Mergeable count-min sketch (functions.sketches.cms_sketch): token
+    frequencies sketched per partition into a 4x1024 counter matrix and
+    merged by element-wise sum — the point-query companion to the HLL
+    rollup (store one tiny sketch per shard/day, answer 'how often does
+    this token appear' over any range without rescanning). CMS never
+    undercounts, so est >= exact is a hard invariant; the eps bound
+    (est <= exact + 2e*N/width) is checked against the seed-fixed,
+    deterministic sketch. The exact probe counts ARE SQL-comparable and
+    anchor the row to real values."""
+    import math
+
+    from blazingsql_spark.functions.sketches import cms_estimate, cms_sketch
+
+    probes = ["hash", "spark", "vector"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')")
+        ).alias("token")
+    )
+    sketch = cms_sketch(toks, "token", width=1024, depth=4)
+    est = cms_estimate(sketch, probes, width=1024, depth=4)
+    stats = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    exact = {
+        r["token"]: int(r["n"])
+        for r in stats.filter(F.col("token").isin(probes)).collect()
+    }
+    n_total = int(toks.count())
+    bound = 2.0 * math.e * n_total / 1024.0
+    rows = [
+        (
+            t,
+            exact[t],
+            bool(est[t] >= exact[t]),
+            bool(est[t] <= exact[t] + bound),
+        )
+        for t in sorted(exact)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "token string, exact_n long, est_ge_exact boolean, within_eps boolean",
+    )
+
+
+@register(
+    "encode_categorical",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    m AS (
+        SELECT lang, ROW_NUMBER() OVER (ORDER BY n DESC, lang) - 1 AS cat_id, n
+        FROM counts
+    )
+    SELECT m.lang, CAST(m.cat_id AS BIGINT) AS cat_id,
+           CAST(m.n AS BIGINT) AS n,
+           CAST(SUM(d.doc_id) AS BIGINT) AS id_checksum
+    FROM documents d JOIN m USING (lang)
+    GROUP BY m.lang, m.cat_id, m.n
+    ORDER BY cat_id
+    """,
+)
+def encode_categorical(spark, sf_dir):
+    """Frequency-ordered categorical encoding (functions.ml
+    .categorical_fit/categorical_transform — the StringIndexer shape):
+    dense ids by count desc then value asc, applied back to the corpus by
+    a broadcast dictionary join; the per-category doc_id checksum proves
+    the transform routed every row to the right id. The only window runs
+    over the distinct-value dictionary, never the corpus."""
+    from blazingsql_spark.functions.ml import categorical_fit, categorical_transform
+
+    docs = load_table(spark, sf_dir, "documents")
+    mapping = categorical_fit(docs, "lang")
+    encoded = categorical_transform(docs, mapping, "lang")
+    return (
+        encoded.groupBy("lang", "cat_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("cat_id")
+    )
+
+
+@register(
     "emb_pca_project",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,

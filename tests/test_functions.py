@@ -1811,3 +1811,50 @@ def test_pca_fit_transform_recovers_subspace(spark):
     m2 = pca_fit(df.repartition(13), k=4)
     assert np.allclose(m["components"], m2["components"], atol=1e-9)
     assert np.allclose(m["eigvals"], m2["eigvals"], atol=1e-9)
+
+
+def test_cms_sketch_merge_and_never_undercounts(spark):
+    """CMS: sketching two halves independently and merging (element-wise
+    sum == union of the sparse rows re-grouped) equals sketching the
+    whole; point estimates never undercount; a seed-fixed sketch is
+    partition-invariant."""
+    from blazingsql_spark.functions.sketches import cms_estimate, cms_sketch
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(400)]
+    rows += [(1000 + i, "hot") for i in range(123)]
+    df = spark.createDataFrame(rows, ["i", "tok"])
+    whole = cms_sketch(df, "tok", width=64, depth=4)
+    a = cms_sketch(df.filter(F.col("i") < 200), "tok", width=64, depth=4)
+    b = cms_sketch(df.filter(F.col("i") >= 200), "tok", width=64, depth=4)
+    merged = a.unionByName(b).groupBy("j", "w").agg(F.sum("c").alias("c"))
+    got_w = {(r.j, r.w): r.c for r in whole.collect()}
+    got_m = {(r.j, r.w): r.c for r in merged.collect()}
+    assert got_w == got_m
+    est = cms_estimate(whole, ["a", "hot", "absent"], width=64, depth=4)
+    assert est["a"] >= 100 and est["hot"] >= 123
+    est2 = cms_estimate(
+        cms_sketch(df.repartition(7), "tok", width=64, depth=4),
+        ["a", "hot"], width=64, depth=4,
+    )
+    assert est2 == {k: est[k] for k in ("a", "hot")}
+
+
+def test_categorical_encode_roundtrip_and_unknowns(spark):
+    """Frequency-ordered ids are dense from 0, ties break by value, and
+    unseen categories transform to unknown_id instead of dropping rows."""
+    from blazingsql_spark.functions.ml import categorical_fit, categorical_transform
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(5)]
+        + [(10 + i, "de") for i in range(3)]
+        + [(20 + i, "fr") for i in range(3)],
+        ["id", "lang"],
+    )
+    m = {r.lang: (r.cat_id, r.n) for r in categorical_fit(df, "lang").collect()}
+    assert m == {"en": (0, 5), "de": (1, 3), "fr": (2, 3)}  # tie de<fr
+    new = spark.createDataFrame([(1, "en"), (2, "zz")], ["id", "lang"])
+    got = {
+        r.id: r.cat_id
+        for r in categorical_transform(new, categorical_fit(df, "lang"), "lang").collect()
+    }
+    assert got == {1: 0, 2: -1}
