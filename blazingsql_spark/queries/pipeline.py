@@ -1812,6 +1812,73 @@ def sample_domain_mix(spark, sf_dir):
     )
 
 
+# Blocklist/taxonomy probe phrases for the Aho-Corasick tagging row: all
+# present at every fixture SF (verified), multi-token, including one that
+# can self-overlap ("batch batch" matches twice in "batch batch batch").
+_TAG_PHRASES = ("table scan", "batch batch", "hash join", "stream spark")
+
+
+def _phrase_hit_sql(phrase: str) -> str:
+    toks = phrase.split()
+    cond = " AND ".join(
+        f"toks[g.i + {j}] = '{t}'" for j, t in enumerate(toks)
+    )
+    return f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+
+
+_TAG_HITS = ",\n           ".join(
+    f"{_phrase_hit_sql(p)} AS h{i}" for i, p in enumerate(_TAG_PHRASES)
+)
+_TAG_TOTAL = " + ".join(f"h{i}" for i in range(len(_TAG_PHRASES)))
+_TAG_DISTINCT = " + ".join(
+    f"CASE WHEN h{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_TAG_PHRASES))
+)
+
+
+@register(
+    "text_phrase_tags",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id,
+           {_TAG_HITS}
+        FROM base, LATERAL (SELECT UNNEST(generate_series(1, len(toks))) AS i) g
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({_TAG_TOTAL} AS BIGINT) AS n_hits,
+           CAST({_TAG_DISTINCT} AS BIGINT) AS n_phrases
+    FROM hits ORDER BY doc_id
+    """,
+)
+def text_phrase_tags(spark, sf_dir):
+    """Multi-phrase blocklist/taxonomy tagging (functions.text
+    .tag_phrases): a token-level Aho-Corasick automaton built once on the
+    driver and applied in one Arrow-batched map — O(doc tokens) matching
+    regardless of dictionary size, the scalable form of phrase blocklist
+    filtering (m regexp passes cost O(m * tokens)). Counts every
+    occurrence including self-overlaps; the oracle re-derives the counts
+    positionally in SQL."""
+    from blazingsql_spark.functions.text import tag_phrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = tag_phrases(docs, list(_TAG_PHRASES))
+    return tagged.select(
+        "doc_id",
+        F.aggregate(
+            F.map_values("phrase_hits"), F.lit(0), lambda a, x: a + x
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.size("phrase_hits").cast("long").alias("n_phrases"),
+    ).orderBy("doc_id")
+
+
 @register(
     "sketch_cms_counts",
     oracle=r"""

@@ -1858,3 +1858,38 @@ def test_categorical_encode_roundtrip_and_unknowns(spark):
         for r in categorical_transform(new, categorical_fit(df, "lang"), "lang").collect()
     }
     assert got == {1: 0, 2: -1}
+
+
+def test_tag_phrases_automaton_vs_bruteforce(spark):
+    """Aho-Corasick phrase tagging equals per-phrase brute-force counting
+    on randomized token streams, including self-overlapping phrases and
+    phrases that are prefixes of each other."""
+    import random
+
+    from blazingsql_spark.functions.text import tag_phrases
+
+    phrases = ["a b", "b", "a b c", "c c", "b c b"]
+    rnd = random.Random(5)
+    rows = [
+        (i, " ".join(rnd.choice("abcd") for _ in range(rnd.randint(0, 25))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: dict(r.phrase_hits) for r in tag_phrases(df, phrases).collect()}
+
+    def brute(text):
+        toks = text.split()
+        c = {}
+        for p in phrases:
+            pt = p.split()
+            n = sum(
+                1
+                for i in range(len(toks) - len(pt) + 1)
+                if toks[i : i + len(pt)] == pt
+            )
+            if n:
+                c[p] = n
+        return c
+
+    for i, text in rows:
+        assert got[i] == brute(text), (i, text)
