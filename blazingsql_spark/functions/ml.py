@@ -330,3 +330,34 @@ def categorical_transform(
         df.join(F.broadcast(m), col, "left")
         .withColumn(id_col, F.coalesce(F.col(id_col), F.lit(int(unknown_id))))
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Smoothed target (mean) encoding — the classic high-cardinality
+    categorical feature: enc(c) = (sum_y(c) + m * global_mean) /
+    (n(c) + m), shrinking rare categories toward the global mean so they
+    don't memorize noise. One groupBy over the corpus plus a broadcast
+    1-row global aggregate (the accepted corpus-stats shape); apply by
+    joining the returned (category, n, enc) dictionary back on the
+    category key."""
+    g = df.agg(
+        F.avg(F.col(target_col).cast("double")).alias("__gmean")
+    )
+    m = float(smoothing)
+    per = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(target_col).cast("double")).alias("__sy"),
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        F.col(cat_col),
+        "n",
+        (
+            (F.col("__sy") + F.lit(m) * F.col("__gmean"))
+            / (F.col("n") + F.lit(m))
+        ).alias("enc"),
+    )

@@ -332,3 +332,30 @@ def dsir_log_weights(
     return raw.select(id_col).join(scored, id_col, "left").select(
         id_col, F.coalesce(F.col("dsir_logw"), F.lit(0.0)).alias("dsir_logw")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-LM sampling
+    rule, cf. XLM-R / mT5): w_d = p_d^alpha / sum_e p_e^alpha with
+    p_d the corpus share of domain d. alpha < 1 upsamples the tail so
+    low-resource domains are not drowned; alpha = 1 recovers natural
+    sampling. One groupBy to the |domains| grain, then two tiny
+    aggregates over that dictionary — the corpus is scanned once."""
+    a = float(alpha)
+    per = df.filter(F.col(domain_col).isNotNull()).groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per.agg(F.sum("n").cast("double").alias("__N"))
+    powed = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__pa", F.pow(F.col("n") / F.col("__N"), F.lit(a))
+    )
+    z = powed.agg(F.sum("__pa").alias("__Z"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        F.col(domain_col),
+        "n",
+        (F.col("__pa") / F.col("__Z")).alias("weight"),
+    )

@@ -1812,6 +1812,73 @@ def sample_domain_mix(spark, sf_dir):
     )
 
 
+@register(
+    "encode_target_smoothed",
+    oracle="""
+    WITH g AS (SELECT AVG(n_chars) AS gmean FROM documents),
+    per AS (
+        SELECT lang, COUNT(*) AS n, SUM(n_chars)::DOUBLE AS sy
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n,
+           FLOOR((sy + 10.0 * g.gmean) / (n + 10.0) * 10000) / 10000
+               AS enc_smoothed
+    FROM per CROSS JOIN g
+    ORDER BY lang
+    """,
+)
+def encode_target_smoothed(spark, sf_dir):
+    """Smoothed target encoding (functions.ml.target_encode): per-lang
+    mean of n_chars shrunk toward the global mean with m=10 — the
+    high-cardinality categorical feature that memorizes signal, not
+    noise. One groupBy plus a broadcast 1-row global aggregate; the
+    FLOOR grid absorbs summation-order ulps."""
+    from blazingsql_spark.functions.ml import target_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = target_encode(docs, "lang", "n_chars", smoothing=10.0)
+    return enc.select(
+        "lang",
+        "n",
+        (F.floor(F.col("enc") * 10000) / 10000).alias("enc_smoothed"),
+    ).orderBy("lang")
+
+
+@register(
+    "sample_temperature_mix",
+    oracle="""
+    WITH per AS (
+        SELECT lang, COUNT(*) AS n FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n)::DOUBLE AS total FROM per),
+    p AS (
+        SELECT lang, n, POWER(n / tot.total, 0.3) AS pa
+        FROM per CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(pa) AS z FROM p)
+    SELECT lang, CAST(n AS BIGINT) AS n,
+           FLOOR(pa / z.z * 1000000) / 1000000 AS weight
+    FROM p CROSS JOIN z
+    ORDER BY lang
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-scaled mixture weights (functions.sampling
+    .temperature_weights, the XLM-R/mT5 multilingual sampling rule):
+    w_d = p_d^0.3 / sum p^0.3, upsampling tail languages. The corpus is
+    scanned once to the |domains| grain; the rest is dictionary-sized."""
+    from blazingsql_spark.functions.sampling import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = temperature_weights(docs, "lang", alpha=0.3)
+    return w.select(
+        "lang",
+        "n",
+        (F.floor(F.col("weight") * 1000000) / 1000000).alias("weight"),
+    ).orderBy("lang")
+
+
 # Blocklist/taxonomy probe phrases for the Aho-Corasick tagging row: all
 # present at every fixture SF (verified), multi-token, including one that
 # can self-overlap ("batch batch" matches twice in "batch batch batch").

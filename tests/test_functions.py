@@ -1893,3 +1893,33 @@ def test_tag_phrases_automaton_vs_bruteforce(spark):
 
     for i, text in rows:
         assert got[i] == brute(text), (i, text)
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    """Smoothed target encoding: a frequent category's encoding tracks
+    its own mean; a 1-row category shrinks nearly all the way to the
+    global mean; m=0 recovers the raw per-category mean."""
+    from blazingsql_spark.functions.ml import target_encode
+
+    rows = [("big", 10.0)] * 50 + [("rare", 1000.0)]
+    df = spark.createDataFrame(rows, ["c", "y"])
+    got = {r.c: r for r in target_encode(df, "c", "y", smoothing=10.0).collect()}
+    gmean = (50 * 10.0 + 1000.0) / 51
+    assert abs(got["big"].enc - 10.0) < abs(gmean - 10.0) * 0.5
+    assert abs(got["rare"].enc - (1000.0 + 10 * gmean) / 11) < 1e-9
+    raw = {r.c: r.enc for r in target_encode(df, "c", "y", smoothing=0.0).collect()}
+    assert abs(raw["big"] - 10.0) < 1e-9 and abs(raw["rare"] - 1000.0) < 1e-9
+
+
+def test_temperature_weights_upsample_tail(spark):
+    """alpha<1 lifts tail domains above their natural share, alpha=1 is
+    exactly natural sampling, and weights always sum to 1."""
+    from blazingsql_spark.functions.sampling import temperature_weights
+
+    rows = [("en",)] * 90 + [("sw",)] * 10
+    df = spark.createDataFrame(rows, ["lang"])
+    w3 = {r.lang: r.weight for r in temperature_weights(df, "lang", 0.3).collect()}
+    w1 = {r.lang: r.weight for r in temperature_weights(df, "lang", 1.0).collect()}
+    assert abs(sum(w3.values()) - 1.0) < 1e-12
+    assert abs(w1["en"] - 0.9) < 1e-12 and abs(w1["sw"] - 0.1) < 1e-12
+    assert w3["sw"] > 0.1 and w3["en"] < 0.9  # tail upsampled
