@@ -1704,3 +1704,93 @@ def ivf_int8_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "int8_sim", "rank")
     )
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float | None = None,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "cosine_sim",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    over a bounded candidate pool: greedily pick k items maximizing
+    lam*rel(q,d) - mu*max_{s in selected} sim(d,s) — the diversity step a
+    RAG stack runs after ANN retrieval so the context window isn't k
+    copies of the same passage.
+
+    Scale shape: the pool is already bounded (ANN/exact top-N per query),
+    so the pairwise-sim table is |pool|^2 per query via an equi-join on
+    the query key, and the greedy loop runs per query inside ONE
+    applyInPandas over that bounded group — never over the corpus. All
+    similarities are rounded to 6dp BEFORE the greedy objective (the
+    engine-parity discipline of cosine_topk), and ties break by id, so
+    the selection is deterministic and SQL-differentiable.
+
+    ``mu`` defaults to 1-lam; pass it explicitly when an oracle needs the
+    exact same floating literal on both engines.
+    """
+    pen = float(1.0 - lam) if mu is None else float(mu)
+    lamf = float(lam)
+    kk = int(k)
+
+    ids = pool.select(query_id_col, id_col, rel_col)
+    va = vectors.select(F.col(id_col).alias("__a"), F.col(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("__b"), F.col(vec_col).alias("__vb"))
+    pairs = (
+        ids.select(query_id_col, F.col(id_col).alias("__a"), F.col(rel_col).alias("__rel"))
+        .join(
+            ids.select(query_id_col, F.col(id_col).alias("__b")),
+            query_id_col,
+        )
+        .join(va, "__a")
+        .join(vb, "__b")
+        .select(
+            query_id_col,
+            "__a",
+            "__b",
+            "__rel",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("__sim"),
+        )
+    )
+
+    out_schema = (
+        f"{query_id_col} long, mmr_rank long, {id_col} long, relevance double"
+    )
+
+    def greedy(pdf):
+        rel = {}
+        sim = {}
+        # zip over columns, not itertuples: pandas mangles leading-
+        # underscore names in namedtuples
+        for a, b, rl, sm in zip(
+            pdf["__a"], pdf["__b"], pdf["__rel"], pdf["__sim"]
+        ):
+            rel[a] = rl
+            sim[(a, b)] = sm
+        qid = pdf[query_id_col].iloc[0]
+        remaining = sorted(rel)
+        selected: list[tuple[int, float]] = []
+        while remaining and len(selected) < kk:
+            best = None
+            for d in remaining:
+                penalty = max((sim[(d, s)] for s, _ in selected), default=0.0)
+                obj = lamf * rel[d] - pen * penalty if selected else rel[d]
+                if best is None or obj > best[0] or (obj == best[0] and d < best[1]):
+                    best = (obj, d)
+            remaining.remove(best[1])
+            selected.append((best[1], rel[best[1]]))
+        return pd.DataFrame(
+            {
+                query_id_col: [qid] * len(selected),
+                "mmr_rank": range(1, len(selected) + 1),
+                id_col: [s for s, _ in selected],
+                "relevance": [r for _, r in selected],
+            }
+        )
+
+    return pairs.groupBy(query_id_col).applyInPandas(greedy, out_schema)

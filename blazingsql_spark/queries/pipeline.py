@@ -394,6 +394,93 @@ def sim_cosine_topk(spark, sf_dir):
     ).orderBy("query_id", "rnk")
 
 
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: str = "0.7", mu: str = "0.3") -> str:
+    """Unroll the MMR greedy loop into k SQL steps: step i aggregates the
+    max-similarity penalty against the i-1 already-selected items, then
+    takes the argmax of lam*rel - mu*penalty (ties by vec_id) — the exact
+    same arithmetic, on the same 6dp-rounded doubles, as the Spark
+    operator's per-query pandas loop."""
+    steps = []
+    for i in range(2, k + 1):
+        prev = f"sel_all_{i-1}"
+        steps.append(
+            f"""
+    cand{i} AS (
+        SELECT w.query_id, w.a AS vec_id, MIN(p.rel) AS rel,
+               {lam} * MIN(p.rel) - {mu} * MAX(w.sim) AS obj
+        FROM pw w
+        JOIN {prev} s ON s.query_id = w.query_id AND s.vec_id = w.b
+        JOIN pool p ON p.query_id = w.query_id AND p.vec_id = w.a
+        LEFT JOIN {prev} x ON x.query_id = w.query_id AND x.vec_id = w.a
+        WHERE x.vec_id IS NULL
+        GROUP BY w.query_id, w.a
+    ),
+    sel{i} AS (
+        SELECT query_id, vec_id, rel, CAST({i} AS BIGINT) AS mmr_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY obj DESC, vec_id) AS rn
+            FROM cand{i}) WHERE rn = 1
+    ),
+    sel_all_{i} AS (
+        SELECT * FROM sel_all_{i-1} UNION ALL SELECT * FROM sel{i}
+    )"""
+        )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id % 200 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, {_COSINE_ORACLE} AS rel
+        FROM embeddings e CROSS JOIN q
+    ),
+    pool AS (
+        SELECT query_id, vec_id, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, vec_id) AS rnk
+            FROM scored) WHERE rnk <= {pool}
+    ),
+    pw AS (
+        SELECT p1.query_id, p1.vec_id AS a, p2.vec_id AS b,
+               ROUND(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+                     (SQRT(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                      * SQRT(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+                     6) AS sim
+        FROM pool p1 JOIN pool p2 USING (query_id)
+        JOIN embeddings ea ON ea.vec_id = p1.vec_id
+        JOIN embeddings eb ON eb.vec_id = p2.vec_id
+    ),
+    sel_all_1 AS (
+        SELECT query_id, vec_id, rel, CAST(1 AS BIGINT) AS mmr_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, vec_id) AS rn
+            FROM pool) WHERE rn = 1
+    ),{",".join(steps)}
+    SELECT query_id, mmr_rank, vec_id, rel AS relevance
+    FROM sel_all_{k} ORDER BY query_id, mmr_rank
+    """
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (functions.similarity.mmr_rerank) over
+    the exact cosine top-20 pool: greedy lam*rel - mu*max-sim-to-selected
+    selection of 5, per query, inside one applyInPandas over the bounded
+    pool — the RAG diversity step after ANN retrieval. The oracle unrolls
+    the same greedy loop into 5 SQL steps on the same 6dp-rounded
+    doubles, so the SELECTION ITSELF is differentially checked, not just
+    invariants."""
+    from blazingsql_spark.functions.similarity import cosine_topk, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pool = cosine_topk(emb, queries, k=20)
+    out = mmr_rerank(pool, emb, k=5, lam=0.7, mu=0.3)
+    return out.orderBy("query_id", "mmr_rank")
+
+
 @register(
     "sim_margin_mine",
     oracle="""

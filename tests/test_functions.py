@@ -1923,3 +1923,38 @@ def test_temperature_weights_upsample_tail(spark):
     assert abs(sum(w3.values()) - 1.0) < 1e-12
     assert abs(w1["en"] - 0.9) < 1e-12 and abs(w1["sw"] - 0.1) < 1e-12
     assert w3["sw"] > 0.1 and w3["en"] < 0.9  # tail upsampled
+
+
+def test_mmr_rerank_prefers_diverse_results(spark):
+    """MMR: the pool's top scores are near-duplicates of each other; plain
+    top-k returns the clones, MMR (lam=0.7) returns the top-1 plus the
+    distinct direction instead of the remaining clones. First pick always
+    equals the plain top-1 (zero penalty on an empty selection)."""
+    from blazingsql_spark.functions.similarity import cosine_topk, mmr_rerank
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    clone = [0.999, 0.01, 0.0, 0.0]
+    clone2 = [0.998, 0.02, 0.0, 0.0]
+    other = [0.5, 0.0, 0.86, 0.0]
+    far = [0.0, 0.0, 0.0, 1.0]
+    rows = [(0, base), (1, clone), (2, clone2), (3, other), (4, far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pool = cosine_topk(emb, queries, k=5)
+    plain = [r.vec_id for r in pool.orderBy("rank").collect()][:3]
+    assert plain == [0, 1, 2]  # the clones crowd plain top-3
+    got = mmr_rerank(pool, emb, k=3, lam=0.3, mu=0.7).orderBy("mmr_rank").collect()
+    picked = [r.vec_id for r in got]
+    # first pick == top-1 relevance; then the orthogonal directions beat
+    # the near-clones outright (0.3*0.9999 - 0.7*0.9999 < 0.3*rel - 0)
+    assert picked == [0, 4, 3]
+    # with lam=1 MMR degenerates to plain top-k
+    degen = [
+        r.vec_id
+        for r in mmr_rerank(pool, emb, k=3, lam=1.0, mu=0.0)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert degen == plain

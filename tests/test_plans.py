@@ -87,6 +87,7 @@ def test_no_accidental_cartesian_products(spark):
         "join_theta",  # intentional pure-inequality join (reference rejects)
         "sim_cosine_topk",  # brute-force baseline: corpus x broadcast(query set) by design
         "sim_margin_mine",  # two cosine_topk passes (corpus x broadcast(query set), the accepted brute-force shape); the margin algebra itself is equi-joins on the query/neighbor ids
+        "sim_mmr_rerank",  # cosine_topk pool (corpus x broadcast(query set), the accepted shape); the MMR pairwise table and greedy loop are query-keyed equi-joins over the bounded pool
         "sim_ann_ivf",  # corpus x broadcast(centroids, k x dim floats) by design
         "sim_ann_pq",  # ADC scan: codes x broadcast(per-query 256-double tables); plus the exact baseline it scores recall against
         "sim_ann_ivfpq",  # queries x broadcast(centroids) routing + the exact baseline; list scan itself is an equi-join
