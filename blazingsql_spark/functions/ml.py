@@ -211,6 +211,15 @@ def pca_fit(
     Returns {mean, components (k×d, rows orthonormal), eigvals (desc),
     total_var, n}.
     """
+    n, s, ss = pca_moments(df, vec_col)
+    return pca_fit_from_moments(n, s, ss, k)
+
+
+def pca_moments(df: DataFrame, vec_col: str = "embedding"):
+    """The mergeable PCA moment sketch (n, Σx, Σxxᵀ): one Arrow-batched
+    corpus scan reducing each partition to a single row; sketches from
+    disjoint shards/epochs merge by plain addition, which is what makes
+    the streaming maintainer exact rather than approximate."""
     import numpy as np
     import pandas as pd
 
@@ -231,11 +240,24 @@ def pca_fit(
         partial, "n long, s array<double>, ss array<double>"
     ).toPandas()
     if parts.empty:
-        raise ValueError("pca_fit: empty input")
+        raise ValueError("pca_moments: empty input")
     n = int(parts["n"].sum())
     s = np.sum([np.asarray(x) for x in parts["s"]], axis=0)
     d = s.shape[0]
     ss = np.sum([np.asarray(x) for x in parts["ss"]], axis=0).reshape(d, d)
+    return n, s, ss
+
+
+def pca_fit_from_moments(n: int, s, ss, k: int = 8) -> dict:
+    """Finish a PCA fit from a (possibly merged) moment sketch — the
+    driver-side d×d eigendecomposition shared by pca_fit and the
+    streaming PcaIngest maintainer."""
+    import numpy as np
+
+    s = np.asarray(s, dtype=np.float64)
+    ss = np.asarray(ss, dtype=np.float64)
+    if ss.ndim == 1:  # flattened sketch (e.g. loaded from parquet)
+        ss = ss.reshape(s.shape[0], s.shape[0])
     mean = s / n
     cov = ss / n - np.outer(mean, mean)
     cov = (cov + cov.T) / 2.0  # symmetrize away accumulation ulps

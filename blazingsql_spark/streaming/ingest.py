@@ -800,3 +800,131 @@ def run_bloom_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class PcaIngest:
+    """foreachBatch handler maintaining a PCA model over an embedding
+    stream — the dimensionality-reduction mirror of AnnIndexIngest.
+
+    Unlike the ANN index (whose artifacts freeze after the build epoch),
+    the PCA state is the EXACT mergeable moment sketch (n, Σx, Σxxᵀ,
+    functions.ml.pca_moments): each epoch sketches its batch in one Arrow
+    pass, adds it to the stored sketch, and refits the model driver-side
+    (d×d eigendecomposition) — so after any number of epochs the model is
+    IDENTICAL to a batch fit on the union of everything seen, not an
+    approximation (property-tested). Per epoch a drift row is appended:
+    the angle between the previous and new top component and the
+    explained-variance ratio — recorded data for the
+    reproject-downstream decision, same discipline as the ANN drift
+    report.
+
+    Restart-safe: the sketch is probed on disk, so a restart from
+    checkpoint resumes the accumulation instead of starting over.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        model_path: str,
+        k: int = 8,
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.model_path = model_path.rstrip("/")
+        self.k = int(k)
+        self.vec_col = vec_col
+
+    def _load_sketch(self):
+        try:
+            row = self.spark.read.parquet(f"{self.model_path}/moments").first()
+        except Exception:  # first epoch: no sketch yet
+            return None
+        return int(row["n"]), list(row["s"]), list(row["ss"])
+
+    def load_model(self) -> dict:
+        rows = self.spark.read.parquet(f"{self.model_path}/model").collect()
+        mean = next(list(r["vec"]) for r in rows if r["kind"] == "mean")
+        comps = sorted(
+            ((r["idx"], list(r["vec"]), r["val"]) for r in rows if r["kind"] == "component"),
+        )
+        meta = next(r for r in rows if r["kind"] == "meta")
+        return {
+            "mean": mean,
+            "components": [c[1] for c in comps],
+            "eigvals": [c[2] for c in comps],
+            "total_var": float(meta["val"]),
+            "n": int(meta["idx"]),
+        }
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        import numpy as np
+
+        from blazingsql_spark.functions.ml import pca_fit_from_moments, pca_moments
+
+        n_b, s_b, ss_b = pca_moments(batch, self.vec_col)
+        prior = self._load_sketch()
+        prev_top = None
+        if prior is not None:
+            n0, s0, ss0 = prior
+            prev_top = np.asarray(self.load_model()["components"][0])
+            n_b = n_b + n0
+            s_b = np.asarray(s_b) + np.asarray(s0)
+            ss_b = np.asarray(ss_b).ravel() + np.asarray(ss0)
+        model = pca_fit_from_moments(n_b, s_b, np.asarray(ss_b).ravel(), self.k)
+        sk = self.spark.createDataFrame(
+            [
+                (
+                    int(n_b),
+                    [float(x) for x in np.asarray(s_b)],
+                    [float(x) for x in np.asarray(ss_b).ravel()],
+                )
+            ],
+            "n long, s array<double>, ss array<double>",
+        )
+        # safe to overwrite in place: the sketch was already materialized
+        # into local numpy state above, and foreachBatch epochs are serial
+        sk.write.mode("overwrite").parquet(f"{self.model_path}/moments")
+        rows = [("mean", -1, model["mean"], 0.0)]
+        rows += [
+            ("component", i, model["components"][i], float(model["eigvals"][i]))
+            for i in range(len(model["components"]))
+        ]
+        rows += [("meta", model["n"], [], model["total_var"])]
+        self.spark.createDataFrame(
+            rows, "kind string, idx long, vec array<double>, val double"
+        ).write.mode("overwrite").parquet(f"{self.model_path}/model")
+        new_top = np.asarray(model["components"][0])
+        angle = (
+            float(
+                np.degrees(
+                    np.arccos(np.clip(abs(float(prev_top @ new_top)), 0.0, 1.0))
+                )
+            )
+            if prev_top is not None
+            else 0.0
+        )
+        evr = float(sum(model["eigvals"]) / max(model["total_var"], 1e-300))
+        self.spark.createDataFrame(
+            [(int(epoch_id), model["n"], angle, evr)],
+            "epoch_id long, n_total long, top_angle_deg double, evr double",
+        ).write.mode("append").parquet(f"{self.model_path}/drift")
+
+
+def run_pca_ingest(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    model_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Wire PcaIngest into a streaming query (availableNow for bounded
+    test sources; production drops the trigger for a continuous feed)."""
+    handler = PcaIngest(spark, model_path, **kwargs)
+    q = (
+        vec_stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return handler

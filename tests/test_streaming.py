@@ -1148,3 +1148,63 @@ def test_forget_erases_fully_targeted_epoch_partition(spark, tmp_path):
     assert left.filter("epoch_id = 0").count() == 0
     # idempotent after the full-partition deletion
     assert forget_documents(spark, ids, {t: "doc_id"}) == {t: 0}
+
+
+def test_pca_ingest_is_exactly_mergeable(spark, tmp_path):
+    """Streaming PCA maintainer: after two epochs the persisted model is
+    IDENTICAL (to float ulps) to a batch fit on the union — the mergeable
+    moment sketch makes the streaming path exact, not approximate. Drift
+    telemetry accumulates one row per epoch, and a restarted handler
+    resumes from the on-disk sketch."""
+    import numpy as np
+
+    from blazingsql_spark.functions.ml import pca_fit
+    from blazingsql_spark.queries.registry import load_table
+    from blazingsql_spark.streaming.ingest import PcaIngest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "pca")
+    handler = PcaIngest(spark, path, k=4)
+    handler(a, 0)
+    fresh = PcaIngest(spark, path, k=4)  # restart: resumes from disk
+    fresh(b, 1)
+    got = fresh.load_model()
+    want = pca_fit(emb, k=4)
+    assert got["n"] == want["n"]
+    assert np.allclose(got["components"], want["components"], atol=1e-9)
+    assert np.allclose(got["eigvals"], want["eigvals"], atol=1e-9)
+    assert abs(got["total_var"] - want["total_var"]) < 1e-9
+    drift = spark.read.parquet(f"{path}/drift").orderBy("epoch_id").collect()
+    assert [r.epoch_id for r in drift] == [0, 1]
+    assert drift[0].top_angle_deg == 0.0  # first epoch has no predecessor
+    assert 0 <= drift[1].top_angle_deg <= 90.0
+    assert 0 < drift[1].evr <= 1.0
+
+
+def test_pca_ingest_via_streaming_query(spark, tmp_path):
+    """PcaIngest wired into a real writeStream/foreachBatch query over the
+    file source: the final model matches the batch fit."""
+    import numpy as np
+
+    from blazingsql_spark.functions.ml import pca_fit
+    from blazingsql_spark.queries.registry import load_table
+    from blazingsql_spark.streaming.ingest import run_pca_ingest
+
+    emb_b = load_table(spark, SF_DIR, "embeddings")
+    src = str(tmp_path / "src")
+    emb_b.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(emb_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    handler = run_pca_ingest(
+        spark, stream, str(tmp_path / "model"), str(tmp_path / "ckpt"), k=4
+    )
+    got = handler.load_model()
+    want = pca_fit(emb_b, k=4)
+    assert got["n"] == want["n"]
+    assert np.allclose(got["components"], want["components"], atol=1e-8)
