@@ -461,7 +461,7 @@ def _mmr_oracle(k: int = 5, pool: int = 20, lam: str = "0.7", mu: str = "0.3") -
     """
 
 
-@register("sim_mmr_rerank", oracle=_mmr_oracle())
+@register("sim_mmr_rerank", headline=True, oracle=_mmr_oracle())
 def sim_mmr_rerank(spark, sf_dir):
     """MMR diversity re-ranking (functions.similarity.mmr_rerank) over
     the exact cosine top-20 pool: greedy lam*rel - mu*max-sim-to-selected
@@ -2563,6 +2563,7 @@ def text_perplexity_kn(spark, sf_dir):
 
 @register(
     "text_perplexity_kn3",
+    headline=True,
     oracle=r"""
     WITH d AS (
         SELECT doc_id,
@@ -2932,6 +2933,7 @@ def dedup_spans(spark, sf_dir):
 
 @register(
     "dedup_spans_rewrite",
+    headline=True,
     oracle=r"""
     WITH base AS (
         SELECT doc_id,
