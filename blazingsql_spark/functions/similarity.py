@@ -1794,3 +1794,79 @@ def mmr_rerank(
         )
 
     return pairs.groupBy(query_id_col).applyInPandas(greedy, out_schema)
+
+
+def ivf_pca_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    pca_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    model: dict | None = None,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF with PCA-reduced ROUTING and full-dimension reranking: train
+    centroids and assign the corpus in the top-``pca_k`` PCA subspace
+    (4x fewer multiply-adds per routing distance at pca_k=16/dim=64 —
+    the coarse-quantizer trick in FAISS-style stacks), then score the
+    probed candidates with exact full-dim cosine. Because the reduction
+    only decides WHICH lists are probed — never the final ranking — the
+    recall loss is bounded by routing quality, and the result format
+    matches ivf_topk exactly.
+
+    ``model`` takes a prebuilt pca_fit dict and ``prebuilt`` a
+    (centroids, assigned_lists) pair — the train-once serve-many
+    discipline of the other tiers (PcaIngest maintains exactly the model
+    this consumes)."""
+    from blazingsql_spark.functions.ml import pca_fit, pca_transform
+
+    if model is None:
+        model = pca_fit(vectors, vec_col=vec_col, k=pca_k)
+    if prebuilt is not None:
+        cents, lists = prebuilt
+    else:
+        proj = pca_transform(vectors, model, vec_col=vec_col, out_col="__proj")
+        cents = ivf_train_centroids(
+            proj, k=n_centroids, id_col=id_col, vec_col="__proj", dim=pca_k
+        )
+        # assignment keeps only (id, proj, centroid_id): join the FULL
+        # vectors back by id so the rerank scores in original space
+        lists = (
+            assign_to_centroids(proj, cents, id_col, "__proj")
+            .select(id_col, "centroid_id")
+            .join(vectors.select(id_col, vec_col), id_col)
+        )
+
+    qp = pca_transform(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        model,
+        vec_col="__qvec",
+        out_col="__qproj",
+    )
+    q_scored = qp.crossJoin(F.broadcast(cents)).select(
+        query_id_col,
+        "__qvec",
+        "centroid_id",
+        cosine(F.col("__qproj"), F.col("centroid")).alias("sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id_col, "__qvec", "centroid_id")
+    )
+    cands = lists.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )

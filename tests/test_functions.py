@@ -1958,3 +1958,38 @@ def test_mmr_rerank_prefers_diverse_results(spark):
         .collect()
     ]
     assert degen == plain
+
+
+def test_ivf_pca_topk_exact_when_probing_all_lists(spark):
+    """PCA-routed IVF: probing every list scans the whole corpus, so the
+    full-dim rerank must reproduce brute-force cosine_topk EXACTLY —
+    routing space cannot affect the final ranking, only candidate
+    selection. A prebuilt pca_fit model (the PcaIngest hand-off) gives
+    the same result as self-training."""
+    from blazingsql_spark.functions.ml import pca_fit
+    from blazingsql_spark.functions.similarity import cosine_topk, ivf_pca_topk
+    from blazingsql_spark.queries.registry import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = sorted(
+        tuple(r) for r in cosine_topk(emb, queries, k=5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_pca_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=8, pca_k=16
+        ).collect()
+    )
+    assert got == want
+    model = pca_fit(emb, k=16)
+    got2 = sorted(
+        tuple(r)
+        for r in ivf_pca_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=8, pca_k=16, model=model
+        ).collect()
+    )
+    assert got2 == want

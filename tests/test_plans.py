@@ -102,6 +102,7 @@ def test_no_accidental_cartesian_products(spark):
         "agg_equidepth",  # ranked rows x broadcast(|quantiles|-row target-rank table): the no-group-keys percentile path
         "dedup_semantic",  # (n_clusters>1 runs) corpus x broadcast(centroid array) assignment — same bounded shape as sim_ann_ivf; the registered n_clusters=1 row skips assignment entirely since r8, so this entry only covers the clustered configuration
         "sim_ann_ivf_int8",  # exact recall baseline (corpus x broadcast(query set), sim_cosine_topk's accepted shape) + float/int8 centroid routing (queries x broadcast(8-centroid array), sim_ann_ivf's accepted shape); both candidate scans are equi-joins on centroid_id
+        "sim_ann_ivf_pca",  # same shapes as sim_ann_ivf_int8: exact baseline + PCA/full-dim centroid routing broadcasts; both candidate scans are equi-joins on centroid_id
         "sample_dsir_weights",  # bucket table x broadcast(two 1-row p/q total aggregates) — same bounded shape as text_bm25's corpus stats
         "encode_target_smoothed",  # |categories| dictionary x broadcast(1-row global-mean aggregate) — text_bm25's corpus-stats shape
         "sample_temperature_mix",  # |domains| dictionary x broadcast(1-row total) x broadcast(1-row normalizer) — both sides dictionary-sized
