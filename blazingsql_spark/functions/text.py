@@ -1432,3 +1432,211 @@ def tag_phrases(
         return pd.Series(results)
 
     return df.withColumn(out_col, tag(F.col(text_col)))
+
+
+def _wp_mark(word: str) -> list[str]:
+    """A word as canonical WordPiece initial symbols: first char bare,
+    continuations ##-prefixed."""
+    return [word[0]] + ["##" + c for c in word[1:]]
+
+
+def _driver_wordpiece_merges(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """In-memory WordPiece merge loop (the BERT trainer's objective):
+    winner maximizes score(a,b) = count(ab) / (count(a)·count(b)) — the
+    likelihood GAIN of merging, which prefers pairs whose parts rarely
+    occur apart — with (score DESC, a ASC, b ASC) tie-break. Counts are
+    corpus-weighted; symbol counts update incrementally per merge.
+    Argmax is a full scan of the live pair table per merge (O(pairs) —
+    fine for the vocab-bounded tables this runs on; the BPE-style
+    lazy-heap optimization applies if a 32k-merge WordPiece train ever
+    matters, with the extra wrinkle that a symbol-count change
+    invalidates every pair touching that symbol).
+
+    Returns (merges, vocab): ordered merge list (pairs of marked
+    symbols) and the final symbol → weighted-count vocabulary."""
+    syms: list[list[str]] = [_wp_mark(w) for w, _ in word_freqs]
+    freqs: list[int] = [f for _, f in word_freqs]
+
+    def word_pairs(s: list[str]) -> dict[tuple[str, str], int]:
+        out: dict[tuple[str, str], int] = {}
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            out[p] = out.get(p, 0) + 1
+        return out
+
+    counts: dict[tuple[str, str], int] = {}
+    occur: dict[tuple[str, str], set[int]] = {}
+    sym_counts: dict[str, int] = {}
+    for idx, s in enumerate(syms):
+        f = freqs[idx]
+        for x in s:
+            sym_counts[x] = sym_counts.get(x, 0) + f
+        for p, c in word_pairs(s).items():
+            counts[p] = counts.get(p, 0) + c * f
+            occur.setdefault(p, set()).add(idx)
+
+    def merged_symbol(a: str, b: str) -> str:
+        return a + (b[2:] if b.startswith("##") else b)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        best_key = None
+        for (a, b), c in counts.items():
+            if c <= 0:
+                continue
+            score = c / (sym_counts[a] * sym_counts[b])
+            key = (-score, a, b)
+            if best_key is None or key < best_key:
+                best_key = key
+                best = (a, b)
+        if best is None:
+            break
+        a, b = best
+        merges.append(best)
+        new_sym = merged_symbol(a, b)
+        for idx in list(occur.get(best, ())):
+            f = freqs[idx]
+            s = syms[idx]
+            old = word_pairs(s)
+            out: list[str] = []
+            n_applied = 0
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = new_sym
+                    n_applied += 1
+                else:
+                    out.append(x)
+            syms[idx] = out
+            # symbol counts: each application consumes one a and one b,
+            # produces one new_sym
+            if n_applied:
+                sym_counts[a] = sym_counts.get(a, 0) - n_applied * f
+                sym_counts[b] = sym_counts.get(b, 0) - n_applied * f
+                sym_counts[new_sym] = sym_counts.get(new_sym, 0) + n_applied * f
+            new = word_pairs(out)
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    counts[p] = counts.get(p, 0) + d * f
+                    if counts[p] <= 0:
+                        counts.pop(p, None)
+                if new.get(p, 0) == 0:
+                    occ = occur.get(p)
+                    if occ is not None:
+                        occ.discard(idx)
+                elif old.get(p, 0) == 0:
+                    occur.setdefault(p, set()).add(idx)
+    vocab: dict[str, int] = {}
+    for idx, s in enumerate(syms):
+        f = freqs[idx]
+        for x in s:
+            vocab[x] = vocab.get(x, 0) + f
+    return merges, vocab
+
+
+def train_wordpiece(
+    df: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    driver_vocab_rows: int = 2_000_000,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """WordPiece tokenizer training — the third tokenizer family next to
+    BPE (count-greedy) and unigram-LM (EM/Viterbi). Same distributed
+    shape as train_bpe: the corpus is touched exactly ONCE (tokenize +
+    word-frequency groupBy — at 100 TB that scan dominates); the merge
+    loop runs driver-side over the vocab-bounded word table behind the
+    same explicit row-bound guard.
+
+    Returns (merges, vocab_df) with vocab as (piece, freq) rows in
+    canonical ##-marked form — feed it straight to wordpiece_encode."""
+    words = (
+        _tokens(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    probe = words.limit(int(driver_vocab_rows) + 1).toPandas()
+    if len(probe) > driver_vocab_rows:
+        raise ValueError(
+            f"train_wordpiece: word-frequency table exceeds the "
+            f"{driver_vocab_rows}-row driver bound; raise driver_vocab_rows "
+            f"or pre-filter rare words"
+        )
+    pairs = sorted(zip(probe["token"], (int(x) for x in probe["freq"])))
+    merges, vocab = _driver_wordpiece_merges(pairs, n_merges)
+    spark = df.sparkSession
+    vocab_df = spark.createDataFrame(
+        sorted(vocab.items()), "piece string, freq long"
+    )
+    return merges, vocab_df
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: DataFrame | set,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "pieces",
+    unk: str = "[UNK]",
+    max_word_chars: int = 200,
+) -> DataFrame:
+    """Greedy longest-match WordPiece encoding (the BERT inference
+    tokenizer): each word is consumed left-to-right taking the LONGEST
+    vocab piece at each position (##-marked after the first); a word
+    with any unencodable remainder becomes [UNK] whole, words longer
+    than ``max_word_chars`` likewise (the BERT rule). Runs once per
+    DISTINCT word (the unigram_encode discipline) then joins back to the
+    token stream and reassembles per-doc arrays with one grouped sort."""
+    if not isinstance(vocab, set):
+        vocab = {r["piece"] for r in vocab.collect()}
+
+    def encode_word(w: str) -> list[str]:
+        if len(w) > max_word_chars:
+            return [unk]
+        out: list[str] = []
+        i = 0
+        while i < len(w):
+            j = len(w)
+            piece = None
+            while j > i:
+                cand = w[i:j] if i == 0 else "##" + w[i:j]
+                if cand in vocab:
+                    piece = cand
+                    break
+                j -= 1
+            if piece is None:
+                return [unk]
+            out.append(piece)
+            i = j
+        return out
+
+    @F.pandas_udf("array<string>")
+    def seg(tokens):
+        import pandas as pd
+
+        return pd.Series([encode_word(t) for t in tokens])
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')")
+        ).alias("pos", "token"),
+    )
+    dw = toks.select("token").distinct().withColumn("__segs", seg(F.col("token")))
+    return (
+        toks.join(dw, "token")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("__segs")))
+                    ),
+                    lambda s: s["__segs"],
+                )
+            ).alias(out_col)
+        )
+    )

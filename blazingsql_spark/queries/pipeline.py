@@ -2026,6 +2026,101 @@ def sample_temperature_mix(spark, sf_dir):
     ).orderBy("lang")
 
 
+@register(
+    "vocab_wordpiece_first",
+    oracle=r"""
+    WITH toks AS (
+        SELECT UNNEST(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    wf AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w),
+    chars AS (
+        SELECT w, f, g.i AS i,
+               CASE WHEN g.i = 1 THEN SUBSTRING(w, 1, 1)
+                    ELSE '##' || SUBSTRING(w, g.i, 1) END AS sym
+        FROM wf, LATERAL (SELECT UNNEST(generate_series(1, LEN(w))) AS i) g
+    ),
+    symc AS (SELECT sym, SUM(f) AS c FROM chars GROUP BY sym),
+    pairs AS (
+        SELECT a.sym AS sa, b.sym AS sb, SUM(a.f) AS cab
+        FROM chars a JOIN chars b ON a.w = b.w AND b.i = a.i + 1
+        GROUP BY a.sym, b.sym
+    ),
+    scored AS (
+        SELECT p.sa, p.sb, p.cab, ca.c AS c_a, cb.c AS c_b,
+               p.cab::DOUBLE / (ca.c * cb.c) AS score
+        FROM pairs p
+        JOIN symc ca ON ca.sym = p.sa
+        JOIN symc cb ON cb.sym = p.sb
+    )
+    SELECT sa AS a, sb AS b,
+           CAST(cab AS BIGINT) AS pair_count,
+           CAST(c_a AS BIGINT) AS a_count,
+           CAST(c_b AS BIGINT) AS b_count,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wf) AS n_words
+    FROM scored ORDER BY score DESC, sa, sb LIMIT 1
+    """,
+)
+def vocab_wordpiece_first(spark, sf_dir):
+    """WordPiece training criterion, distributed (functions.text
+    .train_wordpiece): the first merge selection — argmax of
+    score(a,b) = count(ab)/(count(a)·count(b)) over ##-marked symbol
+    pairs — computed entirely in Spark aggregates over the word-frequency
+    table, the same discipline as vocab_bpe_pairs (oracle the
+    distributed step; the full merge LOOP is differential-tested against
+    the driver implementation in pytest). Scores divide identical
+    integers in IEEE doubles on both engines, so the argmax and its
+    (a, b) tie-break agree exactly."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')")
+        ).alias("w")
+    )
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    chars = wf.select(
+        "w",
+        "f",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> "
+                "CASE WHEN i = 1 THEN substring(w, 1, 1) "
+                "ELSE concat('##', substring(w, i, 1)) END)"
+            )
+        ).alias("i", "sym"),
+    )
+    symc = chars.groupBy("sym").agg(F.sum("f").alias("c"))
+    win = W.partitionBy("w").orderBy("i")
+    adj = chars.withColumn("sb", F.lead("sym").over(win)).filter(
+        F.col("sb").isNotNull()
+    )
+    pairs = adj.groupBy(F.col("sym").alias("sa"), "sb").agg(
+        F.sum("f").alias("cab")
+    )
+    scored = (
+        pairs.join(symc.select(F.col("sym").alias("sa"), F.col("c").alias("c_a")), "sa")
+        .join(symc.select(F.col("sym").alias("sb"), F.col("c").alias("c_b")), "sb")
+        .withColumn("score", F.col("cab").cast("double") / (F.col("c_a") * F.col("c_b")))
+    )
+    n_words = wf.agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("sa"), F.asc("sb"))
+        .limit(1)
+        .crossJoin(F.broadcast(n_words))
+        .select(
+            F.col("sa").alias("a"),
+            F.col("sb").alias("b"),
+            F.col("cab").cast("long").alias("pair_count"),
+            F.col("c_a").cast("long").alias("a_count"),
+            F.col("c_b").cast("long").alias("b_count"),
+            "n_words",
+        )
+    )
+
+
 # Blocklist/taxonomy probe phrases for the Aho-Corasick tagging row: all
 # present at every fixture SF (verified), multi-token, including one that
 # can self-overlap ("batch batch" matches twice in "batch batch batch").

@@ -1993,3 +1993,123 @@ def test_ivf_pca_topk_exact_when_probing_all_lists(spark):
         ).collect()
     )
     assert got2 == want
+
+
+def test_wordpiece_trainer_known_example_and_bruteforce(spark):
+    """WordPiece merge loop: the canonical hug/pug/hugs example picks
+    ##g+##s first (the rare-parts pair, NOT the frequent ##u+##g — the
+    likelihood objective that separates WordPiece from BPE), and the
+    incremental-count loop matches a from-scratch re-derivation on
+    random corpora."""
+    import random
+
+    from blazingsql_spark.functions.text import (
+        _driver_wordpiece_merges,
+        _wp_mark,
+    )
+
+    merges, vocab = _driver_wordpiece_merges(
+        [("hug", 10), ("pug", 5), ("hugs", 5)], 3
+    )
+    assert merges[0] == ("##g", "##s")
+    assert vocab["##ug"] == 15 and vocab["##ugs"] == 5
+
+    def brute(word_freqs, n_merges):
+        syms = {w: _wp_mark(w) for w, _ in word_freqs}
+        freqs = dict(word_freqs)
+        merges = []
+        for _ in range(n_merges):
+            counts, symc = {}, {}
+            for w, s in syms.items():
+                f = freqs[w]
+                for x in s:
+                    symc[x] = symc.get(x, 0) + f
+                for i in range(len(s) - 1):
+                    p = (s[i], s[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            best, bk = None, None
+            for (a, b), c in counts.items():
+                k = (-(c / (symc[a] * symc[b])), a, b)
+                if bk is None or k < bk:
+                    bk, best = k, (a, b)
+            if best is None:
+                break
+            merges.append(best)
+            a, b = best
+            ns = a + (b[2:] if b.startswith("##") else b)
+            for w, s in syms.items():
+                out = []
+                for x in s:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = ns
+                    else:
+                        out.append(x)
+                syms[w] = out
+        return merges
+
+    rnd = random.Random(17)
+    for _ in range(25):
+        wf = sorted(
+            {
+                "".join(rnd.choice("abc") for _ in range(rnd.randint(1, 6))): rnd.randint(1, 9)
+                for _ in range(rnd.randint(2, 12))
+            }.items()
+        )
+        got, _ = _driver_wordpiece_merges(wf, 5)
+        assert got == brute(wf, 5), wf
+
+
+def test_wordpiece_encode_greedy_and_reconstruction(spark):
+    """Greedy longest match takes the longest vocab piece at each
+    position; stripped-## pieces reconstruct the word; unencodable words
+    become [UNK] whole; the distributed encode round-trips through the
+    distinct-word path."""
+    from blazingsql_spark.functions.text import train_wordpiece, wordpiece_encode
+
+    df = spark.createDataFrame(
+        [(1, "hug hug pug hugs"), (2, "hug pug pug hugs zap")],
+        ["doc_id", "text"],
+    )
+    merges, vocab_df = train_wordpiece(df, n_merges=3)
+    vocab = {r.piece for r in vocab_df.collect()}
+    # a word with a character never seen in training becomes [UNK] whole
+    unseen = wordpiece_encode(
+        spark.createDataFrame([(9, "hug qux")], ["doc_id", "text"]), vocab_df
+    ).first()
+    assert "[UNK]" in unseen.pieces and unseen.pieces.count("[UNK]") == 1
+    out = {r.doc_id: r.pieces for r in wordpiece_encode(df, vocab_df).collect()}
+    for doc_id, text in [(1, "hug hug pug hugs"), (2, "hug pug pug hugs zap")]:
+        words = text.split()
+        pieces = out[doc_id]
+        # reassemble word-by-word
+        rebuilt, cur = [], ""
+        for p in pieces:
+            if p == "[UNK]":
+                if cur:
+                    rebuilt.append(cur)
+                rebuilt.append(None)
+                cur = ""
+            elif p.startswith("##"):
+                cur += p[2:]
+            else:
+                if cur:
+                    rebuilt.append(cur)
+                cur = p
+        if cur:
+            rebuilt.append(cur)
+        assert len(rebuilt) == len(words)
+        for w, r in zip(words, rebuilt):
+            assert r is None or r == w
+
+
+def test_wordpiece_distributed_first_merge_matches_driver(spark):
+    """The distributed first-merge selection (the vocab_wordpiece_first
+    registry row) picks the same pair as the driver merge loop on the
+    fixture corpus."""
+    from blazingsql_spark.functions.text import train_wordpiece
+    from blazingsql_spark.queries.registry import all_queries, load_table
+    from tests.conftest import SF_DIR
+
+    row = all_queries()["vocab_wordpiece_first"].fn(spark, SF_DIR).first()
+    merges, _ = train_wordpiece(load_table(spark, SF_DIR, "documents"), n_merges=1)
+    assert (row.a, row.b) == merges[0]
