@@ -2027,6 +2027,103 @@ def sample_temperature_mix(spark, sf_dir):
 
 
 @register(
+    "dedup_entity_resolution",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT UNNEST(list_filter(
+            string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '')) AS name
+        FROM documents
+    ),
+    base AS (SELECT name, ROW_NUMBER() OVER (ORDER BY name) AS rid FROM toks),
+    records AS (
+        SELECT rid, name FROM base
+        UNION ALL SELECT rid + 1000, name || 'x' FROM base
+        UNION ALL SELECT rid + 2000, name || 'xx' FROM base
+    ),
+    e AS (
+        SELECT a.rid AS a, b.rid AS b
+        FROM records a JOIN records b
+          ON a.rid < b.rid AND LEVENSHTEIN(a.name, b.name) <= 1
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node, node AS lab FROM nodes
+        UNION
+        SELECT s.b AS node, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS cid FROM reach GROUP BY node),
+    labeled AS (
+        SELECT r.rid, r.name, COALESCE(c.cid, r.rid) AS entity_id
+        FROM records r LEFT JOIN comp c ON c.node = r.rid
+    )
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(rid) AS BIGINT) AS member_checksum,
+           MIN(name) AS canonical_name
+    FROM labeled GROUP BY entity_id ORDER BY entity_id
+    """,
+)
+def dedup_entity_resolution(spark, sf_dir):
+    """Entity resolution end-to-end (the classic data-cleaning pipeline):
+    deletion-neighborhood fuzzy blocking (operators.fuzzy.fuzzy_join)
+    generates candidate matches, exact edit distance verifies them, and
+    connected components (operators.graph) collapses matches into
+    canonical entities TRANSITIVELY — the demo plants two variant
+    generations per record (name+x, name+xx), so original and
+    grandchild share no edge and only the closure merges them. Proves
+    the fuzzy-join and components operators compose; the oracle replays
+    blocking-free (all-pairs levenshtein + recursive CTE), so blocking
+    must lose nothing."""
+    from pyspark.sql.window import Window as W
+
+    from blazingsql_spark.operators.fuzzy import fuzzy_join
+    from blazingsql_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')")
+        ).alias("name")
+    ).distinct()
+    # bounded no-partition window: the distinct-token dictionary
+    base = toks.withColumn("rid", F.row_number().over(W.orderBy("name")))
+    records = (
+        base.select("rid", "name")
+        .unionByName(
+            base.select((F.col("rid") + 1000).alias("rid"),
+                        F.concat("name", F.lit("x")).alias("name"))
+        )
+        .unionByName(
+            base.select((F.col("rid") + 2000).alias("rid"),
+                        F.concat("name", F.lit("xx")).alias("name"))
+        )
+    )
+    a = records.select(F.col("rid").alias("a_rid"), F.col("name").alias("a_name"))
+    b = records.select(F.col("rid").alias("b_rid"), F.col("name").alias("b_name"))
+    edges = (
+        fuzzy_join(a, b, "a_name", "b_name")
+        .filter(F.col("a_rid") < F.col("b_rid"))
+        .select(F.col("a_rid").alias("src"), F.col("b_rid").alias("dst"))
+    )
+    comp = connected_components(edges)
+    labeled = records.join(
+        comp, records["rid"] == comp["node"], "left"
+    ).select(
+        "rid", "name", F.coalesce("component_id", "rid").alias("entity_id")
+    )
+    return (
+        labeled.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("rid").cast("long").alias("member_checksum"),
+            F.min("name").alias("canonical_name"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+@register(
     "vocab_wordpiece_first",
     oracle=r"""
     WITH toks AS (

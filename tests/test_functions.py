@@ -2113,3 +2113,16 @@ def test_wordpiece_distributed_first_merge_matches_driver(spark):
     row = all_queries()["vocab_wordpiece_first"].fn(spark, SF_DIR).first()
     merges, _ = train_wordpiece(load_table(spark, SF_DIR, "documents"), n_merges=1)
     assert (row.a, row.b) == merges[0]
+
+
+def test_entity_resolution_merges_transitively(spark):
+    """The composed fuzzy-blocking -> components pipeline: every entity
+    holds exactly {original, +x, +xx} — the grandchild shares no edge
+    with the original, so a 3-member entity proves transitive closure
+    (pairwise-only matching would leave 2+1)."""
+    from blazingsql_spark.queries.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["dedup_entity_resolution"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 31
+    assert all(r.n_members == 3 for r in rows)
