@@ -261,6 +261,87 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_lsh_eval",
+    oracle=rf"""
+    WITH corpus AS ({_CORPUS_ORACLE}),
+    sub AS (SELECT * FROM corpus WHERE (doc_id % 100000) % 10 = 0),
+    d AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS ws FROM sub),
+    tok_all AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(range(1, LEN(ws)),
+                      i -> ws[i] || ' ' || ws[i+1]))) AS shingle
+        FROM d
+    ),
+    hot AS (SELECT shingle FROM tok_all GROUP BY shingle HAVING COUNT(*) > 25),
+    tok AS (SELECT * FROM tok_all
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE FLOOR(n_inter * 1.0 / (sa.n + sb.n - n_inter) * 1000000)
+              / 1000000 >= 0.8
+    ),
+    mh AS (
+        SELECT doc_id, seed, MIN(MD5(seed::VARCHAR || '|' || shingle)) AS minhash
+        FROM tok_all CROSS JOIN range(1, 9) r(seed)
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, (seed - 1) // 2 AS band,
+               MD5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash
+        FROM mh GROUP BY doc_id, (seed - 1) // 2
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM truth t JOIN cands c
+              ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hits
+    """,
+)
+def dedup_lsh_eval(spark, sf_dir):
+    """Dedup-quality evaluation harness — measure, don't guess: exact
+    2-gram Jaccard (threshold 0.8, the planted exact/near copies) is the
+    TRUTH set; MinHash-LSH candidates (8 hashes, 4 bands — the
+    production dedup_minhash_lsh configuration) are scored against it as
+    (n_truth, n_candidates, n_hits): recall = hits/truth, precision =
+    hits/candidates, both derivable from the exact integers. Every stage
+    is md5-portable, so the oracle replays BOTH pipelines and the
+    metrics themselves are differentially checked — no thresholds, no
+    booleans."""
+    sub = _corpus(spark, sf_dir).filter((F.col("doc_id") % 100000) % 10 == 0)
+    truth = (
+        dedup.jaccard_pairs(sub, shingle_n=2, max_shingle_df=25)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+        .withColumn("t", F.lit(1))
+    )
+    cands = dedup.lsh_candidate_pairs(
+        sub, num_hashes=8, bands=4, shingle_n=2
+    ).withColumn("c", F.lit(1))
+    marked = truth.join(cands, ["id_a", "id_b"], "full")
+    return marked.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum(F.col("t") * F.col("c")), F.lit(0))
+        .cast("long")
+        .alias("n_hits"),
+    )
+
+
+@register(
     "dedup_jaccard",
     oracle=r"""
     WITH d AS (
