@@ -411,3 +411,33 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
     return header + info + pix
+
+
+def nn_resize_2d(a: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample with the exact integer index map
+    src = (dst * src_size) // dst_size — chosen over box-average for the
+    perceptual-hash path because every sampled pixel is a pure integer
+    function of the source, so a SQL oracle can re-derive the result
+    from first principles."""
+    h, w = a.shape
+    iy = (np.arange(out_h) * h) // out_h
+    ix = (np.arange(out_w) * w) // out_w
+    return a[iy][:, ix]
+
+
+def dhash_image(pixels: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> str:
+    """Difference hash (dHash, the classic perceptual image fingerprint):
+    grayscale → nearest-neighbor resize to (hash_w+1) x hash_h → one bit
+    per cell, '1' where the right neighbor is brighter. Near-identical
+    images differ in few bits (hamming dedup, the image-side analogue of
+    SimHash). Returned as a '0'/'1' string of hash_w*hash_h bits
+    (row-major) — engine-portable, no signed-64-bit packing pitfalls.
+    Grayscale for multi-channel input is the exact floor-mean
+    (sum // channels), integer end to end."""
+    if pixels.ndim == 3:
+        g = pixels.astype(np.int64).sum(axis=2) // pixels.shape[2]
+    else:
+        g = pixels.astype(np.int64)
+    small = nn_resize_2d(g, hash_h, hash_w + 1)
+    bits = small[:, 1:] > small[:, :-1]
+    return "".join("1" if b else "0" for b in bits.ravel())

@@ -377,3 +377,29 @@ def resize_images(
             yield pd.DataFrame(cols)
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def dhash_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    out_col: str = "dhash",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Perceptual dHash per image payload (REAL PNG decode via
+    media_codec, Arrow-batched) — the candidate-generation step of image
+    near-dup dedup: group or band on the hash, verify with hamming
+    distance, exactly the SimHash discipline on the text side. One map
+    pass, no shuffle."""
+    from blazingsql_spark.functions.media_codec import decode_png, dhash_image
+
+    @F.pandas_udf("string")
+    def hasher(payloads):
+        import pandas as pd
+
+        return pd.Series(
+            [dhash_image(decode_png(bytes(p)), hash_w, hash_h) for p in payloads]
+        )
+
+    return df.withColumn(out_col, hasher(F.col(payload_col)))

@@ -2108,6 +2108,90 @@ def sample_temperature_mix(spark, sf_dir):
 
 
 @register(
+    "multimodal_dhash",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id AS img_id, doc_id AS base, FALSE AS variant
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id + 100000, doc_id, TRUE
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    bits AS (
+        SELECT img_id, y.y, x.x,
+            CASE WHEN
+                (CASE WHEN variant AND (2*y.y) = 0 AND (((x.x+1)*24)//9) = 0
+                      THEN (base*7 + 128) % 256
+                      ELSE (base*7 + 3*(((x.x+1)*24)//9) + 11*(2*y.y)) % 256 END)
+                >
+                (CASE WHEN variant AND (2*y.y) = 0 AND ((x.x*24)//9) = 0
+                      THEN (base*7 + 128) % 256
+                      ELSE (base*7 + 3*((x.x*24)//9) + 11*(2*y.y)) % 256 END)
+            THEN '1' ELSE '0' END AS bit
+        FROM imgs,
+             LATERAL (SELECT UNNEST(range(0, 8)) AS y) y,
+             LATERAL (SELECT UNNEST(range(0, 8)) AS x) x
+    )
+    SELECT img_id, STRING_AGG(bit, '' ORDER BY y, x) AS dhash
+    FROM bits GROUP BY img_id ORDER BY img_id
+    """,
+)
+def multimodal_dhash(spark, sf_dir):
+    """Perceptual image hashing through the REAL codec path: deterministic
+    grayscale PNGs are generated per doc (gradient pattern, one planted
+    near-identical variant per tenth doc — a single bumped pixel),
+    encoded with the zero-dependency PNG encoder, decoded back, NN-resized
+    and dHashed (functions.media_codec.dhash_image via
+    multimodal.dhash_images). The oracle re-derives EVERY BIT of every
+    hash from first-principles integer arithmetic — so encode, decode,
+    resize and hash must all be exact for the row to pass. The planted
+    variant lands at hamming distance 1 from its base (asserted in
+    pytest), which is what makes dHash the image near-dup candidate key."""
+    import numpy as np
+    import pandas as pd
+
+    from blazingsql_spark.functions.media_codec import encode_png
+    from blazingsql_spark.functions.multimodal import dhash_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("img_id"),
+            F.col("doc_id").alias("base"),
+            F.lit(False).alias("variant"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("img_id"),
+                F.col("doc_id").alias("base"),
+                F.lit(True).alias("variant"),
+            )
+        )
+    )
+
+    @F.pandas_udf("binary")
+    def make_png(bases, variants):
+        out = []
+        for b, v in zip(bases, variants):
+            b = int(b)
+            pix = np.fromfunction(
+                lambda y, x: (b * 7 + 3 * x + 11 * y) % 256, (16, 24)
+            ).astype(np.uint8)
+            if v:
+                pix[0, 0] = (int(pix[0, 0]) + 128) % 256
+            out.append(encode_png(pix))
+        return pd.Series(out)
+
+    payloads = imgs.withColumn("payload", make_png("base", "variant"))
+    return (
+        dhash_images(payloads, "payload", "img_id")
+        .select("img_id", "dhash")
+        .orderBy("img_id")
+    )
+
+
+@register(
     "dedup_entity_resolution",
     oracle=r"""
     WITH RECURSIVE toks AS (

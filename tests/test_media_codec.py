@@ -315,3 +315,44 @@ def test_bmp_sniff_meta_decode_resize(spark):
     out = multimodal.resize_images(df, width=8, height=8, fake=False).collect()[0]
     rz = mc.decode_bmp(bytes(out.resized))
     assert rz.shape == (8, 8, 3)
+
+
+def test_dhash_near_dup_discrimination(spark):
+    """dHash through the real PNG round trip: a one-pixel variant lands
+    at hamming distance <= 1 from its base, while unrelated gradient
+    images are far apart — the property that makes dHash a near-dup
+    candidate key."""
+    import numpy as np
+
+    from blazingsql_spark.functions.media_codec import (
+        decode_png,
+        dhash_image,
+        encode_png,
+    )
+
+    def img(base, bump=False):
+        pix = np.fromfunction(
+            lambda y, x: (base * 7 + 3 * x + 11 * y) % 256, (16, 24)
+        ).astype(np.uint8)
+        if bump:
+            pix[0, 0] = (int(pix[0, 0]) + 128) % 256
+        return dhash_image(decode_png(encode_png(pix)))
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    assert ham(img(40), img(40, bump=True)) <= 1
+    # rotated-gradient pattern (different phase) should disagree broadly
+    far = np.fromfunction(lambda y, x: (255 - 9 * x + 5 * y) % 256, (16, 24)).astype(
+        np.uint8
+    )
+    assert ham(img(40), dhash_image(decode_png(encode_png(far)))) > 16
+    # multi-channel grayscale rule: floor-mean equals the single channel
+    rgb = np.repeat(
+        np.fromfunction(lambda y, x: (40 * 7 + 3 * x + 11 * y) % 256, (16, 24))[
+            :, :, None
+        ],
+        3,
+        axis=2,
+    ).astype(np.uint8)
+    assert dhash_image(rgb) == img(40)
