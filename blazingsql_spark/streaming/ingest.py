@@ -565,18 +565,23 @@ class ComponentsIngest:
             return None
         return self.spark.read.parquet(f"{self.labels_path}/snap={snaps[-1]}")
 
-    def __call__(self, batch_df, epoch: int) -> None:
-        from blazingsql_spark.operators.graph import incremental_components
-
-        labels = self.read_labels()
-        new = incremental_components(labels, batch_df).localCheckpoint(eager=True)
-        new.write.mode("overwrite").parquet(f"{self.labels_path}/snap={int(epoch)}")
+    def _publish(self, df, epoch: int) -> None:
+        """Write-then-switch snapshot publish + prune (shared by every
+        versioned-snapshot maintainer)."""
+        df.write.mode("overwrite").parquet(f"{self.labels_path}/snap={int(epoch)}")
         jvm = self.spark.sparkContext._jvm
         jp = jvm.org.apache.hadoop.fs.Path
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
         fs = jp(self.labels_path).getFileSystem(conf)
         for old in self._snapshots()[: -self.keep_snapshots]:
             fs.delete(jp(f"{self.labels_path}/snap={old}"), True)
+
+    def __call__(self, batch_df, epoch: int) -> None:
+        from blazingsql_spark.operators.graph import incremental_components
+
+        labels = self.read_labels()
+        new = incremental_components(labels, batch_df).localCheckpoint(eager=True)
+        self._publish(new, epoch)
 
 
 class DedupClusterIngest(DedupIngest):
@@ -922,6 +927,75 @@ def run_pca_ingest(
     handler = PcaIngest(spark, model_path, **kwargs)
     q = (
         vec_stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return handler
+
+
+class CdcApplyIngest(ComponentsIngest):
+    """foreachBatch handler materializing "current state after the log"
+    from a CDC change stream (Debezium-shaped: op in I/U/D + a
+    monotonically comparable version) — the streaming completion of
+    operators.merge.cdc_apply.
+
+    Each epoch applies the batch's changes to the newest published
+    snapshot and publishes the result as a versioned ``snap=<epoch>``
+    directory under the same write-then-switch / keep>=2 discipline as
+    ComponentsIngest. At-least-once replay is idempotent BY ALGEBRA:
+    upserts and deletes are idempotent, so re-applying an
+    already-absorbed batch rewrites an identical snapshot (asserted in
+    tests). Per-epoch cost is one window over the BATCH's log plus one
+    key-join against the snapshot — sized by the batch and the live key
+    set, never the log history."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        snapshot_path: str,
+        key_cols: list[str],
+        op_col: str = "op",
+        version_col: str = "version",
+        keep_snapshots: int = 2,
+    ):
+        super().__init__(spark, snapshot_path, keep_snapshots)
+        self.key_cols = list(key_cols)
+        self.op_col = op_col
+        self.version_col = version_col
+
+    # the snapshot here is table state, not cluster labels — alias for
+    # readable call sites
+    def read_snapshot(self):
+        return self.read_labels()
+
+    def __call__(self, batch_df, epoch: int) -> None:
+        from blazingsql_spark.operators.merge import cdc_apply
+
+        snap = self.read_labels()
+        if snap is None:
+            # first epoch: an empty snapshot with the log's payload schema
+            snap = batch_df.drop(self.op_col, self.version_col).limit(0)
+        new = cdc_apply(
+            snap, batch_df, self.key_cols, self.op_col, self.version_col
+        ).localCheckpoint(eager=True)
+        self._publish(new, epoch)
+
+
+def run_cdc_apply_ingest(
+    spark: SparkSession,
+    change_stream: DataFrame,
+    snapshot_path: str,
+    checkpoint_path: str,
+    key_cols: list[str],
+    **kwargs,
+):
+    """Wire CdcApplyIngest into a streaming query (availableNow for the
+    bounded test sources; production drops the trigger)."""
+    handler = CdcApplyIngest(spark, snapshot_path, key_cols, **kwargs)
+    q = (
+        change_stream.writeStream.foreachBatch(handler)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

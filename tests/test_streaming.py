@@ -1208,3 +1208,87 @@ def test_pca_ingest_via_streaming_query(spark, tmp_path):
     want = pca_fit(emb_b, k=4)
     assert got["n"] == want["n"]
     assert np.allclose(got["components"], want["components"], atol=1e-8)
+
+
+def _cdc_log(spark):
+    """Synthetic orders CDC log with inserts, multi-version updates,
+    deletes, and a same-version U|D collision (the delete-wins tie)."""
+    from blazingsql_spark.queries.registry import load_table
+
+    base = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+    def chg(mod, mult, op, version):
+        return base.filter(F.col("o_orderkey") % mod == 0).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") * mult).alias("o_totalprice"),
+        ).withColumn("op", F.lit(op)).withColumn("version", F.lit(version))
+
+    snapshot = base
+    log = (
+        chg(7, 3.0, "U", 1)
+        .unionByName(chg(14, None, "D", 2).withColumn("o_totalprice", F.lit(None).cast("double")))
+        .unionByName(chg(21, 5.0, "U", 2))
+        .unionByName(chg(42, None, "D", 2).withColumn("o_totalprice", F.lit(None).cast("double")))
+    )
+    return snapshot, log
+
+
+def test_cdc_apply_ingest_matches_batch_and_replays(spark, tmp_path):
+    """Streaming CDC maintainer: applying the log split across two epochs
+    (version order) yields exactly the batch cdc_apply of the full log;
+    a replayed epoch rewrites an identical snapshot (idempotent by
+    algebra); a restarted handler resumes from the published snapshot."""
+    from blazingsql_spark.operators.merge import cdc_apply
+    from blazingsql_spark.streaming.ingest import CdcApplyIngest
+
+    snapshot, log = _cdc_log(spark)
+    path = str(tmp_path / "cdc")
+    h = CdcApplyIngest(spark, path, ["o_orderkey"])
+    # epoch 0 seeds the state with the initial snapshot as inserts
+    seed = snapshot.withColumn("op", F.lit("I")).withColumn("version", F.lit(0))
+    h(seed, 0)
+    h(log.filter(F.col("version") == 1), 1)
+    fresh = CdcApplyIngest(spark, path, ["o_orderkey"])  # restart
+    fresh(log.filter(F.col("version") == 2), 2)
+    got = fresh.read_snapshot().orderBy("o_orderkey").collect()
+    want = cdc_apply(snapshot, log, ["o_orderkey"]).orderBy("o_orderkey").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # replay of the last epoch: identical snapshot
+    fresh(log.filter(F.col("version") == 2), 2)
+    again = fresh.read_snapshot().orderBy("o_orderkey").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in want]
+
+
+def test_cdc_apply_ingest_via_streaming_query(spark, tmp_path):
+    """CdcApplyIngest over a real file-source stream (seed file then
+    change file, version-ordered): final snapshot equals batch
+    cdc_apply."""
+    import time
+
+    from blazingsql_spark.operators.merge import cdc_apply
+    from blazingsql_spark.streaming.ingest import run_cdc_apply_ingest
+
+    snapshot, log = _cdc_log(spark)
+    src = str(tmp_path / "src")
+    seed = snapshot.withColumn("op", F.lit("I")).withColumn("version", F.lit(0))
+    seed.coalesce(1).write.parquet(f"{src}/a")
+    time.sleep(1.1)  # file source orders by modification time
+    log.coalesce(1).write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(seed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    h = run_cdc_apply_ingest(
+        spark, stream, str(tmp_path / "snap"), str(tmp_path / "ckpt"),
+        ["o_orderkey"],
+    )
+    got = h.read_snapshot().orderBy("o_orderkey").collect()
+    want = cdc_apply(snapshot, log, ["o_orderkey"]).orderBy("o_orderkey").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
