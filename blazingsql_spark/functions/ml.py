@@ -383,3 +383,48 @@ def target_encode(
             / (F.col("n") + F.lit(m))
         ).alias("enc"),
     )
+
+
+def auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank-sum identity:
+    AUC = (sum of positive ranks - n_pos(n_pos+1)/2) / (n_pos * n_neg),
+    with AVERAGE ranks on score ties (the standard tie correction —
+    equivalent to counting tied pos/neg pairs as half-concordant). One
+    global rank (Spark range-partitions the sort) plus two aggregates;
+    no pairwise anything, so it runs at corpus scale where the O(n^2)
+    definition cannot. Returns a 1-row (n_pos, n_neg, auc) frame."""
+    from blazingsql_spark.operators.window import global_running
+
+    ranked = df.select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    # collapse to the distinct-score grain, then prefix-sum the group
+    # sizes DISTRIBUTED (operators.window.global_running — no
+    # single-partition window even when every score is distinct).
+    # average rank per tied score = first rank + (count-1)/2
+    per_score = global_running(
+        ranked.groupBy("__s").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos_s"),
+        ),
+        order_by=["__s"],
+        sum_cols={"cum_n": "n"},
+    ).withColumn(
+        "avg_rank", F.col("cum_n") - F.col("n") + 1 + (F.col("n") - 1) / 2.0
+    )
+    return per_score.agg(
+        F.sum("n_pos_s").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("n_pos_s")).cast("long").alias("n_neg"),
+        (
+            (
+                F.sum(F.col("avg_rank") * F.col("n_pos_s"))
+                - (F.sum("n_pos_s") * (F.sum("n_pos_s") + 1)) / 2.0
+            )
+            / (F.sum("n_pos_s") * (F.sum("n") - F.sum("n_pos_s")))
+        ).alias("auc"),
+    )

@@ -2108,6 +2108,52 @@ def sample_temperature_mix(spark, sf_dir):
 
 
 @register(
+    "ml_auc_eval",
+    oracle=r"""
+    WITH data AS (
+        SELECT LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                               x -> x <> '')) AS s,
+               CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    per AS (SELECT s, COUNT(*) AS n, SUM(y) AS np FROM data GROUP BY s),
+    r AS (SELECT s, n, np, SUM(n) OVER (ORDER BY s) AS cum_n FROM per)
+    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
+           FLOOR((SUM((cum_n - n + 1 + (n - 1) / 2.0) * np)
+                  - SUM(np) * (SUM(np) + 1) / 2.0)
+                 / (SUM(np) * (SUM(n) - SUM(np))) * 1000000) / 1000000 AS auc
+    FROM r
+    """,
+)
+def ml_auc_eval(spark, sf_dir):
+    """Exact ROC AUC at corpus scale (functions.ml.auc_score): the
+    Mann-Whitney rank-sum identity with average-rank tie correction —
+    never the O(n^2) pairwise definition. The prefix sum over the
+    distinct-score table runs DISTRIBUTED via
+    operators.window.global_running (no single-partition window even
+    with continuous scores); rank sums are exact integers/halves, so
+    the oracle's independent windowed spelling agrees to the FLOOR
+    grid. Scored here: whitespace token count predicting the long-doc
+    label — the evaluation companion to ml_logistic_quality's trainer."""
+    from blazingsql_spark.functions.ml import auc_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    data = docs.select(
+        F.size(
+            F.expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')")
+        ).alias("s"),
+        (F.col("n_chars") > 300).cast("int").alias("y"),
+    )
+    out = auc_score(data, "s", "y")
+    return out.select(
+        "n_pos",
+        "n_neg",
+        (F.floor(F.col("auc") * 1000000) / 1000000).alias("auc"),
+    )
+
+
+@register(
     "multimodal_dhash",
     oracle="""
     WITH imgs AS (

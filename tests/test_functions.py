@@ -2126,3 +2126,34 @@ def test_entity_resolution_merges_transitively(spark):
     rows = all_queries()["dedup_entity_resolution"].fn(spark, SF_DIR).collect()
     assert len(rows) == 31
     assert all(r.n_members == 3 for r in rows)
+
+
+def test_auc_score_matches_pairwise_definition(spark):
+    """auc_score (rank-sum with tie correction) equals the O(n^2)
+    pairwise definition — concordant + half of tied pairs — on random
+    labeled data with heavy score ties; perfect and inverted separations
+    hit exactly 1.0 and 0.0."""
+    import random
+
+    from blazingsql_spark.functions.ml import auc_score
+
+    rnd = random.Random(23)
+    rows = [(rnd.randint(0, 8), rnd.randint(0, 1)) for _ in range(300)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = auc_score(df, "s", "y").first()
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    pairs = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    want = pairs / (len(pos) * len(neg))
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert abs(got.auc - want) < 1e-12
+    perfect = spark.createDataFrame(
+        [(i, 1 if i >= 50 else 0) for i in range(100)], ["s", "y"]
+    )
+    assert auc_score(perfect, "s", "y").first().auc == 1.0
+    inverted = spark.createDataFrame(
+        [(i, 0 if i >= 50 else 1) for i in range(100)], ["s", "y"]
+    )
+    assert auc_score(inverted, "s", "y").first().auc == 0.0
