@@ -441,3 +441,30 @@ def dhash_image(pixels: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> str:
     small = nn_resize_2d(g, hash_h, hash_w + 1)
     bits = small[:, 1:] > small[:, :-1]
     return "".join("1" if b else "0" for b in bits.ravel())
+
+
+def encode_wav(sr: int, samples: np.ndarray, n_channels: int = 1) -> bytes:
+    """int16 PCM → WAV bytes (stdlib wave) — the test-fixture encoder
+    mirroring decode_wav."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(int(sr))
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def audio_envelope_hash(samples_i16: np.ndarray, n_frames: int = 32) -> str:
+    """Energy-envelope audio fingerprint (the dHash idea on the time
+    axis): split the PCM stream into n_frames equal frames, exact
+    integer energy (sum of squared int16 samples) per frame, one bit per
+    boundary — '1' where the next frame is louder. Integer end to end,
+    so a SQL oracle re-derives every bit; near-identical clips differ in
+    few bits (hamming dedup). Returns n_frames-1 '0'/'1' chars; the
+    sample count must divide evenly into frames (fixtures choose it so)."""
+    s = samples_i16.astype(np.int64).ravel()
+    if len(s) % n_frames:
+        raise ValueError(f"sample count {len(s)} not divisible by {n_frames} frames")
+    e = (s * s).reshape(n_frames, -1).sum(axis=1)
+    return "".join("1" if e[f + 1] > e[f] else "0" for f in range(n_frames - 1))

@@ -2108,6 +2108,91 @@ def sample_temperature_mix(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_fp",
+    oracle="""
+    WITH auds AS (
+        SELECT doc_id AS aud_id, doc_id AS base, FALSE AS variant
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id + 100000, doc_id, TRUE
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    e AS (
+        SELECT aud_id, f.f,
+               SUM(POWER((base*13 + 7*(f.f*64 + t.t)) % 2003 - 1001
+                         + CASE WHEN variant AND f.f = 0 AND t.t = 0
+                                THEN 500 ELSE 0 END, 2)) AS energy
+        FROM auds,
+             LATERAL (SELECT UNNEST(range(0, 32)) AS f) f,
+             LATERAL (SELECT UNNEST(range(0, 64)) AS t) t
+        GROUP BY aud_id, f.f
+    ),
+    bits AS (
+        SELECT aud_id, f,
+               CASE WHEN LEAD(energy) OVER (PARTITION BY aud_id ORDER BY f)
+                         > energy THEN '1' ELSE '0' END AS bit
+        FROM e
+    )
+    SELECT aud_id, STRING_AGG(bit, '' ORDER BY f) AS afp
+    FROM bits WHERE f < 31 GROUP BY aud_id ORDER BY aud_id
+    """,
+)
+def multimodal_audio_fp(spark, sf_dir):
+    """Audio fingerprinting through the REAL codec path (the WAV twin of
+    multimodal_dhash): deterministic int16 PCM clips are generated per
+    doc (2048 samples, one planted variant per tenth doc with a single
+    bumped sample), encoded with the stdlib-wave encoder, decoded back
+    and envelope-hashed (functions.media_codec.audio_envelope_hash via
+    multimodal.audio_fingerprints). Frame energies are exact integers,
+    so the oracle re-derives EVERY BIT from first-principles arithmetic
+    — encode, decode, int16 recovery and hash must all be exact. The
+    planted one-sample variant hashes IDENTICALLY (energy envelopes are
+    robust to sub-frame perturbation), which is the property that makes
+    the fingerprint a near-dup group key."""
+    import numpy as np
+    import pandas as pd
+
+    from blazingsql_spark.functions.media_codec import encode_wav
+    from blazingsql_spark.functions.multimodal import audio_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    auds = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("aud_id"),
+            F.col("doc_id").alias("base"),
+            F.lit(False).alias("variant"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("aud_id"),
+                F.col("doc_id").alias("base"),
+                F.lit(True).alias("variant"),
+            )
+        )
+    )
+
+    @F.pandas_udf("binary")
+    def make_wav(bases, variants):
+        out = []
+        t = np.arange(2048)
+        for b, v in zip(bases, variants):
+            s = ((int(b) * 13 + 7 * t) % 2003) - 1001
+            if v:
+                s = s.copy()
+                s[0] += 500
+            out.append(encode_wav(8000, s))
+        return pd.Series(out)
+
+    payloads = auds.withColumn("payload", make_wav("base", "variant"))
+    return (
+        audio_fingerprints(payloads, "payload", "aud_id")
+        .select("aud_id", "afp")
+        .orderBy("aud_id")
+    )
+
+
+@register(
     "ml_auc_eval",
     oracle=r"""
     WITH data AS (

@@ -356,3 +356,35 @@ def test_dhash_near_dup_discrimination(spark):
         axis=2,
     ).astype(np.uint8)
     assert dhash_image(rgb) == img(40)
+
+
+def test_audio_envelope_fingerprint_properties(spark):
+    """Envelope fingerprint through the real WAV round trip: int16
+    recovers exactly from the decoder's /32768 normalization, a
+    one-sample bump hashes identically (sub-frame robustness), and a
+    different clip disagrees broadly."""
+    import numpy as np
+
+    from blazingsql_spark.functions.media_codec import (
+        audio_envelope_hash,
+        decode_wav,
+        encode_wav,
+    )
+
+    def fp(s):
+        _sr, _ch, x = decode_wav(encode_wav(8000, s))
+        rec = np.round(x.ravel() * 32768.0).astype(np.int64)
+        assert (rec == s).all()  # exact int16 round trip
+        return audio_envelope_hash(rec)
+
+    t = np.arange(2048)
+    a = ((7 * 13 + 7 * t) % 2003) - 1001
+    bumped = a.copy()
+    bumped[0] += 500
+    assert fp(a) == fp(bumped)
+    other = ((7 * 13 + 11 * t) % 1999) - 999
+    assert sum(x != y for x, y in zip(fp(a), fp(other))) > 8
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        audio_envelope_hash(np.arange(100))
