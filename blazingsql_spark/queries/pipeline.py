@@ -860,6 +860,73 @@ def docs_pack(spark, sf_dir):
     return pack_documents(docs, budget=512).orderBy("doc_id")
 
 
+@register(
+    "docs_bin_pack",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                    ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS n
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n > 96 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+           TRUE AS within_budget,
+           TRUE AS offsets_tile,
+           TRUE AS assigned_once
+    FROM t
+    """,
+)
+def docs_bin_pack(spark, sf_dir):
+    """Padding-free NO-SPLIT sample packing (operators.packing
+    .bin_pack_documents — docs_pack is the splitting layout; this keeps
+    documents whole, the LLM sample-packing shape): greedy largest-fit
+    strategies computed over the LENGTH HISTOGRAM (budget-bounded, never
+    the corpus) and assigned arithmetically from each doc's rank within
+    its length group. The row checks the packing's structural invariants
+    in-engine — every pack within budget, offsets tiling contiguously
+    with no gaps or overlaps, every document assigned exactly once —
+    next to SQL-exact corpus totals."""
+    from blazingsql_spark.operators.packing import bin_pack_documents
+
+    budget = 96
+    docs = load_table(spark, sf_dir, "documents")
+    packed = bin_pack_documents(docs, budget=budget)
+    per_pack = (
+        packed.filter(~F.col("oversize"))
+        .groupBy("pack_id")
+        .agg(
+            F.sum("n_tokens").alias("load"),
+            F.max(F.col("pack_offset") + F.col("n_tokens")).alias("end"),
+            F.min("pack_offset").alias("start"),
+        )
+    )
+    pack_ok = per_pack.agg(
+        F.max(F.col("load") > budget).alias("over"),
+        F.max((F.col("load") != F.col("end")) | (F.col("start") != 0)).alias(
+            "untiled"
+        ),
+    )
+    totals = packed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("doc_id").cast("long").alias("n_ids"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("oversize").cast("long")).cast("long").alias("n_oversize"),
+    )
+    n_docs = docs.count()
+    return totals.crossJoin(F.broadcast(pack_ok)).select(
+        F.col("n_rows").alias("n_docs"),
+        "total_tokens",
+        "n_oversize",
+        (~F.coalesce(F.col("over"), F.lit(False))).alias("within_budget"),
+        (~F.coalesce(F.col("untiled"), F.lit(False))).alias("offsets_tile"),
+        ((F.col("n_rows") == F.lit(n_docs)) & (F.col("n_ids") == F.lit(n_docs))).alias(
+            "assigned_once"
+        ),
+    )
+
+
 # ------------------------------------------------------------ multimodal
 
 

@@ -202,3 +202,37 @@ def test_dsir_empty_and_no_token_docs(spark):
     got = {r.doc_id: r.dsir_logw for r in w.collect()}
     assert set(got) == {1, 2, 3}
     assert got[2] == 0.0 and got[3] == 0.0  # token-free docs score 0, not NULL
+
+
+def test_bin_pack_documents_invariants_and_quality(spark):
+    """No-split packing: every doc lands in exactly one pack, packs never
+    exceed the budget, offsets tile each pack contiguously (no gaps or
+    overlaps), oversize docs get flagged singleton packs, and on a mixed
+    workload the greedy histogram packer hits the pigeonhole lower bound
+    or close (here: exactly)."""
+    from blazingsql_spark.operators.packing import bin_pack_documents
+
+    sizes = [5, 5, 5, 3, 3, 2, 2, 7, 7, 1, 9, 4, 6, 8, 10, 12]
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pdf = bin_pack_documents(df, budget=10).toPandas()
+    assert len(pdf) == len(rows) and pdf.doc_id.is_unique
+    fit = pdf[~pdf.oversize]
+    loads = fit.groupby("pack_id").n_tokens.sum()
+    assert (loads <= 10).all()
+    for _pid, g in fit.groupby("pack_id"):
+        g = g.sort_values("pack_offset")
+        pos = 0
+        for _, r in g.iterrows():
+            assert r.pack_offset == pos
+            pos += r.n_tokens
+    over = pdf[pdf.oversize]
+    assert list(over.n_tokens) == [12] and (over.pack_offset == 0).all()
+    assert set(over.pack_id) & set(fit.pack_id) == set()
+    total = int(fit.n_tokens.sum())
+    assert fit.pack_id.nunique() == -(-total // 10)  # optimal here
+    # determinism under repartition
+    pdf2 = bin_pack_documents(df.repartition(7), budget=10).toPandas()
+    a = pdf.sort_values("doc_id").reset_index(drop=True)
+    b = pdf2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
