@@ -666,6 +666,32 @@ def detect_contamination(
     return exact.unionAll(near)
 
 
+def _doc_grams(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared tokenize + lead-window n-gram construction for the span
+    operators: returns (toks(_id, pos, token), grams(_id, pos, gram))
+    where pos is the gram's START token position. One place to change
+    the tokenization regex / hot-key strategy for both the exposure
+    metric and the rewrite."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy("_id").orderBy("pos")
+    parts: list[Column] = [F.col("token")]
+    for i in range(1, n):
+        parts.extend([F.lit(" "), F.lead("token", i).over(w)])
+    grams = toks.select("_id", "pos", F.concat(*parts).alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    return toks, grams
+
+
 def duplicated_ngram_spans(
     docs: DataFrame,
     n: int = 3,
@@ -699,22 +725,7 @@ def duplicated_ngram_spans(
     against a SQL oracle."""
     from pyspark.sql import Window
 
-    toks = (
-        docs.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-                "pos", "token"
-            ),
-        )
-        .filter(F.col("token") != "")
-    )
-    w = Window.partitionBy("_id").orderBy("pos")
-    parts: list[Column] = [F.col("token")]
-    for i in range(1, n):
-        parts.extend([F.lit(" "), F.lead("token", i).over(w)])
-    grams = toks.select("_id", F.concat(*parts).alias("gram")).filter(
-        F.col("gram").isNotNull()
-    )
+    _toks, grams = _doc_grams(docs, n, id_col, text_col)
     per_doc_gram = grams.groupBy("gram", "_id").agg(F.count(F.lit(1)).alias("k"))
     flagged = per_doc_gram.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
@@ -765,21 +776,7 @@ def remove_duplicated_ngram_spans(
     this inherently re-reads the token stream on both branches (the
     rewrite needs token-level positions back); at 100 TB persist the
     token table between the two uses rather than re-tokenizing."""
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "pos", "token"
-        ),
-    ).filter(F.col("token") != "")
-    w = Window.partitionBy("_id").orderBy("pos")
-    parts: list[Column] = [F.col("token")]
-    for i in range(1, n):
-        parts.extend([F.lit(" "), F.lead("token", i).over(w)])
-    grams = toks.select("_id", "pos", F.concat(*parts).alias("gram")).filter(
-        F.col("gram").isNotNull()
-    )
+    toks, grams = _doc_grams(docs, n, id_col, text_col)
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct("_id").alias("df"))

@@ -382,7 +382,6 @@ def resize_images(
 def dhash_images(
     df: DataFrame,
     payload_col: str = "payload",
-    id_col: str = "doc_id",
     out_col: str = "dhash",
     hash_w: int = 8,
     hash_h: int = 8,
@@ -408,7 +407,6 @@ def dhash_images(
 def audio_fingerprints(
     df: DataFrame,
     payload_col: str = "payload",
-    id_col: str = "doc_id",
     out_col: str = "afp",
     n_frames: int = 32,
 ) -> DataFrame:

@@ -1758,8 +1758,13 @@ def mmr_rerank(
         )
     )
 
+    # derive the id types from the pool schema — hardcoding 'long' would
+    # break (or silently coerce) string/uuid document ids
+    qid_type = pool.schema[query_id_col].dataType.simpleString()
+    id_type = pool.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{query_id_col} long, mmr_rank long, {id_col} long, relevance double"
+        f"{query_id_col} {qid_type}, mmr_rank long, "
+        f"{id_col} {id_type}, relevance double"
     )
 
     def greedy(pdf):
@@ -1824,6 +1829,14 @@ def ivf_pca_topk(
     this consumes)."""
     from blazingsql_spark.functions.ml import pca_fit, pca_transform
 
+    if prebuilt is not None and model is None:
+        # the prebuilt centroids live in a SPECIFIC fitted subspace —
+        # fitting a fresh PCA here would project queries into a rotated
+        # one, probe meaningless lists, and silently collapse recall
+        raise ValueError(
+            "ivf_pca_topk: `prebuilt` requires the `model` the index was "
+            "built with (a fresh fit would not share its subspace)"
+        )
     if model is None:
         model = pca_fit(vectors, vec_col=vec_col, k=pca_k)
     if prebuilt is not None:

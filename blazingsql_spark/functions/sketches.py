@@ -99,7 +99,10 @@ def cms_sketch(
     def sketch_partition(batches):
         m = np.zeros((dp, wd), dtype=np.int64)
         for pdf in batches:
-            vc = pdf[col].astype(str).value_counts()
+            # NULLs are excluded, not counted as the string 'None'/'nan'
+            # (same contract as categorical_fit — count nulls upstream if
+            # they are a category)
+            vc = pdf[col].dropna().astype(str).value_counts()
             for item, cnt in vc.items():
                 for j in range(dp):
                     h = int.from_bytes(

@@ -2253,7 +2253,7 @@ def multimodal_audio_fp(spark, sf_dir):
 
     payloads = auds.withColumn("payload", make_wav("base", "variant"))
     return (
-        audio_fingerprints(payloads, "payload", "aud_id")
+        audio_fingerprints(payloads, "payload")
         .select("aud_id", "afp")
         .orderBy("aud_id")
     )
@@ -2383,7 +2383,7 @@ def multimodal_dhash(spark, sf_dir):
 
     payloads = imgs.withColumn("payload", make_png("base", "variant"))
     return (
-        dhash_images(payloads, "payload", "img_id")
+        dhash_images(payloads, "payload")
         .select("img_id", "dhash")
         .orderBy("img_id")
     )
@@ -2398,10 +2398,14 @@ def multimodal_dhash(spark, sf_dir):
         FROM documents
     ),
     base AS (SELECT name, ROW_NUMBER() OVER (ORDER BY name) AS rid FROM toks),
+    nv AS (SELECT COUNT(*) AS n FROM base),
     records AS (
+        -- variant offsets stride by the LIVE vocabulary size: fixed
+        -- +1000/+2000 offsets would collide with base rids once the
+        -- vocabulary reaches 1000 (latent on the 31-token fixture)
         SELECT rid, name FROM base
-        UNION ALL SELECT rid + 1000, name || 'x' FROM base
-        UNION ALL SELECT rid + 2000, name || 'xx' FROM base
+        UNION ALL SELECT rid + (SELECT n FROM nv), name || 'x' FROM base
+        UNION ALL SELECT rid + 2 * (SELECT n FROM nv), name || 'xx' FROM base
     ),
     e AS (
         SELECT a.rid AS a, b.rid AS b
@@ -2451,14 +2455,17 @@ def dedup_entity_resolution(spark, sf_dir):
     ).distinct()
     # bounded no-partition window: the distinct-token dictionary
     base = toks.withColumn("rid", F.row_number().over(W.orderBy("name")))
+    # variant offsets stride by the live vocabulary size (fixed +1000
+    # offsets would collide with base rids at >=1000 distinct tokens)
+    n_vocab = base.count()
     records = (
         base.select("rid", "name")
         .unionByName(
-            base.select((F.col("rid") + 1000).alias("rid"),
+            base.select((F.col("rid") + n_vocab).alias("rid"),
                         F.concat("name", F.lit("x")).alias("name"))
         )
         .unionByName(
-            base.select((F.col("rid") + 2000).alias("rid"),
+            base.select((F.col("rid") + 2 * n_vocab).alias("rid"),
                         F.concat("name", F.lit("xx")).alias("name"))
         )
     )

@@ -48,7 +48,11 @@ def write_arrow_ipc(
         raise ValueError(f"arrow: unknown write mode {mode!r}; one of {_MODES}")
     _check_posix_path(path)
     os.makedirs(path, exist_ok=True)
-    existing = [f for f in os.listdir(path) if f.endswith(".arrow")]
+    # match the READER's file set (.arrow AND .feather — Feather V2 is the
+    # same format and the reader unions both): mode='error' must see
+    # foreign feather data, and 'overwrite' must remove it, or the next
+    # read unions stale rows with the new write
+    existing = [f for f in os.listdir(path) if f.endswith((".arrow", ".feather"))]
     if existing:
         if mode == "error":
             raise ValueError(f"arrow: target {path} already has {len(existing)} files")

@@ -807,24 +807,28 @@ def run_bloom_corpus_ingest(
     )
 
 
-class PcaIngest:
+class PcaIngest(ComponentsIngest):
     """foreachBatch handler maintaining a PCA model over an embedding
     stream — the dimensionality-reduction mirror of AnnIndexIngest.
 
-    Unlike the ANN index (whose artifacts freeze after the build epoch),
-    the PCA state is the EXACT mergeable moment sketch (n, Σx, Σxxᵀ,
+    The state is the EXACT mergeable moment sketch (n, Σx, Σxxᵀ,
     functions.ml.pca_moments): each epoch sketches its batch in one Arrow
-    pass, adds it to the stored sketch, and refits the model driver-side
+    pass, adds it to the prior sketch, and refits the model driver-side
     (d×d eigendecomposition) — so after any number of epochs the model is
     IDENTICAL to a batch fit on the union of everything seen, not an
-    approximation (property-tested). Per epoch a drift row is appended:
-    the angle between the previous and new top component and the
-    explained-variance ratio — recorded data for the
-    reproject-downstream decision, same discipline as the ANN drift
-    report.
+    approximation (property-tested).
 
-    Restart-safe: the sketch is probed on disk, so a restart from
-    checkpoint resumes the accumulation instead of starting over.
+    Unlike components (a closure) or CDC (upserts/deletes), moment
+    ADDITION is not idempotent — a replayed epoch must not absorb its
+    batch twice — so the sketch lives under the versioned snap=<epoch>
+    discipline (inherited from ComponentsIngest) and epoch N ALWAYS
+    merges against the newest snapshot with epoch < N: a replay
+    recomputes exactly the first attempt, and a crash mid-write leaves a
+    _SUCCESS-less snap the reader skips. Drift rows (top-component
+    rotation angle + explained-variance ratio, derived from the PRIOR
+    sketch so replays agree) land in per-epoch partitions, overwritten
+    idempotently. Empty micro-batches (recovery/no-data triggers) are
+    skipped outright.
     """
 
     def __init__(
@@ -833,17 +837,22 @@ class PcaIngest:
         model_path: str,
         k: int = 8,
         vec_col: str = "embedding",
+        keep_snapshots: int = 2,
     ):
-        self.spark = spark
+        super().__init__(spark, f"{model_path.rstrip('/')}/moments", keep_snapshots)
         self.model_path = model_path.rstrip("/")
         self.k = int(k)
         self.vec_col = vec_col
 
-    def _load_sketch(self):
-        try:
-            row = self.spark.read.parquet(f"{self.model_path}/moments").first()
-        except Exception:  # first epoch: no sketch yet
+    def _prior_sketch(self, epoch: int):
+        """Newest published sketch STRICTLY BEFORE this epoch — the replay
+        anchor (a replayed epoch must not read its own first attempt)."""
+        snaps = [s for s in self._snapshots() if s < epoch]
+        if not snaps:
             return None
+        row = self.spark.read.parquet(
+            f"{self.labels_path}/snap={snaps[-1]}"
+        ).first()
         return int(row["n"]), list(row["s"]), list(row["ss"])
 
     def load_model(self) -> dict:
@@ -866,12 +875,19 @@ class PcaIngest:
 
         from blazingsql_spark.functions.ml import pca_fit_from_moments, pca_moments
 
+        epoch = int(epoch_id)
+        if batch.isEmpty():
+            return  # no-data/recovery batch: no state change, no drift row
         n_b, s_b, ss_b = pca_moments(batch, self.vec_col)
-        prior = self._load_sketch()
+        prior = self._prior_sketch(epoch)
         prev_top = None
         if prior is not None:
             n0, s0, ss0 = prior
-            prev_top = np.asarray(self.load_model()["components"][0])
+            # prior top component derives from the PRIOR SKETCH (not the
+            # stored model, which a replay may find already advanced)
+            prev_top = np.asarray(
+                pca_fit_from_moments(n0, s0, ss0, self.k)["components"][0]
+            )
             n_b = n_b + n0
             s_b = np.asarray(s_b) + np.asarray(s0)
             ss_b = np.asarray(ss_b).ravel() + np.asarray(ss0)
@@ -886,9 +902,7 @@ class PcaIngest:
             ],
             "n long, s array<double>, ss array<double>",
         )
-        # safe to overwrite in place: the sketch was already materialized
-        # into local numpy state above, and foreachBatch epochs are serial
-        sk.write.mode("overwrite").parquet(f"{self.model_path}/moments")
+        self._publish(sk, epoch)  # versioned snap=<epoch>, keep>=2, pruned
         rows = [("mean", -1, model["mean"], 0.0)]
         rows += [
             ("component", i, model["components"][i], float(model["eigvals"][i]))
@@ -909,10 +923,12 @@ class PcaIngest:
             else 0.0
         )
         evr = float(sum(model["eigvals"]) / max(model["total_var"], 1e-300))
+        # per-epoch partition overwrite: a replayed epoch rewrites its own
+        # row instead of appending a duplicate
         self.spark.createDataFrame(
-            [(int(epoch_id), model["n"], angle, evr)],
-            "epoch_id long, n_total long, top_angle_deg double, evr double",
-        ).write.mode("append").parquet(f"{self.model_path}/drift")
+            [(model["n"], angle, evr)],
+            "n_total long, top_angle_deg double, evr double",
+        ).write.mode("overwrite").parquet(f"{self.model_path}/drift/epoch_id={epoch}")
 
 
 def run_pca_ingest(

@@ -106,6 +106,7 @@ def test_no_accidental_cartesian_products(spark):
         "sample_dsir_weights",  # bucket table x broadcast(two 1-row p/q total aggregates) — same bounded shape as text_bm25's corpus stats
         "encode_target_smoothed",  # |categories| dictionary x broadcast(1-row global-mean aggregate) — text_bm25's corpus-stats shape
         "docs_bin_pack",  # 1-row totals x broadcast(1-row pack-invariant aggregate) — corpus_profile's accepted two-scalar-frames shape
+        "vocab_wordpiece_first",  # 1-row argmax result x broadcast(1-row n_words aggregate) — the same bounded scalar-frame shape
         "sample_temperature_mix",  # |domains| dictionary x broadcast(1-row total) x broadcast(1-row normalizer) — both sides dictionary-sized
         "corpus_profile",  # 1-row corpus aggregate x 1-row percentile frame, plus the keyless percentile path's |quantiles|-row broadcast (agg_equidepth's accepted shape)
         "sketch_hll_mergeable",  # 1-row merged-sketch frame x 1-row exact-count frame — corpus_profile's accepted two-scalar-frames shape

@@ -1181,6 +1181,25 @@ def test_pca_ingest_is_exactly_mergeable(spark, tmp_path):
     assert drift[0].top_angle_deg == 0.0  # first epoch has no predecessor
     assert 0 <= drift[1].top_angle_deg <= 90.0
     assert 0 < drift[1].evr <= 1.0
+    # at-least-once replay: re-delivering epoch 1 must NOT absorb the
+    # batch twice (moment addition is not idempotent by algebra — the
+    # snapshot discipline makes it so) and must not duplicate drift rows
+    fresh(b, 1)
+    replayed = fresh.load_model()
+    assert replayed["n"] == want["n"]
+    assert np.allclose(replayed["components"], want["components"], atol=1e-9)
+    drift2 = spark.read.parquet(f"{path}/drift").collect()
+    assert len(drift2) == 2
+    # empty micro-batch: skipped outright, no state change, no drift row
+    fresh(emb.filter(F.col("vec_id") < 0), 2)
+    assert fresh.load_model()["n"] == want["n"]
+    assert spark.read.parquet(f"{path}/drift").count() == 2
+    # torn snapshot (no _SUCCESS) is skipped by the reader
+    import pathlib
+
+    torn = pathlib.Path(f"{path}/moments/snap=9")
+    torn.mkdir(parents=True)
+    assert fresh._snapshots()[-1] != 9
 
 
 def test_pca_ingest_via_streaming_query(spark, tmp_path):
