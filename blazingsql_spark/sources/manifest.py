@@ -46,19 +46,49 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), sc._jvm
 
 
-def read_manifest(spark: SparkSession, index_dir: str) -> dict | None:
-    """Newest manifest in ``index_dir``, or None if the index has never
-    been compacted (reader default: all epoch partitions >= 0)."""
+def list_manifest_versions(spark: SparkSession, index_dir: str) -> list[int]:
+    """Retained manifest versions, ascending — the time-travel horizon."""
     fs, jvm = _fs(spark, index_dir)
     root = jvm.org.apache.hadoop.fs.Path(index_dir)
     if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        m = _MANIFEST_RE.match(st.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_manifest(
+    spark: SparkSession, index_dir: str, version: int | None = None
+) -> dict | None:
+    """Newest manifest in ``index_dir`` (or the named retained ``version``
+    for time travel), or None if the index has never been compacted
+    (reader default: all epoch partitions >= 0). Asking for a version
+    that is not retained raises — silently reading the newest instead
+    would return the wrong table state."""
+    fs, jvm = _fs(spark, index_dir)
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    if not fs.exists(root):
+        if version is not None:
+            raise ValueError(f"manifest version {version} not found in {index_dir}")
         return None
     best_v, best_path = -1, None
     for st in fs.listStatus(root):
         m = _MANIFEST_RE.match(st.getPath().getName())
-        if m and int(m.group(1)) > best_v:
-            best_v, best_path = int(m.group(1)), st.getPath()
+        if not m:
+            continue
+        v = int(m.group(1))
+        if version is not None:
+            if v == version:
+                best_v, best_path = v, st.getPath()
+                break
+        elif v > best_v:
+            best_v, best_path = v, st.getPath()
     if best_path is None:
+        if version is not None:
+            raise ValueError(f"manifest version {version} not found in {index_dir}")
         return None
     stream = fs.open(best_path)
     try:
@@ -68,10 +98,20 @@ def read_manifest(spark: SparkSession, index_dir: str) -> dict | None:
     return json.loads(text)
 
 
-def write_manifest(spark: SparkSession, index_dir: str, manifest: dict) -> None:
+def write_manifest(
+    spark: SparkSession,
+    index_dir: str,
+    manifest: dict,
+    keep_manifests: int = 1,
+) -> None:
     """Publish ``manifest`` as the next ``MANIFEST-<v>.json`` (dot-temp
-    write + rename-to-fresh-name; older versions become garbage and are
-    deleted best-effort)."""
+    write + rename-to-fresh-name). ``keep_manifests`` retains that many
+    newest versions for time travel (default 1 = current-only, the
+    historical behavior); older versions become garbage and are deleted
+    best-effort. Retention of MANIFESTS is not retention of DATA: a
+    retained version stays readable only until compaction's gc reclaims
+    partitions it references — the same horizon contract as table-format
+    VACUUM."""
     fs, jvm = _fs(spark, index_dir)
     jp = jvm.org.apache.hadoop.fs.Path
     prev = read_manifest(spark, index_dir)
@@ -86,18 +126,29 @@ def write_manifest(spark: SparkSession, index_dir: str, manifest: dict) -> None:
         out.close()
     if not fs.rename(tmp, final):
         raise IOError(f"manifest publish failed: {tmp} -> {final}")
+    cutoff = version - max(int(keep_manifests), 1) + 1
     for st in fs.listStatus(jp(index_dir)):
         m = _MANIFEST_RE.match(st.getPath().getName())
-        if m and int(m.group(1)) < version:
+        if m and int(m.group(1)) < cutoff:
             fs.delete(st.getPath(), False)
 
 
-def live_partition_filter(manifest: dict | None) -> Column:
-    """Predicate over the ``epoch_id`` partition column selecting exactly
-    the partitions the manifest declares live (partition-prunable)."""
+def live_partition_filter(manifest: dict | None, snapshot: bool = False) -> Column:
+    """Predicate over the ``epoch_id`` partition column selecting the
+    partitions the manifest declares live (partition-prunable).
+
+    CURRENT-VIEW reads (the maintainers — default) are open above:
+    min_epoch plus every LATER epoch, because epochs keep arriving after
+    the manifest was published. SNAPSHOT reads (time travel,
+    ``snapshot=True``) additionally cap at the manifest's ``max_epoch``
+    (recorded at publish) so epochs appended afterwards don't leak into
+    the historical view. Bases are negative ids, so they pass only via
+    the explicit list either way."""
     if manifest is None:
         return F.col("epoch_id") >= 0
     cond = F.col("epoch_id") >= int(manifest["min_epoch"])
+    if snapshot and "max_epoch" in manifest:
+        cond = cond & (F.col("epoch_id") <= int(manifest["max_epoch"]))
     bases = [int(b) for b in manifest.get("bases", [])]
     if bases:
         cond = cond | F.col("epoch_id").isin(bases)
@@ -145,6 +196,7 @@ def read_live(
     table_dir: str,
     manifest: dict | None,
     exclude_epoch: int | None = None,
+    snapshot: bool = False,
 ) -> DataFrame:
     """Manifest-gated read of one epoch-partitioned table directory.
 
@@ -157,7 +209,7 @@ def read_live(
     df = spark.read.parquet(table_dir)
     if "epoch_id" not in df.columns:
         return df
-    df = df.filter(live_partition_filter(manifest))
+    df = df.filter(live_partition_filter(manifest, snapshot=snapshot))
     if exclude_epoch is not None:
         df = df.filter(F.col("epoch_id") != int(exclude_epoch))
     return df.drop("epoch_id")
@@ -169,6 +221,7 @@ def compact_epoch_tables(
     tables: dict,
     epoch: int,
     max_files: int,
+    keep_manifests: int = 1,
 ) -> bool:
     """The full crash-safe compaction protocol shared by the index
     maintainers: when the live file count of the FIRST table exceeds
@@ -212,10 +265,19 @@ def compact_epoch_tables(
         layout(folded).write.mode("overwrite").parquet(
             f"{tdir(sub)}/epoch_id={base_id}"
         )
-    new_man = {"bases": [base_id], "min_epoch": max(epoch, prev_min)}
-    write_manifest(spark, root, new_man)
+    # max_epoch = the snapshot bound: epochs that exist at publish time
+    # (the possibly-replayable current one included — it is live now)
+    new_man = {
+        "bases": [base_id],
+        "min_epoch": max(epoch, prev_min),
+        "max_epoch": epoch,
+    }
+    write_manifest(spark, root, new_man, keep_manifests=keep_manifests)
+    retained = [
+        read_manifest(spark, root, v) for v in list_manifest_versions(spark, root)
+    ]
     for sub in tables:
-        gc_partitions(spark, tdir(sub), new_man)
+        gc_partitions(spark, tdir(sub), retained)
     return True
 
 
@@ -232,17 +294,24 @@ def write_epoch_partition(df: DataFrame, table_dir: str, epoch: int) -> None:
     )
 
 
-def gc_partitions(spark: SparkSession, table_dir: str, manifest: dict) -> int:
-    """Delete epoch_id=... partition directories the manifest no longer
+def gc_partitions(
+    spark: SparkSession, table_dir: str, manifest: dict | list[dict]
+) -> int:
+    """Delete epoch_id=... partition directories that NO given manifest
     references (old bases, folded epochs, half-written compaction
-    output). Returns the number of directories removed. Safe to crash at
-    any point: unreferenced directories are invisible to readers."""
+    output). Pass the list of every RETAINED manifest when time travel
+    is on — gc-ing against only the newest would delete partitions the
+    older retained versions still need (the VACUUM horizon is exactly
+    "what the retained manifest set references"). Returns the number of
+    directories removed. Safe to crash at any point: unreferenced
+    directories are invisible to readers."""
+    manifests = manifest if isinstance(manifest, list) else [manifest]
+    manifests = [m for m in manifests if m is not None]
     fs, jvm = _fs(spark, table_dir)
     root = jvm.org.apache.hadoop.fs.Path(table_dir)
     if not fs.exists(root):
         return 0
-    bases = {int(b) for b in manifest.get("bases", [])}
-    min_epoch = int(manifest["min_epoch"])
+    newest_v = max((m.get("version", 0) for m in manifests), default=0)
     removed = 0
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -252,7 +321,36 @@ def gc_partitions(spark: SparkSession, table_dir: str, manifest: dict) -> int:
             val = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        if val not in bases and val < min_epoch:
+        live = False
+        for m in manifests:
+            bases = {int(b) for b in m.get("bases", [])}
+            min_epoch = int(m["min_epoch"])
+            # the newest manifest is the OPEN current view (later epochs
+            # keep arriving); older retained ones are frozen snapshots
+            if m.get("version", 0) == newest_v or "max_epoch" not in m:
+                in_range = val >= min_epoch
+            else:
+                in_range = min_epoch <= val <= int(m["max_epoch"])
+            if in_range or val in bases:
+                live = True
+                break
+        if not live:
             fs.delete(st.getPath(), True)
             removed += 1
     return removed
+
+
+def read_live_as_of(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    version: int,
+) -> DataFrame:
+    """Time-travel read: the table as the named RETAINED manifest version
+    published it (write_manifest(keep_manifests=N) retains versions).
+    Valid only while the version's partitions survive compaction gc —
+    the VACUUM horizon; a gc'd partition surfaces as a read error, never
+    silently newer data."""
+    return read_live(
+        spark, table_dir, read_manifest(spark, index_dir, version), snapshot=True
+    )

@@ -1311,3 +1311,48 @@ def test_cdc_apply_ingest_via_streaming_query(spark, tmp_path):
     got = h.read_snapshot().orderBy("o_orderkey").collect()
     want = cdc_apply(snapshot, log, ["o_orderkey"]).orderBy("o_orderkey").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_manifest_time_travel(spark, tmp_path):
+    """Time travel over retained manifests: an as-of read reproduces the
+    exact historical view (later epochs and later bases excluded), the
+    current view still sees everything, retention-aware gc keeps the old
+    version's partitions alive, and an unretained version raises."""
+    import pytest
+
+    from blazingsql_spark.sources import manifest as mf
+
+    root = str(tmp_path / "tt")
+    t = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    mf.write_epoch_partition(t([(1, "a")]), root, 0)
+    mf.write_epoch_partition(t([(2, "b")]), root, 1)
+    # v1: snapshot over epochs 0..1
+    mf.write_manifest(
+        spark, root, {"bases": [], "min_epoch": 0, "max_epoch": 1},
+        keep_manifests=3,
+    )
+    mf.write_epoch_partition(t([(3, "c")]), root, 2)
+    # compact (force: max_files=0) with retention — folds 0..1, base -3,
+    # current epoch 2 stays raw
+    ran = mf.compact_epoch_tables(
+        spark, root, {"": lambda df: df.coalesce(1)}, epoch=2, max_files=0,
+        keep_manifests=3,
+    )
+    assert ran
+    assert mf.list_manifest_versions(spark, root) == [1, 2]
+    # current view: all three rows
+    cur = mf.read_live(spark, root, mf.read_manifest(spark, root))
+    assert sorted(r.k for r in cur.collect()) == [1, 2, 3]
+    # as-of v1: exactly the historical rows — epoch 2 and base -3 excluded
+    old = mf.read_live_as_of(spark, root, root, version=1)
+    assert sorted(r.k for r in old.collect()) == [1, 2]
+    # retention-aware gc kept v1's raw epochs on disk
+    import os
+
+    names = set(os.listdir(root))
+    assert "epoch_id=0" in names and "epoch_id=1" in names
+    with pytest.raises(ValueError, match="not found"):
+        mf.read_manifest(spark, root, version=99)
+    # default retention (keep_manifests=1) prunes v1/v2 on the next publish
+    mf.write_manifest(spark, root, {"bases": [], "min_epoch": 0})
+    assert mf.list_manifest_versions(spark, root) == [3]
