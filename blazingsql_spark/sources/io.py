@@ -65,6 +65,22 @@ def read_any(
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+    if fmt == "webdataset":
+        # tar/zip training shards through the Python DataSource API — one
+        # InputPartition per shard, rows regrouped one-per-sample
+        from blazingsql_spark.sources.pyds import register_data_sources
+
+        if schema is not None or options:
+            raise NotImplementedError(
+                "webdataset: reader schema/options are not supported "
+                "(samples surface as parallel ext/payload arrays)"
+            )
+        register_data_sources(spark)
+        frames = [spark.read.format("webdataset").load(p) for p in path_list]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
     if fmt == "arrow":
         # Arrow IPC / Feather V2 — same zero-extra-dependency pattern as
         # avro: schema comes from the file footer, no reader options

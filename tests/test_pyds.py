@@ -94,3 +94,36 @@ def test_webdataset_format(pyds_spark, tmp_path):
         .alias("t")
     ).collect()
     assert sorted(r.t for r in txt) == [f"doc {s}-{k}" for s in range(2) for k in range(3)]
+
+
+def test_webdataset_routing_through_read_any_and_create_table(pyds_spark, tmp_path):
+    """Format routing: read_any(file_format='webdataset') and
+    Context.create_table register shard directories through the
+    DataSource API; reader options are refused like the avro source."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from blazingsql_spark.sources.io import read_any
+
+    spark = pyds_spark
+    for s in range(2):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for k in range(3):
+                data = f"doc {s}-{k}".encode()
+                info = tarfile.TarInfo(f"{s}{k:03d}.txt")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        (tmp_path / f"s{s}.tar").write_bytes(buf.getvalue())
+    got = read_any(spark, str(tmp_path), file_format="webdataset")
+    assert got.count() == 6
+    with pytest.raises(NotImplementedError, match="reader schema/options"):
+        read_any(spark, str(tmp_path), file_format="webdataset", pathGlobFilter="*")
+
+    from blazingsql_spark import Context
+
+    bc = Context(spark=spark)
+    bc.create_table("shards", str(tmp_path), file_format="webdataset")
+    assert bc.sql("SELECT COUNT(*) AS n FROM shards").first()["n"] == 6
