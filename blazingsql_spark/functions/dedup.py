@@ -814,3 +814,79 @@ def remove_duplicated_ngram_spans(
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "n_removed", "text_clean")
     )
+
+
+def bitstring_candidate_pairs(
+    df: DataFrame,
+    sig_col: str,
+    id_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over a fixed-length '0'/'1' bit-string signature
+    column (perceptual dHash / audio envelope / any simhash-family
+    fingerprint): split the signature into ``bands`` equal slices, bucket
+    self-join on identical slices (the pigeonhole stage — two signatures
+    within ``max_hamming <= bands - 1`` bits MUST agree on at least one
+    whole band, so candidate generation is provably lossless for that
+    radius), then verify exact hamming on the candidates only. Never
+    all-pairs: the shuffles are band-hash equi-joins, the same scale
+    shape as the SimHash text path.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b and
+    hamming <= max_hamming."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming <= bands-1 "
+            f"(got {max_hamming} vs {bands} bands)"
+        )
+    width = F.length(F.col(sig_col))
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(bands) - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.substring(
+                        F.col(sig_col),
+                        (b * (width / int(bands)).cast("int")) + 1,
+                        (width / int(bands)).cast("int"),
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sig").alias("__sa"),
+            F.col("r._sig").alias("__sb"),
+        )
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("__sa"), ""),
+                F.split(F.col("__sb"), ""),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

@@ -2260,6 +2260,118 @@ def multimodal_audio_fp(spark, sf_dir):
 
 
 @register(
+    "multimodal_dhash_dedup",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id AS img_id, doc_id AS base, FALSE AS variant
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id + 100000, doc_id, TRUE
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    bits AS (
+        SELECT img_id, y.y, x.x,
+            CASE WHEN
+                (CASE WHEN variant AND (2*y.y) = 0 AND (((x.x+1)*24)//9) = 0
+                      THEN (('0x' || SUBSTRING(MD5(base::VARCHAR || ':0:0'), 1, 2))::INT + 128) % 256
+                      ELSE ('0x' || SUBSTRING(MD5(base::VARCHAR || ':' || (2*y.y)::VARCHAR
+                                              || ':' || (((x.x+1)*24)//9)::VARCHAR), 1, 2))::INT END)
+                >
+                (CASE WHEN variant AND (2*y.y) = 0 AND ((x.x*24)//9) = 0
+                      THEN (('0x' || SUBSTRING(MD5(base::VARCHAR || ':0:0'), 1, 2))::INT + 128) % 256
+                      ELSE ('0x' || SUBSTRING(MD5(base::VARCHAR || ':' || (2*y.y)::VARCHAR
+                                              || ':' || ((x.x*24)//9)::VARCHAR), 1, 2))::INT END)
+            THEN '1' ELSE '0' END AS bit
+        FROM imgs,
+             LATERAL (SELECT UNNEST(range(0, 8)) AS y) y,
+             LATERAL (SELECT UNNEST(range(0, 8)) AS x) x
+    ),
+    sigs AS (SELECT img_id, STRING_AGG(bit, '' ORDER BY y, x) AS dhash
+             FROM bits GROUP BY img_id),
+    banded AS (
+        SELECT img_id, b.b AS band, SUBSTRING(dhash, b.b*16 + 1, 16) AS bh
+        FROM sigs, LATERAL (SELECT UNNEST(range(0, 4)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.img_id AS id_a, c.img_id AS id_b
+        FROM banded a JOIN banded c
+          ON a.band = c.band AND a.bh = c.bh AND a.img_id < c.img_id
+    )
+    SELECT id_a, id_b,
+           CAST(LEN(list_filter(range(1, 65),
+                i -> SUBSTRING(sa.dhash, i, 1) <> SUBSTRING(sb.dhash, i, 1)))
+                AS BIGINT) AS hamming
+    FROM cand
+    JOIN sigs sa ON sa.img_id = cand.id_a
+    JOIN sigs sb ON sb.img_id = cand.id_b
+    WHERE LEN(list_filter(range(1, 65),
+          i -> SUBSTRING(sa.dhash, i, 1) <> SUBSTRING(sb.dhash, i, 1))) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def multimodal_dhash_dedup(spark, sf_dir):
+    """Image near-dup DEDUP end to end (the pipeline multimodal_dhash's
+    hash feeds): md5-derived pseudo-random pixels (high-entropy — smooth
+    gradients collapse 3000 images onto 99 hashes and band-bucket joins
+    explode; measured before choosing this fixture) go through the REAL
+    PNG encode→decode→NN-resize→dHash path, then
+    functions.dedup.bitstring_candidate_pairs bands the 64-bit hashes
+    4×16 (pigeonhole-lossless for hamming<=3) and verifies exact hamming
+    on candidates only. Output = the verified near-dup pairs: every
+    planted one-pixel variant at hamming<=1; random accidental band
+    collisions die at the verify stage. The oracle re-derives the hashes
+    arithmetically and replays band+verify in SQL."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from blazingsql_spark.functions.dedup import bitstring_candidate_pairs
+    from blazingsql_spark.functions.media_codec import encode_png
+    from blazingsql_spark.functions.multimodal import dhash_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("img_id"),
+            F.col("doc_id").alias("base"),
+            F.lit(False).alias("variant"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("img_id"),
+                F.col("doc_id").alias("base"),
+                F.lit(True).alias("variant"),
+            )
+        )
+    )
+
+    @F.pandas_udf("binary")
+    def make_png(bases, variants):
+        out = []
+        for b, v in zip(bases, variants):
+            b = int(b)
+            pix = np.empty((16, 24), dtype=np.uint8)
+            for y in range(16):
+                for x in range(24):
+                    pix[y, x] = int(
+                        hashlib.md5(f"{b}:{y}:{x}".encode()).hexdigest()[:2], 16
+                    )
+            if v:
+                pix[0, 0] = (int(pix[0, 0]) + 128) % 256
+            out.append(encode_png(pix))
+        return pd.Series(out)
+
+    hashed = dhash_images(
+        imgs.withColumn("payload", make_png("base", "variant")), "payload"
+    )
+    return bitstring_candidate_pairs(
+        hashed, "dhash", "img_id", bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "ml_auc_eval",
     oracle=r"""
     WITH data AS (

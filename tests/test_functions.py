@@ -2157,3 +2157,43 @@ def test_auc_score_matches_pairwise_definition(spark):
         [(i, 0 if i >= 50 else 1) for i in range(100)], ["s", "y"]
     )
     assert auc_score(inverted, "s", "y").first().auc == 0.0
+
+
+def test_bitstring_candidate_pairs_lossless_within_radius(spark):
+    """Banded candidate generation over bit-string signatures equals the
+    brute-force hamming join for every pair within the pigeonhole radius
+    (max_hamming <= bands-1 guarantees a clean band), and the guard
+    rejects radii the guarantee cannot cover."""
+    import random
+
+    import pytest
+
+    from blazingsql_spark.functions.dedup import bitstring_candidate_pairs
+
+    rnd = random.Random(31)
+    sigs = {}
+    base = "".join(rnd.choice("01") for _ in range(64))
+    sigs[0] = base
+    for i in range(1, 12):  # planted neighbors at hamming 1..3
+        s = list(base)
+        for pos in rnd.sample(range(64), (i % 3) + 1):
+            s[pos] = "1" if s[pos] == "0" else "0"
+        sigs[i] = "".join(s)
+    for i in range(12, 40):  # random far signatures
+        sigs[i] = "".join(rnd.choice("01") for _ in range(64))
+    df = spark.createDataFrame(sorted(sigs.items()), ["id", "sig"])
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in bitstring_candidate_pairs(df, "sig", "id", bands=4, max_hamming=3).collect()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = sum(a != b for a, b in zip(sigs[i], sigs[j]))
+                if h <= 3:
+                    want[(i, j)] = h
+    assert got == want and len(want) >= 11
+    with pytest.raises(ValueError, match="pigeonhole"):
+        bitstring_candidate_pairs(df, "sig", "id", bands=4, max_hamming=4)
