@@ -610,6 +610,77 @@ assert not set(_R9_WINDOW_STAGED[3:]) & set(_R8_WINDOW), (
     "r9 rotation must not re-check r8-fresh rows (sentinels excepted)"
 )
 
+# Round-10 window, STAGED as code in the round-8 extension session (the
+# same stage-ahead discipline as _R9_WINDOW_STAGED): promote by swapping
+# into DRIVER_PRIORITY as r10's first commit ONLY after CORRECTNESS_r09
+# lands 50/50 green. Composition: the 3 standing sentinels; the 18 rows
+# registered AFTER the r9 freeze (first driver rows — KN trigram, span
+# rewrite, PCA project, categorical/target encoders, CMS, temperature
+# mix, phrase tags, MMR, PCA-routed IVF, WordPiece first-merge, entity
+# resolution, LSH eval, image dHash + its banded dedup, AUC, audio
+# fingerprint, bin pack); the 4 r4-stale rolled past r9; and the 25
+# alphabetically-first of the 47 r5-stale rows to fill to 50. Recount at
+# flip time if r9/r10 register early.
+_NEW_POST_R9_FREEZE = (
+    "text_perplexity_kn3",
+    "dedup_spans_rewrite",
+    "emb_pca_project",
+    "encode_categorical",
+    "encode_target_smoothed",
+    "sketch_cms_counts",
+    "sample_temperature_mix",
+    "text_phrase_tags",
+    "sim_mmr_rerank",
+    "sim_ann_ivf_pca",
+    "vocab_wordpiece_first",
+    "dedup_entity_resolution",
+    "dedup_lsh_eval",
+    "multimodal_dhash",
+    "ml_auc_eval",
+    "multimodal_audio_fp",
+    "docs_bin_pack",
+    "multimodal_dhash_dedup",
+)
+_R4_STALE_ROLLED = ("tpch_q6", "tpch_q7", "tpch_q8", "window_ratio_to_report")
+_R5_STALE_FIRST_25 = (
+    "agg_bool_bit",
+    "agg_count_if",
+    "agg_equidepth",
+    "agg_group_by_all",
+    "agg_histogram",
+    "agg_mad_outliers",
+    "agg_mode",
+    "agg_skew_kurt",
+    "agg_string_agg",
+    "agg_winsorize",
+    "asof_forward_events",
+    "asof_nearest_events",
+    "asof_tolerance_events",
+    "dedup_canonicalize",
+    "docs_feature_hash",
+    "docs_tokenize_ids",
+    "emb_normalize",
+    "events_ab_test",
+    "events_attribution",
+    "events_ewma",
+    "events_interpolate",
+    "events_markov",
+    "events_ohlc",
+    "events_top_paths",
+    "events_twap",
+)
+_R10_WINDOW_STAGED = (
+    _SENTINELS + _NEW_POST_R9_FREEZE + _R4_STALE_ROLLED + _R5_STALE_FIRST_25
+)
+assert len(_R10_WINDOW_STAGED) == _DRIVER_WINDOW, len(_R10_WINDOW_STAGED)
+assert len(set(_R10_WINDOW_STAGED)) == len(_R10_WINDOW_STAGED)
+assert not set(_R10_WINDOW_STAGED[3:]) & set(_R9_WINDOW_STAGED), (
+    "r10 rotation must not re-check r9-fresh rows (sentinels excepted)"
+)
+assert not set(_R10_WINDOW_STAGED[3:]) & set(_R8_WINDOW), (
+    "r10 rotation must not re-check r8-fresh rows (sentinels excepted)"
+)
+
 # Past the window, queue the freshest-green rows first (r7, then r6, then
 # r5, then r4) so any driver overflow re-checks the most recently verified
 # work.
