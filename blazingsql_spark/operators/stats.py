@@ -159,3 +159,71 @@ def group_percentile_cont(
     return interp.groupBy(*keys).pivot("__qname", list(quantiles)).agg(
         F.first("__val")
     )
+
+
+def holt_linear(
+    df,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 3,
+):
+    """Per-key Holt linear-trend exponential smoothing (the classic
+    level+trend forecaster; EWMA is the trendless special case):
+
+        l_t = α·y_t + (1-α)·(l + b)
+        b_t = β·(l_t - l) + (1-β)·b          init: l=y_0, b=y_1-y_0
+
+    and the h-step forecast l + h·b. The recursion runs as ONE
+    `aggregate` fold over each key's ordered value array — both the fold
+    and its SQL twin evaluate the identical IEEE expression tree, so the
+    operator is bit-differential-testable (DuckDB's list_reduce mutates
+    STRUCT accumulators field-sequentially — a measured 1.0.0 quirk — so
+    the state is a 2-element DOUBLE array on both engines).
+
+    Scale shape: one groupBy collecting each key's series (state is
+    bounded by the per-key series length — pre-aggregate to a coarser
+    grain upstream if keys carry unbounded histories), then a pure
+    expression fold; no iteration in the driver, no window over the
+    corpus. Keys with fewer than 2 observations are dropped (the init
+    needs two points). Returns key cols + (n_obs, level, trend,
+    forecast)."""
+    from pyspark.sql import functions as F
+
+    a, b1 = float(alpha), float(beta)
+    a1, b2 = 1.0 - a, 1.0 - b1
+    h = int(horizon)
+    ordered = df.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v")))
+        ).alias("__s")
+    )
+    ys = F.transform(F.col("__s"), lambda r: r["v"].cast("double"))
+    with_ys = ordered.select(*key_cols, ys.alias("__ys")).filter(
+        F.size("__ys") >= 2
+    )
+    y0 = F.element_at("__ys", 1)
+    y1 = F.element_at("__ys", 2)
+    init = F.array(y0, y1 - y0)
+    rest = F.transform(
+        F.expr("slice(__ys, 2, size(__ys) - 1)"), lambda y: F.array(y, F.lit(0.0))
+    )
+
+    def step(acc, x):
+        nl = F.lit(a) * x[0] + F.lit(a1) * (acc[0] + acc[1])
+        nb = (
+            F.lit(b1) * ((F.lit(a) * x[0] + F.lit(a1) * (acc[0] + acc[1])) - acc[0])
+            + F.lit(b2) * acc[1]
+        )
+        return F.array(nl, nb)
+
+    st = F.aggregate(rest, init, step)
+    return with_ys.select(
+        *key_cols,
+        F.size("__ys").cast("long").alias("n_obs"),
+        st[0].alias("level"),
+        st[1].alias("trend"),
+        (st[0] + F.lit(float(h)) * st[1]).alias("forecast"),
+    )

@@ -2260,6 +2260,66 @@ def multimodal_audio_fp(spark, sf_dir):
 
 
 @register(
+    "events_holt_forecast",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, DATE_TRUNC('day', ts) AS day, COUNT(*)::DOUBLE AS y
+        FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
+    ),
+    series AS (
+        SELECT user_id, list(y ORDER BY day) AS ys
+        FROM daily GROUP BY user_id HAVING COUNT(*) >= 2
+    ),
+    folded AS (
+        SELECT user_id, LEN(ys) AS n_obs,
+               list_reduce(
+                   list_prepend(
+                       [ys[1], ys[2] - ys[1]],
+                       list_transform(ys[2:], y -> [y, 0.0::DOUBLE])
+                   ),
+                   (acc, x) -> [
+                       0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                       0.3 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                           + 0.7 * acc[2]
+                   ]
+               ) AS st
+        FROM series
+    )
+    SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+           FLOOR(st[1] * 1000000) / 1000000 AS level,
+           FLOOR(st[2] * 1000000) / 1000000 AS trend,
+           FLOOR((st[1] + 3.0 * st[2]) * 1000000) / 1000000 AS forecast
+    FROM folded ORDER BY user_id
+    """,
+)
+def events_holt_forecast(spark, sf_dir):
+    """Per-user Holt linear-trend forecasting (operators.stats
+    .holt_linear) over daily event counts — level+trend exponential
+    smoothing with a 3-step-ahead forecast, the next tier above the EWMA
+    row. The recursion is ONE expression fold over each user's ordered
+    daily series (counts are exact integers, so both engines fold
+    identical doubles through the identical inlined expression tree);
+    the FLOOR grid absorbs nothing but display — the fold itself is
+    bit-deterministic."""
+    from blazingsql_spark.operators.stats import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = holt_linear(
+        daily, ["user_id"], "day", "y", alpha=0.5, beta=0.3, horizon=3
+    )
+    return out.select(
+        "user_id",
+        "n_obs",
+        (F.floor(F.col("level") * 1000000) / 1000000).alias("level"),
+        (F.floor(F.col("trend") * 1000000) / 1000000).alias("trend"),
+        (F.floor(F.col("forecast") * 1000000) / 1000000).alias("forecast"),
+    ).orderBy("user_id")
+
+
+@register(
     "multimodal_dhash_dedup",
     oracle="""
     WITH imgs AS (

@@ -2197,3 +2197,43 @@ def test_bitstring_candidate_pairs_lossless_within_radius(spark):
     assert got == want and len(want) >= 11
     with pytest.raises(ValueError, match="pigeonhole"):
         bitstring_candidate_pairs(df, "sig", "id", bands=4, max_hamming=4)
+
+
+def test_holt_linear_matches_sequential_reference(spark):
+    """The expression-fold Holt recursion equals a sequential Python
+    reference on random series (level, trend, and h-step forecast);
+    single-observation keys are dropped; a perfect linear series
+    forecasts exactly on the line."""
+    import random
+
+    from blazingsql_spark.operators.stats import holt_linear
+
+    rnd = random.Random(41)
+    rows = []
+    series = {}
+    for k in range(6):
+        n = rnd.randint(2, 15)
+        ys = [float(rnd.randint(0, 50)) for _ in range(n)]
+        series[k] = ys
+        rows += [(k, t, ys[t]) for t in range(n)]
+    rows.append((99, 0, 5.0))  # singleton: dropped
+    df = spark.createDataFrame(rows, ["k", "t", "y"])
+    got = {r.k: r for r in holt_linear(df, ["k"], "t", "y", 0.5, 0.3, 3).collect()}
+    assert 99 not in got and set(got) == set(series)
+
+    def ref(ys):
+        lev, tr = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            nl = 0.5 * y + 0.5 * (lev + tr)
+            tr = 0.3 * (nl - lev) + 0.7 * tr
+            lev = nl
+        return lev, tr
+
+    for k, ys in series.items():
+        lev, tr = ref(ys)
+        assert got[k].level == lev and got[k].trend == tr, k
+        assert got[k].forecast == lev + 3.0 * tr
+    # a perfectly linear series: forecast continues the line exactly
+    lin = spark.createDataFrame([(0, t, 10.0 + 2.0 * t) for t in range(8)], ["k", "t", "y"])
+    r = holt_linear(lin, ["k"], "t", "y", 0.5, 0.3, 3).first()
+    assert abs(r.forecast - (10.0 + 2.0 * 10)) < 1e-9
