@@ -107,3 +107,50 @@ def test_pattern_match_stream_multi_batch(spark, tmp_path):
     # the split genuinely produced >1 micro-batch: some user must have
     # emitted two update rows
     assert (got.groupBy("user_id").count().agg(F.max("count")).first()[0] or 0) >= 2
+
+
+# ---- hypothesis sweep: GENERATED unambiguous patterns vs Python's regex
+# engine, whole-feed and randomly-chunked feeds. Pattern grammar: a chain
+# of distinct literal atoms each optionally quantified (+ * ?), with the
+# constraint that the chain matches at least one character — the
+# unambiguous family where leftmost-longest (ours) and leftmost-greedy
+# (re/RE2, the batch twin's engine) provably coincide.
+from hypothesis import given, settings
+from hypothesis import strategies as hst  # NOT `st` — that's the events alias
+
+
+@hst.composite
+def _chain_pattern(draw):
+    n = draw(hst.integers(min_value=1, max_value=4))
+    atoms = draw(
+        hst.lists(
+            hst.sampled_from("vcpes"), min_size=n, max_size=n, unique=True
+        )
+    )
+    quants = draw(hst.lists(hst.sampled_from(["", "+", "*", "?"]), min_size=n, max_size=n))
+    if all(q in ("*", "?") for q in quants):
+        quants[0] = ""  # must not match the empty string
+    return "".join(a + q for a, q in zip(atoms, quants))
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    pat=_chain_pattern(),
+    text=hst.text(alphabet="vcpes", max_size=80),
+    seed=hst.integers(min_value=0, max_value=2**31),
+)
+def test_matcher_matches_re_generated_patterns(pat, text, seed):
+    nfa = compile_pattern(pat)
+    ms = [m.group(0) for m in re.finditer(pat, text)]
+    want = (len(ms), max((len(m) for m in ms), default=0))
+    whole = StreamMatcher(nfa)
+    whole.feed(text)
+    assert whole.snapshot() == want, (pat, text)
+    rnd = random.Random(seed)
+    chunked = StreamMatcher(nfa)
+    i = 0
+    while i < len(text):
+        k = rnd.randint(1, 7)
+        chunked.feed(text[i : i + k])
+        i += k
+    assert chunked.snapshot() == want, (pat, text)
