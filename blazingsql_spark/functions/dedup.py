@@ -840,6 +840,23 @@ def bitstring_candidate_pairs(
             f"pigeonhole guarantee needs max_hamming <= bands-1 "
             f"(got {max_hamming} vs {bands} bands)"
         )
+    # one fixed width, divisible by bands: mixed widths would band-collide
+    # across lengths and zip_with's null padding silently UNDERCOUNTS the
+    # hamming of the uncompared tail (bounded probe: <=2 rows collected)
+    widths = [
+        r[0]
+        for r in df.select(F.length(F.col(sig_col))).distinct().limit(2).collect()
+    ]
+    if len(widths) != 1:
+        raise ValueError(
+            f"bitstring_candidate_pairs: signatures must share one fixed "
+            f"width (found lengths {sorted(widths)}...)"
+        )
+    if widths[0] % int(bands):
+        raise ValueError(
+            f"bitstring_candidate_pairs: width {widths[0]} not divisible by "
+            f"{bands} bands — the tail would be uncovered by every band"
+        )
     width = F.length(F.col(sig_col))
     banded = df.select(
         F.col(id_col).alias("_id"),

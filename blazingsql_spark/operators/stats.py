@@ -162,7 +162,7 @@ def group_percentile_cont(
 
 
 def holt_linear(
-    df,
+    df: DataFrame,
     key_cols: list[str],
     order_col: str,
     value_col: str,
@@ -190,8 +190,6 @@ def holt_linear(
     corpus. Keys with fewer than 2 observations are dropped (the init
     needs two points). Returns key cols + (n_obs, level, trend,
     forecast)."""
-    from pyspark.sql import functions as F
-
     a, b1 = float(alpha), float(beta)
     a1, b2 = 1.0 - a, 1.0 - b1
     h = int(horizon)

@@ -618,8 +618,8 @@ assert not set(_R9_WINDOW_STAGED[3:]) & set(_R8_WINDOW), (
 # rewrite, PCA project, categorical/target encoders, CMS, temperature
 # mix, phrase tags, MMR, PCA-routed IVF, WordPiece first-merge, entity
 # resolution, LSH eval, image dHash + its banded dedup, AUC, audio
-# fingerprint, bin pack); the 4 r4-stale rolled past r9; and the 25
-# alphabetically-first of the 47 r5-stale rows to fill to 50. Recount at
+# fingerprint, bin pack, Holt forecast); the 4 r4-stale rolled past r9;
+# and the 24 alphabetically-first of the 47 r5-stale rows to fill to 50. Recount at
 # flip time if r9/r10 register early.
 _NEW_POST_R9_FREEZE = (
     "text_perplexity_kn3",
@@ -640,9 +640,10 @@ _NEW_POST_R9_FREEZE = (
     "multimodal_audio_fp",
     "docs_bin_pack",
     "multimodal_dhash_dedup",
+    "events_holt_forecast",
 )
 _R4_STALE_ROLLED = ("tpch_q6", "tpch_q7", "tpch_q8", "window_ratio_to_report")
-_R5_STALE_FIRST_25 = (
+_R5_STALE_FIRST_24 = (
     "agg_bool_bit",
     "agg_count_if",
     "agg_equidepth",
@@ -667,10 +668,9 @@ _R5_STALE_FIRST_25 = (
     "events_markov",
     "events_ohlc",
     "events_top_paths",
-    "events_twap",
 )
 _R10_WINDOW_STAGED = (
-    _SENTINELS + _NEW_POST_R9_FREEZE + _R4_STALE_ROLLED + _R5_STALE_FIRST_25
+    _SENTINELS + _NEW_POST_R9_FREEZE + _R4_STALE_ROLLED + _R5_STALE_FIRST_24
 )
 assert len(_R10_WINDOW_STAGED) == _DRIVER_WINDOW, len(_R10_WINDOW_STAGED)
 assert len(set(_R10_WINDOW_STAGED)) == len(_R10_WINDOW_STAGED)

@@ -37,6 +37,34 @@ def infer_format(path: str) -> str:
     return "parquet"
 
 
+def _special_reader(spark: SparkSession, fmt: str):
+    """The zero-dependency sources that bypass spark.read: returns
+    (per-path loader, reason options are refused) or None for formats the
+    stock DataFrameReader handles. One place for the guard + union-fold
+    contract all three share."""
+    if fmt == "avro":
+        # no spark-avro jar in this environment — the zero-dependency OCF
+        # source (sources.avro_ocf) supplies the same read, one task/file
+        from blazingsql_spark.sources.avro_ocf import read_avro
+
+        return (lambda p: read_avro(spark, p)), "schema comes from the file header"
+    if fmt == "webdataset":
+        # tar/zip training shards through the Python DataSource API — one
+        # InputPartition per shard, rows regrouped one-per-sample
+        from blazingsql_spark.sources.pyds import register_data_sources
+
+        register_data_sources(spark)
+        return (
+            lambda p: spark.read.format("webdataset").load(p)
+        ), "samples surface as parallel ext/payload arrays"
+    if fmt == "arrow":
+        # Arrow IPC / Feather V2 — same zero-extra-dependency pattern
+        from blazingsql_spark.sources.arrow_ipc import read_arrow_ipc
+
+        return (lambda p: read_arrow_ipc(spark, p)), "schema comes from the file footer"
+    return None
+
+
 def read_any(
     spark: SparkSession,
     paths: str | list[str],
@@ -48,50 +76,17 @@ def read_any(
     (CSV: header+inference unless a schema is given)."""
     path_list = [paths] if isinstance(paths, str) else list(paths)
     fmt = (file_format or infer_format(path_list[0])).lower()
-    if fmt == "avro":
-        # no spark-avro jar in this environment — the zero-dependency OCF
-        # source (sources.avro_ocf) supplies the same read, one task/file
-        from blazingsql_spark.sources.avro_ocf import read_avro
-
+    special = _special_reader(spark, fmt)
+    if special is not None:
+        loader, why_no_options = special
         if schema is not None or options:
-            # the OCF source derives its schema from the file header and
-            # takes no reader options — refusing beats silently dropping
+            # these sources derive their schema themselves and take no
+            # reader options — refusing beats silently dropping
             raise NotImplementedError(
-                "avro: reader schema/options are not supported by the "
-                "zero-dependency OCF source (schema comes from the file header)"
+                f"{fmt}: reader schema/options are not supported "
+                f"({why_no_options})"
             )
-        frames = [read_avro(spark, p) for p in path_list]
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
-    if fmt == "webdataset":
-        # tar/zip training shards through the Python DataSource API — one
-        # InputPartition per shard, rows regrouped one-per-sample
-        from blazingsql_spark.sources.pyds import register_data_sources
-
-        if schema is not None or options:
-            raise NotImplementedError(
-                "webdataset: reader schema/options are not supported "
-                "(samples surface as parallel ext/payload arrays)"
-            )
-        register_data_sources(spark)
-        frames = [spark.read.format("webdataset").load(p) for p in path_list]
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
-    if fmt == "arrow":
-        # Arrow IPC / Feather V2 — same zero-extra-dependency pattern as
-        # avro: schema comes from the file footer, no reader options
-        from blazingsql_spark.sources.arrow_ipc import read_arrow_ipc
-
-        if schema is not None or options:
-            raise NotImplementedError(
-                "arrow: reader schema/options are not supported by the IPC "
-                "source (schema comes from the file footer)"
-            )
-        frames = [read_arrow_ipc(spark, p) for p in path_list]
+        frames = [loader(p) for p in path_list]
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)

@@ -306,7 +306,15 @@ def gc_partitions(
     directories removed. Safe to crash at any point: unreferenced
     directories are invisible to readers."""
     manifests = manifest if isinstance(manifest, list) else [manifest]
-    manifests = [m for m in manifests if m is not None]
+    if not manifests or any(m is None for m in manifests):
+        # fail SAFE: a None manifest means "never compacted — everything
+        # live" on the read path; silently dropping it here would leave an
+        # empty liveness set and delete every partition (the pre-retention
+        # code raised on None before any delete could happen)
+        raise ValueError(
+            "gc_partitions: need at least one non-None manifest — gc against "
+            "an uncompacted index would delete all live partitions"
+        )
     fs, jvm = _fs(spark, table_dir)
     root = jvm.org.apache.hadoop.fs.Path(table_dir)
     if not fs.exists(root):

@@ -1332,8 +1332,8 @@ def test_manifest_time_travel(spark, tmp_path):
         keep_manifests=3,
     )
     mf.write_epoch_partition(t([(3, "c")]), root, 2)
-    # compact (force: max_files=0) with retention — folds 0..1, base -3,
-    # current epoch 2 stays raw
+    # compact (force: max_files=0) with retention — folds 0..1 into base
+    # -2 (= -(prev_version+1)), current epoch 2 stays raw
     ran = mf.compact_epoch_tables(
         spark, root, {"": lambda df: df.coalesce(1)}, epoch=2, max_files=0,
         keep_manifests=3,
@@ -1343,7 +1343,7 @@ def test_manifest_time_travel(spark, tmp_path):
     # current view: all three rows
     cur = mf.read_live(spark, root, mf.read_manifest(spark, root))
     assert sorted(r.k for r in cur.collect()) == [1, 2, 3]
-    # as-of v1: exactly the historical rows — epoch 2 and base -3 excluded
+    # as-of v1: exactly the historical rows — epoch 2 and base -2 excluded
     old = mf.read_live_as_of(spark, root, root, version=1)
     assert sorted(r.k for r in old.collect()) == [1, 2]
     # retention-aware gc kept v1's raw epochs on disk
