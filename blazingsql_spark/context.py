@@ -146,6 +146,35 @@ class Context:
         self._tables[table_name] = meta
         return df
 
+    def create_manifest_table(
+        self,
+        table_name: str,
+        table_dir: str,
+        index_dir: str | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Register a manifest-managed epoch table (what the streaming
+        index maintainers publish — sources.manifest) as a queryable
+        view: the CURRENT consistent view by default, or — time travel —
+        the exact historical view of a RETAINED manifest ``version``
+        (write_manifest(keep_manifests=N); readable until compaction's
+        gc reclaims the version's partitions, the VACUUM horizon).
+        ``index_dir`` defaults to ``table_dir`` (manifests usually live
+        inside the table root)."""
+        from blazingsql_spark.sources import manifest as mf
+
+        idx = index_dir or table_dir
+        if version is not None:
+            df = mf.read_live_as_of(self.spark, table_dir, idx, version)
+        else:
+            df = mf.read_live(self.spark, table_dir, mf.read_manifest(self.spark, idx))
+        df.createOrReplaceTempView(table_name)
+        self._tables[table_name] = TableMeta(
+            table_name, "manifest", str(version) if version is not None else "current",
+            [table_dir], {},
+        )
+        return df
+
     def drop_table(self, table_name: str) -> None:
         """context.py:2578."""
         self.spark.catalog.dropTempView(table_name)

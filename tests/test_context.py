@@ -240,3 +240,31 @@ def test_create_table_reference_csv_kwargs(spark, tmp_path):
     assert bc.sql("SELECT COUNT(*) AS n FROM ref_native").first().n == 3
     for t in ("ref_tbl", "ref_csv", "ref_hints", "ref_native"):
         bc.drop_table(t)
+
+
+def test_create_manifest_table_current_and_as_of(spark, tmp_path):
+    """Context facade over manifest-managed tables: the current view and
+    a time-travel view register as queryable SQL tables; dropping works."""
+    from blazingsql_spark import Context
+    from blazingsql_spark.sources import manifest as mf
+
+    root = str(tmp_path / "mt")
+    t = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    mf.write_epoch_partition(t([(1, "a")]), root, 0)
+    mf.write_manifest(
+        spark, root, {"bases": [], "min_epoch": 0, "max_epoch": 0},
+        keep_manifests=3,
+    )
+    mf.write_epoch_partition(t([(2, "b")]), root, 1)
+    mf.write_manifest(
+        spark, root, {"bases": [], "min_epoch": 0, "max_epoch": 1},
+        keep_manifests=3,
+    )
+    bc = Context(spark=spark)
+    bc.create_manifest_table("cur", root)
+    bc.create_manifest_table("old", root, version=1)
+    assert bc.sql("SELECT COUNT(*) AS n FROM cur").first()["n"] == 2
+    assert bc.sql("SELECT COUNT(*) AS n FROM old").first()["n"] == 1
+    assert {"cur", "old"} <= set(bc.list_tables())
+    bc.drop_table("old")
+    assert "old" not in bc.list_tables()
