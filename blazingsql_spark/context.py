@@ -155,12 +155,16 @@ class Context:
     ) -> DataFrame:
         """Register a manifest-managed epoch table (what the streaming
         index maintainers publish — sources.manifest) as a queryable
-        view: the CURRENT consistent view by default, or — time travel —
-        the exact historical view of a RETAINED manifest ``version``
-        (write_manifest(keep_manifests=N); readable until compaction's
-        gc reclaims the version's partitions, the VACUUM horizon).
-        ``index_dir`` defaults to ``table_dir`` (manifests usually live
-        inside the table root)."""
+        view: the consistent view AS OF REGISTRATION TIME by default, or
+        — time travel — the exact historical view of a RETAINED manifest
+        ``version`` (write_manifest(keep_manifests=N); readable until
+        compaction's gc reclaims the version's partitions, the VACUUM
+        horizon). The manifest and file listing are resolved ONCE, at
+        registration (Spark temp views freeze the plan): after a
+        maintainer compaction, call ``refresh_manifest_table`` (or this
+        again) to pick up the newly published view — the frozen one
+        would reference gc'd files. ``index_dir`` defaults to
+        ``table_dir`` (manifests usually live inside the table root)."""
         from blazingsql_spark.sources import manifest as mf
 
         idx = index_dir or table_dir
@@ -170,10 +174,29 @@ class Context:
             df = mf.read_live(self.spark, table_dir, mf.read_manifest(self.spark, idx))
         df.createOrReplaceTempView(table_name)
         self._tables[table_name] = TableMeta(
-            table_name, "manifest", str(version) if version is not None else "current",
-            [table_dir], {},
+            table_name,
+            "manifest",
+            "parquet",
+            [table_dir],
+            {"index_dir": idx, "version": version},
         )
         return df
+
+    def refresh_manifest_table(self, table_name: str) -> DataFrame:
+        """Re-resolve a manifest table against the NEWEST published
+        manifest and file listing (after a maintainer compaction the
+        registered view is frozen on gc'd files — see
+        create_manifest_table). Time-travel registrations re-resolve
+        their pinned version (same view, fresh file listing)."""
+        meta = self._tables.get(table_name)
+        if meta is None or meta.source != "manifest":
+            raise ValueError(f"{table_name!r} is not a registered manifest table")
+        return self.create_manifest_table(
+            table_name,
+            meta.paths[0],
+            index_dir=meta.options.get("index_dir"),
+            version=meta.options.get("version"),
+        )
 
     def drop_table(self, table_name: str) -> None:
         """context.py:2578."""

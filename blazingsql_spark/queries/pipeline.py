@@ -1663,12 +1663,11 @@ def _ivf_pca_index(spark, sf_dir: str, emb):
             .join(emb.select("vec_id", "embedding"), "vec_id")
             .persist()
         )
-        f_cents = similarity.ivf_train_centroids(emb, k=8, dim=64)
-        f_lists = similarity.assign_to_centroids(
-            emb, f_cents, "vec_id", "embedding"
-        ).persist()
         p_lists.count()
-        f_lists.count()
+        # the full-dim comparison index is bit-identical to the one
+        # _ivf_int8_index builds (md5-seeded deterministic training) —
+        # share it rather than training and persisting a second copy
+        f_cents, _qlists, f_lists = _ivf_int8_index(spark, sf_dir, emb)
         _IVF_PCA_PREBUILT[key] = (model, (p_cents, p_lists), (f_cents, f_lists))
     return _IVF_PCA_PREBUILT[key]
 

@@ -268,3 +268,32 @@ def test_create_manifest_table_current_and_as_of(spark, tmp_path):
     assert {"cur", "old"} <= set(bc.list_tables())
     bc.drop_table("old")
     assert "old" not in bc.list_tables()
+
+
+def test_refresh_manifest_table_after_compaction(spark, tmp_path):
+    """A registered current view freezes its manifest + file listing;
+    after a maintainer compaction gc's the old partitions, refresh
+    re-resolves against the newest published manifest (re-registration
+    semantics documented on create_manifest_table)."""
+    from blazingsql_spark import Context
+    from blazingsql_spark.sources import manifest as mf
+
+    root = str(tmp_path / "rt")
+    t = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    mf.write_epoch_partition(t([(1, "a")]), root, 0)
+    mf.write_epoch_partition(t([(2, "b")]), root, 1)
+    bc = Context(spark=spark)
+    bc.create_manifest_table("live", root)
+    assert bc.sql("SELECT COUNT(*) AS n FROM live").first()["n"] == 2
+    mf.write_epoch_partition(t([(3, "c")]), root, 2)
+    mf.compact_epoch_tables(
+        spark, root, {"": lambda df: df.coalesce(1)}, epoch=2, max_files=0
+    )
+    bc.refresh_manifest_table("live")
+    assert sorted(
+        r.k for r in bc.sql("SELECT k FROM live").collect()
+    ) == [1, 2, 3]
+    import pytest
+
+    with pytest.raises(ValueError, match="not a registered manifest table"):
+        bc.refresh_manifest_table("nope")
