@@ -62,16 +62,30 @@ def write_arrow_ipc(
             for f in existing:
                 os.remove(os.path.join(path, f))
     arrow_schema = to_arrow_schema(df.schema)
+    # One job id per WRITE CALL (driver-side), final part names derived
+    # from the task's partitionId: a retried or speculative attempt
+    # re-renames onto the same final name (idempotent — os.replace with
+    # identical content), instead of leaving a duplicate uuid-named part
+    # that later reads silently union in. Distinct write calls still get
+    # distinct names, so mode='append' never clobbers an earlier run.
+    job_id = uuid.uuid4().hex[:12]
 
     def write_part(batches):
+        from pyspark import TaskContext
+
         # IpcWriteOptions is a cython object cloudpickle cannot ship —
         # construct it executor-side from the plain compression string
         opts = (
             ipc.IpcWriteOptions(compression=compression) if compression else None
         )
         wrote = False
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
-        tmp = fname + ".tmp"
+        tc = TaskContext.get()
+        fname = os.path.join(
+            path, f"part-{job_id}-{tc.partitionId():05d}.arrow"
+        )
+        # tmp name is per-ATTEMPT: concurrent speculative attempts must not
+        # interleave writes into one tmp file
+        tmp = f"{fname}.{tc.taskAttemptId()}.tmp"
         sink = None
         writer = None
         for batch in batches:
@@ -95,7 +109,7 @@ def write_arrow_ipc(
         # through the same tmp-write + atomic-rename window as every other
         # part file (a crash mid-write must not leave a truncated
         # final-name file to poison later reads/appends)
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        fname = os.path.join(path, f"part-{job_id}-empty.arrow")
         dopts = ipc.IpcWriteOptions(compression=compression) if compression else None
         tmp = fname + ".tmp"
         with pa.OSFile(tmp, "wb") as sink:

@@ -514,8 +514,14 @@ def write_avro(
         if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
     ]
     marker_schema = T.StructType([T.StructField("file", T.StringType())])
+    # One job id per write call; final names keyed by partitionId so a
+    # retried/speculative attempt renames onto the SAME file (idempotent)
+    # instead of leaving a duplicate part later reads union in. Append
+    # across write calls stays safe via the per-call job id.
+    job_id = uuid.uuid4().hex[:12]
 
     def write_part(it):
+        from pyspark import TaskContext
         rows: list[dict] = []
         for pdf in it:
             for c in ts_cols:
@@ -534,12 +540,13 @@ def write_avro(
                 )
         if not rows:
             return
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+        tc = TaskContext.get()
+        fname = os.path.join(path, f"part-{job_id}-{tc.partitionId():05d}.avro")
         blob = encode_ocf(rows, avro_schema, codec=codec)
-        tmp = fname + ".tmp"
+        tmp = f"{fname}.{tc.taskAttemptId()}.tmp"  # per-attempt tmp
         with open(tmp, "wb") as fh:
             fh.write(blob)
-        os.replace(tmp, fname)  # atomic per-file rename
+        os.replace(tmp, fname)  # atomic per-file rename, retry-idempotent
         yield pd.DataFrame({"file": [fname]})
 
     written = df.mapInPandas(write_part, marker_schema).collect()
@@ -547,8 +554,10 @@ def write_avro(
         # empty input: persist the schema anyway (a zero-block file), so
         # read_avro(path) of an empty result returns 0 rows, not an error
         blob = encode_ocf([], avro_schema, codec=codec)
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
-        with open(fname, "wb") as fh:
+        fname = os.path.join(path, f"part-{job_id}-empty.avro")
+        tmp = fname + ".tmp"
+        with open(tmp, "wb") as fh:
             fh.write(blob)
+        os.replace(tmp, fname)
         return 1
     return len(written)

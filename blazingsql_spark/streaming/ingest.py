@@ -20,6 +20,33 @@ from pyspark.sql import functions as F
 from blazingsql_spark.functions.dedup import _banded_signatures, incremental_near_dup_check
 
 
+def _parquet_readable(spark: SparkSession, path: str) -> bool:
+    """Probe whether a parquet dataset exists at ``path``.
+
+    Returns False ONLY for genuine absence (path not created yet, or
+    created-but-empty so schema inference fails). Everything else — corrupt
+    footers, permission errors, transient filesystem faults — re-raises:
+    masking those as "no index yet" would silently disable the dedup
+    screen for every later batch and permanently append known duplicates
+    to the corpus. Same discipline as operators/forget.py and
+    ComponentsIngest._snapshots.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path)
+        return True
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return False
+        raise
+
+
 class DedupIngest:
     """foreachBatch handler: near-dup-filter each micro-batch against the
     running index, append survivors to the corpus and their signatures to
@@ -55,11 +82,9 @@ class DedupIngest:
         checkpoint (or pointed at a pre-existing index) the first batch must
         still dedup against the on-disk index."""
         if not self._index_seen:
-            try:
-                self.spark.read.parquet(self.index_path)
-                self._index_seen = True
-            except Exception:  # AnalysisException: path does not exist yet
+            if not _parquet_readable(self.spark, self.index_path):
                 return False
+            self._index_seen = True
         return True
 
     def _prepare(self, batch: DataFrame) -> DataFrame:
@@ -274,11 +299,9 @@ class AnnIndexIngest:
 
     def _index_exists(self) -> bool:
         if not self._index_seen:
-            try:
-                self.spark.read.parquet(f"{self.index_path}/encoded")
-                self._index_seen = True
-            except Exception:  # path does not exist yet
+            if not _parquet_readable(self.spark, f"{self.index_path}/encoded"):
                 return False
+            self._index_seen = True
         return True
 
     def _batch_error(self, batch: DataFrame, cents: DataFrame, books: DataFrame):
@@ -347,11 +370,13 @@ class AnnIndexIngest:
         from blazingsql_spark.operators import hnsw as H
 
         if self._hnsw_cache is None:
-            try:
+            # absence-gated like every other probe here: a corrupt/unreadable
+            # tier must surface, not be silently rebuilt over
+            if _parquet_readable(self.spark, f"{self.index_path}/hnsw/nodes"):
                 self._hnsw_cache = H.load_hnsw_index(
                     self.spark, f"{self.index_path}/hnsw"
                 )
-            except Exception:  # tier not on disk yet: build from frozen cents
+            else:  # tier not on disk yet: build from frozen cents
                 graph, cids = H.graph_from_centroids(
                     cents, m=self.hnsw_m,
                     ef_construction=max(self.hnsw_ef, 4 * self.hnsw_m),
@@ -700,11 +725,9 @@ class BloomCorpusIngest:
 
     def _screen_exists(self) -> bool:
         if not self._screen_seen:
-            try:
-                self.spark.read.parquet(self.words_path)
-                self._screen_seen = True
-            except Exception:  # path does not exist before the first epoch
+            if not _parquet_readable(self.spark, self.words_path):
                 return False
+            self._screen_seen = True
         return True
 
     def _reference(self, exclude_epoch: int):

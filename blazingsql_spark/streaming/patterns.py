@@ -10,11 +10,15 @@ runs an incremental leftmost-longest scanner whose per-user state is
     (n_matches, longest_match, carry)
 
 where ``carry`` is ONLY the suffix of the stream belonging to the
-in-flight match attempt — bounded by the longest single match the pattern
-can absorb (e.g. the longest click run for ``vc+p``), never by the
-per-user event count. That is the property that makes the operator safe
-on an unbounded stream: a user with a year of history carries a few
-bytes of state, not the year.
+in-flight match attempt. That suffix is bounded by the longest single
+match the pattern can absorb — an INPUT-DEPENDENT bound: for ``vc+p`` it
+is the user's longest click run, which a degenerate/adversarial stream
+can grow without limit. ``max_carry`` therefore enforces a hard cap: an
+attempt whose carry exceeds it is aborted (carry dropped, ``n_aborted``
+incremented and emitted) so a state-store row can never exceed
+``max_carry`` characters regardless of input. Matches spanning an
+aborted attempt are lost and the output says so — the honest trade on an
+unbounded stream.
 
 Semantics: leftmost-longest, non-overlapping. For patterns without
 ambiguous alternation (no two alternatives matching different-length
@@ -186,20 +190,42 @@ class StreamMatcher:
 
     ``feed(text)`` consumes more of the stream; ``snapshot()`` returns the
     (n_matches, longest) pair *as if the stream ended now* without
-    disturbing the in-flight attempt; ``carry`` is the bounded suffix that
-    must persist across batches (the state-store payload).
+    disturbing the in-flight attempt; ``carry`` is the suffix that must
+    persist across batches (the state-store payload), hard-capped at
+    ``max_carry`` characters: an in-flight attempt that outgrows the cap
+    is aborted (carry dropped, ``n_aborted`` incremented) so state stays
+    bounded even on adversarial streams whose longest possible match is
+    unbounded (e.g. an endless click run under ``vc+p``).
     """
 
-    def __init__(self, nfa: _Nfa, n_matches: int = 0, longest: int = 0, carry: str = ""):
+    def __init__(
+        self,
+        nfa: _Nfa,
+        n_matches: int = 0,
+        longest: int = 0,
+        carry: str = "",
+        max_carry: int = 4096,
+        n_aborted: int = 0,
+    ):
+        if max_carry < 1:
+            raise ValueError(f"max_carry must be >= 1, got {max_carry}")
         self.nfa = nfa
         self.n_matches = n_matches
         self.longest = longest
         self.carry = carry
+        self.max_carry = max_carry
+        self.n_aborted = n_aborted
 
     def feed(self, text: str) -> None:
         self.n_matches, self.longest, self.carry = self._scan(
             self.carry + text, self.n_matches, self.longest, final=False
         )
+        if len(self.carry) > self.max_carry:
+            # the whole carry is ONE in-flight attempt; abort it rather
+            # than keep unbounded state (a kept suffix could fabricate a
+            # match start the true stream never had)
+            self.n_aborted += 1
+            self.carry = ""
 
     def snapshot(self) -> tuple[int, int]:
         n, longest, _ = self._scan(self.carry, self.n_matches, self.longest, final=True)
@@ -252,6 +278,7 @@ _OUT_SCHEMA = T.StructType(
         T.StructField("n_matches", T.LongType()),
         T.StructField("longest_match", T.LongType()),
         T.StructField("n_codes", T.LongType()),
+        T.StructField("n_aborted", T.LongType()),
     ]
 )
 _STATE_SCHEMA = T.StructType(
@@ -260,6 +287,7 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("longest", T.LongType()),
         T.StructField("carry", T.StringType()),
         T.StructField("n_codes", T.LongType()),
+        T.StructField("n_aborted", T.LongType()),
     ]
 )
 
@@ -269,32 +297,40 @@ def pattern_match_stream(
     pattern: str = "vc+p",
     code_map: dict[str, str] | None = None,
     default_code: str = DEFAULT_CODE,
+    max_carry: int = 4096,
 ) -> DataFrame:
     """Per-user incremental pattern matching over an event stream.
 
-    Emits one (user_id, n_matches, longest_match, n_codes) row per user
-    per micro-batch with the totals the batch query would report on the
-    prefix seen so far; ``n_codes`` is the processed-event count (use the
-    max-n_codes row per user as the final answer in at-least-once sinks).
+    Emits one (user_id, n_matches, longest_match, n_codes, n_aborted) row
+    per user per micro-batch with the totals the batch query would report
+    on the prefix seen so far; ``n_codes`` is the processed-event count
+    (use the max-n_codes row per user as the final answer in
+    at-least-once sinks). ``n_aborted`` counts in-flight attempts dropped
+    by the ``max_carry`` state cap — nonzero means some matches may have
+    been undercounted to keep state bounded.
     """
     import pandas as pd  # noqa: PLC0415
 
     cmap = dict(code_map or DEFAULT_CODE_MAP)
     nfa = compile_pattern(pattern)  # validate eagerly on the driver
+    if max_carry < 1:
+        raise ValueError(f"max_carry must be >= 1, got {max_carry}")
 
     def update(key, pdfs, state):
         (user_id,) = key
         if state.exists:
-            n0, longest0, carry0, seen0 = state.get
+            n0, longest0, carry0, seen0, aborted0 = state.get
         else:
-            n0, longest0, carry0, seen0 = 0, 0, "", 0
+            n0, longest0, carry0, seen0, aborted0 = 0, 0, "", 0, 0
         chunks = [pdf[["ts", "event_id", "event_type"]] for pdf in pdfs]
         batch = pd.concat(chunks).sort_values(["ts", "event_id"])
         codes = "".join(batch["event_type"].map(lambda t: cmap.get(t, default_code)))
-        m = StreamMatcher(nfa, n0, longest0, carry0)
+        m = StreamMatcher(
+            nfa, n0, longest0, carry0, max_carry=max_carry, n_aborted=aborted0
+        )
         m.feed(codes)
         seen = seen0 + len(batch)
-        state.update((m.n_matches, m.longest, m.carry, seen))
+        state.update((m.n_matches, m.longest, m.carry, seen, m.n_aborted))
         n_fin, longest_fin = m.snapshot()
         yield pd.DataFrame(
             {
@@ -302,6 +338,7 @@ def pattern_match_stream(
                 "n_matches": [n_fin],
                 "longest_match": [longest_fin],
                 "n_codes": [seen],
+                "n_aborted": [m.n_aborted],
             }
         )
 

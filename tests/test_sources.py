@@ -340,3 +340,49 @@ def test_arrow_routing_read_any_write_any_create_table(spark, tmp_path):
     bc.create_table("dim_feather", f)
     got = sorted(bc.sql("SELECT k, name FROM dim_feather").collect())
     assert [(r.k, r.name) for r in got] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_part_file_names_are_attempt_idempotent(spark, tmp_path, monkeypatch):
+    """Executor-direct sinks (arrow IPC, avro OCF) must derive final part
+    names from the write call's job id + the task's partitionId, NOT a
+    fresh uuid per attempt: a retried/speculative task then re-renames
+    onto the SAME file instead of leaving a duplicate part that later
+    reads silently union in (ADVICE r8). Simulated here by pinning the
+    job id so a second identical write IS a duplicate attempt."""
+    import uuid as uuid_mod
+
+    from blazingsql_spark.sources import arrow_ipc, avro_ocf
+
+    df = (
+        spark.range(40)
+        .repartition(4)
+        .selectExpr("id AS doc_id", "CAST(id * 2 AS DOUBLE) AS score")
+    )
+
+    # names embed the 5-digit partition id, one file per partition
+    apath = str(tmp_path / "a")
+    assert arrow_ipc.write_arrow_ipc(df, apath) == 4
+    import os
+    import re
+
+    names = sorted(os.listdir(apath))
+    assert all(re.fullmatch(r"part-[0-9a-f]{12}-\d{5}\.arrow", n) for n in names)
+    assert {n.rsplit("-", 1)[1] for n in names} == {
+        "00000.arrow", "00001.arrow", "00002.arrow", "00003.arrow"
+    }
+
+    # pin uuid4 -> the next append is byte-identical to a replayed attempt
+    # set: file COUNT must not grow and the data must not double
+    fixed = uuid_mod.UUID(int=0xABCDEF)
+    monkeypatch.setattr(uuid_mod, "uuid4", lambda: fixed)
+    for wpath, write, read, ext in (
+        (str(tmp_path / "ar"), arrow_ipc.write_arrow_ipc,
+         arrow_ipc.read_arrow_ipc, "arrow"),
+        (str(tmp_path / "av"), avro_ocf.write_avro, avro_ocf.read_avro, "avro"),
+    ):
+        write(df, wpath)
+        first = sorted(os.listdir(wpath))
+        write(df, wpath, mode="append")  # duplicate attempt set
+        assert sorted(os.listdir(wpath)) == first, ext
+        assert read(spark, wpath).count() == 40, ext
+        assert not [f for f in os.listdir(wpath) if f.endswith(".tmp")], ext

@@ -1356,3 +1356,35 @@ def test_manifest_time_travel(spark, tmp_path):
     # default retention (keep_manifests=1) prunes v1/v2 on the next publish
     mf.write_manifest(spark, root, {"bases": [], "min_epoch": 0})
     assert mf.list_manifest_versions(spark, root) == [3]
+
+
+def test_parquet_probe_distinguishes_absent_from_broken(spark, tmp_path):
+    """The index/screen existence probes must treat ONLY genuine absence
+    (path never created, or created-but-empty) as 'no index yet'. A
+    corrupt or unreadable dataset must fail the epoch loudly — swallowing
+    it would silently disable the dedup screen and append known
+    duplicates to the corpus forever (ADVICE r8)."""
+    import pytest
+
+    from blazingsql_spark.streaming.ingest import BloomCorpusIngest, _parquet_readable
+
+    # absent path and empty directory: legitimate "not yet" cases
+    assert not _parquet_readable(spark, str(tmp_path / "never_created"))
+    (tmp_path / "empty").mkdir()
+    assert not _parquet_readable(spark, str(tmp_path / "empty"))
+
+    # corrupt footer: must raise, not report absence
+    broken = tmp_path / "screen" / "words"
+    broken.mkdir(parents=True)
+    (broken / "part-00000.parquet").write_bytes(b"not parquet" * 64)
+    with pytest.raises(Exception, match="(?i)footer|parquet"):
+        _parquet_readable(spark, str(broken))
+
+    # and the handler path: a fresh BloomCorpusIngest over the corrupted
+    # screen must fail the batch instead of ingesting unscreened
+    handler = BloomCorpusIngest(
+        spark, str(tmp_path / "screen"), str(tmp_path / "corpus")
+    )
+    batch = spark.createDataFrame([(1, "alpha")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="(?i)footer|parquet"):
+        handler(batch, 0)

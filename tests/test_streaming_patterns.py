@@ -154,3 +154,62 @@ def test_matcher_matches_re_generated_patterns(pat, text, seed):
         chunked.feed(text[i : i + k])
         i += k
     assert chunked.snapshot() == want, (pat, text)
+
+
+def test_matcher_carry_hard_cap_aborts_inflight(spark, tmp_path):
+    """The input-dependent carry bound (longest possible single match) is
+    unbounded on adversarial streams — e.g. an endless click run under
+    'vc+p'. max_carry must hard-cap state: the in-flight attempt is
+    aborted, n_aborted says so, and match counting resumes cleanly after
+    the abort (ADVICE r8)."""
+    import pytest
+
+    nfa = compile_pattern("vc+p")
+    m = StreamMatcher(nfa, max_carry=10)
+    m.feed("v" + "c" * 5)  # in-flight, under the cap
+    assert m.carry == "vccccc" and m.n_aborted == 0
+    m.feed("c" * 20)  # blows past the cap -> abort
+    assert m.carry == "" and m.n_aborted == 1
+    m.feed("p")  # the spanning match is lost (documented trade)
+    assert m.n_matches == 0
+    m.feed("vcp")  # fresh attempts still match
+    assert m.n_matches == 1 and m.n_aborted == 1
+    # unbounded-state repro from the ADVICE: state never exceeds the cap
+    for _ in range(100):
+        m.feed("v" + "c" * 7)
+        assert len(m.carry) <= 10
+    with pytest.raises(ValueError, match="max_carry"):
+        StreamMatcher(nfa, max_carry=0)
+    with pytest.raises(ValueError, match="max_carry"):
+        pattern_match_stream(st.stream_events(spark, SF_DIR), max_carry=-1)
+
+    # end-to-end through the state store: a degenerate user whose click
+    # run exceeds the cap surfaces n_aborted > 0 instead of growing state
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(1, i, "view" if i == 0 else "click", i) for i in range(40)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "event_type", "ts"])
+    pdf.to_json(src / "b0.json", orient="records", lines=True)
+    raw = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, ts long"
+        )
+        .json(str(src))
+    )
+    out = pattern_match_stream(raw, max_carry=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cap_abort")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_cap_abort").toPandas()
+    final = _final_rows(got)
+    row = final[final["user_id"] == 1].iloc[0]
+    assert row["n_aborted"] >= 1 and row["n_matches"] == 0
