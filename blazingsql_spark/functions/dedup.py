@@ -840,6 +840,10 @@ def bitstring_candidate_pairs(
             f"pigeonhole guarantee needs max_hamming <= bands-1 "
             f"(got {max_hamming} vs {bands} bands)"
         )
+    # NULL signatures (decode failures under on_error='skip') carry no
+    # bits to compare: exclude them up front rather than letting them
+    # surface as a baffling mixed-width error that aborts the whole job
+    df = df.filter(F.col(sig_col).isNotNull())
     # one fixed width, divisible by bands: mixed widths would band-collide
     # across lengths and zip_with's null padding silently UNDERCOUNTS the
     # hamming of the uncompared tail (bounded probe: <=2 rows collected)
@@ -847,6 +851,20 @@ def bitstring_candidate_pairs(
         r[0]
         for r in df.select(F.length(F.col(sig_col))).distinct().limit(2).collect()
     ]
+    if not widths:
+        # empty (or all-NULL) input: no pairs, by definition — not an error
+        from pyspark.sql import types as T
+
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", df.schema[id_col].dataType),
+                    T.StructField("id_b", df.schema[id_col].dataType),
+                    T.StructField("hamming", T.LongType()),
+                ]
+            ),
+        )
     if len(widths) != 1:
         raise ValueError(
             f"bitstring_candidate_pairs: signatures must share one fixed "

@@ -34,11 +34,20 @@ def forget_from_epoch_table(
     table_dir: str,
     ids: DataFrame,
     id_col: str,
+    manifest: dict | None = None,
 ) -> int:
     """Remove all rows matching ``ids`` (a 1-column frame of ``id_col``
     values) from one epoch-partitioned table. Returns rows removed.
     Tables without the epoch layout (legacy flat) are rewritten whole —
-    correct, just without the partition-pruned write."""
+    correct, just without the partition-pruned write.
+
+    ``manifest`` (sources.manifest dict) gates the scan to LIVE
+    partitions on compacted index tables: without it, superseded
+    gc-pending epochs would also be scanned and rewritten, and their rows
+    would inflate the returned count with deletions no reader could ever
+    see (their content already lives in a base partition, which IS live
+    and cleaned here). Dead partitions are left for gc_partitions — the
+    path that already owns their lifecycle."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -66,6 +75,10 @@ def forget_from_epoch_table(
                 table_dir
             )
         return removed
+    if manifest is not None:
+        from blazingsql_spark.sources.manifest import live_partition_filter
+
+        df = df.filter(live_partition_filter(manifest))
     hits = (
         df.join(targets, id_col, "left_semi")
         .select("epoch_id")
@@ -111,16 +124,23 @@ def forget_documents(
     spark: SparkSession,
     ids: DataFrame,
     tables: dict[str, str],
+    manifests: dict[str, dict] | None = None,
 ) -> dict[str, int]:
     """Propagate an erasure request across every table that carries the
     documents: ``tables`` maps table_dir -> id column name (the corpus,
     the MinHash band index, lexical postings, cluster labels — whatever
     derived state exists). Returns per-table removed-row counts.
+    ``manifests`` optionally maps table_dir -> its sources.manifest dict
+    for compacted tables (live-partition gating, see
+    forget_from_epoch_table).
 
     Order note: indexes are cleaned AFTER their corpus in the iteration
     order given, but every step is idempotent, so a partial failure is
     repaired by re-running the same call."""
     return {
-        table_dir: forget_from_epoch_table(spark, table_dir, ids, id_col)
+        table_dir: forget_from_epoch_table(
+            spark, table_dir, ids, id_col,
+            manifest=(manifests or {}).get(table_dir),
+        )
         for table_dir, id_col in tables.items()
     }

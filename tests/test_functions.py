@@ -2199,6 +2199,39 @@ def test_bitstring_candidate_pairs_lossless_within_radius(spark):
         bitstring_candidate_pairs(df, "sig", "id", bands=4, max_hamming=4)
 
 
+def test_bitstring_pairs_empty_and_null_signatures(spark):
+    """Corpus-robustness (ADVICE r8): an empty frame returns an empty
+    pair frame (same schema), not a confusing 'found lengths []' error;
+    NULL signatures (decode failures under on_error='skip') are excluded
+    rather than aborting the job as a mixed-width error."""
+    from blazingsql_spark.functions.dedup import bitstring_candidate_pairs
+
+    schema = "id long, sig string"
+    empty = spark.createDataFrame([], schema)
+    out = bitstring_candidate_pairs(empty, "sig", "id")
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "hamming"]
+
+    with_nulls = spark.createDataFrame(
+        [(1, "00000000"), (2, "00000001"), (3, None), (4, None)], schema
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in bitstring_candidate_pairs(
+            with_nulls, "sig", "id", bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == {(1, 2): 1}
+
+    all_null = spark.createDataFrame([(1, None), (2, None)], schema)
+    assert bitstring_candidate_pairs(all_null, "sig", "id").count() == 0
+
+    # real width mismatches still fail loudly, naming the widths
+    mixed = spark.createDataFrame([(1, "0000"), (2, "00000000")], schema)
+    with pytest.raises(ValueError, match=r"\[4, 8\]"):
+        bitstring_candidate_pairs(mixed, "sig", "id")
+
+
 def test_holt_linear_matches_sequential_reference(spark):
     """The expression-fold Holt recursion equals a sequential Python
     reference on random series (level, trend, and h-step forecast);

@@ -1388,3 +1388,37 @@ def test_parquet_probe_distinguishes_absent_from_broken(spark, tmp_path):
     batch = spark.createDataFrame([(1, "alpha")], ["doc_id", "text"])
     with pytest.raises(Exception, match="(?i)footer|parquet"):
         handler(batch, 0)
+
+
+def test_forget_manifest_gates_scan_and_count_to_live_partitions(spark, tmp_path):
+    """On a compacted table, forget must not scan/rewrite superseded
+    gc-pending epochs nor count their rows in 'removed' (ADVICE r8): the
+    live view's copy of a target lives in the base partition; the dead
+    raw epoch belongs to gc_partitions."""
+    from blazingsql_spark.operators.forget import forget_from_epoch_table
+    from blazingsql_spark.sources import manifest as mf
+
+    root = str(tmp_path / "t")
+
+    def t(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # raw epochs 0..1, then a base -1 holding their compacted content
+    mf.write_epoch_partition(t([(1, "a"), (2, "b")]), root, 0)
+    mf.write_epoch_partition(t([(3, "c")]), root, 1)
+    mf.write_epoch_partition(t([(1, "a"), (2, "b"), (3, "c")]), root, -1)
+    man = {"bases": [-1], "min_epoch": 2, "max_epoch": 1}
+
+    ids = spark.createDataFrame([(1,)], ["doc_id"])
+    removed = forget_from_epoch_table(spark, root, ids, "doc_id", manifest=man)
+    # live view had exactly ONE copy of doc 1 (in base -1); ungated this
+    # reported 2 (base + dead epoch 0)
+    assert removed == 1
+    live = mf.read_live(spark, root, man)
+    assert sorted(r.doc_id for r in live.collect()) == [2, 3]
+    # the dead epoch was not rewritten: its files still hold doc 1
+    dead = spark.read.parquet(f"{root}/epoch_id=0")
+    assert sorted(r.doc_id for r in dead.collect()) == [1, 2]
+    # ungated call still cleans everything (legacy behavior preserved)
+    removed2 = forget_from_epoch_table(spark, root, ids, "doc_id")
+    assert removed2 == 1  # the dead-partition copy
