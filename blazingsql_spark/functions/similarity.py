@@ -1352,7 +1352,7 @@ def semantic_dedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    max_cluster_size: int | None = None,
+    max_cluster_size: int | None = 2000,
     split_bits: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
@@ -1373,8 +1373,12 @@ def semantic_dedup_keep(
     the cap are hierarchically bisected by seeded hyperplanes (then
     hash-salted if even ``split_bits`` bisections cannot separate them)
     so no self-join side ever exceeds the cap — see
-    ``_bounded_cluster_keys`` for the recall accounting. ``None``
-    preserves the paper-exact unbounded behavior."""
+    ``_bounded_cluster_keys`` for the recall accounting. Bounded is the
+    DEFAULT (cap 2000): a caller on default settings can never hit the
+    O(Σ cluster²) unbounded-skew pathology silently. The paper-exact
+    unbounded path is the explicit opt-in ``max_cluster_size=None`` —
+    it is the differential/correctness anchor, not the production
+    configuration."""
     if n_clusters == 1:
         # k=1 Lloyd is a no-op for the keep-set: every row lands in the one
         # cluster whatever the centroid value is, so skip the O(iter)

@@ -4604,7 +4604,9 @@ def dedup_semantic(spark, sf_dir):
     )
     corpus = emb.unionAll(dups)
     keep = similarity.semantic_dedup_keep(
-        corpus, n_clusters=1, threshold=0.95, dim=64
+        # max_cluster_size=None: the paper-exact unbounded opt-in — this
+        # row IS the exact anchor (bounded-by-default since r9)
+        corpus, n_clusters=1, threshold=0.95, dim=64, max_cluster_size=None
     )
     return keep.select("vec_id").orderBy("vec_id")
 
