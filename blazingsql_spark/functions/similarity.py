@@ -552,12 +552,24 @@ def assign_to_centroids(
     )
 
 
+def auto_n_probe(n_centroids: int) -> int:
+    """Default probe count targeting recall@5 >= 0.8: half the inverted
+    lists, at least 4. Measured on the uniform synthetic embeddings
+    (worst case for IVF — near-random vectors scatter each query's true
+    neighborhood across many lists): n_probe=4/16 gave 0.64-0.66 recall
+    at sf0.001/sf0.1, 8/16 gives 0.84-0.96. Real embedding corpora
+    cluster far better, so production callers should TUNE DOWN explicitly
+    (the probe ratio is the scan-fraction of the corpus); this default
+    buys a recall floor, not peak throughput."""
+    return max(4, -(-int(n_centroids) // 2))
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -567,13 +579,17 @@ def ivf_topk(
     """IVF approximate top-k: probe the n_probe nearest inverted lists per
     query, exact cosine only within them. The candidate join is an equi-join
     on centroid_id — the corpus partition scanned per query is ~n_probe/k
-    of the data, the IVF trade-off.
+    of the data, the IVF trade-off. ``n_probe=None`` (default) uses
+    ``auto_n_probe`` — a recall-floor default; tune explicitly for scan
+    fraction.
 
     ``prebuilt`` takes an already-built (centroids, assigned_lists) pair —
     the serving-path discipline every other tier here has: train/assign
     once per corpus epoch, probe many times. Training is md5-seeded and
     deterministic, so a prebuilt index gives bit-identical results to the
     self-training path."""
+    if n_probe is None:
+        n_probe = auto_n_probe(n_centroids)
     if prebuilt is not None:
         cents, lists = prebuilt
     else:

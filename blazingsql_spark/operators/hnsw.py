@@ -357,7 +357,7 @@ def hnsw_ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     ef: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -374,13 +374,23 @@ def hnsw_ivf_topk(
 
     ``prebuilt_ivf`` = (cents, lists) skips centroid training and the
     assignment pass — the resident-index production path (pair it with
-    ``prebuilt`` for the graph), same amortization as ivfpq_topk's."""
+    ``prebuilt`` for the graph), same amortization as ivfpq_topk's.
+
+    ``n_probe=None`` uses similarity.auto_n_probe (the recall-floor
+    default, see its docstring); ``ef`` is widened to 4*n_probe when the
+    requested beam is narrower than the probe count (a beam thinner than
+    the probes it must return degrades the coarse route for free)."""
     from blazingsql_spark.functions.similarity import (
         assign_to_centroids,
+        auto_n_probe,
         cosine,
         ivf_train_centroids,
     )
     from pyspark.sql.window import Window
+
+    if n_probe is None:
+        n_probe = auto_n_probe(n_centroids)
+    ef = max(int(ef), 4 * int(n_probe))
 
     if prebuilt_ivf is not None:
         cents, lists = prebuilt_ivf

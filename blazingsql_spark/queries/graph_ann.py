@@ -70,10 +70,10 @@ def sim_ann_hnsw(spark, sf_dir):
     exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     approx = (
         hnsw.hnsw_ivf_topk(
-            emb, queries, k=5, n_centroids=16, n_probe=4, ef=64,
+            emb, queries, k=5, n_centroids=16, ef=64,
             prebuilt=graph, prebuilt_ivf=(cents, lists),
         )
         .select("query_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )
-    return _recall_gate(exact, approx)
+    return _recall_gate(exact, approx, threshold=0.8)

@@ -1023,28 +1023,31 @@ pair(
 )
 def sim_ann_ivf(spark, sf_dir):
     """IVF ANN (functions.similarity.ivf_topk): deterministic k-means
-    inverted lists, probe-4-of-16 search. The inverted-list contents aren't
-    SQL-expressible, but recall@k against the exact brute-force top-k IS
-    deterministic (both sides are deterministic) — the query reports it as a
-    thresholded boolean the oracle asserts TRUE (measured recall ~0.9+ at
-    these settings; threshold 0.6 leaves margin)."""
+    inverted lists, auto-probed search (auto_n_probe = 8-of-16 here —
+    the recall-floor default; explicit n_probe=4 measured 0.64-0.66 at
+    the SF extremes, auto measures 0.84-0.96). Inverted-list contents
+    aren't SQL-expressible, but recall@k against the exact brute-force
+    top-k IS deterministic — reported as a thresholded boolean the
+    oracle asserts TRUE (gate floor 0.8 since r9)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     approx = (
-        similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+        similarity.ivf_topk(emb, queries, k=5, n_centroids=16)
         .select("query_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )
-    return _recall_gate(exact, approx)
+    return _recall_gate(exact, approx, threshold=0.8)
 
 
-def _recall_gate(exact, approx):
-    """exact⟕approx recall aggregate, thresholded at 0.6. The raw
-    n_recalled is NOT in the output (not SQL-oracle-predictable); use
-    ann_recall_telemetry for the measured numbers."""
+def _recall_gate(exact, approx, threshold: float = 0.6):
+    """exact⟕approx recall aggregate, thresholded. The raw n_recalled is
+    NOT in the output (not SQL-oracle-predictable); use
+    ann_recall_telemetry for the measured numbers. Floors: 0.8 for the
+    auto-probed ivf/hnsw rows (VERDICT r8 item 4), 0.6 for the
+    compression tiers whose recall is settings-bound (pq/ivfpq)."""
     marked = exact.join(approx, ["query_id", "vec_id"], "left")
     return marked.agg(
         F.count_distinct("query_id").alias("n_queries"),
@@ -1053,7 +1056,9 @@ def _recall_gate(exact, approx):
     ).select(
         "n_queries",
         "n_exact_results",
-        (F.col("n_recalled") >= F.col("n_exact_results") * 0.6).alias("recall_ok"),
+        (F.col("n_recalled") >= F.col("n_exact_results") * threshold).alias(
+            "recall_ok"
+        ),
     )
 
 
@@ -1077,12 +1082,12 @@ def ann_recall_telemetry(spark, sf_dir: str) -> dict[str, float]:
         from blazingsql_spark.operators import hnsw
 
         return hnsw.hnsw_ivf_topk(
-            emb, queries, k=5, n_centroids=16, n_probe=4, ef=64
+            emb, queries, k=5, n_centroids=16, ef=64
         )
 
     tiers = {
         "sim_ann_ivf": lambda: similarity.ivf_topk(
-            emb, queries, k=5, n_centroids=16, n_probe=4
+            emb, queries, k=5, n_centroids=16
         ),
         "sim_ann_pq": _pq,
         "sim_ann_ivfpq": lambda: similarity.ivfpq_topk(
@@ -1629,7 +1634,8 @@ def sim_ann_ivf_int8(spark, sf_dir):
     ).select(
         "n_queries",
         "n_exact_results",
-        (F.col("n8") >= F.col("n_exact_results") * 0.6).alias("recall_ok"),
+        # 0.8 floor since r9 (measured 0.94-0.96 across SFs — margin holds)
+        (F.col("n8") >= F.col("n_exact_results") * 0.8).alias("recall_ok"),
         (
             F.col("n8")
             >= F.col("nf")
