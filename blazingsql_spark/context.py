@@ -106,10 +106,21 @@ class Context:
             df = input.load()
             meta = TableMeta(table_name, "jdbc")
         elif _is_pandas(input):
-            df = self.spark.createDataFrame(input)
+            import pyarrow as pa
+
+            if any(str(dt).startswith("uint") for dt in input.dtypes):
+                # route through Arrow so the widening policy applies —
+                # the raw pandas path silently NULLs uint64 > 2^63-1
+                df = self.spark.createDataFrame(
+                    _widen_unsigned_arrow(pa.Table.from_pandas(input))
+                )
+            else:
+                df = self.spark.createDataFrame(input)
             meta = TableMeta(table_name, "pandas")
         elif _is_arrow(input):
-            df = self.spark.createDataFrame(input.to_pandas())
+            # direct Arrow ingestion (no pandas round trip: pandas floats
+            # int-with-null columns and NULLs uint64 over 2^63-1)
+            df = self.spark.createDataFrame(_widen_unsigned_arrow(input))
             meta = TableMeta(table_name, "arrow")
         elif isinstance(input, (str, os.PathLike)) or (
             isinstance(input, (list, tuple)) and input and isinstance(input[0], str)
@@ -485,6 +496,35 @@ def _infer_format(path: str) -> str:
         if base.endswith(ext):
             return fmt
     return "parquet"
+
+
+def _widen_unsigned_arrow(table):
+    """Unsigned-int widening policy (SURVEY §1.2; reference
+    CatalogColumnDataType.java:19-44 declares UINT8/16/32/64 as weakly
+    supported catalog types): every unsigned column widens to the next
+    signed size that holds its full range — uint8→int16, uint16→int32,
+    uint32→int64, uint64→decimal(20,0) — matching what Spark's own
+    parquet reader does for unsigned physical types, so a value round-
+    trips EXACTLY regardless of ingestion path. Spark has no unsigned
+    types; without this, Arrow ingestion rejects uints outright and the
+    pandas path silently NULLs uint64 values above 2^63-1."""
+    import pyarrow as pa
+
+    widen = {
+        pa.uint8(): pa.int16(),
+        pa.uint16(): pa.int32(),
+        pa.uint32(): pa.int64(),
+        pa.uint64(): pa.decimal128(20, 0),
+    }
+    if not any(f.type in widen for f in table.schema):
+        return table
+    target = pa.schema(
+        [
+            pa.field(f.name, widen.get(f.type, f.type), f.nullable)
+            for f in table.schema
+        ]
+    )
+    return table.cast(target)
 
 
 def _is_pandas(obj: Any) -> bool:

@@ -243,3 +243,67 @@ def io_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
         F.col("o_orderdate").cast("date").cast("string").alias("o_date"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "io_uint_widening",
+    oracle="""
+        SELECT CAST(n_nationkey * 10 AS SMALLINT) AS u8,
+               CAST(n_nationkey * 2500 AS INTEGER) AS u16,
+               CAST(CAST(n_nationkey AS BIGINT) * 171798691 AS BIGINT) AS u32,
+               CAST(CAST(n_nationkey AS HUGEINT) * 768614336404564650
+                    AS VARCHAR) AS u64_str,
+               TRUE AS widened_ok
+        FROM nation
+        ORDER BY u8
+    """,
+    doc="unsigned-int widening policy (SURVEY §1.2; reference "
+    "CatalogColumnDataType.java:19-44): UINT8/16/32/64 parquet columns "
+    "widen to SMALLINT/INT/BIGINT/DECIMAL(20,0) with values exact to "
+    "the top of each unsigned range",
+)
+def io_uint_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a parquet file with genuine uint8/16/32/64 physical columns
+    (pyarrow, values spanning each type's FULL range incl. uint64 just
+    under 2^64) derived from nation keys, read it back through the scan
+    path, and surface values + widened schema for the driver compare.
+    The same policy governs Arrow/pandas ingestion via
+    Context._widen_unsigned_arrow (unit-tested in test_context.py) —
+    this row pins the parquet-scan leg, where a regression would
+    silently corrupt ids, not error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keys = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    table = pa.table(
+        {
+            "u8": pa.array([k * 10 for k in keys], pa.uint8()),
+            "u16": pa.array([k * 2500 for k in keys], pa.uint16()),
+            "u32": pa.array([k * 171798691 for k in keys], pa.uint32()),
+            "u64": pa.array([k * 768614336404564650 for k in keys], pa.uint64()),
+        }
+    )
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    out = os.path.join(
+        scratch,
+        "blazingsql_spark_uint_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(table, os.path.join(out, "u.parquet"))
+    back = spark.read.parquet(out)
+    # pin the widened schema itself (pandas floats decimal(20,0) on the
+    # compare path, so u64 crosses as a string and the type as a boolean)
+    widened_ok = [f.dataType.simpleString() for f in back.schema.fields] == [
+        "smallint", "int", "bigint", "decimal(20,0)"
+    ]
+    return back.select(
+        "u8",
+        "u16",
+        "u32",
+        F.col("u64").cast("string").alias("u64_str"),
+        F.lit(widened_ok).alias("widened_ok"),
+    ).orderBy("u8")

@@ -297,3 +297,44 @@ def test_refresh_manifest_table_after_compaction(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not a registered manifest table"):
         bc.refresh_manifest_table("nope")
+
+
+def test_create_table_widens_unsigned_exactly(spark, tmp_path):
+    """Unsigned-int widening policy (SURVEY §1.2; reference
+    CatalogColumnDataType.java:19-44): uint8/16/32/64 widen to
+    smallint/int/bigint/decimal(20,0) with values exact at the TOP of
+    each unsigned range, across all three ingestion paths (parquet scan,
+    Arrow table, pandas). Without the policy, Arrow ingestion rejected
+    uints outright and pandas silently NULLed uint64 > 2^63-1."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from decimal import Decimal
+
+    vals = {
+        "u8": ([0, 255], pa.uint8()),
+        "u16": ([0, 65535], pa.uint16()),
+        "u32": ([0, 4294967295], pa.uint32()),
+        "u64": ([0, 18446744073709551615], pa.uint64()),
+    }
+    table = pa.table({k: pa.array(v, t) for k, (v, t) in vals.items()})
+    want_types = ["smallint", "int", "bigint", "decimal(20,0)"]
+    want_max = [255, 65535, 4294967295, Decimal(18446744073709551615)]
+
+    bc = Context(spark=spark)
+
+    # parquet scan path (Spark-native widening — pinned here so a Spark
+    # behavior change surfaces as a policy break, not silent drift)
+    pq.write_table(table, str(tmp_path / "u.parquet"))
+    for name, src in (
+        ("u_pq", str(tmp_path / "u.parquet")),
+        ("u_arrow", table),
+        ("u_pandas", pd.DataFrame(
+            {k: np.array(v, str(t)) for k, (v, t) in vals.items()}
+        )),
+    ):
+        df = bc.create_table(name, src)
+        got_types = [f.dataType.simpleString() for f in df.schema.fields]
+        assert got_types == want_types, (name, got_types)
+        top = df.orderBy("u8").collect()[-1]
+        assert list(top) == want_max, (name, list(top))
