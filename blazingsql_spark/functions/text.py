@@ -1443,16 +1443,15 @@ def _wp_mark(word: str) -> list[str]:
 def _driver_wordpiece_merges(
     word_freqs: list[tuple[str, int]], n_merges: int
 ) -> tuple[list[tuple[str, str]], dict[str, int]]:
-    """In-memory WordPiece merge loop (the BERT trainer's objective):
-    winner maximizes score(a,b) = count(ab) / (count(a)·count(b)) — the
-    likelihood GAIN of merging, which prefers pairs whose parts rarely
-    occur apart — with (score DESC, a ASC, b ASC) tie-break. Counts are
-    corpus-weighted; symbol counts update incrementally per merge.
-    Argmax is a full scan of the live pair table per merge (O(pairs) —
-    fine for the vocab-bounded tables this runs on; the BPE-style
-    lazy-heap optimization applies if a 32k-merge WordPiece train ever
-    matters, with the extra wrinkle that a symbol-count change
-    invalidates every pair touching that symbol).
+    """Reference in-memory WordPiece merge loop (the BERT trainer's
+    objective): winner maximizes score(a,b) = count(ab) /
+    (count(a)·count(b)) — the likelihood GAIN of merging, which prefers
+    pairs whose parts rarely occur apart — with (score DESC, a ASC,
+    b ASC) tie-break. Counts are corpus-weighted; symbol counts update
+    incrementally per merge. Argmax is a full scan of the live pair
+    table per merge (O(pairs)) — kept as the oracle for
+    ``_driver_wordpiece_merges_fast`` (the heap path train_wordpiece
+    actually runs), equality-tested against it.
 
     Returns (merges, vocab): ordered merge list (pairs of marked
     symbols) and the final symbol → weighted-count vocabulary."""
@@ -1537,6 +1536,138 @@ def _driver_wordpiece_merges(
     return merges, vocab
 
 
+def _driver_wordpiece_merges_fast(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Heap-scheduled WordPiece merge loop — the BPE lazy-heap discipline
+    (_driver_bpe_merges) adapted to the score objective. The WordPiece
+    wrinkle: score(a,b) = count(ab)/(count(a)·count(b)) can RISE when a
+    merge shrinks a denominator symbol's count, so plain lazy
+    invalidation (skip stale pops) is unsound — a stale-LOW entry at the
+    top can hide the true max. Remedy: a symbol→pairs index; every merge
+    re-pushes the pairs touching any symbol whose count changed (a, b,
+    the merged symbol, plus pairs whose own count moved), each stamped
+    with the (c, ca, cb) triple it was scored from. A popped entry is
+    valid iff its triple still matches the live counts — exact, no float
+    drift vs the scan oracle, which this function is equality-tested
+    against. Per-merge cost is the touched neighborhood, not O(pairs):
+    a 32k-merge train drops from hours (full scan per merge) to seconds.
+
+    Identical contract to ``_driver_wordpiece_merges``."""
+    import heapq
+
+    syms: list[list[str]] = [_wp_mark(w) for w, _ in word_freqs]
+    freqs: list[int] = [f for _, f in word_freqs]
+
+    def word_pairs(s: list[str]) -> dict[tuple[str, str], int]:
+        out: dict[tuple[str, str], int] = {}
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            out[p] = out.get(p, 0) + 1
+        return out
+
+    counts: dict[tuple[str, str], int] = {}
+    occur: dict[tuple[str, str], set[int]] = {}
+    sym_counts: dict[str, int] = {}
+    by_sym: dict[str, set[tuple[str, str]]] = {}
+    for idx, s in enumerate(syms):
+        f = freqs[idx]
+        for x in s:
+            sym_counts[x] = sym_counts.get(x, 0) + f
+        for p, c in word_pairs(s).items():
+            counts[p] = counts.get(p, 0) + c * f
+            occur.setdefault(p, set()).add(idx)
+            by_sym.setdefault(p[0], set()).add(p)
+            by_sym.setdefault(p[1], set()).add(p)
+
+    def push(p: tuple[str, str]) -> None:
+        c = counts.get(p, 0)
+        if c <= 0:
+            return
+        ca, cb = sym_counts[p[0]], sym_counts[p[1]]
+        heapq.heappush(heap, (-(c / (ca * cb)), p[0], p[1], c, ca, cb))
+
+    heap: list[tuple[float, str, str, int, int, int]] = []
+    for p in counts:
+        push(p)
+
+    def merged_symbol(a: str, b: str) -> str:
+        return a + (b[2:] if b.startswith("##") else b)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            _, a, b, c, ca, cb = heap[0]
+            if (
+                counts.get((a, b), 0) == c
+                and sym_counts.get(a) == ca
+                and sym_counts.get(b) == cb
+            ):
+                best = (a, b)
+                break
+            heapq.heappop(heap)
+        if best is None:
+            break
+        a, b = best
+        merges.append(best)
+        new_sym = merged_symbol(a, b)
+        changed_syms = {a, b, new_sym}
+        changed_pairs: set[tuple[str, str]] = set()
+        for idx in list(occur.get(best, ())):
+            f = freqs[idx]
+            s = syms[idx]
+            old = word_pairs(s)
+            out: list[str] = []
+            n_applied = 0
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = new_sym
+                    n_applied += 1
+                else:
+                    out.append(x)
+            syms[idx] = out
+            if n_applied:
+                sym_counts[a] = sym_counts.get(a, 0) - n_applied * f
+                sym_counts[b] = sym_counts.get(b, 0) - n_applied * f
+                sym_counts[new_sym] = (
+                    sym_counts.get(new_sym, 0) + n_applied * f
+                )
+            new = word_pairs(out)
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    counts[p] = counts.get(p, 0) + d * f
+                    changed_pairs.add(p)
+                    if counts[p] <= 0:
+                        counts.pop(p, None)
+                    else:
+                        by_sym.setdefault(p[0], set()).add(p)
+                        by_sym.setdefault(p[1], set()).add(p)
+                if new.get(p, 0) == 0:
+                    occ = occur.get(p)
+                    if occ is not None:
+                        occ.discard(idx)
+                elif old.get(p, 0) == 0:
+                    occur.setdefault(p, set()).add(idx)
+        # re-score everything whose numerator OR a denominator moved
+        for x in changed_syms:
+            changed_pairs.update(by_sym.get(x, ()))
+        for p in changed_pairs:
+            if counts.get(p, 0) <= 0:
+                by_sym.get(p[0], set()).discard(p)
+                by_sym.get(p[1], set()).discard(p)
+                occur.pop(p, None)
+            else:
+                push(p)
+    vocab: dict[str, int] = {}
+    for idx, s in enumerate(syms):
+        f = freqs[idx]
+        for x in s:
+            vocab[x] = vocab.get(x, 0) + f
+    return merges, vocab
+
+
 def train_wordpiece(
     df: DataFrame,
     n_merges: int = 10,
@@ -1566,7 +1697,7 @@ def train_wordpiece(
             f"or pre-filter rare words"
         )
     pairs = sorted(zip(probe["token"], (int(x) for x in probe["freq"])))
-    merges, vocab = _driver_wordpiece_merges(pairs, n_merges)
+    merges, vocab = _driver_wordpiece_merges_fast(pairs, n_merges)
     spark = df.sparkSession
     vocab_df = spark.createDataFrame(
         sorted(vocab.items()), "piece string, freq long"

@@ -2059,6 +2059,60 @@ def test_wordpiece_trainer_known_example_and_bruteforce(spark):
         assert got == brute(wf, 5), wf
 
 
+def test_wordpiece_fast_heap_equals_scan_oracle():
+    """The heap-scheduled merge loop (what train_wordpiece runs) must be
+    MERGE-FOR-MERGE and vocab-identical to the O(pairs)-scan reference —
+    including the WordPiece wrinkle the heap must handle: scores RISING
+    when a denominator symbol's count shrinks. Random corpora over a
+    small alphabet maximize symbol sharing, the hard case."""
+    import random
+
+    from blazingsql_spark.functions.text import (
+        _driver_wordpiece_merges,
+        _driver_wordpiece_merges_fast,
+    )
+
+    rnd = random.Random(20260815)
+    for trial in range(60):
+        wf = sorted(
+            {
+                "".join(
+                    rnd.choice("abcd") for _ in range(rnd.randint(1, 8))
+                ): rnd.randint(1, 9)
+                for _ in range(rnd.randint(2, 25))
+            }.items()
+        )
+        n = rnd.randint(1, 12)
+        slow = _driver_wordpiece_merges(wf, n)
+        fast = _driver_wordpiece_merges_fast(wf, n)
+        assert fast == slow, (trial, wf, n)
+
+
+def test_wordpiece_fast_heap_32k_merges_is_fast():
+    """The point of the heap path (VERDICT r8 item 8): a realistic-vocab
+    train with a 32k merge budget completes in seconds, not the
+    O(n_merges x pairs) scan's hours. Synthetic Zipf-ish vocab of 20k
+    words; the budget self-exhausts when no positive-count pair remains,
+    which IS the 32k-budget behavior on a bounded corpus."""
+    import random
+    import time
+
+    rnd = random.Random(7)
+    words = {
+        "".join(rnd.choice("abcdefghijklmnop") for _ in range(rnd.randint(2, 12))):
+            rnd.randint(1, 1000)
+        for _ in range(20_000)
+    }
+    wf = sorted(words.items())
+    from blazingsql_spark.functions.text import _driver_wordpiece_merges_fast
+
+    t0 = time.perf_counter()
+    merges, vocab = _driver_wordpiece_merges_fast(wf, 32_000)
+    dt = time.perf_counter() - t0
+    assert len(merges) > 5_000  # a real merge run, not an early bail
+    assert dt < 60, f"32k-merge WordPiece train took {dt:.1f}s"
+
+
 def test_wordpiece_encode_greedy_and_reconstruction(spark):
     """Greedy longest match takes the longest vocab piece at each
     position; stripped-## pieces reconstruct the word; unencodable words
