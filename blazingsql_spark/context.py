@@ -258,6 +258,16 @@ class Context:
         if not return_token:
             t0 = time.perf_counter()
             try:
+                if "MATCH_RECOGNIZE" in query.upper():
+                    # SQL:2016 row-pattern spelling, mapped onto the CEP
+                    # core (operators/match_recognize.py) — the reference
+                    # has no row-pattern surface; this is the spelling a
+                    # migrating Flink/Oracle user would type
+                    from blazingsql_spark.operators.match_recognize import (
+                        rewrite_match_recognize,
+                    )
+
+                    query = rewrite_match_recognize(self.spark, query)
                 df = self.spark.sql(query)
             except Exception:
                 self._log.append((len(self._log) + 1, query, time.perf_counter() - t0, "error"))

@@ -1,0 +1,287 @@
+"""MATCH_RECOGNIZE — the SQL spelling of row-pattern matching, mapped
+onto the repo's CEP core (streaming/patterns.py compiles the same
+pattern syntax to a Thompson NFA; queries/relational.py carries the
+regexp-shaped batch twin `events_pattern_match`).
+
+The reference engine has no row-pattern surface at all (its Calcite
+fork parses none of SQL:2016 §R; engine/src/parser has no pattern
+kernels), so this is a beyond-reference convenience for migrating users
+who type the standard spelling. Scope — the deterministic core that
+covers the common funnel/sessionization queries:
+
+- ``PARTITION BY`` keys, ``ORDER BY`` keys (ASC, with stable tiebreak
+  columns listed explicitly);
+- ``PATTERN`` over the regular core: symbols, concatenation, ``|``,
+  ``(...)``, postfix ``* + ?`` (greedy, leftmost-longest,
+  non-overlapping — AFTER MATCH SKIP PAST LAST ROW semantics);
+- ``DEFINE`` with arbitrary Spark SQL boolean expressions per symbol,
+  evaluated ROW-AT-A-TIME (no PREV/NEXT/FIRST/LAST navigation inside
+  DEFINE). Rows are classified to the FIRST defined symbol whose
+  predicate holds (undefined symbols match any row, so list them last
+  or define them) — the deterministic-classification restriction every
+  streaming implementation recommends anyway (mutually exclusive
+  DEFINEs); a row matching no symbol breaks any in-flight match.
+- ``MEASURES``: MATCH_NUMBER(), COUNT(*), COUNT(S.*), FIRST(col),
+  LAST(col), FIRST(S.col), LAST(S.col); ONE ROW PER MATCH.
+
+Scale shape: classification is one codegen CASE projection; matching is
+one applyInPandas over the PARTITION BY key — per-key event history in
+memory, the same bound as every MATCH_RECOGNIZE implementation
+(Flink/Oracle both require a partition key for parallelism; skewed keys
+are the user's modeling problem there too). The NFA scan is O(events)
+per key for the patterns the syntax admits.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blazingsql_spark.streaming.patterns import _Nfa, compile_pattern
+
+_NO_SYM = "\x00"  # classification miss: breaks any in-flight match
+
+
+def find_match_spans(nfa: _Nfa, s: str) -> list[tuple[int, int]]:
+    """Non-overlapping leftmost-longest match spans [(start, end)), the
+    same scan discipline as StreamMatcher._scan at end-of-input."""
+    spans: list[tuple[int, int]] = []
+    start_closure = nfa.closure(frozenset([nfa.start]))
+    pos, size = 0, len(s)
+    while pos < size:
+        states = start_closure
+        last_acc = -1
+        j = pos
+        while j < size:
+            nxt = nfa.step(states, s[j])
+            if not nxt:
+                break
+            states = nxt
+            j += 1
+            if nfa.accept in states:
+                last_acc = j
+        if last_acc > pos:
+            spans.append((pos, last_acc))
+            pos = last_acc
+        else:
+            pos += 1
+    return spans
+
+
+_MEASURE_FORMS = re.compile(
+    r"^(?:(?P<mn>MATCH_NUMBER\(\))"
+    r"|COUNT\(\s*(?:\*|(?P<csym>\w+)\.\*)\s*\)"
+    r"|(?P<fl>FIRST|LAST)\(\s*(?:(?P<sym>\w+)\.)?(?P<col>\w+)\s*\))$",
+    re.IGNORECASE,
+)
+
+
+def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
+    """Compile one measure into (alias, pandas-evaluator, spark-type-fn).
+    The evaluator gets (span_pdf, span_codes, match_no)."""
+    m = _MEASURE_FORMS.match(expr.strip())
+    if not m:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: unsupported measure {expr!r} (supported: "
+            f"MATCH_NUMBER(), COUNT(*), COUNT(S.*), FIRST(col), LAST(col), "
+            f"FIRST(S.col), LAST(S.col))"
+        )
+    if m.group("mn"):
+        return alias, (lambda pdf, codes, n: n), (lambda sch: T.LongType())
+    if m.group("csym") is not None or expr.strip().upper().startswith("COUNT"):
+        sym = m.group("csym")
+        if sym is None:
+            return alias, (lambda pdf, codes, n: len(pdf)), (lambda sch: T.LongType())
+        if sym not in sym_chars:
+            raise ValueError(f"MATCH_RECOGNIZE: COUNT over unknown symbol {sym!r}")
+        ch = sym_chars[sym]
+        return (
+            alias,
+            (lambda pdf, codes, n: sum(1 for c in codes if c == ch)),
+            (lambda sch: T.LongType()),
+        )
+    first = m.group("fl").upper() == "FIRST"
+    sym, col = m.group("sym"), m.group("col")
+    if sym is not None and sym not in sym_chars:
+        raise ValueError(f"MATCH_RECOGNIZE: measure over unknown symbol {sym!r}")
+    ch = sym_chars.get(sym) if sym else None
+
+    def ev(pdf, codes, n, _ch=ch, _col=col, _first=first):
+        rows = (
+            pdf
+            if _ch is None
+            else pdf[[c == _ch for c in codes]]
+        )
+        if len(rows) == 0:
+            return None
+        return rows[_col].iloc[0 if _first else -1]
+
+    def ty(sch, _col=col):
+        return sch[_col].dataType
+
+    return alias, ev, ty
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    measures: list[tuple[str, str]],
+    pattern: str,
+    define: dict[str, str] | None = None,
+) -> DataFrame:
+    """ONE ROW PER MATCH row-pattern matching (see module docstring for
+    the supported surface). ``measures`` is [(expr, alias)];
+    ``define`` maps symbol -> Spark SQL boolean (ordered; symbols
+    missing from it default to always-true and classify LAST)."""
+    import pandas as pd
+
+    define = dict(define or {})
+    # symbols in pattern order; single-char NFA alphabet assigned a, b, …
+    names = list(dict.fromkeys(re.findall(r"\w+", pattern)))
+    if not names:
+        raise ValueError(f"MATCH_RECOGNIZE: empty PATTERN {pattern!r}")
+    for s in define:
+        if s not in names:
+            raise ValueError(f"MATCH_RECOGNIZE: DEFINE of unknown symbol {s!r}")
+    sym_chars = {s: chr(ord("a") + i) for i, s in enumerate(names)}
+    char_pattern = re.sub(
+        r"\w+", lambda m: sym_chars[m.group(0)], pattern
+    ).replace(" ", "")
+    nfa = compile_pattern(char_pattern)
+
+    # deterministic classification: DEFINEd symbols first (in define
+    # order), then undefined (always-true) symbols in pattern order
+    clf = None
+    for s in list(define) + [n for n in names if n not in define]:
+        pred = F.expr(define[s]) if s in define else F.lit(True)
+        clf = (
+            F.when(pred, F.lit(sym_chars[s]))
+            if clf is None
+            else clf.when(pred, F.lit(sym_chars[s]))
+        )
+    coded = df.withColumn("__sym", F.coalesce(clf, F.lit(_NO_SYM)))
+
+    parsed = [_parse_measure(e, a, sym_chars) for e, a in measures]
+    in_schema = df.schema
+    out_schema = T.StructType(
+        [in_schema[k] for k in partition_by]
+        + [T.StructField(a, ty(in_schema)) for a, _, ty in parsed]
+    )
+
+    def run(key, pdf):
+        pdf = pdf.sort_values(list(order_by), kind="mergesort")
+        codes = "".join(pdf["__sym"])
+        out = {c: [] for c in out_schema.fieldNames()}
+        for n, (lo, hi) in enumerate(find_match_spans(nfa, codes), start=1):
+            span = pdf.iloc[lo:hi]
+            for k, v in zip(partition_by, key):
+                out[k].append(v)
+            for a, ev, _ in parsed:
+                out[a].append(ev(span, codes[lo:hi], n))
+        return pd.DataFrame(out)
+
+    return coded.groupBy(*partition_by).applyInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# SQL spelling: rewrite `<table> MATCH_RECOGNIZE ( ... ) [AS alias]` into a
+# temp view produced by the operator, then hand the remaining SQL to Spark.
+# ---------------------------------------------------------------------------
+
+_MR_HEAD = re.compile(r"(\w+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+_CLAUSE = re.compile(
+    r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
+    r"ORDER\s+BY\s+(?P<order>.+?)\s+"
+    r"MEASURES\s+(?P<meas>.+?)\s+"
+    r"(?:ONE\s+ROW\s+PER\s+MATCH\s+)?"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW\s+)?"
+    r"PATTERN\s*\(\s*(?P<pat>.+?)\s*\)"
+    r"(?:\s+DEFINE\s+(?P<def>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` outside parentheses."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def rewrite_match_recognize(spark, query: str) -> str:
+    """Replace every `<table> MATCH_RECOGNIZE (...)` table factor in
+    ``query`` with a temp view computed by :func:`match_recognize`, and
+    return the rewritten SQL (a no-op when the spelling is absent)."""
+    n_view = 0
+    while True:
+        head = _MR_HEAD.search(query)
+        if head is None:
+            return query
+        table = head.group(1)
+        # find the balanced closing paren of the MATCH_RECOGNIZE body
+        depth, i = 1, head.end()
+        while i < len(query) and depth:
+            if query[i] == "(":
+                depth += 1
+            elif query[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError("MATCH_RECOGNIZE: unbalanced parentheses")
+        body = query[head.end() : i - 1].strip()
+        m = _CLAUSE.match(body)
+        if m is None:
+            raise ValueError(
+                "MATCH_RECOGNIZE: expected PARTITION BY … ORDER BY … "
+                "MEASURES … PATTERN (…) [DEFINE …] (got: "
+                f"{body[:120]!r}…)"
+            )
+        measures = []
+        for item in _split_top(m.group("meas")):
+            expr, _, alias = item.rpartition(" AS ")
+            if not expr:
+                expr, _, alias = item.rpartition(" as ")
+            if not expr:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: measure needs an AS alias: {item!r}"
+                )
+            measures.append((expr.strip(), alias.strip()))
+        define = {}
+        if m.group("def"):
+            for item in _split_top(m.group("def")):
+                sym, _, pred = item.partition(" AS ")
+                if not pred:
+                    sym, _, pred = item.partition(" as ")
+                if not pred:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE: DEFINE needs `SYM AS pred`: {item!r}"
+                    )
+                define[sym.strip()] = pred.strip()
+        out = match_recognize(
+            spark.table(table),
+            partition_by=[c.strip() for c in _split_top(m.group("part"))],
+            order_by=[c.strip() for c in _split_top(m.group("order"))],
+            measures=measures,
+            pattern=m.group("pat"),
+            define=define,
+        )
+        n_view += 1
+        view = f"__match_recognize_{n_view}"
+        out.createOrReplaceTempView(view)
+        query = query[: head.start()] + view + query[i:]

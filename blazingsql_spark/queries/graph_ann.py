@@ -77,3 +77,64 @@ def sim_ann_hnsw(spark, sf_dir):
         .withColumn("hit", F.lit(1))
     )
     return _recall_gate(exact, approx, threshold=0.8)
+
+
+@register(
+    "events_match_recognize",
+    oracle="""
+    WITH coded AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' ELSE 's' END AS code
+        FROM events
+    ), seqs AS (
+        SELECT user_id,
+               STRING_AGG(code, '' ORDER BY ts, event_id) AS seq
+        FROM coded GROUP BY user_id
+    ), m AS (
+        SELECT user_id, regexp_extract_all(seq, 'vc+p') AS ms FROM seqs
+    )
+    SELECT user_id,
+           CAST(LEN(ms) AS BIGINT) AS n_matches,
+           CAST(list_max(list_transform(ms, x -> LENGTH(x))) AS BIGINT)
+               AS longest_match
+    FROM m WHERE LEN(ms) > 0 ORDER BY user_id
+    """,
+    doc="SQL:2016 MATCH_RECOGNIZE spelling (operators/match_recognize.py "
+    "+ the Context.sql rewriter) over the funnel pattern V C+ P; "
+    "one-row-per-match output re-aggregated per user so the DuckDB twin "
+    "can replay it as the regexp over per-user code strings — the same "
+    "oracle scheme as events_pattern_match, restricted to users with "
+    "at least one match (ONE ROW PER MATCH emits nothing otherwise)",
+)
+def events_match_recognize(spark, sf_dir):
+    """Drives the row-pattern query through the SQL SPELLING (the
+    Context.sql rewrite path), not the Python operator API, so the row
+    checks exactly what a migrating user would type. The reference has
+    no row-pattern surface at all (no SQL:2016 §R in its Calcite fork);
+    beyond-reference."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(MAX(match_len) AS BIGINT) AS longest_match
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(*) AS match_len
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (V C+ P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        )
+        GROUP BY user_id
+        ORDER BY user_id
+        """
+    )

@@ -1,0 +1,135 @@
+"""MATCH_RECOGNIZE operator + SQL spelling — differential vs Python's
+regex engine on random streams, measure semantics, and rewriter parsing."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+
+from blazingsql_spark.context import Context
+from blazingsql_spark.operators.match_recognize import (
+    find_match_spans,
+    match_recognize,
+    rewrite_match_recognize,
+)
+from blazingsql_spark.streaming.patterns import compile_pattern
+
+
+def test_find_match_spans_matches_re_on_random_strings():
+    rnd = random.Random(20260815)
+    for pat in ["ab+c", "abc", "a?b+c", "b*c", "(ab|bc)d?", "a.c", "c+"]:
+        nfa = compile_pattern(pat)
+        for _ in range(150):
+            s = "".join(rnd.choice("abcde") for _ in range(rnd.randint(0, 40)))
+            want = [(m.start(), m.end()) for m in re.finditer(pat, s)]
+            assert find_match_spans(nfa, s) == want, (pat, s)
+
+
+def test_match_recognize_operator_measures(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 10),
+            (1, 2, "click", 20),
+            (1, 3, "click", 25),
+            (1, 4, "purchase", 30),
+            (1, 5, "view", 40),  # no completing clicks+purchase -> no match
+            (2, 6, "click", 5),  # leading click skipped
+            (2, 7, "view", 6),
+            (2, 8, "click", 7),
+            (2, 9, "purchase", 8),
+            (3, 10, "error", 1),  # matches no symbol -> no match
+        ],
+        ["user_id", "event_id", "event_type", "ts"],
+    )
+    out = match_recognize(
+        df,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures=[
+            ("MATCH_NUMBER()", "match_no"),
+            ("COUNT(*)", "n_rows"),
+            ("COUNT(C.*)", "n_clicks"),
+            ("FIRST(ts)", "first_ts"),
+            ("LAST(ts)", "last_ts"),
+            ("FIRST(C.event_id)", "first_click"),
+        ],
+        pattern="V C+ P",
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+    )
+    rows = {r.user_id: r.asDict() for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] == {
+        "user_id": 1, "match_no": 1, "n_rows": 4, "n_clicks": 2,
+        "first_ts": 10, "last_ts": 30, "first_click": 2,
+    }
+    assert rows[2]["n_rows"] == 3 and rows[2]["first_ts"] == 6
+    # output schema carries the input column types for col-measures
+    sch = dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)
+    assert sch["first_ts"] == "bigint" and sch["match_no"] == "bigint"
+
+
+def test_match_recognize_sql_spelling_and_composition(spark):
+    """The rewriter must handle the spelling inside a larger SELECT
+    (aggregation on top of the one-row-per-match output) and leave
+    non-MATCH_RECOGNIZE SQL untouched."""
+    df = spark.createDataFrame(
+        [(1, i, t, i) for i, t in enumerate(
+            ["view", "click", "purchase", "view", "click", "click", "purchase"]
+        )],
+        ["user_id", "event_id", "event_type", "ts"],
+    )
+    df.createOrReplaceTempView("ev_mr")
+    bc = Context(spark=spark)
+    got = bc.sql(
+        """
+        SELECT user_id, COUNT(*) AS n_matches, MAX(len) AS longest
+        FROM ev_mr MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts, event_id
+            MEASURES COUNT(*) AS len
+            PATTERN (V C+ P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        ) GROUP BY user_id
+        """
+    ).collect()
+    assert [(r.user_id, r.n_matches, r.longest) for r in got] == [(1, 2, 4)]
+    assert rewrite_match_recognize(spark, "SELECT 1 AS x") == "SELECT 1 AS x"
+
+
+def test_match_recognize_undefined_symbols_and_errors(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "view", 1), (1, 2, "other", 2)],
+        ["user_id", "event_id", "event_type", "ts"],
+    )
+    # an undefined symbol is always-true (classifies anything the defined
+    # ones don't claim)
+    out = match_recognize(
+        df,
+        partition_by=["user_id"],
+        order_by=["ts"],
+        measures=[("COUNT(*)", "n")],
+        pattern="V W",
+        define={"V": "event_type = 'view'"},
+    )
+    assert [r.n for r in out.collect()] == [2]
+    with pytest.raises(ValueError, match="unsupported measure"):
+        match_recognize(
+            df, ["user_id"], ["ts"], [("SUM(ts)", "s")], "V", {"V": "true"}
+        )
+    with pytest.raises(ValueError, match="unknown symbol"):
+        match_recognize(
+            df, ["user_id"], ["ts"], [("COUNT(*)", "n")], "V", {"Z": "true"}
+        )
+    with pytest.raises(ValueError, match="AS alias"):
+        rewrite_match_recognize(
+            spark,
+            "SELECT * FROM ev_mr MATCH_RECOGNIZE (PARTITION BY user_id "
+            "ORDER BY ts MEASURES COUNT(*) PATTERN (V) DEFINE V AS true)",
+        )
