@@ -73,6 +73,7 @@ def find_match_spans(nfa: _Nfa, s: str) -> list[tuple[int, int]]:
 
 _MEASURE_FORMS = re.compile(
     r"^(?:(?P<mn>MATCH_NUMBER\(\))"
+    r"|(?P<clf>CLASSIFIER\(\))"
     r"|COUNT\(\s*(?:\*|(?P<csym>\w+)\.\*)\s*\)"
     r"|(?P<fl>FIRST|LAST)\(\s*(?:(?P<sym>\w+)\.)?(?P<col>\w+)\s*\))$",
     re.IGNORECASE,
@@ -91,6 +92,15 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
         )
     if m.group("mn"):
         return alias, (lambda pdf, codes, n: n), (lambda sch: T.LongType())
+    if m.group("clf"):
+        # ONE ROW PER MATCH: classifier of the match's LAST row (final
+        # semantics); ALL ROWS PER MATCH overrides this per-row in run()
+        names_by_char = {c: s for s, c in sym_chars.items()}
+        return (
+            alias,
+            (lambda pdf, codes, n, _m=names_by_char: _m.get(codes[-1])),
+            (lambda sch: T.StringType()),
+        )
     if m.group("csym") is not None or expr.strip().upper().startswith("COUNT"):
         sym = m.group("csym")
         if sym is None:
@@ -132,11 +142,16 @@ def match_recognize(
     measures: list[tuple[str, str]],
     pattern: str,
     define: dict[str, str] | None = None,
+    all_rows: bool = False,
 ) -> DataFrame:
-    """ONE ROW PER MATCH row-pattern matching (see module docstring for
-    the supported surface). ``measures`` is [(expr, alias)];
-    ``define`` maps symbol -> Spark SQL boolean (ordered; symbols
-    missing from it default to always-true and classify LAST)."""
+    """Row-pattern matching (see module docstring for the supported
+    surface). ``measures`` is [(expr, alias)]; ``define`` maps symbol ->
+    Spark SQL boolean (ordered; symbols missing from it default to
+    always-true and classify LAST). ``all_rows=False`` is ONE ROW PER
+    MATCH (partition keys + measures); ``all_rows=True`` is ALL ROWS
+    PER MATCH with FINAL measure semantics — every matched input row is
+    emitted with its full original columns, the measures constant
+    across the match, and CLASSIFIER() per-row."""
     import pandas as pd
 
     define = dict(define or {})
@@ -167,16 +182,54 @@ def match_recognize(
 
     parsed = [_parse_measure(e, a, sym_chars) for e, a in measures]
     in_schema = df.schema
-    out_schema = T.StructType(
-        [in_schema[k] for k in partition_by]
-        + [T.StructField(a, ty(in_schema)) for a, _, ty in parsed]
-    )
+    clashes = {a for a, _, _ in parsed} & set(in_schema.fieldNames())
+    if all_rows and clashes:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: ALL ROWS PER MATCH measure aliases shadow "
+            f"input columns: {sorted(clashes)}"
+        )
+    if all_rows:
+        out_schema = T.StructType(
+            list(in_schema)
+            + [T.StructField(a, ty(in_schema)) for a, _, ty in parsed]
+        )
+    else:
+        out_schema = T.StructType(
+            [in_schema[k] for k in partition_by]
+            + [T.StructField(a, ty(in_schema)) for a, _, ty in parsed]
+        )
+    names_by_char = {c: s for s, c in sym_chars.items()}
+    classifier_aliases = {
+        a
+        for (e, a) in measures
+        if _MEASURE_FORMS.match(e.strip()) and
+        _MEASURE_FORMS.match(e.strip()).group("clf")
+    }
 
     def run(key, pdf):
         pdf = pdf.sort_values(list(order_by), kind="mergesort")
         codes = "".join(pdf["__sym"])
+        spans = find_match_spans(nfa, codes)
+        if all_rows:
+            frames = []
+            for n, (lo, hi) in enumerate(spans, start=1):
+                span = pdf.iloc[lo:hi].drop(columns="__sym")
+                for a, ev, _ in parsed:
+                    span = span.assign(
+                        **{
+                            a: [names_by_char.get(c) for c in codes[lo:hi]]
+                            if a in classifier_aliases
+                            else ev(pdf.iloc[lo:hi], codes[lo:hi], n)
+                        }
+                    )
+                frames.append(span)
+            if not frames:
+                return pd.DataFrame(
+                    {c: [] for c in out_schema.fieldNames()}
+                )
+            return pd.concat(frames)
         out = {c: [] for c in out_schema.fieldNames()}
-        for n, (lo, hi) in enumerate(find_match_spans(nfa, codes), start=1):
+        for n, (lo, hi) in enumerate(spans, start=1):
             span = pdf.iloc[lo:hi]
             for k, v in zip(partition_by, key):
                 out[k].append(v)
@@ -197,7 +250,7 @@ _CLAUSE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
     r"ORDER\s+BY\s+(?P<order>.+?)\s+"
     r"MEASURES\s+(?P<meas>.+?)\s+"
-    r"(?:ONE\s+ROW\s+PER\s+MATCH\s+)?"
+    r"(?:(?P<rows>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW\s+)?"
     r"PATTERN\s*\(\s*(?P<pat>.+?)\s*\)"
     r"(?:\s+DEFINE\s+(?P<def>.+))?$",
@@ -280,6 +333,9 @@ def rewrite_match_recognize(spark, query: str) -> str:
             measures=measures,
             pattern=m.group("pat"),
             define=define,
+            all_rows=bool(
+                m.group("rows") and m.group("rows").upper().startswith("ALL")
+            ),
         )
         n_view += 1
         view = f"__match_recognize_{n_view}"

@@ -133,3 +133,52 @@ def test_match_recognize_undefined_symbols_and_errors(spark):
             "SELECT * FROM ev_mr MATCH_RECOGNIZE (PARTITION BY user_id "
             "ORDER BY ts MEASURES COUNT(*) PATTERN (V) DEFINE V AS true)",
         )
+
+
+def test_match_recognize_all_rows_per_match(spark):
+    """ALL ROWS PER MATCH: every matched input row comes back with its
+    original columns, FINAL-semantics measures constant per match, and
+    CLASSIFIER() per-row; unmatched rows are absent."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 10),
+            (1, 2, "click", 20),
+            (1, 3, "purchase", 30),
+            (1, 4, "error", 35),  # unmatched
+            (1, 5, "view", 40),
+            (1, 6, "click", 45),
+            (1, 7, "purchase", 50),
+        ],
+        ["user_id", "event_id", "event_type", "ts"],
+    )
+    df.createOrReplaceTempView("ev_ar")
+    bc = Context(spark=spark)
+    out = bc.sql(
+        """
+        SELECT * FROM ev_ar MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts, event_id
+            MEASURES MATCH_NUMBER() AS mno,
+                     CLASSIFIER() AS sym,
+                     LAST(ts) AS match_end
+            ALL ROWS PER MATCH
+            PATTERN (V C+ P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        ) ORDER BY ts
+        """
+    ).collect()
+    assert [r.event_id for r in out] == [1, 2, 3, 5, 6, 7]  # error row gone
+    assert [r.mno for r in out] == [1, 1, 1, 2, 2, 2]
+    assert [r.sym for r in out] == ["V", "C", "P", "V", "C", "P"]
+    assert [r.match_end for r in out] == [30, 30, 30, 50, 50, 50]
+    # original columns intact
+    assert out[0].event_type == "view" and out[0].ts == 10
+
+    with pytest.raises(ValueError, match="shadow"):
+        from blazingsql_spark.operators.match_recognize import match_recognize
+
+        match_recognize(
+            df, ["user_id"], ["ts"], [("COUNT(*)", "ts")], "V",
+            {"V": "true"}, all_rows=True,
+        )
