@@ -150,3 +150,108 @@ def cms_estimate(
             )
         )
     return out
+
+
+def ddsketch_build(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    relative_accuracy: float = 0.01,
+) -> DataFrame:
+    """DDSketch bucket table (Masson, Rim & Lee, VLDB 2019 — Datadog's
+    relative-error quantile sketch): positive values land in bucket
+    ceil(log_gamma(x)) with gamma = (1+a)/(1-a), so every quantile
+    estimate gamma^(b-1)·(1+gamma)/2 is within relative error ``a`` of
+    the true value. The summary is a (bucket, count) table — MERGEABLE
+    by plain count addition (``ddsketch_merge``), which is the whole
+    point at 100 TB: per-epoch/per-partition sketches roll up without
+    rescanning, the property the engine's HLL/CMS/space-saving rows
+    already have for distinct/frequency. Everything is closed-form
+    column expressions (one groupBy, no UDF), so a SQL oracle can
+    replay the sketch EXACTLY, not just within error.
+
+    Zeros get the sentinel bucket -(1<<62), BELOW every real log bucket
+    (values in (0,1) have negative log buckets, so reusing bucket 0 for
+    zeros would misplace them above all sub-unit values in the
+    cumulative walk and corrupt low quantiles); negative values are
+    rejected loudly — extend with a mirrored negative store if a use
+    case appears. Returns group_cols + (bucket, cnt)."""
+    a = float(relative_accuracy)
+    if not 0 < a < 1:
+        raise ValueError(f"relative_accuracy must be in (0,1), got {a}")
+    gamma = (1.0 + a) / (1.0 - a)
+    import math
+
+    g = group_cols or []
+    c = F.col(col)
+    # negative values fail IN the scan (no extra validation pass — at
+    # 100 TB a probe scan would double the job)
+    bucket = (
+        F.when(
+            c < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ddsketch_build: column {col!r} has negative value "
+                    ),
+                    c.cast("string"),
+                    F.lit("; the positive-store sketch cannot represent it"),
+                )
+            ).cast("double"),
+        )
+        .when(c == 0, F.lit(-(1 << 62)))
+        .otherwise(F.ceil(F.log(c) / F.lit(math.log(gamma))))
+    )
+    return (
+        df.select(*g, bucket.cast("long").alias("bucket"))
+        .groupBy(*g, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def ddsketch_merge(sketch: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge sketches across their remaining grouping: sum counts per
+    bucket (optionally keeping ``group_cols``). Bucket tables from ANY
+    number of epochs/partitions merge exactly — addition is the whole
+    merge operator."""
+    g = group_cols or []
+    return sketch.groupBy(*g, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def ddsketch_quantiles(
+    sketch: DataFrame,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+    relative_accuracy: float = 0.01,
+) -> DataFrame:
+    """Query quantile estimates from a bucket table: per group, walk the
+    buckets in order and report the bucket whose cumulative count first
+    reaches q·n, estimated at the bucket's geometric midpoint
+    2·gamma^b/(gamma+1) (the zero-sentinel bucket → exactly 0). One
+    window + one join — no driver-side walk; the window's single
+    partition per group holds at most a few thousand buckets by
+    construction (log-bounded), never the data. Returns
+    group_cols + (q, est)."""
+    from pyspark.sql.window import Window
+
+    a = float(relative_accuracy)
+    gamma = (1.0 + a) / (1.0 - a)
+    g = group_cols or []
+    w = Window.partitionBy(*[F.col(x) for x in g]).orderBy("bucket")
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(*[F.col(x) for x in g])))
+    )
+    qs = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    est = F.when(F.col("bucket") == -(1 << 62), F.lit(0.0)).otherwise(
+        F.lit(2.0 / (gamma + 1.0)) * F.pow(F.lit(gamma), F.col("bucket"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy(*g, "q")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(*g, "q", est.alias("est"))
+    )

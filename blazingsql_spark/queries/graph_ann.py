@@ -138,3 +138,107 @@ def events_match_recognize(spark, sf_dir):
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "sketch_ddsketch_quantiles",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(CASE WHEN l_extendedprice = 0 THEN -4611686018427387904
+                    ELSE CEIL(LN(l_extendedprice) / LN(1.01 / 0.99)) END
+               AS BIGINT) AS bucket,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket,
+               SUM(cnt) OVER (ORDER BY bucket) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM b
+    ),
+    qs(q) AS (VALUES (0.5), (0.95), (0.99)),
+    hit AS (
+        SELECT q, MIN(bucket) AS bucket, MIN(n) AS n
+        FROM cum CROSS JOIN qs WHERE cum >= q * n GROUP BY q
+    ),
+    est AS (
+        SELECT q, n,
+               CASE WHEN bucket = -4611686018427387904 THEN 0.0
+                    ELSE (2.0 / ((1.01 / 0.99) + 1.0))
+                         * POW(1.01 / 0.99, bucket) END AS est
+        FROM hit
+    ),
+    ex AS (
+        SELECT 0.5 AS q, quantile_cont(l_extendedprice, 0.5) AS exact FROM lineitem
+        UNION ALL
+        SELECT 0.95, quantile_cont(l_extendedprice, 0.95) FROM lineitem
+        UNION ALL
+        SELECT 0.99, quantile_cont(l_extendedprice, 0.99) FROM lineitem
+    )
+    SELECT est.q, CAST(est.n AS BIGINT) AS n,
+           ABS(est.est - ex.exact) <= 0.02 * ex.exact AS within_bound
+    FROM est JOIN ex ON est.q = ex.q
+    ORDER BY est.q
+    """,
+    doc="DDSketch mergeable quantile sketch (functions.sketches.ddsketch_*; "
+    "Masson/Rim/Lee VLDB'19): per-epoch bucket tables merged by count "
+    "addition, p50/p95/p99 queried from the merged sketch and gated "
+    "against the exact percentile at 2x the configured relative accuracy "
+    "— the DuckDB twin replays the ENTIRE sketch (bucketing, merge, "
+    "quantile walk) in SQL, with the compared values ulp-insensitive "
+    "(booleans + exact counts)",
+)
+def sketch_ddsketch_quantiles(spark, sf_dir):
+    """Build 4 per-'epoch' sketches (l_linenumber % 4 — standing in for
+    per-epoch/per-partition summaries), merge them by count addition,
+    query three quantiles, and report each estimate's accuracy against
+    the exact interpolated percentile as a boolean at 2x the sketch's
+    a=0.01 guarantee (measured relative error ~0.005, so the margin is
+    ~4x — robust to cross-engine float ulps AND to Spark/DuckDB
+    percentile-interpolation differences). Completes the mergeable
+    sketch family next to HLL (distinct), CMS (frequency), and
+    space-saving (top-k)."""
+    from blazingsql_spark.functions import sketches
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", (F.col("l_linenumber") % 4).alias("epoch")
+    )
+    per_epoch = sketches.ddsketch_build(
+        li, "l_extendedprice", ["epoch"], relative_accuracy=0.01
+    )
+    merged = sketches.ddsketch_merge(per_epoch)
+    est = sketches.ddsketch_quantiles(
+        merged, [0.5, 0.95, 0.99], relative_accuracy=0.01
+    )
+    exact = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {q})").alias(f"ex_{i}")
+            for i, q in enumerate((0.5, 0.95, 0.99))
+        ],
+        F.count("*").alias("n"),
+    )
+    ex = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.col(f"ex_{i}").alias("exact"),
+                        F.col("n").alias("n"),
+                    )
+                    for i, q in enumerate((0.5, 0.95, 0.99))
+                ]
+            )
+        ).alias("e")
+    ).select("e.q", "e.exact", "e.n")
+    return (
+        est.join(ex, "q")
+        .select(
+            "q",
+            F.col("n").cast("long").alias("n"),
+            (F.abs(F.col("est") - F.col("exact")) <= 0.02 * F.col("exact")).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("q")
+    )

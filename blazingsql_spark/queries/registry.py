@@ -613,17 +613,18 @@ assert not set(_R9_WINDOW_STAGED[3:]) & set(_R8_WINDOW), (
 # Round-10 window, STAGED as code in the round-8 extension session (the
 # same stage-ahead discipline as _R9_WINDOW_STAGED): promote by swapping
 # into DRIVER_PRIORITY as r10's first commit ONLY after CORRECTNESS_r09
-# lands 50/50 green. Composition: the 3 standing sentinels; the 21 rows
+# lands 50/50 green. Composition: the 3 standing sentinels; the 22 rows
 # registered AFTER the r9 freeze (first driver rows — KN trigram, span
 # rewrite, PCA project, categorical/target encoders, CMS, temperature
 # mix, phrase tags, MMR, PCA-routed IVF, WordPiece first-merge, entity
 # resolution, LSH eval, image dHash + its banded dedup, AUC, audio
 # fingerprint, bin pack, Holt forecast); the 4 r4-stale rolled past r9;
-# and the 22 alphabetically-first of the 47 r5-stale rows to fill to 50. Recount at
+# and the 21 alphabetically-first of the 47 r5-stale rows to fill to 50 Recount at
 # flip time if r9/r10 register early.
 _NEW_POST_R9_FREEZE = (
     "io_uint_widening",  # registered r9 (uint widening policy row)
     "events_match_recognize",  # registered r9 (SQL:2016 spelling row)
+    "sketch_ddsketch_quantiles",  # registered r9 (mergeable quantiles)
     "text_perplexity_kn3",
     "dedup_spans_rewrite",
     "emb_pca_project",
@@ -667,9 +668,8 @@ _R5_STALE_FIRST_24 = (
     "events_attribution",
     "events_ewma",
     "events_interpolate",
-    "events_markov",
-    # "events_ohlc" and "events_top_paths" roll to r11: the r9-new
-    # io_uint_widening and events_match_recognize rows took the slots
+    # events_markov + events_ohlc + events_top_paths roll to r11: the
+    # r9-new rows (uint widening, match_recognize, ddsketch) took slots
 )
 _R10_WINDOW_STAGED = (
     _SENTINELS + _NEW_POST_R9_FREEZE + _R4_STALE_ROLLED + _R5_STALE_FIRST_24

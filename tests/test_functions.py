@@ -2352,3 +2352,49 @@ def test_semantic_dedup_default_is_bounded(spark):
         ).collect()
     }
     assert default_kept == exact_kept
+
+
+def test_ddsketch_merge_exact_and_accuracy_property(spark):
+    """DDSketch (sketches.ddsketch_*): (1) merging per-group sketches is
+    EXACTLY the sketch of the union (count addition is the merge
+    operator); (2) every quantile estimate is within the configured
+    relative accuracy of the exact percentile on a log-uniform sample;
+    (3) negative values fail in-scan with a typed message."""
+    import math
+    import random
+
+    from blazingsql_spark.functions import sketches
+
+    rnd = random.Random(20260815)
+    rows = [(math.exp(rnd.uniform(-3, 8)), i % 5) for i in range(4000)]
+    rows += [(0.0, 0)] * 7  # zero bucket
+    df = spark.createDataFrame(rows, "x double, grp int")
+
+    per_grp = sketches.ddsketch_build(df, "x", ["grp"], relative_accuracy=0.02)
+    merged = sketches.ddsketch_merge(per_grp)
+    direct = sketches.ddsketch_build(df, "x", relative_accuracy=0.02)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    est = {
+        r.q: r.est
+        for r in sketches.ddsketch_quantiles(
+            merged, qs, relative_accuracy=0.02
+        ).collect()
+    }
+    xs = sorted(x for x, _ in rows)
+    for q in qs:
+        exact = xs[min(len(xs) - 1, math.ceil(q * len(xs)) - 1)]
+        if exact > 0:
+            assert abs(est[q] - exact) / exact <= 0.021, (q, est[q], exact)
+
+    import pytest
+
+    with pytest.raises(Exception, match="negative value"):
+        sketches.ddsketch_build(
+            spark.createDataFrame([(-2.0,)], "x double"), "x"
+        ).collect()
+    with pytest.raises(ValueError, match="relative_accuracy"):
+        sketches.ddsketch_build(df, "x", relative_accuracy=1.5)
