@@ -328,3 +328,46 @@ def test_runtime_bloom_filter_join_pruning(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_ddsketch_build_is_one_shuffle_no_udf(spark):
+    """The DDSketch summary must be a pure codegen bucket projection +
+    one partial/final aggregate — no Python workers, exactly one
+    exchange (the groupBy on bucket) — or the '100 TB sketches roll up
+    without rescanning' claim is hollow."""
+    from blazingsql_spark.functions import sketches
+    from blazingsql_spark.queries.registry import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_extendedprice")
+    sk = sketches.ddsketch_build(li, "l_extendedprice")
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert exchange_count(sk) == 1, plan
+    # partial aggregation before the shuffle (map-side combine)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_match_recognize_classification_is_codegen(spark):
+    """Row classification (the DEFINE CASE) must stay JVM-side; the only
+    Python stage is the per-key applyInPandas NFA scan, and the only
+    exchange is the partition-key shuffle feeding it."""
+    from blazingsql_spark.operators.match_recognize import match_recognize
+    from blazingsql_spark.queries.registry import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = match_recognize(
+        ev,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures=[("COUNT(*)", "n")],
+        pattern="V C+ P",
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert exchange_count(out) == 1, plan
