@@ -1041,3 +1041,74 @@ def run_cdc_apply_ingest(
     )
     q.awaitTermination()
     return handler
+
+
+class QuantileSketchIngest:
+    """foreachBatch handler maintaining a PERSISTED DDSketch: each
+    micro-batch's values bucket into a (bucket, cnt) table landed in its
+    own epoch partition (write_epoch_partition — replay OVERWRITES the
+    attempt, so at-least-once delivery can never double-count even
+    though bucket counts are additive), and the queryable sketch is the
+    plain count-sum merge of the live partitions. Exact mergeability
+    (tests prove merged-streams == batch-on-union, bucket for bucket)
+    is what makes this maintainer trivial next to PcaIngest's versioned
+    snapshots: addition over disjoint epochs needs no snapshot
+    discipline, only replay-idempotent epoch writes. Compose with
+    sources.manifest compaction like every other epoch table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sketch_path: str,
+        value_col: str,
+        relative_accuracy: float = 0.01,
+    ):
+        self.spark = spark
+        self.sketch_path = sketch_path
+        self.value_col = value_col
+        self.relative_accuracy = float(relative_accuracy)
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        from blazingsql_spark.functions import sketches
+        from blazingsql_spark.sources import manifest as mf
+
+        buckets = sketches.ddsketch_build(
+            batch, self.value_col, relative_accuracy=self.relative_accuracy
+        )
+        mf.write_epoch_partition(buckets, self.sketch_path, int(epoch_id))
+
+    def read_sketch(self) -> DataFrame:
+        """The merged (bucket, cnt) summary over every live epoch."""
+        from blazingsql_spark.functions import sketches
+        from blazingsql_spark.sources import manifest as mf
+
+        # read_manifest returns None for a never-compacted table (no
+        # blanket swallow — real FS errors propagate, the r9 discipline)
+        man = mf.read_manifest(self.spark, self.sketch_path)
+        live = mf.read_live(self.spark, self.sketch_path, man)
+        return sketches.ddsketch_merge(live.drop("epoch_id"))
+
+    def quantiles(self, qs: list[float]) -> DataFrame:
+        from blazingsql_spark.functions import sketches
+
+        return sketches.ddsketch_quantiles(
+            self.read_sketch(), qs, relative_accuracy=self.relative_accuracy
+        )
+
+
+def run_quantile_sketch_ingest(
+    spark: SparkSession,
+    value_stream: DataFrame,
+    sketch_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Wire a value stream through the DDSketch maintainer. Returns the
+    started StreamingQuery (caller stops it / processes available)."""
+    handler = QuantileSketchIngest(spark, sketch_path, **kwargs)
+    return (
+        value_stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

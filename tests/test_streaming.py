@@ -1422,3 +1422,62 @@ def test_forget_manifest_gates_scan_and_count_to_live_partitions(spark, tmp_path
     # ungated call still cleans everything (legacy behavior preserved)
     removed2 = forget_from_epoch_table(spark, root, ids, "doc_id")
     assert removed2 == 1  # the dead-partition copy
+
+
+def test_quantile_sketch_ingest_equals_batch_and_replays(spark, tmp_path):
+    """Streaming DDSketch maintainer: the merged sketch over all stream
+    epochs must equal the batch sketch on the union BUCKET FOR BUCKET
+    (exact mergeability is the operator's contract, so the streaming
+    twin is an equality test, not a tolerance test); an at-least-once
+    replay of an epoch overwrites its partition and changes nothing;
+    and quantile queries come off the merged sketch."""
+    import math
+
+    from blazingsql_spark.functions import sketches
+    from blazingsql_spark.streaming.ingest import (
+        QuantileSketchIngest,
+        run_quantile_sketch_ingest,
+    )
+
+    rows = [(float(i % 97) + 0.5,) for i in range(3000)]
+    df = spark.createDataFrame(rows, "v double")
+    src = str(tmp_path / "src")
+    # three files -> maxFilesPerTrigger gives multiple micro-batches
+    for i in range(3):
+        df.filter((F.col("v") * 2).cast("long") % 3 == i).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+    schema = "v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/part*")
+    )
+    sketch_path = str(tmp_path / "sketch")
+    q = run_quantile_sketch_ingest(
+        spark, stream, sketch_path, str(tmp_path / "ckpt"), value_col="v"
+    )
+    q.awaitTermination(120)
+
+    handler = QuantileSketchIngest(spark, sketch_path, "v")
+    got = sorted(map(tuple, handler.read_sketch().collect()))
+    want = sorted(
+        map(tuple, sketches.ddsketch_build(df, "v").collect())
+    )
+    assert got == want  # bucket-for-bucket equality with the batch build
+
+    est = {r.q: r.est for r in handler.quantiles([0.5, 0.9]).collect()}
+    xs = sorted(v for v, in rows)
+    for qq in (0.5, 0.9):
+        exact = xs[min(len(xs) - 1, math.ceil(qq * len(xs)) - 1)]
+        assert abs(est[qq] - exact) / exact <= 0.011, (qq, est[qq], exact)
+
+    # at-least-once redelivery: processing the SAME batch at the same
+    # epoch twice must not double-count (the epoch overwrite is the
+    # idempotence mechanism — counts are additive, so append would not be)
+    extra = spark.read.parquet(f"{src}/part0")
+    handler(extra, 99)
+    after_once = sorted(map(tuple, handler.read_sketch().collect()))
+    handler(extra, 99)
+    assert sorted(map(tuple, handler.read_sketch().collect())) == after_once
+    assert after_once != want  # the new epoch genuinely added counts
