@@ -35,6 +35,12 @@ def main() -> int:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
+        # control chars from plan literals (e.g. match_recognize's NUL
+        # classification sentinel) would make PLANS.md a binary file
+        plan = "".join(
+            ch if ch.isprintable() or ch in "\n\t" else f"\\x{ord(ch):02x}"
+            for ch in plan
+        )
         section = f"## {name}\n\n```\n{plan.rstrip()}\n```\n"
         pat = re.compile(rf"## {re.escape(name)}\n.*?(?=\n## |\Z)", re.S)
         if pat.search(text):
