@@ -112,7 +112,11 @@ class Context:
                 # route through Arrow so the widening policy applies —
                 # the raw pandas path silently NULLs uint64 > 2^63-1
                 df = self.spark.createDataFrame(
-                    _widen_unsigned_arrow(pa.Table.from_pandas(input))
+                    _widen_unsigned_arrow(
+                        # preserve_index=False: a filtered/sorted pandas
+                        # frame would otherwise leak __index_level_0__
+                        pa.Table.from_pandas(input, preserve_index=False)
+                    )
                 )
             else:
                 df = self.spark.createDataFrame(input)
@@ -255,19 +259,20 @@ class Context:
         prefer the default synchronous mode, which returns a lazy DataFrame
         and never materializes on the driver.
         """
+        if "MATCH_RECOGNIZE" in query.upper():
+            # SQL:2016 row-pattern spelling, mapped onto the CEP core
+            # (operators/match_recognize.py) — the reference has no
+            # row-pattern surface; this is the spelling a migrating
+            # Flink/Oracle user would type. Rewritten BEFORE the
+            # sync/async fork so both surfaces accept it.
+            from blazingsql_spark.operators.match_recognize import (
+                rewrite_match_recognize,
+            )
+
+            query = rewrite_match_recognize(self.spark, query)
         if not return_token:
             t0 = time.perf_counter()
             try:
-                if "MATCH_RECOGNIZE" in query.upper():
-                    # SQL:2016 row-pattern spelling, mapped onto the CEP
-                    # core (operators/match_recognize.py) — the reference
-                    # has no row-pattern surface; this is the spelling a
-                    # migrating Flink/Oracle user would type
-                    from blazingsql_spark.operators.match_recognize import (
-                        rewrite_match_recognize,
-                    )
-
-                    query = rewrite_match_recognize(self.spark, query)
                 df = self.spark.sql(query)
             except Exception:
                 self._log.append((len(self._log) + 1, query, time.perf_counter() - t0, "error"))

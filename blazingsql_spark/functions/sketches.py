@@ -161,8 +161,11 @@ def ddsketch_build(
     """DDSketch bucket table (Masson, Rim & Lee, VLDB 2019 — Datadog's
     relative-error quantile sketch): positive values land in bucket
     ceil(log_gamma(x)) with gamma = (1+a)/(1-a), so every quantile
-    estimate gamma^(b-1)·(1+gamma)/2 is within relative error ``a`` of
-    the true value. The summary is a (bucket, count) table — MERGEABLE
+    estimate 2·gamma^b/(gamma+1) is within relative error ``a`` of
+    the true value. NULL values carry no information and are EXCLUDED
+    (a NULL-bucket row would sort first in the quantile walk and
+    silently inflate n, dragging every estimate low — count nulls
+    upstream if they matter). The summary is a (bucket, count) table — MERGEABLE
     by plain count addition (``ddsketch_merge``), which is the whole
     point at 100 TB: per-epoch/per-partition sketches roll up without
     rescanning, the property the engine's HLL/CMS/space-saving rows
@@ -203,7 +206,8 @@ def ddsketch_build(
         .otherwise(F.ceil(F.log(c) / F.lit(math.log(gamma))))
     )
     return (
-        df.select(*g, bucket.cast("long").alias("bucket"))
+        df.filter(c.isNotNull())
+        .select(*g, bucket.cast("long").alias("bucket"))
         .groupBy(*g, "bucket")
         .agg(F.count("*").alias("cnt"))
     )

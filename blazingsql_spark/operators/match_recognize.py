@@ -155,14 +155,22 @@ def match_recognize(
     import pandas as pd
 
     define = dict(define or {})
-    # symbols in pattern order; single-char NFA alphabet assigned a, b, …
+    # symbols in pattern order; single-char NFA alphabet a-z then A-Z
+    # (letters only — indexing past 'z' into NFA metacharacters like '|'
+    # would silently change the pattern's meaning)
+    alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
     names = list(dict.fromkeys(re.findall(r"\w+", pattern)))
     if not names:
         raise ValueError(f"MATCH_RECOGNIZE: empty PATTERN {pattern!r}")
+    if len(names) > len(alphabet):
+        raise ValueError(
+            f"MATCH_RECOGNIZE: at most {len(alphabet)} distinct symbols "
+            f"supported, PATTERN has {len(names)}"
+        )
     for s in define:
         if s not in names:
             raise ValueError(f"MATCH_RECOGNIZE: DEFINE of unknown symbol {s!r}")
-    sym_chars = {s: chr(ord("a") + i) for i, s in enumerate(names)}
+    sym_chars = {s: alphabet[i] for i, s in enumerate(names)}
     char_pattern = re.sub(
         r"\w+", lambda m: sym_chars[m.group(0)], pattern
     ).replace(" ", "")
@@ -182,11 +190,13 @@ def match_recognize(
 
     parsed = [_parse_measure(e, a, sym_chars) for e, a in measures]
     in_schema = df.schema
-    clashes = {a for a, _, _ in parsed} & set(in_schema.fieldNames())
-    if all_rows and clashes:
+    shadowed = set(in_schema.fieldNames()) if all_rows else set(partition_by)
+    clashes = {a for a, _, _ in parsed} & shadowed
+    if clashes:
         raise ValueError(
-            f"MATCH_RECOGNIZE: ALL ROWS PER MATCH measure aliases shadow "
-            f"input columns: {sorted(clashes)}"
+            f"MATCH_RECOGNIZE: measure aliases shadow "
+            f"{'input' if all_rows else 'partition'} columns: "
+            f"{sorted(clashes)}"
         )
     if all_rows:
         out_schema = T.StructType(
@@ -245,7 +255,7 @@ def match_recognize(
 # temp view produced by the operator, then hand the remaining SQL to Spark.
 # ---------------------------------------------------------------------------
 
-_MR_HEAD = re.compile(r"(\w+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+_MR_HEAD = re.compile(r"(\w+(?:\.\w+)*)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
 _CLAUSE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
     r"ORDER\s+BY\s+(?P<order>.+?)\s+"
@@ -258,78 +268,134 @@ _CLAUSE = re.compile(
 )
 
 
+def _mask_literals(s: str) -> str:
+    """Same-length copy with the CONTENTS of SQL string literals
+    ('single', with '' escapes, and "double") blanked to spaces, so
+    positional regex/paren scans never trip on quoted text. Positions
+    map 1:1 back to the original."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        q = s[i]
+        if q in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if s[j] == q:
+                    if q == "'" and j + 1 < n and s[j + 1] == "'":
+                        j += 2  # '' escape inside a single-quoted literal
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _split_top(s: str, sep: str = ",") -> list[str]:
-    """Split on `sep` outside parentheses."""
-    out, depth, cur = [], 0, []
-    for ch in s:
+    """Split on `sep` outside parentheses AND string literals."""
+    masked = _mask_literals(s)
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(masked):
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch == sep and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    tail = "".join(cur).strip()
+        elif ch == sep and depth == 0:
+            piece = s[start:i].strip()
+            if piece:
+                out.append(piece)
+            start = i + 1
+    tail = s[start:].strip()
     if tail:
         out.append(tail)
     return out
 
 
+_AS_KW = re.compile(r"\sAS\s", re.IGNORECASE)
+
+
+def _split_as(item: str) -> tuple[str, str]:
+    """Split `expr AS alias` on the LAST top-level AS keyword (outside
+    parens and literals); returns ('', '') when no AS is present."""
+    masked = _mask_literals(item)
+    last = None
+    for m in _AS_KW.finditer(masked):
+        d = masked[: m.start()].count("(") - masked[: m.start()].count(")")
+        if d == 0:
+            last = m
+    if last is None:
+        return "", ""
+    return item[: last.start()].strip(), item[last.end() :].strip()
+
+
 def rewrite_match_recognize(spark, query: str) -> str:
     """Replace every `<table> MATCH_RECOGNIZE (...)` table factor in
-    ``query`` with a temp view computed by :func:`match_recognize`, and
-    return the rewritten SQL (a no-op when the spelling is absent)."""
-    n_view = 0
+    ``query`` (qualified names like db.events included) with a temp view
+    computed by :func:`match_recognize`, and return the rewritten SQL (a
+    no-op when the spelling is absent). String literals are masked
+    before scanning, so quoted text containing commas, AS, or even
+    'MATCH_RECOGNIZE (' never confuses the parse. View names carry a
+    per-call uuid so concurrent Context.sql calls on one session cannot
+    bind to each other's rewrites."""
+    import uuid
+
     while True:
-        head = _MR_HEAD.search(query)
+        masked = _mask_literals(query)
+        head = _MR_HEAD.search(masked)
         if head is None:
             return query
         table = head.group(1)
         # find the balanced closing paren of the MATCH_RECOGNIZE body
         depth, i = 1, head.end()
-        while i < len(query) and depth:
-            if query[i] == "(":
+        while i < len(masked) and depth:
+            if masked[i] == "(":
                 depth += 1
-            elif query[i] == ")":
+            elif masked[i] == ")":
                 depth -= 1
             i += 1
         if depth:
             raise ValueError("MATCH_RECOGNIZE: unbalanced parentheses")
         body = query[head.end() : i - 1].strip()
-        m = _CLAUSE.match(body)
+        m = _CLAUSE.match(_mask_literals(body))
         if m is None:
             raise ValueError(
                 "MATCH_RECOGNIZE: expected PARTITION BY … ORDER BY … "
                 "MEASURES … PATTERN (…) [DEFINE …] (got: "
                 f"{body[:120]!r}…)"
             )
+
+        def _orig(grp: str) -> str | None:
+            # map the masked match's span back onto the unmasked body
+            return body[m.start(grp) : m.end(grp)] if m.group(grp) else None
+
         measures = []
-        for item in _split_top(m.group("meas")):
-            expr, _, alias = item.rpartition(" AS ")
-            if not expr:
-                expr, _, alias = item.rpartition(" as ")
+        for item in _split_top(_orig("meas")):
+            expr, alias = _split_as(item)
             if not expr:
                 raise ValueError(
                     f"MATCH_RECOGNIZE: measure needs an AS alias: {item!r}"
                 )
-            measures.append((expr.strip(), alias.strip()))
+            measures.append((expr, alias))
         define = {}
         if m.group("def"):
-            for item in _split_top(m.group("def")):
-                sym, _, pred = item.partition(" AS ")
-                if not pred:
-                    sym, _, pred = item.partition(" as ")
-                if not pred:
+            for item in _split_top(_orig("def")):
+                # DEFINE splits on the FIRST AS: the symbol is a bare
+                # identifier, the predicate may itself contain AS-free
+                # text and literals
+                masked_item = _mask_literals(item)
+                kw = _AS_KW.search(masked_item)
+                if kw is None:
                     raise ValueError(
                         f"MATCH_RECOGNIZE: DEFINE needs `SYM AS pred`: {item!r}"
                     )
-                define[sym.strip()] = pred.strip()
+                define[item[: kw.start()].strip()] = item[kw.end() :].strip()
         out = match_recognize(
             spark.table(table),
-            partition_by=[c.strip() for c in _split_top(m.group("part"))],
-            order_by=[c.strip() for c in _split_top(m.group("order"))],
+            partition_by=list(_split_top(_orig("part"))),
+            order_by=list(_split_top(_orig("order"))),
             measures=measures,
             pattern=m.group("pat"),
             define=define,
@@ -337,7 +403,6 @@ def rewrite_match_recognize(spark, query: str) -> str:
                 m.group("rows") and m.group("rows").upper().startswith("ALL")
             ),
         )
-        n_view += 1
-        view = f"__match_recognize_{n_view}"
+        view = f"__match_recognize_{uuid.uuid4().hex[:12]}"
         out.createOrReplaceTempView(view)
         query = query[: head.start()] + view + query[i:]

@@ -2398,3 +2398,40 @@ def test_ddsketch_merge_exact_and_accuracy_property(spark):
         ).collect()
     with pytest.raises(ValueError, match="relative_accuracy"):
         sketches.ddsketch_build(df, "x", relative_accuracy=1.5)
+
+
+def test_ddsketch_nulls_excluded(spark):
+    """Code-review r9 regression: NULL values must be EXCLUDED from the
+    sketch — a NULL-bucket row sorts first in the quantile walk and
+    inflates n, silently dragging every estimate toward the minimum."""
+    from blazingsql_spark.functions import sketches
+
+    vals = [(float(i),) for i in range(1, 101)] + [(None,)] * 100
+    df = spark.createDataFrame(vals, "x double")
+    sk = sketches.ddsketch_build(df, "x")
+    assert sk.filter("bucket IS NULL").count() == 0
+    assert sk.agg(F.sum("cnt")).collect()[0][0] == 100  # nulls not counted
+    est = {
+        r.q: r.est
+        for r in sketches.ddsketch_quantiles(sk, [0.5]).collect()
+    }
+    assert abs(est[0.5] - 50.0) / 50.0 <= 0.02  # median of 1..100, not ~1
+
+
+def test_create_table_uint_pandas_nondefault_index(spark):
+    """Code-review r9 regression: the pandas-with-uint ingestion path
+    routes through Arrow and must NOT leak __index_level_0__ for frames
+    with a non-default index (filtered/sorted frames)."""
+    import numpy as np
+    import pandas as pd
+
+    from blazingsql_spark.context import Context
+
+    pdf = pd.DataFrame(
+        {"u": np.array([1, 2, 3, 4], np.uint64), "x": [10, 20, 30, 40]}
+    )
+    filtered = pdf[pdf.x > 15]  # non-default index 1..3
+    bc = Context(spark=spark)
+    df = bc.create_table("t_uint_idx", filtered)
+    assert df.columns == ["u", "x"]
+    assert df.count() == 3

@@ -182,3 +182,65 @@ def test_match_recognize_all_rows_per_match(spark):
             df, ["user_id"], ["ts"], [("COUNT(*)", "ts")], "V",
             {"V": "true"}, all_rows=True,
         )
+
+
+def test_rewriter_is_quote_aware_and_handles_qualifiers(spark):
+    """Code-review r9 regressions: (1) string literals containing commas
+    / AS / 'MATCH_RECOGNIZE (' must not confuse the rewriter; (2)
+    qualified table names keep their qualifier; (3) view names are
+    uuid-suffixed (no cross-call collisions); (4) the async Context.sql
+    path accepts the spelling too; (5) >52 pattern symbols rejected."""
+    df = spark.createDataFrame(
+        [(1, 1, "a,b", 1), (1, 2, "x AS y", 2), (1, 3, "purchase", 3)],
+        ["user_id", "event_id", "event_type", "ts"],
+    )
+    df.createOrReplaceTempView("ev_q")
+    bc = Context(spark=spark)
+    sql = """
+        SELECT user_id, n FROM ev_q MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts
+            MEASURES COUNT(*) AS n
+            PATTERN (V C P)
+            DEFINE V AS event_type = 'a,b',
+                   C AS event_type = 'x AS y',
+                   P AS event_type = 'purchase'
+        ) WHERE 'MATCH_RECOGNIZE (' != 'nope'
+    """
+    assert [tuple(r) for r in bc.sql(sql).collect()] == [(1, 3)]
+    # distinct uuid views per call — no fixed-name collision
+    v1 = [t.name for t in spark.catalog.listTables() if "match_recognize" in t.name]
+    bc.sql(sql).collect()
+    v2 = [t.name for t in spark.catalog.listTables() if "match_recognize" in t.name]
+    assert len(set(v2)) > len(set(v1))
+
+    # async surface
+    token = bc.sql(sql, return_token=True)
+    rows = bc.fetch(token)  # fetch pops the token — call once
+    assert rows and rows[0][1] == 3
+
+    # qualified name: global_temp database qualifier survives
+    df.createOrReplaceGlobalTempView("ev_gq")
+    out = bc.sql(
+        """
+        SELECT n FROM global_temp.ev_gq MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts
+            MEASURES COUNT(*) AS n PATTERN (X+) DEFINE X AS ts > 0
+        )
+        """
+    ).collect()
+    assert [r.n for r in out] == [3]
+
+    # symbol-alphabet cap: metacharacter collision is an error, not a
+    # silently different pattern
+    from blazingsql_spark.operators.match_recognize import match_recognize
+
+    big = " ".join(f"S{i}" for i in range(53))
+    with pytest.raises(ValueError, match="at most 52"):
+        match_recognize(df, ["user_id"], ["ts"], [("COUNT(*)", "n")], big)
+    # measure alias shadowing a partition column errors clearly in ONE
+    # ROW mode too (was a cryptic executor-side pandas length error)
+    with pytest.raises(ValueError, match="shadow"):
+        match_recognize(
+            df, ["user_id"], ["ts"], [("COUNT(*)", "user_id")], "V",
+            {"V": "true"},
+        )
