@@ -15,8 +15,11 @@ covers the common funnel/sessionization queries:
   ``(...)``, postfix ``* + ?`` (greedy, leftmost-longest,
   non-overlapping — AFTER MATCH SKIP PAST LAST ROW semantics);
 - ``DEFINE`` with arbitrary Spark SQL boolean expressions per symbol,
-  evaluated ROW-AT-A-TIME (no PREV/NEXT/FIRST/LAST navigation inside
-  DEFINE). Rows are classified to the FIRST defined symbol whose
+  evaluated row-at-a-time, plus ``PREV(col[, n])`` / ``NEXT(col[, n])``
+  navigation with PHYSICAL-offset semantics (the previous/next row of
+  the ordered partition, whatever symbol it classified as — running
+  semantics; symbol-relative navigation like ``PREV(A.price)`` is not
+  supported). Rows are classified to the FIRST defined symbol whose
   predicate holds (undefined symbols match any row, so list them last
   or define them) — the deterministic-classification restriction every
   streaming implementation recommends anyway (mutually exclusive
@@ -36,9 +39,10 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from blazingsql_spark.streaming.patterns import _Nfa, compile_pattern
 
@@ -176,6 +180,42 @@ def match_recognize(
     ).replace(" ", "")
     nfa = compile_pattern(char_pattern)
 
+    # PREV(col[, n]) / NEXT(col[, n]) navigation in DEFINE: rewritten to
+    # lag/lead helper columns over the (partition, order) window BEFORE
+    # classification — physical-offset semantics (the previous/next ROW
+    # in the partition, regardless of which symbol it classified as),
+    # which is MATCH_RECOGNIZE's running semantics for the common
+    # rising/falling predicates. The window shares the groupBy's
+    # partition key, so it rides the same exchange the applyInPandas
+    # needs anyway.
+    nav_cols: dict[str, Column] = {}
+    _NAV = re.compile(r"\b(PREV|NEXT)\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)", re.I)
+
+    def _rewrite_nav(pred_sql: str) -> str:
+        def sub(m: re.Match) -> str:
+            fn, col, off = m.group(1).upper(), m.group(2), int(m.group(3) or 1)
+            if col not in df.columns:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: {fn}({col!r}) references an unknown "
+                    f"column"
+                )
+            name = f"__nav_{fn.lower()}_{col}_{off}"
+            if name not in nav_cols:
+                w = Window.partitionBy(*partition_by).orderBy(*order_by)
+                nav_cols[name] = (
+                    F.lag(col, off).over(w)
+                    if fn == "PREV"
+                    else F.lead(col, off).over(w)
+                )
+            return name
+
+        return _NAV.sub(sub, pred_sql)
+
+    define = {s: _rewrite_nav(p) for s, p in define.items()}
+    nav_df = df
+    for name, colexpr in nav_cols.items():
+        nav_df = nav_df.withColumn(name, colexpr)
+
     # deterministic classification: DEFINEd symbols first (in define
     # order), then undefined (always-true) symbols in pattern order
     clf = None
@@ -186,7 +226,9 @@ def match_recognize(
             if clf is None
             else clf.when(pred, F.lit(sym_chars[s]))
         )
-    coded = df.withColumn("__sym", F.coalesce(clf, F.lit(_NO_SYM)))
+    coded = nav_df.withColumn("__sym", F.coalesce(clf, F.lit(_NO_SYM))).drop(
+        *nav_cols.keys()
+    )
 
     parsed = [_parse_measure(e, a, sym_chars) for e, a in measures]
     in_schema = df.schema

@@ -244,3 +244,60 @@ def test_rewriter_is_quote_aware_and_handles_qualifiers(spark):
             df, ["user_id"], ["ts"], [("COUNT(*)", "user_id")], "V",
             {"V": "true"},
         )
+
+
+def test_match_recognize_prev_next_navigation(spark):
+    """PREV/NEXT in DEFINE (physical-offset running semantics): the
+    classic rising-run pattern — STRT DOWN+ UP+ on a price series — and
+    offset-2 lookback; unknown columns fail loudly."""
+    prices = [10, 8, 6, 9, 12, 11, 7, 13]
+    df = spark.createDataFrame(
+        [(1, i, float(p)) for i, p in enumerate(prices)],
+        ["sym", "seq", "price"],
+    )
+    df.createOrReplaceTempView("ticks")
+    bc = Context(spark=spark)
+    out = bc.sql(
+        """
+        SELECT first_p, bottom_p, last_p FROM ticks MATCH_RECOGNIZE (
+            PARTITION BY sym ORDER BY seq
+            MEASURES FIRST(price) AS first_p,
+                     FIRST(UP.price) AS bottom_p,
+                     LAST(price) AS last_p
+            ONE ROW PER MATCH
+            PATTERN (STRT DOWN DOWN* UP UP*)
+            DEFINE DOWN AS price < PREV(price),
+                   UP AS price > PREV(price)
+        ) ORDER BY first_p
+        """
+    ).collect()
+    # One V-shape: [10,8,6,9,12] (bottom_p = the first UP row, 9).
+    # Oracle's backtracking automaton would ALSO match [11,7,13] by
+    # re-reading row 11 (a falling tick) as STRT; deterministic
+    # first-true classification cannot — 11<12 classifies DOWN — which
+    # is exactly the documented mutually-exclusive-DEFINE restriction.
+    assert [tuple(r) for r in out] == [(10.0, 9.0, 12.0)]
+
+    # offset-2 navigation
+    from blazingsql_spark.operators.match_recognize import match_recognize
+
+    out2 = match_recognize(
+        df,
+        ["sym"],
+        ["seq"],
+        [("COUNT(*)", "n")],
+        "J",
+        {"J": "price > PREV(price, 2) + 5"},
+    )
+    # price[i] > price[i-2]+5: i=4 (12>6+5=11) and i=7 (13>11... no, 13>11+5=16 no);
+    # i=7: prev2=7? seq7 price13, prev2 = price[5]=11 -> 13>16 false.
+    # only seq4 qualifies -> one single-row match
+    assert [r.n for r in out2.collect()] == [1]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown"):
+        match_recognize(
+            df, ["sym"], ["seq"], [("COUNT(*)", "n")], "V",
+            {"V": "nope > PREV(nope)"},
+        )
