@@ -81,6 +81,7 @@ def sim_ann_hnsw(spark, sf_dir):
 
 @register(
     "events_match_recognize",
+    headline=True,  # the applyInPandas CEP path — no other headline row measures it
     oracle="""
     WITH coded AS (
         SELECT user_id, ts, event_id,
