@@ -139,6 +139,102 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
     return alias, ev, ty
 
 
+def compile_symbols(
+    pattern: str, define: dict[str, str]
+) -> tuple[list[str], dict[str, str], _Nfa]:
+    """Resolve PATTERN symbols to the single-char NFA alphabet (a-z then
+    A-Z — letters only; indexing past 'z' into NFA metacharacters like
+    '|' would silently change the pattern's meaning) and compile the
+    NFA. Shared by the batch operator and the streaming twin."""
+    alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    names = list(dict.fromkeys(re.findall(r"\w+", pattern)))
+    if not names:
+        raise ValueError(f"MATCH_RECOGNIZE: empty PATTERN {pattern!r}")
+    if len(names) > len(alphabet):
+        raise ValueError(
+            f"MATCH_RECOGNIZE: at most {len(alphabet)} distinct symbols "
+            f"supported, PATTERN has {len(names)}"
+        )
+    for s in define:
+        if s not in names:
+            raise ValueError(f"MATCH_RECOGNIZE: DEFINE of unknown symbol {s!r}")
+    sym_chars = {s: alphabet[i] for i, s in enumerate(names)}
+    char_pattern = re.sub(
+        r"\w+", lambda m: sym_chars[m.group(0)], pattern
+    ).replace(" ", "")
+    return names, sym_chars, compile_pattern(char_pattern)
+
+
+_NAV = re.compile(r"\b(PREV|NEXT)\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)", re.I)
+
+
+def classify_symbols(
+    df: DataFrame,
+    names: list[str],
+    sym_chars: dict[str, str],
+    define: dict[str, str],
+    partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
+    allow_navigation: bool = True,
+) -> DataFrame:
+    """Deterministic first-true classification: add ``__sym`` (one NFA
+    alphabet char per row; the NUL sentinel for rows matching no
+    symbol). DEFINEd symbols test first (in define order), undefined
+    (always-true) symbols last, in pattern order.
+
+    PREV(col[, n]) / NEXT(col[, n]) navigation in DEFINE is rewritten to
+    lag/lead helper columns over the (partition, order) window BEFORE
+    classification — physical-offset semantics (the previous/next ROW in
+    the partition, regardless of which symbol it classified as). The
+    window shares the downstream groupBy's partition key, so it rides
+    the same exchange. ``allow_navigation=False`` rejects PREV/NEXT
+    (the streaming twin: lag/lead need the whole ordered partition)."""
+    nav_cols: dict[str, Column] = {}
+
+    def _rewrite_nav(pred_sql: str) -> str:
+        def sub(m: re.Match) -> str:
+            fn, col, off = m.group(1).upper(), m.group(2), int(m.group(3) or 1)
+            if not allow_navigation:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: {fn}() navigation is not supported "
+                    f"here (streaming DEFINE is row-local)"
+                )
+            if col not in df.columns:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: {fn}({col!r}) references an unknown "
+                    f"column"
+                )
+            name = f"__nav_{fn.lower()}_{col}_{off}"
+            if name not in nav_cols:
+                w = Window.partitionBy(*(partition_by or [])).orderBy(
+                    *(order_by or [])
+                )
+                nav_cols[name] = (
+                    F.lag(col, off).over(w)
+                    if fn == "PREV"
+                    else F.lead(col, off).over(w)
+                )
+            return name
+
+        return _NAV.sub(sub, pred_sql)
+
+    define = {s: _rewrite_nav(p) for s, p in define.items()}
+    nav_df = df
+    for name, colexpr in nav_cols.items():
+        nav_df = nav_df.withColumn(name, colexpr)
+    clf = None
+    for s in list(define) + [n for n in names if n not in define]:
+        pred = F.expr(define[s]) if s in define else F.lit(True)
+        clf = (
+            F.when(pred, F.lit(sym_chars[s]))
+            if clf is None
+            else clf.when(pred, F.lit(sym_chars[s]))
+        )
+    return nav_df.withColumn("__sym", F.coalesce(clf, F.lit(_NO_SYM))).drop(
+        *nav_cols.keys()
+    )
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: list[str],
@@ -159,75 +255,10 @@ def match_recognize(
     import pandas as pd
 
     define = dict(define or {})
-    # symbols in pattern order; single-char NFA alphabet a-z then A-Z
-    # (letters only — indexing past 'z' into NFA metacharacters like '|'
-    # would silently change the pattern's meaning)
-    alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    names = list(dict.fromkeys(re.findall(r"\w+", pattern)))
-    if not names:
-        raise ValueError(f"MATCH_RECOGNIZE: empty PATTERN {pattern!r}")
-    if len(names) > len(alphabet):
-        raise ValueError(
-            f"MATCH_RECOGNIZE: at most {len(alphabet)} distinct symbols "
-            f"supported, PATTERN has {len(names)}"
-        )
-    for s in define:
-        if s not in names:
-            raise ValueError(f"MATCH_RECOGNIZE: DEFINE of unknown symbol {s!r}")
-    sym_chars = {s: alphabet[i] for i, s in enumerate(names)}
-    char_pattern = re.sub(
-        r"\w+", lambda m: sym_chars[m.group(0)], pattern
-    ).replace(" ", "")
-    nfa = compile_pattern(char_pattern)
-
-    # PREV(col[, n]) / NEXT(col[, n]) navigation in DEFINE: rewritten to
-    # lag/lead helper columns over the (partition, order) window BEFORE
-    # classification — physical-offset semantics (the previous/next ROW
-    # in the partition, regardless of which symbol it classified as),
-    # which is MATCH_RECOGNIZE's running semantics for the common
-    # rising/falling predicates. The window shares the groupBy's
-    # partition key, so it rides the same exchange the applyInPandas
-    # needs anyway.
-    nav_cols: dict[str, Column] = {}
-    _NAV = re.compile(r"\b(PREV|NEXT)\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)", re.I)
-
-    def _rewrite_nav(pred_sql: str) -> str:
-        def sub(m: re.Match) -> str:
-            fn, col, off = m.group(1).upper(), m.group(2), int(m.group(3) or 1)
-            if col not in df.columns:
-                raise ValueError(
-                    f"MATCH_RECOGNIZE: {fn}({col!r}) references an unknown "
-                    f"column"
-                )
-            name = f"__nav_{fn.lower()}_{col}_{off}"
-            if name not in nav_cols:
-                w = Window.partitionBy(*partition_by).orderBy(*order_by)
-                nav_cols[name] = (
-                    F.lag(col, off).over(w)
-                    if fn == "PREV"
-                    else F.lead(col, off).over(w)
-                )
-            return name
-
-        return _NAV.sub(sub, pred_sql)
-
-    define = {s: _rewrite_nav(p) for s, p in define.items()}
-    nav_df = df
-    for name, colexpr in nav_cols.items():
-        nav_df = nav_df.withColumn(name, colexpr)
-
-    # deterministic classification: DEFINEd symbols first (in define
-    # order), then undefined (always-true) symbols in pattern order
-    clf = None
-    for s in list(define) + [n for n in names if n not in define]:
-        pred = F.expr(define[s]) if s in define else F.lit(True)
-        clf = (
-            F.when(pred, F.lit(sym_chars[s]))
-            if clf is None
-            else clf.when(pred, F.lit(sym_chars[s]))
-        )
-    coded = nav_df.withColumn("__sym", F.coalesce(clf, F.lit(_NO_SYM))).drop(
-        *nav_cols.keys()
+    names, sym_chars, nfa = compile_symbols(pattern, define)
+    coded = classify_symbols(
+        df, names, sym_chars, define,
+        partition_by=partition_by, order_by=order_by,
     )
 
     parsed = [_parse_measure(e, a, sym_chars) for e, a in measures]

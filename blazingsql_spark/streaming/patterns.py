@@ -345,3 +345,79 @@ def pattern_match_stream(
     return events.groupBy("user_id").applyInPandasWithState(
         update, _OUT_SCHEMA, _STATE_SCHEMA, "update", "NoTimeout"
     )
+
+
+def match_recognize_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    pattern: str,
+    define: dict[str, str] | None = None,
+    max_carry: int = 4096,
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE summary — the incremental twin of
+    operators.match_recognize for its ONE-ROW-PER-MATCH aggregate form:
+    rows classify through the SAME deterministic DEFINE classifier (one
+    codegen CASE — PREV/NEXT navigation is rejected, a stream has no
+    ordered partition to lag over), then each key's char stream feeds
+    the bounded-state StreamMatcher. Emits one
+    (key, n_matches, longest_match, n_codes, n_aborted) row per key per
+    micro-batch with the totals the batch operator would report on the
+    prefix seen so far — the same contract, state bound, and
+    ``max_carry`` abort discipline as pattern_match_stream (which
+    remains the event-code-map convenience wrapper).
+
+    Cross-batch order contract: per-key rows must arrive in (ts, id)
+    order across micro-batches (within a batch they are sorted), same
+    as every stateful twin here."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from blazingsql_spark.operators.match_recognize import (
+        classify_symbols,
+        compile_symbols,
+    )
+
+    define = dict(define or {})
+    names, sym_chars, nfa = compile_symbols(pattern, define)
+    if max_carry < 1:
+        raise ValueError(f"max_carry must be >= 1, got {max_carry}")
+    coded = classify_symbols(
+        events, names, sym_chars, define, allow_navigation=False
+    ).select(
+        F.col(key_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        F.col("__sym"),
+    )
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            n0, longest0, carry0, seen0, aborted0 = state.get
+        else:
+            n0, longest0, carry0, seen0, aborted0 = 0, 0, "", 0, 0
+        chunks = [pdf[["ts", "event_id", "__sym"]] for pdf in pdfs]
+        batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+        codes = "".join(batch["__sym"])
+        m = StreamMatcher(
+            nfa, n0, longest0, carry0, max_carry=max_carry, n_aborted=aborted0
+        )
+        m.feed(codes)
+        seen = seen0 + len(batch)
+        state.update((m.n_matches, m.longest, m.carry, seen, m.n_aborted))
+        n_fin, longest_fin = m.snapshot()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_matches": [n_fin],
+                "longest_match": [longest_fin],
+                "n_codes": [seen],
+                "n_aborted": [m.n_aborted],
+            }
+        )
+
+    return coded.groupBy("user_id").applyInPandasWithState(
+        update, _OUT_SCHEMA, _STATE_SCHEMA, "update", "NoTimeout"
+    )

@@ -213,3 +213,83 @@ def test_matcher_carry_hard_cap_aborts_inflight(spark, tmp_path):
     final = _final_rows(got)
     row = final[final["user_id"] == 1].iloc[0]
     assert row["n_aborted"] >= 1 and row["n_matches"] == 0
+
+
+def test_match_recognize_stream_matches_batch_operator(spark, tmp_path):
+    """Streaming MATCH_RECOGNIZE twin: per-key totals after the last
+    micro-batch equal the batch operator's per-key aggregate on the same
+    data (same DEFINE classifier, same NFA), across REAL micro-batch
+    boundaries; PREV navigation is rejected on streams."""
+    import pandas as pd
+    import pytest
+
+    from blazingsql_spark.operators.match_recognize import match_recognize
+    from blazingsql_spark.streaming.patterns import match_recognize_stream
+
+    rng = random.Random(9)
+    rows = [
+        (u, i, rng.choice(["view", "click", "click", "purchase", "error"]), i)
+        for u in range(1, 9)
+        for i in range(rng.randint(5, 40))
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "event_type", "ts"])
+    src = tmp_path / "src"
+    src.mkdir()
+    # 3 files -> 3 micro-batches, per-user order preserved by ts within files
+    third = len(pdf) // 3
+    for i in range(3):
+        chunk = pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)]
+        chunk.to_json(src / f"b{i}.json", orient="records", lines=True)
+    schema = "user_id long, event_id long, event_type string, ts long"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    define = {
+        "V": "event_type = 'view'",
+        "C": "event_type = 'click'",
+        "P": "event_type = 'purchase'",
+    }
+    out = match_recognize_stream(
+        raw, "user_id", "ts", "event_id", "V C+ P", define
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mr_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM t_mr_stream")
+        .toPandas()
+        .sort_values("n_codes")
+        .groupby("user_id")
+        .last()
+        .reset_index()
+    )
+    batch_df = spark.createDataFrame(pdf)
+    per_match = match_recognize(
+        batch_df, ["user_id"], ["ts", "event_id"],
+        [("COUNT(*)", "match_len")], "V C+ P", define,
+    )
+    want = {
+        r.user_id: (r.n, r.longest)
+        for r in per_match.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("match_len").alias("longest"))
+        .collect()
+    }
+    for _, row in got.iterrows():
+        w = want.get(row.user_id, (0, 0))
+        assert (row.n_matches, row.longest_match) == w, row.user_id
+    assert set(want) <= set(got.user_id)
+
+    with pytest.raises(ValueError, match="navigation"):
+        match_recognize_stream(
+            raw, "user_id", "ts", "event_id", "U",
+            {"U": "ts > PREV(ts)"},
+        )
