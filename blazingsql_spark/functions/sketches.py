@@ -173,12 +173,12 @@ def ddsketch_build(
     column expressions (one groupBy, no UDF), so a SQL oracle can
     replay the sketch EXACTLY, not just within error.
 
-    Zeros get the sentinel bucket -(1<<62), BELOW every real log bucket
-    (values in (0,1) have negative log buckets, so reusing bucket 0 for
-    zeros would misplace them above all sub-unit values in the
-    cumulative walk and corrupt low quantiles); negative values are
-    rejected loudly — extend with a mirrored negative store if a use
-    case appears. Returns group_cols + (bucket, cnt)."""
+    SIGNED values are supported via disjoint bucket codes that sort in
+    value order (so the quantile walk needs no special casing):
+    positives at (1<<32) + ceil(log_gamma(x)), zero at exactly 0, and a
+    mirrored negative store at -(1<<32) - ceil(log_gamma(-x)) — log
+    buckets span only a few thousand either way, so the three ranges
+    can never collide. Returns group_cols + (bucket, cnt)."""
     a = float(relative_accuracy)
     if not 0 < a < 1:
         raise ValueError(f"relative_accuracy must be in (0,1), got {a}")
@@ -187,23 +187,12 @@ def ddsketch_build(
 
     g = group_cols or []
     c = F.col(col)
-    # negative values fail IN the scan (no extra validation pass — at
-    # 100 TB a probe scan would double the job)
+    lg = F.lit(math.log(gamma))
+    base = F.lit(1 << 32)
     bucket = (
-        F.when(
-            c < 0,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"ddsketch_build: column {col!r} has negative value "
-                    ),
-                    c.cast("string"),
-                    F.lit("; the positive-store sketch cannot represent it"),
-                )
-            ).cast("double"),
-        )
-        .when(c == 0, F.lit(-(1 << 62)))
-        .otherwise(F.ceil(F.log(c) / F.lit(math.log(gamma))))
+        F.when(c == 0, F.lit(0))
+        .when(c > 0, base + F.ceil(F.log(c) / lg))
+        .otherwise(-base - F.ceil(F.log(-c) / lg))
     )
     return (
         df.filter(c.isNotNull())
@@ -231,11 +220,11 @@ def ddsketch_quantiles(
     """Query quantile estimates from a bucket table: per group, walk the
     buckets in order and report the bucket whose cumulative count first
     reaches q·n, estimated at the bucket's geometric midpoint
-    2·gamma^b/(gamma+1) (the zero-sentinel bucket → exactly 0). One
-    window + one join — no driver-side walk; the window's single
-    partition per group holds at most a few thousand buckets by
-    construction (log-bounded), never the data. Returns
-    group_cols + (q, est)."""
+    ±2·gamma^b/(gamma+1) (sign from the store the code falls in; the
+    zero bucket → exactly 0). One window + one join — no driver-side
+    walk; the window's single partition per group holds at most a few
+    thousand buckets by construction (log-bounded), never the data.
+    Returns group_cols + (q, est)."""
     from pyspark.sql.window import Window
 
     a = float(relative_accuracy)
@@ -249,8 +238,15 @@ def ddsketch_quantiles(
     qs = sketch.sparkSession.createDataFrame(
         [(float(q),) for q in quantiles], "q double"
     )
-    est = F.when(F.col("bucket") == -(1 << 62), F.lit(0.0)).otherwise(
-        F.lit(2.0 / (gamma + 1.0)) * F.pow(F.lit(gamma), F.col("bucket"))
+    mid = F.lit(2.0 / (gamma + 1.0))
+    base = F.lit(1 << 32)
+    est = (
+        F.when(F.col("bucket") == 0, F.lit(0.0))
+        .when(
+            F.col("bucket") > 0,
+            mid * F.pow(F.lit(gamma), F.col("bucket") - base),
+        )
+        .otherwise(-mid * F.pow(F.lit(gamma), -(F.col("bucket") + base)))
     )
     return (
         cum.crossJoin(F.broadcast(qs))

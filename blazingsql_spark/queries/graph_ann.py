@@ -145,8 +145,11 @@ def events_match_recognize(spark, sf_dir):
     "sketch_ddsketch_quantiles",
     oracle="""
     WITH b AS (
-        SELECT CAST(CASE WHEN l_extendedprice = 0 THEN -4611686018427387904
-                    ELSE CEIL(LN(l_extendedprice) / LN(1.01 / 0.99)) END
+        SELECT CAST(CASE WHEN l_extendedprice = 0 THEN 0
+                    WHEN l_extendedprice > 0 THEN 4294967296
+                         + CEIL(LN(l_extendedprice) / LN(1.01 / 0.99))
+                    ELSE -4294967296
+                         - CEIL(LN(-l_extendedprice) / LN(1.01 / 0.99)) END
                AS BIGINT) AS bucket,
                COUNT(*) AS cnt
         FROM lineitem GROUP BY 1
@@ -164,9 +167,11 @@ def events_match_recognize(spark, sf_dir):
     ),
     est AS (
         SELECT q, n,
-               CASE WHEN bucket = -4611686018427387904 THEN 0.0
-                    ELSE (2.0 / ((1.01 / 0.99) + 1.0))
-                         * POW(1.01 / 0.99, bucket) END AS est
+               CASE WHEN bucket = 0 THEN 0.0
+                    WHEN bucket > 0 THEN (2.0 / ((1.01 / 0.99) + 1.0))
+                         * POW(1.01 / 0.99, bucket - 4294967296)
+                    ELSE -(2.0 / ((1.01 / 0.99) + 1.0))
+                         * POW(1.01 / 0.99, -(bucket + 4294967296)) END AS est
         FROM hit
     ),
     ex AS (

@@ -2392,12 +2392,25 @@ def test_ddsketch_merge_exact_and_accuracy_property(spark):
 
     import pytest
 
-    with pytest.raises(Exception, match="negative value"):
-        sketches.ddsketch_build(
-            spark.createDataFrame([(-2.0,)], "x double"), "x"
-        ).collect()
     with pytest.raises(ValueError, match="relative_accuracy"):
         sketches.ddsketch_build(df, "x", relative_accuracy=1.5)
+
+    # mirrored negative store: a symmetric signed series estimates
+    # signed quantiles within the relative bound on |value|
+    signed = spark.createDataFrame(
+        [(float(v),) for v in range(-500, 501) if v != 0] + [(0.0,)] * 3,
+        "x double",
+    )
+    ssk = sketches.ddsketch_build(signed, "x", relative_accuracy=0.01)
+    sq = {
+        r.q: r.est
+        for r in sketches.ddsketch_quantiles(
+            ssk, [0.05, 0.5, 0.95], relative_accuracy=0.01
+        ).collect()
+    }
+    assert abs(sq[0.05] - (-451.0)) / 451.0 <= 0.011  # rank 51 of -500..-1
+    assert abs(sq[0.5]) <= 1.0  # median straddles the zero bucket
+    assert abs(sq[0.95] - 452.0) / 452.0 <= 0.011
 
 
 def test_ddsketch_nulls_excluded(spark):
