@@ -307,8 +307,14 @@ def match_recognize(
                     )
                 frames.append(span)
             if not frames:
+                # object-dtype empties: a zero-match partition must not
+                # surface float64 columns Arrow cannot cast to the output
+                # schema's timestamp/string measure types
                 return pd.DataFrame(
-                    {c: [] for c in out_schema.fieldNames()}
+                    {
+                        c: pd.Series([], dtype=object)
+                        for c in out_schema.fieldNames()
+                    }
                 )
             return pd.concat(frames)
         out = {c: [] for c in out_schema.fieldNames()}
@@ -318,7 +324,12 @@ def match_recognize(
                 out[k].append(v)
             for a, ev, _ in parsed:
                 out[a].append(ev(span, codes[lo:hi], n))
-        return pd.DataFrame(out)
+        # object dtype throughout: values carry their own types (Arrow
+        # casts per value), and zero-match groups stay castable to ANY
+        # measure type instead of defaulting to float64
+        return pd.DataFrame(
+            {k: pd.Series(v, dtype=object) for k, v in out.items()}
+        )
 
     return coded.groupBy(*partition_by).applyInPandas(run, out_schema)
 

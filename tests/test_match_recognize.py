@@ -7,6 +7,7 @@ import random
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from blazingsql_spark.context import Context
 from blazingsql_spark.operators.match_recognize import (
@@ -301,3 +302,30 @@ def test_match_recognize_prev_next_navigation(spark):
             df, ["sym"], ["seq"], [("COUNT(*)", "n")], "V",
             {"V": "nope > PREV(nope)"},
         )
+
+
+def test_match_recognize_timestamp_measures_and_zero_match_groups(spark):
+    """Regression (found by the 64x scale run): a partition with ZERO
+    matches used to emit empty float64 columns Arrow cannot cast to a
+    timestamp measure type — real `ts` columns are timestamps, unlike
+    the integer fixtures that masked it."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", "2026-01-01 00:00:01"),
+            (1, 2, "click", "2026-01-01 00:00:02"),
+            (1, 3, "purchase", "2026-01-01 00:00:03"),
+            (2, 4, "error", "2026-01-01 00:00:04"),  # user 2: no match
+        ],
+        ["user_id", "event_id", "event_type", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    from blazingsql_spark.operators.match_recognize import match_recognize
+
+    out = match_recognize(
+        df, ["user_id"], ["ts", "event_id"],
+        [("FIRST(ts)", "first_ts"), ("LAST(ts)", "last_ts")],
+        "V C P",
+        {"V": "event_type='view'", "C": "event_type='click'",
+         "P": "event_type='purchase'"},
+    ).collect()
+    assert len(out) == 1 and out[0].user_id == 1
+    assert out[0].first_ts.second == 1 and out[0].last_ts.second == 3
