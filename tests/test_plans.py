@@ -372,3 +372,13 @@ def test_match_recognize_classification_is_codegen(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert exchange_count(out) == 1, plan
+
+    # PREV navigation adds a window over the SAME partition key — it must
+    # ride the existing exchange, not add a second shuffle
+    nav = match_recognize(
+        ev, ["user_id"], ["ts", "event_id"], [("COUNT(*)", "n")],
+        "U+", {"U": "ts > PREV(ts)"},
+    )
+    assert exchange_count(nav) == 1, (
+        nav._jdf.queryExecution().executedPlan().toString()
+    )
