@@ -18,12 +18,22 @@ covers the common funnel/sessionization queries:
   evaluated row-at-a-time, plus ``PREV(col[, n])`` / ``NEXT(col[, n])``
   navigation with PHYSICAL-offset semantics (the previous/next row of
   the ordered partition, whatever symbol it classified as — running
-  semantics; symbol-relative navigation like ``PREV(A.price)`` is not
-  supported). Rows are classified to the FIRST defined symbol whose
-  predicate holds (undefined symbols match any row, so list them last
-  or define them) — the deterministic-classification restriction every
-  streaming implementation recommends anyway (mutually exclusive
-  DEFINEs); a row matching no symbol breaks any in-flight match.
+  semantics). SYMBOL-RELATIVE navigation — ``PREV(A.price)``,
+  ``FIRST(V.ts)``, ``LAST(B.amount, 2)``, bare ``A.price`` — is also
+  supported: such predicates cannot be pre-evaluated (which rows are
+  "mapped to A" depends on the match attempt in progress), so any
+  DEFINE containing one routes the whole operator through the
+  IN-AUTOMATON path: symbols without navigation still classify through
+  one vectorized codegen projection (per-symbol boolean flags), and the
+  navigation predicates are compiled by operators/mr_expr.py to scalar
+  closures evaluated during the NFA scan with the current row
+  tentatively mapped to the symbol under test (SQL:2016 running
+  semantics; mr_expr's docstring states the grammar). Rows are
+  classified to the FIRST defined symbol whose predicate holds
+  (undefined symbols match any row, so list them last or define them)
+  — the deterministic-classification restriction every streaming
+  implementation recommends anyway (mutually exclusive DEFINEs); a row
+  matching no symbol breaks any in-flight match.
 - ``MEASURES``: MATCH_NUMBER(), COUNT(*), COUNT(S.*), FIRST(col),
   LAST(col), FIRST(S.col), LAST(S.col); ONE ROW PER MATCH.
 
@@ -189,6 +199,32 @@ def classify_symbols(
     window shares the downstream groupBy's partition key, so it rides
     the same exchange. ``allow_navigation=False`` rejects PREV/NEXT
     (the streaming twin: lag/lead need the whole ordered partition)."""
+    define, nav_df, nav_names = _physical_nav_rewrite(
+        df, define, partition_by, order_by, allow_navigation
+    )
+    clf = None
+    for s in list(define) + [n for n in names if n not in define]:
+        pred = F.expr(define[s]) if s in define else F.lit(True)
+        clf = (
+            F.when(pred, F.lit(sym_chars[s]))
+            if clf is None
+            else clf.when(pred, F.lit(sym_chars[s]))
+        )
+    return nav_df.withColumn("__sym", F.coalesce(clf, F.lit(_NO_SYM))).drop(
+        *nav_names
+    )
+
+
+def _physical_nav_rewrite(
+    df: DataFrame,
+    define: dict[str, str],
+    partition_by: list[str] | None,
+    order_by: list[str] | None,
+    allow_navigation: bool,
+) -> tuple[dict[str, str], DataFrame, list[str]]:
+    """Rewrite physical PREV(col[, n])/NEXT(col[, n]) atoms in DEFINE
+    predicates to lag/lead helper columns; returns (rewritten define,
+    df with helper columns attached, helper column names to drop)."""
     nav_cols: dict[str, Column] = {}
 
     def _rewrite_nav(pred_sql: str) -> str:
@@ -222,17 +258,7 @@ def classify_symbols(
     nav_df = df
     for name, colexpr in nav_cols.items():
         nav_df = nav_df.withColumn(name, colexpr)
-    clf = None
-    for s in list(define) + [n for n in names if n not in define]:
-        pred = F.expr(define[s]) if s in define else F.lit(True)
-        clf = (
-            F.when(pred, F.lit(sym_chars[s]))
-            if clf is None
-            else clf.when(pred, F.lit(sym_chars[s]))
-        )
-    return nav_df.withColumn("__sym", F.coalesce(clf, F.lit(_NO_SYM))).drop(
-        *nav_cols.keys()
-    )
+    return define, nav_df, list(nav_cols)
 
 
 def match_recognize(
@@ -243,6 +269,7 @@ def match_recognize(
     pattern: str,
     define: dict[str, str] | None = None,
     all_rows: bool = False,
+    _force_in_automaton: bool = False,
 ) -> DataFrame:
     """Row-pattern matching (see module docstring for the supported
     surface). ``measures`` is [(expr, alias)]; ``define`` maps symbol ->
@@ -251,15 +278,65 @@ def match_recognize(
     MATCH (partition keys + measures); ``all_rows=True`` is ALL ROWS
     PER MATCH with FINAL measure semantics — every matched input row is
     emitted with its full original columns, the measures constant
-    across the match, and CLASSIFIER() per-row."""
+    across the match, and CLASSIFIER() per-row.
+
+    DEFINEs with symbol-relative navigation (``PREV(A.price)``,
+    ``FIRST(V.ts)``, bare ``A.price``) route through the in-automaton
+    scan: classification happens per match ATTEMPT (running semantics),
+    so a failed attempt restarts cleanly at the next row — worst case
+    O(rows²) per partition on degenerate inputs, the same bound as any
+    backtracking row-pattern scan; typical inputs stay O(rows) because
+    attempts fail on their first row. ``_force_in_automaton`` is a test
+    hook: it routes nav-free DEFINEs (which must then fit mr_expr's
+    grammar) through the same scan to property-check the two paths
+    agree."""
     import pandas as pd
+
+    from blazingsql_spark.operators import mr_expr
 
     define = dict(define or {})
     names, sym_chars, nfa = compile_symbols(pattern, define)
-    coded = classify_symbols(
-        df, names, sym_chars, define,
-        partition_by=partition_by, order_by=order_by,
-    )
+
+    symrel_preds = {
+        s: p
+        for s, p in define.items()
+        if _force_in_automaton or mr_expr.is_symbol_relative(p, names)
+    }
+    if symrel_preds:
+        vec_define = {s: p for s, p in define.items() if s not in symrel_preds}
+        vdef, nav_df, nav_names = _physical_nav_rewrite(
+            df, vec_define, partition_by, order_by, allow_navigation=True
+        )
+        coded = nav_df
+        flag_cols: dict[str, str] = {}
+        for s, p in vdef.items():
+            cname = f"__p_{sym_chars[s]}"
+            coded = coded.withColumn(cname, F.expr(p))
+            flag_cols[sym_chars[s]] = cname
+        coded = coded.drop(*nav_names)
+        compiled: dict[str, object] = {}
+        used_cols: set[str] = set()
+        for s, p in symrel_preds.items():
+            closure, used = mr_expr.compile_predicate(p, df.columns, sym_chars)
+            compiled[sym_chars[s]] = closure
+            used_cols |= used
+        # classification order: DEFINEd symbols in define order, then
+        # undefined (always-true) symbols in pattern order — identical
+        # to classify_symbols' CASE
+        test_order: list[tuple[str, str]] = []
+        for s in list(define) + [n for n in names if n not in define]:
+            ch = sym_chars[s]
+            kind = (
+                "rel" if s in symrel_preds else "vec" if s in define else "any"
+            )
+            test_order.append((kind, ch))
+        aux_cols = list(flag_cols.values())
+    else:
+        coded = classify_symbols(
+            df, names, sym_chars, define,
+            partition_by=partition_by, order_by=order_by,
+        )
+        aux_cols = ["__sym"]
 
     parsed = [_parse_measure(e, a, sym_chars) for e, a in measures]
     in_schema = df.schema
@@ -289,20 +366,84 @@ def match_recognize(
         _MEASURE_FORMS.match(e.strip()).group("clf")
     }
 
+    def scan_in_automaton(pdf) -> list[tuple[int, int, str]]:
+        """Greedy leftmost-longest scan with PER-ATTEMPT classification:
+        symbol-relative predicates see the attempt's tentative mapping
+        (the row under test already mapped to the symbol being tried —
+        SQL:2016 DEFINE running semantics)."""
+        size = len(pdf)
+        cols = {c: pdf[c].tolist() for c in used_cols}
+        flags = {ch: pdf[cn].tolist() for ch, cn in flag_cols.items()}
+        ctx = mr_expr.MatchCtx(cols, 0, 0, size, {})
+        start_closure = nfa.closure(frozenset([nfa.start]))
+        spans: list[tuple[int, int, str]] = []
+        pos = 0
+        while pos < size:
+            states = start_closure
+            tent: dict[str, list[int]] = {}
+            codes: list[str] = []
+            ctx.pos, ctx.tent = pos, tent
+            last_acc = -1
+            j = pos
+            while j < size:
+                ctx.j = j
+                c = None
+                rel_hit = False
+                for kind, ch in test_order:
+                    if kind == "any":
+                        c = ch
+                        break
+                    if kind == "vec":
+                        v = flags[ch][j]
+                        if v is not None and not pd.isna(v) and bool(v):
+                            c = ch
+                            break
+                    else:
+                        lst = tent.setdefault(ch, [])
+                        lst.append(j)
+                        if compiled[ch](ctx):
+                            c, rel_hit = ch, True
+                            break
+                        lst.pop()
+                if c is None:
+                    break
+                nxt = nfa.step(states, c)
+                if not nxt:
+                    break
+                if not rel_hit:
+                    tent.setdefault(c, []).append(j)
+                codes.append(c)
+                states = nxt
+                j += 1
+                if nfa.accept in states:
+                    last_acc = j
+            if last_acc > pos:
+                spans.append((pos, last_acc, "".join(codes[: last_acc - pos])))
+                pos = last_acc
+            else:
+                pos += 1
+        return spans
+
     def run(key, pdf):
         pdf = pdf.sort_values(list(order_by), kind="mergesort")
-        codes = "".join(pdf["__sym"])
-        spans = find_match_spans(nfa, codes)
+        if symrel_preds:
+            spans = scan_in_automaton(pdf)
+        else:
+            codes = "".join(pdf["__sym"])
+            spans = [
+                (lo, hi, codes[lo:hi])
+                for lo, hi in find_match_spans(nfa, codes)
+            ]
         if all_rows:
             frames = []
-            for n, (lo, hi) in enumerate(spans, start=1):
-                span = pdf.iloc[lo:hi].drop(columns="__sym")
+            for n, (lo, hi, scodes) in enumerate(spans, start=1):
+                span = pdf.iloc[lo:hi].drop(columns=aux_cols)
                 for a, ev, _ in parsed:
                     span = span.assign(
                         **{
-                            a: [names_by_char.get(c) for c in codes[lo:hi]]
+                            a: [names_by_char.get(c) for c in scodes]
                             if a in classifier_aliases
-                            else ev(pdf.iloc[lo:hi], codes[lo:hi], n)
+                            else ev(pdf.iloc[lo:hi], scodes, n)
                         }
                     )
                 frames.append(span)
@@ -318,12 +459,12 @@ def match_recognize(
                 )
             return pd.concat(frames)
         out = {c: [] for c in out_schema.fieldNames()}
-        for n, (lo, hi) in enumerate(spans, start=1):
+        for n, (lo, hi, scodes) in enumerate(spans, start=1):
             span = pdf.iloc[lo:hi]
             for k, v in zip(partition_by, key):
                 out[k].append(v)
             for a, ev, _ in parsed:
-                out[a].append(ev(span, codes[lo:hi], n))
+                out[a].append(ev(span, scodes, n))
         # object dtype throughout: values carry their own types (Arrow
         # casts per value), and zero-match groups stay castable to ANY
         # measure type instead of defaulting to float64

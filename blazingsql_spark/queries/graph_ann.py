@@ -248,3 +248,84 @@ def sketch_ddsketch_quantiles(spark, sf_dir):
         )
         .orderBy("q")
     )
+
+
+@register(
+    "events_mr_navigation",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), n AS (
+        SELECT user_id, rn, ts, event_type,
+               MIN(CASE WHEN event_type <> 'click' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        FROM e
+    ), m AS (
+        SELECT a.user_id, a.nxt - a.rn - 1 AS n_clicks,
+               epoch_us(b.ts - a.ts) AS span_us
+        FROM n a JOIN e b ON b.user_id = a.user_id AND b.rn = a.nxt
+        WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+          AND b.ts <= a.ts + INTERVAL 8 HOUR
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(n_clicks) AS BIGINT) AS total_clicks,
+           CAST(MAX(span_us) AS BIGINT) AS max_span_us
+    FROM m GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Symbol-relative MATCH_RECOGNIZE navigation (FIRST(V.ts) in "
+    "DEFINE — SQL:2016 running semantics, operators/mr_expr.py + the "
+    "in-automaton scan in operators/match_recognize.py): a conversion "
+    "funnel where the purchase must land within 8 hours of the view "
+    "that STARTED the funnel, across a variable-length click run — "
+    "inexpressible with physical PREV/lag. The DuckDB twin exploits "
+    "the pattern's structure (a match is exactly a view whose next "
+    "non-click row is an in-budget purchase; spans cannot overlap, so "
+    "greedy non-overlapping selection is vacuous) to replay it with "
+    "one window + one self-join — every measure value compared exactly "
+    "(counts + microsecond span)",
+)
+def events_mr_navigation(spark, sf_dir):
+    """Drives the symbol-relative query through the SQL spelling (the
+    Context.sql rewrite path) — what a migrating user would type. The
+    reference has no row-pattern surface at all (no SQL:2016 §R in its
+    Calcite fork); beyond-reference. Scale shape: one vectorized
+    classification projection + one applyInPandas over user_id, the
+    same exchange as every per-key CEP operator here; the in-automaton
+    scan is O(events) per key for this pattern (attempts fail on their
+    first row except at views)."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(SUM(n_clicks) AS BIGINT) AS total_clicks,
+               CAST(MAX(unix_micros(CAST(p_ts AS TIMESTAMP))
+                        - unix_micros(CAST(v_ts AS TIMESTAMP))) AS BIGINT)
+                   AS max_span_us
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(C.*) AS n_clicks,
+                     FIRST(ts) AS v_ts,
+                     LAST(ts) AS p_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (V C* P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+                        AND ts <= FIRST(V.ts) + INTERVAL 8 HOUR
+        )
+        GROUP BY user_id
+        ORDER BY user_id
+        """
+    )

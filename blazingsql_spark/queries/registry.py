@@ -669,7 +669,9 @@ _R5_STALE_FIRST_24 = (
     "events_ewma",
     "events_interpolate",
     # events_markov + events_ohlc + events_top_paths roll to r11: the
-    # r9-new rows (uint widening, match_recognize, ddsketch) took slots
+    # r9-new rows (uint widening, match_recognize, ddsketch) took slots.
+    # events_mr_navigation (registered post-r10-freeze in the r9
+    # extension session) also rolls to r11.
 )
 _R10_WINDOW_STAGED = (
     _SENTINELS + _NEW_POST_R9_FREEZE + _R4_STALE_ROLLED + _R5_STALE_FIRST_24

@@ -329,3 +329,183 @@ def test_match_recognize_timestamp_measures_and_zero_match_groups(spark):
     ).collect()
     assert len(out) == 1 and out[0].user_id == 1
     assert out[0].first_ts.second == 1 and out[0].last_ts.second == 3
+
+
+# ---------------------------------------------------------------------------
+# Symbol-relative navigation (PREV(A.price), FIRST(V.ts), bare A.col) —
+# the in-automaton DEFINE path (operators/mr_expr.py).
+# ---------------------------------------------------------------------------
+
+
+def test_mr_expr_compiler_three_valued_logic():
+    """The scalar predicate compiler directly: navigation resolution,
+    NULL propagation, Kleene AND/OR, IS [NOT] NULL, intervals, /0,
+    and loud errors on unknown columns/symbols/grammar."""
+    import pandas as pd
+
+    from blazingsql_spark.operators.mr_expr import MatchCtx, compile_predicate
+
+    cols = {"v": [10, None, 30], "s": ["x", "y", "z"]}
+    sym = {"A": "a", "B": "b"}
+
+    def ev(sql, j=2, tent=None):
+        f, _ = compile_predicate(sql, ["v", "s"], sym)
+        return f(MatchCtx(cols, j, 0, 3, tent if tent is not None else {"a": [0]}))
+
+    assert ev("v > FIRST(A.v)")  # 30 > 10
+    assert ev("A.v = 10")  # bare ref == LAST(A.v, 0)
+    assert not ev("v < LAST(A.v)")  # 30 < 10 is false
+    assert ev("LAST(B.v) IS NULL")  # no rows mapped to B
+    assert not ev("v > FIRST(A.v)", j=1)  # NULL v -> unknown -> false
+    assert ev("v IS NULL", j=1)
+    assert ev("v IS NOT NULL")
+    assert ev("PREV(v, 5) IS NULL")  # falls off the partition start
+    assert ev("PREV(v) IS NULL")  # physical prev of j=2 is the NULL row
+    assert ev("NEXT(v) IS NULL", j=0)  # row 1 value is NULL
+    assert not ev("NEXT(v) IS NULL", j=1)  # row 2 value is 30
+    assert ev("NEXT(v, 2) IS NULL", j=1)  # falls off the partition end
+    assert ev("s = 'z'")
+    assert not ev("s = 'z'", j=0)
+    assert ev("NULL OR v = 30")  # unknown OR true -> true
+    assert not ev("NULL AND v = 30")  # unknown AND true -> unknown -> false
+    assert not ev("NOT v = 30")
+    assert ev("v / (v - v) IS NULL")  # division by zero -> NULL
+    assert ev("v - FIRST(A.v) = 20 AND v % 4 = 2")
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown column"):
+        compile_predicate("nope > 1", ["v"], sym)
+    with _pt.raises(ValueError, match="unknown pattern symbol"):
+        compile_predicate("v > FIRST(Z.v)", ["v"], sym)
+    with _pt.raises(ValueError, match="tokenize"):
+        compile_predicate("v ~ 3", ["v"], sym)
+    with _pt.raises(ValueError, match="unknown column"):
+        # out-of-grammar Spark SQL surfaces as a loud error, never a
+        # silent misparse (CASE lexes as an identifier)
+        compile_predicate("v > CASE WHEN 1 THEN 2 END", ["v"], sym)
+    with _pt.raises(ValueError, match="INTERVAL"):
+        compile_predicate("v > INTERVAL 3 PARSECS", ["v"], sym)
+
+    # intervals against timestamps
+    ts = [pd.Timestamp("2026-01-01 00:00:00"), pd.Timestamp("2026-01-01 07:00:00")]
+    f, used = compile_predicate(
+        "ts <= FIRST(A.ts) + INTERVAL 8 HOUR", ["ts"], sym
+    )
+    assert used == {"ts"}
+    assert f(MatchCtx({"ts": ts}, 1, 0, 2, {"a": [0]}))
+    f2, _ = compile_predicate("ts > FIRST(A.ts) + INTERVAL '6' HOUR", ["ts"], sym)
+    assert f2(MatchCtx({"ts": ts}, 1, 0, 2, {"a": [0]}))
+
+
+def test_symbol_relative_navigation_batch(spark):
+    """FIRST(V.value) across a variable-length C* gap — inexpressible
+    with physical PREV — plus the Oracle PREV(B.price) idiom equals its
+    physical-PREV formulation row for row."""
+    rows = [
+        (1, 1, "view", 10.0), (1, 2, "click", 1.0), (1, 3, "click", 2.0),
+        (1, 4, "purchase", 50.0),  # 50 > 10 -> match, 2 clicks
+        (1, 5, "view", 100.0), (1, 6, "click", 3.0),
+        (1, 7, "purchase", 60.0),  # 60 < 100 -> NO match
+        (2, 1, "view", 5.0), (2, 2, "purchase", 9.0),  # 0 clicks, 9 > 5
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+    out = match_recognize(
+        df, ["user_id"], ["ts"],
+        [("COUNT(C.*)", "n_clicks"), ("FIRST(ts)", "v_ts"), ("LAST(ts)", "p_ts")],
+        "V C* P",
+        {"V": "event_type = 'view'", "C": "event_type = 'click'",
+         "P": "event_type = 'purchase' AND value > FIRST(V.value)"},
+    )
+    got = sorted((r.user_id, r.n_clicks, r.v_ts, r.p_ts) for r in out.collect())
+    assert got == [(1, 2, 1, 4), (2, 0, 1, 2)]
+
+    # Oracle idiom: B.price < PREV(B.price) on a strictly-decreasing run
+    # must equal the physical price < PREV(price) formulation.
+    prices = [9.0, 7.0, 8.0, 6.0, 5.0, 4.0, 11.0, 2.0]
+    ticks = spark.createDataFrame(
+        [(1, i, p) for i, p in enumerate(prices)], ["sym", "seq", "price"]
+    )
+    sym_rel = match_recognize(
+        ticks, ["sym"], ["seq"], [("COUNT(*)", "n"), ("FIRST(price)", "top")],
+        "S D+",
+        {"D": "price < PREV(D.price)", "S": "TRUE"},
+    )
+    physical = match_recognize(
+        ticks, ["sym"], ["seq"], [("COUNT(*)", "n"), ("FIRST(price)", "top")],
+        "S D+",
+        {"D": "price < PREV(price)", "S": "TRUE"},
+    )
+    assert sorted(map(tuple, sym_rel.collect())) == sorted(
+        map(tuple, physical.collect())
+    )
+
+
+def test_in_automaton_path_equals_vectorized_on_nav_free(spark):
+    """Property: on navigation-free DEFINEs the in-automaton scan (forced
+    via the test hook) is row-for-row identical to the precomputed
+    classification path, across random streams and both emit modes."""
+    rnd = random.Random(20260816)
+    rows = [
+        (u, i, rnd.choice(["view", "click", "purchase", "error"]), float(rnd.randint(0, 9)))
+        for u in range(6)
+        for i in range(rnd.randint(0, 25))
+    ]
+    if not rows:
+        rows = [(0, 0, "view", 1.0)]
+    df = spark.createDataFrame(rows, ["user_id", "seq", "event_type", "value"])
+    cases = [
+        ("V C+ P", {"V": "event_type = 'view'", "C": "event_type = 'click'",
+                    "P": "event_type = 'purchase'"}),
+        ("V C* P", {"V": "event_type = 'view'", "C": "event_type = 'click'",
+                    "P": "event_type = 'purchase' AND value > 3"}),
+        ("A B? C", {"A": "value < 5", "B": "event_type = 'click'"}),
+    ]
+    for all_rows in (False, True):
+        for pat, define in cases:
+            meas = [("MATCH_NUMBER()", "mn"), ("COUNT(*)", "n"),
+                    ("CLASSIFIER()", "clf"), ("LAST(value)", "lv")]
+            a = match_recognize(df, ["user_id"], ["seq"], meas, pat,
+                                dict(define), all_rows=all_rows)
+            b = match_recognize(df, ["user_id"], ["seq"], meas, pat,
+                                dict(define), all_rows=all_rows,
+                                _force_in_automaton=True)
+            ra = sorted(map(tuple, a.collect()))
+            rb = sorted(map(tuple, b.collect()))
+            assert ra == rb, (pat, all_rows)
+
+
+def test_symbol_relative_sql_spelling_interval(spark):
+    """The SQL spelling routes symbol-relative DEFINEs through the same
+    rewrite: a conversion-window funnel (purchase within 8 hours of the
+    view that STARTED the funnel — FIRST(V.ts), which physical PREV
+    cannot express across a variable-length click run)."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", "2026-01-01 00:00:00"),
+            (1, 2, "click", "2026-01-01 01:00:00"),
+            (1, 3, "click", "2026-01-01 06:00:00"),
+            (1, 4, "purchase", "2026-01-01 07:59:00"),  # within 8h of the view
+            (2, 1, "view", "2026-01-01 00:00:00"),
+            (2, 2, "click", "2026-01-01 07:00:00"),
+            (2, 3, "purchase", "2026-01-01 09:00:00"),  # 9h after the view
+        ],
+        ["user_id", "event_id", "event_type", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.createOrReplaceTempView("funnel_events")
+    bc = Context(spark=spark)
+    out = bc.sql(
+        """
+        SELECT user_id, n_clicks FROM funnel_events MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts, event_id
+            MEASURES COUNT(C.*) AS n_clicks
+            ONE ROW PER MATCH
+            PATTERN (V C* P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+                        AND ts <= FIRST(V.ts) + INTERVAL 8 HOUR
+        ) ORDER BY user_id
+        """
+    ).collect()
+    assert [(r.user_id, r.n_clicks) for r in out] == [(1, 2)]
