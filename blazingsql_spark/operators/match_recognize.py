@@ -34,8 +34,10 @@ covers the common funnel/sessionization queries:
   — the deterministic-classification restriction every streaming
   implementation recommends anyway (mutually exclusive DEFINEs); a row
   matching no symbol breaks any in-flight match.
-- ``MEASURES``: MATCH_NUMBER(), COUNT(*), COUNT(S.*), FIRST(col),
-  LAST(col), FIRST(S.col), LAST(S.col); ONE ROW PER MATCH.
+- ``MEASURES``: MATCH_NUMBER(), CLASSIFIER(), COUNT(*), COUNT(S.*),
+  FIRST/LAST(col), FIRST/LAST(S.col), and the FINAL aggregates
+  SUM/AVG/MIN/MAX(col) / SUM/AVG/MIN/MAX(S.col) (NULL-skipping; NULL
+  over zero eligible rows); ONE ROW PER MATCH or ALL ROWS PER MATCH.
 
 Scale shape: classification is one codegen CASE projection; matching is
 one applyInPandas over the PARTITION BY key — per-key event history in
@@ -89,9 +91,12 @@ _MEASURE_FORMS = re.compile(
     r"^(?:(?P<mn>MATCH_NUMBER\(\))"
     r"|(?P<clf>CLASSIFIER\(\))"
     r"|COUNT\(\s*(?:\*|(?P<csym>\w+)\.\*)\s*\)"
+    r"|(?P<agg>SUM|AVG|MIN|MAX)\(\s*(?:(?P<gsym>\w+)\.)?(?P<gcol>\w+)\s*\)"
     r"|(?P<fl>FIRST|LAST)\(\s*(?:(?P<sym>\w+)\.)?(?P<col>\w+)\s*\))$",
     re.IGNORECASE,
 )
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
@@ -101,8 +106,9 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
     if not m:
         raise ValueError(
             f"MATCH_RECOGNIZE: unsupported measure {expr!r} (supported: "
-            f"MATCH_NUMBER(), COUNT(*), COUNT(S.*), FIRST(col), LAST(col), "
-            f"FIRST(S.col), LAST(S.col))"
+            f"MATCH_NUMBER(), CLASSIFIER(), COUNT(*), COUNT(S.*), "
+            f"FIRST/LAST(col), FIRST/LAST(S.col), SUM/AVG/MIN/MAX(col), "
+            f"SUM/AVG/MIN/MAX(S.col))"
         )
     if m.group("mn"):
         return alias, (lambda pdf, codes, n: n), (lambda sch: T.LongType())
@@ -115,6 +121,41 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
             (lambda pdf, codes, n, _m=names_by_char: _m.get(codes[-1])),
             (lambda sch: T.StringType()),
         )
+    if m.group("agg"):
+        # FINAL aggregate over the match's rows (optionally restricted to
+        # one symbol's rows), NULL-skipping like SQL aggregates; SUM/AVG/
+        # MIN/MAX over zero eligible rows is NULL
+        agg = m.group("agg").upper()
+        sym, col = m.group("gsym"), m.group("gcol")
+        if sym is not None and sym not in sym_chars:
+            raise ValueError(f"MATCH_RECOGNIZE: {agg} over unknown symbol {sym!r}")
+        ch = sym_chars.get(sym) if sym else None
+
+        def ev_agg(pdf, codes, n, _ch=ch, _col=col, _agg=agg):
+            rows = pdf if _ch is None else pdf[[c == _ch for c in codes]]
+            vals = rows[_col].dropna()
+            if len(vals) == 0:
+                return None
+            if _agg == "SUM":
+                return vals.sum()
+            if _agg == "AVG":
+                return float(vals.mean())
+            return vals.min() if _agg == "MIN" else vals.max()
+
+        def ty_agg(sch, _col=col, _agg=agg):
+            dt = sch[_col].dataType
+            if _agg == "AVG":
+                return T.DoubleType()
+            if _agg == "SUM":
+                # Spark's sum widening for the common cases; decimals
+                # keep their input type (documented narrow scope)
+                if isinstance(dt, _INTEGRAL):
+                    return T.LongType()
+                if isinstance(dt, (T.FloatType, T.DoubleType)):
+                    return T.DoubleType()
+            return dt
+
+        return alias, ev_agg, ty_agg
     if m.group("csym") is not None or expr.strip().upper().startswith("COUNT"):
         sym = m.group("csym")
         if sym is None:

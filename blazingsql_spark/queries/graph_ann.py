@@ -255,39 +255,49 @@ def sketch_ddsketch_quantiles(spark, sf_dir):
     oracle="""
     WITH e AS (
         SELECT user_id, ts, event_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS value_c,
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
         FROM events
+    ), c AS (
+        SELECT *,
+               SUM(CASE WHEN event_type = 'click' THEN value_c ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY rn) AS cs
+        FROM e
     ), n AS (
-        SELECT user_id, rn, ts, event_type,
+        SELECT user_id, rn, ts, cs, event_type,
                MIN(CASE WHEN event_type <> 'click' THEN rn END) OVER (
                    PARTITION BY user_id ORDER BY rn
                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
-        FROM e
+        FROM c
     ), m AS (
         SELECT a.user_id, a.nxt - a.rn - 1 AS n_clicks,
+               b.cs - a.cs AS click_cents,
                epoch_us(b.ts - a.ts) AS span_us
-        FROM n a JOIN e b ON b.user_id = a.user_id AND b.rn = a.nxt
+        FROM n a JOIN c b ON b.user_id = a.user_id AND b.rn = a.nxt
         WHERE a.event_type = 'view' AND b.event_type = 'purchase'
           AND b.ts <= a.ts + INTERVAL 8 HOUR
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_matches,
            CAST(SUM(n_clicks) AS BIGINT) AS total_clicks,
+           CAST(SUM(click_cents) AS BIGINT) AS total_click_cents,
            CAST(MAX(span_us) AS BIGINT) AS max_span_us
     FROM m GROUP BY user_id ORDER BY user_id
     """,
     doc="Symbol-relative MATCH_RECOGNIZE navigation (FIRST(V.ts) in "
     "DEFINE — SQL:2016 running semantics, operators/mr_expr.py + the "
-    "in-automaton scan in operators/match_recognize.py): a conversion "
-    "funnel where the purchase must land within 8 hours of the view "
-    "that STARTED the funnel, across a variable-length click run — "
-    "inexpressible with physical PREV/lag. The DuckDB twin exploits "
-    "the pattern's structure (a match is exactly a view whose next "
-    "non-click row is an in-budget purchase; spans cannot overlap, so "
-    "greedy non-overlapping selection is vacuous) to replay it with "
-    "one window + one self-join — every measure value compared exactly "
-    "(counts + microsecond span)",
+    "in-automaton scan in operators/match_recognize.py) plus the "
+    "SUM(C.value_c) FINAL aggregate measure: a conversion funnel where "
+    "the purchase must land within 8 hours of the view that STARTED "
+    "the funnel, across a variable-length click run — inexpressible "
+    "with physical PREV/lag. The DuckDB twin exploits the pattern's "
+    "structure (a match is exactly a view whose next non-click row is "
+    "an in-budget purchase; spans cannot overlap, so greedy "
+    "non-overlapping selection is vacuous) to replay it with one "
+    "window + one self-join, and the per-match click-value SUM as a "
+    "cumulative-sum difference — every compared value exact (counts, "
+    "FLOOR-grid integer cents, microsecond span)",
 )
 def events_mr_navigation(spark, sf_dir):
     """Drives the symbol-relative query through the SQL spelling (the
@@ -303,18 +313,26 @@ def events_mr_navigation(spark, sf_dir):
 
     ensure_views(spark, sf_dir, ("events",))
     bc = Context(spark=spark)
+    # integer cents on the FLOOR grid so the SUM measure compares exactly
+    # across engines (double + both engines' summation orders would not)
+    spark.table("events").withColumn(
+        "value_c", F.floor(F.col("value") * 100).cast("long")
+    ).createOrReplaceTempView("events_mr_nav")
     return bc.sql(
         """
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(SUM(n_clicks) AS BIGINT) AS total_clicks,
+               CAST(SUM(COALESCE(click_cents, 0)) AS BIGINT)
+                   AS total_click_cents,
                CAST(MAX(unix_micros(CAST(p_ts AS TIMESTAMP))
                         - unix_micros(CAST(v_ts AS TIMESTAMP))) AS BIGINT)
                    AS max_span_us
-        FROM events MATCH_RECOGNIZE (
+        FROM events_mr_nav MATCH_RECOGNIZE (
             PARTITION BY user_id
             ORDER BY ts, event_id
             MEASURES COUNT(C.*) AS n_clicks,
+                     SUM(C.value_c) AS click_cents,
                      FIRST(ts) AS v_ts,
                      LAST(ts) AS p_ts
             ONE ROW PER MATCH

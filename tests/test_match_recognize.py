@@ -122,7 +122,7 @@ def test_match_recognize_undefined_symbols_and_errors(spark):
     assert [r.n for r in out.collect()] == [2]
     with pytest.raises(ValueError, match="unsupported measure"):
         match_recognize(
-            df, ["user_id"], ["ts"], [("SUM(ts)", "s")], "V", {"V": "true"}
+            df, ["user_id"], ["ts"], [("STDDEV(ts)", "s")], "V", {"V": "true"}
         )
     with pytest.raises(ValueError, match="unknown symbol"):
         match_recognize(
@@ -509,3 +509,57 @@ def test_symbol_relative_sql_spelling_interval(spark):
         """
     ).collect()
     assert [(r.user_id, r.n_clicks) for r in out] == [(1, 2)]
+
+
+def test_measure_aggregates_sum_avg_min_max(spark):
+    """SUM/AVG/MIN/MAX measures, unqualified and symbol-qualified, with
+    SQL NULL-skipping semantics and NULL over zero eligible rows."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 10.0),
+            (1, 2, "click", 4.0),
+            (1, 3, "click", None),  # NULL skipped by the aggregates
+            (1, 4, "click", 2.0),
+            (1, 5, "purchase", 30.0),
+            (2, 1, "view", 1.0),
+            (2, 2, "purchase", 2.0),  # zero clicks -> SUM(C.value) IS NULL
+        ],
+        ["user_id", "seq", "event_type", "value"],
+    )
+    out = match_recognize(
+        df, ["user_id"], ["seq"],
+        [("SUM(C.value)", "c_sum"), ("AVG(C.value)", "c_avg"),
+         ("MIN(value)", "v_min"), ("MAX(value)", "v_max"),
+         ("SUM(value)", "v_sum")],
+        "V C* P",
+        {"V": "event_type = 'view'", "C": "event_type = 'click'",
+         "P": "event_type = 'purchase'"},
+    )
+    rows = {r.user_id: r for r in out.collect()}
+    r1, r2 = rows[1], rows[2]
+    assert r1.c_sum == 6.0 and r1.c_avg == 3.0
+    assert r1.v_min == 2.0 and r1.v_max == 30.0 and r1.v_sum == 46.0
+    assert r2.c_sum is None and r2.c_avg is None
+    assert r2.v_min == 1.0 and r2.v_max == 2.0 and r2.v_sum == 3.0
+    # integral SUM widens to long; AVG is double
+    sch = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert sch["c_avg"] == "double" and sch["c_sum"] == "double"
+
+    ints = df.withColumn("iv", F.col("value").cast("int"))
+    out2 = match_recognize(
+        ints, ["user_id"], ["seq"], [("SUM(iv)", "s"), ("MIN(iv)", "m")],
+        "V C* P",
+        {"V": "event_type = 'view'", "C": "event_type = 'click'",
+         "P": "event_type = 'purchase'"},
+    )
+    sch2 = {f.name: f.dataType.simpleString() for f in out2.schema.fields}
+    assert sch2["s"] == "bigint" and sch2["m"] == "int"
+    assert {r.s for r in out2.collect()} == {46, 3}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown symbol"):
+        match_recognize(
+            df, ["user_id"], ["seq"], [("SUM(Z.value)", "s")], "V",
+            {"V": "event_type = 'view'"},
+        )
