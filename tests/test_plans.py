@@ -382,3 +382,29 @@ def test_match_recognize_classification_is_codegen(spark):
     assert exchange_count(nav) == 1, (
         nav._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_match_recognize_symbol_relative_plan_shape(spark):
+    """The in-automaton path (symbol-relative DEFINE) must keep the same
+    scale shape as the vectorized path: nav-free symbols classify as
+    JVM-side boolean projections (no BatchEvalPython), the only Python
+    stage is the per-key applyInPandas scan, and the only exchange is
+    the partition-key shuffle feeding it."""
+    from blazingsql_spark.operators.match_recognize import match_recognize
+    from blazingsql_spark.queries.registry import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = match_recognize(
+        ev, ["user_id"], ["ts", "event_id"],
+        [("COUNT(C.*)", "n_clicks"), ("SUM(C.value)", "cv")],
+        "V C* P",
+        {
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase' AND ts <= FIRST(V.ts) + INTERVAL 8 HOUR",
+        },
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan, plan  # flags are codegen CASEs
+    assert exchange_count(out) == 1, plan
