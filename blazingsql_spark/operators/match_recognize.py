@@ -302,6 +302,85 @@ def _physical_nav_rewrite(
     return define, nav_df, list(nav_cols)
 
 
+def build_classifier(test_order, flags, compiled, ctx):
+    """Per-attempt first-true classifier over one ordered partition.
+
+    ``test_order`` is [(kind, char)] in classification order — kind is
+    'vec' (precomputed boolean list in ``flags``), 'rel' (compiled
+    mr_expr closure in ``compiled``), or 'any' (undefined symbol,
+    always true). The returned ``classify(j, pos, tent)`` mutates
+    ``ctx`` and, on success, records ``j`` in ``tent`` under the chosen
+    symbol (SQL:2016 running semantics: the row under test is
+    tentatively mapped to the symbol being tried; a mapping left behind
+    by an attempt the NFA then kills is never read again)."""
+    import pandas as pd
+
+    def classify(j, pos, tent):
+        ctx.j, ctx.pos, ctx.tent = j, pos, tent
+        for kind, ch in test_order:
+            if kind == "any":
+                tent.setdefault(ch, []).append(j)
+                return ch
+            if kind == "vec":
+                v = flags[ch][j]
+                if v is not None and not pd.isna(v) and bool(v):
+                    tent.setdefault(ch, []).append(j)
+                    return ch
+            else:
+                lst = tent.setdefault(ch, [])
+                lst.append(j)
+                if compiled[ch](ctx):
+                    return ch
+                lst.pop()
+        return None
+
+    return classify
+
+
+def scan_rows_in_automaton(
+    nfa: _Nfa, classify, size: int, final: bool = True
+) -> tuple[list[tuple[int, int, str]], int | None]:
+    """Greedy leftmost-longest scan with PER-ATTEMPT classification (the
+    in-automaton twin of :func:`find_match_spans`). Returns
+    ``(spans, carry_start)``: spans are ``(lo, hi, codes)`` triples;
+    with ``final=False`` (the streaming caller) a live in-flight attempt
+    at end-of-input is NOT resolved — its start index comes back as
+    ``carry_start`` so the caller can persist the suffix, exactly the
+    StreamMatcher._scan contract."""
+    start_closure = nfa.closure(frozenset([nfa.start]))
+    spans: list[tuple[int, int, str]] = []
+    pos = 0
+    while pos < size:
+        states = start_closure
+        tent: dict[str, list[int]] = {}
+        codes: list[str] = []
+        last_acc = -1
+        j = pos
+        while j < size:
+            c = classify(j, pos, tent)
+            if c is None:
+                break
+            nxt = nfa.step(states, c)
+            if not nxt:
+                break
+            codes.append(c)
+            states = nxt
+            j += 1
+            if nfa.accept in states:
+                last_acc = j
+        else:
+            # attempt hit end-of-input with live states: in-flight only
+            # if some live state can still consume a character
+            if not final and any(nfa.trans[s] for s in states):
+                return spans, pos
+        if last_acc > pos:
+            spans.append((pos, last_acc, "".join(codes[: last_acc - pos])))
+            pos = last_acc
+        else:
+            pos += 1
+    return spans, None
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: list[str],
@@ -408,61 +487,12 @@ def match_recognize(
     }
 
     def scan_in_automaton(pdf) -> list[tuple[int, int, str]]:
-        """Greedy leftmost-longest scan with PER-ATTEMPT classification:
-        symbol-relative predicates see the attempt's tentative mapping
-        (the row under test already mapped to the symbol being tried —
-        SQL:2016 DEFINE running semantics)."""
         size = len(pdf)
         cols = {c: pdf[c].tolist() for c in used_cols}
         flags = {ch: pdf[cn].tolist() for ch, cn in flag_cols.items()}
         ctx = mr_expr.MatchCtx(cols, 0, 0, size, {})
-        start_closure = nfa.closure(frozenset([nfa.start]))
-        spans: list[tuple[int, int, str]] = []
-        pos = 0
-        while pos < size:
-            states = start_closure
-            tent: dict[str, list[int]] = {}
-            codes: list[str] = []
-            ctx.pos, ctx.tent = pos, tent
-            last_acc = -1
-            j = pos
-            while j < size:
-                ctx.j = j
-                c = None
-                rel_hit = False
-                for kind, ch in test_order:
-                    if kind == "any":
-                        c = ch
-                        break
-                    if kind == "vec":
-                        v = flags[ch][j]
-                        if v is not None and not pd.isna(v) and bool(v):
-                            c = ch
-                            break
-                    else:
-                        lst = tent.setdefault(ch, [])
-                        lst.append(j)
-                        if compiled[ch](ctx):
-                            c, rel_hit = ch, True
-                            break
-                        lst.pop()
-                if c is None:
-                    break
-                nxt = nfa.step(states, c)
-                if not nxt:
-                    break
-                if not rel_hit:
-                    tent.setdefault(c, []).append(j)
-                codes.append(c)
-                states = nxt
-                j += 1
-                if nfa.accept in states:
-                    last_acc = j
-            if last_acc > pos:
-                spans.append((pos, last_acc, "".join(codes[: last_acc - pos])))
-                pos = last_acc
-            else:
-                pos += 1
+        classify = build_classifier(test_order, flags, compiled, ctx)
+        spans, _ = scan_rows_in_automaton(nfa, classify, size, final=True)
         return spans
 
     def run(key, pdf):

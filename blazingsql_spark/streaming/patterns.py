@@ -42,6 +42,8 @@ same contract as the reference-free ``user_running_totals`` operator).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
@@ -368,12 +370,24 @@ def match_recognize_stream(
     ``max_carry`` abort discipline as pattern_match_stream (which
     remains the event-code-map convenience wrapper).
 
+    SYMBOL-RELATIVE navigation in DEFINE (``FIRST(V.ts)``,
+    ``LAST(B.x, n)``, bare ``A.col``) is supported on streams too: those
+    references only ever name rows of the CURRENT match attempt, which
+    is exactly the suffix the carry state already persists — so the
+    in-automaton scan resumes across micro-batches with no semantic
+    drift from the batch operator. The carry then stores row VALUES
+    (the nav-referenced columns + the vectorized symbols' flags), not
+    just a code string, bounded by the same ``max_carry`` row cap.
+    PREV/NEXT stay rejected (physical offsets can reach rows OUTSIDE
+    the attempt, which a bounded stream no longer has).
+
     Cross-batch order contract: per-key rows must arrive in (ts, id)
     order across micro-batches (within a batch they are sorted), same
     as every stateful twin here."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    from blazingsql_spark.operators import mr_expr
     from blazingsql_spark.operators.match_recognize import (
         classify_symbols,
         compile_symbols,
@@ -383,6 +397,15 @@ def match_recognize_stream(
     names, sym_chars, nfa = compile_symbols(pattern, define)
     if max_carry < 1:
         raise ValueError(f"max_carry must be >= 1, got {max_carry}")
+    symrel = {
+        s: p for s, p in define.items()
+        if mr_expr.is_symbol_relative(p, names)
+    }
+    if symrel:
+        return _match_recognize_stream_nav(
+            events, key_col, ts_col, id_col, define, symrel,
+            names, sym_chars, nfa, max_carry,
+        )
     coded = classify_symbols(
         events, names, sym_chars, define, allow_navigation=False
     ).select(
@@ -420,4 +443,158 @@ def match_recognize_stream(
 
     return coded.groupBy("user_id").applyInPandasWithState(
         update, _OUT_SCHEMA, _STATE_SCHEMA, "update", "NoTimeout"
+    )
+
+
+_NAV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("longest", T.LongType()),
+        T.StructField("n_codes", T.LongType()),
+        T.StructField("n_aborted", T.LongType()),
+        T.StructField("carry", T.BinaryType()),
+    ]
+)
+
+_PHYS_NAV = re.compile(r"\b(?:PREV|NEXT)\s*\(", re.IGNORECASE)
+
+
+def _match_recognize_stream_nav(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    define: dict[str, str],
+    symrel: dict[str, str],
+    names: list[str],
+    sym_chars: dict[str, str],
+    nfa,
+    max_carry: int,
+) -> DataFrame:
+    """Symbol-relative streaming twin (see match_recognize_stream's
+    docstring): the carry persists the in-flight attempt's ROWS (nav
+    column values + vectorized flags, pickled — state-store internal,
+    never crosses process versions within a run), so the in-automaton
+    scan replays the attempt exactly when the next micro-batch arrives.
+    FIRST/LAST/bare-SYM.col only: those resolve inside the attempt by
+    construction. PREV/NEXT (physical offsets) are rejected loudly."""
+    import pickle  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from blazingsql_spark.operators import mr_expr
+    from blazingsql_spark.operators.match_recognize import (
+        build_classifier,
+        scan_rows_in_automaton,
+    )
+
+    compiled: dict[str, object] = {}
+    used_cols: set[str] = set()
+    for s, p in symrel.items():
+        if _PHYS_NAV.search(mr_expr._mask(p)):
+            raise ValueError(
+                "MATCH_RECOGNIZE: PREV()/NEXT() navigation is not "
+                "supported on streams (physical offsets can reach rows "
+                "outside the in-flight attempt, which bounded state no "
+                f"longer has) — symbol {s!r}: {p!r}. FIRST/LAST and bare "
+                "SYM.col navigation are supported."
+            )
+        closure, used = mr_expr.compile_predicate(p, events.columns, sym_chars)
+        compiled[sym_chars[s]] = closure
+        used_cols |= used
+
+    flag_cols: dict[str, str] = {}
+    coded = events
+    for s, p in define.items():
+        if s in symrel:
+            continue
+        if _PHYS_NAV.search(mr_expr._mask(p)):
+            raise ValueError(
+                f"MATCH_RECOGNIZE: PREV()/NEXT() navigation is not "
+                f"supported here (streaming DEFINE is row-local) — "
+                f"symbol {s!r}: {p!r}"
+            )
+        cname = f"__p_{sym_chars[s]}"
+        coded = coded.withColumn(cname, F.expr(p))
+        flag_cols[sym_chars[s]] = cname
+
+    test_order: list[tuple[str, str]] = []
+    for s in list(define) + [n for n in names if n not in define]:
+        ch = sym_chars[s]
+        kind = "rel" if s in symrel else "vec" if s in define else "any"
+        test_order.append((kind, ch))
+
+    val_cols = sorted(used_cols | {ts_col, id_col})
+    coded = coded.select(
+        F.col(key_col).alias("user_id"), *val_cols, *flag_cols.values()
+    )
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            n0, longest0, seen0, aborted0, blob = state.get
+            carry = pickle.loads(bytes(blob)) if blob else None
+        else:
+            n0, longest0, seen0, aborted0, carry = 0, 0, 0, 0, None
+        c_cols = carry["cols"] if carry else {c: [] for c in val_cols}
+        c_flags = carry["flags"] if carry else {ch: [] for ch in flag_cols}
+        batch = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        cols = {c: c_cols[c] + batch[c].tolist() for c in val_cols}
+        flags = {
+            ch: c_flags[ch] + batch[cn].tolist()
+            for ch, cn in flag_cols.items()
+        }
+        size = len(batch) + (len(next(iter(c_cols.values()))) if c_cols else 0)
+        ctx = mr_expr.MatchCtx(cols, 0, 0, size, {})
+        classify = build_classifier(test_order, flags, compiled, ctx)
+        spans, carry_start = scan_rows_in_automaton(
+            nfa, classify, size, final=False
+        )
+        n = n0 + len(spans)
+        longest = max([longest0] + [hi - lo for lo, hi, _ in spans])
+        aborted = aborted0
+        if carry_start is not None and size - carry_start > max_carry:
+            # the whole carry is ONE in-flight attempt; abort it rather
+            # than keep unbounded state (same discipline as StreamMatcher)
+            aborted += 1
+            carry_start = None
+        if carry_start is not None:
+            new_cols = {c: cols[c][carry_start:] for c in val_cols}
+            new_flags = {ch: flags[ch][carry_start:] for ch in flag_cols}
+            blob = pickle.dumps({"cols": new_cols, "flags": new_flags})
+        else:
+            new_cols = new_flags = None
+            blob = None
+        seen = seen0 + len(batch)
+        state.update((n, longest, seen, aborted, blob))
+        # snapshot: resolve the pending attempt as if the stream ended
+        # here, without touching stored state (carry starts at the
+        # attempt start, so a standalone final scan reproduces it —
+        # symbol-relative refs never leave the attempt, which is WHY
+        # FIRST/LAST-only navigation is exactly resumable)
+        n_fin, longest_fin = n, longest
+        if new_cols is not None:
+            c_size = size - carry_start
+            ctx2 = mr_expr.MatchCtx(new_cols, 0, 0, c_size, {})
+            classify2 = build_classifier(test_order, new_flags, compiled, ctx2)
+            spans2, _ = scan_rows_in_automaton(
+                nfa, classify2, c_size, final=True
+            )
+            n_fin += len(spans2)
+            longest_fin = max(
+                [longest_fin] + [hi - lo for lo, hi, _ in spans2]
+            )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_matches": [n_fin],
+                "longest_match": [longest_fin],
+                "n_codes": [seen],
+                "n_aborted": [aborted],
+            }
+        )
+
+    return coded.groupBy("user_id").applyInPandasWithState(
+        update, _OUT_SCHEMA, _NAV_STATE_SCHEMA, "update", "NoTimeout"
     )

@@ -293,3 +293,88 @@ def test_match_recognize_stream_matches_batch_operator(spark, tmp_path):
             raw, "user_id", "ts", "event_id", "U",
             {"U": "ts > PREV(ts)"},
         )
+
+
+def test_match_recognize_stream_symbol_relative_nav(spark, tmp_path):
+    """Streaming symbol-relative navigation: FIRST(V.ts) in DEFINE
+    resumes across REAL micro-batch boundaries (the carry persists the
+    in-flight attempt's rows, not just codes) and the final per-key
+    totals equal the batch operator on the same data. PREV(S.col) is
+    rejected loudly on streams."""
+    import pandas as pd
+    import pytest
+
+    from blazingsql_spark.operators.match_recognize import match_recognize
+    from blazingsql_spark.streaming.patterns import match_recognize_stream
+
+    rng = random.Random(42)
+    rows = []
+    for u in range(1, 9):
+        t = 0
+        for i in range(rng.randint(8, 40)):
+            t += rng.randint(1, 4)
+            rows.append(
+                (u, i, rng.choice(["view", "click", "click", "purchase", "error"]), t)
+            )
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "event_type", "ts"])
+    src = tmp_path / "src_nav"
+    src.mkdir()
+    third = len(pdf) // 3
+    for i in range(3):
+        chunk = pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)]
+        chunk.to_json(src / f"b{i}.json", orient="records", lines=True)
+    schema = "user_id long, event_id long, event_type string, ts long"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    define = {
+        "V": "event_type = 'view'",
+        "C": "event_type = 'click'",
+        # purchase must land within 6 ticks of the view that STARTED the
+        # funnel — binds both ways on this cadence (1-4 ticks per event)
+        "P": "event_type = 'purchase' AND ts <= FIRST(V.ts) + 6",
+    }
+    out = match_recognize_stream(
+        raw, "user_id", "ts", "event_id", "V C* P", dict(define)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mr_nav_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM t_mr_nav_stream")
+        .toPandas()
+        .sort_values("n_codes")
+        .groupby("user_id")
+        .last()
+        .reset_index()
+    )
+    per_match = match_recognize(
+        spark.createDataFrame(pdf), ["user_id"], ["ts", "event_id"],
+        [("COUNT(*)", "match_len")], "V C* P", dict(define),
+    )
+    want = {
+        r.user_id: (r.n, r.longest)
+        for r in per_match.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("match_len").alias("longest"))
+        .collect()
+    }
+    assert want, "fixture produced no matches - weak test"
+    for _, row in got.iterrows():
+        w = want.get(row.user_id, (0, 0))
+        assert (row.n_matches, row.longest_match) == w, row.user_id
+    assert set(want) <= set(got.user_id)
+
+    with pytest.raises(ValueError, match="PREV.*not.*supported on streams"):
+        match_recognize_stream(
+            raw, "user_id", "ts", "event_id", "A B",
+            {"B": "ts > PREV(A.ts)"},
+        )
