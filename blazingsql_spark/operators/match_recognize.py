@@ -12,8 +12,11 @@ covers the common funnel/sessionization queries:
 - ``PARTITION BY`` keys, ``ORDER BY`` keys (ASC, with stable tiebreak
   columns listed explicitly);
 - ``PATTERN`` over the regular core: symbols, concatenation, ``|``,
-  ``(...)``, postfix ``* + ?`` (greedy, leftmost-longest,
-  non-overlapping — AFTER MATCH SKIP PAST LAST ROW semantics);
+  ``(...)``, postfix ``* + ?`` (greedy, leftmost-longest);
+- ``AFTER MATCH SKIP``: PAST LAST ROW (default, non-overlapping),
+  TO NEXT ROW (overlapping matches), TO FIRST/LAST <sym> (resume at a
+  mapped row; the SQL:2016 runtime errors — unmapped symbol, resume at
+  the match's own first row — raise inside the scan);
 - ``DEFINE`` with arbitrary Spark SQL boolean expressions per symbol,
   evaluated row-at-a-time, plus ``PREV(col[, n])`` / ``NEXT(col[, n])``
   navigation with PHYSICAL-offset semantics (the previous/next row of
@@ -61,9 +64,43 @@ from blazingsql_spark.streaming.patterns import _Nfa, compile_pattern
 _NO_SYM = "\x00"  # classification miss: breaks any in-flight match
 
 
-def find_match_spans(nfa: _Nfa, s: str) -> list[tuple[int, int]]:
-    """Non-overlapping leftmost-longest match spans [(start, end)), the
-    same scan discipline as StreamMatcher._scan at end-of-input."""
+_SKIP_PAST = ("past",)
+
+
+def _skip_resume(skip, pos: int, last_acc: int, span_codes: str) -> int:
+    """Next scan position after a match [pos, last_acc) under an AFTER
+    MATCH SKIP mode (('past',) | ('next',) | ('first'|'last', char)).
+    Raises on the SQL:2016 runtime errors: skipping to a symbol the
+    match never mapped, or to the match's own first row (infinite
+    loop)."""
+    kind = skip[0]
+    if kind == "past":
+        return last_acc
+    if kind == "next":
+        return pos + 1
+    ch = skip[1]
+    idx = span_codes.find(ch) if kind == "first" else span_codes.rfind(ch)
+    if idx < 0:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO {kind.upper()} names a "
+            f"symbol the match did not map any row to"
+        )
+    if idx == 0:
+        raise ValueError(
+            "MATCH_RECOGNIZE: AFTER MATCH SKIP TO the first row of the "
+            "match would loop forever (SQL:2016 runtime error)"
+        )
+    return pos + idx
+
+
+def find_match_spans(
+    nfa: _Nfa, s: str, skip=_SKIP_PAST
+) -> list[tuple[int, int]]:
+    """Leftmost-longest match spans [(start, end)), the same scan
+    discipline as StreamMatcher._scan at end-of-input. ``skip`` selects
+    the AFTER MATCH resume point: ('past',) gives the classic
+    non-overlapping spans; ('next',) and ('first'|'last', char) allow
+    overlapping matches per SQL:2016."""
     spans: list[tuple[int, int]] = []
     start_closure = nfa.closure(frozenset([nfa.start]))
     pos, size = 0, len(s)
@@ -81,7 +118,7 @@ def find_match_spans(nfa: _Nfa, s: str) -> list[tuple[int, int]]:
                 last_acc = j
         if last_acc > pos:
             spans.append((pos, last_acc))
-            pos = last_acc
+            pos = _skip_resume(skip, pos, last_acc, s[pos:last_acc])
         else:
             pos += 1
     return spans
@@ -338,7 +375,7 @@ def build_classifier(test_order, flags, compiled, ctx):
 
 
 def scan_rows_in_automaton(
-    nfa: _Nfa, classify, size: int, final: bool = True
+    nfa: _Nfa, classify, size: int, final: bool = True, skip=_SKIP_PAST
 ) -> tuple[list[tuple[int, int, str]], int | None]:
     """Greedy leftmost-longest scan with PER-ATTEMPT classification (the
     in-automaton twin of :func:`find_match_spans`). Returns
@@ -374,8 +411,9 @@ def scan_rows_in_automaton(
             if not final and any(nfa.trans[s] for s in states):
                 return spans, pos
         if last_acc > pos:
-            spans.append((pos, last_acc, "".join(codes[: last_acc - pos])))
-            pos = last_acc
+            span_codes = "".join(codes[: last_acc - pos])
+            spans.append((pos, last_acc, span_codes))
+            pos = _skip_resume(skip, pos, last_acc, span_codes)
         else:
             pos += 1
     return spans, None
@@ -389,6 +427,7 @@ def match_recognize(
     pattern: str,
     define: dict[str, str] | None = None,
     all_rows: bool = False,
+    after_match: str = "PAST LAST ROW",
     _force_in_automaton: bool = False,
 ) -> DataFrame:
     """Row-pattern matching (see module docstring for the supported
@@ -399,6 +438,13 @@ def match_recognize(
     PER MATCH with FINAL measure semantics — every matched input row is
     emitted with its full original columns, the measures constant
     across the match, and CLASSIFIER() per-row.
+
+    ``after_match`` selects the SQL:2016 AFTER MATCH SKIP mode: 'PAST
+    LAST ROW' (default, non-overlapping), 'TO NEXT ROW' (the scan
+    resumes one row after the match START — overlapping matches), or
+    'TO FIRST <sym>' / 'TO LAST <sym>' (resume AT the first/last row
+    the match mapped to that symbol; the SQL:2016 runtime errors —
+    symbol unmapped, or resume at the match's own first row — raise).
 
     DEFINEs with symbol-relative navigation (``PREV(A.price)``,
     ``FIRST(V.ts)``, bare ``A.price``) route through the in-automaton
@@ -416,6 +462,30 @@ def match_recognize(
 
     define = dict(define or {})
     names, sym_chars, nfa = compile_symbols(pattern, define)
+
+    m_skip = re.match(
+        r"^\s*(?:PAST\s+LAST\s+ROW|(?P<next>TO\s+NEXT\s+ROW)"
+        r"|TO\s+(?P<fl>FIRST|LAST)\s+(?P<sym>\w+))\s*$",
+        after_match,
+        re.IGNORECASE,
+    )
+    if not m_skip:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: unsupported AFTER MATCH SKIP {after_match!r} "
+            f"(supported: PAST LAST ROW, TO NEXT ROW, TO FIRST <sym>, "
+            f"TO LAST <sym>)"
+        )
+    if m_skip.group("fl"):
+        sym = m_skip.group("sym")
+        if sym not in sym_chars:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO unknown symbol {sym!r}"
+            )
+        skip = (m_skip.group("fl").lower(), sym_chars[sym])
+    elif m_skip.group("next"):
+        skip = ("next",)
+    else:
+        skip = _SKIP_PAST
 
     symrel_preds = {
         s: p
@@ -492,7 +562,9 @@ def match_recognize(
         flags = {ch: pdf[cn].tolist() for ch, cn in flag_cols.items()}
         ctx = mr_expr.MatchCtx(cols, 0, 0, size, {})
         classify = build_classifier(test_order, flags, compiled, ctx)
-        spans, _ = scan_rows_in_automaton(nfa, classify, size, final=True)
+        spans, _ = scan_rows_in_automaton(
+            nfa, classify, size, final=True, skip=skip
+        )
         return spans
 
     def run(key, pdf):
@@ -503,7 +575,7 @@ def match_recognize(
             codes = "".join(pdf["__sym"])
             spans = [
                 (lo, hi, codes[lo:hi])
-                for lo, hi in find_match_spans(nfa, codes)
+                for lo, hi in find_match_spans(nfa, codes, skip=skip)
             ]
         if all_rows:
             frames = []
@@ -557,7 +629,8 @@ _CLAUSE = re.compile(
     r"ORDER\s+BY\s+(?P<order>.+?)\s+"
     r"MEASURES\s+(?P<meas>.+?)\s+"
     r"(?:(?P<rows>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
-    r"(?:AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW\s+)?"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW"
+    r"|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pat>.+?)\s*\)"
     r"(?:\s+DEFINE\s+(?P<def>.+))?$",
     re.IGNORECASE | re.DOTALL,
@@ -698,6 +771,7 @@ def rewrite_match_recognize(spark, query: str) -> str:
             all_rows=bool(
                 m.group("rows") and m.group("rows").upper().startswith("ALL")
             ),
+            after_match=m.group("skip") or "PAST LAST ROW",
         )
         view = f"__match_recognize_{uuid.uuid4().hex[:12]}"
         out.createOrReplaceTempView(view)

@@ -347,3 +347,80 @@ def events_mr_navigation(spark, sf_dir):
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "events_mr_skip_overlap",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), i AS (
+        SELECT user_id, rn,
+               COALESCE(value > LAG(value) OVER (
+                   PARTITION BY user_id ORDER BY rn), FALSE) AS inc
+        FROM e
+    ), r AS (
+        SELECT user_id, inc,
+               SUM(CASE WHEN inc THEN 0 ELSE 1 END) OVER (
+                   PARTITION BY user_id ORDER BY rn) AS rid
+        FROM i
+    ), runs AS (
+        SELECT user_id, rid,
+               COUNT(*) FILTER (inc) AS len
+        FROM r GROUP BY user_id, rid
+    ), agg AS (
+        SELECT user_id,
+               SUM(len - 1) AS n_matches,
+               MAX(len) AS longest,
+               SUM(len * (len + 1) / 2 - 1) AS total_len
+        FROM runs WHERE len >= 2 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(longest AS BIGINT) AS longest,
+           CAST(total_len AS BIGINT) AS total_len
+    FROM agg ORDER BY user_id
+    """,
+    doc="AFTER MATCH SKIP TO NEXT ROW (SQL:2016 overlapping matches) "
+    "through the SQL spelling: rising runs U U+ where a match starts at "
+    "EVERY rising row with a rising successor — a run of L rises yields "
+    "L-1 overlapping matches of lengths L down to 2. The DuckDB twin "
+    "replays it in closed form over run-length groups: n=L-1 matches "
+    "per run, longest=L, total row count L(L+1)/2-1 — the "
+    "arithmetic-series identity of the overlap semantics, so the "
+    "oracle checks the SKIP mode exactly, not just row counts",
+)
+def events_mr_skip_overlap(spark, sf_dir):
+    """Overlapping-match mode: greedy leftmost-longest from every resume
+    position one row after the previous match's START (vs the default
+    non-overlapping PAST LAST ROW). Same scale shape as every
+    MATCH_RECOGNIZE row (one codegen classification + one per-key
+    applyInPandas scan, one exchange); the overlap multiplies OUTPUT
+    rows (bounded by input rows x longest run), never state."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(MAX(len) AS BIGINT) AS longest,
+               CAST(SUM(len) AS BIGINT) AS total_len
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(*) AS len
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (U U+)
+            DEFINE U AS value > PREV(value)
+        )
+        GROUP BY user_id
+        ORDER BY user_id
+        """
+    )

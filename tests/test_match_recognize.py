@@ -563,3 +563,95 @@ def test_measure_aggregates_sum_avg_min_max(spark):
             df, ["user_id"], ["seq"], [("SUM(Z.value)", "s")], "V",
             {"V": "event_type = 'view'"},
         )
+
+
+def test_after_match_skip_modes(spark):
+    """SKIP TO NEXT ROW yields overlapping matches; SKIP TO LAST <sym>
+    resumes AT the mapped row; the SQL:2016 runtime errors raise; the
+    rewriter parses the clause; the in-automaton path agrees.
+
+    Note the single-symbol pattern: with deterministic first-true
+    classification, overlap can only materialize where the pattern's
+    START symbol can claim interior rows (a documented restriction of
+    the mutually-exclusive-DEFINE discipline)."""
+    prices = [1.0, 2.0, 3.0, 4.0, 2.5, 3.5]
+    df = spark.createDataFrame(
+        [(1, i, p) for i, p in enumerate(prices)], ["sym", "seq", "price"]
+    )
+    meas = [("FIRST(price)", "lo"), ("LAST(price)", "hi"), ("COUNT(*)", "n")]
+    define = {"R": "price > 0"}
+
+    # PAST LAST ROW: two disjoint 3-row windows
+    past = match_recognize(df, ["sym"], ["seq"], meas, "R R R", dict(define))
+    assert sorted((r.lo, r.hi, r.n) for r in past.collect()) == [
+        (1.0, 3.0, 3), (4.0, 3.5, 3),
+    ]
+    # TO NEXT ROW: every position that can seed a 3-row window matches
+    nxt = match_recognize(
+        df, ["sym"], ["seq"], meas, "R R R", dict(define),
+        after_match="TO NEXT ROW",
+    )
+    assert sorted((r.lo, r.hi, r.n) for r in nxt.collect()) == [
+        (1.0, 3.0, 3), (2.0, 4.0, 3), (3.0, 2.5, 3), (4.0, 3.5, 3),
+    ]
+    # TO LAST R: resume AT the match's last mapped row -> stride 2
+    last = match_recognize(
+        df, ["sym"], ["seq"], meas, "R R R", dict(define),
+        after_match="TO LAST R",
+    )
+    assert sorted((r.lo, r.hi, r.n) for r in last.collect()) == [
+        (1.0, 3.0, 3), (3.0, 2.5, 3),
+    ]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown symbol"):
+        match_recognize(
+            df, ["sym"], ["seq"], meas, "R R R", dict(define),
+            after_match="TO FIRST Z",
+        )
+    with _pt.raises(ValueError, match="unsupported AFTER MATCH"):
+        match_recognize(
+            df, ["sym"], ["seq"], meas, "R R R", dict(define),
+            after_match="TO SOMEWHERE",
+        )
+    # resume at the match's own first row -> SQL:2016 runtime error
+    # (raised inside the scan; surfaces as the job's root exception)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    loop = match_recognize(
+        df, ["sym"], ["seq"], meas, "R R R", dict(define),
+        after_match="TO FIRST R",
+    )
+    with _pt.raises((Py4JJavaError, PythonException), match="loop forever"):
+        loop.collect()
+
+    # the SQL spelling parses the skip clause
+    df.createOrReplaceTempView("skip_ticks")
+    bc = Context(spark=spark)
+    got = bc.sql(
+        """
+        SELECT COUNT(*) AS n FROM skip_ticks MATCH_RECOGNIZE (
+            PARTITION BY sym ORDER BY seq
+            MEASURES COUNT(*) AS len
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (R R R)
+            DEFINE R AS price > 0
+        )
+        """
+    ).collect()
+    assert got[0].n == 4
+
+    # the in-automaton path honors skip modes too (nav-bearing DEFINE:
+    # PREV(R.price, 0) is the row's own price, so the predicate is the
+    # same R-everywhere classification through the rel path)
+    nxt_auto = match_recognize(
+        df, ["sym"], ["seq"], meas, "R R R",
+        {"R": "price > PREV(R.price, 0) - 1"},
+        after_match="TO NEXT ROW",
+    )
+    assert sorted(map(tuple, nxt_auto.collect())) == sorted(
+        map(tuple, nxt.collect())
+    )
