@@ -252,6 +252,7 @@ def sketch_ddsketch_quantiles(spark, sf_dir):
 
 @register(
     "events_mr_navigation",
+    headline=True,  # the in-automaton (symbol-relative) scan — benched from r9 ext
     oracle="""
     WITH e AS (
         SELECT user_id, ts, event_id, event_type,

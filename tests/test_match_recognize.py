@@ -655,3 +655,64 @@ def test_after_match_skip_modes(spark):
     assert sorted(map(tuple, nxt_auto.collect())) == sorted(
         map(tuple, nxt.collect())
     )
+
+
+def test_mr_expr_three_valued_logic_matches_duckdb():
+    """Differential: the mr_expr compiler's 3VL (NULL propagation,
+    Kleene AND/OR, IS [NOT] NULL, comparison/arith null handling) must
+    agree with DuckDB's scalar evaluation on generated expression trees
+    over integer/NULL column values. Nav atoms excluded (DuckDB has no
+    row-pattern scope) — those have dedicated unit + oracle coverage."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blazingsql_spark.operators.mr_expr import MatchCtx, compile_predicate
+
+    vals = st.one_of(st.none(), st.integers(min_value=-9, max_value=9))
+    cols = ["a", "b", "c"]
+
+    def atom(draw):
+        k = draw(st.integers(0, 3))
+        if k == 0:
+            return draw(st.sampled_from(cols))
+        if k == 1:
+            return str(draw(st.integers(-9, 9)))
+        if k == 2:
+            return "NULL"
+        left = draw(st.sampled_from(cols))
+        op = draw(st.sampled_from(["+", "-", "*"]))
+        right = draw(st.sampled_from(cols + ["2", "3"]))
+        return f"({left} {op} {right})"
+
+    @st.composite
+    def predicates(draw, depth=0):
+        k = draw(st.integers(0, 5 if depth < 2 else 2))
+        if k == 0:
+            return f"{atom(draw)} {draw(st.sampled_from(['=', '<>', '<', '<=', '>', '>=']))} {atom(draw)}"
+        if k == 1:
+            return f"{atom(draw)} IS {'NOT ' if draw(st.booleans()) else ''}NULL"
+        if k == 2:
+            return f"NOT ({draw(predicates(depth + 1))})"
+        if k in (3, 4):
+            op = "AND" if k == 3 else "OR"
+            return f"({draw(predicates(depth + 1))}) {op} ({draw(predicates(depth + 1))})"
+        return f"({draw(predicates(depth + 1))})"
+
+    con = duckdb.connect()
+
+    @settings(max_examples=120, deadline=None)
+    @given(pred=predicates(), a=vals, b=vals, c=vals)
+    def check(pred, a, b, c):
+        f, _ = compile_predicate(pred, cols, {"X": "x"})
+        got = f(MatchCtx({"a": [a], "b": [b], "c": [c]}, 0, 0, 1, {}))
+        lit = {True: "TRUE", False: "FALSE", None: "NULL"}
+        sql = pred
+        for name, v in (("a", a), ("b", b), ("c", c)):
+            sql = re.sub(rf"\b{name}\b", "NULL" if v is None else str(v), sql)
+        want = con.execute(
+            f"SELECT COALESCE(({sql}), FALSE)"
+        ).fetchone()[0]
+        assert got == bool(want), (pred, a, b, c, got, want, lit)
+
+    check()
