@@ -41,6 +41,8 @@ covers the common funnel/sessionization queries:
   FIRST/LAST(col), FIRST/LAST(S.col), and the FINAL aggregates
   SUM/AVG/MIN/MAX(col) / SUM/AVG/MIN/MAX(S.col) (NULL-skipping; NULL
   over zero eligible rows); ONE ROW PER MATCH or ALL ROWS PER MATCH.
+- ``SUBSET W = (A, B)``: union pattern variables, resolvable anywhere
+  a symbol name is (MEASURES, DEFINE navigation, SKIP TO).
 
 Scale shape: classification is one codegen CASE projection; matching is
 one applyInPandas over the PARTITION BY key — per-key event history in
@@ -78,8 +80,9 @@ def _skip_resume(skip, pos: int, last_acc: int, span_codes: str) -> int:
         return last_acc
     if kind == "next":
         return pos + 1
-    ch = skip[1]
-    idx = span_codes.find(ch) if kind == "first" else span_codes.rfind(ch)
+    chs = skip[1]
+    hits = [i for i, c in enumerate(span_codes) if c in chs]
+    idx = (hits[0] if kind == "first" else hits[-1]) if hits else -1
     if idx < 0:
         raise ValueError(
             f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO {kind.upper()} names a "
@@ -151,8 +154,9 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
         return alias, (lambda pdf, codes, n: n), (lambda sch: T.LongType())
     if m.group("clf"):
         # ONE ROW PER MATCH: classifier of the match's LAST row (final
-        # semantics); ALL ROWS PER MATCH overrides this per-row in run()
-        names_by_char = {c: s for s, c in sym_chars.items()}
+        # semantics); ALL ROWS PER MATCH overrides this per-row in run().
+        # Union (SUBSET) names never classify rows -> single-char only.
+        names_by_char = {c: s for s, c in sym_chars.items() if len(c) == 1}
         return (
             alias,
             (lambda pdf, codes, n, _m=names_by_char: _m.get(codes[-1])),
@@ -169,7 +173,7 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
         ch = sym_chars.get(sym) if sym else None
 
         def ev_agg(pdf, codes, n, _ch=ch, _col=col, _agg=agg):
-            rows = pdf if _ch is None else pdf[[c == _ch for c in codes]]
+            rows = pdf if _ch is None else pdf[[c in _ch for c in codes]]
             vals = rows[_col].dropna()
             if len(vals) == 0:
                 return None
@@ -202,7 +206,7 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
         ch = sym_chars[sym]
         return (
             alias,
-            (lambda pdf, codes, n: sum(1 for c in codes if c == ch)),
+            (lambda pdf, codes, n: sum(1 for c in codes if c in ch)),
             (lambda sch: T.LongType()),
         )
     first = m.group("fl").upper() == "FIRST"
@@ -215,7 +219,7 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
         rows = (
             pdf
             if _ch is None
-            else pdf[[c == _ch for c in codes]]
+            else pdf[[c in _ch for c in codes]]
         )
         if len(rows) == 0:
             return None
@@ -428,6 +432,7 @@ def match_recognize(
     define: dict[str, str] | None = None,
     all_rows: bool = False,
     after_match: str = "PAST LAST ROW",
+    subset: dict[str, list[str]] | None = None,
     _force_in_automaton: bool = False,
 ) -> DataFrame:
     """Row-pattern matching (see module docstring for the supported
@@ -438,6 +443,14 @@ def match_recognize(
     PER MATCH with FINAL measure semantics — every matched input row is
     emitted with its full original columns, the measures constant
     across the match, and CLASSIFIER() per-row.
+
+    ``subset`` declares SQL:2016 union pattern variables
+    (``SUBSET W = (A, B)``): a union name ranges over every row its
+    member symbols mapped, and works anywhere a symbol name does —
+    MEASURES (COUNT(W.*), FIRST/LAST/SUM/AVG/MIN/MAX(W.col)), DEFINE
+    navigation (FIRST(W.ts)), and AFTER MATCH SKIP TO FIRST/LAST W.
+    Union names never classify rows (they are read-only views over the
+    mapping).
 
     ``after_match`` selects the SQL:2016 AFTER MATCH SKIP mode: 'PAST
     LAST ROW' (default, non-overlapping), 'TO NEXT ROW' (the scan
@@ -463,6 +476,28 @@ def match_recognize(
     define = dict(define or {})
     names, sym_chars, nfa = compile_symbols(pattern, define)
 
+    # SUBSET union variables: name -> concatenation of member chars.
+    # measure_syms is the lookup every symbol-name surface (MEASURES,
+    # DEFINE navigation, SKIP TO) resolves through.
+    measure_syms = dict(sym_chars)
+    for uname, members in (subset or {}).items():
+        if uname in sym_chars:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: SUBSET name {uname!r} collides with a "
+                f"pattern symbol"
+            )
+        if not members:
+            raise ValueError(f"MATCH_RECOGNIZE: SUBSET {uname!r} is empty")
+        for m_ in members:
+            if m_ not in sym_chars:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: SUBSET {uname!r} references unknown "
+                    f"pattern symbol {m_!r}"
+                )
+        measure_syms[uname] = "".join(
+            dict.fromkeys(sym_chars[m_] for m_ in members)
+        )
+
     m_skip = re.match(
         r"^\s*(?:PAST\s+LAST\s+ROW|(?P<next>TO\s+NEXT\s+ROW)"
         r"|TO\s+(?P<fl>FIRST|LAST)\s+(?P<sym>\w+))\s*$",
@@ -477,11 +512,11 @@ def match_recognize(
         )
     if m_skip.group("fl"):
         sym = m_skip.group("sym")
-        if sym not in sym_chars:
+        if sym not in measure_syms:
             raise ValueError(
                 f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO unknown symbol {sym!r}"
             )
-        skip = (m_skip.group("fl").lower(), sym_chars[sym])
+        skip = (m_skip.group("fl").lower(), measure_syms[sym])
     elif m_skip.group("next"):
         skip = ("next",)
     else:
@@ -490,7 +525,8 @@ def match_recognize(
     symrel_preds = {
         s: p
         for s, p in define.items()
-        if _force_in_automaton or mr_expr.is_symbol_relative(p, names)
+        if _force_in_automaton
+        or mr_expr.is_symbol_relative(p, list(measure_syms))
     }
     if symrel_preds:
         vec_define = {s: p for s, p in define.items() if s not in symrel_preds}
@@ -507,7 +543,9 @@ def match_recognize(
         compiled: dict[str, object] = {}
         used_cols: set[str] = set()
         for s, p in symrel_preds.items():
-            closure, used = mr_expr.compile_predicate(p, df.columns, sym_chars)
+            closure, used = mr_expr.compile_predicate(
+                p, df.columns, measure_syms
+            )
             compiled[sym_chars[s]] = closure
             used_cols |= used
         # classification order: DEFINEd symbols in define order, then
@@ -528,7 +566,7 @@ def match_recognize(
         )
         aux_cols = ["__sym"]
 
-    parsed = [_parse_measure(e, a, sym_chars) for e, a in measures]
+    parsed = [_parse_measure(e, a, measure_syms) for e, a in measures]
     in_schema = df.schema
     shadowed = set(in_schema.fieldNames()) if all_rows else set(partition_by)
     clashes = {a for a, _, _ in parsed} & shadowed
@@ -632,6 +670,7 @@ _CLAUSE = re.compile(
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW"
     r"|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pat>.+?)\s*\)"
+    r"(?:\s+SUBSET\s+(?P<sub>.+?))?"
     r"(?:\s+DEFINE\s+(?P<def>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -748,6 +787,18 @@ def rewrite_match_recognize(spark, query: str) -> str:
                     f"MATCH_RECOGNIZE: measure needs an AS alias: {item!r}"
                 )
             measures.append((expr, alias))
+        subset = {}
+        if m.group("sub"):
+            for item in _split_top(_orig("sub")):
+                sm = re.match(r"^(\w+)\s*=\s*\(\s*(.+?)\s*\)$", item, re.S)
+                if not sm:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE: SUBSET needs `NAME = (A, B)`: "
+                        f"{item!r}"
+                    )
+                subset[sm.group(1)] = [
+                    w.strip() for w in sm.group(2).split(",")
+                ]
         define = {}
         if m.group("def"):
             for item in _split_top(_orig("def")):
@@ -772,6 +823,7 @@ def rewrite_match_recognize(spark, query: str) -> str:
                 m.group("rows") and m.group("rows").upper().startswith("ALL")
             ),
             after_match=m.group("skip") or "PAST LAST ROW",
+            subset=subset,
         )
         view = f"__match_recognize_{uuid.uuid4().hex[:12]}"
         out.createOrReplaceTempView(view)

@@ -111,7 +111,10 @@ def _fetch(cols, name, idx):
 
 
 def _nav_idx(kind: str, sym_char: str | None, n: int, ctx: MatchCtx):
-    """Resolve a navigation target to a physical row index (or None)."""
+    """Resolve a navigation target to a physical row index (or None).
+    ``sym_char`` may be a multi-char string — a SUBSET union variable —
+    in which case the mapped rows are the sorted union of its members'
+    rows."""
     if sym_char is None:
         if kind == "FIRST":
             i = ctx.pos + n
@@ -121,7 +124,12 @@ def _nav_idx(kind: str, sym_char: str | None, n: int, ctx: MatchCtx):
             return i if i >= ctx.pos else None
         base = ctx.j
     else:
-        rows = ctx.tent.get(sym_char)
+        if len(sym_char) == 1:
+            rows = ctx.tent.get(sym_char)
+        else:
+            rows = sorted(
+                i for ch in sym_char for i in ctx.tent.get(ch, ())
+            )
         if not rows:
             return None
         if kind == "FIRST":

@@ -716,3 +716,89 @@ def test_mr_expr_three_valued_logic_matches_duckdb():
         assert got == bool(want), (pred, a, b, c, got, want, lit)
 
     check()
+
+
+def test_subset_union_variables(spark):
+    """SUBSET union variables resolve in MEASURES, DEFINE navigation,
+    and AFTER MATCH SKIP TO; collisions and unknown members raise."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 10.0),
+            (1, 2, "click", 4.0),
+            (1, 3, "addcart", 7.0),
+            (1, 4, "click", 2.0),
+            (1, 5, "purchase", 30.0),
+        ],
+        ["user_id", "seq", "event_type", "value"],
+    )
+    define = {
+        "V": "event_type = 'view'",
+        "C": "event_type = 'click'",
+        "A": "event_type = 'addcart'",
+        "P": "event_type = 'purchase'",
+    }
+    out = match_recognize(
+        df, ["user_id"], ["seq"],
+        [("COUNT(E.*)", "n_engage"), ("SUM(E.value)", "engage_val"),
+         ("FIRST(E.value)", "first_engage"), ("LAST(E.seq)", "last_engage")],
+        "V (C|A)+ P",
+        define,
+        subset={"E": ["C", "A"]},
+    )
+    r = out.collect()[0]
+    # engagement rows = clicks + addcart: seq 2,3,4
+    assert (r.n_engage, r.engage_val, r.first_engage, r.last_engage) == (
+        3, 13.0, 4.0, 4,
+    )
+
+    # union variable inside DEFINE navigation: purchase must beat the
+    # FIRST engagement-row value (addcart/click union)
+    out2 = match_recognize(
+        df, ["user_id"], ["seq"],
+        [("COUNT(*)", "n")],
+        "V (C|A)+ P",
+        {**define, "P": "event_type = 'purchase' AND value > FIRST(E.value)"},
+        subset={"E": ["C", "A"]},
+    )
+    assert [r.n for r in out2.collect()] == [5]  # 30 > 4
+
+    # SKIP TO LAST union + SQL spelling
+    df.createOrReplaceTempView("subset_ev")
+    bc = Context(spark=spark)
+    got = bc.sql(
+        """
+        SELECT n_engage FROM subset_ev MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(E.*) AS n_engage
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO LAST E
+            PATTERN (V (C|A)+ P)
+            SUBSET E = (C, A)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   A AS event_type = 'addcart',
+                   P AS event_type = 'purchase'
+        )
+        """
+    ).collect()
+    assert [r.n_engage for r in got] == [3]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="collides"):
+        match_recognize(
+            df, ["user_id"], ["seq"], [("COUNT(*)", "n")], "V C",
+            {"V": "true"}, subset={"C": ["V"]},
+        )
+    with _pt.raises(ValueError, match="unknown pattern symbol"):
+        match_recognize(
+            df, ["user_id"], ["seq"], [("COUNT(*)", "n")], "V C",
+            {"V": "true"}, subset={"W": ["Z"]},
+        )
+    with _pt.raises(ValueError, match="SUBSET needs"):
+        rewrite_match_recognize(
+            spark,
+            "SELECT * FROM subset_ev MATCH_RECOGNIZE (PARTITION BY user_id "
+            "ORDER BY seq MEASURES COUNT(*) AS n ONE ROW PER MATCH "
+            "PATTERN (V) SUBSET garbage DEFINE V AS true)",
+        )
