@@ -155,8 +155,13 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
     if m.group("clf"):
         # ONE ROW PER MATCH: classifier of the match's LAST row (final
         # semantics); ALL ROWS PER MATCH overrides this per-row in run().
-        # Union (SUBSET) names never classify rows -> single-char only.
-        names_by_char = {c: s for s, c in sym_chars.items() if len(c) == 1}
+        # Union (SUBSET) names never classify rows: keep the FIRST name
+        # per char (pattern symbols precede unions in measure_syms), so
+        # a single-member union can never shadow its symbol.
+        names_by_char: dict[str, str] = {}
+        for s_, c_ in sym_chars.items():
+            if len(c_) == 1:
+                names_by_char.setdefault(c_, s_)
         return (
             alias,
             (lambda pdf, codes, n, _m=names_by_char: _m.get(codes[-1])),
@@ -536,7 +541,10 @@ def match_recognize(
         coded = nav_df
         flag_cols: dict[str, str] = {}
         for s, p in vdef.items():
-            cname = f"__p_{sym_chars[s]}"
+            # keyed by symbol index, not char: Spark resolves columns
+            # case-insensitively, so __p_a and __p_A would collide for
+            # patterns with >26 distinct symbols
+            cname = f"__p_{names.index(s)}"
             coded = coded.withColumn(cname, F.expr(p))
             flag_cols[sym_chars[s]] = cname
         coded = coded.drop(*nav_names)

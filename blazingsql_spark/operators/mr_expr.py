@@ -179,8 +179,6 @@ def _arith(op: str, a, b):
             return a * b
         if op == "%":
             return a % b
-        if isinstance(a, int) and isinstance(b, int):
-            return a / b if b != 0 else None
         return a / b if b != 0 else None
     except TypeError as exc:
         raise ValueError(
@@ -445,16 +443,20 @@ def is_symbol_relative(pred_sql: str, names: list[str]) -> bool:
 
 def _mask(s: str) -> str:
     """Blank string-literal contents (keeps positions) so symbol scans
-    never trip on quoted text — same discipline as match_recognize's
-    _mask_literals, duplicated here to avoid a circular import."""
+    never trip on quoted text — BOTH quote styles, matching
+    match_recognize._mask_literals (Spark SQL also treats "double
+    quoted" text as a string literal, so an unmasked "B.x" would
+    false-positive the symbol-relative detector and misroute a
+    vectorized DEFINE into this grammar)."""
     out = list(s)
     i, n = 0, len(s)
     while i < n:
-        if s[i] == "'":
+        q = s[i]
+        if q in ("'", '"'):
             j = i + 1
             while j < n:
-                if s[j] == "'":
-                    if j + 1 < n and s[j + 1] == "'":
+                if s[j] == q:
+                    if q == "'" and j + 1 < n and s[j + 1] == "'":
                         j += 2
                         continue
                     break

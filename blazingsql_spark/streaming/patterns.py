@@ -515,7 +515,9 @@ def _match_recognize_stream_nav(
                 f"supported here (streaming DEFINE is row-local) — "
                 f"symbol {s!r}: {p!r}"
             )
-        cname = f"__p_{sym_chars[s]}"
+        # index-keyed like the batch operator: Spark column names are
+        # case-insensitive, so char-keyed __p_a/__p_A would collide
+        cname = f"__p_{names.index(s)}"
         coded = coded.withColumn(cname, F.expr(p))
         flag_cols[sym_chars[s]] = cname
 

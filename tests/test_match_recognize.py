@@ -802,3 +802,48 @@ def test_subset_union_variables(spark):
             "ORDER BY seq MEASURES COUNT(*) AS n ONE ROW PER MATCH "
             "PATTERN (V) SUBSET garbage DEFINE V AS true)",
         )
+
+
+def test_review_regressions_classifier_mask_flagnames(spark):
+    """Code-review regressions on the extension-session additions:
+    (1) CLASSIFIER() must report the pattern symbol, never a
+    single-member SUBSET union that shares its char; (2) double-quoted
+    Spark string literals containing 'SYM.col' text must not misroute a
+    vectorized DEFINE into the restricted nav grammar; (3) flag columns
+    are index-keyed (Spark column names are case-insensitive, so
+    char-keyed __p_a/__p_A would collide past 26 symbols)."""
+    df = spark.createDataFrame(
+        [(1, 1, "view", 1.0), (1, 2, "purchase", 2.0)],
+        ["user_id", "seq", "event_type", "value"],
+    )
+    # (1) single-member union sharing A's char
+    out = match_recognize(
+        df, ["user_id"], ["seq"], [("CLASSIFIER()", "clf")],
+        "B A",
+        {"B": "event_type = 'view'", "A": "event_type = 'purchase'"},
+        subset={"W": ["A"]},
+    )
+    assert [r.clf for r in out.collect()] == ["A"]
+
+    # (2) "B.x" is a Spark string literal, not a symbol reference — the
+    # define must stay on the vectorized path and simply never match
+    out2 = match_recognize(
+        df, ["user_id"], ["seq"], [("COUNT(*)", "n")],
+        "A B",
+        {"A": 'event_type = "B.x"', "B": "event_type = 'purchase'"},
+    )
+    assert out2.collect() == []
+
+    # (3) >26 distinct symbols: chars wrap to uppercase; nav routing
+    # forces flag columns for ALL defined symbols — names must not
+    # collide case-insensitively
+    names = [f"S{i}" for i in range(27)]
+    pattern = " ".join(names)
+    define = {n: f"seq = {i}" for i, n in enumerate(names[:-1])}
+    define[names[-1]] = "seq = 26 AND value >= FIRST(S0.value)"  # in-automaton
+    rows = [(1, i, float(i)) for i in range(27)]
+    df27 = spark.createDataFrame(rows, ["user_id", "seq", "value"])
+    got = match_recognize(
+        df27, ["user_id"], ["seq"], [("COUNT(*)", "n")], pattern, define
+    ).collect()
+    assert [r.n for r in got] == [27]
