@@ -1112,3 +1112,103 @@ def run_quantile_sketch_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class TopKIngest:
+    """foreachBatch handler maintaining a PERSISTED approximate top-k:
+    each micro-batch lands (a) a count-min sketch (sparse (j, w, c)
+    rows, bounded depth x width regardless of cardinality) and (b) its
+    space-saving candidate summary (<= ``capacity`` items), each in its
+    own replay-idempotent epoch partition (write_epoch_partition
+    OVERWRITES the attempt — counts are additive, so an append under
+    at-least-once delivery would double-count; the same discipline as
+    QuantileSketchIngest). The queryable top-k is: merge the CMS tables
+    by element-wise sum (exactly mergeable), union the candidate sets,
+    estimate every candidate on the MERGED sketch, take the k largest.
+
+    Guarantees, stated honestly: CMS estimates NEVER undercount, so a
+    candidate's reported count is an upper bound within eN/width of
+    truth w.p. 1-(1/e)^depth. Candidate recall: an item inside some
+    epoch's top-``capacity`` space-saving summary is always a
+    candidate; an adversary spreading a globally-heavy item thinly
+    enough to miss EVERY epoch's summary cut can evade candidacy —
+    size ``capacity`` several multiples above k (default 256 vs k~10),
+    the same trade every production top-k maintainer makes. State per
+    epoch is <= depth*width + capacity rows — cardinality-independent."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        col: str,
+        capacity: int = 256,
+        width: int = 1024,
+        depth: int = 4,
+    ):
+        self.spark = spark
+        self.path = path
+        self.col = col
+        self.capacity = int(capacity)
+        self.width = int(width)
+        self.depth = int(depth)
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        from blazingsql_spark.functions import sketches
+        from blazingsql_spark.sources import manifest as mf
+
+        cms = sketches.cms_sketch(batch, self.col, self.width, self.depth)
+        mf.write_epoch_partition(cms, f"{self.path}/cms", int(epoch_id))
+        cands = sketches.space_saving_topk(
+            batch, self.col, k=self.capacity, capacity=self.capacity
+        ).select("item")
+        mf.write_epoch_partition(cands, f"{self.path}/cands", int(epoch_id))
+
+    def _live(self, sub: str) -> DataFrame:
+        from blazingsql_spark.sources import manifest as mf
+
+        man = mf.read_manifest(self.spark, f"{self.path}/{sub}")
+        return mf.read_live(self.spark, f"{self.path}/{sub}", man)
+
+    def read_topk(self, k: int = 10) -> DataFrame:
+        """(item, est) for the k largest candidate estimates on the
+        merged sketch, ordered (est desc, item). The driver-side
+        collects are the SKETCH and the CANDIDATE SET (bounded by
+        construction: depth*width counters; <= capacity per epoch),
+        never data rows."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from blazingsql_spark.functions import sketches
+
+        merged = (
+            self._live("cms")
+            .groupBy("j", "w")
+            .agg(F.sum("c").alias("c"))
+        )
+        items = sorted(
+            r.item for r in self._live("cands").select("item").distinct().collect()
+        )
+        est = sketches.cms_estimate(
+            merged, items, width=self.width, depth=self.depth
+        )
+        top = sorted(est.items(), key=lambda t: (-t[1], t[0]))[: int(k)]
+        return self.spark.createDataFrame(
+            [(i, int(c)) for i, c in top], "item string, est long"
+        )
+
+
+def run_top_k_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Wire an item stream through the top-k maintainer. Returns the
+    started StreamingQuery (caller stops it / processes available)."""
+    handler = TopKIngest(spark, path, **kwargs)
+    return (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1481,3 +1481,72 @@ def test_quantile_sketch_ingest_equals_batch_and_replays(spark, tmp_path):
     handler(extra, 99)
     assert sorted(map(tuple, handler.read_sketch().collect())) == after_once
     assert after_once != want  # the new epoch genuinely added counts
+
+
+def test_top_k_ingest_equals_batch_and_replays(spark, tmp_path):
+    """Streaming top-k maintainer: (1) small-cardinality stream — the
+    maintainer's top-k equals the exact batch top-k item for item and
+    count for count (no evictions, md5-CMS collision-free at this
+    cardinality); (2) capacity pressure — 500 uniform ids + 5 planted
+    heavy ids with capacity 64: the heavy set is recovered exactly and
+    estimates never undercount; (3) at-least-once replay of an epoch
+    changes nothing (epoch overwrite, the additive-counts discipline)."""
+    from blazingsql_spark.streaming.ingest import TopKIngest, run_top_k_ingest
+
+    rows = []
+    for i in range(3000):
+        rows.append((i, f"u{i % 7}"))  # skewed small-cardinality stream
+    df = spark.createDataFrame(rows, "idx long, item string")
+    src = str(tmp_path / "src_topk")
+    for i in range(3):
+        df.filter(F.col("idx") % 3 == i).select("item").write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+    # deterministic three-file split of the same logical stream
+    parts = [spark.read.parquet(f"{src}/part{i}") for i in range(3)]
+    union = parts[0].unionAll(parts[1]).unionAll(parts[2])
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/part*")
+    )
+    path = str(tmp_path / "topk")
+    q = run_top_k_ingest(
+        spark, stream, path, str(tmp_path / "ckpt_topk"), col="item"
+    )
+    q.awaitTermination(120)
+
+    handler = TopKIngest(spark, path, "item")
+    got = [(r.item, r.est) for r in handler.read_topk(5).collect()]
+    want = [
+        (r.item, r.cnt)
+        for r in union.groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "item")
+        .limit(5)
+        .collect()
+    ]
+    assert got == want  # exact at this cardinality
+
+    # at-least-once redelivery: same batch, same epoch, twice -> no change
+    extra = spark.read.parquet(f"{src}/part0")
+    handler(extra, 99)
+    after_once = [(r.item, r.est) for r in handler.read_topk(5).collect()]
+    handler(extra, 99)
+    assert [(r.item, r.est) for r in handler.read_topk(5).collect()] == after_once
+    assert after_once != got  # the new epoch genuinely added counts
+
+    # capacity pressure: 500-id uniform background + 5 planted heavies
+    heavy = [f"hot{i}" for i in range(5)]
+    rows2 = [(f"bg{i % 500}",) for i in range(2500)] + [
+        (h,) for h in heavy for _ in range(200)
+    ]
+    df2 = spark.createDataFrame(rows2, "item string")
+    h2 = TopKIngest(spark, str(tmp_path / "topk2"), "item", capacity=64)
+    h2(df2.filter(F.length("item") <= 5), 0)
+    h2(df2.filter(F.length("item") > 5), 1)
+    top5 = h2.read_topk(5).collect()
+    assert sorted(r.item for r in top5) == heavy
+    for r in top5:
+        assert r.est >= 200  # CMS never undercounts
