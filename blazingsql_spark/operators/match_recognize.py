@@ -43,6 +43,9 @@ covers the common funnel/sessionization queries:
   over zero eligible rows); ONE ROW PER MATCH or ALL ROWS PER MATCH.
 - ``SUBSET W = (A, B)``: union pattern variables, resolvable anywhere
   a symbol name is (MEASURES, DEFINE navigation, SKIP TO).
+- ``WITHIN <interval|number>`` (the Flink extension): bounds the match
+  duration against the first ORDER BY key, enforced inside the scan so
+  arbitrary vectorized DEFINEs keep working.
 
 Scale shape: classification is one codegen CASE projection; matching is
 one applyInPandas over the PARTITION BY key — per-key event history in
@@ -384,7 +387,12 @@ def build_classifier(test_order, flags, compiled, ctx):
 
 
 def scan_rows_in_automaton(
-    nfa: _Nfa, classify, size: int, final: bool = True, skip=_SKIP_PAST
+    nfa: _Nfa,
+    classify,
+    size: int,
+    final: bool = True,
+    skip=_SKIP_PAST,
+    within=None,
 ) -> tuple[list[tuple[int, int, str]], int | None]:
     """Greedy leftmost-longest scan with PER-ATTEMPT classification (the
     in-automaton twin of :func:`find_match_spans`). Returns
@@ -392,7 +400,10 @@ def scan_rows_in_automaton(
     with ``final=False`` (the streaming caller) a live in-flight attempt
     at end-of-input is NOT resolved — its start index comes back as
     ``carry_start`` so the caller can persist the suffix, exactly the
-    StreamMatcher._scan contract."""
+    StreamMatcher._scan contract. ``within=(tvals, dur)`` enforces the
+    Flink-style match-duration bound: a row whose order-key value
+    exceeds the attempt's first row by more than ``dur`` (or whose key
+    is NULL) ends the attempt — the accepted prefix still emits."""
     start_closure = nfa.closure(frozenset([nfa.start]))
     spans: list[tuple[int, int, str]] = []
     pos = 0
@@ -403,6 +414,16 @@ def scan_rows_in_automaton(
         last_acc = -1
         j = pos
         while j < size:
+            if within is not None:
+                tv, dur = within
+                tj, tp = tv[j], tv[pos]
+                # x != x catches NaT/nan without a pandas call per row
+                if (
+                    tj is None or tj != tj
+                    or tp is None or tp != tp
+                    or tj - tp > dur
+                ):
+                    break
             c = classify(j, pos, tent)
             if c is None:
                 break
@@ -428,6 +449,35 @@ def scan_rows_in_automaton(
     return spans, None
 
 
+def _parse_within(spec):
+    """WITHIN budget: an interval string ("8 HOUR", "INTERVAL '30'
+    MINUTE") -> pandas Timedelta for timestamp order keys, or a plain
+    number for numeric order keys."""
+    import pandas as pd
+
+    from blazingsql_spark.operators.mr_expr import _UNITS
+
+    if isinstance(spec, (int, float)) and not isinstance(spec, bool):
+        return spec
+    txt = str(spec).strip()
+    m = re.match(
+        r"^(?:INTERVAL\s+)?'?(\d+(?:\.\d+)?)'?\s+(\w+)$", txt, re.IGNORECASE
+    )
+    if m:
+        unit = m.group(2).upper()
+        base = unit[:-1] if unit.endswith("S") and unit not in _UNITS else unit
+        if base in _UNITS:
+            return pd.Timedelta(**{_UNITS[base]: float(m.group(1))})
+    try:
+        return float(txt)
+    except ValueError:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: unsupported WITHIN {spec!r} (use an "
+            f"interval like \"8 HOUR\" / \"INTERVAL '30' MINUTE\" or a "
+            f"plain number for numeric order keys)"
+        ) from None
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: list[str],
@@ -438,6 +488,7 @@ def match_recognize(
     all_rows: bool = False,
     after_match: str = "PAST LAST ROW",
     subset: dict[str, list[str]] | None = None,
+    within: str | int | float | None = None,
     _force_in_automaton: bool = False,
 ) -> DataFrame:
     """Row-pattern matching (see module docstring for the supported
@@ -456,6 +507,16 @@ def match_recognize(
     navigation (FIRST(W.ts)), and AFTER MATCH SKIP TO FIRST/LAST W.
     Union names never classify rows (they are read-only views over the
     mapping).
+
+    ``within`` bounds the match DURATION (the Flink extension): every
+    row of a match must have its first ORDER BY key within ``within``
+    of the attempt's first row — an interval string ('8 HOUR',
+    "INTERVAL '30' MINUTE") against timestamp keys or a plain number
+    against numeric keys. Enforced INSIDE the scan (a row beyond the
+    budget ends the attempt; the accepted prefix still emits), so
+    arbitrary vectorized Spark-SQL DEFINEs keep working — unlike
+    rewriting the bound into each symbol's predicate, which would force
+    every DEFINE into the restricted navigation grammar.
 
     ``after_match`` selects the SQL:2016 AFTER MATCH SKIP mode: 'PAST
     LAST ROW' (default, non-overlapping), 'TO NEXT ROW' (the scan
@@ -533,7 +594,9 @@ def match_recognize(
         if _force_in_automaton
         or mr_expr.is_symbol_relative(p, list(measure_syms))
     }
-    if symrel_preds:
+    within_dur = _parse_within(within) if within is not None else None
+    route_auto = bool(symrel_preds) or within_dur is not None
+    if route_auto:
         vec_define = {s: p for s, p in define.items() if s not in symrel_preds}
         vdef, nav_df, nav_names = _physical_nav_rewrite(
             df, vec_define, partition_by, order_by, allow_navigation=True
@@ -608,14 +671,19 @@ def match_recognize(
         flags = {ch: pdf[cn].tolist() for ch, cn in flag_cols.items()}
         ctx = mr_expr.MatchCtx(cols, 0, 0, size, {})
         classify = build_classifier(test_order, flags, compiled, ctx)
+        bound = (
+            (pdf[order_by[0]].tolist(), within_dur)
+            if within_dur is not None
+            else None
+        )
         spans, _ = scan_rows_in_automaton(
-            nfa, classify, size, final=True, skip=skip
+            nfa, classify, size, final=True, skip=skip, within=bound
         )
         return spans
 
     def run(key, pdf):
         pdf = pdf.sort_values(list(order_by), kind="mergesort")
-        if symrel_preds:
+        if route_auto:
             spans = scan_in_automaton(pdf)
         else:
             codes = "".join(pdf["__sym"])
@@ -678,6 +746,10 @@ _CLAUSE = re.compile(
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW"
     r"|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pat>.+?)\s*\)"
+    # matched against the MASKED body: a quoted magnitude ('8') has its
+    # contents blanked, so accept '...' wholesale; _orig() recovers it
+    r"(?:\s+WITHIN\s+(?P<win>(?:INTERVAL\s+)?(?:'[^']*'|[\d.]+)\s+\w+"
+    r"|[\d.]+))?"
     r"(?:\s+SUBSET\s+(?P<sub>.+?))?"
     r"(?:\s+DEFINE\s+(?P<def>.+))?$",
     re.IGNORECASE | re.DOTALL,
@@ -832,6 +904,7 @@ def rewrite_match_recognize(spark, query: str) -> str:
             ),
             after_match=m.group("skip") or "PAST LAST ROW",
             subset=subset,
+            within=_orig("win"),
         )
         view = f"__match_recognize_{uuid.uuid4().hex[:12]}"
         out.createOrReplaceTempView(view)

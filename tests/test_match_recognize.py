@@ -847,3 +847,121 @@ def test_review_regressions_classifier_mask_flagnames(spark):
         df27, ["user_id"], ["seq"], [("COUNT(*)", "n")], pattern, define
     ).collect()
     assert [r.n for r in got] == [27]
+
+
+def test_within_match_duration_bound(spark):
+    """WITHIN (the Flink extension): equals the symbol-relative budget
+    formulation on a monotone funnel; works with arbitrary vectorized
+    Spark-SQL DEFINEs (enforced in-scan, not by grammar rewrite) and
+    with numeric order keys; the SQL spelling parses it; bad specs
+    raise."""
+    rows = []
+    rnd = random.Random(7)
+    for u in range(1, 15):
+        t = 0.0
+        for i in range(rnd.randint(5, 30)):
+            t += rnd.uniform(0.5, 4.0)
+            rows.append(
+                (u, i, rnd.choice(["view", "click", "click", "purchase", "error"]),
+                 round(t, 3))
+            )
+    df = spark.createDataFrame(rows, ["user_id", "seq", "event_type", "t"])
+    meas = [("COUNT(*)", "n"), ("FIRST(t)", "t0"), ("LAST(t)", "t1")]
+    base_define = {
+        "V": "event_type = 'view'",
+        "C": "event_type = 'click'",
+        "P": "event_type = 'purchase'",
+    }
+    via_within = match_recognize(
+        df, ["user_id"], ["seq"], meas, "V C* P", dict(base_define),
+        within=6,
+    )
+    # note: 'seq' orders identically to 't' here, but WITHIN bounds the
+    # FIRST ORDER BY key — so order by t for the budget to apply to t
+    via_within = match_recognize(
+        df, ["user_id"], ["t", "seq"], meas, "V C* P", dict(base_define),
+        within=6,
+    )
+    via_nav = match_recognize(
+        df, ["user_id"], ["t", "seq"], meas, "V C* P",
+        {
+            "V": "event_type = 'view' AND t <= FIRST(t) + 6",
+            "C": "event_type = 'click' AND t <= FIRST(t) + 6",
+            "P": "event_type = 'purchase' AND t <= FIRST(t) + 6",
+        },
+    )
+    got = sorted(map(tuple, via_within.collect()))
+    want = sorted(map(tuple, via_nav.collect()))
+    assert got == want and got, "fixture produced no matches - weak test"
+
+    # arbitrary Spark SQL stays legal next to WITHIN (upper() is outside
+    # the restricted nav grammar; WITHIN must not force it through it)
+    rich = match_recognize(
+        df, ["user_id"], ["t", "seq"], meas, "V C* P",
+        {
+            "V": "upper(event_type) = 'VIEW'",
+            "C": "upper(event_type) = 'CLICK'",
+            "P": "upper(event_type) = 'PURCHASE'",
+        },
+        within=6,
+    )
+    assert sorted(map(tuple, rich.collect())) == got
+
+    # SQL spelling
+    df.createOrReplaceTempView("within_ev")
+    bc = Context(spark=spark)
+    got_sql = bc.sql(
+        """
+        SELECT user_id, n, t0, t1 FROM within_ev MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY t, seq
+            MEASURES COUNT(*) AS n, FIRST(t) AS t0, LAST(t) AS t1
+            ONE ROW PER MATCH
+            PATTERN (V C* P) WITHIN 6
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        )
+        """
+    ).collect()
+    assert sorted(map(tuple, got_sql)) == got
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="WITHIN"):
+        match_recognize(
+            df, ["user_id"], ["t"], meas, "V", {"V": "true"},
+            within="banana",
+        )
+
+
+def test_within_interval_on_timestamps(spark):
+    """WITHIN INTERVAL on timestamp order keys through the SQL spelling:
+    the 9-hour funnel is out, the 7:59 funnel is in — and rows BEYOND
+    the budget end the attempt without killing the accepted prefix."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", "2026-01-01 00:00:00"),
+            (1, 2, "click", "2026-01-01 01:00:00"),
+            (1, 3, "purchase", "2026-01-01 07:59:00"),
+            (2, 1, "view", "2026-01-01 00:00:00"),
+            (2, 2, "click", "2026-01-01 02:00:00"),
+            (2, 3, "purchase", "2026-01-01 09:00:00"),  # beyond 8h
+        ],
+        ["user_id", "event_id", "event_type", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.createOrReplaceTempView("within_ts_ev")
+    bc = Context(spark=spark)
+    got = bc.sql(
+        """
+        SELECT user_id FROM within_ts_ev MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts, event_id
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            PATTERN (V C* P) WITHIN INTERVAL '8' HOUR
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        ) ORDER BY user_id
+        """
+    ).collect()
+    assert [r.user_id for r in got] == [1]
