@@ -41,6 +41,10 @@ covers the common funnel/sessionization queries:
   FIRST/LAST(col), FIRST/LAST(S.col), and the FINAL aggregates
   SUM/AVG/MIN/MAX(col) / SUM/AVG/MIN/MAX(S.col) (NULL-skipping; NULL
   over zero eligible rows); ONE ROW PER MATCH or ALL ROWS PER MATCH.
+  A ``RUNNING`` prefix re-evaluates the measure over each row's prefix
+  of the match under ALL ROWS PER MATCH; the unprefixed default stays
+  FINAL (a documented deviation — SQL:2016 defaults ALL ROWS measures
+  to running; CLASSIFIER() is always per-row there).
 - ``SUBSET W = (A, B)``: union pattern variables, resolvable anywhere
   a symbol name is (MEASURES, DEFINE navigation, SKIP TO).
 - ``WITHIN <interval|number>`` (the Flink extension): bounds the match
@@ -142,10 +146,25 @@ _MEASURE_FORMS = re.compile(
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+_SEMANTICS_PREFIX = re.compile(r"^(RUNNING|FINAL)\s+", re.IGNORECASE)
+
+
 def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
-    """Compile one measure into (alias, pandas-evaluator, spark-type-fn).
-    The evaluator gets (span_pdf, span_codes, match_no)."""
-    m = _MEASURE_FORMS.match(expr.strip())
+    """Compile one measure into (alias, pandas-evaluator, spark-type-fn,
+    running). The evaluator gets (span_pdf, span_codes, match_no).
+    ``running`` is the explicit RUNNING prefix: under ALL ROWS PER
+    MATCH the measure is re-evaluated over each row's PREFIX of the
+    match (SQL:2016 running semantics; our UNPREFIXED default stays
+    FINAL — a documented deviation, the standard defaults ALL ROWS
+    measures to running); under ONE ROW PER MATCH running and final
+    coincide (both evaluate at the match's last row)."""
+    expr = expr.strip()
+    pm = _SEMANTICS_PREFIX.match(expr)
+    running = False
+    if pm:
+        running = pm.group(1).upper() == "RUNNING"
+        expr = expr[pm.end():].strip()
+    m = _MEASURE_FORMS.match(expr)
     if not m:
         raise ValueError(
             f"MATCH_RECOGNIZE: unsupported measure {expr!r} (supported: "
@@ -154,7 +173,10 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
             f"SUM/AVG/MIN/MAX(S.col))"
         )
     if m.group("mn"):
-        return alias, (lambda pdf, codes, n: n), (lambda sch: T.LongType())
+        return (
+            alias, (lambda pdf, codes, n: n), (lambda sch: T.LongType()),
+            running,
+        )
     if m.group("clf"):
         # ONE ROW PER MATCH: classifier of the match's LAST row (final
         # semantics); ALL ROWS PER MATCH overrides this per-row in run().
@@ -169,6 +191,7 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
             alias,
             (lambda pdf, codes, n, _m=names_by_char: _m.get(codes[-1])),
             (lambda sch: T.StringType()),
+            running,
         )
     if m.group("agg"):
         # FINAL aggregate over the match's rows (optionally restricted to
@@ -204,11 +227,16 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
                     return T.DoubleType()
             return dt
 
-        return alias, ev_agg, ty_agg
+        return alias, ev_agg, ty_agg, running
     if m.group("csym") is not None or expr.strip().upper().startswith("COUNT"):
         sym = m.group("csym")
         if sym is None:
-            return alias, (lambda pdf, codes, n: len(pdf)), (lambda sch: T.LongType())
+            return (
+                alias,
+                (lambda pdf, codes, n: len(pdf)),
+                (lambda sch: T.LongType()),
+                running,
+            )
         if sym not in sym_chars:
             raise ValueError(f"MATCH_RECOGNIZE: COUNT over unknown symbol {sym!r}")
         ch = sym_chars[sym]
@@ -216,6 +244,7 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
             alias,
             (lambda pdf, codes, n: sum(1 for c in codes if c in ch)),
             (lambda sch: T.LongType()),
+            running,
         )
     first = m.group("fl").upper() == "FIRST"
     sym, col = m.group("sym"), m.group("col")
@@ -236,7 +265,7 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
     def ty(sch, _col=col):
         return sch[_col].dataType
 
-    return alias, ev, ty
+    return alias, ev, ty, running
 
 
 def compile_symbols(
@@ -640,7 +669,7 @@ def match_recognize(
     parsed = [_parse_measure(e, a, measure_syms) for e, a in measures]
     in_schema = df.schema
     shadowed = set(in_schema.fieldNames()) if all_rows else set(partition_by)
-    clashes = {a for a, _, _ in parsed} & shadowed
+    clashes = {a for a, _, _, _ in parsed} & shadowed
     if clashes:
         raise ValueError(
             f"MATCH_RECOGNIZE: measure aliases shadow "
@@ -650,20 +679,21 @@ def match_recognize(
     if all_rows:
         out_schema = T.StructType(
             list(in_schema)
-            + [T.StructField(a, ty(in_schema)) for a, _, ty in parsed]
+            + [T.StructField(a, ty(in_schema)) for a, _, ty, _ in parsed]
         )
     else:
         out_schema = T.StructType(
             [in_schema[k] for k in partition_by]
-            + [T.StructField(a, ty(in_schema)) for a, _, ty in parsed]
+            + [T.StructField(a, ty(in_schema)) for a, _, ty, _ in parsed]
         )
     names_by_char = {c: s for s, c in sym_chars.items()}
-    classifier_aliases = {
-        a
-        for (e, a) in measures
-        if _MEASURE_FORMS.match(e.strip()) and
-        _MEASURE_FORMS.match(e.strip()).group("clf")
-    }
+
+    def _is_clf(e: str) -> bool:
+        e = _SEMANTICS_PREFIX.sub("", e.strip())
+        mm = _MEASURE_FORMS.match(e)
+        return bool(mm and mm.group("clf"))
+
+    classifier_aliases = {a for (e, a) in measures if _is_clf(e)}
 
     def scan_in_automaton(pdf) -> list[tuple[int, int, str]]:
         size = len(pdf)
@@ -695,14 +725,22 @@ def match_recognize(
             frames = []
             for n, (lo, hi, scodes) in enumerate(spans, start=1):
                 span = pdf.iloc[lo:hi].drop(columns=aux_cols)
-                for a, ev, _ in parsed:
-                    span = span.assign(
-                        **{
-                            a: [names_by_char.get(c) for c in scodes]
-                            if a in classifier_aliases
-                            else ev(pdf.iloc[lo:hi], scodes, n)
-                        }
-                    )
+                for a, ev, _, running in parsed:
+                    if a in classifier_aliases:
+                        vals = [names_by_char.get(c) for c in scodes]
+                    elif running:
+                        # RUNNING: re-evaluate over each row's prefix of
+                        # the match (O(span²) per measure — spans are
+                        # funnels, tens of rows; correctness by reuse of
+                        # the FINAL evaluator beats a second cumulative
+                        # implementation that could drift from it)
+                        vals = [
+                            ev(pdf.iloc[lo : lo + i + 1], scodes[: i + 1], n)
+                            for i in range(hi - lo)
+                        ]
+                    else:
+                        vals = ev(pdf.iloc[lo:hi], scodes, n)
+                    span = span.assign(**{a: vals})
                 frames.append(span)
             if not frames:
                 # object-dtype empties: a zero-match partition must not
@@ -720,7 +758,8 @@ def match_recognize(
             span = pdf.iloc[lo:hi]
             for k, v in zip(partition_by, key):
                 out[k].append(v)
-            for a, ev, _ in parsed:
+            # ONE ROW PER MATCH: running == final (last-row evaluation)
+            for a, ev, _, _ in parsed:
                 out[a].append(ev(span, scodes, n))
         # object dtype throughout: values carry their own types (Arrow
         # casts per value), and zero-match groups stay castable to ANY

@@ -965,3 +965,57 @@ def test_within_interval_on_timestamps(spark):
         """
     ).collect()
     assert [r.user_id for r in got] == [1]
+
+
+def test_running_measures_all_rows(spark):
+    """RUNNING-prefixed measures under ALL ROWS PER MATCH re-evaluate
+    over each row's prefix of the match; the unprefixed default stays
+    FINAL (documented deviation); ONE ROW PER MATCH treats RUNNING and
+    FINAL identically (last-row evaluation)."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 10.0),
+            (1, 2, "click", 4.0),
+            (1, 3, "click", None),
+            (1, 4, "purchase", 30.0),
+        ],
+        ["user_id", "seq", "event_type", "value"],
+    )
+    df.createOrReplaceTempView("running_ev")
+    bc = Context(spark=spark)
+    out = bc.sql(
+        """
+        SELECT seq, rc, rsum, rlast, fsum FROM running_ev MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES RUNNING COUNT(*) AS rc,
+                     RUNNING SUM(value) AS rsum,
+                     RUNNING LAST(seq) AS rlast,
+                     SUM(value) AS fsum
+            ALL ROWS PER MATCH
+            PATTERN (V C* P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        ) ORDER BY seq
+        """
+    ).collect()
+    assert [r.rc for r in out] == [1, 2, 3, 4]
+    assert [r.rsum for r in out] == [10.0, 14.0, 14.0, 44.0]  # NULL skipped
+    assert [r.rlast for r in out] == [1, 2, 3, 4]
+    assert [r.fsum for r in out] == [44.0] * 4  # FINAL stays constant
+
+    # ONE ROW PER MATCH: running == final
+    one = bc.sql(
+        """
+        SELECT rc, fc FROM running_ev MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES RUNNING COUNT(*) AS rc, FINAL COUNT(*) AS fc
+            ONE ROW PER MATCH
+            PATTERN (V C* P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        )
+        """
+    ).collect()
+    assert [(r.rc, r.fc) for r in one] == [(4, 4)]
