@@ -22,6 +22,8 @@ Spark-SQL path in ``classify_symbols``):
     not      := NOT not | cmp
     cmp      := add ((= | == | <> | != | <= | >= | < | >) add)?
               | add IS [NOT] NULL
+              | add [NOT] BETWEEN add AND add
+              | add [NOT] IN ( literal [, literal]* )
     add      := mul ((+ | -) mul)*
     mul      := unary ((* | / | %) unary)*
     unary    := - unary | primary
@@ -69,7 +71,8 @@ _UNITS = {
     "WEEK": "weeks",
 }
 _KEYWORDS = (
-    {"AND", "OR", "NOT", "TRUE", "FALSE", "NULL", "IS", "INTERVAL"}
+    {"AND", "OR", "NOT", "TRUE", "FALSE", "NULL", "IS", "INTERVAL",
+     "BETWEEN", "IN"}
     | _NAV_FNS
     | set(_UNITS)
     | {u + "S" for u in _UNITS}
@@ -299,7 +302,74 @@ def compile_predicate(sql: str, columns: list[str], sym_chars: dict[str, str]):
 
     def parse_cmp():
         a = parse_add()
+        negate_next = False
+        if peek() == ("kw", "NOT") and tokens[pos + 1][1] in ("BETWEEN", "IN"):
+            take()
+            negate_next = True
+
+        def _maybe_not(f):
+            if not negate_next:
+                return f
+            return lambda ctx, _f=f: (None if (v := _f(ctx)) is None else not v)
+
         t = peek()
+        if t == ("kw", "BETWEEN"):
+            take()
+            lo = parse_add()
+            take("kw", "AND")
+            hi = parse_add()
+
+            def between(ctx, _a=a, _lo=lo, _hi=hi):
+                ge = _cmp(">=", _a(ctx), _lo(ctx))
+                le = _cmp("<=", _a(ctx), _hi(ctx))
+                if ge is False or le is False:
+                    return False
+                if ge is None or le is None:
+                    return None
+                return True
+
+            return _maybe_not(between)
+        if t == ("kw", "IN"):
+            take()
+            take("op", "(")
+            elems = []
+            while True:
+                k, v = take()
+                if k == "num" or k == "str":
+                    elems.append(v)
+                elif (k, v) == ("kw", "NULL"):
+                    elems.append(None)
+                elif (k, v) == ("kw", "TRUE"):
+                    elems.append(True)
+                elif (k, v) == ("kw", "FALSE"):
+                    elems.append(False)
+                else:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE DEFINE: IN list takes literals, "
+                        f"got {v!r} in {sql!r}"
+                    )
+                if peek() == ("op", ","):
+                    take()
+                    continue
+                break
+            take("op", ")")
+            has_null = any(e is None for e in elems)
+            vals = tuple(e for e in elems if e is not None)
+
+            def isin(ctx, _a=a, _vals=vals, _null=has_null):
+                v = _a(ctx)
+                if v is None:
+                    return None
+                if any(_cmp("=", v, e) is True for e in _vals):
+                    return True
+                return None if _null else False
+
+            return _maybe_not(isin)
+        if negate_next:
+            raise ValueError(
+                f"MATCH_RECOGNIZE DEFINE: NOT here must precede BETWEEN or "
+                f"IN in {sql!r}"
+            )
         if t == ("kw", "IS"):
             take()
             negate = False

@@ -1019,3 +1019,39 @@ def test_running_measures_all_rows(spark):
         """
     ).collect()
     assert [(r.rc, r.fc) for r in one] == [(4, 4)]
+
+
+def test_mr_expr_between_in_matches_duckdb():
+    """BETWEEN / IN (with NULL-in-list semantics) in the nav grammar,
+    differentialed against DuckDB's 3VL like the core operators."""
+    import duckdb
+
+    from blazingsql_spark.operators.mr_expr import MatchCtx, compile_predicate
+
+    con = duckdb.connect()
+    vals = [None, -3, 0, 2, 5, 9]
+    preds = [
+        "a BETWEEN b AND c",
+        "a NOT BETWEEN b AND c",
+        "(a + 1) BETWEEN b AND (c * 2)",
+        "a IN (2, 5)",
+        "a NOT IN (2, 5)",
+        "a IN (2, NULL)",
+        "a NOT IN (2, NULL)",
+        "a IN (2, 5) OR b IS NULL",
+    ]
+    for pred in preds:
+        f, _ = compile_predicate(pred, ["a", "b", "c"], {})
+        for a in vals:
+            for b in vals:
+                for c in vals:
+                    got = f(MatchCtx({"a": [a], "b": [b], "c": [c]}, 0, 0, 1, {}))
+                    sql = pred
+                    for name, v in (("a", a), ("b", b), ("c", c)):
+                        sql = re.sub(
+                            rf"\b{name}\b", "NULL" if v is None else str(v), sql
+                        )
+                    want = con.execute(
+                        f"SELECT COALESCE(({sql}), FALSE)"
+                    ).fetchone()[0]
+                    assert got == bool(want), (pred, a, b, c, got, want)
