@@ -149,21 +149,36 @@ _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _SEMANTICS_PREFIX = re.compile(r"^(RUNNING|FINAL)\s+", re.IGNORECASE)
 
 
+class _Measure(__import__("typing").NamedTuple):
+    alias: str
+    ev: object  # (span_pdf, span_codes, match_no) -> scalar
+    ty: object  # (input schema) -> Spark DataType
+    running: bool  # explicit RUNNING prefix
+    is_clf: bool  # CLASSIFIER() measure
+    explicit_final: bool  # explicit FINAL prefix
+
+
 def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
-    """Compile one measure into (alias, pandas-evaluator, spark-type-fn,
-    running). The evaluator gets (span_pdf, span_codes, match_no).
-    ``running`` is the explicit RUNNING prefix: under ALL ROWS PER
-    MATCH the measure is re-evaluated over each row's PREFIX of the
-    match (SQL:2016 running semantics; our UNPREFIXED default stays
-    FINAL — a documented deviation, the standard defaults ALL ROWS
-    measures to running); under ONE ROW PER MATCH running and final
-    coincide (both evaluate at the match's last row)."""
+    """Compile one measure into a _Measure. The evaluator gets
+    (span_pdf, span_codes, match_no). ``running`` is the explicit
+    RUNNING prefix: under ALL ROWS PER MATCH the measure is
+    re-evaluated over each row's PREFIX of the match (SQL:2016 running
+    semantics; our UNPREFIXED default stays FINAL — a documented
+    deviation, the standard defaults ALL ROWS measures to running,
+    EXCEPT bare CLASSIFIER() which stays per-row there; an explicit
+    FINAL CLASSIFIER() is the constant last-row symbol); under ONE ROW
+    PER MATCH running and final coincide."""
     expr = expr.strip()
     pm = _SEMANTICS_PREFIX.match(expr)
-    running = False
+    running = explicit_final = False
     if pm:
         running = pm.group(1).upper() == "RUNNING"
+        explicit_final = not running
         expr = expr[pm.end():].strip()
+
+    def mk(ev, ty, is_clf=False):
+        return _Measure(alias, ev, ty, running, is_clf, explicit_final)
+
     m = _MEASURE_FORMS.match(expr)
     if not m:
         raise ValueError(
@@ -173,10 +188,7 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
             f"SUM/AVG/MIN/MAX(S.col))"
         )
     if m.group("mn"):
-        return (
-            alias, (lambda pdf, codes, n: n), (lambda sch: T.LongType()),
-            running,
-        )
+        return mk(lambda pdf, codes, n: n, lambda sch: T.LongType())
     if m.group("clf"):
         # ONE ROW PER MATCH: classifier of the match's LAST row (final
         # semantics); ALL ROWS PER MATCH overrides this per-row in run().
@@ -187,11 +199,10 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
         for s_, c_ in sym_chars.items():
             if len(c_) == 1:
                 names_by_char.setdefault(c_, s_)
-        return (
-            alias,
-            (lambda pdf, codes, n, _m=names_by_char: _m.get(codes[-1])),
-            (lambda sch: T.StringType()),
-            running,
+        return mk(
+            lambda pdf, codes, n, _m=names_by_char: _m.get(codes[-1]),
+            lambda sch: T.StringType(),
+            is_clf=True,
         )
     if m.group("agg"):
         # FINAL aggregate over the match's rows (optionally restricted to
@@ -227,24 +238,17 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
                     return T.DoubleType()
             return dt
 
-        return alias, ev_agg, ty_agg, running
+        return mk(ev_agg, ty_agg)
     if m.group("csym") is not None or expr.strip().upper().startswith("COUNT"):
         sym = m.group("csym")
         if sym is None:
-            return (
-                alias,
-                (lambda pdf, codes, n: len(pdf)),
-                (lambda sch: T.LongType()),
-                running,
-            )
+            return mk(lambda pdf, codes, n: len(pdf), lambda sch: T.LongType())
         if sym not in sym_chars:
             raise ValueError(f"MATCH_RECOGNIZE: COUNT over unknown symbol {sym!r}")
         ch = sym_chars[sym]
-        return (
-            alias,
-            (lambda pdf, codes, n: sum(1 for c in codes if c in ch)),
-            (lambda sch: T.LongType()),
-            running,
+        return mk(
+            lambda pdf, codes, n: sum(1 for c in codes if c in ch),
+            lambda sch: T.LongType(),
         )
     first = m.group("fl").upper() == "FIRST"
     sym, col = m.group("sym"), m.group("col")
@@ -265,7 +269,7 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
     def ty(sch, _col=col):
         return sch[_col].dataType
 
-    return alias, ev, ty, running
+    return mk(ev, ty)
 
 
 def compile_symbols(
@@ -624,6 +628,20 @@ def match_recognize(
         or mr_expr.is_symbol_relative(p, list(measure_syms))
     }
     within_dur = _parse_within(within) if within is not None else None
+    if within_dur is not None:
+        import pandas as pd_
+
+        key_t = df.schema[order_by[0]].dataType
+        is_time = isinstance(
+            key_t, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        )
+        if is_time != isinstance(within_dur, pd_.Timedelta):
+            raise ValueError(
+                f"MATCH_RECOGNIZE: WITHIN {within!r} does not fit the "
+                f"first ORDER BY key {order_by[0]!r} of type "
+                f"{key_t.simpleString()} — use an INTERVAL for "
+                f"timestamp/date keys and a plain number for numeric keys"
+            )
     route_auto = bool(symrel_preds) or within_dur is not None
     if route_auto:
         vec_define = {s: p for s, p in define.items() if s not in symrel_preds}
@@ -669,7 +687,7 @@ def match_recognize(
     parsed = [_parse_measure(e, a, measure_syms) for e, a in measures]
     in_schema = df.schema
     shadowed = set(in_schema.fieldNames()) if all_rows else set(partition_by)
-    clashes = {a for a, _, _, _ in parsed} & shadowed
+    clashes = {m_.alias for m_ in parsed} & shadowed
     if clashes:
         raise ValueError(
             f"MATCH_RECOGNIZE: measure aliases shadow "
@@ -679,21 +697,14 @@ def match_recognize(
     if all_rows:
         out_schema = T.StructType(
             list(in_schema)
-            + [T.StructField(a, ty(in_schema)) for a, _, ty, _ in parsed]
+            + [T.StructField(m_.alias, m_.ty(in_schema)) for m_ in parsed]
         )
     else:
         out_schema = T.StructType(
             [in_schema[k] for k in partition_by]
-            + [T.StructField(a, ty(in_schema)) for a, _, ty, _ in parsed]
+            + [T.StructField(m_.alias, m_.ty(in_schema)) for m_ in parsed]
         )
     names_by_char = {c: s for s, c in sym_chars.items()}
-
-    def _is_clf(e: str) -> bool:
-        e = _SEMANTICS_PREFIX.sub("", e.strip())
-        mm = _MEASURE_FORMS.match(e)
-        return bool(mm and mm.group("clf"))
-
-    classifier_aliases = {a for (e, a) in measures if _is_clf(e)}
 
     def scan_in_automaton(pdf) -> list[tuple[int, int, str]]:
         size = len(pdf)
@@ -725,8 +736,11 @@ def match_recognize(
             frames = []
             for n, (lo, hi, scodes) in enumerate(spans, start=1):
                 span = pdf.iloc[lo:hi].drop(columns=aux_cols)
-                for a, ev, _, running in parsed:
-                    if a in classifier_aliases:
+                for a, ev, _, running, is_clf, explicit_final in parsed:
+                    if is_clf and not explicit_final:
+                        # bare (or RUNNING) CLASSIFIER(): per-row symbol;
+                        # an explicit FINAL CLASSIFIER() falls through to
+                        # the constant last-row evaluation
                         vals = [names_by_char.get(c) for c in scodes]
                     elif running:
                         # RUNNING: re-evaluate over each row's prefix of
@@ -759,8 +773,8 @@ def match_recognize(
             for k, v in zip(partition_by, key):
                 out[k].append(v)
             # ONE ROW PER MATCH: running == final (last-row evaluation)
-            for a, ev, _, _ in parsed:
-                out[a].append(ev(span, scodes, n))
+            for m_ in parsed:
+                out[m_.alias].append(m_.ev(span, scodes, n))
         # object dtype throughout: values carry their own types (Arrow
         # casts per value), and zero-match groups stay castable to ANY
         # measure type instead of defaulting to float64

@@ -320,8 +320,9 @@ def compile_predicate(sql: str, columns: list[str], sym_chars: dict[str, str]):
             hi = parse_add()
 
             def between(ctx, _a=a, _lo=lo, _hi=hi):
-                ge = _cmp(">=", _a(ctx), _lo(ctx))
-                le = _cmp("<=", _a(ctx), _hi(ctx))
+                v = _a(ctx)
+                ge = _cmp(">=", v, _lo(ctx))
+                le = _cmp("<=", v, _hi(ctx))
                 if ge is False or le is False:
                     return False
                 if ge is None or le is None:
@@ -335,6 +336,9 @@ def compile_predicate(sql: str, columns: list[str], sym_chars: dict[str, str]):
             elems = []
             while True:
                 k, v = take()
+                if (k, v) == ("op", "-"):
+                    k, v = take("num")
+                    v = -v
                 if k == "num" or k == "str":
                     elems.append(v)
                 elif (k, v) == ("kw", "NULL"):

@@ -1153,9 +1153,17 @@ class TopKIngest:
         self.depth = int(depth)
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
         from blazingsql_spark.functions import sketches
         from blazingsql_spark.sources import manifest as mf
 
+        # NULL items are EXCLUDED up front: cms_sketch drops them but
+        # space_saving stringifies them, and that mismatch would surface
+        # a phantom 'None' candidate whose merged-sketch estimate is
+        # pure collision noise (count nulls upstream if they matter —
+        # the same contract as cms_sketch/categorical_fit)
+        batch = batch.filter(F.col(self.col).isNotNull())
         cms = sketches.cms_sketch(batch, self.col, self.width, self.depth)
         mf.write_epoch_partition(cms, f"{self.path}/cms", int(epoch_id))
         cands = sketches.space_saving_topk(

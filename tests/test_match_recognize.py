@@ -872,12 +872,8 @@ def test_within_match_duration_bound(spark):
         "C": "event_type = 'click'",
         "P": "event_type = 'purchase'",
     }
-    via_within = match_recognize(
-        df, ["user_id"], ["seq"], meas, "V C* P", dict(base_define),
-        within=6,
-    )
-    # note: 'seq' orders identically to 't' here, but WITHIN bounds the
-    # FIRST ORDER BY key — so order by t for the budget to apply to t
+    # WITHIN bounds the FIRST ORDER BY key — order by t so the budget
+    # applies to t (not the integer seq)
     via_within = match_recognize(
         df, ["user_id"], ["t", "seq"], meas, "V C* P", dict(base_define),
         within=6,
@@ -1055,3 +1051,47 @@ def test_mr_expr_between_in_matches_duckdb():
                         f"SELECT COALESCE(({sql}), FALSE)"
                     ).fetchone()[0]
                     assert got == bool(want), (pred, a, b, c, got, want)
+
+
+def test_second_review_regressions(spark):
+    """Second review pass on the extension additions: (1) FINAL
+    CLASSIFIER() under ALL ROWS is the constant last-row symbol, not
+    per-row; (2) negative literals parse in IN lists; (3) a WITHIN spec
+    whose type mismatches the order key raises at plan time, not as a
+    deep executor TypeError."""
+    df = spark.createDataFrame(
+        [(1, 1, "view", 1.0), (1, 2, "click", -1.0), (1, 3, "purchase", 2.0)],
+        ["user_id", "seq", "event_type", "value"],
+    )
+    define = {
+        "V": "event_type = 'view'",
+        "C": "event_type = 'click'",
+        "P": "event_type = 'purchase'",
+    }
+    out = match_recognize(
+        df, ["user_id"], ["seq"],
+        [("CLASSIFIER()", "per_row"), ("FINAL CLASSIFIER()", "last_sym")],
+        "V C P", dict(define), all_rows=True,
+    ).orderBy("seq").collect()
+    assert [r.per_row for r in out] == ["V", "C", "P"]
+    assert [r.last_sym for r in out] == ["P", "P", "P"]
+
+    from blazingsql_spark.operators.mr_expr import MatchCtx, compile_predicate
+
+    f, _ = compile_predicate("v IN (-1, 1)", ["v"], {})
+    assert f(MatchCtx({"v": [-1]}, 0, 0, 1, {}))
+    assert not f(MatchCtx({"v": [2]}, 0, 0, 1, {}))
+
+    import pytest as _pt
+
+    ts_df = df.withColumn("ts", F.to_timestamp(F.lit("2026-01-01")))
+    with _pt.raises(ValueError, match="WITHIN.*does not fit"):
+        match_recognize(
+            ts_df, ["user_id"], ["ts", "seq"], [("COUNT(*)", "n")],
+            "V C P", dict(define), within=3600,
+        )
+    with _pt.raises(ValueError, match="WITHIN.*does not fit"):
+        match_recognize(
+            df, ["user_id"], ["seq"], [("COUNT(*)", "n")],
+            "V C P", dict(define), within="1 HOUR",
+        )

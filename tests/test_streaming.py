@@ -1539,14 +1539,27 @@ def test_top_k_ingest_equals_batch_and_replays(spark, tmp_path):
 
     # capacity pressure: 500-id uniform background + 5 planted heavies
     heavy = [f"hot{i}" for i in range(5)]
-    rows2 = [(f"bg{i % 500}",) for i in range(2500)] + [
-        (h,) for h in heavy for _ in range(200)
+    rows2 = [(i, f"bg{i % 500}") for i in range(2500)] + [
+        (2500 + j, h) for j, h in enumerate(h for h in heavy for _ in range(200))
     ]
-    df2 = spark.createDataFrame(rows2, "item string")
+    df2 = spark.createDataFrame(rows2, "idx long, item string")
     h2 = TopKIngest(spark, str(tmp_path / "topk2"), "item", capacity=64)
-    h2(df2.filter(F.length("item") <= 5), 0)
-    h2(df2.filter(F.length("item") > 5), 1)
+    # EVERY item (heavies included) split across both epochs, so the
+    # candidate-set union + cross-epoch CMS merge is what recovers them
+    e0 = df2.filter(F.col("idx") % 2 == 0).select("item")
+    e1 = df2.filter(F.col("idx") % 2 == 1).select("item")
+    assert e0.count() > 0 and e1.count() > 0
+    h2(e0, 0)
+    h2(e1, 1)
     top5 = h2.read_topk(5).collect()
     assert sorted(r.item for r in top5) == heavy
     for r in top5:
         assert r.est >= 200  # CMS never undercounts
+
+    # NULL items are excluded by contract, never a phantom 'None' item
+    withnull = df2.select(
+        F.when(F.col("idx") % 3 == 0, None).otherwise(F.col("item")).alias("item")
+    )
+    h3 = TopKIngest(spark, str(tmp_path / "topk3"), "item", capacity=64)
+    h3(withnull, 0)
+    assert all(r.item != "None" for r in h3.read_topk(64).collect())
