@@ -12,7 +12,9 @@ covers the common funnel/sessionization queries:
 - ``PARTITION BY`` keys, ``ORDER BY`` keys (ASC, with stable tiebreak
   columns listed explicitly);
 - ``PATTERN`` over the regular core: symbols, concatenation, ``|``,
-  ``(...)``, postfix ``* + ?`` (greedy, leftmost-longest);
+  ``(...)``, postfix ``* + ?`` (greedy, leftmost-longest), and
+  ``PERMUTE(A, B, ...)`` (expanded to the alternation of all orderings,
+  <= 6 elements);
 - ``AFTER MATCH SKIP``: PAST LAST ROW (default, non-overlapping),
   TO NEXT ROW (overlapping matches), TO FIRST/LAST <sym> (resume at a
   mapped row; the SQL:2016 runtime errors — unmapped symbol, resume at
@@ -62,6 +64,7 @@ per key for the patterns the syntax admits.
 from __future__ import annotations
 
 import re
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -149,7 +152,7 @@ _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _SEMANTICS_PREFIX = re.compile(r"^(RUNNING|FINAL)\s+", re.IGNORECASE)
 
 
-class _Measure(__import__("typing").NamedTuple):
+class _Measure(NamedTuple):
     alias: str
     ev: object  # (span_pdf, span_codes, match_no) -> scalar
     ty: object  # (input schema) -> Spark DataType
@@ -272,14 +275,50 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
     return mk(ev, ty)
 
 
+_PERMUTE = re.compile(r"\bPERMUTE\s*\(([^()]*)\)", re.IGNORECASE)
+
+
+def _expand_permute(pattern: str) -> str:
+    """Expand SQL:2016 ``PERMUTE(A, B, C)`` into the alternation of all
+    orderings — lexicographic by argument position, the standard's
+    preference order, which under this scanner's leftmost-longest
+    discipline only matters for equal-length alternatives anyway.
+    Bounded at 6 elements (720 branches); bare symbols only."""
+    import itertools
+
+    def sub(m: re.Match) -> str:
+        parts = [p.strip() for p in m.group(1).split(",") if p.strip()]
+        if not parts:
+            raise ValueError("MATCH_RECOGNIZE: empty PERMUTE()")
+        if len(parts) > 6:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: PERMUTE of {len(parts)} elements expands "
+                f"to {len(parts)}! branches — 6 is the supported maximum"
+            )
+        for p_ in parts:
+            if not re.fullmatch(r"\w+", p_):
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: PERMUTE takes bare symbols, got {p_!r}"
+                )
+        return (
+            "("
+            + "|".join(" ".join(o) for o in itertools.permutations(parts))
+            + ")"
+        )
+
+    return _PERMUTE.sub(sub, pattern)
+
+
 def compile_symbols(
     pattern: str, define: dict[str, str]
 ) -> tuple[list[str], dict[str, str], _Nfa]:
     """Resolve PATTERN symbols to the single-char NFA alphabet (a-z then
     A-Z — letters only; indexing past 'z' into NFA metacharacters like
     '|' would silently change the pattern's meaning) and compile the
-    NFA. Shared by the batch operator and the streaming twin."""
+    NFA. PERMUTE(A, B, ...) expands to the alternation of all orderings
+    first. Shared by the batch operator and the streaming twin."""
     alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    pattern = _expand_permute(pattern)
     names = list(dict.fromkeys(re.findall(r"\w+", pattern)))
     if not names:
         raise ValueError(f"MATCH_RECOGNIZE: empty PATTERN {pattern!r}")

@@ -497,3 +497,56 @@ def sketch_hll_intersect(spark, sf_dir):
             ).alias("within_bound"),
         )
     )
+
+
+@register(
+    "events_mr_permute",
+    oracle="""
+    WITH coded AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' ELSE 's' END AS code
+        FROM events
+    ), seqs AS (
+        SELECT user_id,
+               STRING_AGG(code, '' ORDER BY ts, event_id) AS seq
+        FROM coded GROUP BY user_id
+    ), m AS (
+        SELECT user_id, regexp_extract_all(seq, 'v(cp|pc)') AS ms FROM seqs
+    )
+    SELECT user_id, CAST(LEN(ms) AS BIGINT) AS n_matches
+    FROM m WHERE LEN(ms) > 0 ORDER BY user_id
+    """,
+    doc="SQL:2016 PERMUTE in PATTERN (order-free element sets, expanded "
+    "to the alternation of all orderings before NFA compilation): a "
+    "view followed by a click and a purchase IN EITHER ORDER. The "
+    "DuckDB twin replays the expansion literally — regexp v(cp|pc) "
+    "over per-user code strings, the events_pattern_match oracle "
+    "scheme — so the expansion semantics are what is checked",
+)
+def events_mr_permute(spark, sf_dir):
+    """PERMUTE through the SQL spelling (rewriter -> operator -> NFA).
+    Same scale shape as every row-pattern row: one codegen
+    classification, one per-key applyInPandas scan, one exchange."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(*) AS len
+            ONE ROW PER MATCH
+            PATTERN (V PERMUTE(C, P))
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        )
+        GROUP BY user_id
+        ORDER BY user_id
+        """
+    )

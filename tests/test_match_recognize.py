@@ -1095,3 +1095,37 @@ def test_second_review_regressions(spark):
             df, ["user_id"], ["seq"], [("COUNT(*)", "n")],
             "V C P", dict(define), within="1 HOUR",
         )
+
+
+def test_permute_pattern(spark):
+    """PERMUTE(A, B) matches both orders; expansion bounds and bare-
+    symbol restriction raise loudly; quantifiers compose around it."""
+    from blazingsql_spark.operators.match_recognize import _expand_permute
+
+    assert _expand_permute("V PERMUTE(C, P)") == "V (C P|P C)"
+    assert _expand_permute("PERMUTE(A, B, C)").count("|") == 5
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 0), (1, 2, "click", 0), (1, 3, "purchase", 0),
+            (2, 1, "view", 0), (2, 2, "purchase", 0), (2, 3, "click", 0),
+            (3, 1, "view", 0), (3, 2, "click", 0), (3, 3, "click", 0),
+        ],
+        ["user_id", "seq", "event_type", "x"],
+    )
+    out = match_recognize(
+        df, ["user_id"], ["seq"], [("COUNT(*)", "n")],
+        "V PERMUTE(C, P)",
+        {"V": "event_type = 'view'", "C": "event_type = 'click'",
+         "P": "event_type = 'purchase'"},
+    )
+    assert sorted(r.user_id for r in out.collect()) == [1, 2]  # both orders
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="6 is the supported maximum"):
+        _expand_permute("PERMUTE(A, B, C, D, E, F, G)")
+    with _pt.raises(ValueError, match="bare symbols"):
+        _expand_permute("PERMUTE(A+, B)")
+    with _pt.raises(ValueError, match="empty PERMUTE"):
+        _expand_permute("PERMUTE( )")
