@@ -1220,3 +1220,60 @@ def run_top_k_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class DistinctCountIngest:
+    """foreachBatch handler maintaining a PERSISTED HLL distinct count:
+    each micro-batch aggregates to ONE DataSketches HLL binary
+    (hll_sketch_agg — bounded, cardinality-independent state) landed in
+    its own replay-idempotent epoch partition; the queryable estimate
+    unions the live epochs with hll_union_agg. Completes the streaming
+    sketch family (quantiles: QuantileSketchIngest; frequency/top-k:
+    TopKIngest; membership: BloomCorpusIngest; distinct: here) with the
+    same manifest + epoch-overwrite discipline throughout. Exact
+    mergeability is the HLL contract: union-of-epoch-sketches equals
+    the sketch of the union, so the streaming estimate is bit-identical
+    to the batch estimate on the same rows (both go through the same
+    Spark DataSketches implementation)."""
+
+    def __init__(self, spark: SparkSession, path: str, col: str):
+        self.spark = spark
+        self.path = path
+        self.col = col
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from blazingsql_spark.sources import manifest as mf
+
+        sk = batch.agg(F.hll_sketch_agg(self.col).alias("sk"))
+        mf.write_epoch_partition(sk, self.path, int(epoch_id))
+
+    def estimate(self) -> int:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from blazingsql_spark.sources import manifest as mf
+
+        man = mf.read_manifest(self.spark, self.path)
+        live = mf.read_live(self.spark, self.path, man)
+        row = live.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        ).collect()[0]
+        return int(row.est) if row.est is not None else 0
+
+
+def run_distinct_count_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Wire an item stream through the distinct-count maintainer."""
+    handler = DistinctCountIngest(spark, path, **kwargs)
+    return (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

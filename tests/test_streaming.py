@@ -1563,3 +1563,46 @@ def test_top_k_ingest_equals_batch_and_replays(spark, tmp_path):
     h3 = TopKIngest(spark, str(tmp_path / "topk3"), "item", capacity=64)
     h3(withnull, 0)
     assert all(r.item != "None" for r in h3.read_topk(64).collect())
+
+
+def test_distinct_count_ingest_equals_batch_and_replays(spark, tmp_path):
+    """Streaming HLL maintainer: the unioned-epoch estimate equals the
+    batch hll_sketch_estimate on the same rows EXACTLY (same sketch
+    implementation, merge is the HLL contract); replaying an epoch
+    changes nothing; small cardinalities are exact."""
+    from blazingsql_spark.streaming.ingest import (
+        DistinctCountIngest,
+        run_distinct_count_ingest,
+    )
+
+    rows = [(i, f"u{i % 321}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "idx long, item string")
+    src = str(tmp_path / "src_dc")
+    for i in range(3):
+        df.filter(F.col("idx") % 3 == i).select("item").write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/part*")
+    )
+    path = str(tmp_path / "dc")
+    q = run_distinct_count_ingest(
+        spark, stream, path, str(tmp_path / "ckpt_dc"), col="item"
+    )
+    q.awaitTermination(120)
+
+    handler = DistinctCountIngest(spark, path, "item")
+    want = int(
+        df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("item")).alias("e")
+        ).collect()[0].e
+    )
+    assert handler.estimate() == want == 321  # exact at this cardinality
+
+    extra = spark.read.parquet(f"{src}/part0")
+    handler(extra, 99)
+    once = handler.estimate()
+    handler(extra, 99)
+    assert handler.estimate() == once == want  # replay + same-universe epoch
