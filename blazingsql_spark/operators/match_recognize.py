@@ -306,7 +306,16 @@ def _expand_permute(pattern: str) -> str:
             + ")"
         )
 
-    return _PERMUTE.sub(sub, pattern)
+    out = _PERMUTE.sub(sub, pattern)
+    if re.search(r"\bPERMUTE\b", out, re.IGNORECASE):
+        # a parenthesized/nested argument list defeats the [^()]* body —
+        # without this check the leftover 'PERMUTE' word would become an
+        # always-true pattern SYMBOL and silently match wrong rows
+        raise ValueError(
+            f"MATCH_RECOGNIZE: malformed PERMUTE in {pattern!r} — "
+            f"arguments must be bare symbols (no nesting or parentheses)"
+        )
+    return out
 
 
 def compile_symbols(

@@ -1129,3 +1129,19 @@ def test_permute_pattern(spark):
         _expand_permute("PERMUTE(A+, B)")
     with _pt.raises(ValueError, match="empty PERMUTE"):
         _expand_permute("PERMUTE( )")
+
+
+def test_permute_nested_rejected():
+    """Third-review regression: a nested/parenthesized PERMUTE argument
+    list used to be silently left unexpanded, turning 'PERMUTE' into an
+    always-true pattern symbol — it must raise instead."""
+    import pytest as _pt
+
+    from blazingsql_spark.operators.match_recognize import _expand_permute
+
+    with _pt.raises(ValueError, match="malformed PERMUTE"):
+        _expand_permute("PERMUTE(PERMUTE(A, B), C)")
+    with _pt.raises(ValueError, match="malformed PERMUTE"):
+        _expand_permute("PERMUTE((A), B)")
+    # sane spellings still pass through
+    assert _expand_permute("V PERMUTE(A, B) W") == "V (A B|B A) W"
