@@ -550,3 +550,68 @@ def events_mr_permute(spark, sf_dir):
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "events_mr_all_rows",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), n AS (
+        SELECT user_id, rn, event_type,
+               MIN(CASE WHEN event_type <> 'click' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        FROM e
+    ), m AS (
+        SELECT a.user_id, a.rn AS lo, a.nxt AS hi,
+               ROW_NUMBER() OVER (PARTITION BY a.user_id
+                                  ORDER BY a.rn) AS mno
+        FROM n a JOIN e b ON b.user_id = a.user_id AND b.rn = a.nxt
+        WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    )
+    SELECT r.user_id, r.event_id,
+           CASE r.rn WHEN m.lo THEN 'V' WHEN m.hi THEN 'P'
+                ELSE 'C' END AS sym,
+           CAST(m.mno AS BIGINT) AS mno
+    FROM m JOIN e r
+      ON r.user_id = m.user_id AND r.rn BETWEEN m.lo AND m.hi
+    ORDER BY r.user_id, r.event_id
+    """,
+    doc="ALL ROWS PER MATCH through the SQL spelling: every matched "
+    "input row comes back with its per-row CLASSIFIER() and the "
+    "match's MATCH_NUMBER() — the row-expansion emit mode the "
+    "one-row-per-match rows never exercise. The DuckDB twin expands "
+    "each funnel span with a range join (rows BETWEEN the view and "
+    "its next-non-click purchase) and derives the classifier from the "
+    "row's position — every cell compared exactly",
+)
+def events_mr_all_rows(spark, sf_dir):
+    """Same funnel and scale shape as events_match_recognize; the
+    compared surface here is the ALL-ROWS row expansion (per-row
+    classifier, constant match number) rather than the per-match
+    aggregate."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id, event_id, sym, CAST(mno AS BIGINT) AS mno
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS sym
+            ALL ROWS PER MATCH
+            PATTERN (V C* P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        )
+        ORDER BY user_id, event_id
+        """
+    )
