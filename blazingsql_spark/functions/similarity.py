@@ -623,6 +623,70 @@ def ivf_topk(
     )
 
 
+def ivf_topk_filtered(
+    vectors: DataFrame,
+    queries: DataFrame,
+    filter_expr: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
+    selectivity: float | None = None,
+) -> DataFrame:
+    """Metadata-FILTERED approximate top-k — the FAISS IDSelector /
+    pgvector-WHERE serving shape: one index built over the WHOLE corpus
+    answers any predicate, because ``filter_expr`` (a Spark SQL boolean
+    over the corpus's metadata columns) prunes the inverted lists
+    BEFORE the rerank (pre-filtering — results can never leak excluded
+    rows, unlike post-filtering a fixed top-k which silently returns
+    fewer than k). The pruned lists come from an equi-join of the
+    assignment table back to the corpus metadata on ``id_col`` —
+    scale-safe, no broadcast of the corpus.
+
+    Filtering thins every list, so the probe count auto-widens by the
+    filter's selectivity (measured with one count if ``selectivity`` is
+    not given — pass it in serving paths that know it) up to all
+    centroids: recall at a 50% filter needs ~2x the probes of the
+    unfiltered query, the standard pre-filter trade."""
+    if prebuilt is not None:
+        cents, lists = prebuilt
+    else:
+        cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
+        lists = assign_to_centroids(vectors, cents, id_col, vec_col)
+    flt = (
+        lists.join(vectors.drop(vec_col), id_col)
+        .filter(F.expr(filter_expr))
+        .select(*lists.columns)
+    )
+    if n_probe is None:
+        if selectivity is None:
+            total = vectors.count()
+            kept = flt.count()
+            selectivity = kept / total if total else 1.0
+        import math
+
+        n_probe = min(
+            n_centroids,
+            math.ceil(auto_n_probe(n_centroids) / max(selectivity, 1e-9)),
+        )
+    return ivf_topk(
+        vectors,
+        queries,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        dim=dim,
+        prebuilt=(cents, flt),
+    )
+
+
 def ann_lsh_topk_multiprobe(
     vectors: DataFrame,
     queries: DataFrame,

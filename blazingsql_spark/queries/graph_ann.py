@@ -615,3 +615,51 @@ def events_mr_all_rows(spark, sf_dir):
         ORDER BY user_id, event_id
         """
     )
+
+
+@register(
+    "sim_ann_filtered",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_exact_results,
+           TRUE AS recall_ok,
+           TRUE AS no_leaks
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    doc="Metadata-FILTERED ANN (similarity.ivf_topk_filtered — the "
+    "FAISS IDSelector / pgvector-WHERE serving shape): one whole-corpus "
+    "IVF index answers a label predicate by pruning the inverted lists "
+    "BEFORE rerank, with the probe count auto-widened by the filter's "
+    "selectivity. Two gates: recall@5 >= 0.8 vs the exact top-k over "
+    "the FILTERED corpus, and no_leaks — an EXACT boolean that no "
+    "returned neighbor violates the predicate (pre-filtering's "
+    "defining guarantee vs post-filtering); the DuckDB twin asserts "
+    "both TRUE with exact query/result counts",
+)
+def sim_ann_filtered(spark, sf_dir):
+    """Filter: even labels (~50% selectivity — the probe widening is
+    live, 2x auto_n_probe). Exact baseline runs on the filtered corpus
+    so recall measures the ANN routing, not the filter. Scale shape:
+    the metadata prune is an id equi-join on the assignment table; the
+    rest is the accepted IVF shape (queries x broadcast(centroids)
+    routing + centroid_id equi-join candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flt = "label % 2 = 0"
+    exact = similarity.cosine_topk(emb.filter(flt), queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.ivf_topk_filtered(
+        emb, queries, flt, k=5, n_centroids=16
+    ).select("query_id", "vec_id")
+    leaks = (
+        approx.join(emb.filter(f"NOT ({flt})").select("vec_id"), "vec_id")
+        .count()
+    )
+    gate = _recall_gate(exact, approx.withColumn("hit", F.lit(1)), threshold=0.8)
+    return gate.select(
+        "n_queries", "n_exact_results", "recall_ok",
+        F.lit(leaks == 0).alias("no_leaks"),
+    )

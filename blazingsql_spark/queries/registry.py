@@ -671,7 +671,8 @@ _R5_STALE_FIRST_24 = (
     # events_markov + events_ohlc + events_top_paths roll to r11: the
     # r9-new rows (uint widening, match_recognize, ddsketch) took slots.
     # events_mr_navigation + events_mr_skip_overlap + events_mr_permute
-    # + events_mr_all_rows + sketch_hll_intersect (registered
+    # + events_mr_all_rows + sketch_hll_intersect + sim_ann_filtered
+    # (registered
     # post-r10-freeze in the r9 extension session) also roll to r11.
 )
 _R10_WINDOW_STAGED = (

@@ -2448,3 +2448,45 @@ def test_create_table_uint_pandas_nondefault_index(spark):
     df = bc.create_table("t_uint_idx", filtered)
     assert df.columns == ["u", "x"]
     assert df.count() == 3
+
+
+def test_ivf_topk_filtered_no_leaks_and_exact_at_full_probe(spark):
+    """Metadata-filtered ANN: (1) results NEVER contain rows the
+    predicate excludes (pre-filtering's defining guarantee); (2) with
+    every centroid probed it equals the exact filtered top-k row for
+    row; (3) the auto probe count widens by the filter's selectivity."""
+    import random as _r
+
+    from blazingsql_spark.functions import similarity
+
+    rnd = _r.Random(5)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flt = "label = 0"  # ~1/3 selectivity
+    approx = similarity.ivf_topk_filtered(
+        emb, queries, flt, k=5, n_centroids=8, dim=8
+    )
+    got = approx.collect()
+    bad = {r.vec_id for r in emb.filter(f"NOT ({flt})").collect()}
+    assert got and not ({r.vec_id for r in got} & bad)  # no leaks
+
+    # full probe == exact filtered top-k, row for row
+    full = similarity.ivf_topk_filtered(
+        emb, queries, flt, k=5, n_centroids=8, dim=8, n_probe=8
+    )
+    exact = similarity.cosine_topk(emb.filter(flt), queries, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+    # selectivity widening: 1/3 filter needs ~3x auto_n_probe
+    import math
+
+    base = similarity.auto_n_probe(8)
+    assert math.ceil(base / (1 / 3)) > base
