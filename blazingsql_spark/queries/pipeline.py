@@ -1111,6 +1111,28 @@ def ann_recall_telemetry(spark, sf_dir: str) -> dict[str, float]:
             .collect()[0]
         )
         out[name] = round(row["n_recalled"] / row["n_exact"], 4) if row["n_exact"] else None
+    # filtered tier: its exact baseline is the FILTERED corpus (recall
+    # must measure the ANN routing, not the predicate)
+    flt = "label % 2 = 0"
+    exact_f = similarity.cosine_topk(emb.filter(flt), queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx_f = (
+        similarity.ivf_topk_filtered(emb, queries, flt, k=5, n_centroids=16)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    row = (
+        exact_f.join(approx_f, ["query_id", "vec_id"], "left")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_recalled"),
+        )
+        .collect()[0]
+    )
+    out["sim_ann_filtered"] = (
+        round(row["n_recalled"] / row["n_exact"], 4) if row["n_exact"] else None
+    )
     return out
 
 
