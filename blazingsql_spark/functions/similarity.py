@@ -657,15 +657,16 @@ def ivf_topk_filtered(
     else:
         cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
         lists = assign_to_centroids(vectors, cents, id_col, vec_col)
-    flt = (
-        lists.join(vectors.drop(vec_col), id_col)
-        .filter(F.expr(filter_expr))
-        .select(*lists.columns)
-    )
+    # filter on the CORPUS (so filter_expr may reference any of its
+    # columns, the vector included) and prune the lists by a left-semi
+    # join on ids — no metadata columns ever join into the list table,
+    # so a corpus column named centroid_id cannot become ambiguous
+    flt_ids = vectors.filter(F.expr(filter_expr)).select(id_col)
+    flt = lists.join(flt_ids, id_col, "left_semi")
     if n_probe is None:
         if selectivity is None:
             total = vectors.count()
-            kept = flt.count()
+            kept = flt_ids.count()
             selectivity = kept / total if total else 1.0
         import math
 

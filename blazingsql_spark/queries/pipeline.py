@@ -1085,25 +1085,37 @@ def ann_recall_telemetry(spark, sf_dir: str) -> dict[str, float]:
             emb, queries, k=5, n_centroids=16, ef=64
         )
 
+    # filtered tier: its exact baseline is the FILTERED corpus (recall
+    # must measure the ANN routing, not the predicate), and the probe
+    # count is pinned like the registry row's — the selectivity
+    # auto-widening saturates at a halving filter, which would log a
+    # constant 1.0 and hide drift
+    flt = "label % 2 = 0"
+    exact_f = similarity.cosine_topk(emb.filter(flt), queries, k=5).select(
+        "query_id", "vec_id"
+    )
     tiers = {
-        "sim_ann_ivf": lambda: similarity.ivf_topk(
+        "sim_ann_ivf": (exact, lambda: similarity.ivf_topk(
             emb, queries, k=5, n_centroids=16
-        ),
-        "sim_ann_pq": _pq,
-        "sim_ann_ivfpq": lambda: similarity.ivfpq_topk(
+        )),
+        "sim_ann_pq": (exact, _pq),
+        "sim_ann_ivfpq": (exact, lambda: similarity.ivfpq_topk(
             emb, queries, k=5, n_centroids=8, n_probe=6, m=16, ksub=16
-        ),
-        "sim_ann_ivf_int8": lambda: similarity.ivf_int8_topk(
+        )),
+        "sim_ann_ivf_int8": (exact, lambda: similarity.ivf_int8_topk(
             emb, queries, k=5, n_centroids=8, n_probe=6
-        ),
+        )),
         # r6-staged registry row; telemetered now so drift history exists
         # before the row lands (ef >= n_centroids -> equals the IVF tier)
-        "sim_ann_hnsw": _hnsw,
+        "sim_ann_hnsw": (exact, _hnsw),
+        "sim_ann_filtered": (exact_f, lambda: similarity.ivf_topk_filtered(
+            emb, queries, flt, k=5, n_centroids=16, n_probe=10
+        )),
     }
-    for name, build in tiers.items():
+    for name, (base, build) in tiers.items():
         approx = build().select("query_id", "vec_id").withColumn("hit", F.lit(1))
         row = (
-            exact.join(approx, ["query_id", "vec_id"], "left")
+            base.join(approx, ["query_id", "vec_id"], "left")
             .agg(
                 F.count("*").alias("n_exact"),
                 F.coalesce(F.sum("hit"), F.lit(0)).alias("n_recalled"),
@@ -1111,28 +1123,6 @@ def ann_recall_telemetry(spark, sf_dir: str) -> dict[str, float]:
             .collect()[0]
         )
         out[name] = round(row["n_recalled"] / row["n_exact"], 4) if row["n_exact"] else None
-    # filtered tier: its exact baseline is the FILTERED corpus (recall
-    # must measure the ANN routing, not the predicate)
-    flt = "label % 2 = 0"
-    exact_f = similarity.cosine_topk(emb.filter(flt), queries, k=5).select(
-        "query_id", "vec_id"
-    )
-    approx_f = (
-        similarity.ivf_topk_filtered(emb, queries, flt, k=5, n_centroids=16)
-        .select("query_id", "vec_id")
-        .withColumn("hit", F.lit(1))
-    )
-    row = (
-        exact_f.join(approx_f, ["query_id", "vec_id"], "left")
-        .agg(
-            F.count("*").alias("n_exact"),
-            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_recalled"),
-        )
-        .collect()[0]
-    )
-    out["sim_ann_filtered"] = (
-        round(row["n_recalled"] / row["n_exact"], 4) if row["n_exact"] else None
-    )
     return out
 
 

@@ -2469,11 +2469,19 @@ def test_ivf_topk_filtered_no_leaks_and_exact_at_full_probe(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     flt = "label = 0"  # ~1/3 selectivity
+    bad = {r.vec_id for r in emb.filter(f"NOT ({flt})").collect()}
+    # PARTIAL probe (2 of 8 lists): the regime where pre-filter leak
+    # safety is non-trivial — a post-filtering regression would slip
+    # through a full-probe-only check (results == exact there)
+    partial = similarity.ivf_topk_filtered(
+        emb, queries, flt, k=5, n_centroids=8, dim=8, n_probe=2
+    ).collect()
+    assert partial and not ({r.vec_id for r in partial} & bad)
+    # auto path: no leaks either
     approx = similarity.ivf_topk_filtered(
         emb, queries, flt, k=5, n_centroids=8, dim=8
     )
     got = approx.collect()
-    bad = {r.vec_id for r in emb.filter(f"NOT ({flt})").collect()}
     assert got and not ({r.vec_id for r in got} & bad)  # no leaks
 
     # full probe == exact filtered top-k, row for row
@@ -2485,8 +2493,9 @@ def test_ivf_topk_filtered_no_leaks_and_exact_at_full_probe(spark):
         map(tuple, exact.collect())
     )
 
-    # selectivity widening: 1/3 filter needs ~3x auto_n_probe
-    import math
-
-    base = similarity.auto_n_probe(8)
-    assert math.ceil(base / (1 / 3)) > base
+    # selectivity widening saturates at this filter (1/3 selectivity,
+    # auto_n_probe(8)=4 -> ceil(4/0.33)=12 capped at 8 lists), so the
+    # AUTO path must equal the exact filtered top-k row for row — the
+    # behavioral assertion of the widening logic, not arithmetic on
+    # local variables
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exact.collect()))
