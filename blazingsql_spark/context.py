@@ -308,8 +308,17 @@ class Context:
 
     def explain(self, query: str, detail: bool = False) -> str:
         """Optimized logical plan; ``detail=True`` adds the physical plan —
-        mirrors bc.explain(sql, detail) (context.py:1842-1923).
+        mirrors bc.explain(sql, detail) (context.py:1842-1923). Accepts
+        everything ``sql`` accepts, including the MATCH_RECOGNIZE
+        spelling (same rewrite — a user explaining the query they are
+        about to run must not get a parse error sql() would not raise).
         """
+        if "MATCH_RECOGNIZE" in query.upper():
+            from blazingsql_spark.operators.match_recognize import (
+                rewrite_match_recognize,
+            )
+
+            query = rewrite_match_recognize(self.spark, query)
         df = self.spark.sql(query)
         mode = "extended" if detail else "simple"
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]

@@ -1145,3 +1145,27 @@ def test_permute_nested_rejected():
         _expand_permute("PERMUTE((A), B)")
     # sane spellings still pass through
     assert _expand_permute("V PERMUTE(A, B) W") == "V (A B|B A) W"
+
+
+def test_explain_accepts_match_recognize(spark):
+    """Facade parity: bc.explain must accept every query bc.sql accepts
+    — a user explaining the row-pattern query they are about to run
+    used to get a Spark parse error."""
+    spark.createDataFrame(
+        [(1, 1, "view", 1), (1, 2, "purchase", 2)],
+        ["user_id", "seq", "event_type", "x"],
+    ).createOrReplaceTempView("explain_ev")
+    bc = Context(spark=spark)
+    plan = bc.explain(
+        """
+        SELECT user_id, n FROM explain_ev MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            PATTERN (V P)
+            DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+        )
+        """,
+        detail=True,
+    )
+    assert "FlatMapGroupsInPandas" in plan
