@@ -1179,29 +1179,55 @@ class TopKIngest:
 
     def read_topk(self, k: int = 10) -> DataFrame:
         """(item, est) for the k largest candidate estimates on the
-        merged sketch, ordered (est desc, item). The driver-side
-        collects are the SKETCH and the CANDIDATE SET (bounded by
-        construction: depth*width counters; <= capacity per epoch),
-        never data rows."""
-        from pyspark.sql import functions as F  # noqa: PLC0415
+        merged sketch, ordered (est desc, item) — computed fully
+        DISTRIBUTED: candidates hash to their (row, cell) coordinates
+        in an Arrow-batched mapInPandas, join the merged sketch (a
+        depth*width-bounded table) on the coordinates, and the CMS
+        min-over-rows is a groupBy. Nothing collects to the driver —
+        the candidate set is <= capacity per epoch but UNBOUNDED in
+        epochs on a long-running stream, so a driver-side estimate loop
+        would grow without limit (compaction keeps the table itself
+        tight, same as every epoch table here)."""
+        import hashlib  # noqa: PLC0415
 
-        from blazingsql_spark.functions import sketches
+        import pandas as pd  # noqa: PLC0415
+        from pyspark.sql import functions as F  # noqa: PLC0415
 
         merged = (
             self._live("cms")
             .groupBy("j", "w")
             .agg(F.sum("c").alias("c"))
         )
-        items = sorted(
-            r.item for r in self._live("cands").select("item").distinct().collect()
+        cands = self._live("cands").select("item").distinct()
+        dp, wd = self.depth, self.width
+
+        def hash_rows(batches):
+            for pdf in batches:
+                items = pdf["item"].tolist()
+                yield pd.DataFrame(
+                    {
+                        "item": [i for i in items for _ in range(dp)],
+                        "j": list(range(dp)) * len(items),
+                        "w": [
+                            int.from_bytes(
+                                hashlib.md5(f"{j}:{i}".encode()).digest()[:8],
+                                "big",
+                            )
+                            % wd
+                            for i in items
+                            for j in range(dp)
+                        ],
+                    }
+                )
+
+        hashed = cands.mapInPandas(hash_rows, "item string, j int, w int")
+        est = (
+            hashed.join(merged, ["j", "w"], "left")
+            .fillna(0, subset=["c"])
+            .groupBy("item")
+            .agg(F.min("c").alias("est"))
         )
-        est = sketches.cms_estimate(
-            merged, items, width=self.width, depth=self.depth
-        )
-        top = sorted(est.items(), key=lambda t: (-t[1], t[0]))[: int(k)]
-        return self.spark.createDataFrame(
-            [(i, int(c)) for i, c in top], "item string, est long"
-        )
+        return est.orderBy(F.desc("est"), "item").limit(int(k))
 
 
 def run_top_k_ingest(
