@@ -1564,6 +1564,12 @@ def test_top_k_ingest_equals_batch_and_replays(spark, tmp_path):
     h3(withnull, 0)
     assert all(r.item != "None" for r in h3.read_topk(64).collect())
 
+    # an EMPTY micro-batch (a trigger with no data) must not corrupt the
+    # epoch table or the merged answer
+    before = [(r.item, r.est) for r in h2.read_topk(5).collect()]
+    h2(df2.filter(F.lit(False)).select("item"), 7)
+    assert [(r.item, r.est) for r in h2.read_topk(5).collect()] == before
+
 
 def test_distinct_count_ingest_equals_batch_and_replays(spark, tmp_path):
     """Streaming HLL maintainer: the unioned-epoch estimate equals the
@@ -1606,3 +1612,7 @@ def test_distinct_count_ingest_equals_batch_and_replays(spark, tmp_path):
     once = handler.estimate()
     handler(extra, 99)
     assert handler.estimate() == once == want  # replay + same-universe epoch
+
+    # empty micro-batch: the NULL sketch it lands must not perturb the union
+    handler(extra.filter(F.lit(False)), 100)
+    assert handler.estimate() == want
