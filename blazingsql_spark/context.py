@@ -259,17 +259,7 @@ class Context:
         prefer the default synchronous mode, which returns a lazy DataFrame
         and never materializes on the driver.
         """
-        if "MATCH_RECOGNIZE" in query.upper():
-            # SQL:2016 row-pattern spelling, mapped onto the CEP core
-            # (operators/match_recognize.py) — the reference has no
-            # row-pattern surface; this is the spelling a migrating
-            # Flink/Oracle user would type. Rewritten BEFORE the
-            # sync/async fork so both surfaces accept it.
-            from blazingsql_spark.operators.match_recognize import (
-                rewrite_match_recognize,
-            )
-
-            query = rewrite_match_recognize(self.spark, query)
+        query = self._rewrite_if_match_recognize(query)
         if not return_token:
             t0 = time.perf_counter()
             try:
@@ -306,6 +296,21 @@ class Context:
         """Block for and return the async result rows (context.py:3066)."""
         return self._tokens.pop(token).result()
 
+    def _rewrite_if_match_recognize(self, query: str) -> str:
+        """SQL:2016 row-pattern spelling, mapped onto the CEP core
+        (operators/match_recognize.py) — the reference has no
+        row-pattern surface; this is the spelling a migrating
+        Flink/Oracle user would type. ONE guard shared by sql() (both
+        the sync and async forks) and explain(), so the two surfaces
+        cannot drift."""
+        if "MATCH_RECOGNIZE" in query.upper():
+            from blazingsql_spark.operators.match_recognize import (
+                rewrite_match_recognize,
+            )
+
+            query = rewrite_match_recognize(self.spark, query)
+        return query
+
     def explain(self, query: str, detail: bool = False) -> str:
         """Optimized logical plan; ``detail=True`` adds the physical plan —
         mirrors bc.explain(sql, detail) (context.py:1842-1923). Accepts
@@ -313,12 +318,7 @@ class Context:
         spelling (same rewrite — a user explaining the query they are
         about to run must not get a parse error sql() would not raise).
         """
-        if "MATCH_RECOGNIZE" in query.upper():
-            from blazingsql_spark.operators.match_recognize import (
-                rewrite_match_recognize,
-            )
-
-            query = rewrite_match_recognize(self.spark, query)
+        query = self._rewrite_if_match_recognize(query)
         df = self.spark.sql(query)
         mode = "extended" if detail else "simple"
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]

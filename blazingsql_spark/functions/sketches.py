@@ -152,6 +152,58 @@ def cms_estimate(
     return out
 
 
+def cms_estimate_df(
+    sketch: DataFrame,
+    items: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+    item_col: str = "item",
+) -> DataFrame:
+    """Distributed twin of :func:`cms_estimate`: point-query a
+    ``cms_sketch`` for EVERY row of an items DataFrame — items hash to
+    their (row, cell) coordinates in an Arrow-batched mapInPandas
+    (bit-identical recipe to the build side above; keep them in
+    lockstep), join the BROADCAST sketch (bounded depth*width rows by
+    construction), and the min-over-rows is a groupBy. Returns
+    (item, est). Use this when the item set is unbounded (e.g. a
+    streaming candidate union across epochs) — cms_estimate's driver
+    loop is for small fixed lists."""
+    import hashlib
+
+    import pandas as pd
+
+    wd, dp = int(width), int(depth)
+
+    def hash_rows(batches):
+        for pdf in batches:
+            vals = pdf[item_col].tolist()
+            yield pd.DataFrame(
+                {
+                    "item": [i for i in vals for _ in range(dp)],
+                    "j": list(range(dp)) * len(vals),
+                    "w": [
+                        int.from_bytes(
+                            hashlib.md5(f"{j}:{i}".encode()).digest()[:8],
+                            "big",
+                        )
+                        % wd
+                        for i in vals
+                        for j in range(dp)
+                    ],
+                }
+            )
+
+    hashed = items.select(F.col(item_col)).mapInPandas(
+        hash_rows, "item string, j int, w int"
+    )
+    return (
+        hashed.join(F.broadcast(sketch), ["j", "w"], "left")
+        .fillna(0, subset=["c"])
+        .groupBy("item")
+        .agg(F.min("c").alias("est"))
+    )
+
+
 def ddsketch_build(
     df: DataFrame,
     col: str,

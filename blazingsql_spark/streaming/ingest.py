@@ -1180,18 +1180,16 @@ class TopKIngest:
     def read_topk(self, k: int = 10) -> DataFrame:
         """(item, est) for the k largest candidate estimates on the
         merged sketch, ordered (est desc, item) — computed fully
-        DISTRIBUTED: candidates hash to their (row, cell) coordinates
-        in an Arrow-batched mapInPandas, join the merged sketch (a
-        depth*width-bounded table) on the coordinates, and the CMS
-        min-over-rows is a groupBy. Nothing collects to the driver —
-        the candidate set is <= capacity per epoch but UNBOUNDED in
-        epochs on a long-running stream, so a driver-side estimate loop
-        would grow without limit (compaction keeps the table itself
-        tight, same as every epoch table here)."""
-        import hashlib  # noqa: PLC0415
-
-        import pandas as pd  # noqa: PLC0415
+        DISTRIBUTED (sketches.cms_estimate_df: coordinate hash via
+        mapInPandas + broadcast-sketch join + min groupBy; nothing
+        unbounded ever collects — the candidate union is <= capacity
+        per epoch but UNBOUNDED in epochs on a long-running stream).
+        Only the FINAL k rows materialize to the driver, so the
+        returned frame is a SNAPSHOT: later epoch writes or replay
+        overwrites cannot change or break it mid-read."""
         from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from blazingsql_spark.functions import sketches
 
         merged = (
             self._live("cms")
@@ -1199,35 +1197,13 @@ class TopKIngest:
             .agg(F.sum("c").alias("c"))
         )
         cands = self._live("cands").select("item").distinct()
-        dp, wd = self.depth, self.width
-
-        def hash_rows(batches):
-            for pdf in batches:
-                items = pdf["item"].tolist()
-                yield pd.DataFrame(
-                    {
-                        "item": [i for i in items for _ in range(dp)],
-                        "j": list(range(dp)) * len(items),
-                        "w": [
-                            int.from_bytes(
-                                hashlib.md5(f"{j}:{i}".encode()).digest()[:8],
-                                "big",
-                            )
-                            % wd
-                            for i in items
-                            for j in range(dp)
-                        ],
-                    }
-                )
-
-        hashed = cands.mapInPandas(hash_rows, "item string, j int, w int")
-        est = (
-            hashed.join(merged, ["j", "w"], "left")
-            .fillna(0, subset=["c"])
-            .groupBy("item")
-            .agg(F.min("c").alias("est"))
+        est = sketches.cms_estimate_df(
+            merged, cands, width=self.width, depth=self.depth
         )
-        return est.orderBy(F.desc("est"), "item").limit(int(k))
+        top = est.orderBy(F.desc("est"), "item").limit(int(k)).collect()
+        return self.spark.createDataFrame(
+            [(r.item, int(r.est)) for r in top], "item string, est long"
+        )
 
 
 def run_top_k_ingest(
