@@ -359,3 +359,83 @@ def temperature_weights(
         "n",
         (F.col("__pa") / F.col("__Z")).alias("weight"),
     )
+
+
+def contrastive_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int = 4,
+    pool_size: int = 256,
+    sim_cap: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+    salt: str = "negpool",
+) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive training
+    (the shared-pool recipe every two-tower/CLIP-style pipeline uses):
+    a SINGLE hash-ordered pool of ``pool_size`` corpus rows serves every
+    anchor — the pool broadcasts, so the pairing is anchors x
+    broadcast(pool), never corpus x corpus — with ACCIDENTAL POSITIVES
+    masked out (the pool member IS the anchor, or its rounded cosine
+    reaches ``sim_cap`` — unmasked near-duplicates are false negatives
+    that actively poison a contrastive loss). Each anchor's k negatives
+    are the smallest ``md5(salt:anchor:candidate)`` ranks — per-anchor
+    decorrelated, fully replayable (the DuckDB twin reproduces every
+    pair), and stable across runs/partitionings.
+
+    Cosine is ROUND(,6)-compared against ``sim_cap`` (the repo's
+    cross-engine float grid); pool selection is a global top-P by
+    ``md5(salt:id)`` — a TakeOrdered, not a full sort, at scale.
+
+    Returns (anchor_id, neg_id, rank), rank 1..k."""
+    pool = (
+        vectors.select(
+            F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pvec")
+        )
+        .orderBy(F.md5(F.concat_ws(":", F.lit(salt), F.col("__pid").cast("string"))))
+        .limit(int(pool_size))
+    )
+    a = anchors.select(
+        F.col(anchor_id_col), F.col(vec_col).alias("__avec")
+    )
+    dot = F.aggregate(
+        F.zip_with("__avec", "__pvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(pool))
+        .filter(F.col(anchor_id_col) != F.col("__pid"))
+        .withColumn(
+            "__cos",
+            F.round(dot / (norm(F.col("__avec")) * norm(F.col("__pvec"))), 6),
+        )
+        .filter(F.col("__cos") < F.lit(float(sim_cap)))
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(salt),
+                F.col(anchor_id_col).cast("string"),
+                F.col("__pid").cast("string"),
+            )
+        )
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col(anchor_id_col),
+            F.col("__pid").alias("neg_id"),
+            "rank",
+        )
+    )

@@ -670,3 +670,65 @@ def sim_ann_filtered(spark, sf_dir):
         "n_queries", "n_exact_results", "recall_ok",
         (F.col("n_leaks") == 0).alias("no_leaks"),
     )
+
+
+@register(
+    "sample_negatives",
+    oracle="""
+    WITH pool AS (
+        SELECT vec_id AS pid, embedding AS pvec
+        FROM embeddings
+        ORDER BY MD5('negpool:' || CAST(vec_id AS VARCHAR))
+        LIMIT 256
+    ), a AS (
+        SELECT vec_id AS anchor_id, embedding AS avec
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), pairs AS (
+        SELECT a.anchor_id, p.pid,
+               ROUND(
+                   list_dot_product(a.avec, p.pvec)
+                   / (SQRT(list_dot_product(a.avec, a.avec))
+                      * SQRT(list_dot_product(p.pvec, p.pvec))), 6) AS cos
+        FROM a CROSS JOIN pool p
+        WHERE a.anchor_id <> p.pid
+    ), ranked AS (
+        SELECT anchor_id, pid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY MD5('negpool:' || CAST(anchor_id AS VARCHAR)
+                                || ':' || CAST(pid AS VARCHAR))) AS rank
+        FROM pairs WHERE cos < 0.95
+    )
+    SELECT anchor_id, CAST(pid AS BIGINT) AS neg_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 4
+    ORDER BY anchor_id, rank
+    """,
+    doc="Deterministic contrastive negative sampling "
+    "(sampling.contrastive_negatives — the shared-pool in-batch recipe "
+    "of two-tower/CLIP training): one hash-ordered 256-row pool serves "
+    "every anchor (anchors x broadcast(pool), never corpus x corpus), "
+    "accidental positives masked at rounded cosine >= 0.95 (unmasked "
+    "near-dups are false negatives that poison the loss), per-anchor "
+    "ranks by md5(salt:anchor:candidate). The DuckDB twin replays the "
+    "ENTIRE pipeline — pool hash-order, cosine mask on the same "
+    "ROUND(,6) grid, md5 ranks — so every (anchor, negative, rank) "
+    "triple compares exactly",
+)
+def sample_negatives(spark, sf_dir):
+    """Scale shape: pool selection is a global top-256 by hash (a
+    TakeOrdered); pairing is anchors x broadcast(256-row pool); rank is
+    an anchor-partitioned window. No corpus-sized shuffle anywhere."""
+    from blazingsql_spark.functions import sampling
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    return (
+        sampling.contrastive_negatives(
+            emb, anchors, k=4, pool_size=256, sim_cap=0.95
+        )
+        .withColumn("neg_id", F.col("neg_id").cast("long"))
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("anchor_id", "rank")
+    )

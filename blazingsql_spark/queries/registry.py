@@ -672,6 +672,7 @@ _R5_STALE_FIRST_24 = (
     # r9-new rows (uint widening, match_recognize, ddsketch) took slots.
     # events_mr_navigation + events_mr_skip_overlap + events_mr_permute
     # + events_mr_all_rows + sketch_hll_intersect + sim_ann_filtered
+    # + sample_negatives
     # (registered
     # post-r10-freeze in the r9 extension session) also roll to r11.
 )
