@@ -388,35 +388,40 @@ def contrastive_negatives(
     cross-engine float grid); pool selection is a global top-P by
     ``md5(salt:id)`` — a TakeOrdered, not a full sort, at scale.
 
+    NULL-id rows are excluded on BOTH sides (ids key the ranks, and the
+    cross-engine NULL-concat semantics differ); a ragged or all-zero
+    embedding yields a NULL cosine and the pair drops — mirrored by the
+    oracle's length/zero guards. Dot products and norms come from
+    functions.similarity (double-accumulated, ANSI-safe zero guard),
+    with the per-row norms HOISTED before the cross join so the O(dim)
+    aggregates run once per row, not once per pair.
+
     Returns (anchor_id, neg_id, rank), rank 1..k."""
+    from blazingsql_spark.functions import similarity
+
     pool = (
-        vectors.select(
-            F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pvec")
-        )
+        vectors.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pvec"))
         .orderBy(F.md5(F.concat_ws(":", F.lit(salt), F.col("__pid").cast("string"))))
         .limit(int(pool_size))
+        .withColumn("__pnorm", similarity.l2_norm(F.col("__pvec")))
     )
-    a = anchors.select(
+    a = anchors.filter(F.col(anchor_id_col).isNotNull()).select(
         F.col(anchor_id_col), F.col(vec_col).alias("__avec")
-    )
-    dot = F.aggregate(
-        F.zip_with("__avec", "__pvec", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.zip_with(c, c, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+    ).withColumn("__anorm", similarity.l2_norm(F.col("__avec")))
+    denom = F.col("__anorm") * F.col("__pnorm")
     pairs = (
         a.crossJoin(F.broadcast(pool))
         .filter(F.col(anchor_id_col) != F.col("__pid"))
         .withColumn(
             "__cos",
-            F.round(dot / (norm(F.col("__avec")) * norm(F.col("__pvec"))), 6),
+            F.round(
+                F.when(
+                    denom != 0.0,
+                    similarity.dot(F.col("__avec"), F.col("__pvec")) / denom,
+                ),
+                6,
+            ),
         )
         .filter(F.col("__cos") < F.lit(float(sim_cap)))
     )

@@ -676,21 +676,25 @@ def sim_ann_filtered(spark, sf_dir):
     "sample_negatives",
     oracle="""
     WITH pool AS (
-        SELECT vec_id AS pid, embedding AS pvec
-        FROM embeddings
+        SELECT vec_id AS pid, embedding::DOUBLE[] AS pvec
+        FROM embeddings WHERE vec_id IS NOT NULL
         ORDER BY MD5('negpool:' || CAST(vec_id AS VARCHAR))
         LIMIT 256
     ), a AS (
-        SELECT vec_id AS anchor_id, embedding AS avec
-        FROM embeddings WHERE vec_id % 100 = 0
+        SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS avec
+        FROM embeddings WHERE vec_id % 100 = 0 AND vec_id IS NOT NULL
     ), pairs AS (
         SELECT a.anchor_id, p.pid,
-               ROUND(
-                   list_dot_product(a.avec, p.pvec)
-                   / (SQRT(list_dot_product(a.avec, a.avec))
-                      * SQRT(list_dot_product(p.pvec, p.pvec))), 6) AS cos
+               CASE WHEN SQRT(list_dot_product(a.avec, a.avec))
+                         * SQRT(list_dot_product(p.pvec, p.pvec)) = 0
+                    THEN NULL
+                    ELSE ROUND(
+                        list_dot_product(a.avec, p.pvec)
+                        / (SQRT(list_dot_product(a.avec, a.avec))
+                           * SQRT(list_dot_product(p.pvec, p.pvec))), 6)
+               END AS cos
         FROM a CROSS JOIN pool p
-        WHERE a.anchor_id <> p.pid
+        WHERE a.anchor_id <> p.pid AND LEN(a.avec) = LEN(p.pvec)
     ), ranked AS (
         SELECT anchor_id, pid,
                ROW_NUMBER() OVER (

@@ -236,3 +236,37 @@ def test_bin_pack_documents_invariants_and_quality(spark):
     a = pdf.sort_values("doc_id").reset_index(drop=True)
     b = pdf2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_contrastive_negatives_guards(spark):
+    """Review regressions on the negative sampler: zero-norm embeddings
+    must not crash under ANSI mode (NULL cosine, pair dropped); NULL ids
+    are excluded; k negatives come back deterministic and self-exclusive."""
+    from blazingsql_spark.functions.sampling import contrastive_negatives
+    import random as _r
+
+    rnd = _r.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(6)]) for i in range(40)]
+    rows.append((100, [0.0] * 6))  # zero vector: ANSI divide guard
+    rows.append((None, [1.0] * 6))  # NULL id: excluded
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    anchors = emb.filter(F.col("vec_id").isNotNull() & (F.col("vec_id") < 3)).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    out = contrastive_negatives(emb, anchors, k=3, pool_size=16).collect()
+    assert out  # no DIVIDE_BY_ZERO abort
+    by_anchor = {}
+    for r in out:
+        assert r.neg_id is not None and r.neg_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append((r.rank, r.neg_id))
+    for a, negs in by_anchor.items():
+        assert [rk for rk, _ in sorted(negs)] == list(range(1, len(negs) + 1))
+    # deterministic across invocations
+    again = contrastive_negatives(emb, anchors, k=3, pool_size=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # the zero vector itself never surfaces as a negative of anyone
+    zero_anchor = emb.filter(F.col("vec_id") == 100).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    z = contrastive_negatives(emb, zero_anchor, k=3, pool_size=16).collect()
+    assert z == []  # all its cosines are NULL -> no pairs survive
