@@ -688,14 +688,19 @@ assert not set(_R10_WINDOW_STAGED[3:]) & set(_R8_WINDOW), (
     "r10 rotation must not re-check r8-fresh rows (sentinels excepted)"
 )
 
-# Past the window, queue the freshest-green rows first (r8, then r7, then
-# r6, then r5, then r4) so any driver overflow re-checks the most recently
-# verified work. PROMOTED for round 9 (CORRECTNESS_r08 landed 50/50 green
-# — the promotion precondition documented above _R9_WINDOW_STAGED).
-DRIVER_PRIORITY = _R9_WINDOW_STAGED + tuple(
+# Past the window, queue the freshest-green rows first (r9, then r8, …)
+# so any driver overflow re-checks the most recently verified work.
+# PROMOTED for round 10 (CORRECTNESS_r09 landed 50/50 green, zero err —
+# the promotion precondition documented above _R10_WINDOW_STAGED).
+DRIVER_PRIORITY = _R10_WINDOW_STAGED + tuple(
     n
-    for n in _R8_WINDOW + _R7_WINDOW + _R6_WINDOW + _R5_WINDOW + _R4_WINDOW
-    if n not in _R9_WINDOW_STAGED
+    for n in _R9_WINDOW_STAGED
+    + _R8_WINDOW
+    + _R7_WINDOW
+    + _R6_WINDOW
+    + _R5_WINDOW
+    + _R4_WINDOW
+    if n not in _R10_WINDOW_STAGED
 )
 
 
