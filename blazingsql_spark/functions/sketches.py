@@ -101,7 +101,10 @@ def cms_sketch(
         for pdf in batches:
             # NULLs are excluded, not counted as the string 'None'/'nan'
             # (same contract as categorical_fit — count nulls upstream if
-            # they are a category)
+            # they are a category). Stringification happened Spark-side
+            # (CAST AS STRING below) so it is engine-consistent: pandas
+            # astype(str) on a nullable long batch would render 0 as
+            # '0.0' in null-containing partitions and '0' elsewhere.
             vc = pdf[col].dropna().astype(str).value_counts()
             for item, cnt in vc.items():
                 for j in range(dp):
@@ -113,7 +116,9 @@ def cms_sketch(
         if len(js):
             yield pd.DataFrame({"j": js, "w": ws, "c": m[js, ws]})
 
-    parts = df.select(col).mapInPandas(sketch_partition, "j int, w int, c long")
+    parts = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        sketch_partition, "j int, w int, c long"
+    )
     return parts.groupBy("j", "w").agg(F.sum("c").alias("c"))
 
 
@@ -176,7 +181,11 @@ def cms_estimate_df(
 
     def hash_rows(batches):
         for pdf in batches:
-            vals = pdf[item_col].tolist()
+            # Mirror cms_sketch's normalization exactly: NULLs are
+            # excluded (never hashed as the string 'None') and items are
+            # stringified through the same pandas astype(str) path, so an
+            # estimate hashes to the identical cell the build side wrote.
+            vals = pdf[item_col].dropna().astype(str).tolist()
             yield pd.DataFrame(
                 {
                     "item": [i for i in vals for _ in range(dp)],
@@ -193,9 +202,9 @@ def cms_estimate_df(
                 }
             )
 
-    hashed = items.select(F.col(item_col)).mapInPandas(
-        hash_rows, "item string, j int, w int"
-    )
+    hashed = items.select(
+        F.col(item_col).cast("string").alias(item_col)
+    ).mapInPandas(hash_rows, "item string, j int, w int")
     return (
         hashed.join(F.broadcast(sketch), ["j", "w"], "left")
         .fillna(0, subset=["c"])

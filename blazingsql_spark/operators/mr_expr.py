@@ -152,10 +152,18 @@ def _cmp(op: str, a, b):
     if a is None or b is None:
         return None
     try:
-        if op == "=":
-            return a == b
-        if op == "!=":
-            return a != b
+        if op in ("=", "!="):
+            # Python happily returns False for "abc" == 5; Spark/DuckDB
+            # would coerce or fail analysis instead. Raise on a
+            # str-vs-number mismatch like the ordered comparators do so a
+            # misrouted predicate fails loudly rather than never matching.
+            if isinstance(a, str) != isinstance(b, str):
+                raise ValueError(
+                    f"MATCH_RECOGNIZE DEFINE: cannot compare "
+                    f"{type(a).__name__} {op} {type(b).__name__} "
+                    f"({a!r} vs {b!r})"
+                )
+            return a == b if op == "=" else a != b
         if op == "<":
             return a < b
         if op == "<=":
@@ -181,7 +189,13 @@ def _arith(op: str, a, b):
         if op == "*":
             return a * b
         if op == "%":
-            return a % b
+            # Truncated (C-style) modulo to match Spark SQL and DuckDB:
+            # -7 % 2 must be -1, not Python's floored +1. Result carries
+            # the dividend's sign; NULL on zero divisor like `/`.
+            if b == 0:
+                return None
+            r = abs(a) % abs(b)
+            return r if a >= 0 else -r
         return a / b if b != 0 else None
     except TypeError as exc:
         raise ValueError(

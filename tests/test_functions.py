@@ -1839,6 +1839,35 @@ def test_cms_sketch_merge_and_never_undercounts(spark):
     assert est2 == {k: est[k] for k in ("a", "hot")}
 
 
+def test_cms_estimate_df_mirrors_build_normalization(spark):
+    """cms_estimate_df must hash through the SAME dropna().astype(str)
+    path as cms_sketch: NULL items are excluded (not hashed as 'None'),
+    and non-string items (ints) land on the build-side cells so the
+    distributed estimate equals the driver-side cms_estimate."""
+    from blazingsql_spark.functions.sketches import (
+        cms_estimate,
+        cms_estimate_df,
+        cms_sketch,
+    )
+
+    # integer-typed item column + NULLs on both sides
+    rows = [(i, i % 5) for i in range(300)] + [(900 + i, None) for i in range(7)]
+    df = spark.createDataFrame(rows, "i long, tok long")
+    sk = cms_sketch(df, "tok", width=64, depth=4)
+    items = spark.createDataFrame(
+        [(0,), (3,), (None,), (42,)], "tok long"
+    )
+    got = {
+        r["item"]: r["est"]
+        for r in cms_estimate_df(sk, items, width=64, depth=4, item_col="tok").collect()
+    }
+    # NULL item excluded entirely — no phantom 'None' estimate row
+    assert None not in got and "None" not in got
+    want = cms_estimate(sk, ["0", "3", "42"], width=64, depth=4)
+    assert {k: got[k] for k in ("0", "3", "42")} == want
+    assert got["0"] >= 60 and got["3"] >= 60
+
+
 def test_categorical_encode_roundtrip_and_unknowns(spark):
     """Frequency-ordered ids are dense from 0, ties break by value, and
     unseen categories transform to unknown_id instead of dropping rows."""

@@ -681,7 +681,9 @@ def test_mr_expr_three_valued_logic_matches_duckdb():
         if k == 2:
             return "NULL"
         left = draw(st.sampled_from(cols))
-        op = draw(st.sampled_from(["+", "-", "*"]))
+        # % included: must be truncated (C-style) like Spark/DuckDB,
+        # not Python's floored modulo (-7 % 2 = -1, not +1)
+        op = draw(st.sampled_from(["+", "-", "*", "%"]))
         right = draw(st.sampled_from(cols + ["2", "3"]))
         return f"({left} {op} {right})"
 
@@ -716,6 +718,33 @@ def test_mr_expr_three_valued_logic_matches_duckdb():
         assert got == bool(want), (pred, a, b, c, got, want, lit)
 
     check()
+
+
+def test_mr_expr_truncated_modulo_and_equality_typecheck():
+    """% follows Spark/DuckDB truncated semantics (sign of the dividend,
+    NULL on zero divisor); = / != on str-vs-number raises like the
+    ordered comparators instead of Python's silent False."""
+    import pytest as _pt
+
+    from blazingsql_spark.operators.mr_expr import MatchCtx, compile_predicate
+
+    def ev(pred, row):
+        f, _ = compile_predicate(pred, list(row), {"X": "x"})
+        return f(MatchCtx({k: [v] for k, v in row.items()}, 0, 0, 1, {}))
+
+    # -7 % 2 = -1 (truncated), 7 % -2 = 1, NULL on zero divisor
+    assert ev("(a % b) = -1", {"a": -7, "b": 2}) is True
+    assert ev("(a % b) = 1", {"a": 7, "b": -2}) is True
+    assert ev("(a % b) = 0", {"a": 5, "b": 0}) is False  # NULL -> no match
+    assert ev("(a % b) IS NULL", {"a": 5, "b": 0}) is True
+
+    # equality type mismatch fails loudly, same as ordered comparisons
+    with _pt.raises(ValueError, match="cannot compare"):
+        ev("a = 5", {"a": "abc"})
+    with _pt.raises(ValueError, match="cannot compare"):
+        ev("a <> 5", {"a": "abc"})
+    # NULL operands still propagate (no spurious raise)
+    assert ev("a = 5", {"a": None}) is False
 
 
 def test_subset_union_variables(spark):
