@@ -43,10 +43,12 @@ covers the common funnel/sessionization queries:
   FIRST/LAST(col), FIRST/LAST(S.col), and the FINAL aggregates
   SUM/AVG/MIN/MAX(col) / SUM/AVG/MIN/MAX(S.col) (NULL-skipping; NULL
   over zero eligible rows); ONE ROW PER MATCH or ALL ROWS PER MATCH.
-  A ``RUNNING`` prefix re-evaluates the measure over each row's prefix
-  of the match under ALL ROWS PER MATCH; the unprefixed default stays
-  FINAL (a documented deviation — SQL:2016 defaults ALL ROWS measures
-  to running; CLASSIFIER() is always per-row there).
+  Under ALL ROWS PER MATCH measures follow SQL:2016 semantics: the
+  unprefixed default is RUNNING (each row sees the measure evaluated
+  over its own prefix of the match; bare CLASSIFIER() is per-row), and
+  a ``FINAL`` prefix requests the whole-match constant. MATCH_NUMBER()
+  is prefix-invariant. Under ONE ROW PER MATCH running and final
+  coincide (last-row evaluation).
 - ``SUBSET W = (A, B)``: union pattern variables, resolvable anywhere
   a symbol name is (MEASURES, DEFINE navigation, SKIP TO).
 - ``WITHIN <interval|number>`` (the Flink extension): bounds the match
@@ -159,18 +161,18 @@ class _Measure(NamedTuple):
     running: bool  # explicit RUNNING prefix
     is_clf: bool  # CLASSIFIER() measure
     explicit_final: bool  # explicit FINAL prefix
+    prefix_inv: bool = False  # prefix-invariant (MATCH_NUMBER())
 
 
 def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
     """Compile one measure into a _Measure. The evaluator gets
-    (span_pdf, span_codes, match_no). ``running`` is the explicit
-    RUNNING prefix: under ALL ROWS PER MATCH the measure is
-    re-evaluated over each row's PREFIX of the match (SQL:2016 running
-    semantics; our UNPREFIXED default stays FINAL — a documented
-    deviation, the standard defaults ALL ROWS measures to running,
-    EXCEPT bare CLASSIFIER() which stays per-row there; an explicit
-    FINAL CLASSIFIER() is the constant last-row symbol); under ONE ROW
-    PER MATCH running and final coincide."""
+    (span_pdf, span_codes, match_no). Under ALL ROWS PER MATCH the
+    SQL:2016 default applies: an UNPREFIXED (or RUNNING) measure is
+    re-evaluated over each row's PREFIX of the match, bare CLASSIFIER()
+    is the per-row symbol, and only an explicit FINAL prefix yields the
+    whole-match constant (FINAL CLASSIFIER() is the last-row symbol).
+    MATCH_NUMBER() is prefix-invariant and skips the per-prefix loop.
+    Under ONE ROW PER MATCH running and final coincide."""
     expr = expr.strip()
     pm = _SEMANTICS_PREFIX.match(expr)
     running = explicit_final = False
@@ -179,8 +181,10 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
         explicit_final = not running
         expr = expr[pm.end():].strip()
 
-    def mk(ev, ty, is_clf=False):
-        return _Measure(alias, ev, ty, running, is_clf, explicit_final)
+    def mk(ev, ty, is_clf=False, prefix_inv=False):
+        return _Measure(
+            alias, ev, ty, running, is_clf, explicit_final, prefix_inv
+        )
 
     m = _MEASURE_FORMS.match(expr)
     if not m:
@@ -191,7 +195,9 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
             f"SUM/AVG/MIN/MAX(S.col))"
         )
     if m.group("mn"):
-        return mk(lambda pdf, codes, n: n, lambda sch: T.LongType())
+        return mk(
+            lambda pdf, codes, n: n, lambda sch: T.LongType(), prefix_inv=True
+        )
     if m.group("clf"):
         # ONE ROW PER MATCH: classifier of the match's LAST row (final
         # semantics); ALL ROWS PER MATCH overrides this per-row in run().
@@ -784,18 +790,22 @@ def match_recognize(
             frames = []
             for n, (lo, hi, scodes) in enumerate(spans, start=1):
                 span = pdf.iloc[lo:hi].drop(columns=aux_cols)
-                for a, ev, _, running, is_clf, explicit_final in parsed:
+                for a, ev, _, running, is_clf, explicit_final, pinv in parsed:
                     if is_clf and not explicit_final:
                         # bare (or RUNNING) CLASSIFIER(): per-row symbol;
                         # an explicit FINAL CLASSIFIER() falls through to
                         # the constant last-row evaluation
                         vals = [names_by_char.get(c) for c in scodes]
-                    elif running:
-                        # RUNNING: re-evaluate over each row's prefix of
-                        # the match (O(span²) per measure — spans are
-                        # funnels, tens of rows; correctness by reuse of
-                        # the FINAL evaluator beats a second cumulative
-                        # implementation that could drift from it)
+                    elif (running or not explicit_final) and not pinv:
+                        # RUNNING — the SQL:2016 DEFAULT for unprefixed
+                        # measures under ALL ROWS PER MATCH: re-evaluate
+                        # over each row's prefix of the match (O(span²)
+                        # per measure — spans are funnels, tens of rows;
+                        # correctness by reuse of the FINAL evaluator
+                        # beats a second cumulative implementation that
+                        # could drift from it). Only an explicit FINAL
+                        # (or a prefix-invariant MATCH_NUMBER()) takes
+                        # the constant whole-match evaluation below.
                         vals = [
                             ev(pdf.iloc[lo : lo + i + 1], scodes[: i + 1], n)
                             for i in range(hi - lo)

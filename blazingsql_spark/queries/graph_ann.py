@@ -556,7 +556,7 @@ def events_mr_permute(spark, sf_dir):
     "events_mr_all_rows",
     oracle="""
     WITH e AS (
-        SELECT user_id, ts, event_id, event_type,
+        SELECT user_id, ts, event_id, event_type, value,
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
         FROM events
@@ -576,24 +576,32 @@ def events_mr_permute(spark, sf_dir):
     SELECT r.user_id, r.event_id,
            CASE r.rn WHEN m.lo THEN 'V' WHEN m.hi THEN 'P'
                 ELSE 'C' END AS sym,
-           CAST(m.mno AS BIGINT) AS mno
+           CAST(m.mno AS BIGINT) AS mno,
+           ROUND(SUM(r.value) OVER (
+               PARTITION BY m.user_id, m.mno ORDER BY r.rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS rsum,
+           ROUND(SUM(r.value) OVER (
+               PARTITION BY m.user_id, m.mno), 6) AS fsum
     FROM m JOIN e r
       ON r.user_id = m.user_id AND r.rn BETWEEN m.lo AND m.hi
     ORDER BY r.user_id, r.event_id
     """,
     doc="ALL ROWS PER MATCH through the SQL spelling: every matched "
-    "input row comes back with its per-row CLASSIFIER() and the "
-    "match's MATCH_NUMBER() — the row-expansion emit mode the "
-    "one-row-per-match rows never exercise. The DuckDB twin expands "
-    "each funnel span with a range join (rows BETWEEN the view and "
-    "its next-non-click purchase) and derives the classifier from the "
+    "input row comes back with its per-row CLASSIFIER(), the match's "
+    "MATCH_NUMBER(), an UNPREFIXED SUM(value) — which per SQL:2016 is "
+    "RUNNING under ALL ROWS (the row's prefix of the match, the DuckDB "
+    "twin's cumulative window sum) — and a FINAL SUM(value) constant "
+    "(the twin's whole-match window sum). The twin expands each funnel "
+    "span with a range join (rows BETWEEN the view and its "
+    "next-non-click purchase) and derives the classifier from the "
     "row's position — every cell compared exactly",
 )
 def events_mr_all_rows(spark, sf_dir):
     """Same funnel and scale shape as events_match_recognize; the
-    compared surface here is the ALL-ROWS row expansion (per-row
-    classifier, constant match number) rather than the per-match
-    aggregate."""
+    compared surfaces here are the ALL-ROWS row expansion (per-row
+    classifier, constant match number) and the SQL:2016 measure
+    semantics: unprefixed SUM is RUNNING, FINAL SUM is the whole-match
+    constant."""
     from blazingsql_spark.context import Context
     from blazingsql_spark.queries.registry import ensure_views
 
@@ -601,11 +609,13 @@ def events_mr_all_rows(spark, sf_dir):
     bc = Context(spark=spark)
     return bc.sql(
         """
-        SELECT user_id, event_id, sym, CAST(mno AS BIGINT) AS mno
+        SELECT user_id, event_id, sym, CAST(mno AS BIGINT) AS mno,
+               ROUND(rsum, 6) AS rsum, ROUND(fsum, 6) AS fsum
         FROM events MATCH_RECOGNIZE (
             PARTITION BY user_id
             ORDER BY ts, event_id
-            MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS sym
+            MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS sym,
+                     SUM(value) AS rsum, FINAL SUM(value) AS fsum
             ALL ROWS PER MATCH
             PATTERN (V C* P)
             DEFINE V AS event_type = 'view',

@@ -138,8 +138,10 @@ def test_match_recognize_undefined_symbols_and_errors(spark):
 
 def test_match_recognize_all_rows_per_match(spark):
     """ALL ROWS PER MATCH: every matched input row comes back with its
-    original columns, FINAL-semantics measures constant per match, and
-    CLASSIFIER() per-row; unmatched rows are absent."""
+    original columns, FINAL-prefixed measures constant per match,
+    unprefixed measures RUNNING (SQL:2016 default — here LAST(ts) is
+    the current row's ts), and CLASSIFIER() per-row; unmatched rows
+    are absent."""
     df = spark.createDataFrame(
         [
             (1, 1, "view", 10),
@@ -160,7 +162,8 @@ def test_match_recognize_all_rows_per_match(spark):
             PARTITION BY user_id ORDER BY ts, event_id
             MEASURES MATCH_NUMBER() AS mno,
                      CLASSIFIER() AS sym,
-                     LAST(ts) AS match_end
+                     FINAL LAST(ts) AS match_end,
+                     LAST(ts) AS run_end
             ALL ROWS PER MATCH
             PATTERN (V C+ P)
             DEFINE V AS event_type = 'view',
@@ -173,6 +176,8 @@ def test_match_recognize_all_rows_per_match(spark):
     assert [r.mno for r in out] == [1, 1, 1, 2, 2, 2]
     assert [r.sym for r in out] == ["V", "C", "P", "V", "C", "P"]
     assert [r.match_end for r in out] == [30, 30, 30, 50, 50, 50]
+    # unprefixed LAST is RUNNING under ALL ROWS: the current row's ts
+    assert [r.run_end for r in out] == [10, 20, 30, 40, 45, 50]
     # original columns intact
     assert out[0].event_type == "view" and out[0].ts == 10
 
@@ -993,10 +998,11 @@ def test_within_interval_on_timestamps(spark):
 
 
 def test_running_measures_all_rows(spark):
-    """RUNNING-prefixed measures under ALL ROWS PER MATCH re-evaluate
-    over each row's prefix of the match; the unprefixed default stays
-    FINAL (documented deviation); ONE ROW PER MATCH treats RUNNING and
-    FINAL identically (last-row evaluation)."""
+    """Measures under ALL ROWS PER MATCH follow SQL:2016: unprefixed
+    and RUNNING-prefixed both re-evaluate over each row's prefix of the
+    match; only an explicit FINAL yields the whole-match constant; ONE
+    ROW PER MATCH treats RUNNING and FINAL identically (last-row
+    evaluation)."""
     df = spark.createDataFrame(
         [
             (1, 1, "view", 10.0),
@@ -1010,12 +1016,14 @@ def test_running_measures_all_rows(spark):
     bc = Context(spark=spark)
     out = bc.sql(
         """
-        SELECT seq, rc, rsum, rlast, fsum FROM running_ev MATCH_RECOGNIZE (
+        SELECT seq, rc, rsum, rlast, usum, fsum
+        FROM running_ev MATCH_RECOGNIZE (
             PARTITION BY user_id ORDER BY seq
             MEASURES RUNNING COUNT(*) AS rc,
                      RUNNING SUM(value) AS rsum,
                      RUNNING LAST(seq) AS rlast,
-                     SUM(value) AS fsum
+                     SUM(value) AS usum,
+                     FINAL SUM(value) AS fsum
             ALL ROWS PER MATCH
             PATTERN (V C* P)
             DEFINE V AS event_type = 'view',
@@ -1027,7 +1035,9 @@ def test_running_measures_all_rows(spark):
     assert [r.rc for r in out] == [1, 2, 3, 4]
     assert [r.rsum for r in out] == [10.0, 14.0, 14.0, 44.0]  # NULL skipped
     assert [r.rlast for r in out] == [1, 2, 3, 4]
-    assert [r.fsum for r in out] == [44.0] * 4  # FINAL stays constant
+    # unprefixed aggregate == RUNNING (SQL:2016 ALL ROWS default)
+    assert [r.usum for r in out] == [10.0, 14.0, 14.0, 44.0]
+    assert [r.fsum for r in out] == [44.0] * 4  # explicit FINAL constant
 
     # ONE ROW PER MATCH: running == final
     one = bc.sql(
