@@ -848,7 +848,7 @@ def match_recognize(
 # temp view produced by the operator, then hand the remaining SQL to Spark.
 # ---------------------------------------------------------------------------
 
-_MR_HEAD = re.compile(r"(\w+(?:\.\w+)*)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+_MR_KW = re.compile(r"\bMATCH_RECOGNIZE\s*\(", re.IGNORECASE)
 _CLAUSE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
     r"ORDER\s+BY\s+(?P<order>.+?)\s+"
@@ -913,6 +913,68 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return out
 
 
+def _locate_factor(masked: str, query: str, kw_start: int):
+    """Scan LEFT from a MATCH_RECOGNIZE keyword for its table factor.
+
+    Accepts the two standard shapes: a (possibly qualified) table/view
+    name, or a parenthesized derived table `(SELECT …)` optionally
+    followed by `[AS] alias` (the alias names the derived table; the
+    pattern output replaces the whole factor, so it plays no further
+    role). Returns ``(factor_start, ('table', name))`` or
+    ``(factor_start, ('subquery', sql_text))``."""
+
+    def skip_ws(p: int) -> int:
+        while p > 0 and masked[p - 1].isspace():
+            p -= 1
+        return p
+
+    def read_ident(p: int) -> tuple[int, str]:
+        q = p
+        while q > 0 and (masked[q - 1].isalnum() or masked[q - 1] in "_."):
+            q -= 1
+        return q, masked[q:p]
+
+    def scan_subquery(close: int) -> tuple[int, tuple[str, str]]:
+        depth, q = 1, close - 1
+        while q >= 0 and depth:
+            if masked[q] == ")":
+                depth += 1
+            elif masked[q] == "(":
+                depth -= 1
+            q -= 1
+        if depth:
+            raise ValueError(
+                "MATCH_RECOGNIZE: unbalanced parentheses in the derived-"
+                "table factor before the clause"
+            )
+        open_ = q + 1
+        inner = query[open_ + 1 : close].strip()
+        if not inner:
+            raise ValueError(
+                "MATCH_RECOGNIZE: empty derived-table factor before the "
+                "clause"
+            )
+        return open_, ("subquery", inner)
+
+    p = skip_ws(kw_start)
+    if p > 0 and masked[p - 1] == ")":
+        return scan_subquery(p - 1)
+    q, ident = read_ident(p)
+    if not ident:
+        raise ValueError(
+            "MATCH_RECOGNIZE: expected a table name or (SELECT …) "
+            "derived table before the clause"
+        )
+    r = skip_ws(q)
+    r2, ident2 = read_ident(r)
+    if ident2.upper() == "AS":
+        r = skip_ws(r2)
+    if r > 0 and masked[r - 1] == ")":
+        # `(SELECT …) [AS] alias MATCH_RECOGNIZE` — ident was the alias
+        return scan_subquery(r - 1)
+    return q, ("table", ident)
+
+
 _AS_KW = re.compile(r"\sAS\s", re.IGNORECASE)
 
 
@@ -931,22 +993,27 @@ def _split_as(item: str) -> tuple[str, str]:
 
 
 def rewrite_match_recognize(spark, query: str) -> str:
-    """Replace every `<table> MATCH_RECOGNIZE (...)` table factor in
-    ``query`` (qualified names like db.events included) with a temp view
-    computed by :func:`match_recognize`, and return the rewritten SQL (a
-    no-op when the spelling is absent). String literals are masked
-    before scanning, so quoted text containing commas, AS, or even
-    'MATCH_RECOGNIZE (' never confuses the parse. View names carry a
-    per-call uuid so concurrent Context.sql calls on one session cannot
-    bind to each other's rewrites."""
+    """Replace every `<factor> MATCH_RECOGNIZE (...)` table factor in
+    ``query`` with a temp view computed by :func:`match_recognize`, and
+    return the rewritten SQL (a no-op when the spelling is absent). The
+    factor may be a (qualified) table/view name OR a derived table
+    `(SELECT …) [AS alias]` — the subquery is planned with spark.sql
+    and fed to the operator directly. Nested spellings compose: an
+    inner MATCH_RECOGNIZE inside the derived table is rewritten first
+    (innermost keyword found first), then the outer pass sees its view.
+    String literals are masked before scanning, so quoted text
+    containing commas, AS, or even 'MATCH_RECOGNIZE (' never confuses
+    the parse. View names carry a per-call uuid so concurrent
+    Context.sql calls on one session cannot bind to each other's
+    rewrites."""
     import uuid
 
     while True:
         masked = _mask_literals(query)
-        head = _MR_HEAD.search(masked)
+        head = _MR_KW.search(masked)
         if head is None:
             return query
-        table = head.group(1)
+        factor_start, src = _locate_factor(masked, query, head.start())
         # find the balanced closing paren of the MATCH_RECOGNIZE body
         depth, i = 1, head.end()
         while i < len(masked) and depth:
@@ -1004,7 +1071,7 @@ def rewrite_match_recognize(spark, query: str) -> str:
                     )
                 define[item[: kw.start()].strip()] = item[kw.end() :].strip()
         out = match_recognize(
-            spark.table(table),
+            spark.table(src[1]) if src[0] == "table" else spark.sql(src[1]),
             partition_by=list(_split_top(_orig("part"))),
             order_by=list(_split_top(_orig("order"))),
             measures=measures,
@@ -1019,4 +1086,4 @@ def rewrite_match_recognize(spark, query: str) -> str:
         )
         view = f"__match_recognize_{uuid.uuid4().hex[:12]}"
         out.createOrReplaceTempView(view)
-        query = query[: head.start()] + view + query[i:]
+        query = query[:factor_start] + view + query[i:]

@@ -725,6 +725,80 @@ def test_mr_expr_three_valued_logic_matches_duckdb():
     check()
 
 
+def test_match_recognize_derived_table_factor(spark):
+    """A parenthesized derived table is a valid MATCH_RECOGNIZE factor
+    — `(SELECT …) MATCH_RECOGNIZE (…)`, with or without `[AS] alias` —
+    and the match runs on the subquery's output (here: a filter that
+    removes the row which would otherwise break the funnel). Verified
+    against a DuckDB window-function twin on the same rows."""
+    import duckdb
+
+    rows = [
+        (1, 1, "view", 10.0),
+        (1, 2, "noise", 0.0),  # filtered out by the derived table
+        (1, 3, "click", 4.0),
+        (1, 4, "purchase", 30.0),
+        (2, 5, "view", 1.0),
+        (2, 6, "noise", 0.0),
+        (2, 7, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "seq", "event_type", "value"])
+    df.createOrReplaceTempView("ev_sub")
+    bc = Context(spark=spark)
+    sql_body = """
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(*) AS n, FINAL SUM(value) AS total
+            ONE ROW PER MATCH
+            PATTERN (V C* P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        ) ORDER BY user_id
+    """
+    sub = "(SELECT * FROM ev_sub WHERE event_type <> 'noise')"
+    got = bc.sql(f"SELECT user_id, n, total FROM {sub} {sql_body}").collect()
+    want = duckdb.sql(
+        """
+        WITH f AS (
+            SELECT * FROM (VALUES
+                (1, 1, 'view', 10.0), (1, 3, 'click', 4.0),
+                (1, 4, 'purchase', 30.0), (2, 5, 'view', 1.0),
+                (2, 7, 'purchase', 2.0)
+            ) AS t(user_id, seq, event_type, value)
+        )
+        SELECT user_id, COUNT(*) AS n, SUM(value) AS total
+        FROM f GROUP BY user_id ORDER BY user_id
+        """
+    ).fetchall()
+    assert [(r.user_id, r.n, r.total) for r in got] == [
+        tuple(w) for w in want
+    ]
+
+    # alias forms bind identically; the factor-less spelling still errors
+    for alias in (" AS a", " a"):
+        got2 = bc.sql(
+            f"SELECT user_id, n FROM {sub}{alias} {sql_body}"
+        ).collect()
+        assert [(r.user_id, r.n) for r in got2] == [(1, 3), (2, 2)]
+
+    # nested: inner MATCH_RECOGNIZE inside the derived table composes
+    nested = bc.sql(
+        f"""
+        SELECT COUNT(*) AS matches FROM (
+            SELECT user_id, n, total FROM {sub} {sql_body}
+        ) MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY n
+            MEASURES COUNT(*) AS m
+            ONE ROW PER MATCH
+            PATTERN (B)
+            DEFINE B AS total > 5
+        )
+        """
+    ).collect()
+    assert nested[0].matches == 1  # only user 1's total (44.0) > 5
+
+
 def test_mr_expr_truncated_modulo_and_equality_typecheck():
     """% follows Spark/DuckDB truncated semantics (sign of the dividend,
     NULL on zero divisor); = / != on str-vs-number raises like the
