@@ -634,7 +634,7 @@ def ivf_topk_filtered(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
-    prebuilt: tuple[DataFrame, DataFrame] | None = None,
+    prebuilt: tuple | None = None,
     selectivity: float | None = None,
 ) -> DataFrame:
     """Metadata-FILTERED approximate top-k — the FAISS IDSelector /
@@ -648,12 +648,19 @@ def ivf_topk_filtered(
     scale-safe, no broadcast of the corpus.
 
     Filtering thins every list, so the probe count auto-widens by the
-    filter's selectivity (measured with one count if ``selectivity`` is
-    not given — pass it in serving paths that know it) up to all
-    centroids: recall at a 50% filter needs ~2x the probes of the
-    unfiltered query, the standard pre-filter trade."""
+    filter's selectivity up to all centroids: recall at a 50% filter
+    needs ~2x the probes of the unfiltered query, the standard
+    pre-filter trade. Pass ``selectivity`` in serving paths that know
+    it (zero measurement jobs); otherwise it is measured in ONE
+    combined aggregation job (count + count_if in the same scan).
+    ``prebuilt`` accepts ``(cents, lists)`` or ``(cents, lists,
+    corpus_count)`` — the 3-tuple caches the corpus size at build time
+    so a serving call only counts the FILTERED ids."""
+    corpus_count = None
     if prebuilt is not None:
-        cents, lists = prebuilt
+        cents, lists = prebuilt[0], prebuilt[1]
+        if len(prebuilt) > 2:
+            corpus_count = prebuilt[2]
     else:
         cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
         lists = assign_to_centroids(vectors, cents, id_col, vec_col)
@@ -665,8 +672,14 @@ def ivf_topk_filtered(
     flt = lists.join(flt_ids, id_col, "left_semi")
     if n_probe is None:
         if selectivity is None:
-            total = vectors.count()
-            kept = flt_ids.count()
+            if corpus_count is not None:
+                total, kept = corpus_count, flt_ids.count()
+            else:
+                row = vectors.agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.count_if(F.expr(filter_expr)).alias("kept"),
+                ).first()
+                total, kept = row["total"], row["kept"]
             selectivity = kept / total if total else 1.0
         import math
 

@@ -411,3 +411,60 @@ def test_match_recognize_symbol_relative_plan_shape(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert "BatchEvalPython" not in plan, plan  # flags are codegen CASEs
     assert exchange_count(out) == 1, plan
+
+
+def test_ivf_topk_filtered_selectivity_action_count(spark):
+    """Auto-measured selectivity must not pay two full count() jobs: a
+    bare call measures it in ONE combined count+count_if aggregation, a
+    (cents, lists, corpus_count) prebuilt index pays one count of the
+    FILTERED ids only, and an explicit selectivity triggers nothing
+    eager before the returned (lazy) plan."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.functions import similarity
+    from blazingsql_spark.queries.registry import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # patch the concrete class (pyspark 4's classic DataFrame overrides
+    # the base-class methods, so patching pyspark.sql.DataFrame is inert)
+    DataFrame = type(emb)
+    cents = similarity.ivf_train_centroids(emb, k=4)
+    lists = similarity.assign_to_centroids(emb, cents)
+    n_corpus = emb.count()
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    actions = []
+    real_count, real_first = DataFrame.count, DataFrame.first
+
+    def spy_count(self):
+        actions.append("count")
+        return real_count(self)
+
+    def spy_first(self):
+        actions.append("first")
+        return real_first(self)
+
+    DataFrame.count, DataFrame.first = spy_count, spy_first
+    try:
+        for prebuilt, want in (
+            ((cents, lists), ["first"]),  # one combined agg scan
+            ((cents, lists, n_corpus), ["count"]),  # filtered ids only
+        ):
+            actions.clear()
+            similarity.ivf_topk_filtered(
+                emb, queries, "label % 2 = 0", k=3,
+                n_centroids=4, prebuilt=prebuilt,
+            )
+            assert actions == want, (prebuilt, actions)
+        # explicit selectivity: fully lazy until the caller acts
+        actions.clear()
+        out = similarity.ivf_topk_filtered(
+            emb, queries, "label % 2 = 0", k=3,
+            n_centroids=4, prebuilt=(cents, lists), selectivity=0.5,
+        )
+        assert actions == []
+    finally:
+        DataFrame.count, DataFrame.first = real_count, real_first
+    assert out.count() > 0  # and the lazy plan still executes
