@@ -623,6 +623,38 @@ def ivf_topk(
     )
 
 
+def _widen_probes_for_filter(
+    vectors: DataFrame,
+    flt_ids: DataFrame,
+    filter_expr: str,
+    n_centroids: int,
+    selectivity: float | None = None,
+    corpus_count: int | None = None,
+) -> int:
+    """Shared pre-filter probe widening for every ANN tier: filtering
+    thins every inverted list by the predicate's selectivity, so the
+    auto probe count divides by it (capped at all centroids). An
+    explicit ``selectivity`` costs nothing; a cached ``corpus_count``
+    costs one count of the FILTERED ids; otherwise one combined
+    count + count_if scan measures it."""
+    import math
+
+    if selectivity is None:
+        if corpus_count is not None:
+            total, kept = corpus_count, flt_ids.count()
+        else:
+            row = vectors.agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count_if(F.expr(filter_expr)).alias("kept"),
+            ).first()
+            total, kept = row["total"], row["kept"]
+        selectivity = kept / total if total else 1.0
+    return min(
+        n_centroids,
+        math.ceil(auto_n_probe(n_centroids) / max(selectivity, 1e-9)),
+    )
+
+
 def ivf_topk_filtered(
     vectors: DataFrame,
     queries: DataFrame,
@@ -671,21 +703,9 @@ def ivf_topk_filtered(
     flt_ids = vectors.filter(F.expr(filter_expr)).select(id_col)
     flt = lists.join(flt_ids, id_col, "left_semi")
     if n_probe is None:
-        if selectivity is None:
-            if corpus_count is not None:
-                total, kept = corpus_count, flt_ids.count()
-            else:
-                row = vectors.agg(
-                    F.count(F.lit(1)).alias("total"),
-                    F.count_if(F.expr(filter_expr)).alias("kept"),
-                ).first()
-                total, kept = row["total"], row["kept"]
-            selectivity = kept / total if total else 1.0
-        import math
-
-        n_probe = min(
-            n_centroids,
-            math.ceil(auto_n_probe(n_centroids) / max(selectivity, 1e-9)),
+        n_probe = _widen_probes_for_filter(
+            vectors, flt_ids, filter_expr, n_centroids,
+            selectivity=selectivity, corpus_count=corpus_count,
         )
     return ivf_topk(
         vectors,
@@ -1174,6 +1194,65 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def ivfpq_topk_filtered(
+    vectors: DataFrame,
+    queries: DataFrame,
+    filter_expr: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    pool: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    prebuilt: tuple | None = None,
+    selectivity: float | None = None,
+) -> DataFrame:
+    """Metadata-filtered IVF-PQ serving — the same pre-filter contract
+    as :func:`ivf_topk_filtered` on the compressed tier: the predicate
+    prunes the ENCODED table by a left-semi join on ids before ADC
+    scoring, so excluded rows can never reach the candidate pool or the
+    exact rerank (no leaks by construction), and the probe count
+    auto-widens by the filter's selectivity. ``prebuilt`` accepts
+    ``(cents, books, encoded)`` or ``(cents, books, encoded,
+    corpus_count)`` — the 4th element caches the corpus size so a
+    serving call only counts the filtered ids."""
+    corpus_count = None
+    if prebuilt is not None:
+        cents, books, encoded = prebuilt[0], prebuilt[1], prebuilt[2]
+        if len(prebuilt) > 3:
+            corpus_count = prebuilt[3]
+    else:
+        cents, books, encoded = ivfpq_build(
+            vectors, n_centroids, m, ksub, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    flt_ids = vectors.filter(F.expr(filter_expr)).select(id_col)
+    if n_probe is None:
+        n_probe = _widen_probes_for_filter(
+            vectors, flt_ids, filter_expr, n_centroids,
+            selectivity=selectivity, corpus_count=corpus_count,
+        )
+    return ivfpq_topk(
+        vectors,
+        queries,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        m=m,
+        ksub=ksub,
+        dim=dim,
+        pool=pool,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        prebuilt=(cents, books, encoded.join(flt_ids, id_col, "left_semi")),
     )
 
 

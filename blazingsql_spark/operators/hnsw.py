@@ -420,3 +420,63 @@ def hnsw_ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def hnsw_ivf_topk_filtered(
+    vectors: DataFrame,
+    queries: DataFrame,
+    filter_expr: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int | None = None,
+    ef: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    prebuilt: tuple[HnswGraph, np.ndarray] | None = None,
+    prebuilt_ivf: tuple | None = None,
+    selectivity: float | None = None,
+) -> DataFrame:
+    """Metadata-filtered serving on the HNSW-routed tier — the same
+    pre-filter contract as similarity.ivf_topk_filtered: the predicate
+    prunes the inverted lists by a left-semi join on ids BEFORE the
+    rerank (excluded rows can never surface), the probe count
+    auto-widens by the filter's selectivity, and the coarse probe still
+    rides the graph. ``prebuilt_ivf`` accepts ``(cents, lists)`` or
+    ``(cents, lists, corpus_count)`` — the 3rd element caches the
+    corpus size so a serving call only counts the filtered ids."""
+    from blazingsql_spark.functions.similarity import (
+        _widen_probes_for_filter,
+        assign_to_centroids,
+        ivf_train_centroids,
+    )
+
+    corpus_count = None
+    if prebuilt_ivf is not None:
+        cents, lists = prebuilt_ivf[0], prebuilt_ivf[1]
+        if len(prebuilt_ivf) > 2:
+            corpus_count = prebuilt_ivf[2]
+    else:
+        cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
+        lists = assign_to_centroids(vectors, cents, id_col, vec_col)
+    flt_ids = vectors.filter(F.expr(filter_expr)).select(id_col)
+    if n_probe is None:
+        n_probe = _widen_probes_for_filter(
+            vectors, flt_ids, filter_expr, n_centroids,
+            selectivity=selectivity, corpus_count=corpus_count,
+        )
+    return hnsw_ivf_topk(
+        vectors,
+        queries,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        ef=ef,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        dim=dim,
+        prebuilt=prebuilt,
+        prebuilt_ivf=(cents, lists.join(flt_ids, id_col, "left_semi")),
+    )

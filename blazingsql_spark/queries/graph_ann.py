@@ -683,6 +683,57 @@ def sim_ann_filtered(spark, sf_dir):
 
 
 @register(
+    "sim_ann_filtered_hnsw",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_exact_results,
+           TRUE AS recall_ok,
+           TRUE AS no_leaks
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    doc="Metadata-filtered serving on the HNSW-routed tier "
+    "(operators.hnsw.hnsw_ivf_topk_filtered): the same pre-filter "
+    "contract as sim_ann_filtered — inverted lists pruned by a "
+    "left-semi id join BEFORE rerank, probe count widened by the "
+    "filter's selectivity — but the coarse probe rides the bounded "
+    "driver-side HNSW graph instead of the brute-force centroid scan. "
+    "Gates: recall@5 >= 0.8 vs the exact top-k over the FILTERED "
+    "corpus, and an EXACT no-leak boolean; the DuckDB twin asserts "
+    "both TRUE with exact query/result counts",
+)
+def sim_ann_filtered_hnsw(spark, sf_dir):
+    """Same filter (even labels, ~50% selectivity) and the same PINNED
+    partial probe (10 of 16) as sim_ann_filtered, so the 0.8 floor
+    measures real filtered-serving recall on this tier too; ef stays at
+    the facade's 4*n_probe widening. Exact baseline runs on the
+    filtered corpus so recall measures the routing, not the filter."""
+    from blazingsql_spark.operators.hnsw import hnsw_ivf_topk_filtered
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flt = "label % 2 = 0"
+    exact = similarity.cosine_topk(emb.filter(flt), queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = hnsw_ivf_topk_filtered(
+        emb, queries, flt, k=5, n_centroids=16, n_probe=10
+    ).select("query_id", "vec_id")
+    leaks = (
+        approx.join(
+            emb.filter(f"NOT ({flt})").select("vec_id"), "vec_id", "left_semi"
+        )
+        .agg(F.count("*").alias("n_leaks"))
+    )
+    gate = _recall_gate(exact, approx.withColumn("hit", F.lit(1)), threshold=0.8)
+    return gate.crossJoin(leaks).select(
+        "n_queries", "n_exact_results", "recall_ok",
+        (F.col("n_leaks") == 0).alias("no_leaks"),
+    )
+
+
+@register(
     "sample_negatives",
     oracle="""
     WITH pool AS (

@@ -2528,3 +2528,64 @@ def test_ivf_topk_filtered_no_leaks_and_exact_at_full_probe(spark):
     # behavioral assertion of the widening logic, not arithmetic on
     # local variables
     assert sorted(map(tuple, got)) == sorted(map(tuple, exact.collect()))
+
+
+def test_filtered_serving_hnsw_and_pq_tiers(spark):
+    """The filtered-serving facades on the other tiers share
+    ivf_topk_filtered's pre-filter contract: (1) no result ever
+    violates the predicate (leak-free by construction — the lists /
+    encoded table are pruned before rerank); (2) the HNSW route at full
+    probe equals the exact filtered top-k (graph routing is exact when
+    the beam covers every centroid); (3) PQ stays leak-free at a
+    partial probe where post-filtering would slip."""
+    import random as _r
+
+    from blazingsql_spark.functions import similarity
+    from blazingsql_spark.operators.hnsw import hnsw_ivf_topk_filtered
+
+    rnd = _r.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flt = "label = 0"
+    bad = {r.vec_id for r in emb.filter(f"NOT ({flt})").collect()}
+    exact = sorted(
+        map(tuple, similarity.cosine_topk(emb.filter(flt), queries, k=5).collect())
+    )
+
+    # HNSW tier: partial probe leak-free; full probe == exact filtered
+    part = hnsw_ivf_topk_filtered(
+        emb, queries, flt, k=5, n_centroids=8, dim=8, n_probe=2
+    ).collect()
+    assert part and not ({r.vec_id for r in part} & bad)
+    full = hnsw_ivf_topk_filtered(
+        emb, queries, flt, k=5, n_centroids=8, dim=8, n_probe=8
+    ).collect()
+    assert sorted(map(tuple, full)) == exact
+
+    # PQ tier: lossy codes, so assert the leak-free contract + coverage
+    # (every query answered with k rows), not exact equality
+    pq = similarity.ivfpq_topk_filtered(
+        emb, queries, flt, k=5, n_centroids=8, n_probe=3, m=4, ksub=8, dim=8
+    ).collect()
+    assert pq and not ({r.vec_id for r in pq} & bad)
+    per_q = {}
+    for r in pq:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {5}
+
+    # cached-corpus-count prebuilt shape on the PQ facade
+    idx = similarity.ivfpq_build(emb, 8, 4, 8, dim=8)
+    n = emb.count()
+    pq2 = similarity.ivfpq_topk_filtered(
+        emb, queries, flt, k=5, m=4, ksub=8, dim=8,
+        n_centroids=8, prebuilt=(*idx, n),
+    ).collect()
+    assert pq2 and not ({r.vec_id for r in pq2} & bad)
