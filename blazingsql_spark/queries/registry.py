@@ -688,6 +688,84 @@ assert not set(_R10_WINDOW_STAGED[3:]) & set(_R8_WINDOW), (
     "r10 rotation must not re-check r8-fresh rows (sentinels excepted)"
 )
 
+# Round-11 window, STAGED as code in round 10 (the proven stage-ahead
+# discipline): promote by swapping into DRIVER_PRIORITY as r11's first
+# commit ONLY after CORRECTNESS_r10 lands 50/50 green. Composition: the
+# 3 standing sentinels; the 8 rows that have NEVER had a driver row
+# (the r9-extension MATCH_RECOGNIZE block, HLL intersection, filtered
+# ANN ×2 incl. the r10-registered HNSW tier, negative sampling); the 26
+# rows last driver-checked in r5 (oldest-stale — includes the rolled
+# events_markov/ohlc/top_paths); and the 13 alphabetically-first of the
+# 47 r6-stale rows to fill to 50. Recount at flip time if r10/r11
+# register more rows — NEW registrations take slots from the r6 fill.
+_NEVER_DRIVER_CHECKED_R10 = (
+    "events_mr_navigation",
+    "events_mr_permute",
+    "events_mr_skip_overlap",
+    "events_mr_all_rows",
+    "sample_negatives",
+    "sim_ann_filtered",
+    "sim_ann_filtered_hnsw",
+    "sketch_hll_intersect",
+)
+_R5_STALE_FOR_R11 = (
+    "events_markov",
+    "events_ohlc",
+    "events_top_paths",
+    "events_twap",
+    "events_window_approx_distinct",
+    "expr_array_setops",
+    "expr_bit_shift",
+    "expr_collation",
+    "expr_date_format",
+    "expr_json",
+    "expr_levenshtein",
+    "expr_regexp_extract",
+    "expr_split_part",
+    "expr_variant",
+    "interval_join_events",
+    "join_fuzzy_names",
+    "join_lateral",
+    "ml_linear_probe",
+    "pivot_native",
+    "rag_hybrid_rrf",
+    "sample_weighted_es",
+    "scd2_orders",
+    "sketch_heavy_hitters",
+    "sql_recursive_cte",
+    "vocab_bpe_pairs",
+    "window_ntile",
+)
+_R6_STALE_FILL = (
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_distinct_rows",
+    "agg_grouping_sets",
+    "agg_median",
+    "agg_multicol_count",
+    "agg_no_groupby",
+    "agg_rollup",
+    "agg_stats",
+    "agg_sum0",
+    "asof_join_events",
+    "dedup_exact",
+    "dedup_jaccard",
+)
+_R11_WINDOW_STAGED = (
+    _SENTINELS
+    + _NEVER_DRIVER_CHECKED_R10
+    + _R5_STALE_FOR_R11
+    + _R6_STALE_FILL
+)
+assert len(_R11_WINDOW_STAGED) == _DRIVER_WINDOW, len(_R11_WINDOW_STAGED)
+assert len(set(_R11_WINDOW_STAGED)) == len(_R11_WINDOW_STAGED)
+assert not set(_R11_WINDOW_STAGED[3:]) & set(_R10_WINDOW_STAGED), (
+    "r11 rotation must not re-check r10-fresh rows (sentinels excepted)"
+)
+assert not set(_R11_WINDOW_STAGED[3:]) & set(_R9_WINDOW_STAGED), (
+    "r11 rotation must not re-check r9-fresh rows (sentinels excepted)"
+)
+
 # Past the window, queue the freshest-green rows first (r9, then r8, …)
 # so any driver overflow re-checks the most recently verified work.
 # PROMOTED for round 10 (CORRECTNESS_r09 landed 50/50 green, zero err —
