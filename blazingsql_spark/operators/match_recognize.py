@@ -172,7 +172,11 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
     is the per-row symbol, and only an explicit FINAL prefix yields the
     whole-match constant (FINAL CLASSIFIER() is the last-row symbol).
     MATCH_NUMBER() is prefix-invariant and skips the per-prefix loop.
-    Under ONE ROW PER MATCH running and final coincide."""
+    Under ONE ROW PER MATCH running and final coincide. Besides the
+    atomic forms, NUMERIC arithmetic over them is supported
+    (Oracle/Flink parity): e.g. `LAST(value) - FIRST(value)`,
+    `SUM(A.price) / COUNT(A.*)`, `100 * AVG(x)` — see
+    :func:`_compile_arith_measure` for the semantics."""
     expr = expr.strip()
     pm = _SEMANTICS_PREFIX.match(expr)
     running = explicit_final = False
@@ -180,20 +184,32 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
         running = pm.group(1).upper() == "RUNNING"
         explicit_final = not running
         expr = expr[pm.end():].strip()
-
-    def mk(ev, ty, is_clf=False, prefix_inv=False):
-        return _Measure(
-            alias, ev, ty, running, is_clf, explicit_final, prefix_inv
-        )
-
-    m = _MEASURE_FORMS.match(expr)
-    if not m:
+    quad = _compile_single(expr, sym_chars)
+    if quad is None:
+        quad = _compile_arith_measure(expr, sym_chars)
+    if quad is None:
         raise ValueError(
             f"MATCH_RECOGNIZE: unsupported measure {expr!r} (supported: "
             f"MATCH_NUMBER(), CLASSIFIER(), COUNT(*), COUNT(S.*), "
             f"FIRST/LAST(col), FIRST/LAST(S.col), SUM/AVG/MIN/MAX(col), "
-            f"SUM/AVG/MIN/MAX(S.col))"
+            f"SUM/AVG/MIN/MAX(S.col), and numeric + - * / % arithmetic "
+            f"over those forms and literals)"
         )
+    ev, ty, is_clf, prefix_inv = quad
+    return _Measure(alias, ev, ty, running, is_clf, explicit_final, prefix_inv)
+
+
+def _compile_single(expr: str, sym_chars: dict[str, str]):
+    """Compile ONE atomic measure form; returns (ev, ty, is_clf,
+    prefix_inv) or None when the text is not an atomic form (semantic
+    errors inside a recognized form still raise loudly)."""
+
+    def mk(ev, ty, is_clf=False, prefix_inv=False):
+        return (ev, ty, is_clf, prefix_inv)
+
+    m = _MEASURE_FORMS.match(expr)
+    if not m:
+        return None
     if m.group("mn"):
         return mk(
             lambda pdf, codes, n: n, lambda sch: T.LongType(), prefix_inv=True
@@ -279,6 +295,184 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
         return sch[_col].dataType
 
     return mk(ev, ty)
+
+
+_MEXPR_ATOM = re.compile(
+    r"MATCH_NUMBER\s*\(\s*\)"
+    r"|(?:COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*[^()]*\s*\)",
+    re.IGNORECASE,
+)
+_MEXPR_NUM = re.compile(r"\d+(?:\.\d+)?")
+
+
+def _compile_arith_measure(expr: str, sym_chars: dict[str, str]):
+    """Compile a NUMERIC arithmetic combination of atomic measures and
+    literals — `LAST(value) - FIRST(value)`, `SUM(A.price) /
+    COUNT(A.*)`, `-2 * (AVG(x) + 1)` — the measure-expression subset
+    Oracle/Flink users lean on most. Semantics match the engine's SQL
+    surface: NULL propagates through every operator, `/` always yields
+    DOUBLE and is NULL on a zero divisor, `%` is truncated (C-style)
+    modulo and NULL on zero, integer-only `+ - * %` stays BIGINT.
+    Operands must be numeric (a timestamp FIRST/LAST in arithmetic
+    raises — interval arithmetic is out of scope, compute it on the
+    output columns instead). Returns (ev, ty, False, prefix_inv) or
+    None when the text is not an arithmetic measure expression; the
+    whole expression is prefix-invariant only when every atom is, so
+    RUNNING re-evaluation under ALL ROWS sees running aggregates
+    inside the arithmetic, per the standard."""
+    masked = _mask_literals(expr)
+    tokens: list[tuple[str, object]] = []
+    i = 0
+    while i < len(masked):
+        if masked[i].isspace():
+            i += 1
+            continue
+        am = _MEXPR_ATOM.match(masked, i)
+        if am:
+            quad = _compile_single(expr[i : am.end()].strip(), sym_chars)
+            if quad is None:
+                return None  # e.g. COUNT(a, b) — not a measure form
+            tokens.append(("atom", quad))
+            i = am.end()
+            continue
+        nm = _MEXPR_NUM.match(masked, i)
+        if nm:
+            txt = nm.group(0)
+            val = float(txt) if "." in txt else int(txt)
+            tokens.append(
+                ("atom", (lambda pdf, codes, n, _v=val: _v,
+                          lambda sch, _f=isinstance(val, float): (
+                              T.DoubleType() if _f else T.LongType()
+                          ),
+                          False, True))
+            )
+            i = nm.end()
+            continue
+        if masked[i] in "+-*/%()":
+            tokens.append((masked[i], None))
+            i += 1
+            continue
+        return None  # anything else: not an arithmetic measure
+    ops = {t for t, _ in tokens if t in "+-*/%"}
+    if not ops or not any(t == "atom" for t, _ in tokens):
+        return None  # a lone atom/number is _compile_single's business
+
+    def type_kind(dt):
+        if isinstance(dt, _INTEGRAL):
+            return "i"
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return "f"
+        raise ValueError(
+            f"MATCH_RECOGNIZE: arithmetic measure over non-numeric type "
+            f"{dt.simpleString()} in {expr!r} (numeric operands only)"
+        )
+
+    def combine(ea, ta, eb, tb, op):
+        def ty(sch, _ta=ta, _tb=tb, _op=op):
+            ka, kb = type_kind(_ta(sch)), type_kind(_tb(sch))
+            if _op == "/" or "f" in (ka, kb):
+                return T.DoubleType()
+            return T.LongType()
+
+        def _int_like(x):
+            import numpy as np
+
+            return isinstance(x, (int, np.integer)) and not isinstance(
+                x, bool
+            )
+
+        def ev(pdf, codes, n, _ea=ea, _eb=eb, _op=op):
+            a, b = _ea(pdf, codes, n), _eb(pdf, codes, n)
+            if a is None or b is None:
+                return None
+            if _op == "/":
+                return float(a) / float(b) if b else None
+            if _int_like(a) and _int_like(b):
+                a, b = int(a), int(b)
+            else:
+                a, b = float(a), float(b)
+            if _op == "+":
+                return a + b
+            if _op == "-":
+                return a - b
+            if _op == "*":
+                return a * b
+            # truncated modulo, NULL on zero divisor (mr_expr parity)
+            if b == 0:
+                return None
+            r = abs(a) % abs(b)
+            return r if a >= 0 else -r
+
+        return ev, ty
+
+    pos = 0
+
+    def peek():
+        return tokens[pos][0] if pos < len(tokens) else None
+
+    def parse_factor():
+        nonlocal pos
+        t, payload = tokens[pos] if pos < len(tokens) else (None, None)
+        if t == "-":
+            pos += 1
+            ev, ty, _, pinv = parse_factor()
+
+            def neg(pdf, codes, n, _e=ev):
+                v = _e(pdf, codes, n)
+                return None if v is None else -v
+
+            return neg, ty, False, pinv
+        if t == "(":
+            pos += 1
+            out = parse_expr()
+            if peek() != ")":
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: unbalanced parens in measure {expr!r}"
+                )
+            pos += 1
+            return out
+        if t == "atom":
+            pos += 1
+            ev, ty, is_clf, pinv = payload
+            if is_clf:
+                raise ValueError(
+                    "MATCH_RECOGNIZE: CLASSIFIER() cannot appear in "
+                    "arithmetic measures"
+                )
+            return ev, ty, False, pinv
+        raise ValueError(
+            f"MATCH_RECOGNIZE: cannot parse measure expression {expr!r}"
+        )
+
+    def parse_term():
+        nonlocal pos
+        ev, ty, _, pinv = parse_factor()
+        while peek() in ("*", "/", "%"):
+            op = peek()
+            pos += 1
+            ev2, ty2, _, pinv2 = parse_factor()
+            ev, ty = combine(ev, ty, ev2, ty2, op)
+            pinv = pinv and pinv2
+        return ev, ty, False, pinv
+
+    def parse_expr():
+        nonlocal pos
+        ev, ty, _, pinv = parse_term()
+        while peek() in ("+", "-"):
+            op = peek()
+            pos += 1
+            ev2, ty2, _, pinv2 = parse_term()
+            ev, ty = combine(ev, ty, ev2, ty2, op)
+            pinv = pinv and pinv2
+        return ev, ty, False, pinv
+
+    out = parse_expr()
+    if pos != len(tokens):
+        raise ValueError(
+            f"MATCH_RECOGNIZE: trailing tokens in measure expression "
+            f"{expr!r}"
+        )
+    return out
 
 
 _PERMUTE = re.compile(r"\bPERMUTE\s*\(([^()]*)\)", re.IGNORECASE)

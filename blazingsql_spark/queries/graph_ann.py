@@ -142,6 +142,83 @@ def events_match_recognize(spark, sf_dir):
 
 
 @register(
+    "events_mr_measure_expr",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), n AS (
+        SELECT user_id, rn, event_type,
+               MIN(CASE WHEN event_type <> 'click' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        FROM e
+    ), m AS (
+        SELECT a.user_id, a.rn AS lo, a.nxt AS hi
+        FROM n a JOIN e b ON b.user_id = a.user_id AND b.rn = a.nxt
+        WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    )
+    SELECT m.user_id,
+           CAST(MIN(CASE WHEN r.rn = m.lo THEN r.event_id END) AS BIGINT)
+               AS start_event,
+           ROUND(MAX(CASE WHEN r.rn = m.hi THEN r.value END)
+                 - MAX(CASE WHEN r.rn = m.lo THEN r.value END), 6) AS delta,
+           ROUND(SUM(r.value) FILTER (WHERE r.rn > m.lo AND r.rn < m.hi)
+                 / NULLIF(COUNT(*) FILTER (
+                       WHERE r.rn > m.lo AND r.rn < m.hi), 0), 6)
+               AS avg_click,
+           CAST(COUNT(*) % 3 AS BIGINT) AS mod3
+    FROM m JOIN e r
+      ON r.user_id = m.user_id AND r.rn BETWEEN m.lo AND m.hi
+    GROUP BY m.user_id, m.lo, m.hi
+    ORDER BY m.user_id, start_event
+    """,
+    doc="Arithmetic MEASURE EXPRESSIONS in MATCH_RECOGNIZE (the "
+    "Oracle/Flink spelling a migrating user types): LAST(value) - "
+    "FIRST(value), SUM(C.value) / COUNT(C.*) (NULL on a zero-click "
+    "match — division by zero is NULL), COUNT(*) % 3 (truncated "
+    "modulo, BIGINT). The DuckDB twin recomputes every match span via "
+    "the next-non-click range join and replays each expression with "
+    "window-free aggregates FILTERed to the span — every cell compared "
+    "exactly, one row per match",
+)
+def events_mr_measure_expr(spark, sf_dir):
+    """Same funnel spans as events_mr_all_rows; the compared surface is
+    the measure-expression compiler (operators/match_recognize.py
+    _compile_arith_measure): NULL propagation, /0 -> NULL, truncated
+    %, and the BIGINT/DOUBLE result typing."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id, CAST(start_event AS BIGINT) AS start_event,
+               ROUND(delta, 6) AS delta,
+               ROUND(avg_click, 6) AS avg_click,
+               CAST(mod3 AS BIGINT) AS mod3
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(event_id) AS start_event,
+                     LAST(value) - FIRST(value) AS delta,
+                     SUM(C.value) / COUNT(C.*) AS avg_click,
+                     COUNT(*) % 3 AS mod3
+            ONE ROW PER MATCH
+            PATTERN (V C* P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        )
+        ORDER BY user_id, start_event
+        """
+    )
+
+
+@register(
     "sketch_ddsketch_quantiles",
     oracle="""
     WITH b AS (

@@ -1282,3 +1282,97 @@ def test_explain_accepts_match_recognize(spark):
         detail=True,
     )
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_measure_arithmetic_expressions(spark):
+    """Numeric arithmetic over atomic measures (Oracle/Flink parity):
+    NULL propagation, / always DOUBLE and NULL on zero, truncated %,
+    integer ops stay BIGINT, unary minus, parens; under ALL ROWS the
+    unprefixed expression is RUNNING (aggregates inside see the row's
+    prefix) and FINAL is constant. Non-numeric operands and
+    CLASSIFIER() in arithmetic raise loudly."""
+    import pytest as _pt
+
+    from blazingsql_spark.operators.match_recognize import match_recognize
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 10.0),
+            (1, 2, "click", 4.0),
+            (1, 3, "click", None),
+            (1, 4, "purchase", 30.0),
+        ],
+        ["user_id", "seq", "event_type", "value"],
+    )
+    define = {
+        "V": "event_type = 'view'",
+        "C": "event_type = 'click'",
+        "P": "event_type = 'purchase'",
+    }
+    out = match_recognize(
+        df, ["user_id"], ["seq"],
+        [
+            ("LAST(value) - FIRST(value)", "delta"),
+            ("SUM(C.value) / COUNT(C.*)", "avg_click"),
+            ("-2 * (COUNT(*) + 1)", "neg"),
+            ("COUNT(*) % 3", "mod"),
+            ("SUM(value) / 0", "div0"),
+            ("MATCH_NUMBER() * 10", "mn10"),
+        ],
+        "V C* P", define,
+    )
+    sch = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert sch["delta"] == "double" and sch["avg_click"] == "double"
+    assert sch["neg"] == "bigint" and sch["mod"] == "bigint"
+    assert sch["div0"] == "double" and sch["mn10"] == "bigint"
+    r = out.collect()[0]
+    assert (r.delta, r.avg_click, r.neg, r.mod, r.div0, r.mn10) == (
+        20.0, 2.0, -10, 1, None, 10,
+    )
+
+    # ALL ROWS: unprefixed arithmetic is RUNNING, FINAL is constant
+    ar = match_recognize(
+        df, ["user_id"], ["seq"],
+        [("SUM(value) - FIRST(value)", "rdelta"),
+         ("FINAL SUM(value) - 1", "f1")],
+        "V C* P", define, all_rows=True,
+    ).orderBy("seq").collect()
+    assert [x.rdelta for x in ar] == [0.0, 4.0, 4.0, 34.0]
+    assert [x.f1 for x in ar] == [43.0] * 4
+
+    # SQL spelling through the rewriter
+    df.createOrReplaceTempView("ev_arith")
+    bc = Context(spark=spark)
+    got = bc.sql(
+        """
+        SELECT delta FROM ev_arith MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES LAST(value) - FIRST(value) AS delta
+            ONE ROW PER MATCH
+            PATTERN (V C* P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        )
+        """
+    ).collect()
+    assert [x.delta for x in got] == [20.0]
+
+    # loud failures: timestamp arithmetic, CLASSIFIER in arithmetic,
+    # trailing garbage
+    ts_df = df.withColumn("ts", F.to_timestamp(F.lit("2026-01-01")))
+    with _pt.raises(Exception, match="non-numeric"):
+        match_recognize(
+            ts_df, ["user_id"], ["seq"], [("LAST(ts) - FIRST(ts)", "d")],
+            "V C* P", dict(define),
+        ).collect()
+    with _pt.raises(ValueError, match="CLASSIFIER"):
+        match_recognize(
+            df, ["user_id"], ["seq"], [("CLASSIFIER() + 1", "x")],
+            "V C* P", dict(define),
+        )
+    with _pt.raises(ValueError, match="cannot parse measure"):
+        match_recognize(
+            df, ["user_id"], ["seq"], [("SUM(value) ++", "x")],
+            "V C* P", dict(define),
+        )
