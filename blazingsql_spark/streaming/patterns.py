@@ -357,6 +357,7 @@ def match_recognize_stream(
     pattern: str,
     define: dict[str, str] | None = None,
     max_carry: int = 4096,
+    within: str | int | float | None = None,
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE summary — the incremental twin of
     operators.match_recognize for its ONE-ROW-PER-MATCH aggregate form:
@@ -381,6 +382,16 @@ def match_recognize_stream(
     PREV/NEXT stay rejected (physical offsets can reach rows OUTSIDE
     the attempt, which a bounded stream no longer has).
 
+    ``within`` bounds the match DURATION like the batch operator (the
+    Flink extension): a row whose ``ts_col`` exceeds the attempt's
+    first row by more than the bound ends the attempt (the accepted
+    prefix still emits). A WITHIN stream always routes through the
+    row-value carry (the ts of every in-flight row must persist across
+    micro-batches), and as a welcome side effect the bound caps the
+    carry naturally on streams whose event time advances. The bound's
+    type is checked against ``ts_col`` at plan time (interval for
+    timestamps, plain number for numeric keys).
+
     Cross-batch order contract: per-key rows must arrive in (ts, id)
     order across micro-batches (within a batch they are sorted), same
     as every stateful twin here."""
@@ -401,10 +412,25 @@ def match_recognize_stream(
         s: p for s, p in define.items()
         if mr_expr.is_symbol_relative(p, names)
     }
-    if symrel:
+    within_dur = None
+    if within is not None:
+        from blazingsql_spark.operators.match_recognize import _parse_within
+
+        within_dur = _parse_within(within)
+        is_time = isinstance(
+            events.schema[ts_col].dataType, (T.TimestampType, T.DateType)
+        )
+        if is_time != isinstance(within_dur, pd.Timedelta):
+            raise ValueError(
+                f"MATCH_RECOGNIZE: WITHIN {within!r} does not fit the "
+                f"order key {ts_col!r} "
+                f"({events.schema[ts_col].dataType.simpleString()}) — "
+                f"use an interval for timestamps, a number for numerics"
+            )
+    if symrel or within_dur is not None:
         return _match_recognize_stream_nav(
             events, key_col, ts_col, id_col, define, symrel,
-            names, sym_chars, nfa, max_carry,
+            names, sym_chars, nfa, max_carry, within_dur,
         )
     coded = classify_symbols(
         events, names, sym_chars, define, allow_navigation=False
@@ -470,6 +496,7 @@ def _match_recognize_stream_nav(
     sym_chars: dict[str, str],
     nfa,
     max_carry: int,
+    within_dur=None,
 ) -> DataFrame:
     """Symbol-relative streaming twin (see match_recognize_stream's
     docstring): the carry persists the in-flight attempt's ROWS (nav
@@ -551,7 +578,10 @@ def _match_recognize_stream_nav(
         ctx = mr_expr.MatchCtx(cols, 0, 0, size, {})
         classify = build_classifier(test_order, flags, compiled, ctx)
         spans, carry_start = scan_rows_in_automaton(
-            nfa, classify, size, final=False
+            nfa, classify, size, final=False,
+            within=(
+                (cols[ts_col], within_dur) if within_dur is not None else None
+            ),
         )
         n = n0 + len(spans)
         longest = max([longest0] + [hi - lo for lo, hi, _ in spans])
