@@ -73,7 +73,10 @@ def main():
             },
         )
 
-    for reps in (1, 16, 64):
+    reps_list = (
+        tuple(int(a) for a in sys.argv[1:]) if len(sys.argv) > 1 else (1, 16, 64)
+    )
+    for reps in reps_list:
         ev = (
             ev1
             if reps == 1
