@@ -40,7 +40,8 @@ covers the common funnel/sessionization queries:
   implementation recommends anyway (mutually exclusive DEFINEs); a row
   matching no symbol breaks any in-flight match.
 - ``MEASURES``: MATCH_NUMBER(), CLASSIFIER(), COUNT(*), COUNT(S.*),
-  FIRST/LAST(col), FIRST/LAST(S.col), and the FINAL aggregates
+  FIRST/LAST(col [, n]) with the SQL:2016 logical offset,
+  FIRST/LAST(S.col [, n]), and the FINAL aggregates
   SUM/AVG/MIN/MAX(col) / SUM/AVG/MIN/MAX(S.col) (NULL-skipping; NULL
   over zero eligible rows); ONE ROW PER MATCH or ALL ROWS PER MATCH.
   Under ALL ROWS PER MATCH measures follow SQL:2016 semantics: the
@@ -144,7 +145,8 @@ _MEASURE_FORMS = re.compile(
     r"|(?P<clf>CLASSIFIER\(\))"
     r"|COUNT\(\s*(?:\*|(?P<csym>\w+)\.\*)\s*\)"
     r"|(?P<agg>SUM|AVG|MIN|MAX)\(\s*(?:(?P<gsym>\w+)\.)?(?P<gcol>\w+)\s*\)"
-    r"|(?P<fl>FIRST|LAST)\(\s*(?:(?P<sym>\w+)\.)?(?P<col>\w+)\s*\))$",
+    r"|(?P<fl>FIRST|LAST)\(\s*(?:(?P<sym>\w+)\.)?(?P<col>\w+)"
+    r"(?:\s*,\s*(?P<floff>\d+))?\s*\))$",
     re.IGNORECASE,
 )
 
@@ -191,7 +193,8 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
         raise ValueError(
             f"MATCH_RECOGNIZE: unsupported measure {expr!r} (supported: "
             f"MATCH_NUMBER(), CLASSIFIER(), COUNT(*), COUNT(S.*), "
-            f"FIRST/LAST(col), FIRST/LAST(S.col), SUM/AVG/MIN/MAX(col), "
+            f"FIRST/LAST(col [, n]), FIRST/LAST(S.col [, n]), "
+            f"SUM/AVG/MIN/MAX(col), "
             f"SUM/AVG/MIN/MAX(S.col), and numeric + - * / % arithmetic "
             f"over those forms and literals)"
         )
@@ -280,16 +283,20 @@ def _compile_single(expr: str, sym_chars: dict[str, str]):
     if sym is not None and sym not in sym_chars:
         raise ValueError(f"MATCH_RECOGNIZE: measure over unknown symbol {sym!r}")
     ch = sym_chars.get(sym) if sym else None
+    # SQL:2016 logical offset: FIRST(col, n) is the (n+1)-th eligible
+    # row, LAST(col, n) the (n+1)-th from the end; NULL when the match
+    # (or the symbol's rows) has fewer than n+1 rows
+    off = int(m.group("floff")) if m.group("floff") else 0
 
-    def ev(pdf, codes, n, _ch=ch, _col=col, _first=first):
+    def ev(pdf, codes, n, _ch=ch, _col=col, _first=first, _off=off):
         rows = (
             pdf
             if _ch is None
             else pdf[[c in _ch for c in codes]]
         )
-        if len(rows) == 0:
+        if len(rows) <= _off:
             return None
-        return rows[_col].iloc[0 if _first else -1]
+        return rows[_col].iloc[_off if _first else -1 - _off]
 
     def ty(sch, _col=col):
         return sch[_col].dataType

@@ -1376,3 +1376,58 @@ def test_measure_arithmetic_expressions(spark):
             df, ["user_id"], ["seq"], [("SUM(value) ++", "x")],
             "V C* P", dict(define),
         )
+
+
+def test_measure_first_last_logical_offset(spark):
+    """FIRST(col, n) / LAST(col, n) measures take the SQL:2016 logical
+    offset — the (n+1)-th eligible row from either end, NULL when the
+    match (or the symbol's rows) is shorter — including inside
+    arithmetic and through the SQL spelling."""
+    from blazingsql_spark.operators.match_recognize import match_recognize
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 10.0),
+            (1, 2, "click", 4.0),
+            (1, 3, "click", 7.0),
+            (1, 4, "purchase", 30.0),
+        ],
+        ["user_id", "seq", "event_type", "value"],
+    )
+    define = {
+        "V": "event_type = 'view'",
+        "C": "event_type = 'click'",
+        "P": "event_type = 'purchase'",
+    }
+    out = match_recognize(
+        df, ["user_id"], ["seq"],
+        [
+            ("FIRST(seq, 1)", "second_row"),
+            ("LAST(seq, 1)", "penultimate"),
+            ("FIRST(C.value, 1)", "click2"),
+            ("FIRST(C.value, 2)", "click3_missing"),
+            ("LAST(value, 1) - FIRST(value, 1)", "mid_delta"),
+        ],
+        "V C* P", define,
+    )
+    r = out.collect()[0]
+    assert (r.second_row, r.penultimate) == (2, 3)
+    assert r.click2 == 7.0 and r.click3_missing is None
+    assert r.mid_delta == 3.0  # 7.0 - 4.0
+
+    df.createOrReplaceTempView("ev_off")
+    bc = Context(spark=spark)
+    got = bc.sql(
+        """
+        SELECT p FROM ev_off MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES LAST(seq, 1) AS p
+            ONE ROW PER MATCH
+            PATTERN (V C* P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        )
+        """
+    ).collect()
+    assert [x.p for x in got] == [3]
