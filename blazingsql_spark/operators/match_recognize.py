@@ -289,6 +289,8 @@ def _compile_single(expr: str, sym_chars: dict[str, str]):
     off = int(m.group("floff")) if m.group("floff") else 0
 
     def ev(pdf, codes, n, _ch=ch, _col=col, _first=first, _off=off):
+        import pandas as pd
+
         rows = (
             pdf
             if _ch is None
@@ -296,7 +298,11 @@ def _compile_single(expr: str, sym_chars: dict[str, str]):
         )
         if len(rows) <= _off:
             return None
-        return rows[_col].iloc[_off if _first else -1 - _off]
+        val = rows[_col].iloc[_off if _first else -1 - _off]
+        # a NULL cell must come back as SQL NULL, not the container's
+        # missing sentinel (float NaN / pandas NA / NaT) — those leak
+        # into arithmetic as NaN and into Arrow as a non-null cell
+        return None if pd.isna(val) else val
 
     def ty(sch, _col=col):
         return sch[_col].dataType

@@ -1431,3 +1431,84 @@ def test_measure_first_last_logical_offset(spark):
         """
     ).collect()
     assert [x.p for x in got] == [3]
+
+
+def test_measure_arithmetic_matches_duckdb_property():
+    """Differential: random arithmetic expression trees over measure
+    atoms (SUM/AVG/COUNT/FIRST/LAST over a small match span) evaluate
+    identically to DuckDB's scalar arithmetic on the same atom values —
+    NULL propagation, / NULL-on-zero, truncated %, integer vs double
+    typing all included."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blazingsql_spark.operators.match_recognize import _parse_measure
+
+    con = duckdb.connect()
+    atoms = [
+        "SUM(v)", "AVG(v)", "COUNT(*)", "FIRST(v)", "LAST(v)",
+        "FIRST(v, 1)", "LAST(v, 1)", "COUNT(C.*)", "SUM(C.v)",
+    ]
+
+    @st.composite
+    def exprs(draw, depth=0):
+        k = draw(st.integers(0, 4 if depth < 2 else 1))
+        if k == 0:
+            return draw(st.sampled_from(atoms))
+        if k == 1:
+            return str(draw(st.integers(0, 9)))
+        a = draw(exprs(depth + 1))
+        b = draw(exprs(depth + 1))
+        op = draw(st.sampled_from(["+", "-", "*", "/", "%"]))
+        return f"({a} {op} {b})"
+
+    vals = st.lists(
+        st.one_of(st.none(), st.integers(-9, 9)), min_size=1, max_size=5
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(expr=exprs(), v=vals, codes_seed=st.integers(0, 1 << 30))
+    def check(expr, v, codes_seed):
+        import pandas as pd
+
+        rnd = random.Random(codes_seed)
+        codes = "".join(rnd.choice("ac") for _ in v)  # 'c' = symbol C
+        try:
+            meas = _parse_measure(expr, "m", {"C": "c", "A": "a"})
+        except ValueError:
+            return  # e.g. a lone literal — not a measure, fine
+        pdf = pd.DataFrame({"v": pd.array(v, dtype="Int64")})
+        got = meas.ev(pdf, codes, 1)
+        # DuckDB twin: substitute each atom's value computed by pandas
+        # (itself unit-tested), then let DuckDB do the arithmetic
+        cv = [x for x, c in zip(v, codes) if c == "c"]
+        nn = [x for x in v if x is not None]
+        cnn = [x for x in cv if x is not None]
+        subs = {
+            "SUM(v)": sum(nn) if nn else None,
+            "AVG(v)": sum(nn) / len(nn) if nn else None,
+            "COUNT(*)": len(v),
+            "FIRST(v)": v[0],
+            "LAST(v)": v[-1],
+            "FIRST(v, 1)": v[1] if len(v) > 1 else None,
+            "LAST(v, 1)": v[-2] if len(v) > 1 else None,
+            "COUNT(C.*)": len(cv),
+            "SUM(C.v)": sum(cnn) if cnn else None,
+        }
+        sql = expr
+        for k in sorted(subs, key=len, reverse=True):
+            lit = "NULL" if subs[k] is None else repr(float(subs[k]))
+            # keep integer-typed atoms integer-typed for %-semantics
+            if subs[k] is not None and k not in ("AVG(v)",):
+                lit = str(int(subs[k]))
+            sql = sql.replace(k, f"({lit})")
+        want = con.execute(f"SELECT {sql}").fetchone()[0]
+        if got is None or want is None:
+            assert got is None and want is None, (expr, v, codes, got, want)
+        else:
+            assert abs(float(got) - float(want)) < 1e-9, (
+                expr, v, codes, got, want,
+            )
+
+    check()
