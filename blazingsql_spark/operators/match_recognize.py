@@ -488,19 +488,39 @@ def _compile_arith_measure(expr: str, sym_chars: dict[str, str]):
     return out
 
 
-_PERMUTE = re.compile(r"\bPERMUTE\s*\(([^()]*)\)", re.IGNORECASE)
+_PERMUTE_KW = re.compile(r"\bPERMUTE\s*\(", re.IGNORECASE)
 
 
 def _expand_permute(pattern: str) -> str:
-    """Expand SQL:2016 ``PERMUTE(A, B, C)`` into the alternation of all
+    """Expand SQL:2016 ``PERMUTE(...)`` into the alternation of all
     orderings — lexicographic by argument position, the standard's
     preference order, which under this scanner's leftmost-longest
     discipline only matters for equal-length alternatives anyway.
-    Bounded at 6 elements (720 branches); bare symbols only."""
+    Arguments may be QUANTIFIED or GROUPED sub-patterns
+    (``PERMUTE(A+, B)``, ``PERMUTE((A B)?, C)``) and PERMUTE may nest —
+    each argument is parenthesized in the expansion so alternation
+    precedence is preserved. Bounded at 6 elements (720 branches)."""
     import itertools
 
-    def sub(m: re.Match) -> str:
-        parts = [p.strip() for p in m.group(1).split(",") if p.strip()]
+    while True:
+        m = _PERMUTE_KW.search(pattern)
+        if m is None:
+            return pattern
+        depth, i = 1, m.end()
+        while i < len(pattern) and depth:
+            if pattern[i] == "(":
+                depth += 1
+            elif pattern[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: unbalanced PERMUTE( in {pattern!r}"
+            )
+        body = pattern[m.end() : i - 1]
+        if _PERMUTE_KW.search(body):
+            body = _expand_permute(body)  # innermost-first for nesting
+        parts = _split_top(body)
         if not parts:
             raise ValueError("MATCH_RECOGNIZE: empty PERMUTE()")
         if len(parts) > 6:
@@ -508,27 +528,15 @@ def _expand_permute(pattern: str) -> str:
                 f"MATCH_RECOGNIZE: PERMUTE of {len(parts)} elements expands "
                 f"to {len(parts)}! branches — 6 is the supported maximum"
             )
-        for p_ in parts:
-            if not re.fullmatch(r"\w+", p_):
-                raise ValueError(
-                    f"MATCH_RECOGNIZE: PERMUTE takes bare symbols, got {p_!r}"
-                )
-        return (
+        expansion = (
             "("
-            + "|".join(" ".join(o) for o in itertools.permutations(parts))
+            + "|".join(
+                " ".join(f"({p})" for p in o)
+                for o in itertools.permutations(parts)
+            )
             + ")"
         )
-
-    out = _PERMUTE.sub(sub, pattern)
-    if re.search(r"\bPERMUTE\b", out, re.IGNORECASE):
-        # a parenthesized/nested argument list defeats the [^()]* body —
-        # without this check the leftover 'PERMUTE' word would become an
-        # always-true pattern SYMBOL and silently match wrong rows
-        raise ValueError(
-            f"MATCH_RECOGNIZE: malformed PERMUTE in {pattern!r} — "
-            f"arguments must be bare symbols (no nesting or parentheses)"
-        )
-    return out
+        pattern = pattern[: m.start()] + expansion + pattern[i:]
 
 
 def compile_symbols(

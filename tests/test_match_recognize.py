@@ -1211,11 +1211,11 @@ def test_second_review_regressions(spark):
 
 
 def test_permute_pattern(spark):
-    """PERMUTE(A, B) matches both orders; expansion bounds and bare-
-    symbol restriction raise loudly; quantifiers compose around it."""
+    """PERMUTE(A, B) matches both orders; expansion bounds raise
+    loudly; quantified arguments and quantifiers around it compose."""
     from blazingsql_spark.operators.match_recognize import _expand_permute
 
-    assert _expand_permute("V PERMUTE(C, P)") == "V (C P|P C)"
+    assert _expand_permute("V PERMUTE(C, P)") == "V ((C) (P)|(P) (C))"
     assert _expand_permute("PERMUTE(A, B, C)").count("|") == 5
 
     df = spark.createDataFrame(
@@ -1238,26 +1238,46 @@ def test_permute_pattern(spark):
 
     with _pt.raises(ValueError, match="6 is the supported maximum"):
         _expand_permute("PERMUTE(A, B, C, D, E, F, G)")
-    with _pt.raises(ValueError, match="bare symbols"):
-        _expand_permute("PERMUTE(A+, B)")
     with _pt.raises(ValueError, match="empty PERMUTE"):
         _expand_permute("PERMUTE( )")
+    with _pt.raises(ValueError, match="unbalanced PERMUTE"):
+        _expand_permute("PERMUTE(A, (B)")
 
 
-def test_permute_nested_rejected():
-    """Third-review regression: a nested/parenthesized PERMUTE argument
-    list used to be silently left unexpanded, turning 'PERMUTE' into an
-    always-true pattern symbol — it must raise instead."""
-    import pytest as _pt
-
+def test_permute_quantified_and_nested(spark):
+    """PERMUTE arguments may be quantified or grouped sub-patterns, and
+    PERMUTE may nest (innermost expands first) — the r9 'bare symbols
+    only' restriction is lifted. Every ordering's sub-pattern keeps its
+    own quantifier; matching verified both orders on data."""
     from blazingsql_spark.operators.match_recognize import _expand_permute
 
-    with _pt.raises(ValueError, match="malformed PERMUTE"):
-        _expand_permute("PERMUTE(PERMUTE(A, B), C)")
-    with _pt.raises(ValueError, match="malformed PERMUTE"):
-        _expand_permute("PERMUTE((A), B)")
-    # sane spellings still pass through
-    assert _expand_permute("V PERMUTE(A, B) W") == "V (A B|B A) W"
+    assert _expand_permute("V PERMUTE(A, B) W") == "V ((A) (B)|(B) (A)) W"
+    assert _expand_permute("PERMUTE(A+, B)") == "((A+) (B)|(B) (A+))"
+    # nested: the inner PERMUTE expands to a group the outer permutes
+    nested = _expand_permute("PERMUTE(PERMUTE(A, B), C)")
+    assert "((A) (B)|(B) (A))" in nested and nested.count("|") >= 2
+
+    df = spark.createDataFrame(
+        [
+            # user 1: view, click click, purchase  (C+ before P)
+            (1, 1, "view", 0), (1, 2, "click", 0), (1, 3, "click", 0),
+            (1, 4, "purchase", 0),
+            # user 2: view, purchase, click click  (P before C+)
+            (2, 1, "view", 0), (2, 2, "purchase", 0), (2, 3, "click", 0),
+            (2, 4, "click", 0),
+            # user 3: view only — no match
+            (3, 1, "view", 0),
+        ],
+        ["user_id", "seq", "event_type", "x"],
+    )
+    out = match_recognize(
+        df, ["user_id"], ["seq"], [("COUNT(*)", "n")],
+        "V PERMUTE(C+, P)",
+        {"V": "event_type = 'view'", "C": "event_type = 'click'",
+         "P": "event_type = 'purchase'"},
+    )
+    got = {r.user_id: r.n for r in out.collect()}
+    assert got == {1: 4, 2: 4}  # both orders, C+ greedy in each
 
 
 def test_explain_accepts_match_recognize(spark):
