@@ -539,6 +539,62 @@ def _expand_permute(pattern: str) -> str:
         pattern = pattern[: m.start()] + expansion + pattern[i:]
 
 
+def _extract_exclusions(pattern: str) -> tuple[str, frozenset[str]]:
+    """SQL:2016 pattern exclusion ``{- ... -}``: rows matched by the
+    excluded region still participate in matching and in measures, but
+    are OMITTED from ALL ROWS PER MATCH output. This implementation
+    supports whole-symbol exclusion — every symbol inside an exclusion
+    must appear ONLY inside exclusions (the common spelling,
+    ``A {- B+ -} C``); a symbol used both inside and outside would need
+    per-region row tracking in the NFA and raises loudly instead.
+    Returns ``(pattern_with_exclusions_as_groups, excluded_symbols)``;
+    nesting and unbalanced markers raise."""
+    clean: list[str] = []
+    excluded: set[str] = set()
+    outside: set[str] = set()
+    i, n, depth = 0, len(pattern), 0
+    while i < n:
+        if pattern.startswith("{-", i):
+            if depth:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: nested {{- -}} exclusions in "
+                    f"{pattern!r}"
+                )
+            depth += 1
+            clean.append("(")
+            i += 2
+        elif pattern.startswith("-}", i):
+            if not depth:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: '-}}' without '{{-' in {pattern!r}"
+                )
+            depth -= 1
+            clean.append(")")
+            i += 2
+        else:
+            m = re.match(r"\w+", pattern[i:])
+            if m:
+                (excluded if depth else outside).add(m.group(0))
+                clean.append(m.group(0))
+                i += m.end()
+            else:
+                clean.append(pattern[i])
+                i += 1
+    if depth:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: '{{-' without '-}}' in {pattern!r}"
+        )
+    both = excluded & outside
+    if both:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: symbols {sorted(both)} appear both inside "
+            f"and outside {{- -}} exclusions — only whole-symbol "
+            f"exclusion is supported (use a distinct symbol name for the "
+            f"excluded occurrence)"
+        )
+    return "".join(clean), frozenset(excluded)
+
+
 def compile_symbols(
     pattern: str, define: dict[str, str]
 ) -> tuple[list[str], dict[str, str], _Nfa]:
@@ -798,9 +854,12 @@ def match_recognize(
     Spark SQL boolean (ordered; symbols missing from it default to
     always-true and classify LAST). ``all_rows=False`` is ONE ROW PER
     MATCH (partition keys + measures); ``all_rows=True`` is ALL ROWS
-    PER MATCH with FINAL measure semantics — every matched input row is
-    emitted with its full original columns, the measures constant
-    across the match, and CLASSIFIER() per-row.
+    PER MATCH — every matched input row is emitted with its full
+    original columns, unprefixed measures RUNNING per SQL:2016 (FINAL
+    opts into the whole-match constant), and CLASSIFIER() per-row.
+    ``{- ... -}`` exclusions in PATTERN omit the excluded region's rows
+    from ALL ROWS output (matching and measures still see them;
+    whole-symbol exclusions only — see :func:`_extract_exclusions`).
 
     ``subset`` declares SQL:2016 union pattern variables
     (``SUBSET W = (A, B)``): a union name ranges over every row its
@@ -842,7 +901,15 @@ def match_recognize(
     from blazingsql_spark.operators import mr_expr
 
     define = dict(define or {})
+    # SQL:2016 {- ... -} exclusions: expand PERMUTE first (so excluded
+    # PERMUTE arguments resolve to symbols), then strip the markers —
+    # the excluded region still matches and feeds measures; its rows
+    # are dropped from ALL ROWS output below (no-op under ONE ROW)
+    pattern, excluded_syms = _extract_exclusions(_expand_permute(pattern))
     names, sym_chars, nfa = compile_symbols(pattern, define)
+    excluded_chars = frozenset(
+        sym_chars[s] for s in excluded_syms if s in sym_chars
+    )
 
     # SUBSET union variables: name -> concatenation of member chars.
     # measure_syms is the lookup every symbol-name surface (MEASURES,
@@ -1028,6 +1095,10 @@ def match_recognize(
                     else:
                         vals = ev(pdf.iloc[lo:hi], scodes, n)
                     span = span.assign(**{a: vals})
+                if excluded_chars:
+                    # {- -}: excluded rows fed the match and the measures
+                    # above; they just never reach the output
+                    span = span[[c not in excluded_chars for c in scodes]]
                 frames.append(span)
             if not frames:
                 # object-dtype empties: a zero-match partition must not

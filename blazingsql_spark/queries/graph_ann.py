@@ -142,6 +142,78 @@ def events_match_recognize(spark, sf_dir):
 
 
 @register(
+    "events_mr_exclusion",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), n AS (
+        SELECT user_id, rn, event_type,
+               MIN(CASE WHEN event_type <> 'click' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        FROM e
+    ), m AS (
+        SELECT a.user_id, a.rn AS lo, a.nxt AS hi,
+               ROW_NUMBER() OVER (PARTITION BY a.user_id
+                                  ORDER BY a.rn) AS mno
+        FROM n a JOIN e b ON b.user_id = a.user_id AND b.rn = a.nxt
+        WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    ), spans AS (
+        SELECT m.user_id, m.mno, m.lo, m.hi,
+               ROUND(SUM(r.value), 6) AS total,
+               CAST(COUNT(*) AS BIGINT) AS span_len
+        FROM m JOIN e r
+          ON r.user_id = m.user_id AND r.rn BETWEEN m.lo AND m.hi
+        GROUP BY m.user_id, m.mno, m.lo, m.hi
+    )
+    SELECT s.user_id, r.event_id,
+           CASE r.rn WHEN s.lo THEN 'V' ELSE 'P' END AS sym,
+           s.total, s.span_len
+    FROM spans s JOIN e r
+      ON r.user_id = s.user_id AND r.rn IN (s.lo, s.hi)
+    ORDER BY s.user_id, r.event_id
+    """,
+    doc="SQL:2016 pattern exclusion {- C* -} under ALL ROWS PER MATCH: "
+    "the click run still matches and still feeds the FINAL SUM/COUNT "
+    "measures, but its rows are omitted from the output — only the "
+    "view and purchase endpoints of each funnel span come back. The "
+    "DuckDB twin computes each span's whole-span aggregates, then "
+    "emits only the endpoint rows — every cell compared exactly",
+)
+def events_mr_exclusion(spark, sf_dir):
+    """Same funnel spans as events_mr_all_rows; the compared surface is
+    the exclusion semantics: output rows = non-excluded rows only,
+    measures = whole match including excluded rows."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id, event_id, sym, ROUND(total, 6) AS total,
+               CAST(span_len AS BIGINT) AS span_len
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES CLASSIFIER() AS sym,
+                     FINAL SUM(value) AS total,
+                     FINAL COUNT(*) AS span_len
+            ALL ROWS PER MATCH
+            PATTERN (V {- C* -} P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        )
+        ORDER BY user_id, event_id
+        """
+    )
+
+
+@register(
     "events_mr_measure_expr",
     oracle="""
     WITH e AS (

@@ -704,6 +704,7 @@ _NEVER_DRIVER_CHECKED_R10 = (
     "events_mr_skip_overlap",
     "events_mr_all_rows",
     "events_mr_measure_expr",  # registered r10 (arithmetic measures)
+    "events_mr_exclusion",  # registered r10 ({- -} exclusion)
     "sample_negatives",
     "sim_ann_filtered",
     "sim_ann_filtered_hnsw",
@@ -749,9 +750,9 @@ _R6_STALE_FILL = (
     "agg_stats",
     "agg_sum0",
     "asof_join_events",
-    "dedup_exact",
-    # dedup_jaccard dropped from the fill: events_mr_measure_expr
-    # (registered r10) takes its slot, per the recount rule above
+    # dedup_exact + dedup_jaccard dropped from the fill: the
+    # r10-registered events_mr_measure_expr + events_mr_exclusion take
+    # their slots, per the recount rule above
 )
 _R11_WINDOW_STAGED = (
     _SENTINELS

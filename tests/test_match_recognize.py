@@ -1532,3 +1532,69 @@ def test_measure_arithmetic_matches_duckdb_property():
             )
 
     check()
+
+
+def test_pattern_exclusion_all_rows(spark):
+    """SQL:2016 {- ... -} exclusion: excluded-region rows still match
+    and feed measures, but are omitted from ALL ROWS output; ONE ROW
+    output is unaffected; partial-symbol overlap, nesting, and
+    unbalanced markers raise loudly; the SQL spelling works."""
+    import pytest as _pt
+
+    from blazingsql_spark.operators.match_recognize import (
+        _extract_exclusions,
+        match_recognize,
+    )
+
+    assert _extract_exclusions("A {- B+ -} C") == ("A ( B+ ) C", frozenset({"B"}))
+    with _pt.raises(ValueError, match="both inside and outside"):
+        _extract_exclusions("A {- A -} C")
+    with _pt.raises(ValueError, match="nested"):
+        _extract_exclusions("{- A {- B -} -}")
+    with _pt.raises(ValueError, match="without"):
+        _extract_exclusions("A {- B")
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 10.0),
+            (1, 2, "click", 4.0),
+            (1, 3, "click", 6.0),
+            (1, 4, "purchase", 30.0),
+        ],
+        ["user_id", "seq", "event_type", "value"],
+    )
+    define = {
+        "V": "event_type = 'view'",
+        "C": "event_type = 'click'",
+        "P": "event_type = 'purchase'",
+    }
+    out = match_recognize(
+        df, ["user_id"], ["seq"],
+        [("CLASSIFIER()", "sym"), ("FINAL SUM(value)", "total")],
+        "V {- C* -} P", define, all_rows=True,
+    ).orderBy("seq").collect()
+    assert [r.sym for r in out] == ["V", "P"]  # clicks matched but hidden
+    assert [r.total for r in out] == [50.0] * 2  # measures saw the clicks
+
+    one = match_recognize(
+        df, ["user_id"], ["seq"], [("COUNT(*)", "n")],
+        "V {- C* -} P", define,
+    ).collect()
+    assert [r.n for r in one] == [4]
+
+    df.createOrReplaceTempView("ev_excl")
+    bc = Context(spark=spark)
+    got = bc.sql(
+        """
+        SELECT seq, sym FROM ev_excl MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES CLASSIFIER() AS sym
+            ALL ROWS PER MATCH
+            PATTERN (V {- C* -} P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        ) ORDER BY seq
+        """
+    ).collect()
+    assert [(r.seq, r.sym) for r in got] == [(1, "V"), (4, "P")]
