@@ -623,6 +623,30 @@ def ivf_topk(
     )
 
 
+def _prefilter_plan(
+    vectors: DataFrame,
+    filter_expr: str,
+    n_probe: int | None,
+    n_centroids: int,
+    corpus_count: int | None,
+    selectivity: float | None,
+    id_col: str,
+) -> tuple[DataFrame, int]:
+    """The shared pre-filter preamble for every filtered ANN tier:
+    compute the filtered-id frame (the left-semi prune side) and
+    resolve the probe count (explicit, or selectivity-widened via
+    :func:`_widen_probes_for_filter`). Keeping this in ONE place keeps
+    the prebuilt corpus_count / measurement-job contract identical
+    across ivf / ivfpq / hnsw serving."""
+    flt_ids = vectors.filter(F.expr(filter_expr)).select(id_col)
+    if n_probe is None:
+        n_probe = _widen_probes_for_filter(
+            vectors, flt_ids, filter_expr, n_centroids,
+            selectivity=selectivity, corpus_count=corpus_count,
+        )
+    return flt_ids, n_probe
+
+
 def _widen_probes_for_filter(
     vectors: DataFrame,
     flt_ids: DataFrame,
@@ -700,13 +724,11 @@ def ivf_topk_filtered(
     # columns, the vector included) and prune the lists by a left-semi
     # join on ids — no metadata columns ever join into the list table,
     # so a corpus column named centroid_id cannot become ambiguous
-    flt_ids = vectors.filter(F.expr(filter_expr)).select(id_col)
+    flt_ids, n_probe = _prefilter_plan(
+        vectors, filter_expr, n_probe, n_centroids,
+        corpus_count, selectivity, id_col,
+    )
     flt = lists.join(flt_ids, id_col, "left_semi")
-    if n_probe is None:
-        n_probe = _widen_probes_for_filter(
-            vectors, flt_ids, filter_expr, n_centroids,
-            selectivity=selectivity, corpus_count=corpus_count,
-        )
     return ivf_topk(
         vectors,
         queries,
@@ -1233,12 +1255,10 @@ def ivfpq_topk_filtered(
             vectors, n_centroids, m, ksub, dim=dim,
             id_col=id_col, vec_col=vec_col,
         )
-    flt_ids = vectors.filter(F.expr(filter_expr)).select(id_col)
-    if n_probe is None:
-        n_probe = _widen_probes_for_filter(
-            vectors, flt_ids, filter_expr, n_centroids,
-            selectivity=selectivity, corpus_count=corpus_count,
-        )
+    flt_ids, n_probe = _prefilter_plan(
+        vectors, filter_expr, n_probe, n_centroids,
+        corpus_count, selectivity, id_col,
+    )
     return ivfpq_topk(
         vectors,
         queries,

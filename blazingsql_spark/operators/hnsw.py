@@ -447,7 +447,7 @@ def hnsw_ivf_topk_filtered(
     ``(cents, lists, corpus_count)`` — the 3rd element caches the
     corpus size so a serving call only counts the filtered ids."""
     from blazingsql_spark.functions.similarity import (
-        _widen_probes_for_filter,
+        _prefilter_plan,
         assign_to_centroids,
         ivf_train_centroids,
     )
@@ -460,12 +460,10 @@ def hnsw_ivf_topk_filtered(
     else:
         cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
         lists = assign_to_centroids(vectors, cents, id_col, vec_col)
-    flt_ids = vectors.filter(F.expr(filter_expr)).select(id_col)
-    if n_probe is None:
-        n_probe = _widen_probes_for_filter(
-            vectors, flt_ids, filter_expr, n_centroids,
-            selectivity=selectivity, corpus_count=corpus_count,
-        )
+    flt_ids, n_probe = _prefilter_plan(
+        vectors, filter_expr, n_probe, n_centroids,
+        corpus_count, selectivity, id_col,
+    )
     return hnsw_ivf_topk(
         vectors,
         queries,

@@ -505,6 +505,14 @@ def _expand_permute(pattern: str) -> str:
     while True:
         m = _PERMUTE_KW.search(pattern)
         if m is None:
+            if re.search(r"\bPERMUTE\b", pattern, re.IGNORECASE):
+                # a bare PERMUTE word (no parenthesis — e.g. the typo
+                # `A PERMUTE B`) would otherwise become an always-true
+                # pattern SYMBOL and silently match wrong rows
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: malformed PERMUTE in {pattern!r} — "
+                    f"expected PERMUTE(arg, ...)"
+                )
             return pattern
         depth, i = 1, m.end()
         while i < len(pattern) and depth:
@@ -1199,15 +1207,25 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return out
 
 
+_SQL_FACTOR_KEYWORDS = frozenset(
+    {
+        "FROM", "JOIN", "ON", "WHERE", "AND", "OR", "SELECT", "UNION",
+        "ALL", "CROSS", "INNER", "LEFT", "RIGHT", "FULL", "OUTER",
+        "LATERAL", "USING", "EXCEPT", "INTERSECT", "BY", "AS",
+    }
+)
+
+
 def _locate_factor(masked: str, query: str, kw_start: int):
     """Scan LEFT from a MATCH_RECOGNIZE keyword for its table factor.
 
-    Accepts the two standard shapes: a (possibly qualified) table/view
-    name, or a parenthesized derived table `(SELECT …)` optionally
-    followed by `[AS] alias` (the alias names the derived table; the
-    pattern output replaces the whole factor, so it plays no further
-    role). Returns ``(factor_start, ('table', name))`` or
-    ``(factor_start, ('subquery', sql_text))``."""
+    Accepts the standard shapes: a (possibly qualified) table/view name
+    or a parenthesized derived table `(SELECT …)`, each optionally
+    followed by `[AS] alias`. Returns ``(factor_start, source, alias)``
+    where source is ``('table', name)`` or ``('subquery', sql_text)``
+    and alias is the consumed alias or None — the rewriter re-emits it
+    after the replacement view so outer `alias.col` references keep
+    binding."""
 
     def skip_ws(p: int) -> int:
         while p > 0 and masked[p - 1].isspace():
@@ -1220,7 +1238,7 @@ def _locate_factor(masked: str, query: str, kw_start: int):
             q -= 1
         return q, masked[q:p]
 
-    def scan_subquery(close: int) -> tuple[int, tuple[str, str]]:
+    def scan_subquery(close: int, alias):
         depth, q = 1, close - 1
         while q >= 0 and depth:
             if masked[q] == ")":
@@ -1240,11 +1258,11 @@ def _locate_factor(masked: str, query: str, kw_start: int):
                 "MATCH_RECOGNIZE: empty derived-table factor before the "
                 "clause"
             )
-        return open_, ("subquery", inner)
+        return open_, ("subquery", inner), alias
 
     p = skip_ws(kw_start)
     if p > 0 and masked[p - 1] == ")":
-        return scan_subquery(p - 1)
+        return scan_subquery(p - 1, None)
     q, ident = read_ident(p)
     if not ident:
         raise ValueError(
@@ -1252,13 +1270,24 @@ def _locate_factor(masked: str, query: str, kw_start: int):
             "derived table before the clause"
         )
     r = skip_ws(q)
+    had_as = False
     r2, ident2 = read_ident(r)
     if ident2.upper() == "AS":
+        had_as = True
         r = skip_ws(r2)
+        r2, ident2 = read_ident(r)
     if r > 0 and masked[r - 1] == ")":
         # `(SELECT …) [AS] alias MATCH_RECOGNIZE` — ident was the alias
-        return scan_subquery(r - 1)
-    return q, ("table", ident)
+        return scan_subquery(r - 1, ident)
+    if had_as or (
+        ident2 and ident2.upper() not in _SQL_FACTOR_KEYWORDS
+    ):
+        # `<table> [AS] <alias> MATCH_RECOGNIZE` — ident was the alias,
+        # ident2 the (possibly qualified) table name. Without this,
+        # `FROM events AS e MATCH_RECOGNIZE (…)` would look up table
+        # 'e' — or silently bind to an unrelated view named 'e'.
+        return r2, ("table", ident2), ident
+    return q, ("table", ident), None
 
 
 _AS_KW = re.compile(r"\sAS\s", re.IGNORECASE)
@@ -1299,7 +1328,11 @@ def rewrite_match_recognize(spark, query: str) -> str:
         head = _MR_KW.search(masked)
         if head is None:
             return query
-        factor_start, src = _locate_factor(masked, query, head.start())
+        # NB: named factor_alias, not alias — the measures loop below
+        # reuses `alias` for each measure's AS name
+        factor_start, src, factor_alias = _locate_factor(
+            masked, query, head.start()
+        )
         # find the balanced closing paren of the MATCH_RECOGNIZE body
         depth, i = 1, head.end()
         while i < len(masked) and depth:
@@ -1372,4 +1405,7 @@ def rewrite_match_recognize(spark, query: str) -> str:
         )
         view = f"__match_recognize_{uuid.uuid4().hex[:12]}"
         out.createOrReplaceTempView(view)
-        query = query[:factor_start] + view + query[i:]
+        replacement = (
+            view if factor_alias is None else f"{view} AS {factor_alias}"
+        )
+        query = query[:factor_start] + replacement + query[i:]

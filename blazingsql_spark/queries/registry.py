@@ -774,15 +774,21 @@ assert not set(_R11_WINDOW_STAGED[3:]) & set(_R9_WINDOW_STAGED), (
 # PROMOTED for round 10 (CORRECTNESS_r09 landed 50/50 green, zero err —
 # the promotion precondition documented above _R10_WINDOW_STAGED).
 DRIVER_PRIORITY = _R10_WINDOW_STAGED + tuple(
+    # dict.fromkeys dedupes while keeping first (freshest-round) position:
+    # the r9..r4 windows overlap heavily, and a duplicated overflow slot
+    # would re-check the same row twice instead of reaching older rows
     n
-    for n in _R9_WINDOW_STAGED
-    + _R8_WINDOW
-    + _R7_WINDOW
-    + _R6_WINDOW
-    + _R5_WINDOW
-    + _R4_WINDOW
+    for n in dict.fromkeys(
+        _R9_WINDOW_STAGED
+        + _R8_WINDOW
+        + _R7_WINDOW
+        + _R6_WINDOW
+        + _R5_WINDOW
+        + _R4_WINDOW
+    )
     if n not in _R10_WINDOW_STAGED
 )
+assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY)
 
 
 def all_queries() -> dict[str, QuerySpec]:

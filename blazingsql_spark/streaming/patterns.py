@@ -405,6 +405,16 @@ def match_recognize_stream(
     )
 
     define = dict(define or {})
+    # {- -} exclusions only affect ALL ROWS row output, which this
+    # summary form never emits — strip them so the pattern compiles
+    # (leaving the braces in would make them literal NFA characters no
+    # row code can equal: silent zero matches forever)
+    from blazingsql_spark.operators.match_recognize import (
+        _expand_permute,
+        _extract_exclusions,
+    )
+
+    pattern, _ = _extract_exclusions(_expand_permute(pattern))
     names, sym_chars, nfa = compile_symbols(pattern, define)
     if max_carry < 1:
         raise ValueError(f"max_carry must be >= 1, got {max_carry}")
@@ -418,7 +428,8 @@ def match_recognize_stream(
 
         within_dur = _parse_within(within)
         is_time = isinstance(
-            events.schema[ts_col].dataType, (T.TimestampType, T.DateType)
+            events.schema[ts_col].dataType,
+            (T.TimestampType, T.TimestampNTZType, T.DateType),
         )
         if is_time != isinstance(within_dur, pd.Timedelta):
             raise ValueError(

@@ -1598,3 +1598,38 @@ def test_pattern_exclusion_all_rows(spark):
         """
     ).collect()
     assert [(r.seq, r.sym) for r in got] == [(1, "V"), (4, "P")]
+
+
+def test_review_regressions_round10(spark):
+    """Round-10 self-review fixes: (1) a bare PERMUTE word (no parens)
+    raises instead of becoming an always-true symbol; (2) `FROM t AS a
+    MATCH_RECOGNIZE` binds the TABLE (not the alias) and the alias
+    keeps working in the outer query; (3) the no-AS alias spelling
+    resolves too."""
+    import pytest as _pt
+
+    from blazingsql_spark.operators.match_recognize import _expand_permute
+
+    with _pt.raises(ValueError, match="malformed PERMUTE"):
+        _expand_permute("A PERMUTE B")
+
+    df = spark.createDataFrame(
+        [(1, 1, "view", 1), (1, 2, "purchase", 2)],
+        ["user_id", "seq", "event_type", "x"],
+    )
+    df.createOrReplaceTempView("ev_alias")
+    bc = Context(spark=spark)
+    for spelling in ("ev_alias AS a", "ev_alias a"):
+        got = bc.sql(
+            f"""
+            SELECT a.user_id, a.n FROM {spelling} MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY seq
+                MEASURES COUNT(*) AS n
+                ONE ROW PER MATCH
+                PATTERN (V P)
+                DEFINE V AS event_type = 'view',
+                       P AS event_type = 'purchase'
+            )
+            """
+        ).collect()
+        assert [(r.user_id, r.n) for r in got] == [(1, 2)], spelling

@@ -467,3 +467,45 @@ def test_match_recognize_stream_within_bound(spark, tmp_path):
             raw, "user_id", "ts", "event_id", "V C* P", dict(define),
             within="8 HOUR",  # interval bound on a numeric key
         )
+
+
+def test_match_recognize_stream_accepts_exclusions(spark, tmp_path):
+    """{- -} exclusions in a streaming pattern compile (they only affect
+    ALL ROWS output, which the summary form never emits) — previously
+    the braces became literal NFA characters and the stream reported
+    zero matches forever."""
+    import pandas as pd
+
+    from blazingsql_spark.streaming.patterns import match_recognize_stream
+
+    pdf = pd.DataFrame(
+        [(1, 1, "view", 1), (1, 2, "click", 2), (1, 3, "purchase", 3)],
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    src = tmp_path / "src_excl"
+    src.mkdir()
+    pdf.to_json(src / "b0.json", orient="records", lines=True)
+    raw = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, ts long"
+        ).json(str(src))
+    )
+    out = match_recognize_stream(
+        raw, "user_id", "ts", "event_id", "V {- C* -} P",
+        {"V": "event_type = 'view'", "C": "event_type = 'click'",
+         "P": "event_type = 'purchase'"},
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mr_excl_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT n_matches FROM t_mr_excl_stream ORDER BY n_codes DESC"
+    ).collect()
+    assert got and got[0].n_matches == 1
