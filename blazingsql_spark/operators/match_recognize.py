@@ -852,6 +852,7 @@ def match_recognize(
     pattern: str,
     define: dict[str, str] | None = None,
     all_rows: bool = False,
+    unmatched: bool = False,
     after_match: str = "PAST LAST ROW",
     subset: dict[str, list[str]] | None = None,
     within: str | int | float | None = None,
@@ -868,6 +869,11 @@ def match_recognize(
     ``{- ... -}`` exclusions in PATTERN omit the excluded region's rows
     from ALL ROWS output (matching and measures still see them;
     whole-symbol exclusions only — see :func:`_extract_exclusions`).
+    ``unmatched=True`` is SQL:2016 ``ALL ROWS PER MATCH WITH UNMATCHED
+    ROWS``: input rows belonging to NO match are emitted too, with
+    every measure NULL — requires ``all_rows`` and is incompatible with
+    exclusions (the standard's restriction: an excluded row is matched,
+    so its omission would be indistinguishable from unmatched).
 
     ``subset`` declares SQL:2016 union pattern variables
     (``SUBSET W = (A, B)``): a union name ranges over every row its
@@ -918,6 +924,18 @@ def match_recognize(
     excluded_chars = frozenset(
         sym_chars[s] for s in excluded_syms if s in sym_chars
     )
+    if unmatched and not all_rows:
+        raise ValueError(
+            "MATCH_RECOGNIZE: WITH UNMATCHED ROWS requires ALL ROWS PER "
+            "MATCH"
+        )
+    if unmatched and excluded_chars:
+        raise ValueError(
+            "MATCH_RECOGNIZE: {- -} exclusions cannot be combined with "
+            "WITH UNMATCHED ROWS (SQL:2016 restriction — an excluded row "
+            "is matched, so omitting it would be indistinguishable from "
+            "an unmatched row)"
+        )
 
     # SUBSET union variables: name -> concatenation of member chars.
     # measure_syms is the lookup every symbol-name surface (MEASURES,
@@ -1108,6 +1126,22 @@ def match_recognize(
                     # above; they just never reach the output
                     span = span[[c not in excluded_chars for c in scodes]]
                 frames.append(span)
+            if unmatched:
+                # WITH UNMATCHED ROWS: rows in NO match come back with
+                # every measure NULL (matched positions masked off; a
+                # TO NEXT ROW overlap marks a row matched if ANY match
+                # covered it)
+                hit = [False] * len(pdf)
+                for lo, hi, _ in spans:
+                    for j in range(lo, hi):
+                        hit[j] = True
+                un = pdf.iloc[[j for j, h in enumerate(hit) if not h]].drop(
+                    columns=aux_cols
+                )
+                if len(un):
+                    frames.append(
+                        un.assign(**{m_.alias: None for m_ in parsed})
+                    )
             if not frames:
                 # object-dtype empties: a zero-match partition must not
                 # surface float64 columns Arrow cannot cast to the output
@@ -1147,7 +1181,9 @@ _CLAUSE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
     r"ORDER\s+BY\s+(?P<order>.+?)\s+"
     r"MEASURES\s+(?P<meas>.+?)\s+"
-    r"(?:(?P<rows>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
+    r"(?:(?P<rows>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH"
+    r"(?:\s+(?P<emis>WITH\s+UNMATCHED\s+ROWS|SHOW\s+EMPTY\s+MATCHES"
+    r"|OMIT\s+EMPTY\s+MATCHES))?\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW"
     r"|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pat>.+?)\s*\)"
@@ -1398,6 +1434,13 @@ def rewrite_match_recognize(spark, query: str) -> str:
             define=define,
             all_rows=bool(
                 m.group("rows") and m.group("rows").upper().startswith("ALL")
+            ),
+            # WITH UNMATCHED ROWS maps through; SHOW/OMIT EMPTY MATCHES
+            # are accepted no-ops — the NFA rejects empty-matching
+            # patterns, so empty matches cannot exist and the two modes
+            # coincide
+            unmatched=bool(
+                m.group("emis") and m.group("emis").upper().startswith("WITH")
             ),
             after_match=m.group("skip") or "PAST LAST ROW",
             subset=subset,

@@ -142,6 +142,71 @@ def events_match_recognize(spark, sf_dir):
 
 
 @register(
+    "events_mr_unmatched",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), n AS (
+        SELECT user_id, rn, event_type,
+               MIN(CASE WHEN event_type <> 'click' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        FROM e
+    ), m AS (
+        SELECT a.user_id, a.rn AS lo, a.nxt AS hi,
+               ROW_NUMBER() OVER (PARTITION BY a.user_id
+                                  ORDER BY a.rn) AS mno
+        FROM n a JOIN e b ON b.user_id = a.user_id AND b.rn = a.nxt
+        WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    )
+    SELECT e.user_id, e.event_id,
+           CAST(m.mno AS BIGINT) AS mno,
+           CASE WHEN m.lo IS NULL THEN NULL
+                WHEN e.rn = m.lo THEN 'V'
+                WHEN e.rn = m.hi THEN 'P'
+                ELSE 'C' END AS sym
+    FROM e LEFT JOIN m
+      ON e.user_id = m.user_id AND e.rn BETWEEN m.lo AND m.hi
+    ORDER BY e.user_id, e.event_id
+    """,
+    doc="ALL ROWS PER MATCH WITH UNMATCHED ROWS (SQL:2016): every "
+    "input row comes back — matched rows with their match number and "
+    "per-row classifier, unmatched rows with both NULL. The DuckDB "
+    "twin LEFT-joins the event rows to the funnel spans (non-"
+    "overlapping by construction, so the join never multiplies) — "
+    "every cell of the full event table compared exactly",
+)
+def events_mr_unmatched(spark, sf_dir):
+    """Same funnel spans; the compared surface is the WITH UNMATCHED
+    ROWS emission: the output covers the WHOLE events table, NULL
+    measures marking the rows outside every match."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id, event_id, CAST(mno AS BIGINT) AS mno, sym
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS sym
+            ALL ROWS PER MATCH WITH UNMATCHED ROWS
+            PATTERN (V C* P)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        )
+        ORDER BY user_id, event_id
+        """
+    )
+
+
+@register(
     "events_mr_exclusion",
     oracle="""
     WITH e AS (

@@ -705,6 +705,7 @@ _NEVER_DRIVER_CHECKED_R10 = (
     "events_mr_all_rows",
     "events_mr_measure_expr",  # registered r10 (arithmetic measures)
     "events_mr_exclusion",  # registered r10 ({- -} exclusion)
+    "events_mr_unmatched",  # registered r10 (WITH UNMATCHED ROWS)
     "sample_negatives",
     "sim_ann_filtered",
     "sim_ann_filtered_hnsw",
@@ -749,10 +750,10 @@ _R6_STALE_FILL = (
     "agg_rollup",
     "agg_stats",
     "agg_sum0",
-    "asof_join_events",
-    # dedup_exact + dedup_jaccard dropped from the fill: the
-    # r10-registered events_mr_measure_expr + events_mr_exclusion take
-    # their slots, per the recount rule above
+    # asof_join_events + dedup_exact + dedup_jaccard dropped from the
+    # fill: the r10-registered events_mr_measure_expr +
+    # events_mr_exclusion + events_mr_unmatched take their slots, per
+    # the recount rule above
 )
 _R11_WINDOW_STAGED = (
     _SENTINELS

@@ -1633,3 +1633,80 @@ def test_review_regressions_round10(spark):
             """
         ).collect()
         assert [(r.user_id, r.n) for r in got] == [(1, 2)], spelling
+
+
+def test_with_unmatched_rows(spark):
+    """ALL ROWS PER MATCH WITH UNMATCHED ROWS: rows in no match come
+    back with NULL measures; matched rows unchanged; requires ALL ROWS;
+    incompatible with {- -} exclusions; SHOW/OMIT EMPTY MATCHES are
+    accepted no-ops through the SQL spelling."""
+    import pytest as _pt
+
+    from blazingsql_spark.operators.match_recognize import match_recognize
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 1.0),
+            (1, 2, "error", 0.0),   # unmatched
+            (1, 3, "view", 2.0),
+            (1, 4, "purchase", 3.0),
+            (1, 5, "error", 0.0),   # unmatched
+        ],
+        ["user_id", "seq", "event_type", "value"],
+    )
+    define = {
+        "V": "event_type = 'view'",
+        "P": "event_type = 'purchase'",
+    }
+    out = match_recognize(
+        df, ["user_id"], ["seq"],
+        [("MATCH_NUMBER()", "mno"), ("CLASSIFIER()", "sym")],
+        "V P", define, all_rows=True, unmatched=True,
+    ).orderBy("seq").collect()
+    assert [r.seq for r in out] == [1, 2, 3, 4, 5]
+    assert [r.mno for r in out] == [None, None, 1, 1, None]
+    assert [r.sym for r in out] == [None, None, "V", "P", None]
+
+    with _pt.raises(ValueError, match="requires ALL ROWS"):
+        match_recognize(
+            df, ["user_id"], ["seq"], [("COUNT(*)", "n")], "V P",
+            dict(define), unmatched=True,
+        )
+    with _pt.raises(ValueError, match="cannot be combined"):
+        match_recognize(
+            df, ["user_id"], ["seq"], [("COUNT(*)", "n")], "V {- P -}",
+            dict(define), all_rows=True, unmatched=True,
+        )
+
+    df.createOrReplaceTempView("ev_unm")
+    bc = Context(spark=spark)
+    got = bc.sql(
+        """
+        SELECT seq, mno FROM ev_unm MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES MATCH_NUMBER() AS mno
+            ALL ROWS PER MATCH WITH UNMATCHED ROWS
+            PATTERN (V P)
+            DEFINE V AS event_type = 'view',
+                   P AS event_type = 'purchase'
+        ) ORDER BY seq
+        """
+    ).collect()
+    assert [(r.seq, r.mno) for r in got] == [
+        (1, None), (2, None), (3, 1), (4, 1), (5, None),
+    ]
+    # SHOW/OMIT EMPTY MATCHES parse as no-ops
+    for mode in ("SHOW EMPTY MATCHES", "OMIT EMPTY MATCHES"):
+        n = bc.sql(
+            f"""
+            SELECT COUNT(*) AS n FROM ev_unm MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY seq
+                MEASURES MATCH_NUMBER() AS mno
+                ALL ROWS PER MATCH {mode}
+                PATTERN (V P)
+                DEFINE V AS event_type = 'view',
+                       P AS event_type = 'purchase'
+            )
+            """
+        ).collect()[0].n
+        assert n == 2, mode
