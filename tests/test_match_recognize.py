@@ -1710,3 +1710,70 @@ def test_with_unmatched_rows(spark):
             """
         ).collect()[0].n
         assert n == 2, mode
+
+
+def test_emission_modes_randomized_invariants(spark):
+    """Randomized differential over the three ALL-ROWS emission modes on
+    one partition: (1) WITH UNMATCHED ROWS emits every input row exactly
+    once (SKIP PAST LAST ROW is non-overlapping), with mno NULL exactly
+    on the rows find_match_spans leaves uncovered; (2) plain ALL ROWS
+    equals the matched subset; (3) {- C -} exclusion equals ALL ROWS
+    minus the C-classified rows with identical measures."""
+    import random as _r
+
+    from blazingsql_spark.operators.match_recognize import (
+        find_match_spans,
+        match_recognize,
+    )
+    from blazingsql_spark.streaming.patterns import compile_pattern
+
+    rnd = _r.Random(20260816)
+    define = {
+        "V": "event_type = 'v'",
+        "C": "event_type = 'c'",
+        "P": "event_type = 'p'",
+    }
+    for trial in range(8):
+        codes = "".join(rnd.choice("vcpx") for _ in range(rnd.randint(5, 30)))
+        df = spark.createDataFrame(
+            [(1, i, ch) for i, ch in enumerate(codes)],
+            ["user_id", "seq", "event_type"],
+        )
+        # expected spans on the code string (x classifies as the
+        # undefined always-true symbol W, which V/C/P claim first)
+        sym_codes = "".join(
+            {"v": "a", "c": "b", "p": "c"}.get(ch, "d") for ch in codes
+        )
+        spans = find_match_spans(compile_pattern("ab*c"), sym_codes)
+        covered = {j for lo, hi in spans for j in range(lo, hi)}
+
+        unm = match_recognize(
+            df, ["user_id"], ["seq"], [("MATCH_NUMBER()", "mno")],
+            "V C* P", dict(define), all_rows=True, unmatched=True,
+        )
+        rows = {r.seq: r.mno for r in unm.collect()}
+        assert len(rows) == len(codes), (trial, codes)
+        assert {s for s, m in rows.items() if m is not None} == covered, (
+            trial, codes, spans,
+        )
+
+        allr = match_recognize(
+            df, ["user_id"], ["seq"], [("MATCH_NUMBER()", "mno")],
+            "V C* P", dict(define), all_rows=True,
+        )
+        assert {r.seq for r in allr.collect()} == covered, (trial, codes)
+
+        excl = match_recognize(
+            df, ["user_id"], ["seq"],
+            [("FINAL COUNT(*)", "n")],
+            "V {- C* -} P", dict(define), all_rows=True,
+        ).collect()
+        want_excl = {
+            j for lo, hi in spans for j in (lo, hi - 1)
+        }  # endpoints only: interior rows are all C by construction
+        assert {r.seq for r in excl} == want_excl, (trial, codes)
+        for r in excl:
+            lo, hi = next(
+                (lo, hi) for lo, hi in spans if lo <= r.seq < hi
+            )
+            assert r.n == hi - lo, (trial, codes, r)
