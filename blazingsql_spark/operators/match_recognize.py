@@ -1120,7 +1120,15 @@ def match_recognize(
                         ]
                     else:
                         vals = ev(pdf.iloc[lo:hi], scodes, n)
-                    span = span.assign(**{a: vals})
+                    # object dtype like the ONE ROW branch: a None among
+                    # numeric values must stay a NULL, not collapse the
+                    # column to float64 (NaN semantics, int64 precision
+                    # loss past 2^53, and pandas concat FutureWarnings
+                    # against the all-NA unmatched frames)
+                    col = vals if isinstance(vals, list) else [vals] * len(span)
+                    span = span.assign(
+                        **{a: pd.Series(col, dtype=object, index=span.index)}
+                    )
                 if excluded_chars:
                     # {- -}: excluded rows fed the match and the measures
                     # above; they just never reach the output
