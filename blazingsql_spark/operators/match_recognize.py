@@ -633,6 +633,26 @@ def compile_symbols(
 
 _NAV = re.compile(r"\b(PREV|NEXT)\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)", re.I)
 
+_ORDER_DIR = re.compile(r"^(.*?)\s+(ASC|DESC)$", re.IGNORECASE)
+
+
+def _parse_order_keys(order_by: list[str]) -> tuple[list[str], list[bool]]:
+    """Split ``col [ASC|DESC]`` order items into (columns, ascending
+    flags) — the SQL spelling passes direction suffixes through and the
+    operator API may too."""
+    cols: list[str] = []
+    asc: list[bool] = []
+    for item in order_by:
+        item = item.strip()
+        m = _ORDER_DIR.match(item)
+        if m:
+            cols.append(m.group(1).strip())
+            asc.append(m.group(2).upper() == "ASC")
+        else:
+            cols.append(item)
+            asc.append(True)
+    return cols, asc
+
 
 def classify_symbols(
     df: DataFrame,
@@ -698,8 +718,12 @@ def _physical_nav_rewrite(
                 )
             name = f"__nav_{fn.lower()}_{col}_{off}"
             if name not in nav_cols:
+                ocols, oasc = _parse_order_keys(list(order_by or []))
                 w = Window.partitionBy(*(partition_by or [])).orderBy(
-                    *(order_by or [])
+                    *(
+                        F.col(c).asc() if a else F.col(c).desc()
+                        for c, a in zip(ocols, oasc)
+                    )
                 )
                 nav_cols[name] = (
                     F.lag(col, off).over(w)
@@ -989,18 +1013,25 @@ def match_recognize(
         if _force_in_automaton
         or mr_expr.is_symbol_relative(p, list(measure_syms))
     }
+    order_cols, order_asc = _parse_order_keys(list(order_by))
     within_dur = _parse_within(within) if within is not None else None
     if within_dur is not None:
         import pandas as pd_
 
-        key_t = df.schema[order_by[0]].dataType
+        if not order_asc[0]:
+            raise ValueError(
+                "MATCH_RECOGNIZE: WITHIN requires the first ORDER BY key "
+                "ascending (a match duration against a descending key is "
+                "ill-defined)"
+            )
+        key_t = df.schema[order_cols[0]].dataType
         is_time = isinstance(
             key_t, (T.TimestampType, T.TimestampNTZType, T.DateType)
         )
         if is_time != isinstance(within_dur, pd_.Timedelta):
             raise ValueError(
                 f"MATCH_RECOGNIZE: WITHIN {within!r} does not fit the "
-                f"first ORDER BY key {order_by[0]!r} of type "
+                f"first ORDER BY key {order_cols[0]!r} of type "
                 f"{key_t.simpleString()} — use an INTERVAL for "
                 f"timestamp/date keys and a plain number for numeric keys"
             )
@@ -1075,7 +1106,7 @@ def match_recognize(
         ctx = mr_expr.MatchCtx(cols, 0, 0, size, {})
         classify = build_classifier(test_order, flags, compiled, ctx)
         bound = (
-            (pdf[order_by[0]].tolist(), within_dur)
+            (pdf[order_cols[0]].tolist(), within_dur)
             if within_dur is not None
             else None
         )
@@ -1085,7 +1116,9 @@ def match_recognize(
         return spans
 
     def run(key, pdf):
-        pdf = pdf.sort_values(list(order_by), kind="mergesort")
+        pdf = pdf.sort_values(
+            order_cols, ascending=order_asc, kind="mergesort"
+        )
         if route_auto:
             spans = scan_in_automaton(pdf)
         else:

@@ -1777,3 +1777,69 @@ def test_emission_modes_randomized_invariants(spark):
                 (lo, hi) for lo, hi in spans if lo <= r.seq < hi
             )
             assert r.n == hi - lo, (trial, codes, r)
+
+
+def test_order_by_desc(spark):
+    """ORDER BY col DESC inside MATCH_RECOGNIZE: the partition is
+    scanned in descending key order (both the operator API and the SQL
+    spelling), PREV/NEXT navigation windows follow the same direction,
+    and WITHIN on a descending first key raises."""
+    import pytest as _pt
+
+    from blazingsql_spark.operators.match_recognize import match_recognize
+
+    # descending seq: purchase(4) click(3) click(2) view(1) — so the
+    # funnel P C* V matches only when scanned seq DESC
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 10.0),
+            (1, 2, "click", 4.0),
+            (1, 3, "click", 6.0),
+            (1, 4, "purchase", 30.0),
+        ],
+        ["user_id", "seq", "event_type", "value"],
+    )
+    define = {
+        "P": "event_type = 'purchase'",
+        "C": "event_type = 'click'",
+        "V": "event_type = 'view'",
+    }
+    out = match_recognize(
+        df, ["user_id"], ["seq DESC"],
+        [("COUNT(*)", "n"), ("FIRST(seq)", "first_seq"),
+         ("LAST(seq)", "last_seq")],
+        "P C* V", define,
+    ).collect()
+    assert [(r.n, r.first_seq, r.last_seq) for r in out] == [(4, 4, 1)]
+
+    # PREV under DESC order: the previous row in scan order is the
+    # HIGHER seq — the rising-value run only exists scanned backwards
+    nav = match_recognize(
+        df, ["user_id"], ["seq DESC"],
+        [("COUNT(*)", "n")],
+        "A B+", {"B": "value < PREV(value)"},
+    ).collect()
+    assert nav and max(r.n for r in nav) >= 2
+
+    with _pt.raises(ValueError, match="WITHIN requires"):
+        match_recognize(
+            df, ["user_id"], ["seq DESC"], [("COUNT(*)", "n")],
+            "P C* V", dict(define), within=10,
+        )
+
+    df.createOrReplaceTempView("ev_desc")
+    bc = Context(spark=spark)
+    got = bc.sql(
+        """
+        SELECT n FROM ev_desc MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq DESC
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            PATTERN (P C* V)
+            DEFINE P AS event_type = 'purchase',
+                   C AS event_type = 'click',
+                   V AS event_type = 'view'
+        )
+        """
+    ).collect()
+    assert [r.n for r in got] == [4]
