@@ -770,24 +770,26 @@ assert not set(_R11_WINDOW_STAGED[3:]) & set(_R9_WINDOW_STAGED), (
     "r11 rotation must not re-check r9-fresh rows (sentinels excepted)"
 )
 
-# Past the window, queue the freshest-green rows first (r9, then r8, …)
+# Past the window, queue the freshest-green rows first (r10, then r9, …)
 # so any driver overflow re-checks the most recently verified work.
-# PROMOTED for round 10 (CORRECTNESS_r09 landed 50/50 green, zero err —
-# the promotion precondition documented above _R10_WINDOW_STAGED).
-DRIVER_PRIORITY = _R10_WINDOW_STAGED + tuple(
+# PROMOTED for round 11 (CORRECTNESS_r10 landed 50/50 green, zero err —
+# the promotion precondition documented above _R11_WINDOW_STAGED). This
+# drains all 11 never-driver-checked rows (_NEVER_DRIVER_CHECKED_R10).
+DRIVER_PRIORITY = _R11_WINDOW_STAGED + tuple(
     # dict.fromkeys dedupes while keeping first (freshest-round) position:
-    # the r9..r4 windows overlap heavily, and a duplicated overflow slot
+    # the r10..r4 windows overlap heavily, and a duplicated overflow slot
     # would re-check the same row twice instead of reaching older rows
     n
     for n in dict.fromkeys(
-        _R9_WINDOW_STAGED
+        _R10_WINDOW_STAGED
+        + _R9_WINDOW_STAGED
         + _R8_WINDOW
         + _R7_WINDOW
         + _R6_WINDOW
         + _R5_WINDOW
         + _R4_WINDOW
     )
-    if n not in _R10_WINDOW_STAGED
+    if n not in _R11_WINDOW_STAGED
 )
 assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY)
 
