@@ -640,6 +640,11 @@ def _prefilter_plan(
     across ivf / ivfpq / hnsw serving."""
     flt_ids = vectors.filter(F.expr(filter_expr)).select(id_col)
     if n_probe is None:
+        if selectivity is None and corpus_count is not None:
+            # this branch both COUNTS flt_ids (selectivity measurement)
+            # and reuses it as the left-semi prune side — cache it so the
+            # predicate scan runs once per serving call, not twice
+            flt_ids = flt_ids.cache()
         n_probe = _widen_probes_for_filter(
             vectors, flt_ids, filter_expr, n_centroids,
             selectivity=selectivity, corpus_count=corpus_count,

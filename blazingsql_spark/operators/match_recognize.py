@@ -426,6 +426,9 @@ def _compile_arith_measure(expr: str, sym_chars: dict[str, str]):
     def parse_factor():
         nonlocal pos
         t, payload = tokens[pos] if pos < len(tokens) else (None, None)
+        if t == "+":  # unary plus: no-op (`+2 * SUM(x)` is valid SQL)
+            pos += 1
+            return parse_factor()
         if t == "-":
             pos += 1
             ev, ty, _, pinv = parse_factor()
@@ -580,7 +583,11 @@ def _extract_exclusions(pattern: str) -> tuple[str, frozenset[str]]:
             clean.append(")")
             i += 2
         else:
-            m = re.match(r"\w+", pattern[i:])
+            # symbols are identifiers ([A-Za-z_]\w*) — a bare \w+ here
+            # would also swallow the digits of a bounded quantifier
+            # (A{2} {- B -} C spuriously collected '2' as a symbol and
+            # tripped the inside/outside check below)
+            m = re.match(r"[A-Za-z_]\w*", pattern[i:])
             if m:
                 (excluded if depth else outside).add(m.group(0))
                 clean.append(m.group(0))
@@ -613,7 +620,9 @@ def compile_symbols(
     first. Shared by the batch operator and the streaming twin."""
     alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
     pattern = _expand_permute(pattern)
-    names = list(dict.fromkeys(re.findall(r"\w+", pattern)))
+    # identifiers only ([A-Za-z_]\w*): a bare \w+ would collect the
+    # digits of a bounded quantifier (A{2}) as phantom symbol names
+    names = list(dict.fromkeys(re.findall(r"[A-Za-z_]\w*", pattern)))
     if not names:
         raise ValueError(f"MATCH_RECOGNIZE: empty PATTERN {pattern!r}")
     if len(names) > len(alphabet):
@@ -626,7 +635,7 @@ def compile_symbols(
             raise ValueError(f"MATCH_RECOGNIZE: DEFINE of unknown symbol {s!r}")
     sym_chars = {s: alphabet[i] for i, s in enumerate(names)}
     char_pattern = re.sub(
-        r"\w+", lambda m: sym_chars[m.group(0)], pattern
+        r"[A-Za-z_]\w*", lambda m: sym_chars[m.group(0)], pattern
     ).replace(" ", "")
     return names, sym_chars, compile_pattern(char_pattern)
 
@@ -1367,6 +1376,81 @@ def _locate_factor(masked: str, query: str, kw_start: int):
     return q, ("table", ident), None
 
 
+def _leading_ctes(
+    masked: str, query: str
+) -> tuple[bool, list[tuple[str, str, int]]]:
+    """Parse a LEADING top-level ``WITH`` clause (masked-scan, so quoted
+    text never confuses it). Returns ``(recursive, items)`` where each
+    item is ``(name, full item text 'name [(cols)] AS (body)', end)`` —
+    ``end`` the offset just past the item in ``query``. Empty when the
+    query does not start with WITH or the clause is malformed (callers
+    then skip the prefix rather than guess)."""
+    m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", masked, re.IGNORECASE)
+    if not m:
+        return False, []
+    recursive = bool(m.group(1))
+    out: list[tuple[str, str, int]] = []
+    i, n = m.end(), len(masked)
+    while True:
+        mm = re.match(
+            r"(\s*)(\w+)\s*(\([^()]*\))?\s*AS\s*\(", masked[i:], re.IGNORECASE
+        )
+        if not mm:
+            return False, []
+        item_start = i + len(mm.group(1))
+        j = i + mm.end()  # just past the CTE body's opening paren
+        depth = 1
+        while j < n and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return False, []
+        out.append((mm.group(2), query[item_start:j], j))
+        sep = re.match(r"\s*,", masked[j:])
+        if sep is None:
+            return recursive, out
+        i = j + sep.end()
+
+
+def _prepend_visible_ctes(
+    masked: str, query: str, factor_start: int, sub_sql: str
+) -> str:
+    """Make the outer query's leading CTEs visible to a derived-table
+    MATCH_RECOGNIZE factor: ``spark.sql`` plans the factor's subquery
+    standalone, so ``WITH c AS (...) SELECT ... FROM (SELECT * FROM c)
+    MATCH_RECOGNIZE (...)`` would otherwise fail analysis on ``c``.
+    Textually prepends the CTEs whose definition ends before the factor
+    (SQL scoping: a CTE body sees only earlier CTEs), merging with the
+    subquery's own WITH clause when present; inner names shadow outer
+    ones (the duplicate outer CTE is dropped from the prefix)."""
+    recursive, items = _leading_ctes(masked, query)
+    visible = [(nm, txt) for nm, txt, end in items if end <= factor_start]
+    if not visible:
+        return sub_sql
+    sub_masked = _mask_literals(sub_sql)
+    inner = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sub_masked, re.IGNORECASE)
+    if inner:
+        _, inner_items = _leading_ctes(sub_masked, sub_sql)
+        inner_names = {nm.lower() for nm, _txt, _end in inner_items}
+        visible = [
+            (nm, txt) for nm, txt in visible if nm.lower() not in inner_names
+        ]
+        if not visible:
+            return sub_sql
+        recursive = recursive or bool(inner.group(1))
+        rest = sub_sql[inner.end() :]
+    else:
+        rest = None
+    kw = "WITH RECURSIVE " if recursive else "WITH "
+    prefix = kw + ", ".join(txt for _nm, txt in visible)
+    if rest is not None:
+        return prefix + ", " + rest
+    return prefix + " " + sub_sql
+
+
 _AS_KW = re.compile(r"\sAS\s", re.IGNORECASE)
 
 
@@ -1466,8 +1550,14 @@ def rewrite_match_recognize(spark, query: str) -> str:
                         f"MATCH_RECOGNIZE: DEFINE needs `SYM AS pred`: {item!r}"
                     )
                 define[item[: kw.start()].strip()] = item[kw.end() :].strip()
+        if src[0] == "table":
+            src_df = spark.table(src[1])
+        else:
+            src_df = spark.sql(
+                _prepend_visible_ctes(masked, query, factor_start, src[1])
+            )
         out = match_recognize(
-            spark.table(src[1]) if src[0] == "table" else spark.sql(src[1]),
+            src_df,
             partition_by=list(_split_top(_orig("part"))),
             order_by=list(_split_top(_orig("order"))),
             measures=measures,

@@ -290,7 +290,9 @@ twin(
     tables=("lineitem", "part"),
 )
 
-# Q7: volume shipping — two-nation flows, EXTRACT in group keys.
+# Q7: volume shipping — two-nation flows, EXTRACT in group keys. Nation
+# literals + date range adapted to the fixture (NATION_13/NATION_19 trade
+# at every SF incl. sf0.001) so the oracle row is non-vacuous (>0 rows).
 twin(
     "tpch_q7",
     """
@@ -306,9 +308,9 @@ twin(
         JOIN customer ON c_custkey = o_custkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-            OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
-          AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+          AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1998-12-31'
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -384,7 +386,8 @@ twin(
     WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                               / COUNT(c2.c_acctbal)
                        FROM customer c2 WHERE c2.c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,

@@ -87,12 +87,74 @@ class _Nfa:
         return self.closure(frozenset(nxt)) if nxt else frozenset()
 
 
+_BOUNDED_QUANT = re.compile(r"\{(\d*)(,)?(\d*)\}")
+_MAX_BOUND = 1000  # expansion cap: states grow linearly with the bound
+
+
+def _expand_bounded(pattern: str) -> str:
+    """Textually expand bounded quantifiers — {n}, {n,}, {,m}, {n,m} —
+    over the preceding atom (a single char or a balanced group) into the
+    *, +, ? core the NFA builder understands: a{2} -> aa, a{2,} -> aaa*,
+    a{1,3} -> aa?a?, (ab){2} -> (ab)(ab). Before round 11 a '{' parsed
+    as a LITERAL char transition, so 'a{2}c' silently matched nothing —
+    the silent-wrong class this expansion (plus loud malformed-bound
+    errors) eliminates."""
+    while True:
+        m = _BOUNDED_QUANT.search(pattern)
+        if m is None:
+            return pattern
+        lo_s, comma, hi_s = m.group(1), m.group(2), m.group(3)
+        if not lo_s and not hi_s:
+            raise ValueError(
+                f"malformed bound {m.group(0)!r} in pattern {pattern!r}"
+            )
+        lo = int(lo_s) if lo_s else 0
+        hi = (int(hi_s) if hi_s else None) if comma else lo
+        if hi is not None and hi < lo:
+            raise ValueError(
+                f"bound {m.group(0)!r} has max < min in pattern {pattern!r}"
+            )
+        if max(lo, hi or 0) > _MAX_BOUND:
+            raise ValueError(
+                f"bound {m.group(0)!r} exceeds the {_MAX_BOUND} expansion "
+                f"cap in pattern {pattern!r}"
+            )
+        j = m.start()
+        if j == 0:
+            raise ValueError(f"misplaced {{ in pattern {pattern!r}")
+        if pattern[j - 1] == ")":
+            depth, k = 1, j - 1
+            while k > 0 and depth:
+                k -= 1
+                if pattern[k] == ")":
+                    depth += 1
+                elif pattern[k] == "(":
+                    depth -= 1
+            if depth:
+                raise ValueError(f"unbalanced ')' in pattern {pattern!r}")
+            atom = pattern[k:j]
+        else:
+            atom = pattern[j - 1]
+            if atom in "*+?|({":
+                raise ValueError(
+                    f"bound {m.group(0)!r} follows no atom in {pattern!r}"
+                )
+            k = j - 1
+        if hi is None:  # {n,}: n mandatory copies + unbounded tail
+            rep = atom * lo + atom + "*" if lo else atom + "*"
+        else:  # {n,m}: n mandatory + (m-n) optional copies
+            rep = atom * lo + (atom + "?") * (hi - lo)
+        pattern = pattern[:k] + rep + pattern[m.end() :]
+
+
 def compile_pattern(pattern: str) -> _Nfa:
     """Parse the supported regex subset into an NFA (recursive descent:
     alt := concat ('|' concat)* ; concat := repeat+ ;
-    repeat := atom ('*'|'+'|'?')* ; atom := '(' alt ')' | '.' | literal).
+    repeat := atom ('*'|'+'|'?')* ; atom := '(' alt ')' | '.' | literal;
+    bounded quantifiers {n} {n,} {,m} {n,m} expand textually first).
     Rejects patterns that match the empty string (a zero-width match has
     no non-overlapping-count semantics)."""
+    pattern = _expand_bounded(pattern)
     nfa = _Nfa()
     pos = 0
 

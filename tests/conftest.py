@@ -170,3 +170,19 @@ def assert_matches_oracle(spark, oracle, name: str, sf_dir: str = SF_DIR) -> Non
     got_raw = spec.fn(spark, sf_dir).toPandas()
     want_raw = oracle.execute(spec.oracle).fetchdf()
     compare_frames(got_raw, want_raw, name)
+    assert_not_vacuous(name, len(want_raw))
+
+
+def assert_not_vacuous(name: str, oracle_rows: int) -> None:
+    """A 0-row oracle proves only that both engines agree on empty (VERDICT
+    r10 "What's wrong" #1 — four rows were green by vacuity for 10 rounds).
+    Every oracle row must return data at every SF, unless it is on the
+    explicit, justified allowlist in the registry."""
+    from blazingsql_spark.queries.registry import VACUOUS_OK
+
+    assert oracle_rows > 0 or name in VACUOUS_OK, (
+        f"{name}: oracle returned 0 rows — the pass is vacuous. Fatten the "
+        "query (adapt literals/thresholds to the fixture) or, if emptiness "
+        "IS the semantics under test, add it to registry.VACUOUS_OK with a "
+        "justification."
+    )

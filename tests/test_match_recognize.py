@@ -20,7 +20,12 @@ from blazingsql_spark.streaming.patterns import compile_pattern
 
 def test_find_match_spans_matches_re_on_random_strings():
     rnd = random.Random(20260815)
-    for pat in ["ab+c", "abc", "a?b+c", "b*c", "(ab|bc)d?", "a.c", "c+"]:
+    for pat in [
+        "ab+c", "abc", "a?b+c", "b*c", "(ab|bc)d?", "a.c", "c+",
+        # bounded quantifiers (r11: previously '{' compiled as a literal
+        # char and the pattern silently matched nothing)
+        "a{2}c", "a{1,3}b", "ab{2,}", "(ab){2}", "a{0,2}bc", "b{3}",
+    ]:
         nfa = compile_pattern(pat)
         for _ in range(150):
             s = "".join(rnd.choice("abcde") for _ in range(rnd.randint(0, 40)))
@@ -1843,3 +1848,87 @@ def test_order_by_desc(spark):
         """
     ).collect()
     assert [r.n for r in got] == [4]
+
+
+def test_advice_r10_regressions(spark):
+    """Round-11 ADVICE fixes: (a) bounded-quantifier digits are not
+    collected as symbols by the exclusion scanner; (b) unary '+' parses
+    in arithmetic measures; (c) a leading outer WITH clause is visible
+    to a derived-table MATCH_RECOGNIZE factor (including merging with
+    the subquery's own WITH, inner names shadowing outer)."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, "view", 2.0),
+            (1, 2, "view", 3.0),
+            (1, 3, "click", 4.0),
+            (1, 4, "purchase", 5.0),
+        ],
+        ["user_id", "seq", "event_type", "value"],
+    )
+    df.createOrReplaceTempView("ev_advice")
+    bc = Context(spark=spark)
+
+    # (a) A{2} {- C -} P: '2' must not be treated as a symbol token.
+    # The C row is excluded from ALL ROWS output but still matched over.
+    got = bc.sql(
+        """
+        SELECT seq FROM ev_advice MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ALL ROWS PER MATCH
+            PATTERN (A{2} {- C -} P)
+            DEFINE A AS event_type = 'view',
+                   C AS event_type = 'click',
+                   P AS event_type = 'purchase'
+        )
+        """
+    ).collect()
+    assert sorted(r.seq for r in got) == [1, 2, 4]
+
+    # (b) leading unary plus in an arithmetic measure
+    got = bc.sql(
+        """
+        SELECT m FROM ev_advice MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES +2 * SUM(A.value) AS m
+            ONE ROW PER MATCH
+            PATTERN (A+)
+            DEFINE A AS event_type = 'view'
+        )
+        """
+    ).collect()
+    assert [r.m for r in got] == [10.0]
+
+    # (c) outer CTE visible inside the derived-table factor
+    got = bc.sql(
+        """
+        WITH clean AS (SELECT * FROM ev_advice WHERE value < 5)
+        SELECT n FROM (SELECT * FROM clean) MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            PATTERN (A+)
+            DEFINE A AS value > 0
+        )
+        """
+    ).collect()
+    assert [r.n for r in got] == [3]
+
+    # (c) inner WITH merges; the inner 'clean' shadows the outer one
+    got = bc.sql(
+        """
+        WITH clean AS (SELECT * FROM ev_advice WHERE value < 5),
+             unused AS (SELECT 1 AS x)
+        SELECT n FROM (
+            WITH inner_f AS (SELECT * FROM clean WHERE value < 4)
+            SELECT * FROM inner_f
+        ) MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            PATTERN (A+)
+            DEFINE A AS value > 0
+        )
+        """
+    ).collect()
+    assert [r.n for r in got] == [2]

@@ -40,7 +40,7 @@ def main() -> int:
 
     from blazingsql_spark.queries.registry import TABLES, all_queries
     from blazingsql_spark.session import get_spark
-    from tests.conftest import compare_frames
+    from tests.conftest import assert_not_vacuous, compare_frames
 
     spark = get_spark(app_name="local_gate", master="local[8]")
     con = duckdb.connect()
@@ -63,6 +63,7 @@ def main() -> int:
                 continue
             want = con.execute(spec.oracle).fetchdf()
             compare_frames(got, want, name)
+            assert_not_vacuous(name, len(want))
             passed += 1
         except Exception as exc:  # noqa: BLE001 — record, keep going
             fails.append(name)
