@@ -1932,3 +1932,70 @@ def test_advice_r10_regressions(spark):
         """
     ).collect()
     assert [r.n for r in got] == [2]
+
+
+def test_running_cumulative_equals_per_prefix_property():
+    """The O(span) cumulative RUNNING evaluators (_Measure.run_ev) must
+    be BIT-identical to evaluating the FINAL evaluator on every prefix
+    (the pre-r11 O(span²) path, kept as the fallback/reference) — over
+    randomized values including NULLs, floats (fold-order sensitive),
+    ints, symbol restrictions, logical offsets, and arithmetic
+    composition."""
+    import pandas as pd
+
+    from blazingsql_spark.operators.match_recognize import _parse_measure
+
+    rnd = random.Random(20260816)
+    sym_chars = {"A": "a", "B": "b", "C": "c"}
+    exprs = [
+        "MATCH_NUMBER()",
+        "COUNT(*)",
+        "COUNT(A.*)",
+        "COUNT(B.*)",
+        "SUM(x)", "SUM(A.x)", "AVG(x)", "AVG(B.x)",
+        "MIN(x)", "MAX(A.x)", "MIN(B.y)", "MAX(y)",
+        "FIRST(x)", "LAST(x)", "FIRST(A.x, 1)", "LAST(B.x, 2)",
+        "FIRST(x, 3)", "LAST(y)",
+        "LAST(x) - FIRST(x)",
+        "SUM(A.x) / COUNT(A.*)",
+        "100 * AVG(x) + 1",
+        "-(SUM(x) % 7)",
+        "+2 * SUM(y) - MIN(x)",
+    ]
+    measures = [_parse_measure(e, f"m{i}", sym_chars) for i, e in enumerate(exprs)]
+    for m in measures:
+        assert m.run_ev is not None, f"{m.alias}: no cumulative evaluator"
+
+    for trial in range(60):
+        size = rnd.randint(1, 25)
+        codes = "".join(rnd.choice("abc") for _ in range(size))
+        def col(float_ok=True):
+            out = []
+            for _ in range(size):
+                r = rnd.random()
+                if r < 0.2:
+                    out.append(None)
+                elif r < 0.6 and float_ok:
+                    out.append(rnd.uniform(-1e6, 1e6))
+                else:
+                    out.append(rnd.randint(-1000, 1000))
+            return out
+        pdf = pd.DataFrame(
+            {"x": pd.Series(col(), dtype=object),
+             "y": pd.Series(col(float_ok=False), dtype=object)}
+        )
+        n = rnd.randint(1, 9)
+        for m in measures:
+            fast = m.run_ev(pdf, codes, n)
+            slow = [
+                m.ev(pdf.iloc[: i + 1], codes[: i + 1], n)
+                for i in range(size)
+            ]
+            assert len(fast) == size
+            for i, (f, s) in enumerate(zip(fast, slow)):
+                assert (f is None) == (s is None), (m.alias, trial, i, f, s)
+                if f is not None:
+                    assert type(f) is type(s) or (
+                        float(f) == float(s)
+                    ), (m.alias, trial, i, f, s)
+                    assert f == s, (m.alias, trial, i, repr(f), repr(s))
