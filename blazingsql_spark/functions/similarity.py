@@ -759,16 +759,23 @@ def ann_lsh_topk_multiprobe(
     bands: int = 4,
     bits_per_band: int = 16,
     probe_bits: int = 1,
+    prebuilt: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe banded LSH: within each band, each query also probes the
     buckets reachable by flipping one signature bit (approximating "the
     planes its projection was closest to crossing" with ALL single flips).
     Recall rises steeply for ~bits_per_band× more candidate-join fan-out on
     the (broadcast, tiny) query side — still an equi-join, still no cross
-    join.
+    join. ``prebuilt``: a session-resident corpus signature table from
+    :func:`lsh_band_signatures` (same bands/bits), possibly pre-pruned —
+    the :func:`ann_lsh_topk_filtered` serving hook.
     """
     assert probe_bits == 1, "only 1-bit probing implemented"
-    v_sig = lsh_band_signatures(vectors, vec_col, dim, bands, bits_per_band)
+    v_sig = (
+        prebuilt
+        if prebuilt is not None
+        else lsh_band_signatures(vectors, vec_col, dim, bands, bits_per_band)
+    )
     q_sig = lsh_band_signatures(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
         "__qvec",
@@ -805,6 +812,51 @@ def ann_lsh_topk_multiprobe(
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def ann_lsh_topk_filtered(
+    vectors: DataFrame,
+    queries: DataFrame,
+    filter_expr: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    bands: int = 4,
+    bits_per_band: int = 16,
+    prebuilt: tuple | None = None,
+) -> DataFrame:
+    """Metadata-filtered multi-probe LSH serving — the same pre-filter
+    contract as :func:`ivf_topk_filtered` on the signature tier: the
+    predicate prunes the corpus SIGNATURE table by a left-semi join on
+    ids before the bucket join, so excluded rows can never become
+    candidates (no leaks by construction). Unlike the list-probing
+    tiers there is no probe count to widen — every query already probes
+    ``bits_per_band + 1`` buckets per band, and pruning only removes
+    rows the predicate would have excluded from any bucket, so recall
+    RELATIVE TO THE FILTERED EXACT TOP-K is the unfiltered tier's
+    recall (floor-tested in tests/test_functions.py). ``prebuilt``
+    accepts ``(v_sig,)`` — a session-resident signature table from
+    :func:`lsh_band_signatures` with the same bands/bits."""
+    v_sig = (
+        prebuilt[0]
+        if prebuilt is not None
+        else lsh_band_signatures(vectors, vec_col, dim, bands, bits_per_band)
+    )
+    flt_ids = vectors.filter(F.expr(filter_expr)).select(id_col)
+    return ann_lsh_topk_multiprobe(
+        vectors,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        dim=dim,
+        bands=bands,
+        bits_per_band=bits_per_band,
+        prebuilt=v_sig.join(flt_ids, id_col, "left_semi"),
     )
 
 
@@ -1060,6 +1112,57 @@ def pq_topk_reranked(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def pq_topk_filtered(
+    vectors: DataFrame,
+    queries: DataFrame,
+    filter_expr: str,
+    k: int = 5,
+    pool: int | None = None,
+    m: int = 16,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    prebuilt: tuple | None = None,
+) -> DataFrame:
+    """Metadata-filtered flat-PQ serving — the same pre-filter contract
+    as :func:`ivf_topk_filtered` on the compressed full-scan tier: the
+    predicate prunes the ENCODED table by a left-semi join on ids
+    before the ADC scan, so excluded rows can never reach the candidate
+    pool or the exact rerank (no leaks by construction). Flat PQ scans
+    the whole (filtered) compressed corpus, so unlike the list-probing
+    tiers there is no probe count to widen — recall relative to the
+    filtered exact top-k equals the unfiltered tier's recall by
+    construction. ``prebuilt`` accepts ``(codebooks, encoded)`` — the
+    session-resident index from :func:`pq_train_codebooks` +
+    :func:`pq_encode`."""
+    if prebuilt is not None:
+        books, encoded = prebuilt[0], prebuilt[1]
+    else:
+        books = pq_train_codebooks(
+            vectors, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+        encoded = pq_encode(
+            vectors, books, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+    flt_ids = vectors.filter(F.expr(filter_expr)).select(id_col)
+    return pq_topk_reranked(
+        vectors,
+        encoded.join(flt_ids, id_col, "left_semi"),
+        books,
+        queries,
+        k=k,
+        pool=pool,
+        m=m,
+        ksub=ksub,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
 
 

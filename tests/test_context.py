@@ -338,3 +338,31 @@ def test_create_table_widens_unsigned_exactly(spark, tmp_path):
         assert got_types == want_types, (name, got_types)
         top = df.orderBy("u8").collect()[-1]
         assert list(top) == want_max, (name, list(top))
+
+
+def test_async_token_match_recognize(bc):
+    """Async submission (return_token=True) + status/fetch must accept the
+    SQL:2016 MATCH_RECOGNIZE spelling: the rewrite runs BEFORE the async
+    fork, so the worker thread plans plain rewritten SQL (VERDICT r9/r10
+    optional item)."""
+    bc.create_table("ev_async", f"{SF_DIR}/events.parquet")
+    token = bc.sql(
+        """
+        SELECT user_id, n FROM ev_async MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            PATTERN (V C+)
+            DEFINE V AS event_type = 'view',
+                   C AS event_type = 'click'
+        )
+        """,
+        return_token=True,
+    )
+    assert isinstance(token, int)
+    for _ in range(400):
+        if bc.status(token):
+            break
+        time.sleep(0.05)
+    rows = bc.fetch(token)
+    assert rows and all(r["n"] >= 2 for r in rows)

@@ -2589,3 +2589,75 @@ def test_filtered_serving_hnsw_and_pq_tiers(spark):
         n_centroids=8, prebuilt=(*idx, n),
     ).collect()
     assert pq2 and not ({r.vec_id for r in pq2} & bad)
+
+
+def test_filtered_serving_flat_pq_and_lsh_tiers(spark):
+    """Round-11 facade symmetry: the remaining ANN tiers (flat PQ with
+    exact rerank, multi-probe LSH) get the same pre-filter serving shape
+    as IVF/HNSW/IVF-PQ. Contract: (1) leak-free — no result ever
+    violates the predicate (the encoded/signature table is pruned by a
+    left-semi join on ids before candidates form); (2) recall vs the
+    exact FILTERED top-k holds a floor under a selective filter (these
+    tiers scan every surviving row's bucket/codes, so filtering cannot
+    degrade relative recall); (3) the prebuilt session-resident index
+    shape serves identically."""
+    import random as _r
+
+    from blazingsql_spark.functions import similarity
+
+    rnd = _r.Random(11)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)], i % 4)
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = emb.filter(F.col("vec_id") % 60 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flt = "label = 0"  # ~1/4 selectivity
+    bad = {r.vec_id for r in emb.filter(f"NOT ({flt})").collect()}
+    exact = similarity.cosine_topk(emb.filter(flt), queries, k=5).collect()
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact}
+
+    def recall(got):
+        hit = sum((r.query_id, r.vec_id) in exact_pairs for r in got)
+        return hit / len(exact_pairs)
+
+    # flat PQ + rerank: leak-free, recall floor, full pool == exact
+    pq = similarity.pq_topk_filtered(
+        emb, queries, flt, k=5, m=4, ksub=8, dim=8
+    ).collect()
+    assert pq and not ({r.vec_id for r in pq} & bad)
+    assert recall(pq) >= 0.8, recall(pq)
+    # generous pool covers the whole filtered corpus -> exact equality
+    pq_full = similarity.pq_topk_filtered(
+        emb, queries, flt, k=5, pool=300, m=4, ksub=8, dim=8
+    ).collect()
+    assert sorted(map(tuple, pq_full)) == sorted(map(tuple, exact))
+
+    # prebuilt index shape
+    books = similarity.pq_train_codebooks(emb, m=4, ksub=8, dim=8)
+    encoded = similarity.pq_encode(emb, books, m=4, dim=8)
+    pq2 = similarity.pq_topk_filtered(
+        emb, queries, flt, k=5, m=4, ksub=8, dim=8,
+        prebuilt=(books, encoded),
+    ).collect()
+    assert pq2 and not ({r.vec_id for r in pq2} & bad)
+    assert recall(pq2) >= 0.8
+
+    # multi-probe LSH: leak-free + recall floor (bucketed candidates)
+    lsh = similarity.ann_lsh_topk_filtered(
+        emb, queries, flt, k=5, dim=8, bands=4, bits_per_band=8
+    ).collect()
+    assert lsh and not ({r.vec_id for r in lsh} & bad)
+    assert recall(lsh) >= 0.6, recall(lsh)
+
+    # prebuilt signature table serves identically
+    v_sig = similarity.lsh_band_signatures(emb, "embedding", 8, 4, 8)
+    lsh2 = similarity.ann_lsh_topk_filtered(
+        emb, queries, flt, k=5, dim=8, bands=4, bits_per_band=8,
+        prebuilt=(v_sig,),
+    ).collect()
+    assert sorted(map(tuple, lsh2)) == sorted(map(tuple, lsh))
