@@ -1011,3 +1011,104 @@ def sample_negatives(spark, sf_dir):
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("anchor_id", "rank")
     )
+
+
+@register(
+    "sim_ann_filtered_pq",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_exact_results,
+           TRUE AS recall_ok,
+           TRUE AS no_leaks
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    doc="Metadata-filtered serving on the flat-PQ tier "
+    "(similarity.pq_topk_filtered): the predicate prunes the ENCODED "
+    "table by a left-semi id join before the ADC scan, so excluded "
+    "rows can never reach the candidate pool or the exact rerank. "
+    "Registered r11 (staged for the r12 driver window) — completes "
+    "filtered-serving facade symmetry across all five ANN tiers. "
+    "Gates: recall@5 >= 0.8 vs the exact top-k over the FILTERED "
+    "corpus, and an EXACT no-leak boolean; the DuckDB twin asserts "
+    "both TRUE with exact query/result counts",
+)
+def sim_ann_filtered_pq(spark, sf_dir):
+    """Same filter (even labels, ~50% selectivity) as the other
+    filtered rows. No probe pin needed on this tier: flat PQ scans the
+    whole filtered compressed corpus, so the recall at stake is the
+    CODES' fidelity (m=16 subspaces, 16 codes each, pool=10k rerank),
+    not a list-routing choice — the 0.8 floor measures quantization
+    quality under a filter. Leak check is the same two-1-row-frame
+    crossJoin shape as sim_ann_filtered."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flt = "label % 2 = 0"
+    exact = similarity.cosine_topk(emb.filter(flt), queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.pq_topk_filtered(
+        emb, queries, flt, k=5, m=16, ksub=16
+    ).select("query_id", "vec_id")
+    leaks = (
+        approx.join(
+            emb.filter(f"NOT ({flt})").select("vec_id"), "vec_id", "left_semi"
+        )
+        .agg(F.count("*").alias("n_leaks"))
+    )
+    gate = _recall_gate(exact, approx.withColumn("hit", F.lit(1)), threshold=0.8)
+    return gate.crossJoin(leaks).select(
+        "n_queries", "n_exact_results", "recall_ok",
+        (F.col("n_leaks") == 0).alias("no_leaks"),
+    )
+
+
+@register(
+    "sim_ann_filtered_lsh",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_exact_results,
+           TRUE AS recall_ok,
+           TRUE AS no_leaks
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    doc="Metadata-filtered serving on the multi-probe LSH tier "
+    "(similarity.ann_lsh_topk_filtered): the predicate prunes the "
+    "corpus SIGNATURE table by a left-semi id join before the bucket "
+    "join. Registered r11 (staged for the r12 driver window). Gates: "
+    "recall@5 >= 0.6 (the hashing tier's settings-bound floor) vs the "
+    "exact top-k over the FILTERED corpus, and an EXACT no-leak boolean",
+)
+def sim_ann_filtered_lsh(spark, sf_dir):
+    """Same filter as the other filtered rows. No probe widening on
+    this tier either — every query probes bits_per_band+1 buckets per
+    band regardless of the filter, and pruning only removes rows the
+    predicate excludes from every bucket, so relative recall is the
+    unfiltered tier's. Settings: 16 bands x 8 bits + 1-bit multiprobe —
+    measured 0.68/0.92 recall at sf0.001/sf0.01 (the 4x16 headline
+    settings drop to 0.0/0.24 under this filter: halving the corpus
+    empties the narrow 16-bit buckets, the classic AND-OR trade — more
+    bands, shorter signatures is the filtered-serving configuration)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flt = "label % 2 = 0"
+    exact = similarity.cosine_topk(emb.filter(flt), queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.ann_lsh_topk_filtered(
+        emb, queries, flt, k=5, dim=64, bands=16, bits_per_band=8
+    ).select("query_id", "vec_id")
+    leaks = (
+        approx.join(
+            emb.filter(f"NOT ({flt})").select("vec_id"), "vec_id", "left_semi"
+        )
+        .agg(F.count("*").alias("n_leaks"))
+    )
+    gate = _recall_gate(exact, approx.withColumn("hit", F.lit(1)), threshold=0.6)
+    return gate.crossJoin(leaks).select(
+        "n_queries", "n_exact_results", "recall_ok",
+        (F.col("n_leaks") == 0).alias("no_leaks"),
+    )

@@ -793,6 +793,83 @@ assert not (
     "SQL-changed de-vacuated rows excepted)"
 )
 
+# Round-12 window, STAGED as code in round 11 (the stage-ahead
+# discipline): promote by swapping into DRIVER_PRIORITY as r12's first
+# commit ONLY after CORRECTNESS_r11 lands 50/50 green. Composition: the
+# 3 standing sentinels; the 2 rows REGISTERED in r11 (filtered serving
+# on the flat-PQ and multi-probe-LSH tiers — never driver-checked); the
+# 42 rows last driver-checked in r6 (oldest-stale after the r11 flip);
+# and the 3 alphabetically-first of the 47 r7-stale rows to fill to 50.
+# Recount at flip time if r12 registers more rows — NEW registrations
+# take slots from the r7 fill.
+_NEW_R11_REGISTRATIONS = (
+    "sim_ann_filtered_pq",
+    "sim_ann_filtered_lsh",
+)
+_R6_STALE_FOR_R12 = (
+    "agg_grouping_sets",
+    "agg_median",
+    "agg_multicol_count",
+    "agg_no_groupby",
+    "agg_rollup",
+    "agg_stats",
+    "agg_sum0",
+    "asof_join_events",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_sessionize",
+    "intersect",
+    "io_format_matrix",
+    "join_cross",
+    "join_left",
+    "join_null_keys_dropped",
+    "join_right",
+    "join_semi",
+    "join_theta",
+    "limit_only",
+    "orderby_nulls",
+    "sim_ann_hnsw",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_cosine_topk",
+    "sim_near_dup",
+    "topk",
+    "tpch_q14",
+    "union_all",
+    "union_distinct",
+    "union_type_coerce",
+    "window_first_last",
+    "window_global",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_multi_over",
+    "window_range_frame",
+    "window_rank",
+    "window_row_number",
+    "window_running_sum",
+)
+_R7_STALE_FILL = (
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_corr_covar",
+)
+_R12_WINDOW_STAGED = (
+    _SENTINELS
+    + _NEW_R11_REGISTRATIONS
+    + _R6_STALE_FOR_R12
+    + _R7_STALE_FILL
+)
+assert len(_R12_WINDOW_STAGED) == _DRIVER_WINDOW, len(_R12_WINDOW_STAGED)
+assert len(set(_R12_WINDOW_STAGED)) == len(_R12_WINDOW_STAGED)
+assert not set(_R12_WINDOW_STAGED[3:]) & set(_R11_WINDOW_STAGED), (
+    "r12 rotation must not re-check r11-fresh rows (sentinels excepted)"
+)
+assert not set(_R12_WINDOW_STAGED[3:]) & set(_R10_WINDOW_STAGED), (
+    "r12 rotation must not re-check r10-fresh rows (sentinels excepted)"
+)
+
 # Past the window, queue the freshest-green rows first (r10, then r9, …)
 # so any driver overflow re-checks the most recently verified work.
 # PROMOTED for round 11 (CORRECTNESS_r10 landed 50/50 green, zero err —

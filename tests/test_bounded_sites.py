@@ -69,6 +69,8 @@ ALLOWED: dict[tuple[str, str, str], int] = {
     ("blazingsql_spark/queries/formats.py", "io_uint_widening", "collect"): 1,  # summary (25-row nation)
     ("blazingsql_spark/queries/graph_ann.py", "sim_ann_filtered", "crossJoin"): 1,  # bcast (probe rows)
     ("blazingsql_spark/queries/graph_ann.py", "sim_ann_filtered_hnsw", "crossJoin"): 1,  # bcast (probe rows)
+    ("blazingsql_spark/queries/graph_ann.py", "sim_ann_filtered_lsh", "crossJoin"): 1,  # bcast (two 1-row gate frames)
+    ("blazingsql_spark/queries/graph_ann.py", "sim_ann_filtered_pq", "crossJoin"): 1,  # bcast (two 1-row gate frames)
     ("blazingsql_spark/queries/graph_ann.py", "sketch_hll_intersect", "crossJoin"): 1,  # bcast (1-row sketches)
     ("blazingsql_spark/queries/pipeline.py", "ann_recall_telemetry", "collect"): 1,  # summary (per-tier recall)
     ("blazingsql_spark/queries/pipeline.py", "corpus_profile", "crossJoin"): 1,  # bcast (1-row totals)
