@@ -1328,7 +1328,9 @@ _MR_KW = re.compile(r"\bMATCH_RECOGNIZE\s*\(", re.IGNORECASE)
 _CLAUSE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>.+?)\s+"
     r"ORDER\s+BY\s+(?P<order>.+?)\s+"
-    r"MEASURES\s+(?P<meas>.+?)\s+"
+    # MEASURES is optional per SQL:2016: without it ONE ROW PER MATCH
+    # emits the partition keys only, ALL ROWS the original columns
+    r"(?:MEASURES\s+(?P<meas>.+?)\s+)?"
     r"(?:(?P<rows>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH"
     r"(?:\s+(?P<emis>WITH\s+UNMATCHED\s+ROWS|SHOW\s+EMPTY\s+MATCHES"
     r"|OMIT\s+EMPTY\s+MATCHES))?\s+)?"
@@ -1616,7 +1618,7 @@ def rewrite_match_recognize(spark, query: str) -> str:
             return body[m.start(grp) : m.end(grp)] if m.group(grp) else None
 
         measures = []
-        for item in _split_top(_orig("meas")):
+        for item in _split_top(_orig("meas") or ""):
             expr, alias = _split_as(item)
             if not expr:
                 raise ValueError(

@@ -1111,6 +1111,14 @@ def ann_recall_telemetry(spark, sf_dir: str) -> dict[str, float]:
         "sim_ann_filtered": (exact_f, lambda: similarity.ivf_topk_filtered(
             emb, queries, flt, k=5, n_centroids=16, n_probe=10
         )),
+        # r11 tiers (registered for the r12 window): flat-PQ and
+        # multi-probe LSH filtered serving, same settings as their rows
+        "sim_ann_filtered_pq": (exact_f, lambda: similarity.pq_topk_filtered(
+            emb, queries, flt, k=5, m=16, ksub=16
+        )),
+        "sim_ann_filtered_lsh": (exact_f, lambda: similarity.ann_lsh_topk_filtered(
+            emb, queries, flt, k=5, dim=64, bands=16, bits_per_band=8
+        )),
     }
     for name, (base, build) in tiers.items():
         approx = build().select("query_id", "vec_id").withColumn("hit", F.lit(1))

@@ -1999,3 +1999,38 @@ def test_running_cumulative_equals_per_prefix_property():
                         float(f) == float(s)
                     ), (m.alias, trial, i, f, s)
                     assert f == s, (m.alias, trial, i, repr(f), repr(s))
+
+
+def test_measures_clause_optional(spark):
+    """SQL:2016 makes MEASURES optional: without it ONE ROW PER MATCH
+    emits the partition keys only and ALL ROWS PER MATCH the original
+    columns (r11 — previously the rewriter's grammar required it)."""
+    df = spark.createDataFrame(
+        [(1, 1, "view"), (1, 2, "click"), (2, 3, "view"), (2, 4, "view")],
+        ["user_id", "seq", "event_type"],
+    )
+    df.createOrReplaceTempView("ev_nomeas")
+    bc = Context(spark=spark)
+    one = bc.sql(
+        """
+        SELECT * FROM ev_nomeas MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            ONE ROW PER MATCH
+            PATTERN (V C)
+            DEFINE V AS event_type = 'view', C AS event_type = 'click'
+        )
+        """
+    )
+    assert one.columns == ["user_id"]
+    assert [r.user_id for r in one.collect()] == [1]
+    allr = bc.sql(
+        """
+        SELECT user_id, seq FROM ev_nomeas MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            ALL ROWS PER MATCH
+            PATTERN (V C)
+            DEFINE V AS event_type = 'view', C AS event_type = 'click'
+        ) ORDER BY seq
+        """
+    ).collect()
+    assert [(r.user_id, r.seq) for r in allr] == [(1, 1), (1, 2)]
