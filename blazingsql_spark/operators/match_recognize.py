@@ -723,6 +723,25 @@ def compile_symbols(
     char_pattern = re.sub(
         r"[A-Za-z_]\w*", lambda m: sym_chars[m.group(0)], pattern
     ).replace(" ", "")
+    # Loud rejection of the silent-wrong class: an unrecognized
+    # metacharacter (SQL:2016 ^/$ anchors, character classes, '.')
+    # used to compile to a LITERAL char transition that no classified
+    # row can ever produce, so the pattern silently matched nothing.
+    if re.search(r"[*+?}]\?", char_pattern):
+        raise ValueError(
+            f"MATCH_RECOGNIZE: reluctant quantifiers in PATTERN "
+            f"{pattern!r} are unsupported (ill-defined under this "
+            f"scanner's leftmost-longest discipline — see module "
+            f"docstring); use the greedy form"
+        )
+    bad = sorted(set(re.sub(r"[A-Za-z0-9(){}|*+?,]", "", char_pattern)))
+    if bad:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: unsupported PATTERN metacharacters "
+            f"{bad} in {pattern!r} (supported: symbols, ( ) | * + ?, "
+            f"bounded quantifiers {{n}}/{{n,m}}, PERMUTE, and {{- -}} "
+            f"exclusions; ^/$ anchors and character classes are not)"
+        )
     return names, sym_chars, compile_pattern(char_pattern)
 
 

@@ -2034,3 +2034,25 @@ def test_measures_clause_optional(spark):
         """
     ).collect()
     assert [(r.user_id, r.seq) for r in allr] == [(1, 1), (1, 2)]
+
+
+def test_unsupported_pattern_metacharacters_raise(spark):
+    """r11: unrecognized PATTERN metacharacters used to compile to
+    literal char transitions no classified row can produce — the
+    pattern silently matched nothing. Now: loud errors for anchors,
+    character classes, and reluctant quantifiers; bounded quantifiers
+    and the supported core still compile."""
+    from blazingsql_spark.operators.match_recognize import compile_symbols
+
+    for pat, msg in [
+        ("^A B", "metacharacters"),
+        ("A B $", "metacharacters"),
+        ("A [B]", "metacharacters"),
+        ("A B*?", "reluctant"),
+        ("A+? B", "reluctant"),
+        ("A{2}? B", "reluctant"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_symbols(pat, {})
+    for ok in ("A B?", "A{2,3} B", "(A|B)+ C"):
+        compile_symbols(ok, {})
