@@ -113,6 +113,8 @@ def test_no_accidental_cartesian_products(spark):
         "sketch_hll_intersect",  # 1-row estimates frame x 1-row exact-counts frame — the same two-scalar-frames shape (both sides keyless aggregates)
         "sim_ann_filtered",  # recall gate (1 row) x no-leaks aggregate (1 row) — the same two-scalar-frames shape; the exact baseline is the accepted corpus x broadcast(query set) brute-force shape
         "sim_ann_filtered_hnsw",  # same shapes as sim_ann_filtered + sim_ann_hnsw: recall gate x no-leaks scalar frames, the exact filtered baseline (corpus x broadcast(query set)), and the 1-row centroid-array assignment broadcast; pruned-list candidate retrieval is an equi-join on centroid_id
+        "sim_ann_filtered_pq",  # recall gate x no-leaks scalar frames + exact filtered baseline (corpus x broadcast(query set)) + the PQ ADC scan's encoded x broadcast(per-query lookup table, |queries| rows) — all bounded broadcast sides; candidate rerank is an id equi-join
+        "sim_ann_filtered_lsh",  # recall gate x no-leaks scalar frames + exact filtered baseline (corpus x broadcast(query set)); bucket candidate retrieval is an equi-join on (band, band_sig)
         "sample_negatives",  # anchors x broadcast(256-row hash-ordered pool) — the shared-pool contrastive recipe; the pool is limit-bounded by construction
         "sketch_ddsketch_quantiles",  # bounded bucket table (log-bounded, ~1.5k rows max) x broadcast(3-row quantile frame) — agg_equidepth's accepted shape; the data-sized scan ends at the bucket groupBy
         "rag_hybrid_rrf",  # same 1-row corpus-stats broadcast (BM25 branch) + 1-query cosine branch
