@@ -33,12 +33,21 @@ covers the common funnel/sessionization queries:
   navigation predicates are compiled by operators/mr_expr.py to scalar
   closures evaluated during the NFA scan with the current row
   tentatively mapped to the symbol under test (SQL:2016 running
-  semantics; mr_expr's docstring states the grammar). Rows are
-  classified to the FIRST defined symbol whose predicate holds
-  (undefined symbols match any row, so list them last or define them)
-  — the deterministic-classification restriction every streaming
-  implementation recommends anyway (mutually exclusive DEFINEs); a row
-  matching no symbol breaks any in-flight match.
+  semantics; mr_expr's docstring states the grammar). SYMBOL
+  ASSIGNMENT: on the vectorized path (no navigation in DEFINE) a row
+  may satisfy SEVERAL predicates and the PATTERN decides the mapping,
+  per SQL:2016 — longest match, greedy quantifiers, left-first
+  alternation (the classic Oracle V-shape with an undefined STRT finds
+  BOTH Vs; see find_match_spans_nd). Partitions whose rows each satisfy
+  at most one symbol — the overwhelmingly common mutually-exclusive
+  DEFINEs — take the deterministic set-scan, byte-identical to the
+  pre-r11 behavior. The IN-AUTOMATON path (symbol-relative navigation,
+  WITHIN) retains deterministic FIRST-TRUE classification (DEFINEd
+  symbols in define order, undefined last) — per-thread tentative
+  mappings under nondeterminism would need copy-on-write attempt
+  state; mutually exclusive DEFINEs are the recommendation there, the
+  restriction every streaming implementation shares. A row matching no
+  symbol breaks any in-flight match on both paths.
 - ``MEASURES``: MATCH_NUMBER(), CLASSIFIER(), COUNT(*), COUNT(S.*),
   FIRST/LAST(col [, n]) with the SQL:2016 logical offset,
   FIRST/LAST(S.col [, n]), and the FINAL aggregates
@@ -135,6 +144,87 @@ def find_match_spans(
         if last_acc > pos:
             spans.append((pos, last_acc))
             pos = _skip_resume(skip, pos, last_acc, s[pos:last_acc])
+        else:
+            pos += 1
+    return spans
+
+
+def _ordered_closure(nfa: _Nfa, starts) -> list[int]:
+    """ε-closure as an ORDERED list (preorder DFS following eps edges in
+    declaration order) — the thread-priority order for the
+    nondeterministic scan: compile_pattern appends the preferred edge
+    first (greedy quantifier continuation, left alternative)."""
+    out: list[int] = []
+    seen: set[int] = set()
+    stack = list(reversed(list(starts)))
+    while stack:
+        st = stack.pop()
+        if st in seen:
+            continue
+        seen.add(st)
+        out.append(st)
+        stack.extend(reversed(nfa.eps.get(st, [])))
+    return out
+
+
+def find_match_spans_nd(
+    nfa: _Nfa, truth, size: int, skip=_SKIP_PAST
+) -> list[tuple[int, int, str]]:
+    """Nondeterministic-classification scan (SQL:2016): a row may
+    satisfy SEVERAL symbols — ``truth(j, ch)`` says whether row ``j``
+    can be consumed as symbol char ``ch`` — and the PATTERN decides the
+    assignment. Returns ``[(start, end, codes)]`` with the preferred
+    assignment per match: the LONGEST match from each start wins (the
+    same leftmost-longest discipline as :func:`find_match_spans`);
+    among equal-length assignments, NFA priority order breaks the tie
+    (greedy quantifiers, left-first alternation — the eps/trans edge
+    order compile_pattern emits). With deterministic truth (≤1 true
+    symbol per row) the spans are exactly find_match_spans' (property-
+    tested), so the vectorized fast path only routes here when a
+    partition actually contains an ambiguous row.
+
+    Priority-thread simulation (Pike-VM shape): threads are an ordered
+    list of NFA states deduplicated first-wins, each carrying its
+    assignment as an immutable (char, parent) chain, so per-row work is
+    O(states × edges) and reconstruction is O(span) — no backtracking
+    blowup on adversarial patterns."""
+    spans: list[tuple[int, int, str]] = []
+    start_list = _ordered_closure(nfa, [nfa.start])
+    pos = 0
+    while pos < size:
+        threads: list[tuple[int, tuple | None]] = [
+            (st, None) for st in start_list
+        ]
+        best_end, best_node = -1, None
+        j = pos
+        while j < size and threads:
+            new_threads: list[tuple[int, tuple | None]] = []
+            seen: set[int] = set()
+            for st, node in threads:
+                for want, to in nfa.trans.get(st, ()):
+                    if want is not None and not truth(j, want):
+                        continue
+                    nxt_node = (want if want is not None else ".", node)
+                    for c in _ordered_closure(nfa, [to]):
+                        if c not in seen:
+                            seen.add(c)
+                            new_threads.append((c, nxt_node))
+            threads = new_threads
+            j += 1
+            for st, node in threads:
+                if st == nfa.accept:
+                    if j > best_end:
+                        best_end, best_node = j, node
+                    break  # first in priority order is the tiebreak
+        if best_end > pos:
+            chars: list[str] = []
+            node = best_node
+            while node is not None:
+                chars.append(node[0])
+                node = node[1]
+            codes = "".join(reversed(chars))
+            spans.append((pos, best_end, codes))
+            pos = _skip_resume(skip, pos, best_end, codes)
         else:
             pos += 1
     return spans
@@ -1185,11 +1275,30 @@ def match_recognize(
             test_order.append((kind, ch))
         aux_cols = list(flag_cols.values())
     else:
-        coded = classify_symbols(
-            df, names, sym_chars, define,
-            partition_by=partition_by, order_by=order_by,
+        # Vectorized path (no symbol-relative navigation, no WITHIN):
+        # ONE codegen projection of per-symbol boolean flags (replacing
+        # the pre-r11 single first-true CASE column). At scan time each
+        # partition checks whether any row satisfies >1 symbol: if not
+        # (the overwhelmingly common mutually-exclusive DEFINEs), codes
+        # derive first-true and the deterministic set-scan runs exactly
+        # as before; if so, the priority scanner resolves the SQL:2016
+        # nondeterministic symbol assignment (the pre-r11 documented
+        # restriction, now lifted on this path).
+        vdef, nav_df, nav_names = _physical_nav_rewrite(
+            df, dict(define), partition_by, order_by, allow_navigation=True
         )
-        aux_cols = ["__sym"]
+        coded = nav_df
+        flag_cols = {}
+        for s, p in vdef.items():
+            cname = f"__p_{names.index(s)}"
+            coded = coded.withColumn(cname, F.expr(p))
+            flag_cols[sym_chars[s]] = cname
+        coded = coded.drop(*nav_names)
+        test_order = [
+            ("vec" if s in define else "any", sym_chars[s])
+            for s in list(define) + [n for n in names if n not in define]
+        ]
+        aux_cols = list(flag_cols.values())
 
     parsed = [_parse_measure(e, a, measure_syms) for e, a in measures]
     in_schema = df.schema
@@ -1230,17 +1339,51 @@ def match_recognize(
         return spans
 
     def run(key, pdf):
+        import numpy as np
+
         pdf = pdf.sort_values(
             order_cols, ascending=order_asc, kind="mergesort"
         )
         if route_auto:
             spans = scan_in_automaton(pdf)
         else:
-            codes = "".join(pdf["__sym"])
-            spans = [
-                (lo, hi, codes[lo:hi])
-                for lo, hi in find_match_spans(nfa, codes, skip=skip)
-            ]
+            size = len(pdf)
+            flags = {
+                ch: pdf[cn].fillna(False).to_numpy(dtype=bool)
+                for ch, cn in flag_cols.items()
+            }
+            n_undef = sum(1 for kind, _ch in test_order if kind == "any")
+            n_true = sum(flags.values()) + n_undef if flags else (
+                np.full(size, n_undef)
+            )
+            if size and np.max(n_true, initial=0) > 1:
+                # ambiguous partition: SQL:2016 nondeterministic symbol
+                # assignment via the priority scanner
+                def truth(j, ch, _f=flags):
+                    arr = _f.get(ch)
+                    return True if arr is None else bool(arr[j])
+
+                spans = find_match_spans_nd(nfa, truth, size, skip=skip)
+            else:
+                # deterministic rows: first-true codes + the set-scan,
+                # byte-identical to the pre-r11 single-CASE path.
+                # Sentinel is '#', NOT _NO_SYM ("\x00"): numpy <U1
+                # stores "\x00" as the EMPTY string, so join() would
+                # drop those positions and shift every span index.
+                # '#' is outside the letters-only symbol alphabet, so
+                # like _NO_SYM it breaks any in-flight match.
+                code_arr = np.full(size, "#", dtype="<U1")
+                for _kind, ch in reversed(test_order):
+                    arr = flags.get(ch)
+                    if arr is None:
+                        code_arr[:] = ch
+                    else:
+                        code_arr[arr] = ch
+                codes = "".join(code_arr)
+                spans = [
+                    (lo, hi, codes[lo:hi])
+                    for lo, hi in find_match_spans(nfa, codes, skip=skip)
+                ]
         if all_rows:
             frames = []
             for n, (lo, hi, scodes) in enumerate(spans, start=1):

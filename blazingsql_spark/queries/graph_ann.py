@@ -1112,3 +1112,68 @@ def sim_ann_filtered_lsh(spark, sf_dir):
         "n_queries", "n_exact_results", "recall_ok",
         (F.col("n_leaks") == 0).alias("no_leaks"),
     )
+
+
+@register(
+    "events_mr_nondeterministic",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) - 1 AS BIGINT) AS n_a,
+           ROUND(SUM(CASE WHEN rn < n THEN value ELSE 0 END), 2) AS a_sum,
+           ROUND(MAX(CASE WHEN rn = n THEN value END), 2) AS b_value
+    FROM e
+    GROUP BY user_id
+    HAVING MAX(n) >= 2
+    ORDER BY user_id
+    """,
+    doc="SQL:2016 NONDETERMINISTIC symbol assignment (the r11-lifted "
+    "restriction): PATTERN (A+ B) where EVERY row satisfies BOTH "
+    "DEFINEs — the pattern, not a first-true classification, decides "
+    "the mapping. Greedy A+ claims all rows but the last, B the final "
+    "row, one match spanning each user's whole history; the DuckDB "
+    "twin derives the same split positionally (rn < n is an A). The "
+    "pre-r11 engine classified every row A and matched NOTHING here",
+)
+def events_mr_nondeterministic(spark, sf_dir):
+    """Also exercises measures OVER the resolved assignment: COUNT(A.*)
+    and SUM(A.value) see exactly the greedy-assigned rows, LAST(B.value)
+    the final row. Runs through the SQL spelling like the other MR
+    rows. Scale shape identical to events_match_recognize: one codegen
+    flags projection, one exchange on user_id, one applyInPandas scan
+    (the ambiguity routing happens inside the scan, per partition)."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_a AS BIGINT) AS n_a,
+               ROUND(a_sum, 2) AS a_sum,
+               ROUND(b_value, 2) AS b_value
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(*) AS n_rows,
+                     COUNT(A.*) AS n_a,
+                     SUM(A.value) AS a_sum,
+                     LAST(B.value) AS b_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS value IS NOT NULL,
+                   B AS value IS NOT NULL
+        )
+        ORDER BY user_id
+        """
+    )

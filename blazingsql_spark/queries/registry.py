@@ -805,6 +805,10 @@ assert not (
 _NEW_R11_REGISTRATIONS = (
     "sim_ann_filtered_pq",
     "sim_ann_filtered_lsh",
+    # nondeterministic symbol assignment differential (the r11-lifted
+    # first-true restriction) — took agg_corr_covar's r7-fill slot per
+    # the recount rule
+    "events_mr_nondeterministic",
 )
 _R6_STALE_FOR_R12 = (
     "agg_grouping_sets",
@@ -853,7 +857,7 @@ _R6_STALE_FOR_R12 = (
 _R7_STALE_FILL = (
     "agg_approx_distinct",
     "agg_approx_percentile",
-    "agg_corr_covar",
+    # agg_corr_covar dropped: events_mr_nondeterministic took its slot
 )
 _R12_WINDOW_STAGED = (
     _SENTINELS

@@ -199,10 +199,14 @@ def compile_pattern(pattern: str) -> _Nfa:
             op = pattern[pos]
             pos += 1
             ns, ne = nfa.new_state(), nfa.new_state()
+            # epsilon-edge ORDER encodes match preference for the
+            # priority (nondeterministic-classification) scanner:
+            # enter/loop the atom BEFORE exiting — greedy quantifiers,
+            # per SQL:2016 preferment. Set-based scans ignore order.
             nfa.eps[ns].append(s)
-            nfa.eps[e].append(ne)
             if op in ("*", "+"):
                 nfa.eps[e].append(s)
+            nfa.eps[e].append(ne)
             if op in ("*", "?"):
                 nfa.eps[ns].append(ne)
             s, e = ns, ne

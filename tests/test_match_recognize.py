@@ -282,12 +282,15 @@ def test_match_recognize_prev_next_navigation(spark):
         ) ORDER BY first_p
         """
     ).collect()
-    # One V-shape: [10,8,6,9,12] (bottom_p = the first UP row, 9).
-    # Oracle's backtracking automaton would ALSO match [11,7,13] by
-    # re-reading row 11 (a falling tick) as STRT; deterministic
-    # first-true classification cannot — 11<12 classifies DOWN — which
-    # is exactly the documented mutually-exclusive-DEFINE restriction.
-    assert [tuple(r) for r in out] == [(10.0, 9.0, 12.0)]
+    # TWO V-shapes, matching Oracle's backtracking automaton exactly:
+    # [10,8,6,9,12] (bottom_p = the first UP row, 9) AND [11,7,13] —
+    # row 11 is a falling tick (satisfies DOWN), but STRT is undefined
+    # (always true) and the PATTERN needs a start row, so the
+    # nondeterministic assignment maps it to STRT. Before r11 the
+    # deterministic first-true classification could not re-read 11 as
+    # STRT and found only the first V — the documented restriction this
+    # round lifted on the vectorized path.
+    assert [tuple(r) for r in out] == [(10.0, 9.0, 12.0), (11.0, 13.0, 13.0)]
 
     # offset-2 navigation
     from blazingsql_spark.operators.match_recognize import match_recognize
@@ -452,9 +455,14 @@ def test_symbol_relative_navigation_batch(spark):
 
 
 def test_in_automaton_path_equals_vectorized_on_nav_free(spark):
-    """Property: on navigation-free DEFINEs the in-automaton scan (forced
-    via the test hook) is row-for-row identical to the precomputed
-    classification path, across random streams and both emit modes."""
+    """Property: on navigation-free, MUTUALLY-EXCLUSIVE DEFINEs the
+    in-automaton scan (forced via the test hook) is row-for-row
+    identical to the precomputed classification path, across random
+    streams and both emit modes. Overlapping/undefined-symbol DEFINEs
+    are excluded on purpose: since r11 the vectorized path resolves
+    SQL:2016 nondeterministic symbol assignment, while the in-automaton
+    path (symbol-relative navigation) keeps the documented first-true
+    restriction — they legitimately diverge on ambiguous rows."""
     rnd = random.Random(20260816)
     rows = [
         (u, i, rnd.choice(["view", "click", "purchase", "error"]), float(rnd.randint(0, 9)))
@@ -469,7 +477,8 @@ def test_in_automaton_path_equals_vectorized_on_nav_free(spark):
                     "P": "event_type = 'purchase'"}),
         ("V C* P", {"V": "event_type = 'view'", "C": "event_type = 'click'",
                     "P": "event_type = 'purchase' AND value > 3"}),
-        ("A B? C", {"A": "value < 5", "B": "event_type = 'click'"}),
+        ("A B? C", {"A": "event_type = 'error'", "B": "event_type = 'click'",
+                    "C": "event_type = 'view'"}),
     ]
     for all_rows in (False, True):
         for pat, define in cases:
@@ -2056,3 +2065,83 @@ def test_unsupported_pattern_metacharacters_raise(spark):
             compile_symbols(pat, {})
     for ok in ("A B?", "A{2,3} B", "(A|B)+ C"):
         compile_symbols(ok, {})
+
+
+def test_nd_scanner_equals_deterministic_on_onehot():
+    """find_match_spans_nd with one-hot truth (each row satisfies
+    exactly one symbol) must equal find_match_spans span-for-span with
+    the input string as the assignment — the no-ambiguity consistency
+    guarantee that makes the runtime routing safe."""
+    from blazingsql_spark.operators.match_recognize import (
+        find_match_spans_nd,
+    )
+
+    rnd = random.Random(20260817)
+    skips = [("past",), ("next",)]
+    for pat in ["ab+c", "abc", "a?b+c", "b*c", "(ab|bc)d?", "c+",
+                "a{2}c", "a{1,3}b", "(ab){2}"]:
+        nfa = compile_pattern(pat)
+        for _ in range(120):
+            s = "".join(rnd.choice("abcd") for _ in range(rnd.randint(0, 30)))
+            skip = rnd.choice(skips)
+            want = [
+                (lo, hi, s[lo:hi])
+                for lo, hi in find_match_spans(nfa, s, skip=skip)
+            ]
+            got = find_match_spans_nd(
+                nfa, lambda j, ch, _s=s: _s[j] == ch, len(s), skip=skip
+            )
+            assert got == want, (pat, s, skip)
+
+
+def test_nondeterministic_symbol_assignment(spark):
+    """r11: the vectorized path resolves SQL:2016 nondeterministic
+    symbol assignment — a row satisfying several DEFINEs is mapped by
+    the PATTERN (longest match, greedy quantifiers, left-first
+    alternation), not by a fixed first-true classification. The pre-r11
+    engine documented this as a restriction: PATTERN (A B C) with
+    overlapping DEFINEs matched NOTHING because every row classified as
+    A."""
+    pdf_rows = [(1, i, float(i + 1)) for i in range(8)]
+    df = spark.createDataFrame(pdf_rows, ["uid", "seq", "v"])
+    every = {"A": "v >= 1", "B": "v >= 1", "C": "v >= 1"}
+
+    out = match_recognize(
+        df, ["uid"], ["seq"],
+        [("COUNT(*)", "n"), ("FIRST(seq)", "s0")],
+        "A B C", every,
+    ).collect()
+    assert sorted((r.s0, r.n) for r in out) == [(0, 3), (3, 3)]
+
+    # left-first alternation preference
+    alt = match_recognize(
+        df, ["uid"], ["seq"], [("CLASSIFIER()", "clf")],
+        "(A|B)", {"A": "v >= 1", "B": "v >= 1"},
+    ).collect()
+    assert {r.clf for r in alt} == {"A"}
+
+    # greedy quantifiers: A+ takes everything it can leave B+ one row
+    greedy = match_recognize(
+        df, ["uid"], ["seq"],
+        [("COUNT(A.*)", "na"), ("COUNT(B.*)", "nb")],
+        "A+ B+", {"A": "v >= 1", "B": "v >= 1"},
+    ).collect()
+    assert [(r.na, r.nb) for r in greedy] == [(7, 1)]
+
+    # ALL ROWS: per-row CLASSIFIER reflects the resolved assignment,
+    # RUNNING sums accumulate over it
+    allr = match_recognize(
+        df, ["uid"], ["seq"], [("CLASSIFIER()", "clf"), ("SUM(v)", "rs")],
+        "A B", {"A": "v >= 1", "B": "v >= 1"},
+        all_rows=True,
+    ).collect()
+    got = sorted((r.seq, r.clf, r.rs) for r in allr)
+    assert got[:4] == [(0, "A", 1.0), (1, "B", 3.0), (2, "A", 3.0), (3, "B", 7.0)]
+
+    # undefined symbol = always TRUE per the standard: A B+ with only B
+    # defined maps row 0 to A even where B's predicate also holds
+    nav = match_recognize(
+        df, ["uid"], ["seq"], [("COUNT(*)", "n")],
+        "A B+", {"B": "v >= 1"},
+    ).collect()
+    assert [r.n for r in nav] == [8]
