@@ -755,6 +755,10 @@ _R5_STALE_FOR_R11 = (
 _DEVACUATED_R11 = (
     "tpch_q7",
     "tpch_q22",
+    # tpch_q11: the r11 vacuity assert caught it empty at sf0.1 ONLY
+    # (fixed 0.001 share threshold vs 20k parts); the HAVING fraction is
+    # now adaptive (1.2/COUNT(part)) — SQL changed, so it re-checks
+    "tpch_q11",
     "join_anti",
     "subquery_not_exists",
     "subquery_scalar",
@@ -764,12 +768,12 @@ _DEVACUATED_R11 = (
 _R6_STALE_FILL = (
     "agg_count_distinct",
     "agg_cube",
-    "agg_distinct_rows",
-    # agg_grouping_sets + agg_median + agg_multicol_count + agg_no_groupby
-    # + agg_rollup + agg_stats + agg_sum0 dropped from the fill: the 7
-    # de-vacuated rows above take their slots, per the recount rule
-    # (asof_join_events + dedup_exact + dedup_jaccard were already
-    # dropped in r10 for the r10-registered MR rows)
+    # agg_distinct_rows + agg_grouping_sets + agg_median +
+    # agg_multicol_count + agg_no_groupby + agg_rollup + agg_stats +
+    # agg_sum0 dropped from the fill: the 8 de-vacuated rows above take
+    # their slots, per the recount rule (asof_join_events + dedup_exact
+    # + dedup_jaccard were already dropped in r10 for the r10-registered
+    # MR rows)
 )
 _R11_WINDOW_STAGED = (
     _SENTINELS
@@ -811,6 +815,9 @@ _NEW_R11_REGISTRATIONS = (
     "events_mr_nondeterministic",
 )
 _R6_STALE_FOR_R12 = (
+    # agg_distinct_rows: displaced from the r11 fill by the tpch_q11
+    # de-vacuation swap, so it stays r6-stale and rolls here
+    "agg_distinct_rows",
     "agg_grouping_sets",
     "agg_median",
     "agg_multicol_count",
@@ -856,8 +863,9 @@ _R6_STALE_FOR_R12 = (
 )
 _R7_STALE_FILL = (
     "agg_approx_distinct",
-    "agg_approx_percentile",
-    # agg_corr_covar dropped: events_mr_nondeterministic took its slot
+    # agg_corr_covar dropped: events_mr_nondeterministic took its slot;
+    # agg_approx_percentile dropped: the displaced agg_distinct_rows
+    # (r6-stale, older) took its slot
 )
 _R12_WINDOW_STAGED = (
     _SENTINELS

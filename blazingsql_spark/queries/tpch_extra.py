@@ -112,6 +112,11 @@ EXTRA_QUERIES: dict[str, str] = {
     # Q11: important stock per nation group. Value computed on the integer
     # cent grid (supplycost is exact cents by construction), so the HAVING
     # threshold compares deterministic integers, not order-dependent floats.
+    # The share threshold is ADAPTIVE (1.2x the mean per-part share,
+    # spelled 1.2 / COUNT(part)) — TPC-H's own spec scales the fraction by
+    # 1/SF for the same reason: a fixed 0.001 empties the result once the
+    # part count crosses ~1/0.001 (r11 vacuity assert caught exactly that
+    # at sf0.1: 20k parts, mean share 5e-5, zero rows).
     "tpch_q11": """
     SELECT ps_partkey,
            CAST(SUM(CAST(FLOOR(ps_supplycost * 100 + 0.5) AS BIGINT) * ps_availqty)
@@ -122,7 +127,7 @@ EXTRA_QUERIES: dict[str, str] = {
     GROUP BY ps_partkey
     HAVING SUM(CAST(FLOOR(ps_supplycost * 100 + 0.5) AS BIGINT) * ps_availqty)
            > (SELECT SUM(CAST(FLOOR(ps_supplycost * 100 + 0.5) AS BIGINT) * ps_availqty)
-                     * 0.001
+                     * 1.2 / (SELECT COUNT(*) FROM part)
               FROM partsupp, supplier, nation
               WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
                 AND n_name IN ('NATION_3', 'NATION_4', 'NATION_5'))
