@@ -162,7 +162,11 @@ def test_fuzzed_join_matches_duckdb(spark_fuzz, oracle_fuzz, sql):
 # lineitem branch and an orders branch (distinct-form semantics are a
 # deterministic multiset in both engines), folded to a scalar checksum ----
 
-_SETOPS = ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]
+# ALL variants added r11 alongside the de-vacuated except_all row:
+# multiplicity semantics (bag difference/intersection) fuzz-covered,
+# not just the set forms
+_SETOPS = ["UNION ALL", "UNION", "INTERSECT", "EXCEPT",
+           "INTERSECT ALL", "EXCEPT ALL"]
 
 
 @st.composite
