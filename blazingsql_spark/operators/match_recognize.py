@@ -190,6 +190,17 @@ def find_match_spans_nd(
     blowup on adversarial patterns."""
     spans: list[tuple[int, int, str]] = []
     start_list = _ordered_closure(nfa, [nfa.start])
+    # closures are per-state constants: memoize across rows/attempts
+    # (the inner loop asks for the same handful of target states
+    # millions of times on a long ambiguous partition)
+    closure_memo: dict[int, list[int]] = {}
+
+    def closure_of(state: int) -> list[int]:
+        got = closure_memo.get(state)
+        if got is None:
+            got = closure_memo[state] = _ordered_closure(nfa, [state])
+        return got
+
     pos = 0
     while pos < size:
         threads: list[tuple[int, tuple | None]] = [
@@ -205,7 +216,7 @@ def find_match_spans_nd(
                     if want is not None and not truth(j, want):
                         continue
                     nxt_node = (want if want is not None else ".", node)
-                    for c in _ordered_closure(nfa, [to]):
+                    for c in closure_of(to):
                         if c not in seen:
                             seen.add(c)
                             new_threads.append((c, nxt_node))

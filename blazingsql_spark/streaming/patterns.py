@@ -236,6 +236,15 @@ def compile_pattern(pattern: str) -> _Nfa:
             return frag_char(ch)
         if ch in "*+?)|":
             raise ValueError(f"misplaced {ch!r} in pattern {pattern!r}")
+        if ch in "{}":
+            # every well-formed bound was consumed by _expand_bounded;
+            # a leftover brace is a malformed bound (e.g. unclosed
+            # 'a{2') that would otherwise compile to a LITERAL char
+            # transition nothing can match — the silent-wrong class
+            raise ValueError(
+                f"malformed bounded quantifier near {ch!r} in pattern "
+                f"{pattern!r}"
+            )
         pos += 1
         return frag_char(ch)
 

@@ -2145,3 +2145,14 @@ def test_nondeterministic_symbol_assignment(spark):
         "A B+", {"B": "v >= 1"},
     ).collect()
     assert [r.n for r in nav] == [8]
+
+
+def test_malformed_bounded_quantifier_raises():
+    """An unclosed/malformed bound (a{2 without }) must raise, not
+    compile '{' as a literal char transition that silently matches
+    nothing."""
+    from blazingsql_spark.operators.match_recognize import compile_symbols
+
+    for pat in ("A{2 B", "A} B", "A{x} B"):
+        with pytest.raises(ValueError):
+            compile_symbols(pat, {})
