@@ -41,13 +41,16 @@ covers the common funnel/sessionization queries:
   BOTH Vs; see find_match_spans_nd). Partitions whose rows each satisfy
   at most one symbol — the overwhelmingly common mutually-exclusive
   DEFINEs — take the deterministic set-scan, byte-identical to the
-  pre-r11 behavior. The IN-AUTOMATON path (symbol-relative navigation,
-  WITHIN) retains deterministic FIRST-TRUE classification (DEFINEd
+  pre-r11 behavior. The IN-AUTOMATON path (symbol-relative navigation
+  in DEFINE) retains deterministic FIRST-TRUE classification (DEFINEd
   symbols in define order, undefined last) — per-thread tentative
   mappings under nondeterminism would need copy-on-write attempt
   state; mutually exclusive DEFINEs are the recommendation there, the
-  restriction every streaming implementation shares. A row matching no
-  symbol breaks any in-flight match on both paths.
+  restriction every streaming implementation shares. WITHIN no longer
+  forces that path: the duration bound is enforced identically by
+  every scanner (_within_breaks), so nav-free WITHIN queries keep the
+  vectorized classification and nondeterministic assignment. A row
+  matching no symbol breaks any in-flight match on both paths.
 - ``MEASURES``: MATCH_NUMBER(), CLASSIFIER(), COUNT(*), COUNT(S.*),
   FIRST/LAST(col [, n]) with the SQL:2016 logical offset,
   FIRST/LAST(S.col [, n]), and the FINAL aggregates
@@ -118,14 +121,31 @@ def _skip_resume(skip, pos: int, last_acc: int, span_codes: str) -> int:
     return pos + idx
 
 
+def _within_breaks(within, j: int, pos: int) -> bool:
+    """True when row ``j`` falls outside the attempt-at-``pos``'s
+    match-duration budget (``within=(order_key_values, dur)``) — or
+    either key is NULL (x != x catches NaT/nan without a pandas call
+    per row). Shared by all three scanners so the bound's semantics
+    cannot drift between them."""
+    if within is None:
+        return False
+    tv, dur = within
+    tj, tp = tv[j], tv[pos]
+    return (
+        tj is None or tj != tj or tp is None or tp != tp or tj - tp > dur
+    )
+
+
 def find_match_spans(
-    nfa: _Nfa, s: str, skip=_SKIP_PAST
+    nfa: _Nfa, s: str, skip=_SKIP_PAST, within=None
 ) -> list[tuple[int, int]]:
     """Leftmost-longest match spans [(start, end)), the same scan
     discipline as StreamMatcher._scan at end-of-input. ``skip`` selects
     the AFTER MATCH resume point: ('past',) gives the classic
     non-overlapping spans; ('next',) and ('first'|'last', char) allow
-    overlapping matches per SQL:2016."""
+    overlapping matches per SQL:2016. ``within=(order_keys, dur)``
+    enforces the Flink-style match-duration bound (the accepted prefix
+    still emits), identical to scan_rows_in_automaton's."""
     spans: list[tuple[int, int]] = []
     start_closure = nfa.closure(frozenset([nfa.start]))
     pos, size = 0, len(s)
@@ -134,6 +154,8 @@ def find_match_spans(
         last_acc = -1
         j = pos
         while j < size:
+            if _within_breaks(within, j, pos):
+                break
             nxt = nfa.step(states, s[j])
             if not nxt:
                 break
@@ -168,7 +190,7 @@ def _ordered_closure(nfa: _Nfa, starts) -> list[int]:
 
 
 def find_match_spans_nd(
-    nfa: _Nfa, truth, size: int, skip=_SKIP_PAST
+    nfa: _Nfa, truth, size: int, skip=_SKIP_PAST, within=None
 ) -> list[tuple[int, int, str]]:
     """Nondeterministic-classification scan (SQL:2016): a row may
     satisfy SEVERAL symbols — ``truth(j, ch)`` says whether row ``j``
@@ -209,6 +231,8 @@ def find_match_spans_nd(
         best_end, best_node = -1, None
         j = pos
         while j < size and threads:
+            if _within_breaks(within, j, pos):
+                break
             new_threads: list[tuple[int, tuple | None]] = []
             seen: set[int] = set()
             for st, node in threads:
@@ -1019,16 +1043,8 @@ def scan_rows_in_automaton(
         last_acc = -1
         j = pos
         while j < size:
-            if within is not None:
-                tv, dur = within
-                tj, tp = tv[j], tv[pos]
-                # x != x catches NaT/nan without a pandas call per row
-                if (
-                    tj is None or tj != tj
-                    or tp is None or tp != tp
-                    or tj - tp > dur
-                ):
-                    break
+            if _within_breaks(within, j, pos):
+                break
             c = classify(j, pos, tent)
             if c is None:
                 break
@@ -1250,7 +1266,12 @@ def match_recognize(
                 f"{key_t.simpleString()} — use an INTERVAL for "
                 f"timestamp/date keys and a plain number for numeric keys"
             )
-    route_auto = bool(symrel_preds) or within_dur is not None
+    # WITHIN no longer forces the in-automaton path (r11): the duration
+    # bound is enforced identically by all three scanners via
+    # _within_breaks, so nav-free WITHIN queries keep the vectorized
+    # classification (cheaper) AND get nondeterministic symbol
+    # assignment consistently with their unbounded twins.
+    route_auto = bool(symrel_preds)
     if route_auto:
         vec_define = {s: p for s, p in define.items() if s not in symrel_preds}
         vdef, nav_df, nav_names = _physical_nav_rewrite(
@@ -1359,6 +1380,11 @@ def match_recognize(
             spans = scan_in_automaton(pdf)
         else:
             size = len(pdf)
+            bound = (
+                (pdf[order_cols[0]].tolist(), within_dur)
+                if within_dur is not None
+                else None
+            )
             flags = {
                 ch: pdf[cn].fillna(False).to_numpy(dtype=bool)
                 for ch, cn in flag_cols.items()
@@ -1374,7 +1400,9 @@ def match_recognize(
                     arr = _f.get(ch)
                     return True if arr is None else bool(arr[j])
 
-                spans = find_match_spans_nd(nfa, truth, size, skip=skip)
+                spans = find_match_spans_nd(
+                    nfa, truth, size, skip=skip, within=bound
+                )
             else:
                 # deterministic rows: first-true codes + the set-scan,
                 # byte-identical to the pre-r11 single-CASE path.
@@ -1393,7 +1421,9 @@ def match_recognize(
                 codes = "".join(code_arr)
                 spans = [
                     (lo, hi, codes[lo:hi])
-                    for lo, hi in find_match_spans(nfa, codes, skip=skip)
+                    for lo, hi in find_match_spans(
+                        nfa, codes, skip=skip, within=bound
+                    )
                 ]
         if all_rows:
             frames = []

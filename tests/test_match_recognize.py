@@ -2156,3 +2156,46 @@ def test_malformed_bounded_quantifier_raises():
     for pat in ("A{2 B", "A} B", "A{x} B"):
         with pytest.raises(ValueError):
             compile_symbols(pat, {})
+
+
+def test_within_vectorized_equals_in_automaton(spark):
+    """r11: WITHIN no longer forces the in-automaton path — nav-free
+    WITHIN queries run the vectorized scan with the identical duration
+    bound (_within_breaks is shared by every scanner). Differential:
+    vectorized vs forced-in-automaton, numeric and timestamp keys,
+    both emit modes."""
+    rows = []
+    rnd = random.Random(20260818)
+    for u in range(5):
+        t = 0
+        for i in range(rnd.randint(3, 20)):
+            t += rnd.randint(1, 8)
+            rows.append(
+                (u, i, t, rnd.choice(["view", "click", "purchase"]))
+            )
+    df = spark.createDataFrame(rows, ["uid", "seq", "t", "et"])
+    define = {"V": "et = 'view'", "C": "et = 'click'",
+              "P": "et = 'purchase'"}
+    for all_rows in (False, True):
+        meas = [("MATCH_NUMBER()", "mn"), ("COUNT(*)", "n"),
+                ("CLASSIFIER()", "clf")]
+        a = match_recognize(df, ["uid"], ["t", "seq"], meas, "V C* P",
+                            dict(define), all_rows=all_rows, within=10)
+        b = match_recognize(df, ["uid"], ["t", "seq"], meas, "V C* P",
+                            dict(define), all_rows=all_rows, within=10,
+                            _force_in_automaton=True)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        ), all_rows
+
+    # ambiguous defines + WITHIN: the bound applies to the priority
+    # scanner too — one match per burst of rows within the budget
+    df2 = spark.createDataFrame(
+        [(1, 0, 0.0), (1, 1, 1.0), (1, 2, 2.0), (1, 3, 100.0), (1, 4, 101.0)],
+        ["uid", "seq", "t"],
+    )
+    out = match_recognize(
+        df2, ["uid"], ["t"], [("COUNT(*)", "n"), ("FIRST(t)", "t0")],
+        "A B+", {"A": "t >= 0", "B": "t >= 0"}, within=10,
+    ).collect()
+    assert sorted((r.t0, r.n) for r in out) == [(0.0, 3), (100.0, 2)]
