@@ -136,8 +136,28 @@ def _within_breaks(within, j: int, pos: int) -> bool:
     )
 
 
+def _strip_anchors(pattern: str) -> tuple[str, bool, bool]:
+    """SQL:2016 partition anchors, TOP-LEVEL only: a leading ``^``
+    (match must start at the partition's first row) and/or a trailing
+    ``$`` (match must end at its last row). Returns (pattern without
+    anchors, anchor_start, anchor_end); anchors anywhere else reach
+    compile_symbols' metacharacter rejection and raise loudly."""
+    p = pattern.strip()
+    a_start = a_end = False
+    if p.startswith("^"):
+        a_start, p = True, p[1:].lstrip()
+    if p.endswith("$"):
+        a_end, p = True, p[:-1].rstrip()
+    return p, a_start, a_end
+
+
 def find_match_spans(
-    nfa: _Nfa, s: str, skip=_SKIP_PAST, within=None
+    nfa: _Nfa,
+    s: str,
+    skip=_SKIP_PAST,
+    within=None,
+    anchor_start: bool = False,
+    anchor_end: bool = False,
 ) -> list[tuple[int, int]]:
     """Leftmost-longest match spans [(start, end)), the same scan
     discipline as StreamMatcher._scan at end-of-input. ``skip`` selects
@@ -145,7 +165,9 @@ def find_match_spans(
     non-overlapping spans; ('next',) and ('first'|'last', char) allow
     overlapping matches per SQL:2016. ``within=(order_keys, dur)``
     enforces the Flink-style match-duration bound (the accepted prefix
-    still emits), identical to scan_rows_in_automaton's."""
+    still emits), identical to scan_rows_in_automaton's.
+    ``anchor_start`` restricts attempts to position 0; ``anchor_end``
+    accepts only matches ending at the last row (SQL:2016 ^/$)."""
     spans: list[tuple[int, int]] = []
     start_closure = nfa.closure(frozenset([nfa.start]))
     pos, size = 0, len(s)
@@ -161,13 +183,15 @@ def find_match_spans(
                 break
             states = nxt
             j += 1
-            if nfa.accept in states:
+            if nfa.accept in states and (not anchor_end or j == size):
                 last_acc = j
         if last_acc > pos:
             spans.append((pos, last_acc))
             pos = _skip_resume(skip, pos, last_acc, s[pos:last_acc])
         else:
             pos += 1
+        if anchor_start:
+            break  # only the partition's first row can start a match
     return spans
 
 
@@ -190,7 +214,13 @@ def _ordered_closure(nfa: _Nfa, starts) -> list[int]:
 
 
 def find_match_spans_nd(
-    nfa: _Nfa, truth, size: int, skip=_SKIP_PAST, within=None
+    nfa: _Nfa,
+    truth,
+    size: int,
+    skip=_SKIP_PAST,
+    within=None,
+    anchor_start: bool = False,
+    anchor_end: bool = False,
 ) -> list[tuple[int, int, str]]:
     """Nondeterministic-classification scan (SQL:2016): a row may
     satisfy SEVERAL symbols — ``truth(j, ch)`` says whether row ``j``
@@ -246,6 +276,8 @@ def find_match_spans_nd(
                             new_threads.append((c, nxt_node))
             threads = new_threads
             j += 1
+            if anchor_end and j != size:
+                continue  # $-anchored: only size-ending accepts count
             for st, node in threads:
                 if st == nfa.accept:
                     if j > best_end:
@@ -262,6 +294,8 @@ def find_match_spans_nd(
             pos = _skip_resume(skip, pos, best_end, codes)
         else:
             pos += 1
+        if anchor_start:
+            break  # only the partition's first row can start a match
     return spans
 
 
@@ -864,8 +898,10 @@ def compile_symbols(
         raise ValueError(
             f"MATCH_RECOGNIZE: unsupported PATTERN metacharacters "
             f"{bad} in {pattern!r} (supported: symbols, ( ) | * + ?, "
-            f"bounded quantifiers {{n}}/{{n,m}}, PERMUTE, and {{- -}} "
-            f"exclusions; ^/$ anchors and character classes are not)"
+            f"bounded quantifiers {{n}}/{{n,m}}, PERMUTE, {{- -}} "
+            f"exclusions, and TOP-LEVEL ^/$ partition anchors in the "
+            f"batch operator; nested anchors, character classes, and "
+            f"streaming anchors are not)"
         )
     return names, sym_chars, compile_pattern(char_pattern)
 
@@ -1022,6 +1058,8 @@ def scan_rows_in_automaton(
     final: bool = True,
     skip=_SKIP_PAST,
     within=None,
+    anchor_start: bool = False,
+    anchor_end: bool = False,
 ) -> tuple[list[tuple[int, int, str]], int | None]:
     """Greedy leftmost-longest scan with PER-ATTEMPT classification (the
     in-automaton twin of :func:`find_match_spans`). Returns
@@ -1054,7 +1092,7 @@ def scan_rows_in_automaton(
             codes.append(c)
             states = nxt
             j += 1
-            if nfa.accept in states:
+            if nfa.accept in states and (not anchor_end or j == size):
                 last_acc = j
         else:
             # attempt hit end-of-input with live states: in-flight only
@@ -1067,6 +1105,8 @@ def scan_rows_in_automaton(
             pos = _skip_resume(skip, pos, last_acc, span_codes)
         else:
             pos += 1
+        if anchor_start:
+            break  # only the partition's first row can start a match
     return spans, None
 
 
@@ -1174,6 +1214,7 @@ def match_recognize(
     # PERMUTE arguments resolve to symbols), then strip the markers —
     # the excluded region still matches and feeds measures; its rows
     # are dropped from ALL ROWS output below (no-op under ONE ROW)
+    pattern, anchor_start, anchor_end = _strip_anchors(pattern)
     pattern, excluded_syms = _extract_exclusions(_expand_permute(pattern))
     names, sym_chars, nfa = compile_symbols(pattern, define)
     excluded_chars = frozenset(
@@ -1366,7 +1407,8 @@ def match_recognize(
             else None
         )
         spans, _ = scan_rows_in_automaton(
-            nfa, classify, size, final=True, skip=skip, within=bound
+            nfa, classify, size, final=True, skip=skip, within=bound,
+            anchor_start=anchor_start, anchor_end=anchor_end,
         )
         return spans
 
@@ -1401,7 +1443,8 @@ def match_recognize(
                     return True if arr is None else bool(arr[j])
 
                 spans = find_match_spans_nd(
-                    nfa, truth, size, skip=skip, within=bound
+                    nfa, truth, size, skip=skip, within=bound,
+                    anchor_start=anchor_start, anchor_end=anchor_end,
                 )
             else:
                 # deterministic rows: first-true codes + the set-scan,
@@ -1422,7 +1465,8 @@ def match_recognize(
                 spans = [
                     (lo, hi, codes[lo:hi])
                     for lo, hi in find_match_spans(
-                        nfa, codes, skip=skip, within=bound
+                        nfa, codes, skip=skip, within=bound,
+                        anchor_start=anchor_start, anchor_end=anchor_end,
                     )
                 ]
         if all_rows:

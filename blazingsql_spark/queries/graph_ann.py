@@ -1177,3 +1177,61 @@ def events_mr_nondeterministic(spark, sf_dir):
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "events_mr_anchors",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), nxt AS (
+        SELECT user_id,
+               MIN(CASE WHEN rn > 1 AND event_type = 'purchase' THEN rn END)
+                   AS first_purchase
+        FROM e GROUP BY user_id
+    )
+    SELECT e.user_id, CAST(n.first_purchase AS BIGINT) AS n
+    FROM e JOIN nxt n ON n.user_id = e.user_id
+    WHERE e.rn = 1 AND e.event_type <> 'purchase'
+      AND n.first_purchase IS NOT NULL
+    ORDER BY e.user_id
+    """,
+    doc="SQL:2016 ^ partition anchor + nondeterministic assignment "
+    "together (both r11): PATTERN (^ A B* P) where A and B share the "
+    "same predicate (every non-purchase row satisfies both) — the "
+    "anchored scan attempts position 0 only, and the priority scanner "
+    "resolves the A/B split. n = the first purchase's position in the "
+    "user's history; users whose FIRST event is a purchase never "
+    "match (the anchor pins A to row 1). The DuckDB twin derives the "
+    "same positionally",
+)
+def events_mr_anchors(spark, sf_dir):
+    """Through the SQL spelling like the other MR rows. The trailing-$
+    form and anchor+navigation combinations are covered by unit tests
+    (test_partition_anchors); this row pins the ^ form — composed with
+    ambiguous DEFINEs — against real data at 3 SFs (13/121/1206 rows,
+    non-vacuous at every SF)."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id, CAST(n AS BIGINT) AS n
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            PATTERN (^ A B* P)
+            DEFINE A AS event_type <> 'purchase',
+                   B AS event_type <> 'purchase',
+                   P AS event_type = 'purchase'
+        )
+        ORDER BY user_id
+        """
+    )

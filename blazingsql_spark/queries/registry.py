@@ -813,6 +813,9 @@ _NEW_R11_REGISTRATIONS = (
     # first-true restriction) — took agg_corr_covar's r7-fill slot per
     # the recount rule
     "events_mr_nondeterministic",
+    # ^ partition anchor composed with ambiguous DEFINEs — took
+    # agg_approx_distinct's r7-fill slot
+    "events_mr_anchors",
 )
 _R6_STALE_FOR_R12 = (
     # agg_distinct_rows: displaced from the r11 fill by the tpch_q11
@@ -862,10 +865,10 @@ _R6_STALE_FOR_R12 = (
     "window_running_sum",
 )
 _R7_STALE_FILL = (
-    "agg_approx_distinct",
-    # agg_corr_covar dropped: events_mr_nondeterministic took its slot;
-    # agg_approx_percentile dropped: the displaced agg_distinct_rows
-    # (r6-stale, older) took its slot
+    # emptied by the recount rule: agg_corr_covar's slot went to
+    # events_mr_nondeterministic, agg_approx_percentile's to the
+    # displaced agg_distinct_rows (r6-stale, older), and
+    # agg_approx_distinct's to events_mr_anchors
 )
 _R12_WINDOW_STAGED = (
     _SENTINELS

@@ -2199,3 +2199,75 @@ def test_within_vectorized_equals_in_automaton(spark):
         "A B+", {"A": "t >= 0", "B": "t >= 0"}, within=10,
     ).collect()
     assert sorted((r.t0, r.n) for r in out) == [(0.0, 3), (100.0, 2)]
+
+
+def test_partition_anchors(spark):
+    """SQL:2016 ^/$ partition anchors (r11): a leading ^ restricts
+    matches to ones starting at the partition's first row, a trailing
+    $ to ones ending at its last row — on the vectorized scan, the
+    priority (ambiguous) scan, and the in-automaton scan, and through
+    the SQL spelling. Streaming still rejects anchors loudly (the
+    partition end is unknowable on a stream)."""
+    rows = [(1, i, e) for i, e in
+            enumerate(["view", "click", "view", "click", "purchase"])]
+    df = spark.createDataFrame(rows, ["uid", "seq", "et"])
+    V, C, P = "et='view'", "et='click'", "et='purchase'"
+
+    out = match_recognize(df, ["uid"], ["seq"],
+                          [("FIRST(seq)", "s0"), ("COUNT(*)", "n")],
+                          "^ V C", {"V": V, "C": C}).collect()
+    assert [(r.s0, r.n) for r in out] == [(0, 2)]
+    un = match_recognize(df, ["uid"], ["seq"], [("FIRST(seq)", "s0")],
+                         "V C", {"V": V, "C": C}).collect()
+    assert sorted(r.s0 for r in un) == [0, 2]  # unanchored finds both
+
+    out = match_recognize(df, ["uid"], ["seq"],
+                          [("FIRST(seq)", "s0"), ("COUNT(*)", "n")],
+                          "C P $", {"C": C, "P": P}).collect()
+    assert [(r.s0, r.n) for r in out] == [(3, 2)]
+    assert match_recognize(df, ["uid"], ["seq"], [("COUNT(*)", "n")],
+                           "V C $", {"V": V, "C": C}).collect() == []
+
+    # both anchors: the whole partition must match
+    out = match_recognize(df, ["uid"], ["seq"], [("COUNT(*)", "n")],
+                          "^ (V C)+ P $", {"V": V, "C": C, "P": P}).collect()
+    assert [r.n for r in out] == [5]
+
+    # anchors + nondeterministic assignment (ambiguous defines)
+    out = match_recognize(df, ["uid"], ["seq"],
+                          [("COUNT(A.*)", "na"), ("COUNT(B.*)", "nb")],
+                          "A+ B $", {"A": "1=1", "B": "1=1"}).collect()
+    assert [(r.na, r.nb) for r in out] == [(4, 1)]
+
+    # anchors + symbol-relative navigation (in-automaton path)
+    df2 = spark.createDataFrame(
+        [(1, 0, 5.0), (1, 1, 4.0), (1, 2, 3.0), (1, 3, 7.0)],
+        ["uid", "seq", "v"],
+    )
+    out = match_recognize(df2, ["uid"], ["seq"], [("COUNT(*)", "n")],
+                          "^ S D+", {"D": "v < PREV(S.v, 0)"
+                                     " OR v < LAST(D.v, 0)"}).collect()
+    assert [r.n for r in out] == [3]  # 5,4,3 fall; 7 breaks the run
+
+    # SQL spelling
+    df.createOrReplaceTempView("ev_anchor")
+    bc = Context(spark=spark)
+    got = bc.sql(
+        """
+        SELECT n FROM ev_anchor MATCH_RECOGNIZE (
+            PARTITION BY uid ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            PATTERN (^ V C)
+            DEFINE V AS et = 'view', C AS et = 'click'
+        )
+        """
+    ).collect()
+    assert [r.n for r in got] == [2]
+
+    # nested anchors raise loudly; streaming rejects anchors
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="metacharacters"):
+        match_recognize(df, ["uid"], ["seq"], [("COUNT(*)", "n")],
+                        "V (^ C)", {"V": V, "C": C}).collect()
