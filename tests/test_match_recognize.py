@@ -2271,3 +2271,61 @@ def test_partition_anchors(spark):
     with _pt.raises(ValueError, match="metacharacters"):
         match_recognize(df, ["uid"], ["seq"], [("COUNT(*)", "n")],
                         "V (^ C)", {"V": V, "C": C}).collect()
+
+
+def test_nd_scanner_longest_extents_match_bruteforce():
+    """Property: with ambiguous truth, each emitted span's extent equals
+    the brute-force leftmost-longest over ALL possible symbol
+    assignments (enumerate every assignment string, take the longest
+    regex match from each scan position, replicate the AFTER MATCH SKIP
+    PAST LAST ROW resume), and the emitted codes themselves satisfy
+    truth and re-match the pattern over the same extent."""
+    import itertools
+
+    from blazingsql_spark.operators.match_recognize import (
+        find_match_spans_nd,
+    )
+
+    rnd = random.Random(20260819)
+    for pat in ["ab", "a+b", "ab*c", "(a|b)c", "a{2}b", "ab?c"]:
+        nfa = compile_pattern(pat)
+        cre = re.compile(pat)
+        for _ in range(40):
+            size = rnd.randint(0, 9)
+            # per-row truth over the alphabet {a,b,c}
+            truth_tbl = [
+                {ch: rnd.random() < 0.6 for ch in "abc"} for _ in range(size)
+            ]
+            truth = lambda j, ch, _t=truth_tbl: _t[j].get(ch, False)
+
+            def longest_from(pos):
+                best = -1
+                rows = truth_tbl[pos:]
+                for combo in itertools.product(
+                    *[[c for c in "abc" if r[c]] or ["#"] for r in rows]
+                ):
+                    m = cre.match("".join(combo))
+                    if m and m.end() > best and m.end() > 0:
+                        best = m.end()
+                return pos + best if best > 0 else None
+
+            want = []
+            pos = 0
+            while pos < size:
+                end = longest_from(pos)
+                if end is not None:
+                    want.append((pos, end))
+                    pos = end
+                else:
+                    pos += 1
+            got = find_match_spans_nd(nfa, truth, size)
+            assert [(lo, hi) for lo, hi, _c in got] == want, (
+                pat, truth_tbl, got, want,
+            )
+            for lo, hi, codes in got:
+                assert len(codes) == hi - lo
+                assert all(
+                    truth_tbl[lo + i][c] for i, c in enumerate(codes)
+                )
+                m = cre.match(codes)
+                assert m and m.end() == len(codes)
