@@ -176,7 +176,7 @@ def find_match_spans(
         last_acc = -1
         j = pos
         while j < size:
-            if _within_breaks(within, j, pos):
+            if within is not None and _within_breaks(within, j, pos):
                 break
             nxt = nfa.step(states, s[j])
             if not nxt:
@@ -261,7 +261,7 @@ def find_match_spans_nd(
         best_end, best_node = -1, None
         j = pos
         while j < size and threads:
-            if _within_breaks(within, j, pos):
+            if within is not None and _within_breaks(within, j, pos):
                 break
             new_threads: list[tuple[int, tuple | None]] = []
             seen: set[int] = set()
@@ -1081,7 +1081,7 @@ def scan_rows_in_automaton(
         last_acc = -1
         j = pos
         while j < size:
-            if _within_breaks(within, j, pos):
+            if within is not None and _within_breaks(within, j, pos):
                 break
             c = classify(j, pos, tent)
             if c is None:
