@@ -885,18 +885,20 @@ assert not set(_R12_WINDOW_STAGED[3:]) & set(_R10_WINDOW_STAGED), (
     "r12 rotation must not re-check r10-fresh rows (sentinels excepted)"
 )
 
-# Past the window, queue the freshest-green rows first (r10, then r9, …)
+# Past the window, queue the freshest-green rows first (r11, then r10, …)
 # so any driver overflow re-checks the most recently verified work.
-# PROMOTED for round 11 (CORRECTNESS_r10 landed 50/50 green, zero err —
-# the promotion precondition documented above _R11_WINDOW_STAGED). This
-# drains all 11 never-driver-checked rows (_NEVER_DRIVER_CHECKED_R10).
-DRIVER_PRIORITY = _R11_WINDOW_STAGED + tuple(
+# PROMOTED for round 12 (CORRECTNESS_r11 landed 50/50 green, zero err —
+# the promotion precondition documented above _R12_WINDOW_STAGED). This
+# drains the last 4 never-driver-checked rows (_NEW_R11_REGISTRATIONS)
+# plus the 42 r6-stale rows, closing the registry→driver gap to zero.
+DRIVER_PRIORITY = _R12_WINDOW_STAGED + tuple(
     # dict.fromkeys dedupes while keeping first (freshest-round) position:
-    # the r10..r4 windows overlap heavily, and a duplicated overflow slot
+    # the r11..r4 windows overlap heavily, and a duplicated overflow slot
     # would re-check the same row twice instead of reaching older rows
     n
     for n in dict.fromkeys(
-        _R10_WINDOW_STAGED
+        _R11_WINDOW_STAGED
+        + _R10_WINDOW_STAGED
         + _R9_WINDOW_STAGED
         + _R8_WINDOW
         + _R7_WINDOW
@@ -904,7 +906,7 @@ DRIVER_PRIORITY = _R11_WINDOW_STAGED + tuple(
         + _R5_WINDOW
         + _R4_WINDOW
     )
-    if n not in _R11_WINDOW_STAGED
+    if n not in _R12_WINDOW_STAGED
 )
 assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY)
 
