@@ -36,17 +36,29 @@ covers the common funnel/sessionization queries:
   semantics; mr_expr's docstring states the grammar). SYMBOL
   ASSIGNMENT: on the vectorized path (no navigation in DEFINE) a row
   may satisfy SEVERAL predicates and the PATTERN decides the mapping,
-  per SQL:2016 — longest match, greedy quantifiers, left-first
-  alternation (the classic Oracle V-shape with an undefined STRT finds
-  BOTH Vs; see find_match_spans_nd). Partitions whose rows each satisfy
-  at most one symbol — the overwhelmingly common mutually-exclusive
-  DEFINEs — take the deterministic set-scan, byte-identical to the
-  pre-r11 behavior. The IN-AUTOMATON path (symbol-relative navigation
-  in DEFINE) retains deterministic FIRST-TRUE classification (DEFINEd
-  symbols in define order, undefined last) — per-thread tentative
-  mappings under nondeterminism would need copy-on-write attempt
-  state; mutually exclusive DEFINEs are the recommendation there, the
-  restriction every streaming implementation shares. WITHIN no longer
+  per SQL:2016 PREFERMENT order (r12) — greedy quantifiers prefer
+  consuming more, alternation prefers the LEFT branch even when a
+  right branch would match longer (``A | B C`` matches just A,
+  Oracle/Flink behavior; the classic Oracle V-shape with an undefined
+  STRT finds BOTH Vs; see find_match_spans_nd). Partitions whose rows
+  each satisfy at most one symbol — the overwhelmingly common
+  mutually-exclusive DEFINEs — take the deterministic set-scan when
+  the pattern is alternation-free (where preferment and longest
+  coincide), byte-identical to the pre-r11 behavior; a user-written
+  ``|`` routes even deterministic partitions through the priority
+  scanner so preferment holds. The IN-AUTOMATON path (symbol-relative
+  navigation in DEFINE) retains deterministic FIRST-TRUE
+  classification (DEFINEd symbols in define order, undefined last) —
+  per-thread tentative mappings under nondeterminism would need
+  copy-on-write attempt state; mutually exclusive DEFINEs are REQUIRED
+  there (r12): a row satisfying two or more DEFINEd symbols raises
+  loudly instead of silently classifying first-true (the restriction
+  every streaming implementation shares; a row satisfying one DEFINEd
+  symbol plus an UNDEFINED always-true symbol does not raise — the
+  undefined symbol classifies last, the documented residual).
+  Pattern-level preferment (which accepted prefix of an attempt's code
+  string wins) is honored on this path too via ordered-thread
+  stepping when the pattern carries ``|``. WITHIN no longer
   forces that path: the duration bound is enforced identically by
   every scanner (_within_breaks), so nav-free WITHIN queries keep the
   vectorized classification and nondeterministic assignment. A row
@@ -226,14 +238,22 @@ def find_match_spans_nd(
     satisfy SEVERAL symbols — ``truth(j, ch)`` says whether row ``j``
     can be consumed as symbol char ``ch`` — and the PATTERN decides the
     assignment. Returns ``[(start, end, codes)]`` with the preferred
-    assignment per match: the LONGEST match from each start wins (the
-    same leftmost-longest discipline as :func:`find_match_spans`);
-    among equal-length assignments, NFA priority order breaks the tie
-    (greedy quantifiers, left-first alternation — the eps/trans edge
-    order compile_pattern emits). With deterministic truth (≤1 true
-    symbol per row) the spans are exactly find_match_spans' (property-
-    tested), so the vectorized fast path only routes here when a
-    partition actually contains an ambiguous row.
+    assignment per match in SQL:2016 PREFERMENT order (r12, closing the
+    ADVICE-r11 finding): the choice points rank greedy-quantifier
+    continuation and the LEFT alternation branch first, exactly the
+    eps/trans edge order compile_pattern emits — so ``A | B C`` matches
+    just ``A`` even though ``B C`` would be longer (Oracle/Flink
+    behavior), while greedy-only patterns still take the longest match
+    (every preference there is "consume more"). Mechanically: when the
+    highest-priority live thread reaches accept, its match is recorded
+    and every LOWER-priority thread is cut (any match they could
+    produce ranks below the recorded one); surviving higher-priority
+    threads keep extending, and a later accept from one of them
+    overrides unconditionally (it ranks above everything recorded).
+    With deterministic truth and no alternation in the pattern the
+    spans are exactly find_match_spans' (property-tested), so the
+    vectorized fast path only routes here when a partition contains an
+    ambiguous row or the pattern carries a user-written ``|``.
 
     Priority-thread simulation (Pike-VM shape): threads are an ordered
     list of NFA states deduplicated first-wins, each carrying its
@@ -278,11 +298,16 @@ def find_match_spans_nd(
             j += 1
             if anchor_end and j != size:
                 continue  # $-anchored: only size-ending accepts count
-            for st, node in threads:
+            for idx, (st, node) in enumerate(threads):
                 if st == nfa.accept:
-                    if j > best_end:
-                        best_end, best_node = j, node
-                    break  # first in priority order is the tiebreak
+                    # SQL:2016 preferment: everything still alive is
+                    # higher-priority than any accept recorded so far,
+                    # so a new accept overrides unconditionally — and
+                    # the threads BELOW this accept are cut (their
+                    # eventual matches rank under the recorded one).
+                    best_end, best_node = j, node
+                    del threads[idx + 1:]
+                    break
         if best_end > pos:
             chars: list[str] = []
             node = best_node
@@ -1016,7 +1041,7 @@ def _physical_nav_rewrite(
     return define, nav_df, list(nav_cols)
 
 
-def build_classifier(test_order, flags, compiled, ctx):
+def build_classifier(test_order, flags, compiled, ctx, names_by_char=None):
     """Per-attempt first-true classifier over one ordered partition.
 
     ``test_order`` is [(kind, char)] in classification order — kind is
@@ -1026,27 +1051,71 @@ def build_classifier(test_order, flags, compiled, ctx):
     ``ctx`` and, on success, records ``j`` in ``tent`` under the chosen
     symbol (SQL:2016 running semantics: the row under test is
     tentatively mapped to the symbol being tried; a mapping left behind
-    by an attempt the NFA then kills is never read again)."""
+    by an attempt the NFA then kills is never read again).
+
+    AMBIGUITY IS LOUD (r12, VERDICT-r11): the in-automaton path cannot
+    do SQL:2016 nondeterministic symbol assignment (per-thread
+    tentative mappings would need copy-on-write attempt state), so a
+    row whose predicates make TWO OR MORE DEFINEd symbols true — BOTH
+    of which the NFA could consume at the current match position
+    (``consumable``) — raises instead of silently classifying
+    first-true, the same loud-restriction discipline as
+    compile_symbols' metacharacter rejection. The consumability gate
+    is what keeps the classic Oracle start-symbol idiom working:
+    ``PATTERN (S D+) DEFINE S AS TRUE, D AS price < PREV(price)`` has
+    rows satisfying both S and D, but the pattern never admits both at
+    once, so first-true is not a divergence there. Mutually-exclusive
+    DEFINEs (the common case) classify exactly as before,
+    byte-identically. Residual deviations, documented not raised: a
+    row satisfying one DEFINEd symbol plus an UNDEFINED (always-true)
+    symbol classifies to the DEFINEd one, and a row whose first-true
+    symbol is NOT consumable ends the attempt even if a later-ordered
+    true symbol was consumable (the S-TRUE idiom relies on exactly
+    that to pin match starts)."""
     import pandas as pd
 
-    def classify(j, pos, tent):
+    def classify(j, pos, tent, consumable=None):
         ctx.j, ctx.pos, ctx.tent = j, pos, tent
+        chosen = None
+        cons_seen = None  # first TRUE symbol the NFA could consume here
         for kind, ch in test_order:
             if kind == "any":
-                tent.setdefault(ch, []).append(j)
-                return ch
+                if chosen is None:
+                    chosen = ch
+                break  # undefined symbols classify last, never ambiguous
             if kind == "vec":
                 v = flags[ch][j]
-                if v is not None and not pd.isna(v) and bool(v):
-                    tent.setdefault(ch, []).append(j)
-                    return ch
+                truthy = v is not None and not pd.isna(v) and bool(v)
             else:
                 lst = tent.setdefault(ch, [])
                 lst.append(j)
-                if compiled[ch](ctx):
-                    return ch
+                truthy = bool(compiled[ch](ctx))
                 lst.pop()
-        return None
+            if truthy:
+                if chosen is None:
+                    chosen = ch
+                if consumable is None or ch in consumable:
+                    if cons_seen is not None:
+                        nm = names_by_char or {}
+                        raise ValueError(
+                            "MATCH_RECOGNIZE: row satisfies multiple "
+                            "DEFINEd symbols "
+                            f"({nm.get(cons_seen, cons_seen)!r} and "
+                            f"{nm.get(ch, ch)!r}) that the PATTERN could "
+                            "both consume at this match position, while "
+                            "a DEFINE uses symbol-relative navigation — "
+                            "the in-automaton scan classifies "
+                            "deterministically and cannot resolve "
+                            "SQL:2016 nondeterministic symbol "
+                            "assignment; make the DEFINE predicates "
+                            "mutually exclusive (the restriction every "
+                            "streaming row-pattern implementation "
+                            "shares)"
+                        )
+                    cons_seen = ch
+        if chosen is not None:
+            tent.setdefault(chosen, []).append(j)
+        return chosen
 
     return classify
 
@@ -1060,22 +1129,46 @@ def scan_rows_in_automaton(
     within=None,
     anchor_start: bool = False,
     anchor_end: bool = False,
+    preferment: bool = False,
 ) -> tuple[list[tuple[int, int, str]], int | None]:
-    """Greedy leftmost-longest scan with PER-ATTEMPT classification (the
-    in-automaton twin of :func:`find_match_spans`). Returns
-    ``(spans, carry_start)``: spans are ``(lo, hi, codes)`` triples;
-    with ``final=False`` (the streaming caller) a live in-flight attempt
-    at end-of-input is NOT resolved — its start index comes back as
-    ``carry_start`` so the caller can persist the suffix, exactly the
-    StreamMatcher._scan contract. ``within=(tvals, dur)`` enforces the
-    Flink-style match-duration bound: a row whose order-key value
-    exceeds the attempt's first row by more than ``dur`` (or whose key
-    is NULL) ends the attempt — the accepted prefix still emits."""
+    """Greedy scan with PER-ATTEMPT classification (the in-automaton
+    twin of :func:`find_match_spans`). Returns ``(spans, carry_start)``:
+    spans are ``(lo, hi, codes)`` triples; with ``final=False`` (the
+    streaming caller) a live in-flight attempt at end-of-input is NOT
+    resolved — its start index comes back as ``carry_start`` so the
+    caller can persist the suffix, exactly the StreamMatcher._scan
+    contract. ``within=(tvals, dur)`` enforces the Flink-style
+    match-duration bound: a row whose order-key value exceeds the
+    attempt's first row by more than ``dur`` (or whose key is NULL)
+    ends the attempt — the accepted prefix still emits.
+
+    ``preferment=False`` (default) accepts the LONGEST extension of
+    each attempt via the set-scan — correct for alternation-free
+    patterns, where every greedy preference is "consume more".
+    ``preferment=True`` (r12; set by callers when the user pattern
+    carries ``|``) steps an ORDERED thread list instead: when the
+    highest-priority thread accepts, lower-priority threads are cut and
+    the match is recorded; a later accept from a surviving
+    higher-priority thread overrides — SQL:2016 preferment, so
+    ``A | A B`` over a row satisfying both stops at ``A``.
+    Classification itself is path-independent (one symbol per row per
+    attempt), so the two modes differ only in which accepted PREFIX of
+    the attempt's code string wins."""
     start_closure = nfa.closure(frozenset([nfa.start]))
+    start_threads = _ordered_closure(nfa, [nfa.start])
+    closure_memo: dict[int, list[int]] = {}
+
+    def closure_of(state: int) -> list[int]:
+        got = closure_memo.get(state)
+        if got is None:
+            got = closure_memo[state] = _ordered_closure(nfa, [state])
+        return got
+
     spans: list[tuple[int, int, str]] = []
     pos = 0
     while pos < size:
         states = start_closure
+        threads: list[int] = list(start_threads)
         tent: dict[str, list[int]] = {}
         codes: list[str] = []
         last_acc = -1
@@ -1083,21 +1176,59 @@ def scan_rows_in_automaton(
         while j < size:
             if within is not None and _within_breaks(within, j, pos):
                 break
-            c = classify(j, pos, tent)
+            # chars the NFA could consume from the current position —
+            # the classifier's ambiguity check raises only when >=2
+            # TRUE symbols are both in this set (first-true vs a
+            # non-consumable symbol is not a divergence; see
+            # build_classifier)
+            cons: set[str] | None = set()
+            for s in (threads if preferment else states):
+                for want, _to in nfa.trans.get(s, ()):
+                    if want is None:
+                        cons = None  # wildcard: everything consumable
+                        break
+                    cons.add(want)
+                if cons is None:
+                    break
+            c = classify(j, pos, tent, cons)
             if c is None:
                 break
-            nxt = nfa.step(states, c)
-            if not nxt:
-                break
-            codes.append(c)
-            states = nxt
-            j += 1
-            if nfa.accept in states and (not anchor_end or j == size):
-                last_acc = j
+            if preferment:
+                new_threads: list[int] = []
+                seen: set[int] = set()
+                for st in threads:
+                    for want, to in nfa.trans.get(st, ()):
+                        if want is not None and want != c:
+                            continue
+                        for cl in closure_of(to):
+                            if cl not in seen:
+                                seen.add(cl)
+                                new_threads.append(cl)
+                if not new_threads:
+                    break
+                threads = new_threads
+                codes.append(c)
+                j += 1
+                if not anchor_end or j == size:
+                    for idx, st in enumerate(threads):
+                        if st == nfa.accept:
+                            last_acc = j
+                            del threads[idx + 1:]
+                            break
+            else:
+                nxt = nfa.step(states, c)
+                if not nxt:
+                    break
+                codes.append(c)
+                states = nxt
+                j += 1
+                if nfa.accept in states and (not anchor_end or j == size):
+                    last_acc = j
         else:
             # attempt hit end-of-input with live states: in-flight only
             # if some live state can still consume a character
-            if not final and any(nfa.trans[s] for s in states):
+            live = threads if preferment else states
+            if not final and any(nfa.trans[s] for s in live):
                 return spans, pos
         if last_acc > pos:
             span_codes = "".join(codes[: last_acc - pos])
@@ -1215,6 +1346,13 @@ def match_recognize(
     # the excluded region still matches and feeds measures; its rows
     # are dropped from ALL ROWS output below (no-op under ONE ROW)
     pattern, anchor_start, anchor_end = _strip_anchors(pattern)
+    # user-written alternation, detected BEFORE PERMUTE expansion
+    # (PERMUTE's generated branches are equal-length permutations, where
+    # preferment and longest coincide): it forces the priority scanner
+    # even on deterministic partitions — SQL:2016 preferment means
+    # `A | A B` matches just A, which the longest-discipline set-scan
+    # cannot express (ADVICE r11).
+    user_alt = "|" in pattern
     pattern, excluded_syms = _extract_exclusions(_expand_permute(pattern))
     names, sym_chars, nfa = compile_symbols(pattern, define)
     excluded_chars = frozenset(
@@ -1400,7 +1538,9 @@ def match_recognize(
         cols = {c: pdf[c].tolist() for c in used_cols}
         flags = {ch: pdf[cn].tolist() for ch, cn in flag_cols.items()}
         ctx = mr_expr.MatchCtx(cols, 0, 0, size, {})
-        classify = build_classifier(test_order, flags, compiled, ctx)
+        classify = build_classifier(
+            test_order, flags, compiled, ctx, names_by_char
+        )
         bound = (
             (pdf[order_cols[0]].tolist(), within_dur)
             if within_dur is not None
@@ -1409,6 +1549,7 @@ def match_recognize(
         spans, _ = scan_rows_in_automaton(
             nfa, classify, size, final=True, skip=skip, within=bound,
             anchor_start=anchor_start, anchor_end=anchor_end,
+            preferment=user_alt,
         )
         return spans
 
@@ -1462,13 +1603,25 @@ def match_recognize(
                     else:
                         code_arr[arr] = ch
                 codes = "".join(code_arr)
-                spans = [
-                    (lo, hi, codes[lo:hi])
-                    for lo, hi in find_match_spans(
-                        nfa, codes, skip=skip, within=bound,
+                if user_alt:
+                    # user alternation: SQL:2016 preferment can pick a
+                    # SHORTER branch (`A | A B` stops at A) — the
+                    # longest-discipline set-scan cannot, so run the
+                    # priority scanner over the deterministic codes
+                    spans = find_match_spans_nd(
+                        nfa,
+                        lambda j, ch, _s=codes: _s[j] == ch,
+                        size, skip=skip, within=bound,
                         anchor_start=anchor_start, anchor_end=anchor_end,
                     )
-                ]
+                else:
+                    spans = [
+                        (lo, hi, codes[lo:hi])
+                        for lo, hi in find_match_spans(
+                            nfa, codes, skip=skip, within=bound,
+                            anchor_start=anchor_start, anchor_end=anchor_end,
+                        )
+                    ]
         if all_rows:
             frames = []
             for n, (lo, hi, scodes) in enumerate(spans, start=1):

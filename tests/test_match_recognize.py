@@ -2329,3 +2329,110 @@ def test_nd_scanner_longest_extents_match_bruteforce():
                 )
                 m = cre.match(codes)
                 assert m and m.end() == len(codes)
+
+
+def test_preferment_order_alternation():
+    """r12 (ADVICE-r11): SQL:2016 PREFERMENT order, not leftmost-longest
+    — alternation prefers the LEFT branch even when a right branch
+    would match longer. `a|bc` over all-ambiguous rows matches `a`
+    (Oracle/Flink behavior); the pre-r12 scanner returned `bc`."""
+    from blazingsql_spark.operators.match_recognize import (
+        find_match_spans_nd,
+    )
+
+    nfa = compile_pattern("a|bc")
+    got = find_match_spans_nd(nfa, lambda j, ch: True, 4)
+    assert got == [(0, 1, "a"), (1, 2, "a"), (2, 3, "a"), (3, 4, "a")]
+
+    # prefix alternation with DETERMINISTIC truth: `a|ab` over codes
+    # "ab" stops at `a` under preferment (the set-scan would say (0,2))
+    nfa2 = compile_pattern("a|ab")
+    got2 = find_match_spans_nd(
+        nfa2, lambda j, ch, _s="ab": _s[j] == ch, 2
+    )
+    assert got2 == [(0, 1, "a")]
+
+    # right branch still wins when the left branch cannot match
+    nfa3 = compile_pattern("a|bc")
+    got3 = find_match_spans_nd(
+        nfa3, lambda j, ch, _s="bc": _s[j] == ch, 2
+    )
+    assert got3 == [(0, 2, "bc")]
+
+    # preferment equals re's leftmost-first on prefix alternations
+    for pat in ("a|ab", "ab|a", "a(b|bc)", "(a|ab)(c|bc)?"):
+        nfa4 = compile_pattern(pat)
+        cre = re.compile(pat)
+        rnd = random.Random(20260816)
+        for _ in range(80):
+            s = "".join(rnd.choice("abc") for _ in range(rnd.randint(0, 12)))
+            want = [
+                (m.start(), m.end()) for m in cre.finditer(s) if m.end() > m.start()
+            ]
+            got = find_match_spans_nd(
+                nfa4, lambda j, ch, _s=s: _s[j] == ch, len(s)
+            )
+            assert [(lo, hi) for lo, hi, _ in got] == want, (pat, s, got)
+
+
+def test_preferment_operator_paths(spark):
+    """The operator honors preferment on every path: vectorized
+    ambiguous, vectorized deterministic with user alternation, and
+    in-automaton (navigation DEFINE) with user alternation."""
+    # vectorized ambiguous: every row satisfies A and B and C
+    df = spark.createDataFrame(
+        [(1, i, float(i + 1)) for i in range(4)], ["uid", "seq", "v"]
+    )
+    out = match_recognize(
+        df, ["uid"], ["seq"], [("COUNT(*)", "n"), ("CLASSIFIER()", "clf")],
+        "A | B C", {"A": "v >= 1", "B": "v >= 1", "C": "v >= 1"},
+    ).collect()
+    assert [(r.n, r.clf) for r in out] == [(1, "A")] * 4
+
+    # deterministic rows + user alternation: `A | A B` stops at A
+    df2 = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b")], ["uid", "seq", "et"]
+    )
+    out2 = match_recognize(
+        df2, ["uid"], ["seq"], [("COUNT(*)", "n")],
+        "A | A B", {"A": "et = 'a'", "B": "et = 'b'"},
+    ).collect()
+    assert [r.n for r in out2] == [1]
+
+    # in-automaton (navigation in DEFINE) + user alternation: the
+    # preferment threads run over the per-attempt classified codes
+    out3 = match_recognize(
+        df2, ["uid"], ["seq"], [("COUNT(*)", "n")],
+        "A | A B", {"A": "et = 'a'", "B": "et = 'b' AND seq > FIRST(A.seq)"},
+    ).collect()
+    assert [r.n for r in out3] == [1]
+
+
+def test_in_automaton_ambiguity_raises(spark):
+    """r12 (VERDICT-r11 #2): the in-automaton path raises LOUDLY when a
+    row satisfies two DEFINEd symbols the PATTERN could both consume at
+    that position, instead of silently classifying first-true. The
+    classic Oracle start-symbol idiom (S AS TRUE with a pattern that
+    never admits S and D at the same position) keeps working — covered
+    by test_symbol_relative_navigation_batch."""
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(4)], ["uid", "seq", "v"]
+    )
+    # PATTERN (A|B)+ C: at every position both A and B are consumable,
+    # and both DEFINEs are true on every row -> genuine divergence
+    with pytest.raises(Exception, match="multiple DEFINEd symbols"):
+        match_recognize(
+            df, ["uid"], ["seq"], [("COUNT(*)", "n")],
+            "(A | B)+ C",
+            {"A": "v >= 0", "B": "v >= 0",
+             "C": "v > LAST(A.v, 0)"},
+        ).collect()
+
+    # mutually-exclusive DEFINEs on the same pattern do not raise
+    ok = match_recognize(
+        df, ["uid"], ["seq"], [("COUNT(*)", "n")],
+        "(A | B)+ C",
+        {"A": "v = 0", "B": "v = 1",
+         "C": "v >= 2 AND v > LAST(A.v, 0)"},
+    ).collect()
+    assert [r.n for r in ok] == [3]
