@@ -623,6 +623,30 @@ def ivf_topk(
     )
 
 
+# One cached filtered-id frame per session, evicted on the NEXT serving
+# call (ADVICE r11: repeated filtered-serving calls were accumulating
+# cached DataFrames in executor storage for the session's lifetime).
+# The cache is profitable exactly between the selectivity count and the
+# one downstream serving query that reuses the frame; by the time
+# another serving call arrives, the previous frame is dead weight —
+# unpersist it then. Keyed by id(session) so concurrent sessions (tests
+# spin up several) never evict each other.
+_FLT_ID_CACHE: dict[int, DataFrame] = {}
+
+
+def _cache_flt_ids(flt_ids: DataFrame) -> DataFrame:
+    key = id(flt_ids.sparkSession)
+    prev = _FLT_ID_CACHE.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session torn down since: nothing left to evict
+    flt_ids = flt_ids.cache()
+    _FLT_ID_CACHE[key] = flt_ids
+    return flt_ids
+
+
 def _prefilter_plan(
     vectors: DataFrame,
     filter_expr: str,
@@ -643,8 +667,9 @@ def _prefilter_plan(
         if selectivity is None and corpus_count is not None:
             # this branch both COUNTS flt_ids (selectivity measurement)
             # and reuses it as the left-semi prune side — cache it so the
-            # predicate scan runs once per serving call, not twice
-            flt_ids = flt_ids.cache()
+            # predicate scan runs once per serving call, not twice; the
+            # previous call's cached frame is unpersisted here
+            flt_ids = _cache_flt_ids(flt_ids)
         n_probe = _widen_probes_for_filter(
             vectors, flt_ids, filter_expr, n_centroids,
             selectivity=selectivity, corpus_count=corpus_count,

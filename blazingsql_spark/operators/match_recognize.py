@@ -2051,7 +2051,23 @@ def rewrite_match_recognize(spark, query: str) -> str:
                     )
                 define[item[: kw.start()].strip()] = item[kw.end() :].strip()
         if src[0] == "table":
-            src_df = spark.table(src[1])
+            # a bare CTE name as the factor (`WITH c AS (...) SELECT ...
+            # FROM c MATCH_RECOGNIZE (...)`) is not a catalog table —
+            # spark.table would fail analysis; route it through the same
+            # CTE-prepending path as derived-table factors (ADVICE r11)
+            _rec, _items = _leading_ctes(masked, query)
+            cte_names = {
+                nm.lower() for nm, _txt, end in _items if end <= factor_start
+            }
+            if "." not in src[1] and src[1].lower() in cte_names:
+                src_df = spark.sql(
+                    _prepend_visible_ctes(
+                        masked, query, factor_start,
+                        f"SELECT * FROM {src[1]}",
+                    )
+                )
+            else:
+                src_df = spark.table(src[1])
         else:
             src_df = spark.sql(
                 _prepend_visible_ctes(masked, query, factor_start, src[1])

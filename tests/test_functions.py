@@ -2661,3 +2661,32 @@ def test_filtered_serving_flat_pq_and_lsh_tiers(spark):
         prebuilt=(v_sig,),
     ).collect()
     assert sorted(map(tuple, lsh2)) == sorted(map(tuple, lsh))
+
+
+def test_prefilter_flt_ids_cache_evicts_previous(spark):
+    """r12 (ADVICE r11): repeated filtered-serving calls must not
+    accumulate cached filtered-id frames in executor storage — each
+    _prefilter_plan call that caches evicts the PREVIOUS call's cached
+    frame, bounding the session to at most one."""
+    import random as _r
+
+    from blazingsql_spark.functions import similarity
+
+    rnd = _r.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(4)], i % 2)
+         for i in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    first, _np1 = similarity._prefilter_plan(
+        emb, "label = 0", None, 4, corpus_count=60, selectivity=None,
+        id_col="vec_id",
+    )
+    assert first.is_cached
+    second, _np2 = similarity._prefilter_plan(
+        emb, "label = 1", None, 4, corpus_count=60, selectivity=None,
+        id_col="vec_id",
+    )
+    assert second.is_cached
+    assert not first.is_cached  # evicted by the second call
+    assert len(similarity._FLT_ID_CACHE) == 1

@@ -1923,6 +1923,39 @@ def test_advice_r10_regressions(spark):
     ).collect()
     assert [r.n for r in got] == [3]
 
+    # (c2) r12 (ADVICE r11): a BARE CTE name as the factor — not just a
+    # derived table wrapping it — resolves through the same CTE-
+    # prepending path (spark.table would fail analysis: a CTE is not a
+    # catalog table)
+    got = bc.sql(
+        """
+        WITH clean AS (SELECT * FROM ev_advice WHERE value < 5)
+        SELECT n FROM clean MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            PATTERN (A+)
+            DEFINE A AS value > 0
+        )
+        """
+    ).collect()
+    assert [r.n for r in got] == [3]
+
+    # (c3) bare CTE name WITH an alias keeps outer references binding
+    got = bc.sql(
+        """
+        WITH clean AS (SELECT * FROM ev_advice WHERE value < 5)
+        SELECT z.n FROM clean AS z MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            PATTERN (A+)
+            DEFINE A AS value > 0
+        )
+        """
+    ).collect()
+    assert [r.n for r in got] == [3]
+
     # (c) inner WITH merges; the inner 'clean' shadows the outer one
     got = bc.sql(
         """
