@@ -1085,7 +1085,11 @@ def sim_ann_filtered_lsh(spark, sf_dir):
     this tier either — every query probes bits_per_band+1 buckets per
     band regardless of the filter, and pruning only removes rows the
     predicate excludes from every bucket, so relative recall is the
-    unfiltered tier's. Settings: 16 bands x 8 bits + 1-bit multiprobe —
+    unfiltered tier's. The 0.6 floor is KEPT at r12's floor-tightening
+    pass (VERDICT-r11 #4): measured minimum across the three SFs is
+    0.68 (sf0.001), so 0.6 already IS measured-minus-margin for this
+    tier — unlike pq/ivfpq/int8, whose floors rose to 0.75/0.85.
+    Settings: 16 bands x 8 bits + 1-bit multiprobe —
     measured 0.68/0.92 recall at sf0.001/sf0.01 (the 4x16 headline
     settings drop to 0.0/0.24 under this filter: halving the corpus
     empties the narrow 16-bit buckets, the classic AND-OR trade — more

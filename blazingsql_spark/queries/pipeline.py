@@ -1467,7 +1467,9 @@ def sim_ann_pq(spark, sf_dir):
     aren't SQL-expressible, but recall@5 vs the exact top-k is
     deterministic end-to-end (md5-seeded training, fixed fold order) —
     reported as a thresholded boolean the oracle asserts TRUE (measured
-    0.92; threshold 0.6 leaves margin)."""
+    0.85-0.96 across the three SFs; floor raised 0.6 -> 0.75 in r12 per
+    VERDICT-r11 so a silent recall regression trips the gate before the
+    telemetry drifts)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1480,7 +1482,7 @@ def sim_ann_pq(spark, sf_dir):
         .select("query_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )
-    return _recall_gate(exact, approx)
+    return _recall_gate(exact, approx, threshold=0.75)
 
 
 @register(
@@ -1498,7 +1500,8 @@ def sim_ann_ivfpq(spark, sf_dir):
     routes to inverted lists, residual-PQ codes (~32x compression) rank
     within the probed lists, exact re-rank finishes. Deterministic
     end-to-end; recall@5 vs brute force reported as a thresholded boolean
-    (measured 1.0 at these settings; threshold 0.6 leaves margin)."""
+    (measured 0.83-1.0 across the three SFs; floor raised 0.6 -> 0.75 in
+    r12 per VERDICT-r11)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1512,7 +1515,7 @@ def sim_ann_ivfpq(spark, sf_dir):
         .select("query_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )
-    return _recall_gate(exact, approx)
+    return _recall_gate(exact, approx, threshold=0.75)
 
 
 # Session-scoped prebuilt IVF-PQ index, keyed by (application, sf_dir).
@@ -1654,8 +1657,10 @@ def sim_ann_ivf_int8(spark, sf_dir):
     ).select(
         "n_queries",
         "n_exact_results",
-        # 0.8 floor since r9 (measured 0.94-0.96 across SFs — margin holds)
-        (F.col("n8") >= F.col("n_exact_results") * 0.8).alias("recall_ok"),
+        # floor raised 0.8 -> 0.85 in r12 (measured 0.94-0.96 across SFs;
+        # VERDICT-r11: floors should sit at measured-minus-margin so a
+        # silent recall regression trips the gate, not just telemetry)
+        (F.col("n8") >= F.col("n_exact_results") * 0.85).alias("recall_ok"),
         (
             F.col("n8")
             >= F.col("nf")
