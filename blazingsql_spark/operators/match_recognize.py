@@ -98,7 +98,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from blazingsql_spark.streaming.patterns import _Nfa, compile_pattern
+from blazingsql_spark.streaming.patterns import (
+    _Nfa,
+    compile_pattern,
+    ordered_closure,
+)
 
 _NO_SYM = "\x00"  # classification miss: breaks any in-flight match
 
@@ -207,22 +211,10 @@ def find_match_spans(
     return spans
 
 
-def _ordered_closure(nfa: _Nfa, starts) -> list[int]:
-    """ε-closure as an ORDERED list (preorder DFS following eps edges in
-    declaration order) — the thread-priority order for the
-    nondeterministic scan: compile_pattern appends the preferred edge
-    first (greedy quantifier continuation, left alternative)."""
-    out: list[int] = []
-    seen: set[int] = set()
-    stack = list(reversed(list(starts)))
-    while stack:
-        st = stack.pop()
-        if st in seen:
-            continue
-        seen.add(st)
-        out.append(st)
-        stack.extend(reversed(nfa.eps.get(st, [])))
-    return out
+# ordered_closure moved next to _Nfa (streaming/patterns.py) in r12 so
+# StreamMatcherND can share it without a circular import; the local
+# name is kept for the scanners below.
+_ordered_closure = ordered_closure
 
 
 def find_match_spans_nd(

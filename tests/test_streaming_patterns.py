@@ -509,3 +509,135 @@ def test_match_recognize_stream_accepts_exclusions(spark, tmp_path):
         "SELECT n_matches FROM t_mr_excl_stream ORDER BY n_codes DESC"
     ).collect()
     assert got and got[0].n_matches == 1
+
+
+def test_nd_stream_matcher_matches_batch_nd_scanner():
+    """r12 (VERDICT-r11 #5): StreamMatcherND fed in random chunks must
+    equal the batch priority scanner (find_match_spans_nd) at
+    end-of-input — same preferment order, same counts/longest — over
+    random ambiguous truth tables, patterns WITH alternation included."""
+    from blazingsql_spark.operators.match_recognize import (
+        find_match_spans_nd,
+    )
+    from blazingsql_spark.streaming.patterns import StreamMatcherND
+
+    rnd = random.Random(20260820)
+    for pat in ["ab", "a+b", "ab*c", "(a|b)c", "a|bc", "a{2}b", "ab?c",
+                "(ab|ba)+", "a(b|c)*a"]:
+        nfa = compile_pattern(pat)
+        bits = {"a": 1, "b": 2, "c": 4}
+        for _ in range(60):
+            size = rnd.randint(0, 24)
+            masks = [
+                sum(bit for ch, bit in bits.items() if rnd.random() < 0.5)
+                for _ in range(size)
+            ]
+            truth = lambda j, ch, _m=masks, _b=bits: bool(_m[j] & _b[ch])
+            spans = find_match_spans_nd(nfa, truth, size)
+            want_n = len(spans)
+            want_longest = max([hi - lo for lo, hi, _ in spans], default=0)
+
+            m = StreamMatcherND(nfa, bits)
+            i = 0
+            while i < size:
+                step = rnd.randint(1, 6)
+                m.feed(masks[i : i + step])
+                i += step
+            got_n, got_longest = m.snapshot()
+            assert (got_n, got_longest) == (want_n, want_longest), (
+                pat, masks, spans,
+            )
+            assert m.n_aborted == 0
+
+
+def test_nd_stream_matcher_equals_set_matcher_on_onehot():
+    """With deterministic one-hot masks and an alternation-free pattern
+    StreamMatcherND's counters equal StreamMatcher's byte for byte —
+    the consistency guarantee that makes routing every
+    match_recognize_stream query through the ND matcher safe."""
+    from blazingsql_spark.streaming.patterns import StreamMatcherND
+
+    rnd = random.Random(20260821)
+    bits = {"a": 1, "b": 2, "c": 4, "d": 8}
+    for pat in ["ab+c", "abc", "a?b+c", "b*c", "c+", "a{2}c", "(ab){2}"]:
+        nfa = compile_pattern(pat)
+        for _ in range(60):
+            s = "".join(rnd.choice("abcd") for _ in range(rnd.randint(0, 30)))
+            old = StreamMatcher(nfa)
+            nd = StreamMatcherND(nfa, bits)
+            i = 0
+            while i < len(s):
+                step = rnd.randint(1, 5)
+                old.feed(s[i : i + step])
+                nd.feed([bits[ch] for ch in s[i : i + step]])
+                i += step
+            assert nd.snapshot() == old.snapshot(), (pat, s)
+            assert (nd.n_matches, nd.longest) == (old.n_matches, old.longest)
+
+
+def test_match_recognize_stream_nondeterministic_assignment(spark, tmp_path):
+    """r12: ambiguous DEFINEs (every row satisfies A and B) on a STREAM
+    resolve through SQL:2016 preferment exactly like the batch operator
+    — the pre-r12 stream classified first-true and found nothing for
+    PATTERN (A B) with overlapping DEFINEs."""
+    import pandas as pd
+
+    from blazingsql_spark.operators.match_recognize import match_recognize
+    from blazingsql_spark.streaming.patterns import match_recognize_stream
+
+    rows = [(1, i, float(i + 1)) for i in range(8)] + [
+        (2, i, float(i + 1)) for i in range(5)
+    ]
+    pdf = pd.DataFrame(rows, columns=["uid", "seq", "v"])
+    src = tmp_path / "src_nd"
+    src.mkdir()
+    for i in range(3):
+        third = len(pdf) // 3
+        chunk = pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)]
+        chunk.to_json(src / f"b{i}.json", orient="records", lines=True)
+    raw = (
+        spark.readStream.schema("uid long, seq long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    define = {"A": "v >= 1", "B": "v >= 1"}
+    out = match_recognize_stream(raw, "uid", "seq", "seq", "A B", define)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mr_nd_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM t_mr_nd_stream")
+        .toPandas()
+        .sort_values("n_codes")
+        .groupby("uid" if "uid" in spark.sql(
+            "SELECT * FROM t_mr_nd_stream").columns else "user_id")
+        .last()
+        .reset_index()
+    )
+    batch_df = spark.createDataFrame(pdf)
+    per_match = match_recognize(
+        batch_df, ["uid"], ["seq"], [("COUNT(*)", "len")], "A B", define
+    )
+    want = {
+        r.uid: r.n
+        for r in per_match.groupBy("uid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    key_col = "user_id"
+    for _, row in got.iterrows():
+        assert row.n_matches == want.get(row[key_col], 0), row[key_col]
+    assert want == {1: 4, 2: 2}  # pairs per partition, sanity
+
+    # anchors are rejected loudly on streams
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="anchors"):
+        match_recognize_stream(raw, "uid", "seq", "seq", "^ A B", define)
