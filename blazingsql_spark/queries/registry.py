@@ -885,6 +885,74 @@ assert not set(_R12_WINDOW_STAGED[3:]) & set(_R10_WINDOW_STAGED), (
     "r12 rotation must not re-check r10-fresh rows (sentinels excepted)"
 )
 
+# Round-13 window, STAGED as code in round 12 (the stage-ahead
+# discipline): promote by swapping into DRIVER_PRIORITY as r13's first
+# commit ONLY after CORRECTNESS_r12 lands 50/50 green. With the r12
+# flip draining the last never-driver-checked rows, rotation is now
+# PURE oldest-stale re-verification: the 3 standing sentinels + the 47
+# rows last driver-checked in r7 (exactly filling the window — no
+# younger fill needed). Recount at flip time if r13 registers new rows:
+# NEW registrations take slots from the alphabetical tail of the
+# r7-stale list (the displaced rows roll to r14 as the then-oldest).
+_R7_STALE_FOR_R13 = (
+    "dedup_components_incremental",
+    "agg_approx_distinct",
+    "agg_with_nulls",
+    "distinct_with_nulls",
+    "events_json_extract",
+    "events_tumbling_window",
+    "expr_bitwise",
+    "expr_case",
+    "expr_cast",
+    "expr_datetime",
+    "expr_extract",
+    "expr_interval",
+    "expr_is_truth",
+    "expr_literals",
+    "expr_predicates",
+    "expr_rand",
+    "expr_string",
+    "expr_to_timestamp",
+    "multimodal_decode",
+    "multimodal_meta",
+    "multimodal_resize",
+    "nested_struct_ops",
+    "pivot_status",
+    "range_join_orders",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_winnowing",
+    "topk_per_group",
+    "window_nth_value",
+    "agg_approx_percentile",
+    "agg_corr_covar",
+    "agg_filter_clause",
+    "agg_having",
+    "agg_percentile_cont",
+    "agg_regression",
+    "agg_salted_skew",
+    "dedup_contamination",
+    "docs_chunk",
+    "docs_pack",
+    "events_funnel",
+    "events_hopping_window",
+    "events_trending",
+    "expr_string_pad",
+    "knn_classify",
+    "limit_offset",
+    "multimodal_frames",
+)
+_R13_WINDOW_STAGED = _SENTINELS + _R7_STALE_FOR_R13
+assert len(_R13_WINDOW_STAGED) == _DRIVER_WINDOW, len(_R13_WINDOW_STAGED)
+assert len(set(_R13_WINDOW_STAGED)) == len(_R13_WINDOW_STAGED)
+assert not set(_R13_WINDOW_STAGED[3:]) & set(_R12_WINDOW_STAGED), (
+    "r13 rotation must not re-check r12-fresh rows (sentinels excepted)"
+)
+assert not set(_R13_WINDOW_STAGED[3:]) & set(_R11_WINDOW_STAGED), (
+    "r13 rotation must not re-check r11-fresh rows (sentinels excepted)"
+)
+
 # Past the window, queue the freshest-green rows first (r11, then r10, …)
 # so any driver overflow re-checks the most recently verified work.
 # PROMOTED for round 12 (CORRECTNESS_r11 landed 50/50 green, zero err —

@@ -471,3 +471,37 @@ def test_ivf_topk_filtered_selectivity_action_count(spark):
     finally:
         DataFrame.count, DataFrame.first = real_count, real_first
     assert out.count() > 0  # and the lazy plan still executes
+
+
+def test_mr_nondeterministic_single_shuffle(spark):
+    """r12 (VERDICT-r11 #8): the ND-assignment MATCH_RECOGNIZE row keeps
+    the canonical MR plan shape — ONE hash exchange on the partition key
+    feeding ONE FlatMapGroupsInPandas scan (plus the final presentation
+    sort); a future change must not silently add a second shuffle or a
+    second Python stage."""
+    from blazingsql_spark.plans import physical_plan
+
+    for name in ("events_mr_nondeterministic", "events_mr_anchors"):
+        df = all_queries()[name].fn(spark, SF_DIR)
+        n = exchange_count(df)
+        assert n <= 2, (name, n)  # key hash + presentation sort
+        plan = physical_plan(df, "simple")
+        assert plan.count("FlatMapGroupsInPandas") == 1, (name, plan)
+
+
+def test_filtered_ann_prune_before_scan(spark):
+    """r12 (VERDICT-r11 #8): the flat-PQ and multi-probe-LSH filtered
+    tiers prune with a LEFT-SEMI join BEFORE the expensive stage (ADC
+    scan / bucket join), and their end-to-end gate plans stay at the
+    measured exchange budget — a regression adding an extra shuffle or
+    replacing the semi-prune with a post-filter trips this, not just the
+    recall telemetry."""
+    from blazingsql_spark.plans import physical_plan
+
+    for name, budget in (("sim_ann_filtered_pq", 31),
+                         ("sim_ann_filtered_lsh", 17)):
+        df = all_queries()[name].fn(spark, SF_DIR)
+        n = exchange_count(df)
+        assert n <= budget, (name, n)  # measured at registration (r12)
+        plan = physical_plan(df, "simple")
+        assert "LeftSemi" in plan, (name, "semi-prune missing")
