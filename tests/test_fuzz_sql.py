@@ -501,3 +501,113 @@ def oracle_fuzz_docs():
     )
     yield con
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE pattern fuzzing (r12, VERDICT-r11 #9). DuckDB has no
+# SQL:2016 row-pattern surface, so the oracle is Python's re engine —
+# a leftmost-PREFERMENT matcher, exactly the SQL:2016 order the r12
+# scanners implement (greedy quantifiers, left-first alternation). The
+# generator drives the REAL compile path (_strip_anchors,
+# _expand_permute for PERMUTE, compile_pattern's bounded-quantifier
+# expansion) — the pre-r11 `A{2} C` silent-no-match bug is exactly the
+# class this catches a round early. Both scanners are checked: the
+# priority scanner on every pattern, and the deterministic set-scan on
+# alternation-free ones (where preferment == longest by construction).
+# ---------------------------------------------------------------------------
+
+
+def _mr_pattern():
+    import itertools
+
+    quant = st.sampled_from(["", "", "*", "+", "?", "{2}", "{1,3}", "{2,}"])
+
+    def atom():
+        return st.one_of(
+            st.sampled_from(list("abc")),
+            st.sampled_from(list("abc")).flatmap(
+                lambda x: st.sampled_from(list("abc")).map(
+                    lambda y: f"({x}|{y})"
+                )
+            ),
+            st.tuples(
+                st.sampled_from(list("abc")), st.sampled_from(list("abc"))
+            ).map(lambda t: f"({t[0]}{t[1]})"),
+        )
+
+    @st.composite
+    def pat(draw):
+        parts = []
+        for _ in range(draw(st.integers(1, 3))):
+            a = draw(atom())
+            q = draw(quant)
+            parts.append(a + q)
+        core = "".join(parts)
+        if draw(st.booleans()):
+            # exercise the real PERMUTE expansion on a suffix
+            from blazingsql_spark.operators.match_recognize import (
+                _expand_permute,
+            )
+
+            syms = draw(
+                st.lists(
+                    st.sampled_from(list("abc")), min_size=2, max_size=3,
+                    unique=True,
+                )
+            )
+            core += _expand_permute(
+                f"PERMUTE({', '.join(syms)})"
+            ).replace(" ", "")
+        anchor = draw(st.sampled_from(["", "^", "$", "^$"]))
+        return ("^" if "^" in anchor else "") + core + (
+            "$" if "$" in anchor else ""
+        )
+
+    return pat()
+
+
+@settings(max_examples=150 * _SCALE, deadline=None)
+@given(
+    pattern=_mr_pattern(),
+    s=st.text(alphabet="abcd", max_size=24),
+)
+def test_fuzzed_mr_pattern_matches_re(pattern, s):
+    import re as _re
+
+    from blazingsql_spark.operators.match_recognize import (
+        _strip_anchors,
+        find_match_spans,
+        find_match_spans_nd,
+    )
+    from blazingsql_spark.streaming.patterns import compile_pattern
+
+    core, a_start, a_end = _strip_anchors(pattern)
+    try:
+        nfa = compile_pattern(core)
+    except ValueError as e:
+        # the engine rejects empty-matchable patterns LOUDLY (a*b* etc):
+        # that is the correct behavior, not a fuzz finding — discard
+        assert "empty string" in str(e), (pattern, e)
+        from hypothesis import assume
+
+        assume(False)
+    want = [
+        (m.start(), m.end())
+        for m in _re.finditer(pattern, s)
+        if m.end() > m.start()
+    ]
+    got_nd = find_match_spans_nd(
+        nfa,
+        lambda j, ch, _s=s: _s[j] == ch,
+        len(s),
+        anchor_start=a_start,
+        anchor_end=a_end,
+    )
+    assert [(lo, hi) for lo, hi, _ in got_nd] == want, (pattern, s, got_nd)
+    for lo, hi, codes in got_nd:
+        assert codes == s[lo:hi]
+    if "|" not in core:
+        got_set = find_match_spans(
+            nfa, s, anchor_start=a_start, anchor_end=a_end
+        )
+        assert got_set == want, (pattern, s, got_set)
