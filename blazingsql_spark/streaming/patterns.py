@@ -283,7 +283,13 @@ def compile_pattern(pattern: str) -> _Nfa:
 
 
 class StreamMatcher:
-    """Incremental non-overlapping leftmost-longest matcher.
+    """Incremental non-overlapping leftmost-PREFERMENT matcher (r12 —
+    previously leftmost-longest; for alternation-free patterns the two
+    coincide, every greedy preference being "consume more", so existing
+    streams are byte-identical; with alternation the left branch now
+    wins even when a right branch would match longer, exactly
+    ``re.finditer``'s discipline — so the batch regexp twin and this
+    matcher agree on EVERY pattern, property-tested).
 
     ``feed(text)`` consumes more of the stream; ``snapshot()`` returns the
     (n_matches, longest) pair *as if the stream ended now* without
@@ -330,26 +336,50 @@ class StreamMatcher:
 
     def _scan(self, text: str, n: int, longest: int, final: bool) -> tuple[int, int, str]:
         nfa = self.nfa
-        start_closure = nfa.closure(frozenset([nfa.start]))
+        start_threads = ordered_closure(nfa, [nfa.start])
+        memo: dict[int, list[int]] = {}
+
+        def closure_of(st: int) -> list[int]:
+            got = memo.get(st)
+            if got is None:
+                got = memo[st] = ordered_closure(nfa, [st])
+            return got
+
         pos, size = 0, len(text)
         while pos < size:
-            states = start_closure
+            threads = list(start_threads)
             last_acc = -1
             j = pos
-            while j < size:
-                nxt = nfa.step(states, text[j])
-                if not nxt:
+            while j < size and threads:
+                ch = text[j]
+                new_threads: list[int] = []
+                seen: set[int] = set()
+                for st in threads:
+                    for want, to in nfa.trans.get(st, ()):
+                        if want is not None and want != ch:
+                            continue
+                        for c in closure_of(to):
+                            if c not in seen:
+                                seen.add(c)
+                                new_threads.append(c)
+                threads = new_threads
+                if not threads:
                     break
-                states = nxt
                 j += 1
-                if nfa.accept in states:
-                    last_acc = j
-            else:
-                # Attempt hit end of input with live states. It is only
+                for idx, st in enumerate(threads):
+                    if st == nfa.accept:
+                        # preferment: record the highest-priority accept,
+                        # cut lower-priority threads; a later accept from
+                        # a surviving thread overrides
+                        last_acc = j
+                        del threads[idx + 1:]
+                        break
+            if j == size and threads:
+                # Attempt hit end of input with live threads. It is only
                 # genuinely in-flight if some live state can still consume a
                 # character (e.g. {accept} alone for 'vc+p' after the 'p'
                 # cannot — that match is final regardless of future input).
-                if not final and any(nfa.trans[s] for s in states):
+                if not final and any(nfa.trans[s] for s in threads):
                     # Everything from `pos` is the in-flight carry. Nothing
                     # here is committed (more input could extend the match).
                     return n, longest, text[pos:]

@@ -18,7 +18,11 @@ from blazingsql_spark.streaming.patterns import (
 )
 from tests.conftest import SF_DIR
 
-PATTERNS = ["vc+p", "vcp", "v?c+p", "c*p", "(vc|cp)e?", "v.p", "ve*c+p", "p+", "v(c|e)+p"]
+PATTERNS = ["vc+p", "vcp", "v?c+p", "c*p", "(vc|cp)e?", "v.p", "ve*c+p", "p+", "v(c|e)+p",
+            # prefix alternations: re prefers the LEFT (shorter) branch —
+            # r12's preferment StreamMatcher must agree (the pre-r12
+            # leftmost-longest scan returned the longer right branch)
+            "v|vc", "c|cp", "v(c|cp)"]
 
 
 def test_matcher_matches_re_on_random_streams():
