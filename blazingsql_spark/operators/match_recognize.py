@@ -1156,6 +1156,26 @@ def scan_rows_in_automaton(
             got = closure_memo[state] = _ordered_closure(nfa, [state])
         return got
 
+    # consumable-char sets memoized by live-state set: an NFA visits few
+    # distinct state sets, so the per-row ambiguity-gate cost collapses
+    # to one dict hit instead of an O(states x edges) walk
+    cons_memo: dict = {}
+
+    def consumable_of(key, live) -> set[str] | None:
+        got = cons_memo.get(key, False)
+        if got is False:
+            cs: set[str] | None = set()
+            for s in live:
+                for want, _to in nfa.trans.get(s, ()):
+                    if want is None:
+                        cs = None  # wildcard: everything consumable
+                        break
+                    cs.add(want)
+                if cs is None:
+                    break
+            got = cons_memo[key] = cs
+        return got
+
     spans: list[tuple[int, int, str]] = []
     pos = 0
     while pos < size:
@@ -1173,15 +1193,10 @@ def scan_rows_in_automaton(
             # TRUE symbols are both in this set (first-true vs a
             # non-consumable symbol is not a divergence; see
             # build_classifier)
-            cons: set[str] | None = set()
-            for s in (threads if preferment else states):
-                for want, _to in nfa.trans.get(s, ()):
-                    if want is None:
-                        cons = None  # wildcard: everything consumable
-                        break
-                    cons.add(want)
-                if cons is None:
-                    break
+            if preferment:
+                cons = consumable_of(tuple(threads), threads)
+            else:
+                cons = consumable_of(states, states)
             c = classify(j, pos, tent, cons)
             if c is None:
                 break
