@@ -47,18 +47,22 @@ covers the common funnel/sessionization queries:
   coincide), byte-identical to the pre-r11 behavior; a user-written
   ``|`` routes even deterministic partitions through the priority
   scanner so preferment holds. The IN-AUTOMATON path (symbol-relative
-  navigation in DEFINE) retains deterministic FIRST-TRUE
-  classification (DEFINEd symbols in define order, undefined last) —
-  per-thread tentative mappings under nondeterminism would need
-  copy-on-write attempt state; mutually exclusive DEFINEs are REQUIRED
-  there (r12): a row satisfying two or more DEFINEd symbols raises
-  loudly instead of silently classifying first-true (the restriction
-  every streaming implementation shares; a row satisfying one DEFINEd
-  symbol plus an UNDEFINED always-true symbol does not raise — the
-  undefined symbol classifies last, the documented residual).
-  Pattern-level preferment (which accepted prefix of an attempt's code
-  string wins) is honored on this path too via ordered-thread
-  stepping when the pattern carries ``|``. WITHIN no longer
+  navigation in DEFINE) ALSO resolves nondeterministic assignment
+  (r12, second half): the cheap deterministic scan (first-true
+  classification — DEFINEd symbols in define order, undefined last)
+  runs first, and the moment a row satisfies two or more symbols the
+  PATTERN could both consume (undefined always-true symbols included),
+  the partition re-scans through scan_rows_in_automaton_nd — a Pike-VM
+  whose threads each carry their OWN copy-on-write tentative mapping,
+  so ``C AS v > LAST(A.v)`` is evaluated against the rows THAT
+  THREAD assigned to A, in the same preferment order as the vectorized
+  scanner. Histories make state-dedup unsound, so the thread count is
+  capped (default 256) with a loud raise — the one genuinely
+  exponential corner (several always-true navigation symbols under a
+  shared quantifier). Pattern-level preferment (which accepted prefix
+  of an attempt's code string wins) is honored on the deterministic
+  scan too via ordered-thread stepping when the pattern carries
+  ``|``. WITHIN no longer
   forces that path: the duration bound is enforced identically by
   every scanner (_within_breaks), so nav-free WITHIN queries keep the
   vectorized classification and nondeterministic assignment. A row
@@ -105,6 +109,17 @@ from blazingsql_spark.streaming.patterns import (
 )
 
 _NO_SYM = "\x00"  # classification miss: breaks any in-flight match
+
+
+class InAutomatonAmbiguity(ValueError):
+    """The deterministic in-automaton scan met a row that satisfies two
+    or more symbols the PATTERN could both consume at the current match
+    position — first-true classification would diverge from SQL:2016
+    nondeterministic symbol assignment there. Raised by the classifier
+    as a ROUTING SIGNAL: callers catch it and re-scan the partition with
+    :func:`scan_rows_in_automaton_nd` (per-thread tentative mappings).
+    Subclasses ValueError so an uncaught escape is still a loud,
+    self-explaining error rather than a silent first-true answer."""
 
 
 _SKIP_PAST = ("past",)
@@ -1045,37 +1060,36 @@ def build_classifier(test_order, flags, compiled, ctx, names_by_char=None):
     tentatively mapped to the symbol being tried; a mapping left behind
     by an attempt the NFA then kills is never read again).
 
-    AMBIGUITY IS LOUD (r12, VERDICT-r11): the in-automaton path cannot
-    do SQL:2016 nondeterministic symbol assignment (per-thread
-    tentative mappings would need copy-on-write attempt state), so a
-    row whose predicates make TWO OR MORE DEFINEd symbols true — BOTH
-    of which the NFA could consume at the current match position
-    (``consumable``) — raises instead of silently classifying
-    first-true, the same loud-restriction discipline as
-    compile_symbols' metacharacter rejection. The consumability gate
-    is what keeps the classic Oracle start-symbol idiom working:
-    ``PATTERN (S D+) DEFINE S AS TRUE, D AS price < PREV(price)`` has
-    rows satisfying both S and D, but the pattern never admits both at
-    once, so first-true is not a divergence there. Mutually-exclusive
-    DEFINEs (the common case) classify exactly as before,
-    byte-identically. Residual deviations, documented not raised: a
-    row satisfying one DEFINEd symbol plus an UNDEFINED (always-true)
-    symbol classifies to the DEFINEd one, and a row whose first-true
-    symbol is NOT consumable ends the attempt even if a later-ordered
-    true symbol was consumable (the S-TRUE idiom relies on exactly
-    that to pin match starts)."""
+    AMBIGUITY IS A ROUTING SIGNAL (r12): the deterministic in-automaton
+    scan cannot do SQL:2016 nondeterministic symbol assignment, so a
+    row whose predicates make TWO OR MORE symbols true (undefined
+    always-true symbols included) — BOTH of which the NFA could consume
+    at the current match position (``consumable``) — raises
+    :class:`InAutomatonAmbiguity`; the callers catch it and re-scan the
+    partition with :func:`scan_rows_in_automaton_nd`, which resolves
+    the assignment with per-thread tentative mappings in SQL:2016
+    preferment order. The consumability gate keeps the classic Oracle
+    start-symbol idiom on the cheap deterministic scan: ``PATTERN (S
+    D+) DEFINE S AS TRUE, D AS price < PREV(price)`` has rows
+    satisfying both S and D, but the pattern never admits both at once,
+    so the assignment is forced at every row. Classification is
+    CONSUMABILITY-FIRST (r12, fixing a first-true divergence the
+    vectorized path never had): with exactly one consumable true
+    symbol the SQL:2016 assignment is forced and DEFINE order is
+    irrelevant — a row that satisfies a non-consumable symbol earlier
+    in DEFINE order no longer ends an attempt a consumable symbol
+    could extend. Mutually-exclusive DEFINEs (the common case)
+    classify exactly as before, byte-identically."""
     import pandas as pd
 
     def classify(j, pos, tent, consumable=None):
         ctx.j, ctx.pos, ctx.tent = j, pos, tent
-        chosen = None
-        cons_seen = None  # first TRUE symbol the NFA could consume here
+        first_true = None  # first truthy symbol, consumable or not
+        chosen = None  # first truthy symbol the NFA can consume here
         for kind, ch in test_order:
             if kind == "any":
-                if chosen is None:
-                    chosen = ch
-                break  # undefined symbols classify last, never ambiguous
-            if kind == "vec":
+                truthy = True
+            elif kind == "vec":
                 v = flags[ch][j]
                 truthy = v is not None and not pd.isna(v) and bool(v)
             else:
@@ -1084,30 +1098,32 @@ def build_classifier(test_order, flags, compiled, ctx, names_by_char=None):
                 truthy = bool(compiled[ch](ctx))
                 lst.pop()
             if truthy:
-                if chosen is None:
-                    chosen = ch
+                if first_true is None:
+                    first_true = ch
                 if consumable is None or ch in consumable:
-                    if cons_seen is not None:
+                    if chosen is not None:
                         nm = names_by_char or {}
-                        raise ValueError(
+                        raise InAutomatonAmbiguity(
                             "MATCH_RECOGNIZE: row satisfies multiple "
                             "DEFINEd symbols "
-                            f"({nm.get(cons_seen, cons_seen)!r} and "
+                            f"({nm.get(chosen, chosen)!r} and "
                             f"{nm.get(ch, ch)!r}) that the PATTERN could "
-                            "both consume at this match position, while "
-                            "a DEFINE uses symbol-relative navigation — "
-                            "the in-automaton scan classifies "
-                            "deterministically and cannot resolve "
-                            "SQL:2016 nondeterministic symbol "
-                            "assignment; make the DEFINE predicates "
-                            "mutually exclusive (the restriction every "
-                            "streaming row-pattern implementation "
-                            "shares)"
+                            "both consume at this match position — "
+                            "deterministic classification would diverge "
+                            "from SQL:2016 nondeterministic symbol "
+                            "assignment (callers fall back to the "
+                            "per-thread nondeterministic scan)"
                         )
-                    cons_seen = ch
-        if chosen is not None:
-            tent.setdefault(chosen, []).append(j)
-        return chosen
+                    chosen = ch
+        # the NFA-consumable true symbol wins (SQL:2016: the PATTERN
+        # decides the assignment — with exactly one consumable true
+        # symbol the choice is forced, classification order is
+        # irrelevant); with no consumable true symbol, any true symbol
+        # ends the attempt just the same, so return the first
+        out = chosen if chosen is not None else first_true
+        if out is not None:
+            tent.setdefault(out, []).append(j)
+        return out
 
     return classify
 
@@ -1241,6 +1257,190 @@ def scan_rows_in_automaton(
             span_codes = "".join(codes[: last_acc - pos])
             spans.append((pos, last_acc, span_codes))
             pos = _skip_resume(skip, pos, last_acc, span_codes)
+        else:
+            pos += 1
+        if anchor_start:
+            break  # only the partition's first row can start a match
+    return spans, None
+
+
+def build_truth_nd(test_order, flags, compiled, cols, size):
+    """Per-thread truth oracle for :func:`scan_rows_in_automaton_nd`:
+    ``truth(j, pos, ch, tent)`` says whether row ``j`` of an attempt
+    starting at ``pos`` can be consumed as symbol ``ch`` GIVEN the
+    thread's own tentative mapping ``tent`` ({char: tuple(row indices)},
+    WITHOUT ``j`` appended — the oracle appends it itself before
+    evaluating a navigation predicate, per mr_expr's contract).
+    Vectorized flags and undefined symbols ignore ``tent`` entirely, so
+    only navigation predicates pay the per-thread evaluation."""
+    import pandas as pd
+
+    kind_by_char = {ch: kind for kind, ch in test_order}
+    from blazingsql_spark.operators import mr_expr
+
+    ctx = mr_expr.MatchCtx(cols, 0, 0, size, {})
+
+    def truth(j, pos, ch, tent):
+        kind = kind_by_char.get(ch)
+        if kind == "any":
+            return True
+        if kind == "vec":
+            v = flags[ch][j]
+            return v is not None and not pd.isna(v) and bool(v)
+        ctx.j, ctx.pos = j, pos
+        ctx.tent = {**tent, ch: tent.get(ch, ()) + (j,)}
+        return bool(compiled[ch](ctx))
+
+    return truth
+
+
+def scan_rows_in_automaton_nd(
+    nfa: _Nfa,
+    truth,
+    size: int,
+    final: bool = True,
+    skip=_SKIP_PAST,
+    within=None,
+    anchor_start: bool = False,
+    anchor_end: bool = False,
+    max_threads: int = 256,
+    names_by_char=None,
+    read_chars: frozenset | None = None,
+) -> tuple[list[tuple[int, int, str]], int | None]:
+    """SQL:2016 NONDETERMINISTIC symbol assignment for the in-automaton
+    (navigation-DEFINE) path — the per-thread twin of
+    :func:`find_match_spans_nd`, closing the r11/r12 documented
+    restriction that navigation DEFINEs required mutually-exclusive
+    predicates. Each Pike-VM thread carries its OWN tentative mapping
+    (copy-on-write {char: tuple(rows)}), so a navigation predicate like
+    ``C AS v > LAST(A.v)`` is evaluated against the rows THAT THREAD
+    assigned to A — different assignment histories legitimately diverge,
+    which is why threads here cannot be deduplicated by NFA state
+    alone. They CAN be deduplicated by (state, the projection of the
+    mapping onto ``read_chars``) — the symbol chars whose tentative
+    rows some navigation predicate actually READS
+    (mr_expr closure.used_sym_chars): histories agreeing there have
+    identical futures, and first-wins keeps the preferment order. With
+    no navigation reads (``read_chars=frozenset()``) this collapses to
+    find_match_spans_nd's state-dedup exactly; ``read_chars=None``
+    (unknown reads) disables cross-thread dedup entirely. Residual
+    blowup — k symbols under a quantifier whose mappings ARE all read —
+    is inherently exponential and bounded by ``max_threads``; exceeding
+    it raises loudly (no row-pattern engine resolves that case without
+    a bound). Preferment order is identical to find_match_spans_nd:
+    threads are priority-ordered, the highest accept cuts everything
+    below it, and a later accept from a surviving higher thread
+    overrides.
+
+    ``truth(j, pos, ch, tent)`` is :func:`build_truth_nd`'s oracle.
+    Returns ``(spans, carry_start)`` with scan_rows_in_automaton's
+    streaming contract: under ``final=False`` an attempt still alive at
+    end-of-input comes back as ``carry_start`` (the attempt is replayed
+    from its first row next micro-batch — per-thread state never needs
+    to persist because the mapping is a pure function of the attempt's
+    rows, which the carry keeps)."""
+    start_list = _ordered_closure(nfa, [nfa.start])
+    closure_memo: dict[int, list[int]] = {}
+
+    def closure_of(state: int) -> list[int]:
+        got = closure_memo.get(state)
+        if got is None:
+            got = closure_memo[state] = _ordered_closure(nfa, [state])
+        return got
+
+    read_order = tuple(sorted(read_chars)) if read_chars is not None else None
+
+    spans: list[tuple[int, int, str]] = []
+    empty_tent: dict = {}
+    pos = 0
+    while pos < size:
+        # thread = (state, node, tent): node is the (char, parent)
+        # assignment chain (codes reconstruction), tent the mapping the
+        # navigation predicates read. All start threads share the empty
+        # history.
+        threads: list[tuple[int, tuple | None, dict]] = [
+            (st, None, empty_tent) for st in start_list
+        ]
+        best_end, best_node = -1, None
+        j = pos
+        while j < size and threads:
+            if within is not None and _within_breaks(within, j, pos):
+                break
+            new_threads: list[tuple[int, tuple | None, dict]] = []
+            seen: set = set()
+            for st, node, tent in threads:
+                per_want: dict = {}
+                for want, to in nfa.trans.get(st, ()):
+                    ent = per_want.get(want, False)
+                    if ent is False:
+                        if want is not None and not truth(j, pos, want, tent):
+                            per_want[want] = None
+                            continue
+                        if want is None:
+                            ntent = tent
+                            nnode = (".", node)
+                        else:
+                            ntent = {
+                                **tent, want: tent.get(want, ()) + (j,)
+                            }
+                            nnode = (want, node)
+                        # dedup key: full history when reads are unknown,
+                        # else the read-projection (histories agreeing on
+                        # every char a predicate reads share all futures)
+                        proj = (
+                            id(nnode)
+                            if read_order is None
+                            else tuple(ntent.get(c, ()) for c in read_order)
+                        )
+                        ent = per_want[want] = (nnode, ntent, proj)
+                    elif ent is None:
+                        continue
+                    nnode, ntent, proj = ent
+                    for cl in closure_of(to):
+                        k = (cl, proj)
+                        if k not in seen:
+                            seen.add(k)
+                            new_threads.append((cl, nnode, ntent))
+            if len(new_threads) > max_threads:
+                raise ValueError(
+                    "MATCH_RECOGNIZE: nondeterministic symbol assignment "
+                    f"over navigation DEFINEs exceeded {max_threads} "
+                    "concurrent assignment histories at one row — the "
+                    "PATTERN admits exponentially many mappings whose "
+                    "navigation predicates all stay live (e.g. several "
+                    "always-true symbols under a quantifier). Make the "
+                    "DEFINE predicates more selective or mutually "
+                    "exclusive"
+                )
+            threads = new_threads
+            j += 1
+            if threads and (not anchor_end or j == size):
+                for idx, (st, node, _tent) in enumerate(threads):
+                    if st == nfa.accept:
+                        # preferment: record the highest-priority accept,
+                        # cut everything below it; surviving higher
+                        # threads may override later
+                        best_end, best_node = j, node
+                        del threads[idx + 1:]
+                        break
+        else:
+            # attempt hit end-of-input with live threads: in-flight only
+            # if some thread can still consume a character
+            if (
+                not final
+                and threads
+                and any(nfa.trans[st] for st, _n, _t in threads)
+            ):
+                return spans, pos
+        if best_end > pos:
+            chars: list[str] = []
+            node = best_node
+            while node is not None:
+                chars.append(node[0])
+                node = node[1]
+            codes = "".join(reversed(chars))
+            spans.append((pos, best_end, codes))
+            pos = _skip_resume(skip, pos, best_end, codes)
         else:
             pos += 1
         if anchor_start:
@@ -1475,12 +1675,14 @@ def match_recognize(
         coded = coded.drop(*nav_names)
         compiled: dict[str, object] = {}
         used_cols: set[str] = set()
+        nav_read_chars: frozenset[str] = frozenset()
         for s, p in symrel_preds.items():
             closure, used = mr_expr.compile_predicate(
                 p, df.columns, measure_syms
             )
             compiled[sym_chars[s]] = closure
             used_cols |= used
+            nav_read_chars |= closure.used_sym_chars
         # classification order: DEFINEd symbols in define order, then
         # undefined (always-true) symbols in pattern order — identical
         # to classify_symbols' CASE
@@ -1553,11 +1755,23 @@ def match_recognize(
             if within_dur is not None
             else None
         )
-        spans, _ = scan_rows_in_automaton(
-            nfa, classify, size, final=True, skip=skip, within=bound,
-            anchor_start=anchor_start, anchor_end=anchor_end,
-            preferment=user_alt,
-        )
+        try:
+            spans, _ = scan_rows_in_automaton(
+                nfa, classify, size, final=True, skip=skip, within=bound,
+                anchor_start=anchor_start, anchor_end=anchor_end,
+                preferment=user_alt,
+            )
+        except InAutomatonAmbiguity:
+            # a row satisfied >=2 consumable symbols: re-scan the whole
+            # partition with per-thread tentative mappings — true
+            # SQL:2016 nondeterministic assignment over navigation
+            # DEFINEs (r12; unambiguous partitions never pay for this)
+            truth = build_truth_nd(test_order, flags, compiled, cols, size)
+            spans, _ = scan_rows_in_automaton_nd(
+                nfa, truth, size, final=True, skip=skip, within=bound,
+                anchor_start=anchor_start, anchor_end=anchor_end,
+                names_by_char=names_by_char, read_chars=nav_read_chars,
+            )
         return spans
 
     def run(key, pdf):

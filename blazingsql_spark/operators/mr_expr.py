@@ -243,6 +243,12 @@ def compile_predicate(sql: str, columns: list[str], sym_chars: dict[str, str]):
 
     pos = 0
     used: set[str] = set()
+    # symbol CHARS whose tentative mapping this predicate reads (via
+    # SYM.col navigation): the nondeterministic in-automaton scanner
+    # dedups threads on exactly this projection of the mapping — two
+    # assignment histories that agree on these chars have identical
+    # futures (exposed as closure.used_sym_chars)
+    used_syms: set[str] = set()
 
     def peek():
         return tokens[pos]
@@ -276,6 +282,7 @@ def compile_predicate(sql: str, columns: list[str], sym_chars: dict[str, str]):
                     f"MATCH_RECOGNIZE DEFINE: {word!r} references unknown "
                     f"pattern symbol {sym!r} in {sql!r}"
                 )
+            used_syms.update(sym_chars[sym])
             return sym_chars[sym], col_ref(col)
         return None, col_ref(word)
 
@@ -506,7 +513,9 @@ def compile_predicate(sql: str, columns: list[str], sym_chars: dict[str, str]):
 
     f = parse_or()
     take("end")
-    return (lambda ctx, _f=f: _f(ctx) is True), used
+    closure = lambda ctx, _f=f: _f(ctx) is True  # noqa: E731
+    closure.used_sym_chars = frozenset(used_syms)
+    return closure, used
 
 
 _SYMREL_NAV = re.compile(

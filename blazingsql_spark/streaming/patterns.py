@@ -829,8 +829,11 @@ def _match_recognize_stream_nav(
 
     from blazingsql_spark.operators import mr_expr
     from blazingsql_spark.operators.match_recognize import (
+        InAutomatonAmbiguity,
         build_classifier,
+        build_truth_nd,
         scan_rows_in_automaton,
+        scan_rows_in_automaton_nd,
     )
 
     compiled: dict[str, object] = {}
@@ -847,6 +850,9 @@ def _match_recognize_stream_nav(
         closure, used = mr_expr.compile_predicate(p, events.columns, sym_chars)
         compiled[sym_chars[s]] = closure
         used_cols |= used
+    nav_read_chars = frozenset().union(
+        *(c.used_sym_chars for c in compiled.values())
+    ) if compiled else frozenset()
 
     flag_cols: dict[str, str] = {}
     coded = events
@@ -892,14 +898,34 @@ def _match_recognize_stream_nav(
             for ch, cn in flag_cols.items()
         }
         size = len(batch) + (len(next(iter(c_cols.values()))) if c_cols else 0)
-        ctx = mr_expr.MatchCtx(cols, 0, 0, size, {})
-        classify = build_classifier(test_order, flags, compiled, ctx)
-        spans, carry_start = scan_rows_in_automaton(
-            nfa, classify, size, final=False,
-            within=(
-                (cols[ts_col], within_dur) if within_dur is not None else None
-            ),
-        )
+
+        def _scan(cols_, flags_, size_, final_):
+            """Deterministic in-automaton scan with the r12
+            nondeterministic fallback: a row satisfying >=2 consumable
+            symbols re-scans with per-thread tentative mappings — the
+            carry contract is identical (the attempt is replayed from
+            its first row next batch, so thread state never persists)."""
+            w = (
+                (cols_[ts_col], within_dur)
+                if within_dur is not None
+                else None
+            )
+            ctx_ = mr_expr.MatchCtx(cols_, 0, 0, size_, {})
+            classify_ = build_classifier(test_order, flags_, compiled, ctx_)
+            try:
+                return scan_rows_in_automaton(
+                    nfa, classify_, size_, final=final_, within=w
+                )
+            except InAutomatonAmbiguity:
+                truth_ = build_truth_nd(
+                    test_order, flags_, compiled, cols_, size_
+                )
+                return scan_rows_in_automaton_nd(
+                    nfa, truth_, size_, final=final_, within=w,
+                    read_chars=nav_read_chars,
+                )
+
+        spans, carry_start = _scan(cols, flags, size, False)
         n = n0 + len(spans)
         longest = max([longest0] + [hi - lo for lo, hi, _ in spans])
         aborted = aborted0
@@ -925,11 +951,7 @@ def _match_recognize_stream_nav(
         n_fin, longest_fin = n, longest
         if new_cols is not None:
             c_size = size - carry_start
-            ctx2 = mr_expr.MatchCtx(new_cols, 0, 0, c_size, {})
-            classify2 = build_classifier(test_order, new_flags, compiled, ctx2)
-            spans2, _ = scan_rows_in_automaton(
-                nfa, classify2, c_size, final=True
-            )
+            spans2, _ = _scan(new_cols, new_flags, c_size, True)
             n_fin += len(spans2)
             longest_fin = max(
                 [longest_fin] + [hi - lo for lo, hi, _ in spans2]

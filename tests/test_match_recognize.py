@@ -455,14 +455,14 @@ def test_symbol_relative_navigation_batch(spark):
 
 
 def test_in_automaton_path_equals_vectorized_on_nav_free(spark):
-    """Property: on navigation-free, MUTUALLY-EXCLUSIVE DEFINEs the
-    in-automaton scan (forced via the test hook) is row-for-row
-    identical to the precomputed classification path, across random
-    streams and both emit modes. Overlapping/undefined-symbol DEFINEs
-    are excluded on purpose: since r11 the vectorized path resolves
-    SQL:2016 nondeterministic symbol assignment, while the in-automaton
-    path (symbol-relative navigation) keeps the documented first-true
-    restriction — they legitimately diverge on ambiguous rows."""
+    """Property: on navigation-free DEFINEs the in-automaton scan
+    (forced via the test hook) is row-for-row identical to the
+    precomputed classification path, across random streams and both
+    emit modes — INCLUDING ambiguous/overlapping DEFINEs and undefined
+    symbols since r12: the in-automaton path now falls back to
+    scan_rows_in_automaton_nd on ambiguity, which implements the same
+    SQL:2016 preferment-ordered nondeterministic assignment as the
+    vectorized find_match_spans_nd."""
     rnd = random.Random(20260816)
     rows = [
         (u, i, rnd.choice(["view", "click", "purchase", "error"]), float(rnd.randint(0, 9)))
@@ -479,6 +479,14 @@ def test_in_automaton_path_equals_vectorized_on_nav_free(spark):
                     "P": "event_type = 'purchase' AND value > 3"}),
         ("A B? C", {"A": "event_type = 'error'", "B": "event_type = 'click'",
                     "C": "event_type = 'view'"}),
+        # ambiguous: every non-error row satisfies A and B; value>5 rows
+        # satisfy all three — nondeterministic assignment on both paths
+        ("A+ B", {"A": "event_type <> 'error'", "B": "event_type <> 'error'"}),
+        ("(A | B)+ C", {"A": "value >= 2", "B": "value >= 2",
+                        "C": "value > 5"}),
+        # undefined symbol U (always true) overlapping a DEFINEd one
+        ("A U", {"A": "event_type = 'view'"}),
+        ("A+ U", {"A": "value >= 1"}),
     ]
     for all_rows in (False, True):
         for pat, define in cases:
@@ -2441,27 +2449,45 @@ def test_preferment_operator_paths(spark):
     assert [r.n for r in out3] == [1]
 
 
-def test_in_automaton_ambiguity_raises(spark):
-    """r12 (VERDICT-r11 #2): the in-automaton path raises LOUDLY when a
-    row satisfies two DEFINEd symbols the PATTERN could both consume at
-    that position, instead of silently classifying first-true. The
-    classic Oracle start-symbol idiom (S AS TRUE with a pattern that
-    never admits S and D at the same position) keeps working — covered
-    by test_symbol_relative_navigation_batch."""
+def test_in_automaton_nondeterministic_assignment(spark):
+    """r12 second half (ROADMAP candidate 2, closing VERDICT-r11 #2's
+    restriction for real): a row satisfying two symbols the PATTERN
+    could both consume, while a DEFINE uses symbol-relative navigation,
+    no longer raises — the partition re-scans with per-thread tentative
+    mappings (scan_rows_in_automaton_nd) and resolves the assignment in
+    SQL:2016 preferment order. The navigation predicate sees each
+    THREAD's own mapping: C AS v > LAST(A.v) compares against the rows
+    that thread assigned to A."""
     df = spark.createDataFrame(
         [(1, i, float(i)) for i in range(4)], ["uid", "seq", "v"]
     )
-    # PATTERN (A|B)+ C: at every position both A and B are consumable,
-    # and both DEFINEs are true on every row -> genuine divergence
-    with pytest.raises(Exception, match="multiple DEFINEd symbols"):
-        match_recognize(
-            df, ["uid"], ["seq"], [("COUNT(*)", "n")],
-            "(A | B)+ C",
-            {"A": "v >= 0", "B": "v >= 0",
-             "C": "v > LAST(A.v, 0)"},
-        ).collect()
+    # PATTERN (A|B)+ C over v=0..3: every row satisfies A and B; the
+    # preferred assignment maps rows 0-2 to A (left branch + greedy),
+    # and row 3 is a valid C because 3 > LAST(A.v) = 2. Pre-r12 this
+    # raised; pre-r11 it silently matched nothing.
+    out = match_recognize(
+        df, ["uid"], ["seq"],
+        [("COUNT(*)", "n"), ("COUNT(A.*)", "na"), ("CLASSIFIER()", "clf")],
+        "(A | B)+ C",
+        {"A": "v >= 0", "B": "v >= 0", "C": "v > LAST(A.v, 0)"},
+    ).collect()
+    assert [(r.n, r.na, r.clf) for r in out] == [(4, 3, "C")]
 
-    # mutually-exclusive DEFINEs on the same pattern do not raise
+    # the vec+any residual, also lifted: A+ B with B UNDEFINED
+    # (always-true) and navigation in A — greedy A+ takes all but the
+    # last row, B the final row. The pre-r12 deterministic classifier
+    # mapped every row to A (undefined symbols classified last without
+    # an ambiguity check) and matched NOTHING.
+    out2 = match_recognize(
+        df, ["uid"], ["seq"],
+        [("COUNT(*)", "n"), ("COUNT(A.*)", "na"), ("LAST(B.v)", "bv")],
+        "A+ B",
+        {"A": "v >= FIRST(A.v)"},
+    ).collect()
+    assert [(r.n, r.na, r.bv) for r in out2] == [(4, 3, 3.0)]
+
+    # mutually-exclusive DEFINEs keep the cheap deterministic scan
+    # (byte-identical results, no fallback)
     ok = match_recognize(
         df, ["uid"], ["seq"], [("COUNT(*)", "n")],
         "(A | B)+ C",
@@ -2469,3 +2495,128 @@ def test_in_automaton_ambiguity_raises(spark):
          "C": "v >= 2 AND v > LAST(A.v, 0)"},
     ).collect()
     assert [r.n for r in ok] == [3]
+
+
+def test_in_automaton_nd_thread_cap_raises(spark):
+    """The one corner per-thread nondeterminism cannot bound: several
+    always-true NAVIGATION symbols under a shared quantifier fork a
+    distinct assignment history per row per symbol (histories cannot be
+    state-deduplicated — different histories are different futures), so
+    the thread count is capped and exceeding it raises loudly."""
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(24)], ["uid", "seq", "v"]
+    )
+    with pytest.raises(Exception, match="assignment histories"):
+        match_recognize(
+            df, ["uid"], ["seq"], [("COUNT(*)", "n")],
+            "(A | B)+ C",
+            {"A": "v >= FIRST(A.v, 0) - 100", "B": "v >= FIRST(B.v, 0) - 100",
+             "C": "v > LAST(A.v, 0) + 100"},
+        ).collect()
+
+
+def test_in_automaton_nd_scanner_equals_vectorized_nd_scanner():
+    """Property (r12): with tent-INDEPENDENT truth the per-thread
+    in-automaton nondeterministic scanner emits byte-identical spans to
+    find_match_spans_nd (which is itself brute-force-verified above) —
+    same preferment order, same skip resume, same anchors."""
+    from blazingsql_spark.operators.match_recognize import (
+        find_match_spans_nd,
+        scan_rows_in_automaton_nd,
+    )
+
+    rnd = random.Random(20260816)
+    pats = ["ab", "a+b", "(a|b)+c", "a*b", "ab?c", "(ab)+", "a|bc", "a+b+"]
+    for _ in range(250):
+        pat = rnd.choice(pats)
+        size = rnd.randint(0, 12)
+        tbl = {
+            (j, ch): rnd.random() < 0.6 for j in range(size) for ch in "abc"
+        }
+        nfa = compile_pattern(pat)
+        ref = find_match_spans_nd(nfa, lambda j, ch, _t=tbl: _t[(j, ch)], size)
+        got, carry = scan_rows_in_automaton_nd(
+            nfa, lambda j, pos, ch, tent, _t=tbl: _t[(j, ch)], size
+        )
+        assert carry is None
+        assert got == ref, (pat, size, got, ref)
+
+
+def test_in_automaton_nd_scanner_matches_backtracking_reference():
+    """Property (r12): with tent-DEPENDENT truth — the predicate reads
+    the thread's OWN assignment history, the case no vectorized scan
+    can express — the per-thread scanner equals a recursive
+    backtracking reference that explores the NFA in preferment order
+    and returns the first accept (classic leftmost-preferment regex
+    semantics, the SQL:2016 choice-point ranking)."""
+    import sys
+
+    from blazingsql_spark.operators.match_recognize import (
+        _SKIP_PAST,
+        _skip_resume,
+        scan_rows_in_automaton_nd,
+    )
+    from blazingsql_spark.streaming.patterns import ordered_closure
+
+    sys.setrecursionlimit(10000)
+
+    def brute(nfa, truth, size):
+        spans = []
+        pos = 0
+        while pos < size:
+            def rec(states, j, tent, codes):
+                for st in states:
+                    if st == nfa.accept:
+                        return (j, codes)
+                    if j >= size:
+                        continue
+                    for want, to in nfa.trans.get(st, ()):
+                        if want is not None and not truth(j, pos, want, tent):
+                            continue
+                        ntent = dict(tent)
+                        ch = "." if want is None else want
+                        if want is not None:
+                            ntent[want] = ntent.get(want, ()) + (j,)
+                        res = rec(
+                            ordered_closure(nfa, [to]), j + 1, ntent,
+                            codes + ch,
+                        )
+                        if res is not None:
+                            return res
+                return None
+
+            got = rec(ordered_closure(nfa, [nfa.start]), pos, {}, "")
+            if got is not None and got[0] > pos:
+                end, codes = got
+                spans.append((pos, end, codes))
+                pos = _skip_resume(_SKIP_PAST, pos, end, codes)
+            else:
+                pos += 1
+        return spans
+
+    rnd = random.Random(7)
+    pats = ["ab", "a+b", "(a|b)+c", "a*b", "ab?c", "(ab)+", "a|bc", "a+b+c?"]
+    for _ in range(250):
+        pat = rnd.choice(pats)
+        size = rnd.randint(0, 10)
+        # truth depends on (row, symbol, #a-assigned, #b-assigned): a
+        # pure function of the thread's history, pre-generated so the
+        # reference and the scanner see the identical oracle
+        tbl = {
+            (j, ch, na, nb): rnd.random() < 0.65
+            for j in range(size)
+            for ch in "abc"
+            for na in range(size + 1)
+            for nb in range(3)
+        }
+
+        def truth(j, pos, ch, tent, _t=tbl):
+            return _t[
+                (j, ch, len(tent.get("a", ())), min(2, len(tent.get("b", ()))))
+            ]
+
+        nfa = compile_pattern(pat)
+        ref = brute(nfa, truth, size)
+        got, carry = scan_rows_in_automaton_nd(nfa, truth, size)
+        assert carry is None
+        assert got == ref, (pat, size, got, ref)
