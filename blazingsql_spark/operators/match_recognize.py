@@ -1268,7 +1268,7 @@ def build_truth_nd(test_order, flags, compiled, cols, size):
     """Per-thread truth oracle for :func:`scan_rows_in_automaton_nd`:
     ``truth(j, pos, ch, tent)`` says whether row ``j`` of an attempt
     starting at ``pos`` can be consumed as symbol ``ch`` GIVEN the
-    thread's own tentative mapping ``tent`` ({char: tuple(row indices)},
+    thread's own tentative mapping ``tent`` ({char: row-index sequence},
     WITHOUT ``j`` appended — the oracle appends it itself before
     evaluating a navigation predicate, per mr_expr's contract).
     Vectorized flags and undefined symbols ignore ``tent`` entirely, so
@@ -1288,7 +1288,7 @@ def build_truth_nd(test_order, flags, compiled, cols, size):
             v = flags[ch][j]
             return v is not None and not pd.isna(v) and bool(v)
         ctx.j, ctx.pos = j, pos
-        ctx.tent = {**tent, ch: tent.get(ch, ()) + (j,)}
+        ctx.tent = {**tent, ch: mr_expr.ImmutableRows(j, tent.get(ch))}
         return bool(compiled[ch](ctx))
 
     return truth
@@ -1312,7 +1312,8 @@ def scan_rows_in_automaton_nd(
     :func:`find_match_spans_nd`, closing the r11/r12 documented
     restriction that navigation DEFINEs required mutually-exclusive
     predicates. Each Pike-VM thread carries its OWN tentative mapping
-    (copy-on-write {char: tuple(rows)}), so a navigation predicate like
+    (copy-on-write dict of persistent O(1)-append row sequences —
+    mr_expr.ImmutableRows), so a navigation predicate like
     ``C AS v > LAST(A.v)`` is evaluated against the rows THAT THREAD
     assigned to A — different assignment histories legitimately diverge,
     which is why threads here cannot be deduplicated by NFA state
@@ -1339,6 +1340,10 @@ def scan_rows_in_automaton_nd(
     from its first row next micro-batch — per-thread state never needs
     to persist because the mapping is a pure function of the attempt's
     rows, which the carry keeps)."""
+    from blazingsql_spark.operators.mr_expr import (
+        ImmutableRows as _ImmutableRows,
+    )
+
     start_list = _ordered_closure(nfa, [nfa.start])
     closure_memo: dict[int, list[int]] = {}
 
@@ -1380,17 +1385,26 @@ def scan_rows_in_automaton_nd(
                             ntent = tent
                             nnode = (".", node)
                         else:
+                            # O(1) persistent append (a tuple concat
+                            # would make one long attempt quadratic)
                             ntent = {
-                                **tent, want: tent.get(want, ()) + (j,)
+                                **tent,
+                                want: _ImmutableRows(j, tent.get(want)),
                             }
                             nnode = (want, node)
-                        # dedup key: full history when reads are unknown,
-                        # else the read-projection (histories agreeing on
-                        # every char a predicate reads share all futures)
+                        # dedup key: full history when reads are
+                        # unknown, else the read-projection — histories
+                        # agreeing on every
+                        # char a predicate reads share all futures.
+                        # ImmutableRows compares by IDENTITY: shared
+                        # lineage dedups (the common case — threads that
+                        # diverged only on unread symbols), equal-content
+                        # distinct-lineage under-merges, which is sound
+                        # and cap-guarded
                         proj = (
                             id(nnode)
                             if read_order is None
-                            else tuple(ntent.get(c, ()) for c in read_order)
+                            else tuple(ntent.get(c) for c in read_order)
                         )
                         ent = per_want[want] = (nnode, ntent, proj)
                     elif ent is None:

@@ -113,6 +113,54 @@ def _fetch(cols, name, idx):
     return None if v is None or pd.isna(v) else v
 
 
+class ImmutableRows:
+    """Persistent row-index sequence for PER-THREAD tentative mappings
+    (the nondeterministic in-automaton scanner): O(1) append — a cons
+    cell sharing its parent — where a tuple concat would make a long
+    single-attempt span quadratic. Supports exactly the access shapes
+    :func:`_nav_idx` needs: O(1) ``rows[0]`` (FIRST), ``rows[-1]``
+    (LAST/PREV/NEXT base) and ``len``; O(k) for an offset k from the
+    tail; O(n) ascending iteration (SUBSET unions). Equality/hash stay
+    IDENTITY on purpose: the scanner dedups thread histories by
+    projection, and identity can only under-merge (cap-guarded), never
+    wrongly merge two genuinely different histories."""
+
+    __slots__ = ("idx", "parent", "length", "first")
+
+    def __init__(self, idx: int, parent: "ImmutableRows | None" = None):
+        self.idx = idx
+        self.parent = parent
+        self.length = 1 if parent is None else parent.length + 1
+        self.first = idx if parent is None else parent.first
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __bool__(self) -> bool:
+        return True
+
+    def __iter__(self):
+        out = []
+        node = self
+        while node is not None:
+            out.append(node.idx)
+            node = node.parent
+        return iter(reversed(out))
+
+    def __getitem__(self, i: int) -> int:
+        n = self.length
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(i)
+        if i == 0:
+            return self.first
+        node = self
+        for _ in range(n - 1 - i):
+            node = node.parent
+        return node.idx
+
+
 def _nav_idx(kind: str, sym_char: str | None, n: int, ctx: MatchCtx):
     """Resolve a navigation target to a physical row index (or None).
     ``sym_char`` may be a multi-char string — a SUBSET union variable —

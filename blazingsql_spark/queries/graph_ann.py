@@ -1239,3 +1239,79 @@ def events_mr_anchors(spark, sf_dir):
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "events_mr_nav_nondeterministic",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               FIRST_VALUE(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS v0,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events WHERE value IS NOT NULL
+    ), runs AS (
+        SELECT user_id,
+               COALESCE(MIN(CASE WHEN rn > 1 AND value < v0 THEN rn END),
+                        MAX(n)) AS b_rn
+        FROM e GROUP BY user_id
+        HAVING MAX(n) >= 2
+    )
+    SELECT r.user_id,
+           CAST(r.b_rn AS BIGINT) AS n_rows,
+           CAST(r.b_rn - 1 AS BIGINT) AS n_a,
+           ROUND(SUM(CASE WHEN e.rn < r.b_rn THEN e.value END), 2) AS a_sum,
+           ROUND(MAX(CASE WHEN e.rn = r.b_rn THEN e.value END), 2) AS b_value
+    FROM runs r JOIN e ON e.user_id = r.user_id
+    GROUP BY r.user_id, r.b_rn
+    ORDER BY r.user_id
+    """,
+    doc="SQL:2016 nondeterministic symbol assignment WITH NAVIGATION in "
+    "DEFINE (the r12-lifted restriction, second half): A's predicate reads "
+    "FIRST(A.value) — the attempt's own tentative mapping — while every "
+    "non-null row also satisfies B, so the deterministic in-automaton scan "
+    "signals ambiguity and the per-thread scanner resolves the assignment. "
+    "Greedy A+ claims the maximal run with value >= the attempt's first "
+    "value; B is the row that breaks the run (or the final row when the "
+    "run covers the whole partition — preferment override). The DuckDB "
+    "twin derives the same split positionally. Pre-r12 this query RAISED; "
+    "pre-r11 it silently matched nothing",
+)
+def events_mr_nav_nondeterministic(spark, sf_dir):
+    """Through the SQL spelling like the other MR rows, with a ^ anchor
+    (one attempt per partition) and a derived-table factor filtering
+    NULL values so the run/break positions are SQL-derivable. Scale
+    shape identical to events_match_recognize: one codegen flags
+    projection, one exchange on user_id, one applyInPandas scan; the
+    nondeterministic fallback runs per partition, threads dedup on the
+    mapping projection the navigation reads ({A}), so the thread count
+    stays O(pattern) here despite every row satisfying two symbols."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_a AS BIGINT) AS n_a,
+               ROUND(a_sum, 2) AS a_sum,
+               ROUND(b_value, 2) AS b_value
+        FROM (SELECT * FROM events WHERE value IS NOT NULL) MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(*) AS n_rows,
+                     COUNT(A.*) AS n_a,
+                     SUM(A.value) AS a_sum,
+                     LAST(B.value) AS b_value
+            ONE ROW PER MATCH
+            PATTERN (^ A+ B)
+            DEFINE A AS value >= FIRST(A.value),
+                   B AS value IS NOT NULL
+        )
+        ORDER BY user_id
+        """
+    )

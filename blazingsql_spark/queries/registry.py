@@ -889,11 +889,16 @@ assert not set(_R12_WINDOW_STAGED[3:]) & set(_R10_WINDOW_STAGED), (
 # discipline): promote by swapping into DRIVER_PRIORITY as r13's first
 # commit ONLY after CORRECTNESS_r12 lands 50/50 green. With the r12
 # flip draining the last never-driver-checked rows, rotation is now
-# PURE oldest-stale re-verification: the 3 standing sentinels + the 47
-# rows last driver-checked in r7 (exactly filling the window — no
-# younger fill needed). Recount at flip time if r13 registers new rows:
-# NEW registrations take slots from the alphabetical tail of the
-# r7-stale list (the displaced rows roll to r14 as the then-oldest).
+# oldest-stale re-verification: the 3 standing sentinels + the r12
+# registrations (never driver-checked — they take slots from the tail
+# of the r7-stale list per the recount rule; the displaced rows roll
+# to r14 as the then-oldest) + the rows last driver-checked in r7.
+_NEW_R12_REGISTRATIONS = (
+    # nondeterministic assignment WITH navigation in DEFINE (the
+    # per-thread scanner landed r12); judge-verifiable via
+    # tools/check_queries.py at all three SFs
+    "events_mr_nav_nondeterministic",
+)
 _R7_STALE_FOR_R13 = (
     "dedup_components_incremental",
     "agg_approx_distinct",
@@ -941,9 +946,12 @@ _R7_STALE_FOR_R13 = (
     "expr_string_pad",
     "knn_classify",
     "limit_offset",
-    "multimodal_frames",
+    # multimodal_frames displaced to r14 by the r12 registration
+    # events_mr_nav_nondeterministic (the recount-at-flip rule)
 )
-_R13_WINDOW_STAGED = _SENTINELS + _R7_STALE_FOR_R13
+_R13_WINDOW_STAGED = (
+    _SENTINELS + _NEW_R12_REGISTRATIONS + _R7_STALE_FOR_R13
+)
 assert len(_R13_WINDOW_STAGED) == _DRIVER_WINDOW, len(_R13_WINDOW_STAGED)
 assert len(set(_R13_WINDOW_STAGED)) == len(_R13_WINDOW_STAGED)
 assert not set(_R13_WINDOW_STAGED[3:]) & set(_R12_WINDOW_STAGED), (

@@ -645,3 +645,81 @@ def test_match_recognize_stream_nondeterministic_assignment(spark, tmp_path):
 
     with _pt.raises(ValueError, match="anchors"):
         match_recognize_stream(raw, "uid", "seq", "seq", "^ A B", define)
+
+
+def test_match_recognize_stream_nav_nondeterministic(spark, tmp_path):
+    """r12 second half: symbol-relative navigation + AMBIGUOUS DEFINEs
+    on a stream — every row satisfies the vectorized B while run rows
+    also satisfy the navigation A, so the deterministic in-automaton
+    scan signals ambiguity and the streaming caller falls back to the
+    per-thread scanner, across REAL micro-batch boundaries (the carry
+    replays the in-flight attempt; thread state never persists). Final
+    per-key totals equal the batch operator on the same data."""
+    import os
+
+    import pandas as pd
+
+    from blazingsql_spark.operators.match_recognize import match_recognize
+    from blazingsql_spark.streaming.patterns import match_recognize_stream
+
+    rng = random.Random(20260816)
+    rows = []
+    for u in range(1, 9):
+        for i in range(rng.randint(6, 30)):
+            rows.append((u, i, float(rng.randint(0, 9))))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "v"])
+    src = tmp_path / "src_nav_nd"
+    src.mkdir()
+    third = len(pdf) // 3
+    for i in range(3):
+        chunk = pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)]
+        f = src / f"b{i}.json"
+        chunk.to_json(f, orient="records", lines=True)
+        # the file source triggers oldest-mtime-first; sub-second writes
+        # tie, which would deliver micro-batches out of event order — a
+        # CEP ingestion contract violation, not what this test pins
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw = (
+        spark.readStream.schema("user_id long, event_id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    # A extends while v stays >= the attempt's first value (navigation);
+    # B accepts anything — genuinely nondeterministic at every run row
+    define = {"A": "v >= FIRST(A.v)", "B": "v >= 0"}
+    out = match_recognize_stream(
+        raw, "user_id", "event_id", "event_id", "A+ B", dict(define)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_mr_nav_nd_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM t_mr_nav_nd_stream")
+        .toPandas()
+        .sort_values("n_codes")
+        .groupby("user_id")
+        .last()
+        .reset_index()
+    )
+    per_match = match_recognize(
+        spark.createDataFrame(pdf), ["user_id"], ["event_id"],
+        [("COUNT(*)", "match_len")], "A+ B", dict(define),
+    )
+    want = {
+        r.user_id: (r.n, r.longest)
+        for r in per_match.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("match_len").alias("longest"))
+        .collect()
+    }
+    assert want, "fixture produced no matches - weak test"
+    for _, row in got.iterrows():
+        w = want.get(row.user_id, (0, 0))
+        assert (row.n_matches, row.longest_match) == w, row.user_id
+    assert set(want) <= set(got.user_id)
