@@ -1808,7 +1808,18 @@ def semantic_dedup_keep(
                 return empty
             return pd.concat(frames, ignore_index=True)
 
-        cand = assigned.groupBy(key).applyInPandas(_grp_pairs, out_schema)
+        # pin the exchange width (REPARTITION_BY_NUM hint): AQE's
+        # bytes-based coalescing under-parallelizes this PYTHON
+        # pairwise-distance stage, whose cost is rows², not bytes;
+        # groupBy reuses the hash partitioning — one exchange total
+        n_part = int(
+            assigned.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        cand = (
+            assigned.repartition(n_part, key)
+            .groupBy(key)
+            .applyInPandas(_grp_pairs, out_schema)
+        )
         dropped = (
             cand.filter(
                 F.round(
@@ -2128,7 +2139,15 @@ def mmr_rerank(
             }
         )
 
-    return pairs.groupBy(query_id_col).applyInPandas(greedy, out_schema)
+    # pin the exchange width (REPARTITION_BY_NUM hint): AQE's bytes-based
+    # coalescing under-parallelizes this PYTHON greedy-selection stage
+    # (cost per group is k×candidates dot products, not bytes)
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        pairs.repartition(n_part, query_id_col)
+        .groupBy(query_id_col)
+        .applyInPandas(greedy, out_schema)
+    )
 
 
 def ivf_pca_topk(

@@ -1462,6 +1462,48 @@ def scan_rows_in_automaton_nd(
     return spans, None
 
 
+def _sort_partition(pdf, order_cols, order_asc):
+    """Order one partition's rows by the ORDER BY keys — semantically
+    ``pdf.sort_values(order_cols, ascending=order_asc, kind="mergesort",
+    na_position="last")``, which is also the fallback. The fast path is
+    ``np.lexsort`` (stable, like mergesort) on the key arrays directly:
+    pandas' multi-key sort builds a Categorical per key per call, which
+    profiling shows DOMINATES the whole scan worker on many-small-group
+    inputs (1500 groups × ~70 rows: 1.6 s of 2.2 s total, vs 0.3 s for
+    the NFA scan itself). Restricted to ALL-ASCENDING, null-free
+    numeric/datetime/bool keys — so NaN/NaT placement (pandas puts them
+    LAST; raw lexsort would put NaT first) and descending-negation
+    overflow corners can never diverge; anything else takes the pandas
+    path unchanged."""
+    import numpy as np
+
+    keys = []
+    if all(order_asc):
+        for c in order_cols:
+            a = pdf[c].to_numpy()
+            if a.dtype.kind in "mM":
+                a = a.view("int64")
+                if (a == np.iinfo(np.int64).min).any():  # NaT sentinel
+                    keys = None
+                    break
+            elif a.dtype.kind == "f":
+                if np.isnan(a).any():
+                    keys = None
+                    break
+            elif a.dtype.kind not in "biu":
+                keys = None  # strings/objects/nullable-ext: pandas path
+                break
+            keys.append(a)
+    else:
+        keys = None
+    if keys is None:
+        return pdf.sort_values(
+            order_cols, ascending=order_asc, kind="mergesort"
+        )
+    # lexsort sorts by the LAST key first
+    return pdf.take(np.lexsort(tuple(reversed(keys))))
+
+
 def _parse_within(spec):
     """WITHIN budget: an interval string ("8 HOUR", "INTERVAL '30'
     MINUTE") -> pandas Timedelta for timestamp order keys, or a plain
@@ -1791,9 +1833,7 @@ def match_recognize(
     def run(key, pdf):
         import numpy as np
 
-        pdf = pdf.sort_values(
-            order_cols, ascending=order_asc, kind="mergesort"
-        )
+        pdf = _sort_partition(pdf, order_cols, order_asc)
         if route_auto:
             spans = scan_in_automaton(pdf)
         else:
@@ -1951,6 +1991,14 @@ def match_recognize(
             {k: pd.Series(v, dtype=object) for k, v in out.items()}
         )
 
+    # pin the exchange width: AQE's bytes-based coalescing would shrink
+    # this shuffle to a couple of tasks on small-byte inputs, but the
+    # downstream stage is a PYTHON scan whose cost is rows×pattern work,
+    # not bytes — an explicit repartition-by-num carries a
+    # REPARTITION_BY_NUM hint AQE respects, and groupBy reuses the hash
+    # partitioning (no second exchange; plan-asserted)
+    n_part = int(coded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    coded = coded.repartition(n_part, *partition_by)
     return coded.groupBy(*partition_by).applyInPandas(run, out_schema)
 
 

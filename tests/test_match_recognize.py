@@ -2620,3 +2620,45 @@ def test_in_automaton_nd_scanner_matches_backtracking_reference():
         got, carry = scan_rows_in_automaton_nd(nfa, truth, size)
         assert carry is None
         assert got == ref, (pat, size, got, ref)
+
+
+def test_sort_partition_equals_pandas_sort():
+    """_sort_partition's np.lexsort fast path must be permutation-
+    identical to the pandas mergesort it replaces (stable, same
+    tiebreak), and every ineligible shape — descending keys, NaN/NaT,
+    string keys — must take the pandas path and so agree trivially."""
+    import numpy as np
+    import pandas as pd
+
+    from blazingsql_spark.operators.match_recognize import _sort_partition
+
+    rnd = random.Random(20260816)
+    for trial in range(60):
+        n = rnd.randint(0, 40)
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    [rnd.randint(0, 10) * 1_000_000_000 for _ in range(n)]
+                ),
+                "k": [rnd.randint(0, 5) for _ in range(n)],
+                "f": [rnd.uniform(0, 3) for _ in range(n)],
+                "s": [rnd.choice("xyz") for _ in range(n)],
+                "payload": list(range(n)),
+            }
+        )
+        if trial % 4 == 0 and n:
+            pdf.loc[pdf.index[rnd.randrange(n)], "ts"] = pd.NaT
+        if trial % 5 == 0 and n:
+            pdf.loc[pdf.index[rnd.randrange(n)], "f"] = float("nan")
+        for cols, asc in [
+            (["ts", "k"], [True, True]),
+            (["k", "f"], [True, True]),
+            (["f", "ts", "k"], [True, True, True]),
+            (["k", "ts"], [False, True]),  # descending: pandas path
+            (["s", "k"], [True, True]),  # string key: pandas path
+        ]:
+            got = _sort_partition(pdf, cols, asc)
+            want = pdf.sort_values(cols, ascending=asc, kind="mergesort")
+            assert list(got["payload"]) == list(want["payload"]), (
+                trial, cols, asc,
+            )
