@@ -336,6 +336,11 @@ _MEASURE_FORMS = re.compile(
     r"|(?P<clf>CLASSIFIER\(\))"
     r"|COUNT\(\s*(?:\*|(?P<csym>\w+)\.\*)\s*\)"
     r"|(?P<agg>SUM|AVG|MIN|MAX)\(\s*(?:(?P<gsym>\w+)\.)?(?P<gcol>\w+)\s*\)"
+    r"|(?P<pn>PREV|NEXT)\(\s*"
+    r"(?:(?P<pnfl>FIRST|LAST)\(\s*(?:(?P<pnflsym>\w+)\.)?(?P<pnflcol>\w+)"
+    r"(?:\s*,\s*(?P<pnfloff>\d+))?\s*\)"
+    r"|(?:(?P<pnsym>\w+)\.)?(?P<pncol>\w+))"
+    r"(?:\s*,\s*(?P<pnoff>\d+))?\s*\)"
     r"|(?P<fl>FIRST|LAST)\(\s*(?:(?P<sym>\w+)\.)?(?P<col>\w+)"
     r"(?:\s*,\s*(?P<floff>\d+))?\s*\))$",
     re.IGNORECASE,
@@ -364,7 +369,9 @@ class _Measure(NamedTuple):
     run_ev: object = None
 
 
-def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
+def _parse_measure(
+    expr: str, alias: str, sym_chars: dict[str, str], part_ctx=None
+):
     """Compile one measure into a _Measure. The evaluator gets
     (span_pdf, span_codes, match_no). Under ALL ROWS PER MATCH the
     SQL:2016 default applies: an UNPREFIXED (or RUNNING) measure is
@@ -376,7 +383,14 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
     atomic forms, NUMERIC arithmetic over them is supported
     (Oracle/Flink parity): e.g. `LAST(value) - FIRST(value)`,
     `SUM(A.price) / COUNT(A.*)`, `100 * AVG(x)` — see
-    :func:`_compile_arith_measure` for the semantics."""
+    :func:`_compile_arith_measure` for the semantics.
+
+    ``part_ctx`` is the partition-context holder ({"pdf": sorted
+    partition frame, "lo": current span start}) that run() keeps
+    current; PREV/NEXT measures read it because physical navigation can
+    reach rows OUTSIDE the match (SQL:2016: navigation in MEASURES is
+    over the row pattern partition, positioned at the last row of the
+    match — FINAL — or of the current prefix — RUNNING)."""
     expr = expr.strip()
     pm = _SEMANTICS_PREFIX.match(expr)
     running = explicit_final = False
@@ -384,14 +398,16 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
         running = pm.group(1).upper() == "RUNNING"
         explicit_final = not running
         expr = expr[pm.end():].strip()
-    quad = _compile_single(expr, sym_chars)
+    quad = _compile_single(expr, sym_chars, part_ctx)
     if quad is None:
-        quad = _compile_arith_measure(expr, sym_chars)
+        quad = _compile_arith_measure(expr, sym_chars, part_ctx)
     if quad is None:
         raise ValueError(
             f"MATCH_RECOGNIZE: unsupported measure {expr!r} (supported: "
             f"MATCH_NUMBER(), CLASSIFIER(), COUNT(*), COUNT(S.*), "
             f"FIRST/LAST(col [, n]), FIRST/LAST(S.col [, n]), "
+            f"PREV/NEXT(col [, n]), PREV/NEXT(S.col [, n]), "
+            f"PREV/NEXT(FIRST/LAST([S.]col [, m]) [, n]), "
             f"SUM/AVG/MIN/MAX(col), "
             f"SUM/AVG/MIN/MAX(S.col), and numeric + - * / % arithmetic "
             f"over those forms and literals)"
@@ -402,7 +418,7 @@ def _parse_measure(expr: str, alias: str, sym_chars: dict[str, str]):
     )
 
 
-def _compile_single(expr: str, sym_chars: dict[str, str]):
+def _compile_single(expr: str, sym_chars: dict[str, str], part_ctx=None):
     """Compile ONE atomic measure form; returns (ev, ty, is_clf,
     prefix_inv, run_ev) or None when the text is not an atomic form
     (semantic errors inside a recognized form still raise loudly).
@@ -523,6 +539,98 @@ def _compile_single(expr: str, sym_chars: dict[str, str]):
             lambda sch: T.LongType(),
             run_ev=run_count,
         )
+    if m.group("pn"):
+        # PREV/NEXT in MEASURES (SQL:2016 / Oracle): PHYSICAL navigation
+        # over the row pattern PARTITION — the target row may lie
+        # outside the match. The inner anchor is the last row of the
+        # evaluation prefix (bare col; under FINAL that is the match's
+        # last row, under RUNNING the current row), the last row mapped
+        # to SYM (SYM.col), or a nested FIRST/LAST logical position;
+        # the physical offset then walks the partition, and the value
+        # is read from the FULL partition frame via part_ctx.
+        is_prev = m.group("pn").upper() == "PREV"
+        off = int(m.group("pnoff")) if m.group("pnoff") else 1
+        nfl = m.group("pnfl")
+        if nfl is not None:
+            in_first = nfl.upper() == "FIRST"
+            in_sym = m.group("pnflsym")
+            col = m.group("pnflcol")
+            in_off = int(m.group("pnfloff")) if m.group("pnfloff") else 0
+        else:
+            in_first = False  # bare/SYM form anchors at the LAST position
+            in_sym = m.group("pnsym")
+            col = m.group("pncol")
+            in_off = 0
+        if in_sym is not None and in_sym not in sym_chars:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: {m.group('pn').upper()} over unknown "
+                f"symbol {in_sym!r}"
+            )
+        in_ch = sym_chars.get(in_sym) if in_sym else None
+        bare = nfl is None and in_sym is None
+        if part_ctx is None:
+            raise ValueError(
+                "MATCH_RECOGNIZE: PREV/NEXT measures need the partition "
+                "context (internal: _parse_measure called without "
+                "part_ctx)"
+            )
+
+        def _pn_value(anchor_abs, _col=col, _prev=is_prev, _off=off):
+            import pandas as pd
+
+            full = part_ctx["pdf"]
+            if anchor_abs is None:
+                return None
+            tgt = anchor_abs - _off if _prev else anchor_abs + _off
+            if not 0 <= tgt < len(full):
+                return None
+            val = full[_col].iloc[tgt]
+            return None if pd.isna(val) else val
+
+        def ev_pn(
+            pdf, codes, n, _bare=bare, _ch=in_ch, _in_first=in_first,
+            _in_off=in_off,
+        ):
+            L = len(pdf)
+            if L == 0:
+                return None
+            lo = part_ctx["lo"]
+            if _bare:
+                return _pn_value(lo + L - 1)
+            idxs = (
+                list(range(L))
+                if _ch is None
+                else [i for i in range(L) if codes[i] in _ch]
+            )
+            if len(idxs) <= _in_off:
+                return None
+            pos = idxs[_in_off] if _in_first else idxs[-1 - _in_off]
+            return _pn_value(lo + pos)
+
+        def run_pn(
+            pdf, codes, n, _bare=bare, _ch=in_ch, _in_first=in_first,
+            _in_off=in_off,
+        ):
+            lo = part_ctx["lo"]
+            out, idxs = [], []
+            for i in range(len(pdf)):
+                if _bare:
+                    out.append(_pn_value(lo + i))
+                    continue
+                if _ch is None or codes[i] in _ch:
+                    idxs.append(i)
+                if len(idxs) <= _in_off:
+                    out.append(None)
+                else:
+                    pos = idxs[_in_off] if _in_first else idxs[-1 - _in_off]
+                    out.append(_pn_value(lo + pos))
+            return out
+
+        return mk(
+            ev_pn,
+            lambda sch, _col=col: sch[_col].dataType,
+            run_ev=run_pn,
+        )
     first = m.group("fl").upper() == "FIRST"
     sym, col = m.group("sym"), m.group("col")
     if sym is not None and sym not in sym_chars:
@@ -571,13 +679,18 @@ def _compile_single(expr: str, sym_chars: dict[str, str]):
 
 _MEXPR_ATOM = re.compile(
     r"MATCH_NUMBER\s*\(\s*\)"
+    # PREV/NEXT first (allows ONE nested FIRST/LAST inside)
+    r"|(?:PREV|NEXT)\s*\(\s*(?:(?:FIRST|LAST)\s*\(\s*[^()]*\s*\)"
+    r"(?:\s*,\s*\d+)?|[^()]*)\s*\)"
     r"|(?:COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*[^()]*\s*\)",
     re.IGNORECASE,
 )
 _MEXPR_NUM = re.compile(r"\d+(?:\.\d+)?")
 
 
-def _compile_arith_measure(expr: str, sym_chars: dict[str, str]):
+def _compile_arith_measure(
+    expr: str, sym_chars: dict[str, str], part_ctx=None
+):
     """Compile a NUMERIC arithmetic combination of atomic measures and
     literals — `LAST(value) - FIRST(value)`, `SUM(A.price) /
     COUNT(A.*)`, `-2 * (AVG(x) + 1)` — the measure-expression subset
@@ -601,7 +714,9 @@ def _compile_arith_measure(expr: str, sym_chars: dict[str, str]):
             continue
         am = _MEXPR_ATOM.match(masked, i)
         if am:
-            quad = _compile_single(expr[i : am.end()].strip(), sym_chars)
+            quad = _compile_single(
+                expr[i : am.end()].strip(), sym_chars, part_ctx
+            )
             if quad is None:
                 return None  # e.g. COUNT(a, b) — not a measure form
             tokens.append(("atom", quad))
@@ -1776,7 +1891,12 @@ def match_recognize(
         ]
         aux_cols = list(flag_cols.values())
 
-    parsed = [_parse_measure(e, a, measure_syms) for e, a in measures]
+    # partition-context holder for PREV/NEXT measures (physical
+    # navigation may leave the match): run() keeps pdf/lo current
+    part_ctx: dict = {"pdf": None, "lo": 0}
+    parsed = [
+        _parse_measure(e, a, measure_syms, part_ctx) for e, a in measures
+    ]
     in_schema = df.schema
     shadowed = set(in_schema.fieldNames()) if all_rows else set(partition_by)
     clashes = {m_.alias for m_ in parsed} & shadowed
@@ -1834,6 +1954,7 @@ def match_recognize(
         import numpy as np
 
         pdf = _sort_partition(pdf, order_cols, order_asc)
+        part_ctx["pdf"] = pdf
         if route_auto:
             spans = scan_in_automaton(pdf)
         else:
@@ -1900,6 +2021,7 @@ def match_recognize(
         if all_rows:
             frames = []
             for n, (lo, hi, scodes) in enumerate(spans, start=1):
+                part_ctx["lo"] = lo
                 span = pdf.iloc[lo:hi].drop(columns=aux_cols)
                 for m_ in parsed:
                     a, ev = m_.alias, m_.ev
@@ -1978,6 +2100,7 @@ def match_recognize(
             return pd.concat(frames)
         out = {c: [] for c in out_schema.fieldNames()}
         for n, (lo, hi, scodes) in enumerate(spans, start=1):
+            part_ctx["lo"] = lo
             span = pdf.iloc[lo:hi]
             for k, v in zip(partition_by, key):
                 out[k].append(v)

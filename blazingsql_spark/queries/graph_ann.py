@@ -1315,3 +1315,82 @@ def events_mr_nav_nondeterministic(spark, sf_dir):
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "events_mr_measure_nav",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), f AS (
+        SELECT user_id,
+               MIN(CASE WHEN rn > 1 AND event_type = 'purchase'
+                        THEN rn END) AS fp
+        FROM e GROUP BY user_id
+        HAVING MAX(CASE WHEN rn = 1
+                        THEN (event_type <> 'purchase')::INT END) = 1
+           AND MIN(CASE WHEN rn > 1 AND event_type = 'purchase'
+                        THEN rn END) IS NOT NULL
+    )
+    SELECT f.user_id,
+           CAST(f.fp AS BIGINT) AS n,
+           ROUND(MAX(CASE WHEN e.rn = f.fp - 1 THEN e.value END), 2)
+               AS before_p,
+           ROUND(MAX(CASE WHEN e.rn = f.fp + 1 THEN e.value END), 2)
+               AS after_p,
+           ROUND(MAX(CASE WHEN e.rn = 2 THEN e.value END), 2) AS second_v,
+           ROUND(MAX(CASE WHEN e.rn = f.fp - 2 THEN e.value END), 2)
+               AS p_minus2
+    FROM f JOIN e ON e.user_id = f.user_id
+    GROUP BY f.user_id, f.fp
+    ORDER BY f.user_id
+    """,
+    doc="SQL:2016 PREV/NEXT navigation inside MEASURES (late r12): "
+    "physical offsets over the PARTITION, anchored at the match's last "
+    "row (bare col), a symbol's last mapped row (P.value), or a nested "
+    "FIRST/LAST logical position — the target may lie OUTSIDE the match "
+    "(after_p reads the row following the matched purchase; NULL when "
+    "the partition ends there). The anchored ^ A B* P funnel makes every "
+    "position SQL-derivable: the DuckDB twin joins values by row number "
+    "around the first purchase",
+)
+def events_mr_measure_nav(spark, sf_dir):
+    """Composes three r12 features in one row: measure navigation,
+    nondeterministic assignment (A and B share a predicate), and the ^
+    anchor. Scale shape identical to the other MR rows: one codegen
+    flags projection, one pinned-width exchange on user_id, one
+    applyInPandas scan; measure navigation reads the already-present
+    partition frame, no extra data movement."""
+    from blazingsql_spark.context import Context
+    from blazingsql_spark.queries.registry import ensure_views
+
+    ensure_views(spark, sf_dir, ("events",))
+    bc = Context(spark=spark)
+    return bc.sql(
+        """
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n,
+               ROUND(before_p, 2) AS before_p,
+               ROUND(after_p, 2) AS after_p,
+               ROUND(second_v, 2) AS second_v,
+               ROUND(p_minus2, 2) AS p_minus2
+        FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(*) AS n,
+                     PREV(value) AS before_p,
+                     NEXT(value) AS after_p,
+                     NEXT(FIRST(value)) AS second_v,
+                     PREV(P.value, 2) AS p_minus2
+            ONE ROW PER MATCH
+            PATTERN (^ A B* P)
+            DEFINE A AS event_type <> 'purchase',
+                   B AS event_type <> 'purchase',
+                   P AS event_type = 'purchase'
+        )
+        ORDER BY user_id
+        """
+    )

@@ -895,9 +895,11 @@ assert not set(_R12_WINDOW_STAGED[3:]) & set(_R10_WINDOW_STAGED), (
 # to r14 as the then-oldest) + the rows last driver-checked in r7.
 _NEW_R12_REGISTRATIONS = (
     # nondeterministic assignment WITH navigation in DEFINE (the
-    # per-thread scanner landed r12); judge-verifiable via
-    # tools/check_queries.py at all three SFs
+    # per-thread scanner landed r12) and PREV/NEXT navigation inside
+    # MEASURES; judge-verifiable via tools/check_queries.py at all
+    # three SFs
     "events_mr_nav_nondeterministic",
+    "events_mr_measure_nav",
 )
 _R7_STALE_FOR_R13 = (
     "dedup_components_incremental",
@@ -945,9 +947,8 @@ _R7_STALE_FOR_R13 = (
     "events_trending",
     "expr_string_pad",
     "knn_classify",
-    "limit_offset",
-    # multimodal_frames displaced to r14 by the r12 registration
-    # events_mr_nav_nondeterministic (the recount-at-flip rule)
+    # limit_offset and multimodal_frames displaced to r14 by the two
+    # r12 registrations (the recount-at-flip rule)
 )
 _R13_WINDOW_STAGED = (
     _SENTINELS + _NEW_R12_REGISTRATIONS + _R7_STALE_FOR_R13

@@ -2662,3 +2662,60 @@ def test_sort_partition_equals_pandas_sort():
             assert list(got["payload"]) == list(want["payload"]), (
                 trial, cols, asc,
             )
+
+
+def test_prev_next_measures(spark):
+    """SQL:2016 PREV/NEXT in MEASURES: PHYSICAL navigation over the
+    partition — targets may lie OUTSIDE the match. FINAL semantics
+    anchor at the match's last row (ONE ROW PER MATCH), RUNNING at each
+    row of the prefix (ALL ROWS default); nested FIRST/LAST anchors at
+    a logical position first, then walks physically; out-of-partition
+    targets are NULL."""
+    df = spark.createDataFrame(
+        [(1, i, float((i + 1) * 10), c) for i, c in enumerate("bcxxx")],
+        ["uid", "seq", "v", "et"],
+    )
+    out = match_recognize(
+        df, ["uid"], ["seq"],
+        [("PREV(v)", "pv"), ("NEXT(v)", "nv"),
+         ("PREV(FIRST(v))", "pf"), ("NEXT(LAST(v), 2)", "nl2"),
+         ("PREV(B.v)", "pb"), ("NEXT(v) - PREV(v)", "diff")],
+        "B C", {"B": "et = 'b'", "C": "et = 'c'"},
+    ).collect()
+    # match = rows 0-1: last row pos 1; PREV anchors walk off the
+    # partition start -> NULL
+    assert [tuple(r)[1:] for r in out] == [
+        (10.0, 30.0, None, 40.0, None, 20.0)
+    ]
+
+    # ALL ROWS: RUNNING default — each row anchors at itself
+    out2 = match_recognize(
+        df, ["uid"], ["seq"],
+        [("PREV(v)", "pv"), ("NEXT(v)", "nv"),
+         ("FINAL PREV(v)", "fpv")],
+        "B C", {"B": "et = 'b'", "C": "et = 'c'"}, all_rows=True,
+    ).select("seq", "pv", "nv", "fpv").collect()
+    assert [tuple(r) for r in out2] == [
+        (0, None, 20.0, 10.0),
+        (1, 10.0, 30.0, 10.0),
+    ]
+
+    # per-prefix fallback must agree with the O(span) run_ev
+    # (property: the ALL ROWS values above ARE run_ev's output; evaluate
+    # ev on each prefix by hand via ONE ROW on truncated data is covered
+    # by the FINAL column instead)
+
+    # offsets: PREV(col, 0) is the anchor row itself
+    out3 = match_recognize(
+        df, ["uid"], ["seq"],
+        [("PREV(v, 0)", "p0"), ("NEXT(B.v, 3)", "nb3")],
+        "B C", {"B": "et = 'b'", "C": "et = 'c'"},
+    ).collect()
+    assert [tuple(r)[1:] for r in out3] == [(20.0, 40.0)]
+
+    # unknown symbol raises loudly
+    with pytest.raises(Exception, match="unknown symbol"):
+        match_recognize(
+            df, ["uid"], ["seq"], [("PREV(Z.v)", "x")],
+            "B C", {"B": "et = 'b'", "C": "et = 'c'"},
+        ).collect()
