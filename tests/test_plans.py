@@ -481,7 +481,15 @@ def test_mr_nondeterministic_single_shuffle(spark):
     second Python stage."""
     from blazingsql_spark.plans import physical_plan
 
-    for name in ("events_mr_nondeterministic", "events_mr_anchors"):
+    for name in (
+        "events_mr_nondeterministic",
+        "events_mr_anchors",
+        # late-r12 registrations share the canonical shape: the per-
+        # thread ND fallback and the PREV/NEXT measure navigation both
+        # run INSIDE the one Python scan stage
+        "events_mr_nav_nondeterministic",
+        "events_mr_measure_nav",
+    ):
         df = all_queries()[name].fn(spark, SF_DIR)
         n = exchange_count(df)
         assert n <= 2, (name, n)  # key hash + presentation sort
