@@ -12,9 +12,11 @@ covers the common funnel/sessionization queries:
 - ``PARTITION BY`` keys, ``ORDER BY`` keys (ASC, with stable tiebreak
   columns listed explicitly);
 - ``PATTERN`` over the regular core: symbols, concatenation, ``|``,
-  ``(...)``, postfix ``* + ?`` (greedy, leftmost-longest), and
-  ``PERMUTE(A, B, ...)`` (expanded to the alternation of all orderings,
-  <= 6 elements);
+  ``(...)``, postfix ``* + ?`` (greedy) and their SQL:2016 RELUCTANT
+  forms ``*? +? ?? {n,m}?`` (late r12 — preferment prefers the shortest
+  accept; such patterns always route through the priority scanners),
+  and ``PERMUTE(A, B, ...)`` (expanded to the alternation of all
+  orderings, <= 6 elements);
 - ``AFTER MATCH SKIP``: PAST LAST ROW (default, non-overlapping),
   TO NEXT ROW (overlapping matches), TO FIRST/LAST <sym> (resume at a
   mapped row; the SQL:2016 runtime errors — unmapped symbol, resume at
@@ -1033,13 +1035,10 @@ def compile_symbols(
     # metacharacter (SQL:2016 ^/$ anchors, character classes, '.')
     # used to compile to a LITERAL char transition that no classified
     # row can ever produce, so the pattern silently matched nothing.
-    if re.search(r"[*+?}]\?", char_pattern):
-        raise ValueError(
-            f"MATCH_RECOGNIZE: reluctant quantifiers in PATTERN "
-            f"{pattern!r} are unsupported (ill-defined under this "
-            f"scanner's leftmost-longest discipline — see module "
-            f"docstring); use the greedy form"
-        )
+    # (Reluctant quantifiers — *?, +?, ??, {n,m}? — were rejected here
+    # until late r12; SQL:2016 preferment order makes them well-defined,
+    # so compile_pattern now encodes them as inverted edge priority and
+    # callers route such patterns through the priority scanners.)
     bad = sorted(set(re.sub(r"[A-Za-z0-9(){}|*+?,]", "", char_pattern)))
     if bad:
         raise ValueError(
@@ -1724,13 +1723,16 @@ def match_recognize(
     # the excluded region still matches and feeds measures; its rows
     # are dropped from ALL ROWS output below (no-op under ONE ROW)
     pattern, anchor_start, anchor_end = _strip_anchors(pattern)
-    # user-written alternation, detected BEFORE PERMUTE expansion
-    # (PERMUTE's generated branches are equal-length permutations, where
-    # preferment and longest coincide): it forces the priority scanner
-    # even on deterministic partitions — SQL:2016 preferment means
-    # `A | A B` matches just A, which the longest-discipline set-scan
-    # cannot express (ADVICE r11).
-    user_alt = "|" in pattern
+    # user-written alternation or a reluctant quantifier, detected
+    # BEFORE PERMUTE expansion (PERMUTE's generated branches are
+    # equal-length permutations, where preferment and longest
+    # coincide): either forces the priority scanner even on
+    # deterministic partitions — SQL:2016 preferment means `A | A B`
+    # matches just A and `A+? B` stops at the first B, neither of which
+    # the longest-discipline set-scan can express. The reluctant probe
+    # tolerates whitespace (`A+ ?` ≡ `A+?` after compile_symbols strips
+    # spaces).
+    user_alt = "|" in pattern or bool(re.search(r"[*+?}]\s*\?", pattern))
     pattern, excluded_syms = _extract_exclusions(_expand_permute(pattern))
     names, sym_chars, nfa = compile_symbols(pattern, define)
     excluded_chars = frozenset(

@@ -25,8 +25,9 @@ ambiguous alternation (no two alternatives matching different-length
 prefixes at the same start) this coincides with the Java/Python/RE2
 leftmost-GREEDY semantics the batch twin uses — property-tested against
 ``re.findall`` in tests/test_streaming_patterns.py. Supported syntax:
-literal characters, ``.``, ``|``, ``(...)``, postfix ``* + ?`` — the
-regular core of MATCH_RECOGNIZE patterns (reference has no CEP operator;
+literal characters, ``.``, ``|``, ``(...)``, postfix ``* + ?`` and the
+reluctant ``*? +? ?? {n,m}?`` forms (late r12) — the regular core of
+MATCH_RECOGNIZE patterns (reference has no CEP operator;
 this is a superset surface; cf. reference io/src parsers having no
 streaming layer at all).
 
@@ -160,11 +161,20 @@ def _expand_bounded(pattern: str) -> str:
                     f"bound {m.group(0)!r} follows no atom in {pattern!r}"
                 )
             k = j - 1
+        # '{n,m}?' — the SQL:2016 reluctant bound: expand with reluctant
+        # core quantifiers (and consume the marker). '{n}?' is exactly
+        # '{n}'; before this branch the marker was left dangling and
+        # re-attached to the expansion's last copy — silently wrong.
+        end = m.end()
+        rel = end < len(pattern) and pattern[end] == "?"
+        if rel:
+            end += 1
+        star, opt = ("*?", "??") if rel else ("*", "?")
         if hi is None:  # {n,}: n mandatory copies + unbounded tail
-            rep = atom * lo + atom + "*" if lo else atom + "*"
+            rep = atom * lo + atom + star if lo else atom + star
         else:  # {n,m}: n mandatory + (m-n) optional copies
-            rep = atom * lo + (atom + "?") * (hi - lo)
-        pattern = pattern[:k] + rep + pattern[m.end() :]
+            rep = atom * lo + (atom + opt) * (hi - lo)
+        pattern = pattern[:k] + rep + pattern[end:]
 
 
 def compile_pattern(pattern: str) -> _Nfa:
@@ -218,17 +228,31 @@ def compile_pattern(pattern: str) -> _Nfa:
         while peek() in ("*", "+", "?"):
             op = pattern[pos]
             pos += 1
+            # a '?' IMMEDIATELY after a quantifier is the SQL:2016
+            # reluctant marker (*?, +?, ??): same language, inverted
+            # preference — skip/exit BEFORE enter/loop
+            reluctant = peek() == "?"
+            if reluctant:
+                pos += 1
             ns, ne = nfa.new_state(), nfa.new_state()
             # epsilon-edge ORDER encodes match preference for the
             # priority (nondeterministic-classification) scanner:
-            # enter/loop the atom BEFORE exiting — greedy quantifiers,
-            # per SQL:2016 preferment. Set-based scans ignore order.
-            nfa.eps[ns].append(s)
-            if op in ("*", "+"):
-                nfa.eps[e].append(s)
-            nfa.eps[e].append(ne)
-            if op in ("*", "?"):
-                nfa.eps[ns].append(ne)
+            # greedy appends enter/loop BEFORE exit, reluctant the
+            # reverse. Set-based scans ignore order.
+            if reluctant:
+                if op in ("*", "?"):
+                    nfa.eps[ns].append(ne)
+                nfa.eps[ns].append(s)
+                nfa.eps[e].append(ne)
+                if op in ("*", "+"):
+                    nfa.eps[e].append(s)
+            else:
+                nfa.eps[ns].append(s)
+                if op in ("*", "+"):
+                    nfa.eps[e].append(s)
+                nfa.eps[e].append(ne)
+                if op in ("*", "?"):
+                    nfa.eps[ns].append(ne)
             s, e = ns, ne
         return s, e
 
@@ -707,10 +731,17 @@ def match_recognize_stream(
                 f"({events.schema[ts_col].dataType.simpleString()}) — "
                 f"use an interval for timestamps, a number for numerics"
             )
+    # alternation or a reluctant quantifier: preferment can pick a
+    # SHORTER accept than the longest-discipline deterministic scan —
+    # the nav twin's scanner needs the ordered-thread mode then
+    preferment = "|" in pattern or bool(
+        re.search(r"[*+?}]\s*\?", pattern)
+    )
     if symrel or within_dur is not None:
         return _match_recognize_stream_nav(
             events, key_col, ts_col, id_col, define, symrel,
             names, sym_chars, nfa, max_carry, within_dur,
+            preferment=preferment,
         )
     # r12 (VERDICT-r11 #5): nondeterministic symbol assignment on the
     # streaming path. ONE codegen projection emits a per-row truth
@@ -814,6 +845,7 @@ def _match_recognize_stream_nav(
     nfa,
     max_carry: int,
     within_dur=None,
+    preferment: bool = False,
 ) -> DataFrame:
     """Symbol-relative streaming twin (see match_recognize_stream's
     docstring): the carry persists the in-flight attempt's ROWS (nav
@@ -914,7 +946,8 @@ def _match_recognize_stream_nav(
             classify_ = build_classifier(test_order, flags_, compiled, ctx_)
             try:
                 return scan_rows_in_automaton(
-                    nfa, classify_, size_, final=final_, within=w
+                    nfa, classify_, size_, final=final_, within=w,
+                    preferment=preferment,
                 )
             except InAutomatonAmbiguity:
                 truth_ = build_truth_nd(

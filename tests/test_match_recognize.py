@@ -2089,22 +2089,22 @@ def test_measures_clause_optional(spark):
 def test_unsupported_pattern_metacharacters_raise(spark):
     """r11: unrecognized PATTERN metacharacters used to compile to
     literal char transitions no classified row can produce — the
-    pattern silently matched nothing. Now: loud errors for anchors,
-    character classes, and reluctant quantifiers; bounded quantifiers
-    and the supported core still compile."""
+    pattern silently matched nothing. Now: loud errors for anchors and
+    character classes; bounded quantifiers, reluctant quantifiers
+    (supported since late r12), and the core still compile."""
     from blazingsql_spark.operators.match_recognize import compile_symbols
 
     for pat, msg in [
         ("^A B", "metacharacters"),
         ("A B $", "metacharacters"),
         ("A [B]", "metacharacters"),
-        ("A B*?", "reluctant"),
-        ("A+? B", "reluctant"),
-        ("A{2}? B", "reluctant"),
     ]:
         with pytest.raises(ValueError, match=msg):
             compile_symbols(pat, {})
-    for ok in ("A B?", "A{2,3} B", "(A|B)+ C"):
+    for ok in (
+        "A B?", "A{2,3} B", "(A|B)+ C",
+        "A B*?", "A+? B", "A{2}? B", "A{1,3}? B",
+    ):
         compile_symbols(ok, {})
 
 
@@ -2719,3 +2719,39 @@ def test_prev_next_measures(spark):
             df, ["uid"], ["seq"], [("PREV(Z.v)", "x")],
             "B C", {"B": "et = 'b'", "C": "et = 'c'"},
         ).collect()
+
+
+def test_reluctant_quantifiers_operator(spark):
+    """Late r12: SQL:2016 reluctant quantifiers (*?, +?, ??, {n,m}?) —
+    preferment prefers the SHORTEST accept, so `A+? B` over fully
+    ambiguous rows yields pair-matches where greedy `A+ B` consumes the
+    whole partition. Routed through the priority scanners on every
+    path (the longest-discipline set-scan never sees them)."""
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(6)], ["uid", "seq", "v"]
+    )
+    rel = match_recognize(
+        df, ["uid"], ["seq"], [("MATCH_NUMBER()", "mn"), ("COUNT(*)", "n")],
+        "A+? B", {"A": "v >= 0", "B": "v >= 0"},
+    ).collect()
+    assert [(r.mn, r.n) for r in rel] == [(1, 2), (2, 2), (3, 2)]
+    greedy = match_recognize(
+        df, ["uid"], ["seq"], [("COUNT(*)", "n")],
+        "A+ B", {"A": "v >= 0", "B": "v >= 0"},
+    ).collect()
+    assert [r.n for r in greedy] == [6]
+
+    # reluctant + navigation DEFINE: in-automaton ND fallback honors
+    # the inverted priority too
+    nav = match_recognize(
+        df, ["uid"], ["seq"], [("COUNT(*)", "n")],
+        "A+? B", {"A": "v >= FIRST(A.v)", "B": "v >= 0"},
+    ).collect()
+    assert [r.n for r in nav] == [2, 2, 2]
+
+    # reluctant bounded: {1,3}? takes the minimum that still completes
+    bounded = match_recognize(
+        df, ["uid"], ["seq"], [("COUNT(*)", "n")],
+        "A{1,3}? B", {"A": "v >= 0", "B": "v >= 0"},
+    ).collect()
+    assert [r.n for r in bounded] == [2, 2, 2]

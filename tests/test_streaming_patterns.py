@@ -723,3 +723,49 @@ def test_match_recognize_stream_nav_nondeterministic(spark, tmp_path):
         w = want.get(row.user_id, (0, 0))
         assert (row.n_matches, row.longest_match) == w, row.user_id
     assert set(want) <= set(got.user_id)
+
+
+def test_reluctant_quantifiers_stream(spark, tmp_path):
+    """Late r12: reluctant quantifiers on the streaming path — the
+    bitmask priority matcher inherits the inverted edge order from
+    compile_pattern, so `A+? B` over fully ambiguous rows commits
+    pair-matches incrementally instead of one greedy whole-stream
+    match."""
+    import os
+
+    import pandas as pd
+
+    from blazingsql_spark.streaming.patterns import match_recognize_stream
+
+    rows = [(1, i, float(i)) for i in range(8)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "v"])
+    src = tmp_path / "src_rel"
+    src.mkdir()
+    half = len(pdf) // 2
+    for i in range(2):
+        f = src / f"b{i}.json"
+        pdf.iloc[i * half : (i + 1) * half].to_json(
+            f, orient="records", lines=True
+        )
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw = (
+        spark.readStream.schema("user_id long, event_id long, v double")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    out = match_recognize_stream(
+        raw, "user_id", "event_id", "event_id", "A+? B",
+        {"A": "v >= 0", "B": "v >= 0"},
+    )
+    q = (out.writeStream.format("memory").queryName("t_rel_stream")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = (
+        spark.sql("SELECT * FROM t_rel_stream").toPandas()
+        .sort_values("n_codes").groupby("user_id").last().reset_index()
+    )
+    assert [(r.n_matches, r.longest_match) for _, r in last.iterrows()] == [
+        (4, 2)
+    ]
