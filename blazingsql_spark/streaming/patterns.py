@@ -333,6 +333,7 @@ class StreamMatcher:
         carry: str = "",
         max_carry: int = 4096,
         n_aborted: int = 0,
+        skip_next: bool = False,
     ):
         if max_carry < 1:
             raise ValueError(f"max_carry must be >= 1, got {max_carry}")
@@ -342,6 +343,11 @@ class StreamMatcher:
         self.carry = carry
         self.max_carry = max_carry
         self.n_aborted = n_aborted
+        # AFTER MATCH SKIP TO NEXT ROW (late r12): resume one row after
+        # the match START — overlapping matches. The carry contract is
+        # unchanged: committed matches all start BEFORE the in-flight
+        # attempt's position, so a rescan from the carry never recounts
+        self.skip_next = skip_next
 
     def feed(self, text: str) -> None:
         self.n_matches, self.longest, self.carry = self._scan(
@@ -410,7 +416,7 @@ class StreamMatcher:
             if last_acc > pos:
                 n += 1
                 longest = max(longest, last_acc - pos)
-                pos = last_acc
+                pos = pos + 1 if self.skip_next else last_acc
             else:
                 pos += 1
         return n, longest, ""
@@ -452,11 +458,13 @@ class StreamMatcherND:
         carry: tuple | list = (),
         max_carry: int = 4096,
         n_aborted: int = 0,
+        skip_next: bool = False,
     ):
         if max_carry < 1:
             raise ValueError(f"max_carry must be >= 1, got {max_carry}")
         self.nfa = nfa
         self.sym_bits = sym_bits
+        self.skip_next = skip_next
         self.n_matches = n_matches
         self.longest = longest
         self.carry = list(carry)
@@ -531,7 +539,7 @@ class StreamMatcherND:
             if best_end > pos:
                 n += 1
                 longest = max(longest, best_end - pos)
-                pos = best_end
+                pos = pos + 1 if self.skip_next else best_end
             else:
                 pos += 1
         return n, longest, []
@@ -628,6 +636,7 @@ def match_recognize_stream(
     define: dict[str, str] | None = None,
     max_carry: int = 4096,
     within: str | int | float | None = None,
+    after_match: str = "PAST LAST ROW",
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE summary — the incremental twin of
     operators.match_recognize for its ONE-ROW-PER-MATCH aggregate form:
@@ -638,6 +647,13 @@ def match_recognize_stream(
     NONDETERMINISTIC SYMBOL ASSIGNMENT with the same preferment order
     as the batch priority scanner (r12 — ambiguous DEFINEs previously
     classified first-true here while the batch path forked threads).
+    ``after_match`` selects the streaming SKIP mode (late r12): 'PAST
+    LAST ROW' (default, non-overlapping) or 'TO NEXT ROW' (overlapping
+    matches — the scan resumes one row after each match START; the
+    carry bound is unchanged because committed matches always start
+    before the in-flight position). 'TO FIRST/LAST <sym>' stays
+    batch-only (its SQL:2016 runtime errors need the whole partition).
+
     Emits one (key, n_matches, longest_match, n_codes, n_aborted) row
     per key per micro-batch with the totals the batch operator would
     report on the prefix seen so far — the same contract, state bound,
@@ -707,6 +723,17 @@ def match_recognize_stream(
             "first-ever row, which is a bounded-prefix question. Run "
             "the batch operator over a bounded snapshot instead."
         )
+    am = re.match(
+        r"^\s*(?:PAST\s+LAST\s+ROW|(?P<next>TO\s+NEXT\s+ROW))\s*$",
+        after_match, re.IGNORECASE,
+    )
+    if not am:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: unsupported streaming AFTER MATCH SKIP "
+            f"{after_match!r} (streams support PAST LAST ROW and TO NEXT "
+            f"ROW; TO FIRST/LAST <sym> needs the batch operator)"
+        )
+    skip_next = am.group("next") is not None
     pattern, _ = _extract_exclusions(_expand_permute(pattern))
     names, sym_chars, nfa = compile_symbols(pattern, define)
     if max_carry < 1:
@@ -741,7 +768,7 @@ def match_recognize_stream(
         return _match_recognize_stream_nav(
             events, key_col, ts_col, id_col, define, symrel,
             names, sym_chars, nfa, max_carry, within_dur,
-            preferment=preferment,
+            preferment=preferment, skip_next=skip_next,
         )
     # r12 (VERDICT-r11 #5): nondeterministic symbol assignment on the
     # streaming path. ONE codegen projection emits a per-row truth
@@ -797,6 +824,7 @@ def match_recognize_stream(
         m = StreamMatcherND(
             nfa, sym_bits, n0, longest0, carry0,
             max_carry=max_carry, n_aborted=aborted0,
+            skip_next=skip_next,
         )
         m.feed([int(x) for x in batch["__mask"]])
         seen = seen0 + len(batch)
@@ -846,6 +874,7 @@ def _match_recognize_stream_nav(
     max_carry: int,
     within_dur=None,
     preferment: bool = False,
+    skip_next: bool = False,
 ) -> DataFrame:
     """Symbol-relative streaming twin (see match_recognize_stream's
     docstring): the carry persists the in-flight attempt's ROWS (nav
@@ -861,12 +890,15 @@ def _match_recognize_stream_nav(
 
     from blazingsql_spark.operators import mr_expr
     from blazingsql_spark.operators.match_recognize import (
+        _SKIP_PAST,
         InAutomatonAmbiguity,
         build_classifier,
         build_truth_nd,
         scan_rows_in_automaton,
         scan_rows_in_automaton_nd,
     )
+
+    skip = ("next",) if skip_next else _SKIP_PAST
 
     compiled: dict[str, object] = {}
     used_cols: set[str] = set()
@@ -947,7 +979,7 @@ def _match_recognize_stream_nav(
             try:
                 return scan_rows_in_automaton(
                     nfa, classify_, size_, final=final_, within=w,
-                    preferment=preferment,
+                    skip=skip, preferment=preferment,
                 )
             except InAutomatonAmbiguity:
                 truth_ = build_truth_nd(
@@ -955,7 +987,7 @@ def _match_recognize_stream_nav(
                 )
                 return scan_rows_in_automaton_nd(
                     nfa, truth_, size_, final=final_, within=w,
-                    read_chars=nav_read_chars,
+                    skip=skip, read_chars=nav_read_chars,
                 )
 
         spans, carry_start = _scan(cols, flags, size, False)

@@ -769,3 +769,111 @@ def test_reluctant_quantifiers_stream(spark, tmp_path):
     assert [(r.n_matches, r.longest_match) for _, r in last.iterrows()] == [
         (4, 2)
     ]
+
+
+def test_stream_skip_to_next_row_matchers_match_batch():
+    """Late r12: AFTER MATCH SKIP TO NEXT ROW on streams (overlapping
+    matches, resume at match start + 1) — chunk-fed StreamMatcher and
+    StreamMatcherND with skip_next equal the batch scanners with
+    skip=('next',) on totals, across random chunkings. The carry
+    contract is unchanged: committed matches all start before the
+    in-flight position, so rescans never recount."""
+    from blazingsql_spark.operators.match_recognize import (
+        find_match_spans_nd,
+    )
+    from blazingsql_spark.streaming.patterns import StreamMatcherND
+
+    rnd = random.Random(5)
+    bits = {c: 1 << i for i, c in enumerate("abc")}
+    for pat in ["ab", "a+b", "ab?c", "(ab)+", "a|bc", "a+?b", "(a|b)+c"]:
+        nfa = compile_pattern(pat)
+        for _ in range(60):
+            s = "".join(rnd.choice("abc") for _ in range(rnd.randint(0, 30)))
+            ref = find_match_spans_nd(
+                nfa, lambda j, ch, _s=s: _s[j] == ch, len(s), skip=("next",)
+            )
+            want = (len(ref), max((hi - lo for lo, hi, _ in ref), default=0))
+            m = StreamMatcher(nfa, skip_next=True)
+            nd = StreamMatcherND(nfa, bits, skip_next=True)
+            masks = [bits[c] for c in s]
+            i = 0
+            while i < len(s):
+                k = rnd.randint(1, 6)
+                m.feed(s[i : i + k])
+                nd.feed(masks[i : i + k])
+                i += k
+            assert m.snapshot() == want, (pat, s)
+            assert nd.snapshot() == want, (pat, s)
+
+
+def test_match_recognize_stream_skip_to_next_row(spark, tmp_path):
+    """e2e: match_recognize_stream(after_match='TO NEXT ROW') equals the
+    batch operator's overlapping-match totals across micro-batches; an
+    unsupported streaming SKIP mode raises loudly."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from blazingsql_spark.operators.match_recognize import match_recognize
+    from blazingsql_spark.streaming.patterns import match_recognize_stream
+
+    rng = random.Random(77)
+    rows = []
+    for u in range(1, 7):
+        for i in range(rng.randint(5, 25)):
+            rows.append(
+                (u, i, rng.choice(["view", "click", "click", "purchase"]))
+            )
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "event_type"])
+    src = tmp_path / "src_skipnext"
+    src.mkdir()
+    half = len(pdf) // 2
+    for i in range(2):
+        f = src / f"b{i}.json"
+        pdf.iloc[i * half : (i + 1) * half if i < 1 else len(pdf)].to_json(
+            f, orient="records", lines=True
+        )
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw = (
+        spark.readStream.schema("user_id long, event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    define = {"V": "event_type = 'view'", "C": "event_type = 'click'",
+              "P": "event_type = 'purchase'"}
+    out = match_recognize_stream(
+        raw, "user_id", "event_id", "event_id", "V C* P", dict(define),
+        after_match="TO NEXT ROW",
+    )
+    q = (out.writeStream.format("memory").queryName("t_skipnext")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = (
+        spark.sql("SELECT * FROM t_skipnext").toPandas()
+        .sort_values("n_codes").groupby("user_id").last().reset_index()
+    )
+    per_match = match_recognize(
+        spark.createDataFrame(pdf), ["user_id"], ["event_id"],
+        [("COUNT(*)", "len")], "V C* P", dict(define),
+        after_match="TO NEXT ROW",
+    )
+    want = {
+        r.user_id: (r.n, r.longest)
+        for r in per_match.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("len").alias("longest"))
+        .collect()
+    }
+    assert want, "fixture produced no matches - weak test"
+    for _, row in last.iterrows():
+        assert (row.n_matches, row.longest_match) == want.get(
+            row.user_id, (0, 0)
+        ), row.user_id
+
+    with pytest.raises(ValueError, match="TO FIRST/LAST"):
+        match_recognize_stream(
+            raw, "user_id", "event_id", "event_id", "V C* P", dict(define),
+            after_match="TO FIRST V",
+        )
