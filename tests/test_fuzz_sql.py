@@ -611,6 +611,22 @@ def test_fuzzed_mr_pattern_matches_re(pattern, s):
     assert [(lo, hi) for lo, hi, _ in got_nd] == want, (pattern, s, got_nd)
     for lo, hi, codes in got_nd:
         assert codes == s[lo:hi]
+    # the per-thread in-automaton scanner (navigation-DEFINE path) must
+    # agree on every generated pattern too — anchors, bounded and
+    # reluctant quantifiers, alternation, PERMUTE expansions
+    from blazingsql_spark.operators.match_recognize import (
+        scan_rows_in_automaton_nd,
+    )
+
+    got_pt, carry = scan_rows_in_automaton_nd(
+        nfa,
+        lambda j, pos, ch, tent, _s=s: _s[j] == ch,
+        len(s),
+        anchor_start=a_start,
+        anchor_end=a_end,
+    )
+    assert carry is None
+    assert got_pt == got_nd, (pattern, s, got_pt, got_nd)
     if "|" not in core and not _re.search(r"[*+?}]\?", core):
         # the deterministic set-scan is longest-discipline: correct only
         # without alternation AND without reluctant quantifiers
