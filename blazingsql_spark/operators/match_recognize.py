@@ -105,6 +105,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from blazingsql_spark.streaming.patterns import (
+    RELUCTANT_PROBE,
     _Nfa,
     compile_pattern,
     ordered_closure,
@@ -1732,7 +1733,7 @@ def match_recognize(
     # the longest-discipline set-scan can express. The reluctant probe
     # tolerates whitespace (`A+ ?` ≡ `A+?` after compile_symbols strips
     # spaces).
-    user_alt = "|" in pattern or bool(re.search(r"[*+?}]\s*\?", pattern))
+    user_alt = "|" in pattern or bool(RELUCTANT_PROBE.search(pattern))
     pattern, excluded_syms = _extract_exclusions(_expand_permute(pattern))
     names, sym_chars, nfa = compile_symbols(pattern, define)
     excluded_chars = frozenset(
@@ -2122,7 +2123,12 @@ def match_recognize(
     # not bytes — an explicit repartition-by-num carries a
     # REPARTITION_BY_NUM hint AQE respects, and groupBy reuses the hash
     # partitioning (no second exchange; plan-asserted)
-    n_part = int(coded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(
+            coded.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    except ValueError:  # e.g. 'auto' under AQE auto-optimized shuffle
+        n_part = coded.sparkSession.sparkContext.defaultParallelism
     coded = coded.repartition(n_part, *partition_by)
     return coded.groupBy(*partition_by).applyInPandas(run, out_schema)
 

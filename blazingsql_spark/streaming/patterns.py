@@ -108,6 +108,12 @@ def ordered_closure(nfa: _Nfa, starts) -> list[int]:
     return out
 
 
+# a '?' right after a quantifier (whitespace-tolerant — the MR
+# compiler strips spaces): the SQL:2016 reluctant marker. Shared by
+# every path that must route reluctant patterns to the priority
+# scanners (the longest-discipline set-scan would be silently wrong)
+RELUCTANT_PROBE = re.compile(r"[*+?}]\s*\?")
+
 _BOUNDED_QUANT = re.compile(r"\{(\d*)(,)?(\d*)\}")
 _MAX_BOUND = 1000  # expansion cap: states grow linearly with the bound
 
@@ -734,6 +740,11 @@ def match_recognize_stream(
             f"ROW; TO FIRST/LAST <sym> needs the batch operator)"
         )
     skip_next = am.group("next") is not None
+    # preferment probe BEFORE PERMUTE expansion (like the batch twin):
+    # PERMUTE's generated branches are equal-length permutations, where
+    # preferment and longest coincide — no need for the ordered-thread
+    # scan on their account
+    preferment = "|" in pattern or bool(RELUCTANT_PROBE.search(pattern))
     pattern, _ = _extract_exclusions(_expand_permute(pattern))
     names, sym_chars, nfa = compile_symbols(pattern, define)
     if max_carry < 1:
@@ -758,12 +769,6 @@ def match_recognize_stream(
                 f"({events.schema[ts_col].dataType.simpleString()}) — "
                 f"use an interval for timestamps, a number for numerics"
             )
-    # alternation or a reluctant quantifier: preferment can pick a
-    # SHORTER accept than the longest-discipline deterministic scan —
-    # the nav twin's scanner needs the ordered-thread mode then
-    preferment = "|" in pattern or bool(
-        re.search(r"[*+?}]\s*\?", pattern)
-    )
     if symrel or within_dur is not None:
         return _match_recognize_stream_nav(
             events, key_col, ts_col, id_col, define, symrel,
