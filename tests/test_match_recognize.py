@@ -2755,3 +2755,75 @@ def test_reluctant_quantifiers_operator(spark):
         "A{1,3}? B", {"A": "v >= 0", "B": "v >= 0"},
     ).collect()
     assert [r.n for r in bounded] == [2, 2, 2]
+
+
+from hypothesis import given as _hgiven, settings as _hsettings
+from hypothesis import strategies as _hst
+
+
+@_hsettings(max_examples=120, deadline=None)
+@_hgiven(
+    pat=_hst.sampled_from(
+        ["ab", "a+b", "(a|b)+c", "a*b", "ab?c", "(ab)+", "a|bc",
+         "a+?b", "(a|b)+?c", "a{1,2}b"]
+    ),
+    size=_hst.integers(min_value=0, max_value=9),
+    bits=_hst.integers(min_value=0, max_value=2**60 - 1),
+)
+def test_in_automaton_nd_hypothesis_vs_backtracking(pat, size, bits):
+    """Hypothesis twin of the fixed-seed backtracking differential:
+    truth depends on (row, symbol, #a-assigned-so-far) — drawn from a
+    deterministic bit pool so hypothesis can shrink failures — and the
+    per-thread scanner must equal the preferment-order backtracking
+    reference on spans AND codes."""
+    from blazingsql_spark.operators.match_recognize import (
+        _SKIP_PAST,
+        _skip_resume,
+        scan_rows_in_automaton_nd,
+    )
+    from blazingsql_spark.streaming.patterns import compile_pattern, ordered_closure
+
+    def truth(j, pos, ch, tent):
+        na = min(3, len(tent.get("a", ())))
+        k = (j * 3 + "abc".index(ch)) * 4 + na
+        return bool((bits >> (k % 60)) & 1)
+
+    nfa = compile_pattern(pat)
+
+    def brute():
+        spans = []
+        pos = 0
+        while pos < size:
+            def rec(states, j, tent, codes):
+                for st in states:
+                    if st == nfa.accept:
+                        return (j, codes)
+                    if j >= size:
+                        continue
+                    for want, to in nfa.trans.get(st, ()):
+                        if want is not None and not truth(j, pos, want, tent):
+                            continue
+                        ntent = dict(tent)
+                        ch = "." if want is None else want
+                        if want is not None:
+                            ntent[want] = ntent.get(want, ()) + (j,)
+                        res = rec(
+                            ordered_closure(nfa, [to]), j + 1, ntent,
+                            codes + ch,
+                        )
+                        if res is not None:
+                            return res
+                return None
+
+            got = rec(ordered_closure(nfa, [nfa.start]), pos, {}, "")
+            if got is not None and got[0] > pos:
+                end, codes = got
+                spans.append((pos, end, codes))
+                pos = _skip_resume(_SKIP_PAST, pos, end, codes)
+            else:
+                pos += 1
+        return spans
+
+    got, carry = scan_rows_in_automaton_nd(nfa, truth, size)
+    assert carry is None
+    assert got == brute(), (pat, size, bits)
