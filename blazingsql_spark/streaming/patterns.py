@@ -465,12 +465,22 @@ class StreamMatcherND:
         max_carry: int = 4096,
         n_aborted: int = 0,
         skip_next: bool = False,
+        skip_fl: tuple | None = None,
     ):
         if max_carry < 1:
             raise ValueError(f"max_carry must be >= 1, got {max_carry}")
+        if skip_next and skip_fl is not None:
+            raise ValueError("skip_next and skip_fl are mutually exclusive")
         self.nfa = nfa
         self.sym_bits = sym_bits
         self.skip_next = skip_next
+        # AFTER MATCH SKIP TO FIRST/LAST <sym> (late r12): ('first'|'last',
+        # symbol char). Needs the match's symbol assignment, so the scan
+        # tracks per-thread (char, parent) chains — only in this mode;
+        # the int-thread hot loop below stays for PAST/TO NEXT. The
+        # SQL:2016 runtime errors (symbol unmapped, resume at the match's
+        # own first row) raise, identical to the batch operator.
+        self.skip_fl = skip_fl
         self.n_matches = n_matches
         self.longest = longest
         self.carry = list(carry)
@@ -503,6 +513,8 @@ class StreamMatcherND:
     def _scan(
         self, masks: list[int], n: int, longest: int, final: bool
     ) -> tuple[int, int, list[int]]:
+        if self.skip_fl is not None:
+            return self._scan_fl(masks, n, longest, final)
         nfa, bits = self.nfa, self.sym_bits
         pos, size = 0, len(masks)
         while pos < size:
@@ -546,6 +558,77 @@ class StreamMatcherND:
                 n += 1
                 longest = max(longest, best_end - pos)
                 pos = pos + 1 if self.skip_next else best_end
+            else:
+                pos += 1
+        return n, longest, []
+
+    def _scan_fl(
+        self, masks: list[int], n: int, longest: int, final: bool
+    ) -> tuple[int, int, list[int]]:
+        """The TO FIRST/LAST variant of _scan: identical preferment
+        threading, but each thread carries its (char, parent) assignment
+        chain so the committed match's codes can drive _skip_resume —
+        including its SQL:2016 runtime errors. Carry contract unchanged:
+        the resume position is strictly inside the match (the
+        first-row-resume error guarantees > pos), so committed matches
+        always start before the in-flight position."""
+        from blazingsql_spark.operators.match_recognize import _skip_resume
+
+        nfa, bits = self.nfa, self.sym_bits
+        pos, size = 0, len(masks)
+        while pos < size:
+            threads: list[tuple[int, tuple | None]] = [
+                (st, None) for st in self._start
+            ]
+            best_end, best_node = -1, None
+            j = pos
+            while j < size and threads:
+                mask = masks[j]
+                new_threads: list[tuple[int, tuple | None]] = []
+                seen: set[int] = set()
+                for st, node in threads:
+                    per_want: dict = {}
+                    for want, to in nfa.trans.get(st, ()):
+                        if want is not None and not (
+                            mask & bits.get(want, 0)
+                        ):
+                            continue
+                        nnode = per_want.get(want)
+                        if nnode is None:
+                            nnode = per_want[want] = (
+                                want if want is not None else ".", node
+                            )
+                        for c in self._closure_of(to):
+                            if c not in seen:
+                                seen.add(c)
+                                new_threads.append((c, nnode))
+                threads = new_threads
+                if not threads:
+                    break
+                j += 1
+                for idx, (st, node) in enumerate(threads):
+                    if st == nfa.accept:
+                        best_end, best_node = j, node
+                        del threads[idx + 1:]
+                        break
+            if (
+                j == size
+                and threads
+                and not final
+                and any(nfa.trans[st] for st, _nd in threads)
+            ):
+                return n, longest, masks[pos:]
+            if best_end > pos:
+                n += 1
+                longest = max(longest, best_end - pos)
+                chars: list[str] = []
+                node = best_node
+                while node is not None:
+                    chars.append(node[0])
+                    node = node[1]
+                pos = _skip_resume(
+                    self.skip_fl, pos, best_end, "".join(reversed(chars))
+                )
             else:
                 pos += 1
         return n, longest, []
@@ -654,11 +737,14 @@ def match_recognize_stream(
     as the batch priority scanner (r12 — ambiguous DEFINEs previously
     classified first-true here while the batch path forked threads).
     ``after_match`` selects the streaming SKIP mode (late r12): 'PAST
-    LAST ROW' (default, non-overlapping) or 'TO NEXT ROW' (overlapping
-    matches — the scan resumes one row after each match START; the
-    carry bound is unchanged because committed matches always start
-    before the in-flight position). 'TO FIRST/LAST <sym>' stays
-    batch-only (its SQL:2016 runtime errors need the whole partition).
+    LAST ROW' (default, non-overlapping), 'TO NEXT ROW' (overlapping
+    matches — the scan resumes one row after each match START), or
+    'TO FIRST/LAST <sym>' (resume AT the first/last row the match
+    mapped to that symbol; the SQL:2016 runtime errors — symbol
+    unmapped, resume at the match's own first row — raise, identical
+    to the batch operator). Every mode keeps the same carry bound:
+    the resume position is always strictly after the committed match's
+    start, so cross-batch rescans never recount.
 
     Emits one (key, n_matches, longest_match, n_codes, n_aborted) row
     per key per micro-batch with the totals the batch operator would
@@ -730,14 +816,15 @@ def match_recognize_stream(
             "the batch operator over a bounded snapshot instead."
         )
     am = re.match(
-        r"^\s*(?:PAST\s+LAST\s+ROW|(?P<next>TO\s+NEXT\s+ROW))\s*$",
+        r"^\s*(?:PAST\s+LAST\s+ROW|(?P<next>TO\s+NEXT\s+ROW)"
+        r"|TO\s+(?P<fl>FIRST|LAST)\s+(?P<flsym>\w+))\s*$",
         after_match, re.IGNORECASE,
     )
     if not am:
         raise ValueError(
             f"MATCH_RECOGNIZE: unsupported streaming AFTER MATCH SKIP "
-            f"{after_match!r} (streams support PAST LAST ROW and TO NEXT "
-            f"ROW; TO FIRST/LAST <sym> needs the batch operator)"
+            f"{after_match!r} (streams support PAST LAST ROW, TO NEXT "
+            f"ROW, and TO FIRST/LAST <sym>)"
         )
     skip_next = am.group("next") is not None
     # preferment probe BEFORE PERMUTE expansion (like the batch twin):
@@ -747,6 +834,15 @@ def match_recognize_stream(
     preferment = "|" in pattern or bool(RELUCTANT_PROBE.search(pattern))
     pattern, _ = _extract_exclusions(_expand_permute(pattern))
     names, sym_chars, nfa = compile_symbols(pattern, define)
+    skip_fl = None
+    if am.group("fl"):
+        flsym = am.group("flsym")
+        if flsym not in sym_chars:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO unknown symbol "
+                f"{flsym!r}"
+            )
+        skip_fl = (am.group("fl").lower(), sym_chars[flsym])
     if max_carry < 1:
         raise ValueError(f"max_carry must be >= 1, got {max_carry}")
     symrel = {
@@ -773,7 +869,7 @@ def match_recognize_stream(
         return _match_recognize_stream_nav(
             events, key_col, ts_col, id_col, define, symrel,
             names, sym_chars, nfa, max_carry, within_dur,
-            preferment=preferment, skip_next=skip_next,
+            preferment=preferment, skip_next=skip_next, skip_fl=skip_fl,
         )
     # r12 (VERDICT-r11 #5): nondeterministic symbol assignment on the
     # streaming path. ONE codegen projection emits a per-row truth
@@ -829,7 +925,7 @@ def match_recognize_stream(
         m = StreamMatcherND(
             nfa, sym_bits, n0, longest0, carry0,
             max_carry=max_carry, n_aborted=aborted0,
-            skip_next=skip_next,
+            skip_next=skip_next, skip_fl=skip_fl,
         )
         m.feed([int(x) for x in batch["__mask"]])
         seen = seen0 + len(batch)
@@ -880,6 +976,7 @@ def _match_recognize_stream_nav(
     within_dur=None,
     preferment: bool = False,
     skip_next: bool = False,
+    skip_fl: tuple | None = None,
 ) -> DataFrame:
     """Symbol-relative streaming twin (see match_recognize_stream's
     docstring): the carry persists the in-flight attempt's ROWS (nav
@@ -903,7 +1000,7 @@ def _match_recognize_stream_nav(
         scan_rows_in_automaton_nd,
     )
 
-    skip = ("next",) if skip_next else _SKIP_PAST
+    skip = skip_fl or (("next",) if skip_next else _SKIP_PAST)
 
     compiled: dict[str, object] = {}
     used_cols: set[str] = set()

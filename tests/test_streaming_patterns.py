@@ -872,8 +872,128 @@ def test_match_recognize_stream_skip_to_next_row(spark, tmp_path):
             row.user_id, (0, 0)
         ), row.user_id
 
-    with pytest.raises(ValueError, match="TO FIRST/LAST"):
+    # TO FIRST/LAST became supported later in r12 (see
+    # test_stream_skip_to_first_last_sym); a malformed mode still raises
+    with pytest.raises(ValueError, match="unsupported streaming"):
         match_recognize_stream(
             raw, "user_id", "event_id", "event_id", "V C* P", dict(define),
-            after_match="TO FIRST V",
+            after_match="SKIP EVERYTHING",
+        )
+
+
+def test_stream_skip_to_first_last_sym(spark, tmp_path):
+    """Late r12: AFTER MATCH SKIP TO FIRST/LAST <sym> on streams — the
+    bitmask matcher tracks per-thread assignment chains in this mode so
+    the committed match's codes drive the same _skip_resume (including
+    its SQL:2016 runtime errors) as the batch scanner. Chunk-fed
+    matcher-level differential + e2e micro-batch run vs the batch
+    operator."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from blazingsql_spark.operators.match_recognize import (
+        find_match_spans_nd,
+        match_recognize,
+    )
+    from blazingsql_spark.streaming.patterns import (
+        StreamMatcherND,
+        match_recognize_stream,
+    )
+
+    rnd = random.Random(11)
+    bits = {c: 1 << i for i, c in enumerate("abc")}
+    for pat, skip in [("ab+c", ("last", "b")), ("ab+c", ("first", "b")),
+                      ("a+bc?", ("last", "a"))]:
+        nfa = compile_pattern(pat)
+        for _ in range(60):
+            s = "".join(rnd.choice("abc") for _ in range(rnd.randint(0, 25)))
+            try:
+                ref = find_match_spans_nd(
+                    nfa, lambda j, ch, _s=s: _s[j] == ch, len(s), skip=skip
+                )
+                want = (
+                    len(ref),
+                    max((hi - lo for lo, hi, _ in ref), default=0),
+                )
+                err = False
+            except ValueError:
+                err = True
+            m = StreamMatcherND(nfa, bits, skip_fl=skip)
+            masks = [bits[c] for c in s]
+            try:
+                i = 0
+                while i < len(s):
+                    k = rnd.randint(1, 6)
+                    m.feed(masks[i : i + k])
+                    i += k
+                got = m.snapshot()
+                assert not err, (pat, skip, s, "batch raised, stream not")
+                assert got == want, (pat, skip, s, got, want)
+            except ValueError:
+                assert err, (pat, skip, s, "stream raised, batch not")
+
+    # e2e: V C+ P with TO FIRST C — resume at the first click (always
+    # strictly inside the match, so the runtime errors never fire here)
+    rng = random.Random(123)
+    rows = []
+    for u in range(1, 7):
+        for i in range(rng.randint(6, 24)):
+            rows.append(
+                (u, i, rng.choice(["view", "click", "click", "purchase"]))
+            )
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "event_type"])
+    src = tmp_path / "src_skipfl"
+    src.mkdir()
+    half = len(pdf) // 2
+    for i in range(2):
+        f = src / f"b{i}.json"
+        pdf.iloc[i * half : (i + 1) * half if i < 1 else len(pdf)].to_json(
+            f, orient="records", lines=True
+        )
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    define = {"V": "event_type = 'view'", "C": "event_type = 'click'",
+              "P": "event_type = 'purchase'"}
+    out = match_recognize_stream(
+        raw, "user_id", "event_id", "event_id", "V C+ P", dict(define),
+        after_match="TO FIRST C",
+    )
+    q = (out.writeStream.format("memory").queryName("t_skipfl")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = (
+        spark.sql("SELECT * FROM t_skipfl").toPandas()
+        .sort_values("n_codes").groupby("user_id").last().reset_index()
+    )
+    per_match = match_recognize(
+        spark.createDataFrame(pdf), ["user_id"], ["event_id"],
+        [("COUNT(*)", "len")], "V C+ P", dict(define),
+        after_match="TO FIRST C",
+    )
+    want = {
+        r.user_id: (r.n, r.longest)
+        for r in per_match.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("len").alias("longest"))
+        .collect()
+    }
+    assert want, "fixture produced no matches - weak test"
+    for _, row in last.iterrows():
+        assert (row.n_matches, row.longest_match) == want.get(
+            row.user_id, (0, 0)
+        ), row.user_id
+
+    with pytest.raises(ValueError, match="unknown symbol"):
+        match_recognize_stream(
+            raw, "user_id", "event_id", "event_id", "V C+ P", dict(define),
+            after_match="TO FIRST Z",
         )
