@@ -565,73 +565,37 @@ class StreamMatcherND:
     def _scan_fl(
         self, masks: list[int], n: int, longest: int, final: bool
     ) -> tuple[int, int, list[int]]:
-        """The TO FIRST/LAST variant of _scan: identical preferment
-        threading, but each thread carries its (char, parent) assignment
-        chain so the committed match's codes can drive _skip_resume —
-        including its SQL:2016 runtime errors. Carry contract unchanged:
-        the resume position is strictly inside the match (the
+        """The TO FIRST/LAST variant of _scan: delegates to the batch
+        per-thread scanner (scan_rows_in_automaton_nd), which already
+        implements identical preferment threading, the (char, parent)
+        assignment chains _skip_resume needs — including its SQL:2016
+        runtime errors — and the final=False/carry_start streaming
+        contract. read_chars=frozenset() collapses its dedup to
+        state-dedup (mask truth is history-independent), and the thread
+        cap is lifted to the state count so large bounded-quantifier
+        NFAs can never trip it here. Carry contract unchanged: the
+        resume position is strictly inside the match (the
         first-row-resume error guarantees > pos), so committed matches
         always start before the in-flight position."""
-        from blazingsql_spark.operators.match_recognize import _skip_resume
+        from blazingsql_spark.operators.match_recognize import (
+            scan_rows_in_automaton_nd,
+        )
 
-        nfa, bits = self.nfa, self.sym_bits
-        pos, size = 0, len(masks)
-        while pos < size:
-            threads: list[tuple[int, tuple | None]] = [
-                (st, None) for st in self._start
-            ]
-            best_end, best_node = -1, None
-            j = pos
-            while j < size and threads:
-                mask = masks[j]
-                new_threads: list[tuple[int, tuple | None]] = []
-                seen: set[int] = set()
-                for st, node in threads:
-                    per_want: dict = {}
-                    for want, to in nfa.trans.get(st, ()):
-                        if want is not None and not (
-                            mask & bits.get(want, 0)
-                        ):
-                            continue
-                        nnode = per_want.get(want)
-                        if nnode is None:
-                            nnode = per_want[want] = (
-                                want if want is not None else ".", node
-                            )
-                        for c in self._closure_of(to):
-                            if c not in seen:
-                                seen.add(c)
-                                new_threads.append((c, nnode))
-                threads = new_threads
-                if not threads:
-                    break
-                j += 1
-                for idx, (st, node) in enumerate(threads):
-                    if st == nfa.accept:
-                        best_end, best_node = j, node
-                        del threads[idx + 1:]
-                        break
-            if (
-                j == size
-                and threads
-                and not final
-                and any(nfa.trans[st] for st, _nd in threads)
-            ):
-                return n, longest, masks[pos:]
-            if best_end > pos:
-                n += 1
-                longest = max(longest, best_end - pos)
-                chars: list[str] = []
-                node = best_node
-                while node is not None:
-                    chars.append(node[0])
-                    node = node[1]
-                pos = _skip_resume(
-                    self.skip_fl, pos, best_end, "".join(reversed(chars))
-                )
-            else:
-                pos += 1
-        return n, longest, []
+        bits = self.sym_bits
+        spans, carry_start = scan_rows_in_automaton_nd(
+            self.nfa,
+            lambda j, pos, ch, tent: bool(masks[j] & bits.get(ch, 0)),
+            len(masks),
+            final=final,
+            skip=self.skip_fl,
+            read_chars=frozenset(),
+            max_threads=max(256, 4 * len(self.nfa.eps)),
+        )
+        for lo, hi, _codes in spans:
+            n += 1
+            longest = max(longest, hi - lo)
+        carry = masks[carry_start:] if carry_start is not None else []
+        return n, longest, carry
 
 
 # ---------------------------------------------------------------------------

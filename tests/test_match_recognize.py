@@ -2824,6 +2824,15 @@ def test_in_automaton_nd_hypothesis_vs_backtracking(pat, size, bits):
                 pos += 1
         return spans
 
-    got, carry = scan_rows_in_automaton_nd(nfa, truth, size)
+    try:
+        got, carry = scan_rows_in_automaton_nd(nfa, truth, size)
+    except ValueError as e:
+        # genuinely exponential draws ((a|b)+c with a and b true and c
+        # false everywhere) hit the documented 256-history cap, which
+        # the capless brute reference cannot mirror — not a finding
+        from hypothesis import assume
+
+        assert "assignment histories" in str(e), e
+        assume(False)
     assert carry is None
     assert got == brute(), (pat, size, bits)

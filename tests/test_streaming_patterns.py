@@ -907,11 +907,21 @@ def test_stream_skip_to_first_last_sym(spark, tmp_path):
     for pat, skip in [("ab+c", ("last", "b")), ("ab+c", ("first", "b")),
                       ("a+bc?", ("last", "a"))]:
         nfa = compile_pattern(pat)
-        for _ in range(60):
-            s = "".join(rnd.choice("abc") for _ in range(rnd.randint(0, 25)))
+        for trial in range(120):
+            size = rnd.randint(0, 25)
+            if trial % 2:
+                # AMBIGUOUS multi-bit masks: a row may satisfy several
+                # symbols — this is what exercises the per-thread
+                # assignment chains the fl mode needs (one-hot masks
+                # make the committed codes trivial)
+                masks = [rnd.randint(1, 7) for _ in range(size)]
+            else:
+                masks = [bits[rnd.choice("abc")] for _ in range(size)]
             try:
                 ref = find_match_spans_nd(
-                    nfa, lambda j, ch, _s=s: _s[j] == ch, len(s), skip=skip
+                    nfa,
+                    lambda j, ch, _m=masks: bool(_m[j] & bits[ch]),
+                    size, skip=skip,
                 )
                 want = (
                     len(ref),
@@ -921,18 +931,17 @@ def test_stream_skip_to_first_last_sym(spark, tmp_path):
             except ValueError:
                 err = True
             m = StreamMatcherND(nfa, bits, skip_fl=skip)
-            masks = [bits[c] for c in s]
             try:
                 i = 0
-                while i < len(s):
+                while i < size:
                     k = rnd.randint(1, 6)
                     m.feed(masks[i : i + k])
                     i += k
                 got = m.snapshot()
-                assert not err, (pat, skip, s, "batch raised, stream not")
-                assert got == want, (pat, skip, s, got, want)
+                assert not err, (pat, skip, masks, "batch raised, stream not")
+                assert got == want, (pat, skip, masks, got, want)
             except ValueError:
-                assert err, (pat, skip, s, "stream raised, batch not")
+                assert err, (pat, skip, masks, "stream raised, batch not")
 
     # e2e: V C+ P with TO FIRST C — resume at the first click (always
     # strictly inside the match, so the runtime errors never fire here)
