@@ -337,7 +337,8 @@ def find_match_spans_nd(
 _MEASURE_FORMS = re.compile(
     r"^(?:(?P<mn>MATCH_NUMBER\(\))"
     r"|(?P<clf>CLASSIFIER\(\))"
-    r"|COUNT\(\s*(?:\*|(?P<csym>\w+)\.\*)\s*\)"
+    r"|COUNT\(\s*(?:\*|(?P<csym>\w+)\.\*"
+    r"|(?:(?P<ccsym>\w+)\.)?(?P<cccol>\w+))\s*\)"
     r"|(?P<agg>SUM|AVG|MIN|MAX)\(\s*(?:(?P<gsym>\w+)\.)?(?P<gcol>\w+)\s*\)"
     r"|(?P<pn>PREV|NEXT)\(\s*"
     r"(?:(?P<pnfl>FIRST|LAST)\(\s*(?:(?P<pnflsym>\w+)\.)?(?P<pnflcol>\w+)"
@@ -408,6 +409,7 @@ def _parse_measure(
         raise ValueError(
             f"MATCH_RECOGNIZE: unsupported measure {expr!r} (supported: "
             f"MATCH_NUMBER(), CLASSIFIER(), COUNT(*), COUNT(S.*), "
+            f"COUNT([S.]col), "
             f"FIRST/LAST(col [, n]), FIRST/LAST(S.col [, n]), "
             f"PREV/NEXT(col [, n]), PREV/NEXT(S.col [, n]), "
             f"PREV/NEXT(FIRST/LAST([S.]col [, m]) [, n]), "
@@ -519,6 +521,36 @@ def _compile_single(expr: str, sym_chars: dict[str, str], part_ctx=None):
         return mk(ev_agg, ty_agg, run_ev=run_agg)
     if m.group("csym") is not None or expr.strip().upper().startswith("COUNT"):
         sym = m.group("csym")
+        if m.group("cccol") is not None:
+            # SQL:2016 COUNT(col) / COUNT(S.col): NON-NULL count of the
+            # column over the match's (or symbol's) rows — the SQL
+            # aggregate semantics, unlike COUNT(*)'s row count
+            csym2, ccol = m.group("ccsym"), m.group("cccol")
+            if csym2 is not None and csym2 not in sym_chars:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: COUNT over unknown symbol {csym2!r}"
+                )
+            cch = sym_chars.get(csym2) if csym2 else None
+
+            def ev_ccol(pdf, codes, n, _ch=cch, _col=ccol):
+                rows = (
+                    pdf if _ch is None else pdf[[c in _ch for c in codes]]
+                )
+                return int(rows[_col].count())
+
+            def run_ccol(pdf, codes, n, _ch=cch, _col=ccol):
+                import pandas as pd
+
+                out, c = [], 0
+                for i, v in enumerate(pdf[_col]):
+                    if (_ch is None or codes[i] in _ch) and not pd.isna(v):
+                        c += 1
+                    out.append(c)
+                return out
+
+            return mk(
+                ev_ccol, lambda sch: T.LongType(), run_ev=run_ccol
+            )
         if sym is None:
             return mk(
                 lambda pdf, codes, n: len(pdf),

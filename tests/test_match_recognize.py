@@ -2836,3 +2836,35 @@ def test_in_automaton_nd_hypothesis_vs_backtracking(pat, size, bits):
         assume(False)
     assert carry is None
     assert got == brute(), (pat, size, bits)
+
+
+def test_count_column_measures(spark):
+    """Late r12: SQL:2016 COUNT(col) / COUNT(S.col) in MEASURES — the
+    NON-NULL count (SQL aggregate semantics), vs COUNT(*)'s row count;
+    composes with measure arithmetic and follows RUNNING semantics
+    under ALL ROWS."""
+    df = spark.createDataFrame(
+        [(1, 0, None, "b"), (1, 1, 2.0, "c"), (1, 2, None, "c"),
+         (1, 3, 4.0, "c")],
+        ["uid", "seq", "v", "et"],
+    )
+    out = match_recognize(
+        df, ["uid"], ["seq"],
+        [("COUNT(*)", "n_rows"), ("COUNT(v)", "n_v"),
+         ("COUNT(C.v)", "n_cv"), ("COUNT(B.v)", "n_bv"),
+         ("COUNT(v) * 10", "arith")],
+        "B C+", {"B": "et = 'b'", "C": "et = 'c'"},
+    ).collect()
+    assert [tuple(r)[1:] for r in out] == [(4, 2, 2, 0, 20)]
+
+    run = match_recognize(
+        df, ["uid"], ["seq"], [("COUNT(v)", "rn_v")],
+        "B C+", {"B": "et = 'b'", "C": "et = 'c'"}, all_rows=True,
+    ).select("seq", "rn_v").collect()
+    assert [tuple(r) for r in run] == [(0, 0), (1, 1), (2, 1), (3, 2)]
+
+    with pytest.raises(Exception, match="unknown symbol"):
+        match_recognize(
+            df, ["uid"], ["seq"], [("COUNT(Z.v)", "x")],
+            "B C+", {"B": "et = 'b'", "C": "et = 'c'"},
+        ).collect()
