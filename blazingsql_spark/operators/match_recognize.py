@@ -339,7 +339,8 @@ _MEASURE_FORMS = re.compile(
     r"|(?P<clf>CLASSIFIER\(\))"
     r"|COUNT\(\s*(?:\*|(?P<csym>\w+)\.\*"
     r"|(?:(?P<ccsym>\w+)\.)?(?P<cccol>\w+))\s*\)"
-    r"|(?P<agg>SUM|AVG|MIN|MAX)\(\s*(?:(?P<gsym>\w+)\.)?(?P<gcol>\w+)\s*\)"
+    r"|(?P<agg>SUM|AVG|MIN|MAX|STDDEV_SAMP|STDDEV_POP|STDDEV"
+    r"|VAR_SAMP|VAR_POP|VARIANCE)\(\s*(?:(?P<gsym>\w+)\.)?(?P<gcol>\w+)\s*\)"
     r"|(?P<pn>PREV|NEXT)\(\s*"
     r"(?:(?P<pnfl>FIRST|LAST)\(\s*(?:(?P<pnflsym>\w+)\.)?(?P<pnflcol>\w+)"
     r"(?:\s*,\s*(?P<pnfloff>\d+))?\s*\)"
@@ -413,7 +414,7 @@ def _parse_measure(
             f"FIRST/LAST(col [, n]), FIRST/LAST(S.col [, n]), "
             f"PREV/NEXT(col [, n]), PREV/NEXT(S.col [, n]), "
             f"PREV/NEXT(FIRST/LAST([S.]col [, m]) [, n]), "
-            f"SUM/AVG/MIN/MAX(col), "
+            f"SUM/AVG/MIN/MAX/STDDEV[_SAMP|_POP]/VARIANCE/VAR_SAMP/VAR_POP(col), "
             f"SUM/AVG/MIN/MAX(S.col), and numeric + - * / % arithmetic "
             f"over those forms and literals)"
         )
@@ -468,9 +469,34 @@ def _compile_single(expr: str, sym_chars: dict[str, str], part_ctx=None):
             raise ValueError(f"MATCH_RECOGNIZE: {agg} over unknown symbol {sym!r}")
         ch = sym_chars.get(sym) if sym else None
 
+        sample = agg in ("STDDEV", "STDDEV_SAMP", "VARIANCE", "VAR_SAMP")
+        want_std = agg.startswith("STDDEV")
+        is_var = agg.startswith(("STDDEV", "VAR"))
+
+        def _welford(vals, _sample=sample, _std=want_std):
+            # sequential Welford — the cumulative RUNNING evaluator
+            # accumulates with the identical recurrence, so per-prefix
+            # and cumulative evaluation stay bit-identical (the repo's
+            # measure discipline); sample variance needs >= 2 rows
+            import math
+
+            cnt, mean, m2 = 0, 0.0, 0.0
+            for v in vals:
+                v = float(v)
+                cnt += 1
+                d = v - mean
+                mean += d / cnt
+                m2 += d * (v - mean)
+            if cnt < (2 if _sample else 1):
+                return None
+            var = m2 / (cnt - 1) if _sample else m2 / cnt
+            return math.sqrt(var) if _std else var
+
         def ev_agg(pdf, codes, n, _ch=ch, _col=col, _agg=agg):
             rows = pdf if _ch is None else pdf[[c in _ch for c in codes]]
             vals = rows[_col].dropna()
+            if is_var:
+                return _welford(vals)
             if len(vals) == 0:
                 return None
             if _agg in ("SUM", "AVG"):
@@ -485,8 +511,28 @@ def _compile_single(expr: str, sym_chars: dict[str, str], part_ctx=None):
             return vals.min() if _agg == "MIN" else vals.max()
 
         def run_agg(pdf, codes, n, _ch=ch, _col=col, _agg=agg):
+            import math
+
             import pandas as pd
 
+            if is_var:
+                # running Welford: identical recurrence to _welford, so
+                # the final prefix equals the whole-match value bit-wise
+                out, cnt, mean, m2 = [], 0, 0.0, 0.0
+                min_cnt = 2 if sample else 1
+                for i, v in enumerate(pdf[_col]):
+                    if (_ch is None or codes[i] in _ch) and not pd.isna(v):
+                        v = float(v)
+                        cnt += 1
+                        d = v - mean
+                        mean += d / cnt
+                        m2 += d * (v - mean)
+                    if cnt < min_cnt:
+                        out.append(None)
+                    else:
+                        var = m2 / (cnt - 1) if sample else m2 / cnt
+                        out.append(math.sqrt(var) if want_std else var)
+                return out
             out, total, cnt = [], None, 0
             for i, v in enumerate(pdf[_col]):
                 if (_ch is None or codes[i] in _ch) and not pd.isna(v):
@@ -507,7 +553,7 @@ def _compile_single(expr: str, sym_chars: dict[str, str], part_ctx=None):
 
         def ty_agg(sch, _col=col, _agg=agg):
             dt = sch[_col].dataType
-            if _agg == "AVG":
+            if _agg == "AVG" or is_var:
                 return T.DoubleType()
             if _agg == "SUM":
                 # Spark's sum widening for the common cases; decimals
@@ -717,7 +763,8 @@ _MEXPR_ATOM = re.compile(
     # PREV/NEXT first (allows ONE nested FIRST/LAST inside)
     r"|(?:PREV|NEXT)\s*\(\s*(?:(?:FIRST|LAST)\s*\(\s*[^()]*\s*\)"
     r"(?:\s*,\s*\d+)?|[^()]*)\s*\)"
-    r"|(?:COUNT|SUM|AVG|MIN|MAX|FIRST|LAST)\s*\(\s*[^()]*\s*\)",
+    r"|(?:COUNT|SUM|AVG|MIN|MAX|FIRST|LAST|STDDEV_SAMP|STDDEV_POP"
+    r"|STDDEV|VAR_SAMP|VAR_POP|VARIANCE)\s*\(\s*[^()]*\s*\)",
     re.IGNORECASE,
 )
 _MEXPR_NUM = re.compile(r"\d+(?:\.\d+)?")

@@ -2868,3 +2868,53 @@ def test_count_column_measures(spark):
             df, ["uid"], ["seq"], [("COUNT(Z.v)", "x")],
             "B C+", {"B": "et = 'b'", "C": "et = 'c'"},
         ).collect()
+
+
+def test_stddev_variance_measures(spark):
+    """Late r12: STDDEV/STDDEV_SAMP/STDDEV_POP/VARIANCE/VAR_SAMP/VAR_POP
+    in MEASURES — sequential Welford so the cumulative RUNNING evaluator
+    and whole-match evaluation share the identical recurrence; sample
+    forms are NULL below 2 non-null rows; composes with arithmetic and
+    symbol restriction; DuckDB cross-check on the same values."""
+    import statistics
+
+    import duckdb
+
+    vals = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
+    df = spark.createDataFrame(
+        [(1, i, v, "a") for i, v in enumerate(vals)],
+        ["uid", "seq", "v", "et"],
+    )
+    out = match_recognize(
+        df, ["uid"], ["seq"],
+        [("STDDEV(v)", "sd"), ("VAR_POP(v)", "vp"),
+         ("VARIANCE(A.v)", "vs"), ("STDDEV_POP(v)", "sp"),
+         ("STDDEV(v) * 2", "arith")],
+        "A+", {"A": "v IS NOT NULL"},
+    ).collect()
+    r = out[0]
+    want = duckdb.sql(
+        "SELECT stddev_samp(x) sd, var_pop(x) vp, var_samp(x) vs, "
+        "stddev_pop(x) sp FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        params=[vals],
+    ).fetchone()
+    assert abs(r.sd - want[0]) < 1e-9
+    assert abs(r.vp - want[1]) < 1e-9
+    assert abs(r.vs - want[2]) < 1e-9
+    assert abs(r.sp - want[3]) < 1e-9
+    assert abs(r.arith - 2 * want[0]) < 1e-9
+
+    run = match_recognize(
+        df, ["uid"], ["seq"],
+        [("STDDEV(v)", "rsd"), ("VAR_POP(v)", "rvp")],
+        "A+", {"A": "v IS NOT NULL"}, all_rows=True,
+    ).select("seq", "rsd", "rvp").collect()
+    assert run[0].rsd is None  # sample stddev of one row
+    assert abs(run[0].rvp - 0.0) < 1e-12  # population variance of one row
+    assert abs(run[-1].rsd - statistics.stdev(vals)) < 1e-12
+    # every prefix equals the per-prefix reference (statistics module)
+    for i, row in enumerate(run):
+        prefix = vals[: i + 1]
+        if len(prefix) >= 2:
+            assert abs(row.rsd - statistics.stdev(prefix)) < 1e-9, i
+        assert abs(row.rvp - statistics.pvariance(prefix)) < 1e-9, i
