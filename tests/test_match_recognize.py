@@ -127,7 +127,7 @@ def test_match_recognize_undefined_symbols_and_errors(spark):
     assert [r.n for r in out.collect()] == [2]
     with pytest.raises(ValueError, match="unsupported measure"):
         match_recognize(
-            df, ["user_id"], ["ts"], [("STDDEV(ts)", "s")], "V", {"V": "true"}
+            df, ["user_id"], ["ts"], [("MEDIAN(ts)", "s")], "V", {"V": "true"}
         )
     with pytest.raises(ValueError, match="unknown symbol"):
         match_recognize(
