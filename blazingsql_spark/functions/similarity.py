@@ -50,6 +50,22 @@ def cosine(a: Column, b: Column) -> Column:
     )[0]
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with both sides' L2 norms precomputed (``na``/``nb``
+    must be :func:`l2_norm` of ``a``/``b``). Bit-identical to ``cosine(a,
+    b)`` — the norm product is the same ``l2_norm(a) * l2_norm(b)``
+    multiply on the same fold results — but lets pairwise scorers hoist
+    the two O(d) norm folds out of the pair stage: computed once per ROW
+    before the join instead of once per PAIR after it, the per-pair work
+    drops from three array folds to one (r12, guide §2.3 "shuffle fewer
+    bytes / project before the exchange" applied to compute: with Q
+    queries the norm folds were ~2/3 of the O(N·Q) scoring stage)."""
+    return F.transform(
+        F.array(na * nb),
+        lambda d: F.when(d != 0.0, dot(a, b) / d),
+    )[0]
+
+
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize an array<numeric> column in float64 — the standard
     embedding pre-step so cosine becomes a plain dot product downstream.
@@ -87,12 +103,22 @@ def cosine_topk(
     corpus_rows×n_queries scored pairs (bounded by AQE-coalesced partitions).
     """
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    scored = vectors.crossJoin(F.broadcast(q)).select(
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__vn")
+    )
+    scored = v.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+            ),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
@@ -214,15 +240,25 @@ def knn_classify(
     the smaller label. Same broadcast-scored shape as cosine_topk plus a
     per-query vote aggregate (max_by over (votes, -label) — partial-agg,
     no second sort)."""
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
     scored = (
-        vectors.crossJoin(F.broadcast(q))
+        vectors.withColumn("__vn", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             F.col(query_id_col),
             F.col(id_col),
             F.col(label_col),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
@@ -395,9 +431,16 @@ def ann_lsh_topk(
     recall; see lsh_band_signatures. A pair matching in several bands is
     deduplicated before ranking.
     """
-    v_sig = lsh_band_signatures(vectors, vec_col, dim, bands, bits_per_band)
+    v_sig = lsh_band_signatures(
+        vectors.withColumn("__vn", l2_norm(F.col(vec_col))),
+        vec_col, dim, bands, bits_per_band,
+    )
     q_sig = lsh_band_signatures(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        ),
         "__qvec",
         dim,
         bands,
@@ -408,7 +451,12 @@ def ann_lsh_topk(
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .distinct()  # OR across bands: same pair can match in several
     )
@@ -435,8 +483,11 @@ def embedding_near_dup_pairs(
     agreement p ~ 0.9) the banded collision probability stays high while
     per-band buckets hold ~N/2^bits_per_band vectors — the quadratic
     self-join term shrinks by (2^bits / bands) vs one coarse band."""
-    sig = lsh_band_signatures(vectors, vec_col, dim, bands, bits_per_band).select(
-        F.col(id_col), F.col(vec_col), F.col("band"), F.col("band_sig")
+    sig = lsh_band_signatures(
+        vectors.withColumn("__n", l2_norm(F.col(vec_col))),
+        vec_col, dim, bands, bits_per_band,
+    ).select(
+        F.col(id_col), F.col(vec_col), F.col("__n"), F.col("band"), F.col("band_sig")
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -449,7 +500,13 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                    F.col("a.__n"), F.col("b.__n"),
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .distinct()  # OR across bands
         .filter(F.col("cosine_sim") >= threshold)
@@ -531,6 +588,7 @@ def assign_to_centroids(
                 F.struct(
                     F.col("centroid_id").cast("long").alias("centroid_id"),
                     F.col("centroid"),
+                    l2_norm(F.col("centroid")).alias("cnorm"),
                 )
             )
         ).alias("__cents")
@@ -538,7 +596,9 @@ def assign_to_centroids(
     scored = F.transform(
         F.col("__cents"),
         lambda c: F.struct(
-            cosine(F.col(vec_col), c["centroid"]).alias("sim"),
+            cosine_with_norms(
+                F.col(vec_col), c["centroid"], F.col("__vn"), c["cnorm"]
+            ).alias("sim"),
             c["centroid_id"].alias("cid"),
         ),
     )
@@ -547,8 +607,10 @@ def assign_to_centroids(
         F.struct(F.lit(-2.0).alias("sim"), F.lit(None).cast("long").alias("cid")),
         lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
     )
-    return vectors.crossJoin(F.broadcast(cent_tbl)).select(
-        F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id")
+    return (
+        vectors.withColumn("__vn", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cent_tbl))
+        .select(F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id"))
     )
 
 
@@ -596,24 +658,41 @@ def ivf_topk(
         cents = ivf_train_centroids(vectors, k=n_centroids, dim=dim)
         lists = assign_to_centroids(vectors, cents, id_col, vec_col)
 
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
     q_scored = q.crossJoin(F.broadcast(cents)).select(
         query_id_col,
         "__qvec",
+        "__qn",
         "centroid_id",
-        cosine(F.col("__qvec"), F.col("centroid")).alias("sim"),
+        cosine_with_norms(
+            F.col("__qvec"), F.col("centroid"), F.col("__qn"),
+            l2_norm(F.col("centroid")),
+        ).alias("sim"),
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
     probes = (
         q_scored.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= n_probe)
-        .select(query_id_col, "__qvec", "centroid_id")
+        .select(query_id_col, "__qvec", "__qn", "centroid_id")
     )
 
-    cands = lists.join(F.broadcast(probes), "centroid_id").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    cands = (
+        lists.withColumn("__vn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "centroid_id")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (
@@ -802,7 +881,11 @@ def ann_lsh_topk_multiprobe(
         else lsh_band_signatures(vectors, vec_col, dim, bands, bits_per_band)
     )
     q_sig = lsh_band_signatures(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        ),
         "__qvec",
         dim,
         bands,
@@ -812,6 +895,7 @@ def ann_lsh_topk_multiprobe(
     probes = q_sig.select(
         query_id_col,
         "__qvec",
+        "__qn",
         "band",
         F.explode(
             F.array(
@@ -824,11 +908,17 @@ def ann_lsh_topk_multiprobe(
         ).alias("band_sig"),
     )
     cands = (
-        v_sig.join(F.broadcast(probes), ["band", "band_sig"])
+        v_sig.withColumn("__vn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(probes), ["band", "band_sig"])
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .distinct()
     )
@@ -1122,14 +1212,28 @@ def pq_topk_reranked(
         encoded, codebooks, queries, k=pool, m=m, ksub=ksub, dim=dim,
         id_col=id_col, query_id_col=query_id_col,
     ).select(query_id_col, id_col)
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
     scored = (
-        cand.join(vectors.select(F.col(id_col), F.col(vec_col)), id_col)
+        cand.join(
+            vectors.select(
+                F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__vn")
+            ),
+            id_col,
+        )
         .join(F.broadcast(q), query_id_col)
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
@@ -1336,12 +1440,22 @@ def ivfpq_topk(
         .select(query_id_col, id_col)
     )
     scored = (
-        cand_pool.join(vectors.select(F.col(id_col), F.col(vec_col)), id_col)
-        .join(F.broadcast(q), query_id_col)
+        cand_pool.join(
+            vectors.select(
+                F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__vn")
+            ),
+            id_col,
+        )
+        .join(F.broadcast(q.withColumn("__qn", l2_norm(F.col("__qvec")))), query_id_col)
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     wr = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
@@ -2085,8 +2199,16 @@ def mmr_rerank(
     kk = int(k)
 
     ids = pool.select(query_id_col, id_col, rel_col)
-    va = vectors.select(F.col(id_col).alias("__a"), F.col(vec_col).alias("__va"))
-    vb = vectors.select(F.col(id_col).alias("__b"), F.col(vec_col).alias("__vb"))
+    va = vectors.select(
+        F.col(id_col).alias("__a"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("__b"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
     pairs = (
         ids.select(query_id_col, F.col(id_col).alias("__a"), F.col(rel_col).alias("__rel"))
         .join(
@@ -2100,7 +2222,12 @@ def mmr_rerank(
             "__a",
             "__b",
             "__rel",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("__sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("__sim"),
         )
     )
 
@@ -2229,12 +2356,26 @@ def ivf_pca_topk(
     probes = (
         q_scored.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= n_probe)
-        .select(query_id_col, "__qvec", "centroid_id")
+        .select(
+            query_id_col,
+            "__qvec",
+            l2_norm(F.col("__qvec")).alias("__qn"),
+            "centroid_id",
+        )
     )
-    cands = lists.join(F.broadcast(probes), "centroid_id").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    cands = (
+        lists.withColumn("__vn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "centroid_id")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (

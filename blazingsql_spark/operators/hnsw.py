@@ -383,8 +383,9 @@ def hnsw_ivf_topk(
     from blazingsql_spark.functions.similarity import (
         assign_to_centroids,
         auto_n_probe,
-        cosine,
+        cosine_with_norms,
         ivf_train_centroids,
+        l2_norm,
     )
     from pyspark.sql.window import Window
 
@@ -404,14 +405,24 @@ def hnsw_ivf_topk(
     # probes is vector-free; join the query vectors back from the queries
     # frame so each vector is broadcast once per query, not once per probe
     # row (n_probe× smaller broadcast than carrying it through the explode)
-    qvecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    qvecs = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
     cands = (
-        lists.join(F.broadcast(probes), "centroid_id")
+        lists.withColumn("__vn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "centroid_id")
         .join(F.broadcast(qvecs), query_id_col)
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
