@@ -131,32 +131,42 @@ def winnowing_fingerprints(
     fingerprints.
 
     The k-gram hash is md5 (engine-portable, differential-testable); the
-    sliding minimum is a ROWS window over gram position — all JVM-side.
+    sliding minimum is computed INSIDE the per-doc hash array
+    (array_min over a slice per window position) — r12: the previous
+    ROWS-window spelling shuffled + sorted the whole gram stream by doc
+    just to see neighbors that already sit adjacent in the array (guide
+    §2.4); this is shuffle-free until the final distinct. Identical
+    fingerprint sets: F.min over md5 strings is the same lexicographic
+    minimum as array_min, and the trailing windows (fewer than `window`
+    grams) take the minimum of what remains, exactly as ROWS BETWEEN 0
+    AND window-1 did at the partition tail.
     """
-    from pyspark.sql.window import Window
-
     t = F.col(text_col)
     n_grams = F.length(t) - (k - 1)
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(
-            # guard: Spark sequence(1, 0) counts DOWN — short docs get no grams
-            F.when(
-                n_grams >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), n_grams),
-                    lambda i: F.md5(F.substring(t, i, k)),  # substring is O(1) per pos
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "gram_hash"),
-    )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(0, window - 1)
-    )
+    hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substring(t, i, k)),  # substring is O(1) per pos
+        ),
+        # guard: Spark sequence(1, 0) counts DOWN — short docs get no grams
+    ).otherwise(F.array().cast("array<string>"))
+    # materialize the hash array ONCE per row before the sliding pass —
+    # referencing the md5-array expression inside the per-window lambda
+    # would re-evaluate it per position (O(n²) hashing per doc)
+    base = df.select(F.col(id_col), hashes.alias("__gh"))
     return (
-        grams.select(F.col(id_col), F.min("gram_hash").over(w).alias("fingerprint"))
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.col("__gh"),
+                    lambda _h, i: F.array_min(
+                        F.slice(F.col("__gh"), i + F.lit(1), F.lit(window))
+                    ),
+                )
+            ).alias("fingerprint"),
+        )
         .distinct()
     )
 
@@ -1232,22 +1242,50 @@ def kn_bigram_negative_logprob(
     broadcast is the 1-row (B, V) scalar frame — text_bm25's accepted
     corpus-stats pattern. Output: (doc_id, n_bigrams, avg_neg_logprob
     FLOOR-gridded to 4dp) for every document with ≥1 bigram; the grid
-    absorbs summation-order ulps so the row is oracle-comparable."""
-    from pyspark.sql.window import Window
+    absorbs summation-order ulps so the row is oracle-comparable.
 
-    toks = df.select(
+    r12: the bigram stream is built from the token ARRAY with
+    transform(sequence(...)) — adjacency inside a document is an array
+    property, not a distributed one, so the per-doc lead-window (one
+    full Exchange + Sort of the token stream before any counting) was
+    pure overhead (guide §2.4 "remove shuffles outright"); same
+    construction as docs_ngram_novelty. Identical bigram multiset per
+    document."""
+    base = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')")
-        ).alias("pos", "w1"),
+        F.expr(
+            f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')"
+        ).alias("__ws"),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = base.select(F.col(id_col), F.explode("__ws").alias("w1"))
     big = (
-        toks.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select(id_col, "w1", "w2")
+        base.filter(F.size("__ws") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__ws"), i).alias("w1"),
+                        F.element_at(F.col("__ws"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("__bg"),
+        )
+        .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
     )
-    bc = big.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    # Materialize the (vocab-scale, far smaller than the stream) bigram
+    # count table ONCE: bc feeds pref/cont/stats/the join — left lazy,
+    # every one of those consumers re-derived the whole corpus
+    # scan→tokenize→explode→groupBy chain (the un-checkpointed plan held
+    # 10 parquet scans of `documents`; localCheckpoint is the repo's
+    # intra-query materialization pattern, cf. ivf_train_centroids, and
+    # is rebuilt on every execution — nothing persists across runs).
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     pref = bc.groupBy("w1").agg(
         F.sum("c12").alias("c1dot"), F.count("*").cast("double").alias("n1p_left")
     )
@@ -1300,28 +1338,58 @@ def kn_trigram_negative_logprob(
     the bigram tier — it reserves mass so the formula is engine-exact
     without held-out estimation.
 
-    Shape at 100 TB: the trigram stream is two `lead` columns over one
-    per-document window shuffle; every count table is a groupBy over it
+    Shape at 100 TB: the trigram stream explodes straight off the token
+    array (no shuffle); every count table is a groupBy over it
     and every score component joins back by token-key equi-join; the only
     broadcast is the 1-row (B̂, V) scalar frame. Output: (doc_id,
     n_trigrams, avg_neg_logprob FLOOR-gridded to 4dp) for docs with ≥3
-    tokens."""
-    from pyspark.sql.window import Window
+    tokens.
 
-    toks = df.select(
+    r12: trigrams are built from the token ARRAY with
+    transform(sequence(...)) instead of a per-doc lead-window — drops
+    the Exchange + Sort of the whole token stream that preceded every
+    count (guide §2.4 "remove shuffles outright"); identical trigram
+    multiset per document (same construction as docs_ngram_novelty)."""
+    base = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.expr(f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')")
-        ).alias("pos", "w1"),
+        F.expr(
+            f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')"
+        ).alias("__ws"),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = base.select(F.col(id_col), F.explode("__ws").alias("w1"))
     tri = (
-        toks.withColumn("w2", F.lead("w1", 1).over(w))
-        .withColumn("w3", F.lead("w1", 2).over(w))
-        .filter(F.col("w3").isNotNull())
-        .select(id_col, "w1", "w2", "w3")
+        base.filter(F.size("__ws") >= 3)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__ws") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__ws"), i).alias("w1"),
+                        F.element_at(F.col("__ws"), i + 1).alias("w2"),
+                        F.element_at(F.col("__ws"), i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("__tg"),
+        )
+        .select(
+            id_col,
+            F.col("__tg.w1").alias("w1"),
+            F.col("__tg.w2").alias("w2"),
+            F.col("__tg.w3").alias("w3"),
+        )
     )
-    tc = tri.groupBy("w1", "w2", "w3").agg(F.count("*").cast("double").alias("c123"))
+    # Materialize the (vocab-scale) trigram count table ONCE: tc feeds
+    # pref12/chat/mid/cont3/stats AND the scoring join — left lazy, every
+    # consumer re-derived the corpus scan→tokenize→explode→groupBy chain
+    # (the un-checkpointed plan held SIXTEEN parquet scans of
+    # `documents`). Same intra-query localCheckpoint pattern as
+    # ivf_train_centroids; rebuilt on every execution.
+    tc = (
+        tri.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("double").alias("c123"))
+        .localCheckpoint(eager=True)
+    )
     pref12 = tc.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12dot"), F.count("*").cast("double").alias("n1p_12")
     )

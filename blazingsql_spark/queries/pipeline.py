@@ -3423,7 +3423,7 @@ def text_perplexity_kn(spark, sf_dir):
     shape."""
     from blazingsql_spark.functions.text import kn_bigram_negative_logprob
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return kn_bigram_negative_logprob(docs).orderBy("doc_id")
 
 
@@ -3489,7 +3489,7 @@ def text_perplexity_kn3(spark, sf_dir):
     1-row (B̂, V) scalar frame."""
     from blazingsql_spark.functions.text import kn_trigram_negative_logprob
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return kn_trigram_negative_logprob(docs).orderBy("doc_id")
 
 

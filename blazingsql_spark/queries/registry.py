@@ -94,7 +94,67 @@ def _prepare_session(spark: SparkSession) -> None:
         pass
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# (sf_dir, table) -> effective scan-split count, from the parquet footer.
+# METADATA cache only (two ints per table) — query results are never
+# memoized; every execution recomputes from the parquet inputs.
+_SCAN_SPLITS: dict[tuple[str, str], int] = {}
+
+
+def _effective_scan_splits(spark: SparkSession, path: str, key: tuple[str, str]) -> int:
+    if key not in _SCAN_SPLITS:
+        try:
+            import pyarrow.parquet as pq
+
+            meta = pq.ParquetFile(path).metadata
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+            try:
+                max_bytes = int(raw)
+            except ValueError:  # "128m"-style spellings
+                units = {"k": 10, "m": 20, "g": 30}
+                max_bytes = int(raw[:-1]) << units.get(raw[-1].lower(), 0)
+            import os as _os
+
+            by_size = max(1, -(-_os.path.getsize(path) // max_bytes))
+            # parquet split granularity is the row group: a byte-range
+            # split can't run more tasks than there are row groups
+            _SCAN_SPLITS[key] = min(meta.num_row_groups, by_size)
+        except Exception:
+            _SCAN_SPLITS[key] = 1 << 30  # unknown: assume parallel enough
+    return _SCAN_SPLITS[key]
+
+
+def fan_out(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
+    """Restore scan parallelism for compute-heavy consumers (guide §2.5
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read"): the local fixtures are single-row-group parquet
+    files, so every scan is ONE task and tokenize/signature/projection
+    work serializes on one core. When the footer says the scan cannot
+    reach at least a quarter of the cores, round-robin repartition to the
+    core count (a few-MB exchange locally). On a real deployment the
+    inputs are many files / many row groups, the condition is false, and
+    NO repartition is injected — the corpus is never reshuffled just to
+    fan out. Deterministic: keyless repartition local-sorts its input
+    first (spark.sql.execution.sortBeforeRepartition, default on)."""
+    cores = spark.sparkContext.defaultParallelism
+    splits = _effective_scan_splits(spark, f"{sf_dir}/{name}.parquet", (sf_dir, name))
+    if splits < max(2, cores // 4):
+        return df.repartition(cores)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
+    """``parallel=True`` applies :func:`fan_out` — opt-in for queries whose
+    scan-side per-row work dominates (tokenizers, signatures, embeddings
+    math); cheap scans (filter+agg TPC-H shapes) keep the raw scan."""
+    df = _load_table_raw(spark, sf_dir, name)
+    if parallel:
+        df = fan_out(spark, sf_dir, name, df)
+    return df
+
+
+def _load_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prepare_session(spark)
     if name == "events":
         # events.ts resolution varies across fixture regenerations (NANOS in
