@@ -669,27 +669,53 @@ def detect_contamination(
 def _doc_grams(
     docs: DataFrame, n: int, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared tokenize + lead-window n-gram construction for the span
-    operators: returns (toks(_id, pos, token), grams(_id, pos, gram))
-    where pos is the gram's START token position. One place to change
-    the tokenization regex / hot-key strategy for both the exposure
-    metric and the rewrite."""
-    from pyspark.sql import Window
+    """Shared tokenize + n-gram construction for the span operators:
+    returns (toks(_id, pos, token), grams(_id, pos, gram)) where pos is
+    the gram's START token position (0-based, contiguous over the
+    non-empty tokens). One place to change the tokenization regex /
+    hot-key strategy for both the exposure metric and the rewrite.
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "pos", "token"
-        ),
-    ).filter(F.col("token") != "")
-    w = Window.partitionBy("_id").orderBy("pos")
-    parts: list[Column] = [F.col("token")]
-    for i in range(1, n):
-        parts.extend([F.lit(" "), F.lead("token", i).over(w)])
-    grams = toks.select("_id", "pos", F.concat(*parts).alias("gram")).filter(
-        F.col("gram").isNotNull()
+    r12: grams come straight off the token ARRAY via
+    transform(sequence(...)) — n-gram adjacency is a per-row array
+    property, so the per-doc lead-window (a full Exchange + Sort of the
+    token stream) was pure overhead (guide §2.4 "remove shuffles
+    outright"). Same gram strings, and pos is now contiguous over the
+    FILTERED tokens on both frames (the old raw-split positions agreed
+    with these everywhere the tokenizer saw single spaces; the oracle's
+    positions are the filtered ones)."""
+    base = _tokens_base(docs, id_col, text_col)
+    toks = base.select("_id", F.posexplode("__ws").alias("pos", "token"))
+    grams = base.filter(F.size("__ws") >= int(n)).select(
+        "_id", F.posexplode(_gram_array(n)).alias("pos", "gram")
     )
     return toks, grams
+
+
+def _tokens_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, __ws): lowercase whitespace token ARRAY per document."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("__ws"),
+    )
+
+
+def _gram_array(n: int, arr_col: str = "__ws") -> Column:
+    """array of space-joined n-grams over ``arr_col`` (requires
+    size >= n; index i in the result = the gram's 0-based start pos)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(arr_col) - int(n)),
+        lambda i: F.concat(
+            *[
+                part
+                for j in range(n)
+                for part in ([F.lit(" ")] if j else [])
+                + [F.element_at(F.col(arr_col), i + F.lit(j + 1))]
+            ]
+        ),
+    )
 
 
 def duplicated_ngram_spans(
@@ -768,51 +794,66 @@ def remove_duplicated_ngram_spans(
     (downstream length filters then drop it — rewriting and dropping stay
     separate decisions).
 
-    Scale shape: tokenize → per-doc lead-window grams (one shuffle on the
-    doc key); the duplicated-gram table is a groupBy on the gram key;
-    coverage explodes each duplicated gram occurrence into n (doc, pos)
-    rows and joins back token-by-token — every join is a key equi-join,
-    nothing broadcasts, nothing is quadratic. Unlike the exposure metric
-    this inherently re-reads the token stream on both branches (the
-    rewrite needs token-level positions back); at 100 TB persist the
-    token table between the two uses rather than re-tokenizing."""
-    toks, grams = _doc_grams(docs, n, id_col, text_col)
+    Scale shape (r12 restructure, guide §2.3/§2.4 — tokens now cross a
+    shuffle exactly once, as grams): the gram stream is exploded off the
+    per-doc token array and hash-REPARTITIONED ON THE GRAM KEY once; the
+    duplicated-gram table (groupBy gram) and the coverage join both
+    consume that single exchange (ReusedExchange — previously each
+    branch re-derived the token stream through its own shuffle). Covered
+    positions collapse to ONE small array per document, and the rewrite
+    itself is per-row array algebra against the doc-level token array —
+    the old token-level (doc, pos) explode/distinct/join/groupBy chain
+    (4 exchanges over token-grain rows + a collect_list sort) is gone.
+    Plan: 1 gram exchange + 1 doc-key exchange of (doc, covered-array)
+    rows + the doc-level join back; nothing broadcasts that scales with
+    the corpus, nothing is quadratic."""
+    base = _tokens_base(docs, id_col, text_col).filter(F.size("__ws") >= 1)
+    gexp = (
+        base.filter(F.size("__ws") >= int(n))
+        .select("_id", F.posexplode(_gram_array(n)).alias("pos", "gram"))
+        .repartition("gram")
+    )
     dup = (
-        grams.groupBy("gram")
+        gexp.groupBy("gram")
         .agg(F.count_distinct("_id").alias("df"))
         .filter(F.col("df") >= int(min_doc_freq))
         .select("gram")
     )
-    covered = (
-        grams.join(dup, "gram")
-        .select(
-            "_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(int(n) - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-        .withColumn("cov", F.lit(True))
-    )
-    return (
-        toks.join(covered, ["_id", "pos"], "left")
+    cov = (
+        gexp.join(dup, "gram")
         .groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("cov"), 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.sequence(F.col("pos"), F.col("pos") + F.lit(int(n) - 1))
+                        )
+                    )
+                )
+            ).alias("__cov")
+        )
+    )
+    keep = F.array_except(
+        F.sequence(F.lit(0), F.size("__ws") - 1),
+        F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
+    )
+    return (
+        base.join(cov, "_id", "left")
+        # keep-materializing projection: __keep is referenced twice below;
+        # a single select would inline the array_except per use
+        .select("_id", "__ws", keep.alias("__keep"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("__ws").cast("long").alias("n_tokens"),
+            (F.size("__ws") - F.size("__keep")).cast("long").alias("n_removed"),
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("cov").isNull(), F.struct("pos", "token"))
-                        )
-                    ),
-                    lambda s: s["token"],
+                    F.col("__keep"), lambda i: F.element_at(F.col("__ws"), i + F.lit(1))
                 ),
                 " ",
             ).alias("text_clean"),
         )
-        .select(F.col("_id").alias(id_col), "n_tokens", "n_removed", "text_clean")
     )
 
 
