@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from blazingsql_spark.functions import similarity
 from blazingsql_spark.operators import hnsw
 from blazingsql_spark.queries.pipeline import _recall_gate
-from blazingsql_spark.queries.registry import load_table, register
+from blazingsql_spark.queries.registry import fan_out, load_table, register
 
 
 def _hnsw_index(spark, sf_dir: str, emb):
@@ -39,7 +39,9 @@ def _hnsw_index(spark, sf_dir: str, emb):
     if key not in _IVFPQ_PREBUILT:
         cents = similarity.ivf_train_centroids(emb, k=16, dim=64)
         lists = similarity.assign_to_centroids(emb, cents, "vec_id", "embedding")
-        lists = lists.persist()
+        # footer-gated fan-out before persist: single-row-group local scans
+        # would otherwise pin every probe stage reading this table to 1 task
+        lists = fan_out(spark, sf_dir, "embeddings", lists).persist()
         lists.count()  # materialize the assignment now
         graph = hnsw.graph_from_centroids(cents, m=8, ef_construction=64)
         _IVFPQ_PREBUILT[key] = (cents, lists, graph)
@@ -67,7 +69,9 @@ def sim_ann_hnsw(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     cents, lists, graph = _hnsw_index(spark, sf_dir, emb)
-    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    exact = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb), queries, k=5
+    ).select("query_id", "vec_id")
     approx = (
         hnsw.hnsw_ivf_topk(
             emb, queries, k=5, n_centroids=16, ef=64,
@@ -877,7 +881,9 @@ def sim_ann_filtered(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     flt = "label % 2 = 0"
-    exact = similarity.cosine_topk(emb.filter(flt), queries, k=5).select(
+    exact = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb).filter(flt), queries, k=5
+    ).select(
         "query_id", "vec_id"
     )
     approx = similarity.ivf_topk_filtered(
@@ -928,7 +934,9 @@ def sim_ann_filtered_hnsw(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     flt = "label % 2 = 0"
-    exact = similarity.cosine_topk(emb.filter(flt), queries, k=5).select(
+    exact = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb).filter(flt), queries, k=5
+    ).select(
         "query_id", "vec_id"
     )
     approx = hnsw_ivf_topk_filtered(
@@ -1045,7 +1053,9 @@ def sim_ann_filtered_pq(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     flt = "label % 2 = 0"
-    exact = similarity.cosine_topk(emb.filter(flt), queries, k=5).select(
+    exact = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb).filter(flt), queries, k=5
+    ).select(
         "query_id", "vec_id"
     )
     approx = similarity.pq_topk_filtered(
@@ -1099,7 +1109,9 @@ def sim_ann_filtered_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     flt = "label % 2 = 0"
-    exact = similarity.cosine_topk(emb.filter(flt), queries, k=5).select(
+    exact = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb).filter(flt), queries, k=5
+    ).select(
         "query_id", "vec_id"
     )
     approx = similarity.ann_lsh_topk_filtered(

@@ -11,7 +11,7 @@ same corpus, so the dedup behavior itself is what's compared.
 from pyspark.sql import functions as F
 
 from blazingsql_spark.functions import dedup, multimodal, similarity, text
-from blazingsql_spark.queries.registry import load_table, pair, register, twin
+from blazingsql_spark.queries.registry import fan_out, load_table, pair, register, twin
 
 # ------------------------------------------------------------------ text
 
@@ -469,7 +469,9 @@ def sim_cosine_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.cosine_topk(emb, queries, k=5)
+    out = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb), queries, k=5
+    )
     return out.select(
         "query_id", "vec_id", "cosine_sim", F.col("rank").alias("rnk")
     ).orderBy("query_id", "rnk")
@@ -557,7 +559,7 @@ def sim_mmr_rerank(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 200 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    pool = cosine_topk(emb, queries, k=20)
+    pool = cosine_topk(fan_out(spark, sf_dir, "embeddings", emb), queries, k=20)
     out = mmr_rerank(pool, emb, k=5, lam=0.7, mu=0.3)
     return out.orderBy("query_id", "mmr_rank")
 
@@ -678,7 +680,10 @@ def sim_ann_lsh(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.ann_lsh_topk(emb, queries, k=5, dim=64, bands=4, bits_per_band=16)
+    out = similarity.ann_lsh_topk(
+        fan_out(spark, sf_dir, "embeddings", emb), queries,
+        k=5, dim=64, bands=4, bits_per_band=16,
+    )
     return out.select(
         "query_id", "vec_id", "cosine_sim", F.col("rank").alias("rnk")
     ).orderBy("query_id", "rnk")
@@ -813,7 +818,7 @@ def sim_near_dup(spark, sf_dir):
     dups = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    corpus = emb.unionAll(dups)
+    corpus = fan_out(spark, sf_dir, "embeddings", emb.unionAll(dups))
     out = similarity.embedding_near_dup_pairs(
         corpus, threshold=0.95, dim=64, bands=4, bits_per_band=16
     )
@@ -1033,7 +1038,9 @@ def sim_ann_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    exact = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb), queries, k=5
+    ).select("query_id", "vec_id")
     approx = (
         similarity.ivf_topk(emb, queries, k=5, n_centroids=16)
         .select("query_id", "vec_id")
@@ -1072,7 +1079,9 @@ def ann_recall_telemetry(spark, sf_dir: str) -> dict[str, float]:
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    exact = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb), queries, k=5
+    ).select("query_id", "vec_id")
     def _pq():
         books = similarity.pq_train_codebooks(emb, m=16, ksub=16, iterations=3)
         enc = similarity.pq_encode(emb, books, m=16)
@@ -1476,7 +1485,9 @@ def sim_ann_pq(spark, sf_dir):
     )
     books = similarity.pq_train_codebooks(emb, m=16, ksub=16, iterations=3)
     enc = similarity.pq_encode(emb, books, m=16)
-    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    exact = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb), queries, k=5
+    ).select("query_id", "vec_id")
     approx = (
         similarity.pq_topk_reranked(emb, enc, books, queries, k=5, m=16, ksub=16)
         .select("query_id", "vec_id")
@@ -1506,7 +1517,9 @@ def sim_ann_ivfpq(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    exact = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb), queries, k=5
+    ).select("query_id", "vec_id")
     approx = (
         similarity.ivfpq_topk(
             emb, queries, k=5, n_centroids=8, n_probe=6, m=16, ksub=16,
@@ -1530,7 +1543,10 @@ def _ivfpq_index(spark, sf_dir: str, emb):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVFPQ_PREBUILT:
         cents, books, encoded = similarity.ivfpq_build(emb, n_centroids=8, m=16, ksub=16)
-        encoded = encoded.persist()
+        # persist the codes FANNED OUT (footer-gated): the local fixture's
+        # single-row-group scan would otherwise pin every probe stage that
+        # reads this resident table to one task
+        encoded = fan_out(spark, sf_dir, "embeddings", encoded).persist()
         encoded.count()  # materialize the compressed codes now
         _IVFPQ_PREBUILT[key] = (cents, books, encoded)
     return _IVFPQ_PREBUILT[key]
@@ -1566,7 +1582,9 @@ def sim_ann_ivf_pca(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    exact = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb), queries, k=5
+    ).select("query_id", "vec_id")
     model, pca_prebuilt, f_prebuilt = _ivf_pca_index(spark, sf_dir, emb)
     approx_pca = (
         similarity.ivf_pca_topk(
@@ -1628,7 +1646,9 @@ def sim_ann_ivf_int8(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    exact = similarity.cosine_topk(
+        fan_out(spark, sf_dir, "embeddings", emb), queries, k=5
+    ).select("query_id", "vec_id")
     cents, qlists, flists = _ivf_int8_index(spark, sf_dir, emb)
     approx8 = (
         similarity.ivf_int8_topk(
@@ -1717,8 +1737,9 @@ def _ivf_int8_index(spark, sf_dir: str, emb):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INT8_PREBUILT:
         cents = similarity.ivf_train_centroids(emb, k=8, dim=64)
-        flists = similarity.assign_to_centroids(
-            emb, cents, "vec_id", "embedding"
+        flists = fan_out(
+            spark, sf_dir, "embeddings",
+            similarity.assign_to_centroids(emb, cents, "vec_id", "embedding"),
         ).persist()
         qlists = similarity.quantize_int8(
             flists.withColumn("__norm", similarity.l2_norm(F.col("embedding"))),
@@ -4633,7 +4654,7 @@ def dedup_semantic(spark, sf_dir):
     dups = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    corpus = emb.unionAll(dups)
+    corpus = fan_out(spark, sf_dir, "embeddings", emb.unionAll(dups))
     keep = similarity.semantic_dedup_keep(
         # max_cluster_size=None: the paper-exact unbounded opt-in — this
         # row IS the exact anchor (bounded-by-default since r9)
@@ -4720,7 +4741,7 @@ def dedup_semantic_bounded(spark, sf_dir):
     dups = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    corpus = emb.unionAll(dups)
+    corpus = fan_out(spark, sf_dir, "embeddings", emb.unionAll(dups))
     keep = similarity.semantic_dedup_keep(
         corpus,
         n_clusters=1,
