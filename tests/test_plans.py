@@ -506,8 +506,11 @@ def test_filtered_ann_prune_before_scan(spark):
     recall telemetry."""
     from blazingsql_spark.plans import physical_plan
 
-    for name, budget in (("sim_ann_filtered_pq", 31),
-                         ("sim_ann_filtered_lsh", 17)):
+    # budgets re-measured after the r12 footer-gated fan-out landed: on the
+    # single-row-group fixtures fan_out adds ONE round-robin exchange to
+    # each tier's corpus side (absent on real multi-row-group inputs)
+    for name, budget in (("sim_ann_filtered_pq", 32),
+                         ("sim_ann_filtered_lsh", 18)):
         df = all_queries()[name].fn(spark, SF_DIR)
         n = exchange_count(df)
         assert n <= budget, (name, n)  # measured at registration (r12)

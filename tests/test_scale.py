@@ -200,7 +200,10 @@ def test_rollup_refresh_stream(spark, tmp_path):
         str(tmp_path / "rollup"),
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    # availableNow self-terminates once all 4 files are processed; assert
+    # that it DID (a timeout under host load previously surfaced as a
+    # confusing half-rollup data mismatch instead of "didn't finish")
+    assert q.awaitTermination(600), "stream did not finish within 600s"
 
     got = {
         (r.bucket_start, r.event_type): (r.n, round(r.sum_v, 6))
