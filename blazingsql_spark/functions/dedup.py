@@ -808,20 +808,40 @@ def remove_duplicated_ngram_spans(
     rows + the doc-level join back; nothing broadcasts that scales with
     the corpus, nothing is quadratic."""
     base = _tokens_base(docs, id_col, text_col).filter(F.size("__ws") >= 1)
-    gexp = (
-        base.filter(F.size("__ws") >= int(n))
-        .select("_id", F.posexplode(_gram_array(n)).alias("pos", "gram"))
-        .repartition("gram")
+    gexp = base.filter(F.size("__ws") >= int(n)).select(
+        "_id", F.posexplode(_gram_array(n)).alias("pos", "gram")
     )
-    dup = (
-        gexp.groupBy("gram")
-        .agg(F.count_distinct("_id").alias("df"))
-        .filter(F.col("df") >= int(min_doc_freq))
-        .select("gram")
-    )
+    if int(min_doc_freq) == 2:
+        # Default tier (r12): df >= 2 ⟺ the gram's doc-id min and max
+        # differ, so the duplicated-gram decision is two O(1)-state window
+        # aggregates over the gram partition — ONE exchange of the gram
+        # stream, no dup-table join, and no second derivation of the
+        # scan→tokenize→explode chain (the join spelling intended a
+        # ReusedExchange, but column pruning makes the dup branch's
+        # subtree non-identical, so the whole chain ran twice — measured
+        # as two ~530 ms single-task stages per execution at sf0.1).
+        # Never a collect_set: per-gram state stays constant whatever the
+        # gram's document frequency, the 100 TB skew guarantee.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("gram")
+        covered = (
+            gexp.withColumn("__dmin", F.min("_id").over(w))
+            .withColumn("__dmax", F.max("_id").over(w))
+            .filter(F.col("__dmin") != F.col("__dmax"))
+            .select("_id", "pos")
+        )
+    else:
+        gexp = gexp.repartition("gram")
+        dup = (
+            gexp.groupBy("gram")
+            .agg(F.count_distinct("_id").alias("df"))
+            .filter(F.col("df") >= int(min_doc_freq))
+            .select("gram")
+        )
+        covered = gexp.join(dup, "gram").select("_id", "pos")
     cov = (
-        gexp.join(dup, "gram")
-        .groupBy("_id")
+        covered.groupBy("_id")
         .agg(
             F.array_sort(
                 F.array_distinct(

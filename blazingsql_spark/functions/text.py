@@ -1393,7 +1393,15 @@ def kn_trigram_negative_logprob(
     pref12 = tc.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12dot"), F.count("*").cast("double").alias("n1p_12")
     )
-    chat = tc.groupBy("w2", "w3").agg(F.count("*").cast("double").alias("chat23"))
+    # chat feeds FOUR consumers (the scoring join, mid, cont3, Bhat) —
+    # left lazy each one re-ran the tc→chat shuffle+aggregate (stage
+    # profile: three redundant ~450 ms jobs per execution at sf0.1).
+    # Materialize it once like tc: vocab-scale, rebuilt every execution.
+    chat = (
+        tc.groupBy("w2", "w3")
+        .agg(F.count("*").cast("double").alias("chat23"))
+        .localCheckpoint(eager=True)
+    )
     mid = chat.groupBy("w2").agg(
         F.sum("chat23").alias("chat2dot"), F.count("*").cast("double").alias("n1p_mid")
     )
