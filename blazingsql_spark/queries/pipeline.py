@@ -4654,10 +4654,7 @@ def dedup_semantic(spark, sf_dir):
     dups = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    # no fan_out: the pairwise stage is one applyInPandas blob group here
-    # (n_clusters=1 exact anchor) — scan-side parallelism buys nothing,
-    # and the A/B on the bounded twin measured the exchange as a net cost
-    corpus = emb.unionAll(dups)
+    corpus = fan_out(spark, sf_dir, "embeddings", emb.unionAll(dups))
     keep = similarity.semantic_dedup_keep(
         # max_cluster_size=None: the paper-exact unbounded opt-in — this
         # row IS the exact anchor (bounded-by-default since r9)
@@ -4744,12 +4741,7 @@ def dedup_semantic_bounded(spark, sf_dir):
     dups = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    # NO fan_out here (r12, interleaved A/B: 3.76 s with vs 2.80 s
-    # without): this query runs ~24 small jobs (decision peek, bisection
-    # levels, capped pairwise groups) and a 32-way round-robin exchange
-    # on the corpus made each pay 32-task scheduling overhead; the
-    # pairwise stage is already parallel via its group-key shuffle.
-    corpus = emb.unionAll(dups)
+    corpus = fan_out(spark, sf_dir, "embeddings", emb.unionAll(dups))
     keep = similarity.semantic_dedup_keep(
         corpus,
         n_clusters=1,
