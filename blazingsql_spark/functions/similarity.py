@@ -1744,21 +1744,42 @@ def _bounded_cluster_keys(
         .agg(F.min(F.struct(F.col("__k"), F.col("__g"))).alias("__best"))
         .select("__deep", F.col("__best.__g").alias("__fit"))
     )
-    decision = finest.join(fitting, "__deep", "left").select(
-        "__deep",
-        F.coalesce(F.col("__fit"), F.col("__deep")).alias("__key"),
-        F.col("__fit").isNull().alias("__salt"),
+    decision = (
+        finest.join(fitting, "__deep", "left")
+        .select(
+            "__deep",
+            F.coalesce(F.col("__fit"), F.col("__deep")).alias("__key"),
+            F.col("__fit").isNull().alias("__salt"),
+        )
+        # decision feeds the salt peek below AND the corpus join in the
+        # caller; left lazy, each consumer re-runs the finest/ancestors/
+        # fitting join chain (~6 small AQE jobs of tiny-table exchanges —
+        # at sf0.1 the sequential job count, not bytes, is the bill; at
+        # scale this table is ≤ #finest-groups rows, never corpus-sized).
+        # The peek's action materializes it; the corpus join reuses it.
+        .localCheckpoint(eager=False)
     )
     resolved = base.withColumn("__deep", F.element_at("__prefs", levels)).join(
         decision, "__deep"
     )
     drop_cols = ("__prefs", "__deep", "__key", "__salt", "centroid_id")
     # The salted branch exists only for point-mass groups no bisection can
-    # split. Peek at the SMALL decision table (derived from the pinned
-    # sizes table — no corpus scan): when nothing salts — the
-    # overwhelmingly common case — return the single-branch frame, so the
-    # corpus is scanned ONCE instead of twice by a filter/union pair.
-    if decision.filter(F.col("__salt")).limit(1).count() == 0:
+    # split. Peek at the pinned sizes table: a finest group salts iff ITS
+    # OWN size exceeds the cap (__fit is null ⟺ no ancestor fits, and
+    # every ancestor is a superset of the finest group, so size(ancestor)
+    # ≥ size(finest) — if the finest group fits, it is its own fitting
+    # ancestor). Probing sizes directly instead of the decision table
+    # keeps the build-time action from deriving the finest/ancestors/
+    # fitting join chain (~6 sequential tiny-table AQE jobs measured at
+    # ~1.4 s of driver-synchronous build time at sf0.1); the chain now
+    # runs once, inside the main query's execution. When nothing salts —
+    # the overwhelmingly common case — return the single-branch frame,
+    # so the corpus is scanned ONCE instead of twice by a filter/union
+    # pair.
+    oversized = (F.col("__k") == split_bits) & (
+        F.col("__n") > F.lit(int(max_cluster_size))
+    )
+    if sizes.filter(oversized).limit(1).count() == 0:
         return resolved.withColumn("__grp", F.col("__key")).drop(*drop_cols)
     plain = resolved.filter(~F.col("__salt")).withColumn("__grp", F.col("__key"))
     # Rank-range salting: bucket = floor(rank_within_group / cap), ranks by
