@@ -1257,7 +1257,6 @@ def kn_bigram_negative_logprob(
             f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')"
         ).alias("__ws"),
     )
-    toks = base.select(F.col(id_col), F.explode("__ws").alias("w1"))
     big = (
         base.filter(F.size("__ws") >= 2)
         .select(
@@ -1290,8 +1289,17 @@ def kn_bigram_negative_logprob(
         F.sum("c12").alias("c1dot"), F.count("*").cast("double").alias("n1p_left")
     )
     cont = bc.groupBy("w2").agg(F.count("*").cast("double").alias("n1p_right"))
+    # V without a corpus-wide explode→distinct pass (r12, guide §2.3):
+    # every token of a ≥2-token doc appears in some bigram (position i is
+    # w1 for i < n, w2 for i > 1), so the distinct-token set is exactly
+    # the distinct keys of the pinned count table plus the tokens of
+    # <2-token docs — vocab-scale work + a short-doc-only explode
+    # replaces the all-tokens distinct aggregate.
+    vocab = bc.select(F.explode(F.array("w1", "w2")).alias("w")).unionAll(
+        base.filter(F.size("__ws") < 2).select(F.explode("__ws").alias("w"))
+    )
     stats = bc.agg(F.count("*").cast("double").alias("B")).crossJoin(
-        toks.agg(F.count_distinct("w1").cast("double").alias("V"))
+        vocab.agg(F.count_distinct("w").cast("double").alias("V"))
     )
     D = float(discount)
     p = (
@@ -1356,7 +1364,6 @@ def kn_trigram_negative_logprob(
             f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')"
         ).alias("__ws"),
     )
-    toks = base.select(F.col(id_col), F.explode("__ws").alias("w1"))
     tri = (
         base.filter(F.size("__ws") >= 3)
         .select(
@@ -1406,8 +1413,17 @@ def kn_trigram_negative_logprob(
         F.sum("chat23").alias("chat2dot"), F.count("*").cast("double").alias("n1p_mid")
     )
     cont3 = chat.groupBy("w3").agg(F.count("*").cast("double").alias("n1p_right"))
+    # V from the pinned trigram table + short docs (r12, guide §2.3):
+    # every token of a ≥3-token doc appears in some trigram column
+    # (position i is w1 for i ≤ n−2, w2 at n−1, w3 at n), so distinct
+    # tokens = distinct tc keys ∪ tokens of <3-token docs — the
+    # corpus-wide explode→distinct V pass becomes vocab-scale work plus
+    # a short-doc-only explode.
+    vocab = tc.select(F.explode(F.array("w1", "w2", "w3")).alias("w")).unionAll(
+        base.filter(F.size("__ws") < 3).select(F.explode("__ws").alias("w"))
+    )
     stats = chat.agg(F.count("*").cast("double").alias("Bhat")).crossJoin(
-        toks.agg(F.count_distinct("w1").cast("double").alias("V"))
+        vocab.agg(F.count_distinct("w").cast("double").alias("V"))
     )
     D = float(discount)
     pc = (F.col("n1p_right") + 1.0) / (F.col("Bhat") + F.col("V") + 1.0)
