@@ -3814,7 +3814,9 @@ def dedup_spans(spark, sf_dir):
     tokenize→lead-window→frequency pipeline in DuckDB SQL."""
     from blazingsql_spark.functions.dedup import duplicated_ngram_spans
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r12): same single-task tokenize+explode bottleneck as the
+    # rewrite twin below
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return duplicated_ngram_spans(docs, n=3).orderBy("doc_id")
 
 
@@ -3864,7 +3866,10 @@ def dedup_spans_rewrite(spark, sf_dir):
     nothing broadcasts, nothing is quadratic."""
     from blazingsql_spark.functions.dedup import remove_duplicated_ngram_spans
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r12): the tokenize+gram-explode chain and the doc-level
+    # join back both serialize on the single-row-group fixture scan
+    # (stage profile: one ~1.1 s single-task stage ≈ half the query)
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return remove_duplicated_ngram_spans(docs, n=3).orderBy("doc_id")
 
 
