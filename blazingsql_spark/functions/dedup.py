@@ -820,8 +820,11 @@ def remove_duplicated_ngram_spans(
         # ReusedExchange, but column pruning makes the dup branch's
         # subtree non-identical, so the whole chain ran twice — measured
         # as two ~530 ms single-task stages per execution at sf0.1).
-        # Never a collect_set: per-gram state stays constant whatever the
-        # gram's document frequency, the 100 TB skew guarantee.
+        # Never a collect_set: per-gram AGGREGATION state stays constant
+        # whatever the gram's document frequency. (Partition-level hot-gram
+        # skew is unchanged vs the join spelling: Window.partitionBy still
+        # routes every occurrence of a hot gram through one task,
+        # WindowExec materializing/spilling the partition — ADVICE r12.)
         from pyspark.sql import Window
 
         w = Window.partitionBy("gram")

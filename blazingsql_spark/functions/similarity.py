@@ -1708,78 +1708,53 @@ def _bounded_cluster_keys(
         .drop("__bits")
     )
 
-    sizes = (
+    # r13 (VERDICT r12 #7): the split DECISIONS live on a table whose size
+    # is bounded by CONFIGURATION, never the corpus — at most
+    # #centroids × 2^split_bits finest groups × (split_bits+1) levels.
+    # Resolving the shallowest fitting ancestor through DataFrame joins
+    # (sizes checkpoint + finest/ancestors/fitting chain + a salt-peek
+    # action) cost ~8 sequential tiny-table AQE jobs per execution; at
+    # micro-batch scale the job count, not bytes, was the bill. Collect
+    # the size table once (config-bounded — tests/test_bounded_sites.py
+    # allowlist) and resolve driver-side; the corpus then joins ONE
+    # broadcast decision table. Groups are hierarchical (rows sharing the
+    # level-k prefix share all shallower prefixes) so the per-finest-group
+    # choice is well-defined; ancestors are supersets, so "no fitting
+    # ancestor" ⟺ the finest group itself exceeds the cap ⟺ salt.
+    size_rows = (
         base.select(F.posexplode("__prefs").alias("__k", "__g"))
         .groupBy("__k", "__g")
         .agg(F.count(F.lit(1)).alias("__n"))
-        # sizes feeds the plan TWICE (finest + the ancestors fit join); left
-        # lazy, each consumer re-runs the corpus scan + explode + shuffle.
-        # It is a tiny table (≤ levels × #finest-groups rows), so pin it.
-        .localCheckpoint(eager=False)
+        .collect()  # summary: ≤ #finest-groups × (split_bits+1) rows
     )
-    # Resolve each FINEST group to its shallowest fitting ancestor on the
-    # size table alone (groups are hierarchical: rows sharing the level-k
-    # prefix share all shallower prefixes, so the choice is well-defined
-    # per finest group). Ancestor keys are recovered by re-slicing the
-    # dot-joined key — no second corpus pass.
-    finest = sizes.filter(F.col("__k") == split_bits).select(
-        F.col("__g").alias("__deep")
-    )
-    ancestors = finest.select(
-        "__deep",
-        F.explode(
-            F.array(*[F.lit(k) for k in range(levels)])
-        ).alias("__k"),
-    ).withColumn(
-        "__g",
-        F.array_join(
-            F.slice(F.split(F.col("__deep"), r"\."), 1, F.col("__k") + 1),
-            ".",
-        ),
-    )
-    fitting = (
-        ancestors.join(sizes, ["__k", "__g"])
-        .filter(F.col("__n") <= F.lit(max_cluster_size))
-        .groupBy("__deep")
-        .agg(F.min(F.struct(F.col("__k"), F.col("__g"))).alias("__best"))
-        .select("__deep", F.col("__best.__g").alias("__fit"))
-    )
-    decision = (
-        finest.join(fitting, "__deep", "left")
-        .select(
-            "__deep",
-            F.coalesce(F.col("__fit"), F.col("__deep")).alias("__key"),
-            F.col("__fit").isNull().alias("__salt"),
-        )
-        # decision feeds the salt peek below AND the corpus join in the
-        # caller; left lazy, each consumer re-runs the finest/ancestors/
-        # fitting join chain (~6 small AQE jobs of tiny-table exchanges —
-        # at sf0.1 the sequential job count, not bytes, is the bill; at
-        # scale this table is ≤ #finest-groups rows, never corpus-sized).
-        # The peek's action materializes it; the corpus join reuses it.
-        .localCheckpoint(eager=False)
+    sizes = {(r["__k"], r["__g"]): r["__n"] for r in size_rows}
+    cap = int(max_cluster_size)
+    decision_rows = []
+    any_salt = False
+    for (k, g), _n in sizes.items():
+        if k != split_bits:
+            continue
+        parts = g.split(".")
+        fit = None
+        for kk in range(levels):  # shallowest fitting ancestor first
+            anc = ".".join(parts[: kk + 1])
+            if sizes.get((kk, anc), 0) <= cap:
+                fit = anc
+                break
+        salt = fit is None
+        any_salt = any_salt or salt
+        decision_rows.append((g, g if salt else fit, salt))
+    decision = assigned.sparkSession.createDataFrame(
+        decision_rows, "__deep string, __key string, __salt boolean"
     )
     resolved = base.withColumn("__deep", F.element_at("__prefs", levels)).join(
-        decision, "__deep"
+        F.broadcast(decision), "__deep"
     )
     drop_cols = ("__prefs", "__deep", "__key", "__salt", "centroid_id")
-    # The salted branch exists only for point-mass groups no bisection can
-    # split. Peek at the pinned sizes table: a finest group salts iff ITS
-    # OWN size exceeds the cap (__fit is null ⟺ no ancestor fits, and
-    # every ancestor is a superset of the finest group, so size(ancestor)
-    # ≥ size(finest) — if the finest group fits, it is its own fitting
-    # ancestor). Probing sizes directly instead of the decision table
-    # keeps the build-time action from deriving the finest/ancestors/
-    # fitting join chain (~6 sequential tiny-table AQE jobs measured at
-    # ~1.4 s of driver-synchronous build time at sf0.1); the chain now
-    # runs once, inside the main query's execution. When nothing salts —
-    # the overwhelmingly common case — return the single-branch frame,
-    # so the corpus is scanned ONCE instead of twice by a filter/union
-    # pair.
-    oversized = (F.col("__k") == split_bits) & (
-        F.col("__n") > F.lit(int(max_cluster_size))
-    )
-    if sizes.filter(oversized).limit(1).count() == 0:
+    # When nothing salts — the overwhelmingly common case — return the
+    # single-branch frame, so the corpus is scanned ONCE instead of twice
+    # by a filter/union pair.
+    if not any_salt:
         return resolved.withColumn("__grp", F.col("__key")).drop(*drop_cols)
     plain = resolved.filter(~F.col("__salt")).withColumn("__grp", F.col("__key"))
     # Rank-range salting: bucket = floor(rank_within_group / cap), ranks by
@@ -1972,6 +1947,15 @@ def semantic_dedup_keep(
             )
             .select(F.col("__ida").alias(id_col))
             .distinct()
+            # lazy checkpoint (r13, guide §2.4): when `vectors` is a UNION,
+            # Catalyst pushes the anti-join through it and would otherwise
+            # duplicate this whole drop-set subtree — the pairwise
+            # FlatMapGroupsInPandas stage ran TWICE per execution (seen in
+            # the committed dedup_semantic_bounded plan: two copies of
+            # operators 4-28). The truncated leaf computes once and both
+            # branches reuse its blocks; materialization happens inside the
+            # first action, nothing persists across executions.
+            .localCheckpoint(eager=False)
         )
         return vectors.join(dropped, id_col, "left_anti")
 
@@ -2009,6 +1993,13 @@ def semantic_dedup_keep(
         .filter(F.round(pair_cos, 6) >= F.lit(threshold))
         .select(F.col("__ida").alias(id_col))
         .distinct()
+        # NO lazy checkpoint here, unlike the bounded path above: the
+        # checkpointed RDD compiles outside the consuming query's AQE, and
+        # this path's single-hot-key join NEEDS AQE's runtime broadcast
+        # decision — checkpointed it planned as a one-task sort-merge join
+        # and the quadratic stage serialized (measured 1.5 s -> 28 s at
+        # sf0.1). The union push-through duplication costs 2x the pairwise
+        # here; the broadcast join it preserves is worth far more.
     )
     return vectors.join(dropped, id_col, "left_anti")
 

@@ -170,7 +170,12 @@ def _star_components(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        e = small.localCheckpoint(eager=True)
+        # lazy checkpoint (r13): the signature aggregate right below is a
+        # FULL pass over every partition of e, so it materializes the
+        # checkpoint inside its own job — eager=True ran a separate
+        # materialization job first, doubling the per-round job count
+        # (2 jobs/round -> 1; micro-batch CC latency is job-count-bound)
+        e = small.localCheckpoint(eager=False)
         # set signature: count + XOR of per-edge hashes (order-independent,
         # overflow-free under ANSI mode; e is distinct so set semantics apply)
         row = e.agg(

@@ -4750,12 +4750,14 @@ def dedup_semantic_bounded(spark, sf_dir):
     dups = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    # size-aware fan-out width (r13, VERDICT r12 #1): unlike the unbounded
-    # anchor row (one quadratic pairwise blob -> needs every core), the
-    # bounded path's pairwise stage is parallelized by the group-key
-    # shuffle, so the scan side only needs enough tasks for the signature
-    # math — full-width repartition multiplied per-job scheduling overhead
-    # across this query's ~20 sequential AQE jobs.
+    # Size-aware fan-out width (r13, VERDICT r12 #1): the hyperplane-bit
+    # transform and the group-key shuffle's map side run at INPUT width,
+    # so some fan-out is required on the single-row-group fixture
+    # (measured: no fan-out 3.5 s, width 8 1.7 s at sf0.1) — but the r12
+    # full-width (32) repartition multiplied per-job scheduling overhead
+    # across this query's ~15 sequential AQE jobs for no extra
+    # parallelism (the pairwise stage is parallelized by its own
+    # group-key repartition, not the scan).
     corpus = fan_out(
         spark, sf_dir, "embeddings", emb.unionAll(dups), per_task_rows=256
     )

@@ -605,6 +605,11 @@ class ComponentsIngest:
         from blazingsql_spark.operators.graph import incremental_components
 
         labels = self.read_labels()
+        # eager checkpoint is LOAD-BEARING (r13 measured, then reverted a
+        # lazy spelling): a REPLAYED epoch overwrites its own snap=<N>
+        # directory, and a lazy plan would still be reading those files
+        # inside the overwrite job (FAILED_READ_FILE, caught by the replay
+        # tests). Materialize fully BEFORE the write starts.
         new = incremental_components(labels, batch_df).localCheckpoint(eager=True)
         self._publish(new, epoch)
 
@@ -1016,6 +1021,8 @@ class CdcApplyIngest(ComponentsIngest):
         if snap is None:
             # first epoch: an empty snapshot with the log's payload schema
             snap = batch_df.drop(self.op_col, self.version_col).limit(0)
+        # eager checkpoint is LOAD-BEARING — see ComponentsIngest.__call__:
+        # a replayed epoch reads its own snapshot while overwriting it
         new = cdc_apply(
             snap, batch_df, self.key_cols, self.op_col, self.version_col
         ).localCheckpoint(eager=True)

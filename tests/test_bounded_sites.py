@@ -41,6 +41,7 @@ ALLOWED: dict[tuple[str, str, str], int] = {
     ("blazingsql_spark/functions/sampling.py", "domain_mix_sample", "crossJoin"): 1,  # bcast (per-domain quota row)
     ("blazingsql_spark/functions/sampling.py", "dsir_log_weights", "crossJoin"): 2,  # bcast (hashed n-gram stats)
     ("blazingsql_spark/functions/sampling.py", "temperature_weights", "crossJoin"): 2,  # bcast (1-row totals)
+    ("blazingsql_spark/functions/similarity.py", "_bounded_cluster_keys", "collect"): 1,  # summary (config-bounded: <= #centroids x 2^split_bits x (split_bits+1) rows, corpus-independent)
     ("blazingsql_spark/functions/similarity.py", "assign_to_centroids", "crossJoin"): 1,  # bcast (k centroids)
     ("blazingsql_spark/functions/similarity.py", "cosine_topk", "crossJoin"): 1,  # bcast (bounded query set)
     ("blazingsql_spark/functions/similarity.py", "ivf_int8_topk", "crossJoin"): 1,  # bcast (k centroids)
