@@ -67,27 +67,86 @@ def group_percentile_cont(
     ).filter(F.col("__v").isNotNull())
 
     key_cols = [F.col(k) for k in keys]
-    part = base.repartitionByRange(n, *key_cols, F.col("__v")).withColumn(
-        "__cid", F.spark_partition_id()
-    )
-    ranked = part.withColumn(
-        "__rn",
-        F.row_number().over(Window.partitionBy("__cid", *keys).orderBy("__v")),
-    )
+    if keys:
+        part = base.repartitionByRange(n, *key_cols, F.col("__v")).withColumn(
+            "__cid", F.spark_partition_id()
+        )
+        ranked = part.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("__cid", *keys).orderBy("__v")),
+        )
+    else:
+        # Keyless fast path (r13, guide §2.4): the row_number window above
+        # would hash-exchange the whole corpus a SECOND time just to rank
+        # within chunks the range exchange already formed. Sort within the
+        # range partitions (local sort, no exchange) and read the local
+        # rank off monotonically_increasing_id's record number — its low
+        # 33 bits, by contract the row's position within the partition.
+        # Rank-assignment order among tied values is arbitrary either way;
+        # order statistics are well-defined under ties (see module doc).
+        part = (
+            base.repartitionByRange(n, F.col("__v"))
+            .sortWithinPartitions("__v")
+            .withColumn("__cid", F.spark_partition_id())
+        )
+        ranked = part.withColumn(
+            "__rn",
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+            + F.lit(1),
+        )
 
     # tiny: n_chunks × n_groups rows
     counts = ranked.groupBy("__cid", *keys).agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = (
-        Window.partitionBy(*keys)
-        .orderBy("__cid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+
+    # per (group, quantile): the two target ranks + interpolation position
+    q_rows = F.array(
+        *[
+            F.struct(F.lit(name).alias("__qname"), F.lit(float(q)).alias("__q"))
+            for name, q in quantiles.items()
+        ]
     )
-    offsets = counts.select(
-        "__cid",
-        *keys,
-        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
-    )
-    totals = counts.groupBy(*keys).agg(F.sum("__cnt").alias("__n"))
+    if keys:
+        w_off = (
+            Window.partitionBy(*keys)
+            .orderBy("__cid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            "__cid",
+            *keys,
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        )
+        totals = counts.groupBy(*keys).agg(F.sum("__cnt").alias("__n"))
+    else:
+        # Keyless collapse (r13): offsets AND the total come out of ONE
+        # 1-row aggregate over counts (n_chunks rows) instead of a window
+        # pass plus a second aggregate — each extra consumer of `counts`
+        # was a separate tiny AQE stage job, and at micro-benchmark scale
+        # the sequential job count is the whole bill. The prefix sum is an
+        # O(n_chunks²) expression on ONE row — trivial at any real chunk
+        # count.
+        stats1 = counts.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__cid"), F.col("__cnt")))
+            ).alias("__cc"),
+            F.sum("__cnt").alias("__n"),
+        )
+        offsets = stats1.select(
+            F.explode(
+                F.transform(
+                    F.col("__cc"),
+                    lambda x, i: F.struct(
+                        x["__cid"].alias("__cid"),
+                        F.aggregate(
+                            F.slice(F.col("__cc"), F.lit(1), i),
+                            F.lit(0).cast("bigint"),
+                            lambda a, y: a + y["__cnt"],
+                        ).alias("__off"),
+                    ),
+                )
+            ).alias("__x")
+        ).select(F.col("__x.__cid").alias("__cid"), F.col("__x.__off").alias("__off"))
+        totals = stats1.select("__n")
 
     # offsets is n_chunks x n_groups rows: bounded ONLY when the group-key
     # cardinality is — with no keys it is n_chunks rows (hint it); with
@@ -100,13 +159,6 @@ def group_percentile_cont(
         "__grank", (F.col("__rn") + F.col("__off")).cast("long")
     )
 
-    # per (group, quantile): the two target ranks + interpolation position
-    q_rows = F.array(
-        *[
-            F.struct(F.lit(name).alias("__qname"), F.lit(float(q)).alias("__q"))
-            for name, q in quantiles.items()
-        ]
-    )
     targets = (
         totals.select(*keys, "__n", F.explode(q_rows).alias("__qs"))
         .select(
@@ -135,6 +187,42 @@ def group_percentile_cont(
         (F.col("__grank") == F.col("__rank_lo"))
         | (F.col("__grank") == F.col("__rank_hi"))
     )
+    if not keys:
+        # Keyless collapse (r13): every quantile's lo/hi order statistic
+        # and its interpolation position come out of ONE global aggregate
+        # (conditional mins over ≤ 2·|quantiles| rows) instead of a
+        # groupBy + a pivot — two more tiny exchanges gone. Interpolation
+        # below is the identical lo*(1-frac) + hi*frac expression.
+        aggs = []
+        for name in quantiles:
+            is_q = F.col("__qname") == F.lit(name)
+            aggs += [
+                F.min(
+                    F.when(
+                        is_q & (F.col("__grank") == F.col("__rank_lo")),
+                        F.col("__v"),
+                    )
+                ).alias(f"__lo_{name}"),
+                F.min(
+                    F.when(
+                        is_q & (F.col("__grank") == F.col("__rank_hi")),
+                        F.col("__v"),
+                    )
+                ).alias(f"__hi_{name}"),
+                F.min(F.when(is_q, F.col("__pos"))).alias(f"__pos_{name}"),
+            ]
+        one = hit.agg(*aggs)
+        out = []
+        for name in quantiles:
+            fr = F.col(f"__pos_{name}") - F.floor(f"__pos_{name}")
+            out.append(
+                (
+                    F.col(f"__lo_{name}") * (F.lit(1.0) - fr)
+                    + F.col(f"__hi_{name}") * fr
+                ).alias(name)
+            )
+        return one.select(*out)
+
     # ranks are unique per group, so each side of the when() sees exactly
     # one row; when pos is integral rank_lo == rank_hi and both pick it
     picked = hit.groupBy(*keys, "__qname", "__pos").agg(

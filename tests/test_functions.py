@@ -794,6 +794,7 @@ def test_star_matches_propagate_on_mixed_graph(spark):
     assert (40, 40) in star  # self-loop-only node kept as singleton
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_incremental_components_matches_full_recompute(spark):
     """Label maintenance across edge batches must equal a full CC over the
     cumulative edge set after EVERY batch — including cross-batch
@@ -823,6 +824,7 @@ def test_incremental_components_matches_full_recompute(spark):
         assert got == want, f"after batch {batch}: {got} != {want}"
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_incremental_components_randomized(spark):
     """Randomized batches over a small node universe: heavy merge traffic,
     duplicate edges, self-loops — incremental must track full recompute."""

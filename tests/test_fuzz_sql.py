@@ -20,6 +20,8 @@ registry oracles follow):
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -88,6 +90,11 @@ import duckdb  # noqa: E402
 import pytest  # noqa: E402
 
 from tests.conftest import SF_DIR  # noqa: E402
+
+# Hypothesis long-tail: nightly tier (r13 — the default gate must fit the
+# driver's verify budget; see pyproject addopts)
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture(scope="module")

@@ -454,6 +454,7 @@ def test_symbol_relative_navigation_batch(spark):
     )
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_in_automaton_path_equals_vectorized_on_nav_free(spark):
     """Property: on navigation-free DEFINEs the in-automaton scan
     (forced via the test hook) is row-for-row identical to the
@@ -979,6 +980,7 @@ def test_review_regressions_classifier_mask_flagnames(spark):
     assert [r.n for r in got] == [27]
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_within_match_duration_bound(spark):
     """WITHIN (the Flink extension): equals the symbol-relative budget
     formulation on a monotone funnel; works with arbitrary vectorized
@@ -1734,6 +1736,7 @@ def test_with_unmatched_rows(spark):
         assert n == 2, mode
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_emission_modes_randomized_invariants(spark):
     """Randomized differential over the three ALL-ROWS emission modes on
     one partition: (1) WITH UNMATCHED ROWS emits every input row exactly

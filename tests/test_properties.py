@@ -4,6 +4,8 @@ plain-Python/pandas models on randomized inputs."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -11,6 +13,11 @@ from pyspark.sql import functions as F
 
 from blazingsql_spark.functions import dedup
 from blazingsql_spark.operators import asof_join
+
+# Hypothesis long-tail: nightly tier (r13 — the default gate must fit the
+# driver's verify budget; see pyproject addopts)
+pytestmark = pytest.mark.slow
+
 
 words = st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=0, max_size=12)
 

@@ -4,6 +4,8 @@ computation (differential testing, streaming vs batch engine)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from blazingsql_spark.queries.registry import load_table
@@ -11,6 +13,7 @@ from blazingsql_spark.streaming import events as st
 from tests.conftest import SF_DIR, normalize
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_tumbling_counts_matches_batch(spark):
     stream = st.tumbling_counts(st.stream_events(spark, SF_DIR))
     got = st.run_to_memory(spark, stream, "t_tumbling")
@@ -92,6 +95,7 @@ def test_enrich_stream_with_static_dim(spark):
     assert got.filter("event_type = 'purchase'").select("category").distinct().first()[0] == "revenue"
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_stream_stream_join_matches_batch(spark):
     base = st.stream_events(spark, SF_DIR)
     purchases = base.filter("event_type = 'purchase'")
@@ -119,6 +123,7 @@ def test_stream_stream_join_matches_batch(spark):
     assert got_pairs == want_pairs
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_dedup_ingest_pipeline(spark, tmp_path):
     """Streaming ingest: batch 1 fills corpus+index; batch 2 (copies + fresh
     docs) gets near-dups filtered against the index."""
@@ -163,6 +168,7 @@ def test_dedup_ingest_pipeline(spark, tmp_path):
     assert not any(7000 <= i < 7005 for i in ids_after)  # filtered on first batch
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_dedup_ingest_index_compaction(spark, tmp_path):
     """Many micro-batches must not grow the signature index's file count
     without bound: compaction rewrites it into index_partitions files, and
@@ -293,6 +299,7 @@ def test_corpus_prep_ingest(spark, tmp_path):
         assert (r.split, r.shard) == want[r.doc_id], r
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_ann_index_ingest_builds_extends_and_tracks_drift(spark, tmp_path):
     """Streaming ANN-index maintenance: epoch 0 builds the index and the
     drift baseline; epoch 1 (same distribution) extends with no retrain
@@ -339,6 +346,7 @@ def test_ann_index_ingest_builds_extends_and_tracks_drift(spark, tmp_path):
     assert hits.count() == 3 * 5
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_ann_index_ingest_hnsw_coarse_tier(spark, tmp_path):
     """hnsw_m enables the landmark-graph coarse tier: epoch 0 builds AND
     persists the graph with the frozen centroids; later epochs (including
@@ -854,6 +862,7 @@ def test_asof_join_stream_checkpoint_restart(spark, tmp_path):
     assert got == want_rows and len(got) > 0  # no lost matches either
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_components_ingest_incremental_and_replay_idempotent(spark, tmp_path):
     """ComponentsIngest: labels after each epoch equal full CC over the
     cumulative edges; replaying an epoch (at-least-once redelivery) is a
@@ -898,6 +907,7 @@ def test_components_ingest_incremental_and_replay_idempotent(spark, tmp_path):
     assert len(h2._snapshots()) <= 2  # pruned
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_dedup_cluster_ingest_transitive_across_epochs(spark, tmp_path):
     """DedupClusterIngest: filtered duplicates stay traceable to their
     canonical corpus doc across epochs, including TRANSITIVE links (doc C
@@ -1483,6 +1493,7 @@ def test_quantile_sketch_ingest_equals_batch_and_replays(spark, tmp_path):
     assert after_once != want  # the new epoch genuinely added counts
 
 
+@pytest.mark.slow  # soak/randomized long-tail: nightly tier (r13, driver verify budget)
 def test_top_k_ingest_equals_batch_and_replays(spark, tmp_path):
     """Streaming top-k maintainer: (1) small-cardinality stream — the
     maintainer's top-k equals the exact batch top-k item for item and
