@@ -516,3 +516,54 @@ def test_filtered_ann_prune_before_scan(spark):
         assert n <= budget, (name, n)  # measured at registration (r12)
         plan = physical_plan(df, "simple")
         assert "LeftSemi" in plan, (name, "semi-prune missing")
+
+
+def test_streaming_microbatch_plan_budgets(spark, tmp_path):
+    """r13 (VERDICT r12 #6): the streaming maintainers' per-batch compute
+    bodies keep their measured exchange budgets — a regression adding a
+    shuffle to a path that runs once per micro-batch multiplies into
+    every epoch forever. Budgets measured by tools/r13_stream_audit.py
+    (plans committed under plans/r13/stream_*_plan.txt)."""
+    from pyspark.sql import functions as F
+
+    from blazingsql_spark.functions import dedup as D
+    from blazingsql_spark.functions import sketches
+    from blazingsql_spark.functions.text import _tokens
+    from blazingsql_spark.operators.merge import cdc_apply
+    from blazingsql_spark.queries.registry import load_table
+
+    batch = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(200)
+
+    # signature build: tokenize -> minhash -> band explode, ONE corpus-side
+    # aggregation exchange (+ the band explode is shuffle-free)
+    sigs = D._banded_signatures(batch, "text", "doc_id", 8, 4, 2)
+    assert exchange_count(sigs) <= 2, exchange_count(sigs)
+
+    # lexical postings: one tokenize pass, one (doc, token) aggregation
+    toks = _tokens(batch, "doc_id", "text")
+    postings = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    assert exchange_count(postings) <= 2, exchange_count(postings)
+
+    # ddsketch bucketing: one aggregation exchange
+    vals = spark.range(1000).select((F.col("id") / 7.0).alias("v"))
+    buckets = sketches.ddsketch_build(vals, "v")
+    assert exchange_count(buckets) <= 2, exchange_count(buckets)
+
+    # CDC apply: one window over the batch log + one key-join against the
+    # snapshot — never a shuffle of the log history
+    snap = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    log = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.lit(2).alias("v"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("long").alias("version"),
+    )
+    applied = cdc_apply(snap, log, ["k"], "op", "version")
+    assert exchange_count(applied) <= 4, exchange_count(applied)
+
+    # incremental near-dup check against a persisted index: the index side
+    # is read manifest-gated and joined once on (band, band_hash)
+    idx_path = str(tmp_path / "sig_idx")
+    D.build_signature_index(batch, idx_path, "text", "doc_id", 8, 4, 2)
+    pairs = D.incremental_near_dup_check(spark, batch, idx_path, "text", "doc_id", 8, 4, 2)
+    assert exchange_count(pairs) <= 6, exchange_count(pairs)
