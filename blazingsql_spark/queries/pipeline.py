@@ -1543,13 +1543,16 @@ def _ivfpq_index(spark, sf_dir: str, emb):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVFPQ_PREBUILT:
         cents, books, encoded = similarity.ivfpq_build(emb, n_centroids=8, m=16, ksub=16)
-        # persist the codes in their natural layout — NO fan-out (r13,
-        # VERDICT r12 #1): this few-MB resident table is probed by many
-        # small sequential jobs, and 32-way oversharding cost more in task
-        # scheduling than it bought in parallelism (driver measured ivfpq
-        # 2.17->4.32 s, +6 Exchanges, faster at 8 cores than 32). Probe
-        # compute parallelism comes from the probe joins, not this table.
-        encoded = encoded.persist()
+        # persist the codes at a SIZE-AWARE width (r13, VERDICT r12 #1):
+        # the r12 full-core fan-out (32-way) of this few-MB resident table
+        # cost more in task scheduling across ~18 sequential probe jobs
+        # than it bought (driver: ivfpq 2.17->4.32 s, faster at 8 cores);
+        # but the natural single-row-group layout serializes the ADC-fold
+        # scoring stage on ONE task (measured: the biggest probe stage at
+        # sf0.1). per_task_rows sizes the width from the footer row count
+        # (8 tasks at sf0.1); on real many-row-group inputs fan_out is a
+        # no-op and the build layout is the scan's own.
+        encoded = fan_out(spark, sf_dir, "embeddings", encoded, per_task_rows=256).persist()
         encoded.count()  # materialize the compressed codes now
         _IVFPQ_PREBUILT[key] = (cents, books, encoded)
     return _IVFPQ_PREBUILT[key]
@@ -1740,10 +1743,13 @@ def _ivf_int8_index(spark, sf_dir: str, emb):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INT8_PREBUILT:
         cents = similarity.ivf_train_centroids(emb, k=8, dim=64)
-        # natural layout, NO fan-out (r13, VERDICT r12 #1): resident probe
-        # table oversharding — see _ivfpq_index
-        flists = similarity.assign_to_centroids(
-            emb, cents, "vec_id", "embedding"
+        # size-aware persist width (r13, VERDICT r12 #1): see _ivfpq_index —
+        # 8 tasks at sf0.1 parallelize the int8 dot-fold scoring stage
+        # (single-task at natural layout, 32-way oversharded under r12)
+        flists = fan_out(
+            spark, sf_dir, "embeddings",
+            similarity.assign_to_centroids(emb, cents, "vec_id", "embedding"),
+            per_task_rows=256,
         ).persist()
         qlists = similarity.quantize_int8(
             flists.withColumn("__norm", similarity.l2_norm(F.col("embedding"))),
