@@ -1946,7 +1946,11 @@ def semantic_dedup_keep(
                 >= F.lit(threshold)
             )
             .select(F.col("__ida").alias(id_col))
-            .distinct()
+            # no distinct (r13, guide §2.4): the drop-set feeds ONLY a
+            # left_anti join, which is insensitive to right-side
+            # duplicates — the distinct was one whole extra
+            # exchange+aggregate (and its sequential AQE job) to
+            # deduplicate a config-bounded candidate list nobody reads
             # lazy checkpoint (r13, guide §2.4): when `vectors` is a UNION,
             # Catalyst pushes the anti-join through it and would otherwise
             # duplicate this whole drop-set subtree — the pairwise
