@@ -2095,54 +2095,6 @@ def ivf_int8_build(
     return cents, qlists
 
 
-@F.pandas_udf(T.LongType())  # explicit DataType: a DDL string would need
-def _int8_dot(a: pd.Series, b: pd.Series) -> pd.Series:  # a live context at import
-    """Exact int64 dot of two ARRAY<TINYINT> columns, one Arrow batch at
-    a time (guide §4.2). Fast path: when the batch is NULL-free and
-    rectangular, one einsum over the stacked (n, dim) int64 matrices.
-    Fallback: per-row numpy dot with the SQL fold's NULL semantics
-    (NULL array / unequal lengths / NULL element → NULL). Integer
-    multiply-accumulate is order-insensitive, so this is bit-identical
-    to aggregate(zip_with(x, y, (a,b) -> a*b), 0L, +)."""
-
-    def _row(x, y):
-        if x is None or y is None or len(x) != len(y):
-            return None
-        xa = np.asarray(x)
-        ya = np.asarray(y)
-        # a NULL element arrives as NaN under a float dtype (int8 arrays
-        # cannot represent it); the fold yields NULL for that pair
-        if xa.dtype.kind == "f" and np.isnan(xa).any():
-            return None
-        if ya.dtype.kind == "f" and np.isnan(ya).any():
-            return None
-        return int(xa.astype(np.int64) @ ya.astype(np.int64))
-
-    try:
-        xa = np.stack(a.to_numpy())
-        ya = np.stack(b.to_numpy())
-        # NULL elements surface as NaN under a float dtype — check
-        # BEFORE the int64 cast (casting NaN to int is undefined)
-        for m in (xa, ya):
-            if m.dtype.kind == "f" and not np.isfinite(m).all():
-                raise ValueError("null element in batch")
-        return pd.Series(
-            np.einsum("ij,ij->i", xa.astype(np.int64), ya.astype(np.int64))
-        )
-    except Exception:
-        return pd.Series(
-            [_row(x, y) for x, y in zip(a, b)], dtype="object"
-        ).astype("Int64")
-
-
-# guide §4.4: the isNotNull filter below the scoring projection gets
-# pushed under it and would evaluate the UDF TWICE per row (verified:
-# two stacked ArrowEvalPython nodes in the plan). The function is
-# deterministic; the marker only tells the optimizer not to duplicate
-# or reorder the (expensive) evaluation.
-_int8_dot_once = _int8_dot.asNondeterministic()
-
-
 def ivf_int8_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -2200,27 +2152,22 @@ def ivf_int8_topk(
         .join(qq, query_id_col)
     )
 
-    # Vectorized integer dot (r13, guide §4.2): the zip_with/aggregate
-    # fold is interpreted per element (~28 µs per 64-dim pair measured at
-    # sf0.1 — the single biggest probe-stage cost); one Arrow batch
-    # through numpy does the same int64 multiply-accumulate ~100x
-    # cheaper. EXACT by construction — tinyint×tinyint sums fit long with
-    # 2^40 headroom and integer math has no rounding — and the NULL
-    # semantics of the fold are reproduced: NULL array, or unequal
-    # lengths (zip_with pads → NULL product → NULL sum), or a NULL
-    # element, all yield NULL. Every float op (scale/norm algebra,
-    # HALF_UP round) stays in the JVM expressions below, untouched.
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("__qq"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     cands = qlists.join(F.broadcast(probes), "centroid_id").select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(
             F.when(
                 (F.col("__norm") != 0.0) & (F.col("__qnorm") != 0.0),
-                (
-                    F.col("scale")
-                    * F.col("__qscale")
-                    * _int8_dot_once(F.col("qvec"), F.col("__qq")).cast("double")
-                )
+                (F.col("scale") * F.col("__qscale") * int_dot.cast("double"))
                 / (F.col("__norm") * F.col("__qnorm")),
             ),
             6,

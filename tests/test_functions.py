@@ -1195,40 +1195,6 @@ def test_ivf_int8_probe_all_matches_float_ranking(spark):
     assert recall >= 0.9, recall
 
 
-def test_int8_dot_udf_matches_jvm_fold(spark):
-    """The r13 vectorized int8 dot (numpy pandas_udf) must be
-    bit-identical to the JVM zip_with/aggregate fold it replaced —
-    including the fold's NULL semantics: NULL array, unequal lengths
-    (zip_with pads with NULL), and a NULL element all yield NULL.
-    Integer multiply-accumulate is order-insensitive, so equality is
-    exact, not approximate."""
-    from blazingsql_spark.functions.similarity import _int8_dot
-
-    rows = [
-        (0, [1, -2, 3, 127], [4, 5, -6, -127]),        # plain
-        (1, [127] * 4, [127] * 4),                      # max magnitude
-        (2, None, [1, 2, 3, 4]),                        # NULL array
-        (3, [1, 2, 3], [1, 2, 3, 4]),                   # unequal length
-        (4, [1, None, 3, 4], [1, 2, 3, 4]),             # NULL element
-        (5, [0, 0, 0, 0], [0, 0, 0, 0]),                # zeros
-    ]
-    df = spark.createDataFrame(
-        rows, "i long, a array<tinyint>, b array<tinyint>"
-    )
-    fold = F.aggregate(
-        F.zip_with(F.col("a"), F.col("b"), lambda x, y: x.cast("long") * y.cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    got = (
-        df.select("i", fold.alias("jvm"), _int8_dot("a", "b").alias("np"))
-        .orderBy("i")
-        .collect()
-    )
-    for r in got:
-        assert r.jvm == r.np, (r.i, r.jvm, r.np)
-
-
 def test_ivf_int8_zero_vector_excluded_not_crashing(spark):
     """All-zero vectors have no cosine direction: they must be EXCLUDED
     from the index (NULL routing) rather than crash ANSI mode with
